@@ -1,0 +1,194 @@
+"""Join operators: denormalizing export, broadcast dims, semi/anti joins.
+
+Reference semantics: every reference "join" is an O(1) dict probe --
+``input_names.get(inp, default)`` during CSV export
+(``etl_controller.py:3293-3298``), the ``output_to_group`` index
+(``etl_controller.py:1984-1996``), group-membership checks
+(``etl_controller.py:3222-3223``), and ungrouped-singleton synthesis
+(``etl_controller.py:318-324``).  Re-expressed as real relational joins
+(J1-J4 in SURVEY.md SS2.3): broadcast hash joins for dims, left-semi /
+left-anti for membership.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_rf_matrix_controller_spark.plans.registry import declared
+from etl_rf_matrix_controller_spark.sources.tables import load_table
+
+
+@declared(
+    "routes_csv_denorm",
+    oracle="""
+    SELECT o.o_orderkey AS output_id,
+           o.o_custkey AS input_id,
+           concat('Output ', CAST(o.o_orderkey AS VARCHAR)) AS output_name,
+           coalesce(c.c_name, concat('Input ', CAST(o.o_custkey AS VARCHAR)))
+             AS input_name,
+           coalesce(n.n_name, 'UNKNOWN') AS nation_name,
+           round(o.o_totalprice, 2) AS total_price
+    FROM orders o
+    LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+    LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey
+    """,
+)
+def routes_csv_denorm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP: denormalizing routes export (scan -> join -> join -> project).
+
+    Mirrors the CSV export (etl_controller.py:3283-3301): each route row is
+    decorated with display names via dict probes with defaults; here,
+    ``orders`` plays the route table (output=o_orderkey, input=o_custkey),
+    ``customer`` the input-name map, ``nation`` a second-level dim.  Missing
+    names fall back to synthesized defaults exactly like
+    ``input_names.get(inp, f"Input {inp}")`` (etl_controller.py:3293-3298).
+
+    Scale: nation is broadcast (25 rows, fixed); customer is dim-vs-fact so
+    we hint broadcast too -- at a scale where customer outgrows the
+    broadcast threshold, AQE falls back to shuffled hash join on the
+    equi-key.  No global sort here (hash compare is order-insensitive);
+    the CSV sink helper sorts within partitions instead.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey, "left")
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey, "left")
+        .select(
+            F.col("o_orderkey").alias("output_id"),
+            F.col("o_custkey").alias("input_id"),
+            F.concat(F.lit("Output "), F.col("o_orderkey").cast("string")).alias(
+                "output_name"
+            ),
+            F.coalesce(
+                F.col("c_name"),
+                F.concat(F.lit("Input "), F.col("o_custkey").cast("string")),
+            ).alias("input_name"),
+            F.coalesce(F.col("n_name"), F.lit("UNKNOWN")).alias("nation_name"),
+            F.round("o_totalprice", 2).alias("total_price"),
+        )
+    )
+
+
+def export_routes_csv(df: DataFrame, path: str) -> None:
+    """CSV sink for the denormalized routes (etl_controller.py:3283-3301).
+
+    ``sortWithinPartitions`` gives the reference's sorted-by-output order
+    per file without a global sort -- at 100 TB a total order on a CSV
+    export is wasted work; per-file order plus filename ordering suffices.
+    """
+    df.sortWithinPartitions("output_id").write.mode("overwrite").option(
+        "header", True
+    ).csv(path)
+
+
+@declared(
+    "join_broadcast_dim",
+    oracle="""
+    SELECT n.n_name AS nation_name,
+           count(*) AS order_cnt,
+           round(sum(o.o_totalprice), 2) AS sum_price
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-dim broadcast hash join + grouped aggregate (J1).
+
+    Mirrors the output->group index probe (etl_controller.py:1984-1996):
+    build side is the small dim, probe side streams the fact.  Broadcasting
+    customer+nation means the fact table never shuffles for the join; the
+    only shuffle is the final (tiny) groupBy on nation name, and Catalyst
+    runs it partial->final so the map side pre-aggregates.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            F.count(F.lit(1)).alias("order_cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+@declared(
+    "group_membership_semi",
+    oracle="""
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total_price
+    FROM orders
+    WHERE o_custkey IN (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    )
+    """,
+)
+def group_membership_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi membership join (P1/J3).
+
+    Mirrors the preset scope filter ``out in group.outputs``
+    (etl_controller.py:3222-3223): keep fact rows whose key appears in the
+    member set.  Semi join never widens rows and the member side is
+    deduplicated by the join itself; broadcast keeps the fact unshuffled.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    members = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    return orders.join(
+        F.broadcast(members), orders.o_custkey == members.c_custkey, "left_semi"
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        F.round("o_totalprice", 2).alias("total_price"),
+    )
+
+
+@declared(
+    "ungroup_anti",
+    oracle="""
+    SELECT c.c_custkey,
+           c.c_name,
+           concat('Group ', CAST(c.c_custkey AS VARCHAR)) AS synth_group
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+    )
+    """,
+)
+def ungroup_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join + singleton synthesis (J4).
+
+    Mirrors ungrouped-output synthesis (etl_controller.py:318-324): keys
+    covered by no group each get a synthesized singleton group.  Here the
+    "group cover" is urgent orders: customers with none get a singleton.
+    Anti join on the equi-key; the probe side (orders keys) is reduced to
+    distinct keys map-side by the semi/anti join machinery.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select(
+        "c_custkey",
+        "c_name",
+        F.concat(F.lit("Group "), F.col("c_custkey").cast("string")).alias(
+            "synth_group"
+        ),
+    )

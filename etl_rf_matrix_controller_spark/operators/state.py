@@ -1,0 +1,134 @@
+"""Keyed-state operators: last-write-wins routing state and as-of joins.
+
+Reference semantics: the route map is a sparse ``Dict[int, int]`` where a
+point write unconditionally overwrites (``etl_controller.py:2444``) and a
+telemetry poll replaces state wholesale (``etl_controller.py:2535-2537``);
+write-then-readback verification re-reads state after a command
+(``etl_controller.py:2446-2448``).
+
+Spark re-expression: latest-by-key via ``row_number() == 1`` over a
+descending event-time window (W1 in SURVEY.md SS2.5) and an as-of join via
+the union-merge pattern (J7/T5) -- both single-shuffle, key-partitioned,
+linear at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_rf_matrix_controller_spark.plans.registry import declared
+from etl_rf_matrix_controller_spark.sources.tables import load_table
+
+
+@declared(
+    "route_latest_state",
+    oracle="""
+    SELECT user_id, last_event_type, last_value, last_ts
+    FROM (
+      SELECT user_id,
+             event_type AS last_event_type,
+             round(value, 2) AS last_value,
+             ts AS last_ts,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+             ) AS rn
+      FROM events
+    ) t
+    WHERE rn = 1
+    """,
+)
+def route_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-write-wins state table: newest event per key.
+
+    Mirrors the route map's overwrite semantics (etl_controller.py:2444,
+    2535-2537) with ``events.user_id`` as the output id and ``ts`` as the
+    write time.  One shuffle on the state key; at scale the key partitioning
+    is exactly the state-store layout a streaming upsert would use.
+    ``event_id`` is the unique total-order tiebreaker (driver hash needs
+    determinism under equal timestamps).
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_event_type"),
+            F.round("value", 2).alias("last_value"),
+            F.col("ts").alias("last_ts"),
+        )
+    )
+
+
+@declared(
+    "asof_latest_order",
+    oracle="""
+    SELECT event_id, user_id, ts, asof_orderkey, asof_orderdate
+    FROM (
+      SELECT e.event_id, e.user_id, e.ts,
+             o.o_orderkey AS asof_orderkey,
+             o.o_orderdate AS asof_orderdate,
+             row_number() OVER (
+               PARTITION BY e.event_id
+               ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+             ) AS rn
+      FROM events e
+      JOIN orders o
+        ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    ) t
+    WHERE rn = 1
+    """,
+)
+def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each event, the latest order at-or-before its ts.
+
+    Mirrors deferred write-verification (etl_controller.py:2446-2448): a
+    command row is matched to the most recent observed state.  Implemented
+    with the scalable union-merge pattern instead of an inequality join:
+    tag both streams, sort once within each key partition, and carry the
+    last seen order forward with ``last(..., ignorenulls=True)``.  This is
+    ONE shuffle on the key and never materializes the (event x order)
+    cross-range -- the naive ``o_orderdate <= ts`` theta-join the oracle
+    uses would explode at 100 TB.
+
+    Tie rule: an order dated exactly at the event ts is visible (kind 0
+    sorts before kind 1); among equal dates the max orderkey wins (orderkey
+    asc + ``last``), matching the oracle's ``ORDER BY o_orderdate DESC,
+    o_orderkey DESC ... rn = 1``.
+    """
+    events = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+
+    order_rows = orders.select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("ts"),
+        F.lit(0).alias("kind"),
+        F.col("o_orderkey").alias("o_orderkey"),
+        F.col("o_orderdate").alias("o_orderdate"),
+        F.lit(None).cast("bigint").alias("event_id"),
+    )
+    event_rows = events.select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("bigint").alias("o_orderkey"),
+        F.lit(None).cast("timestamp").alias("o_orderdate"),
+        "event_id",
+    )
+    merged = order_rows.unionByName(event_rows)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("kind").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        merged.withColumn("asof_orderkey", F.last("o_orderkey", ignorenulls=True).over(w))
+        .withColumn("asof_orderdate", F.last("o_orderdate", ignorenulls=True).over(w))
+        .filter((F.col("kind") == 1) & F.col("asof_orderkey").isNotNull())
+        .select("event_id", "user_id", "ts", "asof_orderkey", "asof_orderdate")
+    )

@@ -1,0 +1,47 @@
+"""Parquet source readers for the driver's testdata star schema.
+
+Mirrors the reference's source surface (SURVEY.md SS2.1): full-state scans
+(S2), parameterized point reads (S3), JSON config load (S4).  At scale these
+are plain ``spark.read.parquet`` scans -- Catalyst pushes predicates and
+prunes columns into the parquet footer reader, which is the whole
+optimization story for 100 TB: never read what the query doesn't need.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimensions small enough to broadcast at any realistic scale factor
+# (region/nation are fixed-size; supplier/customer/part grow ~linearly but
+# stay far below a 100 TB fact table -- still, only region/nation/supplier
+# are unconditionally broadcast-safe; customer/part we leave to AQE).
+BROADCAST_SAFE = ("region", "nation", "supplier")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one testdata table. Column pruning + predicate pushdown are
+    applied by Catalyst on top of this (verify with .explain: PushedFilters,
+    ReadSchema)."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # TIMESTAMP(NANOS) read as long-nanos (spark.sql.legacy.parquet.
+        # nanosAsLong); truncate ns -> us exactly like DuckDB's fetch does.
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
