@@ -1,1 +1,136 @@
-"""Placeholder -- filled in by build plan order (SURVEY.md SS7)."""
+"""Regex frame parsing, JSON property extraction, and regex predicates.
+
+Reference semantics: every telemetry response is a semi-structured ASCII
+frame parsed by regex -- status ``{BASTATUS,...}`` (etl_controller.py:616),
+chassis ``{BAcC,...}`` with temps scaled /10 and 5-digit fan pulse counts
+(etl_controller.py:742-795), device info ``{BBI,...}`` (:466); config JSON
+round-trips string-keyed dicts (:341-342).  Input validation is regex +
+range checks (IP octets, :1508-1514).
+
+Spark re-expression: ``regexp_extract`` group pulls, ``get_json_object``,
+``rlike`` predicates -- all whole-stage-codegen projections/filters with
+pushdown-friendly shapes (a rlike filter on a scanned column prunes rows
+before any shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_rf_matrix_controller_spark.plans.registry import declared
+from etl_rf_matrix_controller_spark.sources.tables import load_table
+
+# Chassis frame shape distilled from _parse_chassis_status
+# (etl_controller.py:741-795): two temps (tenths of degC, sign-prefixed),
+# one 5-digit fan pulse count, one door flag char.
+_FRAME_RE = r"^\{BAcC,\+(\d{3}),\+(\d{3}),(\d{5}),([OC])\}$"
+
+
+@declared(
+    "chassis_regex_extract",
+    oracle=r"""
+    WITH frames AS (
+      SELECT s_suppkey,
+             printf('{BAcC,+%03d,+%03d,%05d,%s}',
+                    200 + (s_suppkey * 17) % 400,
+                    150 + (s_suppkey * 31) % 450,
+                    10000 + (s_suppkey * 997) % 20000,
+                    CASE WHEN s_suppkey % 2 = 0 THEN 'O' ELSE 'C' END) AS frame
+      FROM supplier
+    )
+    SELECT s_suppkey,
+           frame,
+           CAST(regexp_extract(frame,
+             '^\{BAcC,\+([0-9]{3}),\+([0-9]{3}),([0-9]{5}),([OC])\}$', 1)
+             AS INT) / 10.0 AS temp_a_c,
+           CAST(regexp_extract(frame,
+             '^\{BAcC,\+([0-9]{3}),\+([0-9]{3}),([0-9]{5}),([OC])\}$', 2)
+             AS INT) / 10.0 AS temp_b_c,
+           CAST(regexp_extract(frame,
+             '^\{BAcC,\+([0-9]{3}),\+([0-9]{3}),([0-9]{5}),([OC])\}$', 3)
+             AS INT) AS fan_pulses,
+           regexp_extract(frame,
+             '^\{BAcC,\+([0-9]{3}),\+([0-9]{3}),([0-9]{5}),([OC])\}$', 4) = 'O'
+             AS door_open
+    FROM frames
+    """,
+)
+def chassis_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4/F10/S3: synthesize chassis frames, then regex-parse them back.
+
+    Round-trip proves the parse: frame fields are derived deterministically
+    from supplier keys, formatted into the reference's frame shape, then
+    re-extracted with the same group semantics the reference uses
+    (temps /10 degC :758-759, 5-digit pulses :767-770, door char :787-788).
+    """
+    sup = load_table(spark, sf_dir, "supplier")
+    frames = sup.select(
+        "s_suppkey",
+        F.format_string(
+            "{BAcC,+%03d,+%03d,%05d,%s}",
+            (F.lit(200) + (F.col("s_suppkey") * 17) % 400).cast("int"),
+            (F.lit(150) + (F.col("s_suppkey") * 31) % 450).cast("int"),
+            (F.lit(10000) + (F.col("s_suppkey") * 997) % 20000).cast("int"),
+            F.when(F.col("s_suppkey") % 2 == 0, "O").otherwise("C"),
+        ).alias("frame"),
+    )
+    g = lambda i: F.regexp_extract("frame", _FRAME_RE, i)  # noqa: E731
+    return frames.select(
+        "s_suppkey",
+        "frame",
+        (g(1).cast("int") / 10.0).alias("temp_a_c"),
+        (g(2).cast("int") / 10.0).alias("temp_b_c"),
+        g(3).cast("int").alias("fan_pulses"),
+        (g(4) == "O").alias("door_open"),
+    )
+
+
+@declared(
+    "props_json_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_value,
+           CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    """,
+)
+def props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11/S3: JSON property extraction with int re-cast.
+
+    Mirrors the string-keyed JSON config round-trip
+    (etl_controller.py:341-342, 355): pull a typed value out of a JSON
+    string column.  ``get_json_object`` stays JVM-side; no UDF.
+    """
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return events.filter(k.isNotNull()).select(
+        "event_id",
+        k.alias("k_value"),
+        (k % 10).alias("k_bucket"),
+    )
+
+
+@declared(
+    "doc_token_match",
+    oracle=r"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE regexp_matches(text, '\bspark\b.*\bvector\b')
+      AND lang IN ('en', 'fr')
+    """,
+)
+def doc_token_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: regex predicate parity (word-boundary + ordering constraint).
+
+    Mirrors the validation-gate pattern (IP regex etl_controller.py:
+    1508-1514; digit gates :621): a rlike filter composed with a membership
+    predicate.  Catalyst pushes the IN down to the scan and short-circuits
+    the regex; the filter runs before anything shuffles.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(
+        F.col("text").rlike(r"\bspark\b.*\bvector\b")
+        & F.col("lang").isin("en", "fr")
+    ).select("doc_id", "lang", "source")
