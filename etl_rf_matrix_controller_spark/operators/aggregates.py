@@ -1,1 +1,238 @@
-"""Placeholder -- filled in by build plan order (SURVEY.md SS7)."""
+"""Grouped aggregation operators: multi-agg, rollup, distinct, collect, top-k.
+
+Reference semantics: success counting over batch route loops
+(``etl_controller.py:1796-1806, 3258-3261``), the adjusted-rows badge
+``len(row_luminance)`` (:2312), per-group snapshot collection (:3222-3223),
+two-level group/member display (:286-330), and the periodic availability
+indicator (:3119-3136).
+
+Spark re-expression: plain ``groupBy().agg`` (Catalyst plans
+partial+final automatically -- the map side pre-aggregates, which is the
+whole scale story for 100 TB aggregation), ``rollup`` for hierarchy,
+``TakeOrderedAndProject`` for top-k (no global sort).
+
+Float determinism: double addition is not associative, so a parallel
+Spark sum and a sequential DuckDB sum can differ in the last ulps and
+break the value hash.  Every float sum here is therefore computed over
+DECIMAL-cast inputs (the testdata is clean <=2-decimal money), which is
+exact and order-independent, then cast back to double and rounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_rf_matrix_controller_spark.plans.registry import declared
+from etl_rf_matrix_controller_spark.sources.tables import load_table
+
+
+def _dec_sum(col, scale: int = 4):
+    """Order-independent exact sum of a clean-decimal double column."""
+    return F.sum(F.round(col, scale).cast("decimal(28,8)"))
+
+
+@declared(
+    "agg_partial_final",
+    oracle="""
+    SELECT l_returnflag,
+           l_linestatus,
+           round(CAST(sum(CAST(round(l_quantity, 4) AS DECIMAL(28,8))) AS DOUBLE), 2)
+             AS sum_qty,
+           round(CAST(sum(CAST(round(l_extendedprice, 4) AS DECIMAL(28,8))) AS DOUBLE), 2)
+             AS sum_base_price,
+           round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 4)
+             AS DECIMAL(28,8))) AS DOUBLE), 2) AS sum_disc_price,
+           round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 4)
+             AS DECIMAL(28,8))) AS DOUBLE), 2) AS sum_charge,
+           round(CAST(sum(CAST(round(l_quantity, 4) AS DECIMAL(28,8))) AS DOUBLE)
+             / count(*), 2) AS avg_qty,
+           round(CAST(sum(CAST(round(l_discount, 4) AS DECIMAL(28,8))) AS DOUBLE)
+             / count(*), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_partial_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: grouped multi-aggregate (TPC-H Q1 shape).
+
+    Mirrors batch success counting (etl_controller.py:1796-1806) scaled to
+    a real pricing summary.  Catalyst's physical plan is partial
+    HashAggregate -> exchange on (returnflag, linestatus) -> final
+    HashAggregate: the shuffle carries 6 groups, not 600k rows.  Products
+    are computed per-row in double (bit-identical on both engines), then
+    summed exactly via decimal.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    cnt = F.count(F.lit(1))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(_dec_sum(F.col("l_quantity")).cast("double"), 2).alias("sum_qty"),
+        F.round(_dec_sum(F.col("l_extendedprice")).cast("double"), 2).alias(
+            "sum_base_price"
+        ),
+        F.round(
+            _dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "double"
+            ),
+            2,
+        ).alias("sum_disc_price"),
+        F.round(
+            _dec_sum(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+            ).cast("double"),
+            2,
+        ).alias("sum_charge"),
+        F.round(_dec_sum(F.col("l_quantity")).cast("double") / cnt, 2).alias(
+            "avg_qty"
+        ),
+        F.round(_dec_sum(F.col("l_discount")).cast("double") / cnt, 4).alias(
+            "avg_disc"
+        ),
+        cnt.alias("count_order"),
+    )
+
+
+@declared(
+    "grouping_sets_rollup",
+    oracle="""
+    SELECT l_returnflag,
+           l_linestatus,
+           count(*) AS n_items,
+           round(CAST(sum(CAST(round(l_quantity, 4) AS DECIMAL(28,8))) AS DOUBLE), 2)
+             AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def grouping_sets_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: two-level hierarchy totals via ROLLUP.
+
+    Mirrors the group-header + member display (etl_controller.py:286-330):
+    per-(flag,status), per-flag subtotal, and grand total in one pass.
+    Spark expands the rollup map-side; still one shuffle.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(_dec_sum(F.col("l_quantity")).cast("double"), 2).alias("sum_qty"),
+    )
+
+
+@declared(
+    "distinct_users_daily",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(DISTINCT user_id) AS dau
+    FROM events
+    GROUP BY date_trunc('day', ts)
+    """,
+)
+def distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: exact count-distinct per day (etl_controller.py:2312 badge).
+
+    Exact distinct costs a two-phase shuffle (dedup then count).  The
+    approximate variant for 100 TB dashboards is
+    ``approx_distinct_users_daily`` (rows-only check: HLL internals differ
+    from DuckDB so hashes can't match).
+    """
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count_distinct("user_id").alias("dau")
+    )
+
+
+@declared("approx_distinct_users_daily")  # rows-only: HLL differs from oracle
+def approx_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 at-scale variant: HyperLogLog distinct (single aggregation pass,
+    constant memory per group -- the 100 TB answer when +-2% is fine)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("dau_approx")
+    )
+
+
+@declared(
+    "names_collect",
+    oracle="""
+    SELECT c_nationkey,
+           string_agg(c_name, ',' ORDER BY c_name) AS names,
+           count(*) AS n_members
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+)
+def names_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: per-group ordered name collection (etl_controller.py:3222-3223).
+
+    ``collect_list`` + ``sort_array`` + ``concat_ws`` keeps the result a
+    deterministic scalar string per group regardless of partition arrival
+    order (collect_list alone is nondeterministic under parallelism).
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.groupBy("c_nationkey").agg(
+        F.concat_ws(",", F.sort_array(F.collect_list("c_name"))).alias("names"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+
+
+@declared(
+    "conn_health_rate",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           round(avg(CASE WHEN event_type = 'error' THEN 0.0 ELSE 1.0 END), 4)
+             AS health_rate,
+           count(*) AS n_events
+    FROM events
+    GROUP BY date_trunc('day', ts)
+    """,
+)
+def conn_health_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7/T4: availability rate per day (etl_controller.py:3119-3136).
+
+    avg of exact 0/1 doubles is an integer sum / count -- order-independent
+    without the decimal trick.
+    """
+    events = load_table(spark, sf_dir, "events")
+    ok = F.when(F.col("event_type") == "error", 0.0).otherwise(1.0)
+    return events.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.round(F.avg(ok), 4).alias("health_rate"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@declared(
+    "topk_event_users",
+    oracle="""
+    SELECT user_id,
+           round(CAST(sum(CAST(round(value, 4) AS DECIMAL(28,8))) AS DOUBLE), 2)
+             AS total_value,
+           count(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    ORDER BY total_value DESC, user_id ASC
+    LIMIT 10
+    """,
+)
+def topk_event_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5: top-k with a unique tiebreak.
+
+    ``orderBy().limit(k)`` compiles to TakeOrderedAndProject: each
+    partition keeps its local top-10 and only those reach the driver --
+    no global sort, which is the difference between seconds and hours at
+    100 TB.  user_id tiebreak makes the cut deterministic under value ties.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id")
+        .agg(
+            F.round(_dec_sum(F.col("value")).cast("double"), 2).alias("total_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy(F.desc("total_value"), F.asc("user_id"))
+        .limit(10)
+    )

@@ -1,1 +1,80 @@
-"""Placeholder -- filled in by build plan order (SURVEY.md SS7)."""
+"""Window-function operators: running totals, ranking.
+
+Reference semantics: the crosshair delta recompute walks previous+current
+hover state (``etl_controller.py:1839-1906``) -- an incremental running
+view; status tables render rank-ordered rows (:737).
+
+Spark re-expression (W3/W4): frame-spec running aggregates
+(``rowsBetween(unboundedPreceding, currentRow)``) and rank/dense_rank.
+Both partition by a real key so the window shuffle scales with keys, not
+with a single global ordering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_rf_matrix_controller_spark.plans.registry import declared
+from etl_rf_matrix_controller_spark.sources.tables import load_table
+
+
+@declared(
+    "window_running_total",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           round(CAST(sum(CAST(round(value, 4) AS DECIMAL(28,8))) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING
+           ) AS DOUBLE), 2) AS running_value
+    FROM events
+    """,
+)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: per-key running total with an explicit frame spec.
+
+    The decimal cast keeps the prefix sums exact so every row's running
+    value is bit-identical to the sequential oracle; (ts, event_id) is a
+    total order within each key.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = F.sum(F.round("value", 4).cast("decimal(28,8)")).over(w)
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(running.cast("double"), 2).alias("running_value"),
+    )
+
+
+@declared(
+    "window_rank_dense",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           round(c_acctbal, 2) AS acctbal,
+           rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC)
+             AS rnk,
+           dense_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC)
+             AS drnk
+    FROM customer
+    """,
+)
+def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: rank + dense_rank per segment (sorted-status-table parity,
+    etl_controller.py:737).  Ties produce equal ranks on both engines, so
+    no tiebreaker is needed for hash parity."""
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"))
+    return customer.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )

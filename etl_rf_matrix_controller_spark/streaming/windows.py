@@ -1,1 +1,159 @@
-"""Placeholder -- filled in by build plan order (SURVEY.md SS7)."""
+"""Event-time windowing: tumbling counts, session windows, streaming runners.
+
+Reference semantics: the telemetry poller emits frames every N seconds
+(micro-batch loop, ``etl_controller.py:576-613``), a 500 ms debounce
+collapses keystroke bursts (:1495-1506), and a 10 s heartbeat drives the
+availability indicator (:2787-2790, 3119-3136).
+
+Spark re-expression (T1/T3): ``window(ts, '1 hour')`` tumbling aggregation
+and ``session_window(ts, '30 minutes')`` gap-collapse -- the same
+DataFrame code runs in batch (oracle-checked) and under Structured
+Streaming with an ``availableNow`` trigger (asserted batch==stream in
+tests/test_streaming.py).  With a watermark, late data inside the
+tolerance still lands in its event-time window; the reference has no such
+notion (it overwrites state wholesale each poll).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_rf_matrix_controller_spark.plans.registry import declared
+from etl_rf_matrix_controller_spark.sources.tables import load_table
+
+
+def _tumbling_agg(events: DataFrame) -> DataFrame:
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.round("value", 4).cast("decimal(28,8)")).cast("double"), 2
+            ).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@declared(
+    "tumbling_hour_counts",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour_start,
+           event_type,
+           count(*) AS n_events,
+           round(CAST(sum(CAST(round(value, 4) AS DECIMAL(28,8))) AS DOUBLE), 2)
+             AS sum_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def tumbling_hour_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1/F9: tumbling 1-hour event-time windows per type.
+
+    Uses the streaming-native ``window()`` expression in batch mode; its
+    epoch-aligned window start equals ``date_trunc('hour', ts)``.  One
+    shuffle on (window, type); partial aggregation collapses map-side.
+    """
+    return _tumbling_agg(load_table(spark, sf_dir, "events"))
+
+
+def _session_agg(events: DataFrame) -> DataFrame:
+    return (
+        events.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "session_start", "last_ts", "n_events")
+    )
+
+
+@declared(
+    "session_windows",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                       < INTERVAL 30 MINUTE
+                  THEN 0 ELSE 1 END AS brk
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sess
+      FROM flagged
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) AS last_ts,
+           count(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, sess
+    """,
+)
+def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3: gap-based session collapse (the debounce pattern,
+    etl_controller.py:1495-1506, generalized to 30-min gaps).
+
+    ``session_window`` merges events strictly less than the gap apart; the
+    oracle is the equivalent gaps-and-islands SQL (DuckDB has no session
+    built-in).  Session end is reported as ``max(ts)`` (last event), not
+    Spark's ``window.end`` (last event + gap), to keep both sides in the
+    same vocabulary.
+    """
+    return _session_agg(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming runners (availableNow): same aggregations, streaming
+# execution.  Used by tests to assert batch == stream.
+# ---------------------------------------------------------------------------
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet with the same nanos handling as
+    the batch reader."""
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream = spark.readStream.schema(batch.schema).parquet(
+        f"{sf_dir}", pathGlobFilter="events.parquet"
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def run_stream_to_memory(
+    agg_df: DataFrame, query_name: str, spark: SparkSession
+) -> DataFrame:
+    """Run a streaming aggregation to completion (availableNow) into an
+    in-memory sink and return the result as a batch DataFrame."""
+    q = (
+        agg_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
+
+
+def tumbling_hour_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 under real Structured Streaming with a 1-day watermark."""
+    events = _events_stream(spark, sf_dir).withWatermark("ts", "1 day")
+    return run_stream_to_memory(_tumbling_agg(events), "tumbling_stream", spark)
+
+
+def session_windows_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 under real Structured Streaming with a 1-day watermark."""
+    events = _events_stream(spark, sf_dir).withWatermark("ts", "1 day")
+    return run_stream_to_memory(_session_agg(events), "session_stream", spark)

@@ -1,0 +1,35 @@
+"""Batch == stream assertions: the same window aggregations must produce
+identical results via Structured Streaming (availableNow) and batch SQL."""
+
+from __future__ import annotations
+
+from etl_rf_matrix_controller_spark.streaming.windows import (
+    session_windows,
+    session_windows_stream,
+    tumbling_hour_counts,
+    tumbling_hour_counts_stream,
+)
+from tests.conftest import SF_DIR, spark_rows
+
+
+def _assert_same(batch_df, stream_df, name):
+    b_cols, b_rows = spark_rows(batch_df)
+    s_cols, s_rows = spark_rows(stream_df)
+    assert b_cols == s_cols, f"{name}: schema {b_cols} != {s_cols}"
+    assert b_rows == s_rows, f"{name}: batch/stream rows differ"
+
+
+def test_tumbling_batch_eq_stream(spark):
+    _assert_same(
+        tumbling_hour_counts(spark, SF_DIR),
+        tumbling_hour_counts_stream(spark, SF_DIR),
+        "tumbling_hour_counts",
+    )
+
+
+def test_session_batch_eq_stream(spark):
+    _assert_same(
+        session_windows(spark, SF_DIR),
+        session_windows_stream(spark, SF_DIR),
+        "session_windows",
+    )
