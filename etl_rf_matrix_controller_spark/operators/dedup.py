@@ -1,1 +1,392 @@
-"""Placeholder -- filled in by build plan order (SURVEY.md SS7)."""
+"""Document deduplication: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Extension operators mandated by the build contract (SURVEY.md SS2.11):
+the training-data-pipeline capabilities a 100 TB corpus needs.  No
+reference analog -- the closest behavior is merged-selection dedupe
+``sorted(set(...))`` (etl_controller.py:2193).
+
+Scale design:
+  * exact dedup: hash -> window keep-first == one shuffle on the hash key;
+  * MinHash/LSH: signatures are 8 independent min-aggregates over the
+    (doc, token) explosion -- map-side combinable; candidate pairs come
+    from equi-joins on band buckets, NEVER an all-pairs cross join;
+  * SimHash: bit-vote aggregation, equi-join on the 64-bit signature;
+  * verification Jaccard runs only on LSH candidates.
+
+The driver's ``documents`` table has no duplicates, so every query here
+runs over a deterministic "dup corpus": each doc_id % 10 == 0 re-emitted
+verbatim (exact dup) and each doc_id % 10 == 1 re-emitted with one token
+appended (near dup).  Both engines construct the same corpus in-query.
+
+All hashing is md5-prefix based (md5 is identical in Spark and DuckDB),
+so signatures and buckets hash-match the oracle exactly -- integer math
+only, no floats until the final Jaccard (which divides small exact ints).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_rf_matrix_controller_spark.plans.registry import declared
+from etl_rf_matrix_controller_spark.sources.tables import load_table
+
+# MinHash parameters: k=8 permutations h_j(x) = (a_j * x + b_j) mod PRIME,
+# banded 4x2 for LSH.  x is the md5-prefix token fingerprint (32-bit).
+MINHASH_PRIME = 2038074743
+MINHASH_A = [2971, 5023, 7919, 10007, 12653, 15731, 17389, 19937]
+MINHASH_B = [1409, 2861, 4409, 6199, 8123, 9733, 11003, 12889]
+N_BANDS, BAND_ROWS = 4, 2
+
+_CORPUS_SQL = """
+      SELECT doc_id, text, lang, source FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text, lang, source
+      FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 2000000, text || ' zzextra', lang, source
+      FROM documents WHERE doc_id % 10 = 1
+"""
+
+
+def dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + synthesized exact dups (+1M ids) and near dups (+2M)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    exact = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text", "lang", "source"
+    )
+    near = docs.filter(F.col("doc_id") % 10 == 1).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzextra")).alias("text"),
+        "lang",
+        "source",
+    )
+    return docs.unionByName(exact).unionByName(near)
+
+
+def token_fingerprint(token: Column) -> Column:
+    """32-bit integer fingerprint of a token via md5 prefix (engine-portable:
+    DuckDB mirror is ('0x' || substring(md5(t), 1, 8))::BIGINT)."""
+    return F.conv(F.substring(F.md5(token), 1, 8), 16, 10).cast("bigint")
+
+
+@declared(
+    "dedup_exact_docs",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    hashed AS (
+      SELECT doc_id, md5(lower(trim(text))) AS content_hash FROM corpus
+    ),
+    ranked AS (
+      SELECT doc_id, content_hash,
+             row_number() OVER (PARTITION BY content_hash ORDER BY doc_id)
+               AS rn,
+             count(*) OVER (PARTITION BY content_hash) AS n_copies
+      FROM hashed
+    )
+    SELECT doc_id AS keeper_doc_id, content_hash, n_copies
+    FROM ranked WHERE rn = 1
+    """,
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1: exact dedup by normalized-text hash; keep lowest doc_id.
+
+    hash -> window(keep first) is one shuffle on the content hash; at
+    100 TB the hash key is uniform so no skew, and the text column itself
+    never shuffles if you project it away first (only hash + id move).
+    """
+    corpus = dup_corpus(spark, sf_dir)
+    hashed = corpus.select(
+        "doc_id", F.md5(F.lower(F.trim("text"))).alias("content_hash")
+    )
+    w = Window.partitionBy("content_hash")
+    ranked = hashed.select(
+        "doc_id",
+        "content_hash",
+        F.row_number().over(w.orderBy("doc_id")).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n_copies"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        F.col("doc_id").alias("keeper_doc_id"), "content_hash", "n_copies"
+    )
+
+
+# Shingling note: the corpus vocabulary is tiny (~31 tokens), so TOKEN-set
+# similarity is degenerate (random doc pairs reach Jaccard 0.9+).  All
+# MinHash/Jaccard near-dup detection therefore shingles on character
+# 8-grams, which encode token ORDER and separate cleanly (random pairs
+# ~0.0-0.1, true near-dups ~0.9+).
+_GRAMS_SQL = """
+      SELECT DISTINCT doc_id, substring(trim(text), CAST(i AS INT), 8) AS gram
+      FROM corpus,
+           unnest(generate_series(1, greatest(length(trim(text)) - 7, 1)))
+             AS g(i)
+"""
+
+
+def _gram_df(corpus: DataFrame) -> DataFrame:
+    """Distinct char-8-gram shingles per doc (order-encoding dedup unit)."""
+    t = F.trim("text")
+    return corpus.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length(t) - 7, F.lit(1))),
+                lambda i: t.substr(i, F.lit(8)),
+            )
+        ).alias("gram"),
+    ).distinct()
+
+
+def _minhash_hashes_sql() -> str:
+    cols = ", ".join(
+        f"CAST(min(({a} * tokint + {b}) % {MINHASH_PRIME}) AS BIGINT) AS mh{j}"
+        for j, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    )
+    return f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    tok AS ({_GRAMS_SQL}),
+    fp AS (
+      SELECT doc_id,
+             ('0x' || substring(md5(gram), 1, 8))::BIGINT AS tokint
+      FROM tok
+    )
+    SELECT doc_id, {cols} FROM fp GROUP BY doc_id
+    """
+
+
+def minhash_signature_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = dup_corpus(spark, sf_dir)
+    tok = _gram_df(corpus)
+    fp = tok.select("doc_id", token_fingerprint(F.col("gram")).alias("tokint"))
+    aggs = [
+        F.min((F.lit(a) * F.col("tokint") + F.lit(b)) % MINHASH_PRIME)
+        .cast("bigint")
+        .alias(f"mh{j}")
+        for j, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    ]
+    return fp.groupBy("doc_id").agg(*aggs)
+
+
+@declared("minhash_signatures", oracle=_minhash_hashes_sql())
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5a: 8-permutation MinHash signatures per document.
+
+    shingle -> fingerprint -> k min-aggregates: min() is map-side
+    combinable, so the shuffle carries one row per (doc, k) not one per
+    token.  Signature arithmetic is integer-exact, hence oracle-matchable.
+    """
+    return minhash_signature_df(spark, sf_dir)
+
+
+@declared(
+    "minhash_near_dup_pairs",
+    oracle=f"""
+    WITH sig AS ({_minhash_hashes_sql()}),
+    bands AS (
+      SELECT doc_id, 0 AS band, CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR) AS bkey FROM sig
+      UNION ALL
+      SELECT doc_id, 1, CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR) FROM sig
+      UNION ALL
+      SELECT doc_id, 2, CAST(mh4 AS VARCHAR) || '_' || CAST(mh5 AS VARCHAR) FROM sig
+      UNION ALL
+      SELECT doc_id, 3, CAST(mh6 AS VARCHAR) || '_' || CAST(mh7 AS VARCHAR) FROM sig
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ),
+    corpus AS ({_CORPUS_SQL}),
+    toksets AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(length(trim(text)) - 7, 1)),
+               i -> substring(trim(text), CAST(i AS INT), 8))) AS toks
+      FROM corpus
+    )
+    SELECT c.doc_a, c.doc_b,
+           round(len(list_intersect(ta.toks, tb.toks)) * 1.0
+                 / len(list_distinct(list_concat(ta.toks, tb.toks))), 4)
+             AS jaccard
+    FROM cand c
+    JOIN toksets ta ON ta.doc_id = c.doc_a
+    JOIN toksets tb ON tb.doc_id = c.doc_b
+    WHERE len(list_intersect(ta.toks, tb.toks)) * 1.0
+          / len(list_distinct(list_concat(ta.toks, tb.toks))) >= 0.6
+    """,
+)
+def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5b: LSH candidate generation + exact Jaccard verification.
+
+    Candidates come from equi-joins on (band, band_key) -- the core LSH
+    trick that replaces the O(n^2) cross join with a shuffle join on
+    bucket keys.  Only candidates pay the exact token-set Jaccard.  At
+    100 TB: band buckets are uniformly distributed (hash keys), so the
+    self-join partitions evenly; hot buckets (boilerplate docs) would be
+    the one skew source -- AQE skew-join handles them.
+    """
+    sig = minhash_signature_df(spark, sf_dir)
+    bands = None
+    for band in range(N_BANDS):
+        lo, hi = BAND_ROWS * band, BAND_ROWS * band + 1
+        b = sig.select(
+            "doc_id",
+            F.lit(band).alias("band"),
+            F.concat_ws(
+                "_", F.col(f"mh{lo}").cast("string"), F.col(f"mh{hi}").cast("string")
+            ).alias("bkey"),
+        )
+        bands = b if bands is None else bands.unionByName(b)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    t = F.trim("text")
+    toksets = dup_corpus(spark, sf_dir).select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length(t) - 7, F.lit(1))),
+                lambda i: t.substr(i, F.lit(8)),
+            )
+        ).alias("toks"),
+    )
+    ta = toksets.alias("ta")
+    tb = toksets.alias("tb")
+    jacc = F.size(F.array_intersect(F.col("ta.toks"), F.col("tb.toks"))) / F.size(
+        F.array_union(F.col("ta.toks"), F.col("tb.toks"))
+    )
+    return (
+        cand.join(ta, F.col("ta.doc_id") == F.col("doc_a"))
+        .join(tb, F.col("tb.doc_id") == F.col("doc_b"))
+        .filter(jacc >= 0.6)
+        .select("doc_a", "doc_b", F.round(jacc, 4).alias("jaccard"))
+    )
+
+
+@declared(
+    "simhash_docs",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    tok AS ({_GRAMS_SQL}),
+    fp AS (
+      SELECT doc_id,
+             ('0x' || substring(md5(gram), 1, 8))::BIGINT AS tokint
+      FROM tok
+    ),
+    votes AS (
+      SELECT doc_id, b.bit,
+             sum(CASE WHEN (tokint >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM fp, unnest(generate_series(0, 31)) AS b(bit)
+      GROUP BY doc_id, b.bit
+    )
+    SELECT doc_id,
+           CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END)
+                AS BIGINT) AS simhash
+    FROM votes
+    GROUP BY doc_id
+    """,
+)
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5c: 32-bit SimHash per document (bit-vote majority).
+
+    Two integer aggregations: per-(doc, bit) votes, then bit
+    recombination.  Near-dup lookup is then an equi-join on the signature
+    (or banded substrings for hamming > 0) -- no pairwise scan.
+    """
+    corpus = dup_corpus(spark, sf_dir)
+    tok = _gram_df(corpus)
+    fp = tok.select("doc_id", token_fingerprint(F.col("gram")).alias("tokint"))
+    bits = fp.select(
+        "doc_id",
+        "tokint",
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("bit"),
+    )
+    votes = bits.groupBy("doc_id", "bit").agg(
+        F.sum(
+            F.when(F.expr("(tokint >> bit) & 1") == 1, 1).otherwise(-1)
+        ).alias("v")
+    )
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.expr("CAST(1 AS BIGINT) << bit")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("simhash")
+    )
+
+
+@declared(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    shingles AS (
+      SELECT doc_id, source,
+             list_distinct(list_transform(
+               generate_series(1, greatest(length(trim(text)) - 7, 1)),
+               i -> substring(trim(text), CAST(i AS INT), 8)
+             )) AS grams
+      FROM corpus
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_intersect(a.grams, b.grams)) * 1.0
+                 / len(list_distinct(list_concat(a.grams, b.grams))), 4)
+             AS jaccard
+    FROM shingles a
+    JOIN shingles b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.grams, b.grams)) * 1.0
+          / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.6
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5d: character-8-gram Jaccard near-dup within source buckets.
+
+    The blocking key (source) bounds the pair space -- the 100 TB version
+    uses LSH buckets (minhash_near_dup_pairs) instead; this is the
+    exact-verification variant for moderate buckets, shuffling on the
+    blocking key only.
+    """
+    corpus = dup_corpus(spark, sf_dir)
+    t = F.trim("text")
+    grams = corpus.select(
+        "doc_id",
+        "source",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length(t) - 7, F.lit(1))),
+                lambda i: F.substring(t, 1, 8) if False else t.substr(i, F.lit(8)),
+            )
+        ).alias("grams"),
+    )
+    a = grams.alias("a")
+    b = grams.alias("b")
+    jacc = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams"))) / F.size(
+        F.array_union(F.col("a.grams"), F.col("b.grams"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(jacc >= 0.6)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(jacc, 4).alias("jaccard"),
+        )
+    )

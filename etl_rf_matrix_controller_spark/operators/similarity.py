@@ -1,1 +1,283 @@
-"""Placeholder -- filled in by build plan order (SURVEY.md SS7)."""
+"""Similarity search over embeddings: norms, brute-force k-NN, LSH ANN,
+cosine near-dup.
+
+Extension operators (build contract SS2.11): approximate-nearest-neighbor
+over an ``array<float>`` column.  Brute force is the correctness baseline;
+random-hyperplane LSH bucketing is the scale path (candidates come from an
+equi-join on bucket ids instead of a cross join).
+
+Float determinism: every dot product is an explicit left-to-right fold in
+double precision (``aggregate``/``zip_with`` in Spark, ``list_transform``
++ ``list_sum`` in DuckDB), so both engines produce bit-identical scores
+and the rank/threshold cuts agree.  Engine-internal similarity built-ins
+(e.g. DuckDB list_cosine_similarity) are avoided in oracles because their
+summation order/precision is unspecified.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_rf_matrix_controller_spark.plans.registry import declared
+from etl_rf_matrix_controller_spark.sources.tables import load_table
+
+DIM = 64  # fixed embedding dim (FIXTURES.md)
+N_QUERIES = 5  # vec_id < 5 are the probe queries
+TOP_K = 3
+N_PLANES = 8  # LSH hyperplanes -> 256 buckets
+# Knuth multiplicative constant drives the pseudo-random hyperplanes;
+# integer-exact on both engines, so bucket ids hash-match.
+LSH_MULT = 2654435761
+LSH_MOD = 4294967296
+
+
+def dot_double(a: Column, b: Column) -> Column:
+    """Deterministic double dot product: zip -> multiply -> sequential sum."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+_DOT_SQL = (
+    "list_sum(list_transform(generate_series(1, 64), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+
+
+@declared(
+    "embed_norm",
+    oracle=f"""
+    SELECT vec_id, label,
+           round(sqrt({_DOT_SQL.format(a='embedding', b='embedding')}), 4)
+             AS l2_norm
+    FROM embeddings
+    """,
+)
+def embed_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3: L2 norm per embedding -- the canonical vector-math projection.
+    Pure higher-order fold, no shuffle, no UDF."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        "label",
+        F.round(F.sqrt(dot_double(F.col("embedding"), F.col("embedding"))), 4).alias(
+            "l2_norm"
+        ),
+    )
+
+
+@declared(
+    "knn_brute_force",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qe
+      FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS cand_id,
+             {_DOT_SQL.format(a='q.qe', b='c.embedding')} AS score
+      FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, cand_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, cand_id) AS rnk
+      FROM scored
+    )
+    SELECT query_id, cand_id, rnk, round(score, 4) AS score
+    FROM ranked WHERE rnk <= {TOP_K}
+    """,
+)
+def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 baseline: exact top-k by dot product, brute force.
+
+    The query set (a handful of probes) broadcasts; every candidate
+    partition scores its rows against all queries locally and only the
+    per-partition survivors reach the top-k window -- O(n_candidates)
+    scans, no candidate shuffle.  This is the correctness baseline the
+    ANN variant (ann_lsh_topk) is measured against.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ce"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            dot_double(F.col("qe"), F.col("ce")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "cand_id", "rnk", F.round("score", 4).alias("score"))
+    )
+
+
+# w(j, i) = pseudo-random hyperplane weight in [-1, 1), integer-derived.
+_BUCKET_SPARK = f"""
+aggregate(sequence(0, {N_PLANES - 1}), CAST(0 AS BIGINT), (acc, j) ->
+  acc * 2 + IF(
+    aggregate(sequence(1, {DIM}), CAST(0 AS DOUBLE), (a, i) ->
+      a + CAST(element_at({{col}}, i) AS DOUBLE) *
+          (CAST((CAST(j * {DIM} + i - 1 AS BIGINT) * {LSH_MULT}) % {LSH_MOD} AS DOUBLE)
+           / 2147483648.0 - 1.0)
+    ) > 0.0, CAST(1 AS BIGINT), CAST(0 AS BIGINT)))
+"""
+
+_BUCKET_DUCK = f"""
+list_sum(list_transform(generate_series(0, {N_PLANES - 1}), j ->
+  CASE WHEN list_sum(list_transform(generate_series(1, {DIM}), i ->
+         CAST({{col}}[i] AS DOUBLE) *
+         (CAST((CAST(j * {DIM} + i - 1 AS BIGINT) * {LSH_MULT}) % {LSH_MOD} AS DOUBLE)
+          / 2147483648.0 - 1.0))) > 0.0
+       THEN (1::BIGINT << ({N_PLANES - 1} - j)) ELSE 0::BIGINT END))
+"""
+
+
+@declared(
+    "ann_lsh_topk",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             CAST({_BUCKET_DUCK.format(col='embedding')} AS BIGINT) AS bucket
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id AS query_id, embedding AS qe, bucket
+      FROM b WHERE vec_id < {N_QUERIES}
+    ),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS cand_id,
+             {_DOT_SQL.format(a='q.qe', b='c.embedding')} AS score
+      FROM q JOIN b c ON c.bucket = q.bucket AND c.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, cand_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, cand_id) AS rnk
+      FROM scored
+    )
+    SELECT query_id, cand_id, rnk, round(score, 4) AS score
+    FROM ranked WHERE rnk <= {TOP_K}
+    """,
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 scale path: random-hyperplane LSH bucketing, top-k within bucket.
+
+    Eight sign bits of hyperplane projections give a 256-bucket code; a
+    query only scores candidates sharing its bucket, replacing the
+    brute-force scan with an equi-join on the bucket id -- at 100 TB this
+    is the difference between O(n) per query and O(n / buckets), and the
+    bucket join shuffles uniformly (hash-like codes).  Recall tradeoff:
+    queries in sparse buckets return < k (or zero) neighbors; production
+    raises recall by probing adjacent codes or unioning multiple tables.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    b = emb.select(
+        "vec_id",
+        "embedding",
+        F.expr(_BUCKET_SPARK.format(col="embedding")).cast("bigint").alias("bucket"),
+    )
+    q = b.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("bucket").alias("qbucket"),
+    )
+    scored = (
+        b.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("qbucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            dot_double(F.col("qe"), F.col("embedding")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "cand_id", "rnk", F.round("score", 4).alias("score"))
+    )
+
+
+# Near-dup corpus: every vec_id % 20 == 0 re-emitted verbatim with +100000.
+_VEC_CORPUS_SQL = """
+      SELECT vec_id, label, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000, label, embedding
+      FROM embeddings WHERE vec_id % 20 = 0
+"""
+
+
+@declared(
+    "cosine_near_dup_pairs",
+    oracle=f"""
+    WITH corpus AS ({_VEC_CORPUS_SQL}),
+    n AS (
+      SELECT vec_id, label, embedding,
+             sqrt({_DOT_SQL.format(a='embedding', b='embedding')}) AS nrm
+      FROM corpus
+    ),
+    pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+             {_DOT_SQL.format(a='a.embedding', b='b.embedding')}
+               / (a.nrm * b.nrm) AS cosine
+      FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, label, round(cosine, 4) AS cosine
+    FROM pairs WHERE cosine >= 0.99
+    """,
+)
+def cosine_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5e: embedding-cosine near-duplicate pairs, blocked by label.
+
+    The driver's embeddings are near-orthogonal (max natural within-label
+    cosine ~0.45), so duplicates are synthesized deterministically
+    (verbatim copies, +100000 ids) and the 0.99 threshold sits far from
+    any float boundary.  Blocking on label keeps the pair join an
+    equi-join; the 100 TB version swaps the block key for an LSH bucket
+    (see ann_lsh_topk).
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    copies = emb.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "label", "embedding"
+    )
+    corpus = emb.unionByName(copies)
+    n = corpus.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.sqrt(dot_double(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    a = n.alias("a")
+    b = n.alias("b")
+    cosine = dot_double(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label"),
+            cosine.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.99)
+        .withColumn("cosine", F.round("cosine", 4))
+    )

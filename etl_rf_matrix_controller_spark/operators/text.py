@@ -1,1 +1,235 @@
-"""Placeholder -- filled in by build plan order (SURVEY.md SS7)."""
+"""Text analysis: token counting, quality scoring, language ID, fingerprints.
+
+Extension operators for training-data pipelines (build contract SS2.11 and
+the LLM-pipeline mandate): everything a 100 TB text corpus needs before
+training -- token statistics, heuristic quality scores, n-gram language
+identification, and rolling-hash fingerprints.
+
+Scale design: all pure projections or single-shuffle aggregations; token
+explosion happens map-side and collapses in partial aggregation; no Python
+in any hot path (higher-order functions + built-ins only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_rf_matrix_controller_spark.plans.registry import declared
+from etl_rf_matrix_controller_spark.sources.tables import load_table
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single non-space symbols.
+BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+STOPWORDS = ("the", "a", "of", "and", "to")
+
+
+@declared(
+    "doc_token_counts",
+    oracle="""
+    SELECT token, count(*) AS cnt
+    FROM (
+      SELECT t.token
+      FROM documents, unnest(string_split(trim(text), ' ')) AS t(token)
+      WHERE t.token <> ''
+    ) tt
+    GROUP BY token
+    HAVING count(*) >= 5
+    """,
+)
+def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2: corpus token frequency with a support threshold (no LIMIT --
+    thresholds are stable, row order is not).  Explode + partial-agg:
+    the shuffle carries one row per distinct token per partition."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split(F.trim("text"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 5)
+    )
+
+
+@declared(
+    "token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\\s+')) AS n_tokens_ws,
+           len(regexp_extract_all(text, '{BPE_RE}')) AS n_tokens_bpe,
+           length(text) AS n_chars_text,
+           round(length(replace(trim(text), ' ', '')) * 1.0
+                 / len(string_split_regex(trim(text), '\\s+')), 4)
+             AS avg_token_len
+    FROM documents
+    """,
+)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and a BPE-ish regex
+    pre-tokenization (letter runs / digit runs / symbols) -- the standard
+    pre-count before a real BPE pass.  Pure projection, codegen'd."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.trim("text")
+    n_ws = F.size(F.split(t, r"\s+"))
+    return docs.select(
+        "doc_id",
+        n_ws.alias("n_tokens_ws"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_RE), 0)).alias("n_tokens_bpe"),
+        F.length("text").alias("n_chars_text"),
+        F.round(F.length(F.replace(t, F.lit(" "), F.lit(""))) * 1.0 / n_ws, 4).alias(
+            "avg_token_len"
+        ),
+    )
+
+
+@declared(
+    "doc_quality_score",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id, lang,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+             length(text) AS n_chars,
+             len(list_filter(string_split(trim(text), ' '),
+                             t -> t IN {STOPWORDS!r})) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id, lang, n_tokens,
+           round(n_stop * 1.0 / n_tokens, 4) AS stop_ratio,
+           round(least(1.0, n_tokens / 100.0) * 0.5
+                 + least(1.0, n_chars / 500.0) * 0.3
+                 + CASE WHEN n_stop * 1.0 / n_tokens BETWEEN 0.02 AND 0.4
+                        THEN 0.2 ELSE 0.0 END, 4) AS quality_score
+    FROM feats
+    """,
+)
+def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score: length saturation + stopword-ratio
+    plausibility band (the classic Gopher-style rule shape).  All
+    higher-order built-ins; no UDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.trim("text")
+    n_tokens = F.size(F.split(t, r"\s+"))
+    n_chars = F.length("text")
+    n_stop = F.size(
+        F.filter(
+            F.split(t, " "),
+            lambda tok: tok.isin(*STOPWORDS),
+        )
+    )
+    stop_ratio = n_stop * 1.0 / n_tokens
+    score = (
+        F.least(F.lit(1.0), n_tokens / 100.0) * 0.5
+        + F.least(F.lit(1.0), n_chars / 500.0) * 0.3
+        + F.when((stop_ratio >= 0.02) & (stop_ratio <= 0.4), 0.2).otherwise(0.0)
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        F.round(score, 4).alias("quality_score"),
+    )
+
+
+@declared(
+    "lang_id_markers",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang, t.token
+      FROM documents, unnest(string_split(trim(text), ' ')) AS t(token)
+      WHERE t.token <> ''
+    ),
+    freq AS (
+      SELECT lang, token, count(*) AS c FROM tok GROUP BY lang, token
+    ),
+    markers AS (
+      SELECT lang AS cand, token FROM (
+        SELECT lang, token,
+               row_number() OVER (PARTITION BY lang ORDER BY c DESC, token)
+                 AS rn
+        FROM freq
+      ) r WHERE rn <= 5
+    ),
+    scores AS (
+      SELECT tok.doc_id, m.cand, count(*) AS hits
+      FROM tok JOIN markers m ON tok.token = m.token
+      GROUP BY tok.doc_id, m.cand
+    ),
+    best AS (
+      SELECT doc_id, cand AS pred_lang, hits,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY hits DESC, cand) AS rn
+      FROM scores
+    )
+    SELECT b.doc_id, d.lang AS actual_lang, b.pred_lang, b.hits
+    FROM best b JOIN documents d ON d.doc_id = b.doc_id
+    WHERE b.rn = 1
+    """,
+)
+def lang_id_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram-heuristic language ID, two-pass: (1) learn the top-5 marker
+    tokens per language from the corpus itself, (2) classify each doc by
+    marker-hit argmax (deterministic tiebreak: hits desc, lang asc).
+
+    Scale: pass 1 is a tiny model (25 rows) broadcast back; pass 2 is an
+    explode + broadcast join + argmax window per doc -- linear in corpus
+    size, no cross-doc shuffle beyond the per-doc aggregation.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.trim("text"), " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    freq = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("token"))
+    markers = (
+        freq.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select(F.col("lang").alias("cand"), "token")
+    )
+    scores = tok.join(F.broadcast(markers), "token").groupBy("doc_id", "cand").agg(
+        F.count(F.lit(1)).alias("hits")
+    )
+    wb = Window.partitionBy("doc_id").orderBy(F.desc("hits"), F.asc("cand"))
+    best = (
+        scores.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("cand").alias("pred_lang"), "hits")
+    )
+    return best.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "doc_id", F.col("lang").alias("actual_lang"), "pred_lang", "hits"
+    )
+
+
+@declared(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           CAST(list_reduce(
+             list_prepend(0::BIGINT,
+               list_transform(
+                 generate_series(1, least(24, length(trim(text)))),
+                 i -> ascii(substring(trim(text), CAST(i AS INT), 1))::BIGINT
+               )),
+             (acc, x) -> (acc * 31 + x) % 1000000007
+           ) AS BIGINT) AS fingerprint
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling polynomial hash (base 31 mod 1e9+7) over the first 24 chars:
+    the shift-register fingerprint used for fast prefix dedup.  Pure
+    higher-order fold, integer-exact on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.trim("text")
+    codes = F.transform(
+        F.sequence(F.lit(1), F.least(F.lit(24), F.length(t))),
+        lambda i: F.ascii(t.substr(i, F.lit(1))).cast("long"),
+    )
+    fp = F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + x) % 1000000007,
+    )
+    return docs.select("doc_id", fp.cast("bigint").alias("fingerprint"))
