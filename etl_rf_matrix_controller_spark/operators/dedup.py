@@ -120,25 +120,47 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 8-grams, which encode token ORDER and separate cleanly (random pairs
 # ~0.0-0.1, true near-dups ~0.9+).
 _GRAMS_SQL = """
-      SELECT DISTINCT doc_id, substring(trim(text), CAST(i AS INT), 8) AS gram
-      FROM corpus,
-           unnest(generate_series(1, greatest(length(trim(text)) - 7, 1)))
-             AS g(i)
+      SELECT doc_id, g.gram
+      FROM (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                 generate_series(1, greatest(length(trim(text)) - 7, 1)),
+                 i -> substring(trim(text), CAST(i AS INT), 8))) AS grams
+        FROM corpus
+      ) grammed, unnest(grams) AS g(gram)
 """
 
 
-def _gram_df(corpus: DataFrame) -> DataFrame:
-    """Distinct char-8-gram shingles per doc (order-encoding dedup unit)."""
+def _gram_df(corpus: DataFrame, *extra: str) -> DataFrame:
+    """Distinct char-8-gram shingles per doc (order-encoding dedup unit).
+
+    Dedup happens INSIDE the row (array_distinct before explode): per-doc
+    uniqueness needs no cross-row information, so paying a 4M-row
+    ``distinct`` shuffle for it would be pure waste -- this is the
+    difference between zero exchanges and one full-data exchange in every
+    shingle-based operator.
+
+    The narrow corpus IS repartitioned first: the parquet is a few MB (1-3
+    input splits) but each row fans out ~650 grams + md5s, so shuffling
+    6000 thin rows to all cores before the expansion buys 10x parallelism
+    for free.  Same rule at 100 TB: rebalance BEFORE per-row explosion,
+    never after.
+    """
+    spark = corpus.sparkSession
+    corpus = corpus.repartition(spark.sparkContext.defaultParallelism)
     t = F.trim("text")
     return corpus.select(
         "doc_id",
+        *extra,
         F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(F.length(t) - 7, F.lit(1))),
-                lambda i: t.substr(i, F.lit(8)),
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.length(t) - 7, F.lit(1))),
+                    lambda i: t.substr(i, F.lit(8)),
+                )
             )
         ).alias("gram"),
-    ).distinct()
+    )
 
 
 def _minhash_hashes_sql() -> str:
@@ -241,6 +263,9 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bkey"),
         )
         bands = b if bands is None else bands.unionByName(b)
+    # The self-join below consumes bands twice; persist to avoid paying the
+    # signature computation (explode + md5 + 8 min-aggs) twice.
+    bands = bands.persist()
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -276,6 +301,16 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SIMHASH_VOTE_COLS = ", ".join(
+    f"sum(CASE WHEN (tokint >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+    for j in range(32)
+)
+_SIMHASH_RECOMBINE = " + ".join(
+    f"CASE WHEN v{j} > 0 THEN ({1 << j}::BIGINT) ELSE 0::BIGINT END"
+    for j in range(32)
+)
+
+
 @declared(
     "simhash_docs",
     oracle=f"""
@@ -287,106 +322,108 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM tok
     ),
     votes AS (
-      SELECT doc_id, b.bit,
-             sum(CASE WHEN (tokint >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
-      FROM fp, unnest(generate_series(0, 31)) AS b(bit)
-      GROUP BY doc_id, b.bit
+      SELECT doc_id, {_SIMHASH_VOTE_COLS}
+      FROM fp
+      GROUP BY doc_id
     )
-    SELECT doc_id,
-           CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END)
-                AS BIGINT) AS simhash
+    SELECT doc_id, CAST({_SIMHASH_RECOMBINE} AS BIGINT) AS simhash
     FROM votes
-    GROUP BY doc_id
     """,
 )
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E5c: 32-bit SimHash per document (bit-vote majority).
 
-    Two integer aggregations: per-(doc, bit) votes, then bit
-    recombination.  Near-dup lookup is then an equi-join on the signature
-    (or banded substrings for hamming > 0) -- no pairwise scan.
+    One aggregation with 32 vote columns -- NOT an explode to (doc, bit)
+    rows, which would 32x the shuffle volume (measured 12 s -> ~2 s at
+    sf0.1).  Votes combine map-side like any sum; near-dup lookup is then
+    an equi-join on the signature (or banded substrings for hamming > 0),
+    never a pairwise scan.
     """
     corpus = dup_corpus(spark, sf_dir)
     tok = _gram_df(corpus)
     fp = tok.select("doc_id", token_fingerprint(F.col("gram")).alias("tokint"))
-    bits = fp.select(
-        "doc_id",
-        "tokint",
-        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("bit"),
+    votes = fp.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(tokint >> {j}) & 1") == 1, 1).otherwise(-1)
+            ).alias(f"v{j}")
+            for j in range(32)
+        ]
     )
-    votes = bits.groupBy("doc_id", "bit").agg(
-        F.sum(
-            F.when(F.expr("(tokint >> bit) & 1") == 1, 1).otherwise(-1)
-        ).alias("v")
-    )
-    return votes.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("v") > 0, F.expr("CAST(1 AS BIGINT) << bit")).otherwise(
-                F.lit(0)
-            )
+    recombine = None
+    for j in range(32):
+        term = F.when(F.col(f"v{j}") > 0, F.lit(1 << j).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
         )
-        .cast("bigint")
-        .alias("simhash")
-    )
+        recombine = term if recombine is None else recombine + term
+    return votes.select("doc_id", recombine.cast("bigint").alias("simhash"))
 
 
 @declared(
     "ngram_jaccard_pairs",
     oracle=f"""
     WITH corpus AS ({_CORPUS_SQL}),
-    shingles AS (
-      SELECT doc_id, source,
-             list_distinct(list_transform(
-               generate_series(1, greatest(length(trim(text)) - 7, 1)),
-               i -> substring(trim(text), CAST(i AS INT), 8)
-             )) AS grams
-      FROM corpus
+    grams AS (
+      SELECT doc_id, source, g.gram
+      FROM (
+        SELECT doc_id, source,
+               list_distinct(list_transform(
+                 generate_series(1, greatest(length(trim(text)) - 7, 1)),
+                 i -> substring(trim(text), CAST(i AS INT), 8))) AS grams
+        FROM corpus
+      ) grammed, unnest(grams) AS g(gram)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM grams a
+      JOIN grams b ON a.gram = b.gram AND a.source = b.source
+                  AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
     )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           round(len(list_intersect(a.grams, b.grams)) * 1.0
-                 / len(list_distinct(list_concat(a.grams, b.grams))), 4)
-             AS jaccard
-    FROM shingles a
-    JOIN shingles b ON a.source = b.source AND a.doc_id < b.doc_id
-    WHERE len(list_intersect(a.grams, b.grams)) * 1.0
-          / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.6
+    SELECT doc_a, doc_b,
+           round(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.6
     """,
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E5d: character-8-gram Jaccard near-dup within source buckets.
 
-    The blocking key (source) bounds the pair space -- the 100 TB version
-    uses LSH buckets (minhash_near_dup_pairs) instead; this is the
-    exact-verification variant for moderate buckets, shuffling on the
-    blocking key only.
+    Inverted-index formulation: explode shingles, equi-join on (gram,
+    source), count shared grams per pair, then Jaccard via
+    |A u B| = |A| + |B| - |A n B|.  This never materializes per-pair
+    arrays -- the naive formulation (array_intersect per blocked pair)
+    is O(pairs x set size) and measured 280 s at sf0.1 vs <10 s for
+    this join; at 100 TB only the inverted index survives.  Stop-gram
+    skew (a gram shared by all docs) is the hot-key risk: AQE skew-join
+    splits it, and production would drop top-percentile grams first.
     """
     corpus = dup_corpus(spark, sf_dir)
-    t = F.trim("text")
-    grams = corpus.select(
-        "doc_id",
-        "source",
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(F.length(t) - 7, F.lit(1))),
-                lambda i: F.substring(t, 1, 8) if False else t.substr(i, F.lit(8)),
-            )
-        ).alias("grams"),
-    )
+    grams = _gram_df(corpus, "source")
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = grams.alias("a")
     b = grams.alias("b")
-    jacc = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams"))) / F.size(
-        F.array_union(F.col("a.grams"), F.col("b.grams"))
-    )
-    return (
+    shared = (
         a.join(
             b,
-            (F.col("a.source") == F.col("b.source"))
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.source") == F.col("b.source"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .filter(jacc >= 0.6)
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.round(jacc, 4).alias("jaccard"),
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jacc = F.col("c") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("c"))
+    return (
+        shared.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .filter(jacc >= 0.6)
+        .select("doc_a", "doc_b", F.round(jacc, 4).alias("jaccard"))
     )

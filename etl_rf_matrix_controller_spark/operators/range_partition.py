@@ -86,7 +86,7 @@ def range_partition_outputs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("router_id").alias("last_rid"), F.col("lo").alias("last_lo")
         )
     )
-    probes = spark.range(1, N_PROBES + 1).select(
+    probes = spark.range(1, N_PROBES + 1, 1, 1).select(
         F.col("id").cast("int").alias("global_output")
     )
     j = probes.join(
