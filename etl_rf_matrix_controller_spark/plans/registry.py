@@ -54,6 +54,7 @@ def load_all() -> None:
         groups,
         joins,
         multimodal,
+        presets,
         range_partition,
         setops,
         similarity,

@@ -1,0 +1,117 @@
+"""Stateful streaming: last-write-wins keyed state via applyInPandasWithState.
+
+Reference semantics: the background poller replaces the route map wholesale
+every 5 s (etl_controller.py:2793-2807, 3040-3084); a point write
+overwrites one key (:2444).
+
+Spark re-expression (T2): a keyed state store updated per micro-batch --
+``applyInPandasWithState`` keeps, per key, the (ts, event_id)-max record;
+each batch emits the key's current best in update mode.  With the
+``availableNow`` trigger over the same parquet, the final emission per key
+must equal the batch ``route_latest_state`` -- asserted in
+tests/test_streaming.py (the batch==stream contract for state ops, which
+have no SQL oracle).
+
+Scale: state is hash-partitioned by key across executors (RocksDB-backed
+state store in production) -- memory per executor is O(keys/executors),
+the same layout the batch window-dedup shuffle uses.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from etl_rf_matrix_controller_spark.streaming.windows import _events_stream
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("ts_micros", LongType()),
+        StructField("event_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+    ]
+)
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("last_event_type", StringType()),
+        StructField("last_value", DoubleType()),
+        StructField("last_ts", TimestampType()),
+    ]
+)
+
+
+def _update_latest(key, pdf_iter, state: GroupState):
+    """Keep the (ts, event_id)-max record per key; emit current best."""
+    import pandas as pd
+
+    best = state.get if state.exists else None  # (ts_micros, event_id, type, value)
+    for pdf in pdf_iter:
+        if pdf.empty:
+            continue
+        pdf = pdf.assign(_tsm=pdf["ts"].astype("int64") // 1000)
+        top = pdf.sort_values(["_tsm", "event_id"], ascending=False).iloc[0]
+        cand = (
+            int(top["_tsm"]),
+            int(top["event_id"]),
+            str(top["event_type"]),
+            float(top["value"]),
+        )
+        if best is None or (cand[0], cand[1]) > (best[0], best[1]):
+            best = cand
+    if best is not None:
+        state.update(best)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "last_event_type": [best[2]],
+                "last_value": [round(best[3], 2)],
+                "last_ts": [pd.Timestamp(best[0], unit="us")],
+            }
+        )
+
+
+def stream_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 under real Structured Streaming: keyed state, update mode,
+    availableNow; returns the final per-key state as a batch DataFrame."""
+    events = _events_stream(spark, sf_dir)
+    updates = events.groupBy("user_id").applyInPandasWithState(
+        _update_latest,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        updates.writeStream.format("memory")
+        .queryName("latest_state_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update mode appends one row per key per batch; the LAST row per key
+    # is the final state (micro-batches arrive in order).
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    tbl = spark.table("latest_state_stream")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("last_ts").desc(), F.col("last_value")
+    )
+    return (
+        tbl.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

@@ -33,3 +33,14 @@ def test_session_batch_eq_stream(spark):
         session_windows_stream(spark, SF_DIR),
         "session_windows",
     )
+
+
+def test_latest_state_batch_eq_stream(spark):
+    from etl_rf_matrix_controller_spark.operators.state import route_latest_state
+    from etl_rf_matrix_controller_spark.streaming.state import stream_latest_state
+
+    _assert_same(
+        route_latest_state(spark, SF_DIR),
+        stream_latest_state(spark, SF_DIR),
+        "route_latest_state",
+    )
