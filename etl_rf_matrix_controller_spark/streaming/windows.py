@@ -113,6 +113,98 @@ def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _session_agg(load_table(spark, sf_dir, "events"))
 
 
+@declared(
+    "sliding_window_counts",
+    oracle="""
+    WITH hours AS (
+      SELECT event_type, value, date_trunc('hour', ts) AS h FROM events
+    ),
+    expanded AS (
+      SELECT event_type, value, u.ws
+      FROM hours, unnest([h, h - INTERVAL 1 HOUR]) AS u(ws)
+    )
+    SELECT CAST(ws AS TIMESTAMP) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(CAST(sum(CAST(round(value, 4) AS DECIMAL(28,8))) AS DOUBLE), 2)
+             AS sum_value
+    FROM expanded
+    GROUP BY ws, event_type
+    """,
+)
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 sliding variant: 2-hour windows advancing hourly -- each event
+    lands in two windows.  Spark's ``window(ts, '2 hours', '1 hour')``
+    does the 2x expansion map-side; the oracle unnests the two window
+    starts explicitly.  Shuffle volume is 2x the tumbling case -- the cost
+    of overlap, identical at any scale.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.round("value", 4).cast("decimal(28,8)")).cast("double"), 2
+            ).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@declared(
+    "interval_join_clicks",
+    oracle="""
+    SELECT e.event_id AS error_id, e.user_id, e.ts AS error_ts,
+           count(c.event_id) AS clicks_before
+    FROM events e
+    LEFT JOIN events c
+      ON c.user_id = e.user_id
+     AND c.event_type = 'click'
+     AND c.ts <= e.ts
+     AND c.ts > e.ts - INTERVAL 1 HOUR
+    WHERE e.event_type = 'error'
+    GROUP BY e.event_id, e.user_id, e.ts
+    """,
+)
+def interval_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-adjacent interval join: for each error, clicks by the same user
+    in the preceding hour (the stream-stream join shape with event-time
+    bounds).  Equi-key on user_id keeps it a hash/SMJ join; the time-range
+    predicate filters within each key block, so cost is O(events per user
+    per hour), not a cross join.  In streaming this is exactly a
+    watermarked stream-stream join with a 1-hour state retention.
+    """
+    events = load_table(spark, sf_dir, "events")
+    errors = events.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        F.col("ts").alias("error_ts"),
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("c_id"),
+    )
+    joined = errors.join(
+        clicks,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("c_ts") <= F.col("error_ts"))
+        & (F.col("c_ts") > F.col("error_ts") - F.expr("INTERVAL 1 HOUR")),
+        "left",
+    )
+    return joined.groupBy("error_id", "user_id", "error_ts").agg(
+        F.count("c_id").alias("clicks_before")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Structured Streaming runners (availableNow): same aggregations, streaming
 # execution.  Used by tests to assert batch == stream.
