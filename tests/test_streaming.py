@@ -35,6 +35,88 @@ def test_session_batch_eq_stream(spark):
     )
 
 
+def test_foreach_batch_merge_state(spark, tmp_path):
+    """foreachBatch MERGE sink: final parquet state == batch latest-state."""
+    from etl_rf_matrix_controller_spark.operators.state import route_latest_state
+    from etl_rf_matrix_controller_spark.streaming.sinks import run_merge_stream
+    from pyspark.sql import functions as F
+
+    state = run_merge_stream(spark, SF_DIR, str(tmp_path / "state"))
+    got = state.select(
+        "user_id",
+        F.col("event_type").alias("last_event_type"),
+        F.round("value", 2).alias("last_value"),
+        F.col("ts").alias("last_ts"),
+    )
+    _assert_same(route_latest_state(spark, SF_DIR), got, "merge_state")
+
+
+def test_watermark_drops_too_late_rows(spark):
+    """Late data within the watermark lands in its event-time window; data
+    later than the watermark is dropped from append-mode output."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    import shutil
+    import time as _time
+
+    src = str(spark.sparkContext.applicationId)
+    mk = lambda data: spark.createDataFrame(  # noqa: E731
+        [(pd.Timestamp(t).to_pydatetime(), k) for t, k in data],
+        "ts timestamp, k string",
+    )
+    path = f"/tmp/wmtest_{src}"
+    shutil.rmtree(path, ignore_errors=True)
+    # Three files with distinct mtimes = three micro-batches, in order.
+    # Batch 1 advances the watermark past the 10:00 window; batch 2's
+    # eviction emits that window; batch 3's straggler arrives after
+    # finalization and must be dropped (a row late-but-before-finalization
+    # would still be merged -- Spark finalizes at batch boundaries).
+    mk(
+        [
+            ("2024-01-01 10:05:00", "a"),
+            ("2024-01-01 10:20:00", "a"),
+            ("2024-01-01 13:00:00", "a"),  # watermark -> 12:50
+        ]
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/b1")
+    _time.sleep(1.2)
+    mk([("2024-01-01 13:10:00", "a")]).coalesce(1).write.mode("append").parquet(
+        path + "/b1"
+    )
+    _time.sleep(1.2)
+    mk([("2024-01-01 10:30:00", "a")]).coalesce(1).write.mode("append").parquet(
+        path + "/b1"
+    )
+    stream = (
+        spark.readStream.schema("ts timestamp, k string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path + "/b1")
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "k", "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wm_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dropped = sum(
+        p["stateOperators"][0]["numRowsDroppedByWatermark"]
+        for p in q.recentProgress
+        if p["stateOperators"]
+    )
+    got = {(str(r.ws), r.n) for r in spark.table("wm_test").collect()}
+    # The 10:00 window closed with 2 rows; the straggler was watermark-dropped.
+    assert ("2024-01-01 10:00:00", 2) in got, got
+    assert dropped == 1, f"expected 1 watermark-dropped row, saw {dropped}"
+
+
 def test_latest_state_batch_eq_stream(spark):
     from etl_rf_matrix_controller_spark.operators.state import route_latest_state
     from etl_rf_matrix_controller_spark.streaming.state import stream_latest_state
