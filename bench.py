@@ -30,29 +30,35 @@ def main() -> None:
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in sorted(registry.QUERIES):
         fn = registry.QUERIES[name]
         best = float("inf")
         for _ in range(2):  # steady-state: min of 2 runs damps GC noise
-            t0 = time.perf_counter()
-            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-            spark.catalog.clearCache()  # drop per-query persists
-        timings[name] = round(best, 3)
+            try:
+                t0 = time.perf_counter()
+                fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            except Exception as exc:  # one bad query must not kill the bench
+                errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+                break
+            finally:
+                spark.catalog.clearCache()  # drop per-query persists
+        if best < float("inf"):
+            timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "declared_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "declared_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 

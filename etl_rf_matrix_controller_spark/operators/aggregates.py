@@ -11,11 +11,9 @@ partial+final automatically -- the map side pre-aggregates, which is the
 whole scale story for 100 TB aggregation), ``rollup`` for hierarchy,
 ``TakeOrderedAndProject`` for top-k (no global sort).
 
-Float determinism: double addition is not associative, so a parallel
-Spark sum and a sequential DuckDB sum can differ in the last ulps and
-break the value hash.  Every float sum here is therefore computed over
-DECIMAL-cast inputs (the testdata is clean <=2-decimal money), which is
-exact and order-independent, then cast back to double and rounded.
+Float determinism: every float sum goes through the scaled-integer
+convention in plans/conventions.py -- exact, order-independent, and
+primitive-typed (see that module for the overflow envelope).
 """
 
 from __future__ import annotations
@@ -23,32 +21,28 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_rf_matrix_controller_spark.plans.conventions import (
+    exact_avg,
+    exact_avg_sql,
+    exact_sum,
+    exact_sum_sql,
+)
 from etl_rf_matrix_controller_spark.plans.registry import declared
 from etl_rf_matrix_controller_spark.sources.tables import load_table
 
 
-def _dec_sum(col, scale: int = 4):
-    """Order-independent exact sum of a clean-decimal double column."""
-    return F.sum(F.round(col, scale).cast("decimal(28,8)"))
-
-
 @declared(
     "agg_partial_final",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag,
            l_linestatus,
-           round(CAST(sum(CAST(round(l_quantity, 4) AS DECIMAL(28,8))) AS DOUBLE), 2)
-             AS sum_qty,
-           round(CAST(sum(CAST(round(l_extendedprice, 4) AS DECIMAL(28,8))) AS DOUBLE), 2)
-             AS sum_base_price,
-           round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 4)
-             AS DECIMAL(28,8))) AS DOUBLE), 2) AS sum_disc_price,
-           round(CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 4)
-             AS DECIMAL(28,8))) AS DOUBLE), 2) AS sum_charge,
-           round(CAST(sum(CAST(round(l_quantity, 4) AS DECIMAL(28,8))) AS DOUBLE)
-             / count(*), 2) AS avg_qty,
-           round(CAST(sum(CAST(round(l_discount, 4) AS DECIMAL(28,8))) AS DOUBLE)
-             / count(*), 4) AS avg_disc,
+           {exact_sum_sql('l_quantity')} AS sum_qty,
+           {exact_sum_sql('l_extendedprice')} AS sum_base_price,
+           {exact_sum_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {exact_sum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')}
+             AS sum_charge,
+           {exact_avg_sql('l_quantity')} AS avg_qty,
+           {exact_avg_sql('l_discount', 4)} AS avg_disc,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -63,49 +57,30 @@ def agg_partial_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     HashAggregate -> exchange on (returnflag, linestatus) -> final
     HashAggregate: the shuffle carries 6 groups, not 600k rows.  Products
     are computed per-row in double (bit-identical on both engines), then
-    summed exactly via decimal.
+    summed exactly via scaled integers.
     """
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
     )
-    cnt = F.count(F.lit(1))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.round(_dec_sum(F.col("l_quantity")).cast("double"), 2).alias("sum_qty"),
-        F.round(_dec_sum(F.col("l_extendedprice")).cast("double"), 2).alias(
-            "sum_base_price"
-        ),
-        F.round(
-            _dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-                "double"
-            ),
-            2,
-        ).alias("sum_disc_price"),
-        F.round(
-            _dec_sum(
-                F.col("l_extendedprice")
-                * (1 - F.col("l_discount"))
-                * (1 + F.col("l_tax"))
-            ).cast("double"),
-            2,
-        ).alias("sum_charge"),
-        F.round(_dec_sum(F.col("l_quantity")).cast("double") / cnt, 2).alias(
-            "avg_qty"
-        ),
-        F.round(_dec_sum(F.col("l_discount")).cast("double") / cnt, 4).alias(
-            "avg_disc"
-        ),
-        cnt.alias("count_order"),
+        exact_sum(F.col("l_quantity")).alias("sum_qty"),
+        exact_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+        exact_sum(disc_price).alias("sum_disc_price"),
+        exact_sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+        exact_avg(F.col("l_quantity")).alias("avg_qty"),
+        exact_avg(F.col("l_discount"), 4).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
     )
 
 
 @declared(
     "grouping_sets_rollup",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag,
            l_linestatus,
            count(*) AS n_items,
-           round(CAST(sum(CAST(round(l_quantity, 4) AS DECIMAL(28,8))) AS DOUBLE), 2)
-             AS sum_qty
+           {exact_sum_sql('l_quantity')} AS sum_qty
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
@@ -120,7 +95,7 @@ def grouping_sets_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n_items"),
-        F.round(_dec_sum(F.col("l_quantity")).cast("double"), 2).alias("sum_qty"),
+        exact_sum(F.col("l_quantity")).alias("sum_qty"),
     )
 
 
@@ -207,10 +182,9 @@ def conn_health_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @declared(
     "topk_event_users",
-    oracle="""
+    oracle=f"""
     SELECT user_id,
-           round(CAST(sum(CAST(round(value, 4) AS DECIMAL(28,8))) AS DOUBLE), 2)
-             AS total_value,
+           {exact_sum_sql('value')} AS total_value,
            count(*) AS n_events
     FROM events
     GROUP BY user_id
@@ -230,7 +204,7 @@ def topk_event_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         events.groupBy("user_id")
         .agg(
-            F.round(_dec_sum(F.col("value")).cast("double"), 2).alias("total_value"),
+            exact_sum(F.col("value")).alias("total_value"),
             F.count(F.lit(1)).alias("n_events"),
         )
         .orderBy(F.desc("total_value"), F.asc("user_id"))

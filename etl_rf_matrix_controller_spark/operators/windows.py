@@ -24,19 +24,19 @@ from etl_rf_matrix_controller_spark.sources.tables import load_table
     "window_running_total",
     oracle="""
     SELECT event_id, user_id, ts,
-           round(CAST(sum(CAST(round(value, 4) AS DECIMAL(28,8))) OVER (
+           round(sum(CAST(round(value * 10000) AS BIGINT)) OVER (
              PARTITION BY user_id ORDER BY ts, event_id
              ROWS UNBOUNDED PRECEDING
-           ) AS DOUBLE), 2) AS running_value
+           ) / 10000.0, 2) AS running_value
     FROM events
     """,
 )
 def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W3: per-key running total with an explicit frame spec.
 
-    The decimal cast keeps the prefix sums exact so every row's running
-    value is bit-identical to the sequential oracle; (ts, event_id) is a
-    total order within each key.
+    The scaled-integer sum (plans/conventions.py) keeps every prefix sum
+    exact so each row's running value is bit-identical to the sequential
+    oracle; (ts, event_id) is a total order within each key.
     """
     events = load_table(spark, sf_dir, "events")
     w = (
@@ -44,12 +44,12 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    running = F.sum(F.round("value", 4).cast("decimal(28,8)")).over(w)
+    running = F.sum(F.round(F.col("value") * 10000).cast("bigint")).over(w)
     return events.select(
         "event_id",
         "user_id",
         "ts",
-        F.round(running.cast("double"), 2).alias("running_value"),
+        F.round(running / 10000.0, 2).alias("running_value"),
     )
 
 

@@ -50,12 +50,14 @@ def load_all() -> None:
     )
     from etl_rf_matrix_controller_spark.operators import (  # noqa: F401
         aggregates,
+        cdc,
         dedup,
         groups,
         joins,
         multimodal,
         presets,
         range_partition,
+        reshape,
         setops,
         similarity,
         state,

@@ -29,7 +29,7 @@ def _tumbling_agg(events: DataFrame) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.round(
-                F.sum(F.round("value", 4).cast("decimal(28,8)")).cast("double"), 2
+                F.sum(F.round(F.col("value") * 10000).cast("bigint")) / 10000.0, 2
             ).alias("sum_value"),
         )
         .select(
@@ -47,7 +47,7 @@ def _tumbling_agg(events: DataFrame) -> DataFrame:
     SELECT date_trunc('hour', ts) AS hour_start,
            event_type,
            count(*) AS n_events,
-           round(CAST(sum(CAST(round(value, 4) AS DECIMAL(28,8))) AS DOUBLE), 2)
+           round(sum(CAST(round(value * 10000) AS BIGINT)) / 10000.0, 2)
              AS sum_value
     FROM events
     GROUP BY date_trunc('hour', ts), event_type
@@ -126,7 +126,7 @@ def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(ws AS TIMESTAMP) AS window_start,
            event_type,
            count(*) AS n_events,
-           round(CAST(sum(CAST(round(value, 4) AS DECIMAL(28,8))) AS DOUBLE), 2)
+           round(sum(CAST(round(value * 10000) AS BIGINT)) / 10000.0, 2)
              AS sum_value
     FROM expanded
     GROUP BY ws, event_type
@@ -147,7 +147,7 @@ def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.round(
-                F.sum(F.round("value", 4).cast("decimal(28,8)")).cast("double"), 2
+                F.sum(F.round(F.col("value") * 10000).cast("bigint")) / 10000.0, 2
             ).alias("sum_value"),
         )
         .select(
