@@ -37,6 +37,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ReadSchema)."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        # Self-defending: the caller's session (e.g. the driver's) may not
+        # carry this config; it is runtime-settable and required to read
+        # the TIMESTAMP(NANOS) column at all.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) read as long-nanos (spark.sql.legacy.parquet.
