@@ -249,3 +249,24 @@ def session_windows_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T3 under real Structured Streaming with a 1-day watermark."""
     events = _events_stream(spark, sf_dir).withWatermark("ts", "1 day")
     return run_stream_to_memory(_session_agg(events), "session_stream", spark)
+
+
+def sliding_window_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 sliding variant under real Structured Streaming."""
+    events = _events_stream(spark, sf_dir).withWatermark("ts", "1 day")
+    agg = (
+        events.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.round(F.col("value") * 10000).cast("bigint")) / 10000.0, 2
+            ).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return run_stream_to_memory(agg, "sliding_stream", spark)

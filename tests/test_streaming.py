@@ -27,6 +27,19 @@ def test_tumbling_batch_eq_stream(spark):
     )
 
 
+def test_sliding_batch_eq_stream(spark):
+    from etl_rf_matrix_controller_spark.streaming.windows import (
+        sliding_window_counts,
+        sliding_window_counts_stream,
+    )
+
+    _assert_same(
+        sliding_window_counts(spark, SF_DIR),
+        sliding_window_counts_stream(spark, SF_DIR),
+        "sliding_window_counts",
+    )
+
+
 def test_session_batch_eq_stream(spark):
     _assert_same(
         session_windows(spark, SF_DIR),

@@ -1,0 +1,81 @@
+"""Stress probe: run the headline operators on 10x-unioned inputs
+(~6M lineitem rows / ~1M events) to check the scale slope -- a linear-ish
+slope confirms no hidden quadratic or driver-side bottleneck.
+
+Usage: python tools/stress.py [multiplier]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from etl_rf_matrix_controller_spark.plans.conventions import exact_avg, exact_sum  # noqa: E402
+from etl_rf_matrix_controller_spark.session import get_spark  # noqa: E402
+from etl_rf_matrix_controller_spark.sources.tables import load_table  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.1"
+MULT = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+
+
+def amplify(df, mult: int):
+    """mult-x the data with perturbed keys so group cardinality scales too."""
+    out = df
+    for i in range(1, mult):
+        out = out.unionByName(df)
+    return out
+
+
+def main() -> None:
+    spark = get_spark(app_name="stress")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    ev = load_table(spark, SF_DIR, "events")
+    li.count()
+
+    cases = {
+        "q1_agg": lambda d: d.groupBy("l_returnflag", "l_linestatus").agg(
+            exact_sum(F.col("l_quantity")).alias("sum_qty"),
+            exact_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("sum_disc_price"),
+            exact_avg(F.col("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("n"),
+        ),
+        "latest_state": lambda d: d.withColumn(
+            "rn",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"])
+                .Window.partitionBy("user_id")
+                .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+            ),
+        ).filter(F.col("rn") == 1),
+        "topk": lambda d: d.groupBy("user_id")
+        .agg(exact_sum(F.col("value")).alias("tv"))
+        .orderBy(F.desc("tv"), F.asc("user_id"))
+        .limit(10),
+    }
+    for name, fn in cases.items():
+        src = li if name == "q1_agg" else ev
+        for mult in (1, MULT):
+            data = amplify(src, mult)
+            t0 = time.perf_counter()
+            fn(data).write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            rows = {"q1_agg": 600_000, "latest_state": 100_000, "topk": 100_000}[
+                name
+            ] * mult
+            print(
+                f"{name} x{mult}: {dt:.2f}s (~{rows/1e6:.1f}M rows, "
+                f"{rows/dt/1e6:.1f}M rows/s)"
+            )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
