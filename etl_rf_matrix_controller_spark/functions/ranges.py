@@ -30,11 +30,17 @@ RANGE_FIXTURE = ["1-16", "1,3,5-10", "10-6", "", " 7 ", "2-2, 4 , 9-11"]
 
 
 def parse_ranges(df: DataFrame, col: str = "range_str") -> DataFrame:
-    """Expand a range-string column to (range_str, n) rows."""
+    """Expand a range-string column to (range_str, n) rows.
+
+    Malformed segments ("abc", "5-", "-3") are skipped, not errors --
+    the reference wraps each segment in try/except and continues
+    (etl_controller.py:96-98); the rlike gate is the declarative version
+    (and keeps Spark 4's ANSI cast from throwing on garbage).
+    """
     parts = df.select(
         col, F.explode(F.split(F.trim(F.col(col)), ",")).alias("part")
     ).select(col, F.trim("part").alias("part"))
-    parts = parts.filter(F.col("part") != "")
+    parts = parts.filter(F.col("part").rlike(r"^\d+(-\d+)?$"))
     start = F.regexp_extract("part", r"^(\d+)", 1).cast("int")
     end_s = F.regexp_extract("part", r"-(\d+)$", 1)
     end = F.when(end_s == "", start).otherwise(end_s.cast("int"))
@@ -53,7 +59,7 @@ def parse_ranges(df: DataFrame, col: str = "range_str") -> DataFrame:
     parts AS (
       SELECT range_str, trim(p) AS part
       FROM t, unnest(string_split(trim(range_str), ',')) AS u(p)
-      WHERE trim(p) <> ''
+      WHERE regexp_matches(trim(p), '^[0-9]+(-[0-9]+)?$')
     ),
     bounds AS (
       SELECT range_str,
