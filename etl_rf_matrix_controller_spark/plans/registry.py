@@ -62,6 +62,7 @@ def load_all() -> None:
         similarity,
         state,
         text,
+        window_frames,
         windows,
     )
     from etl_rf_matrix_controller_spark.streaming import windows as _sw  # noqa: F401
