@@ -210,6 +210,114 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DIST_SQL = (
+    "list_sum(list_transform(generate_series(1, 64), "
+    "i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) "
+    "* (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))))"
+)
+
+
+def _sq_dist(a: Column, b: Column) -> Column:
+    diffs = F.zip_with(
+        a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double"))
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+@declared(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH cents AS (
+      SELECT vec_id AS cent_id, embedding AS ce
+      FROM embeddings WHERE vec_id % 100 = 0
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, cent_id FROM (
+        SELECT v.vec_id, v.embedding, c.cent_id,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY {_DIST_SQL.format(a='v.embedding', b='c.ce')}, c.cent_id
+               ) AS rn
+        FROM embeddings v CROSS JOIN cents c
+      ) t WHERE rn = 1
+    ),
+    q AS (
+      SELECT vec_id AS query_id, embedding AS qe, cent_id
+      FROM assigned WHERE vec_id < {N_QUERIES}
+    ),
+    scored AS (
+      SELECT q.query_id, a.vec_id AS cand_id,
+             {_DOT_SQL.format(a='q.qe', b='a.embedding')} AS score
+      FROM q JOIN assigned a
+        ON a.cent_id = q.cent_id AND a.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, cand_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, cand_id) AS rnk
+      FROM scored
+    )
+    SELECT query_id, cand_id, rnk, round(score, 4) AS score
+    FROM ranked WHERE rnk <= {TOP_K}
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4c: IVF-flavored ANN -- coarse quantizer + inverted lists.
+
+    Centroids are a deterministic sample of the data (every 100th vector
+    -- a stand-in for k-means centroids, which aren't oracle-reproducible);
+    every vector joins its nearest centroid's inverted list; queries probe
+    only their own list.  At 100 TB this is the FAISS-IVF layout: the
+    centroid dim broadcasts, list assignment is one pass, and the probe
+    join shuffles on list id.  nprobe=1 here; production probes the
+    nearest few lists to trade cost for recall.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce")
+    )
+    dist = _sq_dist(F.col("embedding"), F.col("ce"))
+    w = Window.partitionBy("vec_id").orderBy(dist.asc(), F.col("cent_id").asc())
+    assigned = (
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cent_id")
+    )
+    q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("cent_id").alias("q_cent"),
+    )
+    scored = assigned.join(
+        F.broadcast(q),
+        (F.col("cent_id") == F.col("q_cent")) & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("cand_id"),
+        dot_double(F.col("qe"), F.col("embedding")).alias("score"),
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "cand_id", "rnk", F.round("score", 4).alias("score"))
+    )
+
+
+@declared("approx_percentile_prices")  # rows-only: sketch internals differ
+def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch percentiles (KLL/GK-style): single mergeable pass -- the
+    100 TB answer when exact rank selection (percentile_disc_prices) is
+    too expensive.  Not oracle-matchable (sketch internals differ across
+    engines), hence rows-only."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.9], 10000).alias("approx_p")
+    )
+
+
 # Near-dup corpus: every vec_id % 20 == 0 re-emitted verbatim with +100000.
 _VEC_CORPUS_SQL = """
       SELECT vec_id, label, embedding FROM embeddings
