@@ -27,6 +27,7 @@ from etl_rf_matrix_controller_spark.plans.conventions import (
     exact_avg_sql,
     exact_sum,
     exact_sum_sql,
+    ratio4,
 )
 from etl_rf_matrix_controller_spark.plans.registry import declared
 from etl_rf_matrix_controller_spark.sources.tables import load_table
@@ -160,7 +161,7 @@ def names_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     "conn_health_rate",
     oracle="""
     SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
-           round(avg(CASE WHEN event_type = 'error' THEN 0.0 ELSE 1.0 END), 4)
+           ((((2 * (sum(CASE WHEN event_type = 'error' THEN 0 ELSE 1 END)) * 10000 + (count(*))) - (2 * (sum(CASE WHEN event_type = 'error' THEN 0 ELSE 1 END)) * 10000 + (count(*))) % (2 * (count(*)))) / (2 * (count(*)))) / 10000.0)
              AS health_rate,
            count(*) AS n_events
     FROM events
@@ -170,13 +171,13 @@ def names_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
 def conn_health_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7/T4: availability rate per day (etl_controller.py:3119-3136).
 
-    avg of exact 0/1 doubles is an integer sum / count -- order-independent
-    without the decimal trick.
+    The rate is an integer ratio rounded in integer space (ratio4) --
+    order-independent and immune to the cross-engine round() divergence.
     """
     events = load_table(spark, sf_dir, "events")
-    ok = F.when(F.col("event_type") == "error", 0.0).otherwise(1.0)
+    ok = F.when(F.col("event_type") == "error", 0).otherwise(1)
     return events.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
-        F.round(F.avg(ok), 4).alias("health_rate"),
+        ratio4(F.sum(ok), F.count(F.lit(1))).alias("health_rate"),
         F.count(F.lit(1)).alias("n_events"),
     )
 

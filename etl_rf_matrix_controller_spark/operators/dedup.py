@@ -231,9 +231,8 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM corpus
     )
     SELECT c.doc_a, c.doc_b,
-           round(len(list_intersect(ta.toks, tb.toks)) * 1.0
-                 / len(list_distinct(list_concat(ta.toks, tb.toks))), 4)
-             AS jaccard
+           len(list_intersect(ta.toks, tb.toks)) * 1.0
+             / len(list_distinct(list_concat(ta.toks, tb.toks))) AS jaccard
     FROM cand c
     JOIN toksets ta ON ta.doc_id = c.doc_a
     JOIN toksets tb ON tb.doc_id = c.doc_b
@@ -297,7 +296,7 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(ta, F.col("ta.doc_id") == F.col("doc_a"))
         .join(tb, F.col("tb.doc_id") == F.col("doc_b"))
         .filter(jacc >= 0.6)
-        .select("doc_a", "doc_b", F.round(jacc, 4).alias("jaccard"))
+        .select("doc_a", "doc_b", jacc.alias("jaccard"))
     )
 
 
@@ -382,7 +381,7 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY a.doc_id, b.doc_id
     )
     SELECT doc_a, doc_b,
-           round(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
+           c * 1.0 / (sa.n + sb.n - c) AS jaccard
     FROM shared
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
@@ -425,5 +424,5 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         shared.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
         .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
         .filter(jacc >= 0.6)
-        .select("doc_a", "doc_b", F.round(jacc, 4).alias("jaccard"))
+        .select("doc_a", "doc_b", jacc.alias("jaccard"))
     )

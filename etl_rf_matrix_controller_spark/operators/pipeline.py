@@ -1,0 +1,293 @@
+"""Training-data pipeline composition: portable sampling, splits,
+deterministic shuffle, and the end-to-end curation query.
+
+These are the glue operators a 100 TB corpus pipeline needs between the
+per-doc analyses (operators/text.py) and training: reproducible sampling
+and splitting that is ENGINE-PORTABLE (md5-derived, not engine hash()),
+deterministic shuffling for stable data ordering, and the composed
+filter -> dedup -> split -> aggregate flow.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_rf_matrix_controller_spark.plans.registry import declared
+from etl_rf_matrix_controller_spark.sources.tables import load_table
+
+
+def hash_bucket(col: Column, buckets: int = 100) -> Column:
+    """Portable deterministic bucket in [0, buckets): md5-prefix of the
+    key's string form.  Unlike ``F.hash`` (Murmur3, Spark-specific) this
+    reproduces in any engine, so sample membership survives an engine
+    migration -- a property real pipelines need for audit trails."""
+    h = F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("bigint")
+    return h % buckets
+
+
+def _bucket_sql(expr: str, buckets: int = 100) -> str:
+    return f"('0x' || substring(md5(CAST({expr} AS VARCHAR)), 1, 8))::BIGINT % {buckets}"
+
+
+@declared(
+    "hash_mod_sample",
+    oracle=f"""
+    SELECT event_id, user_id, event_type
+    FROM events
+    WHERE {_bucket_sql('event_id', 10)} = 0
+    """,
+)
+def hash_mod_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% deterministic sample by key hash.  Engine-portable and
+    rerun-stable, unlike .sample() (RNG) or hash() (Murmur3) -- the only
+    sampling a reproducible pipeline should use.  Pure filter: pushdown
+    composes, no shuffle."""
+    events = load_table(spark, sf_dir, "events")
+    return events.filter(hash_bucket(F.col("event_id"), 10) == 0).select(
+        "event_id", "user_id", "event_type"
+    )
+
+
+@declared(
+    "hash_split_assign",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT lang,
+             CASE WHEN {_bucket_sql('doc_id')} < 80 THEN 'train'
+                  WHEN {_bucket_sql('doc_id')} < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT lang, split, count(*) AS n_docs
+    FROM tagged
+    GROUP BY lang, split
+    """,
+)
+def hash_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test assignment by key hash, stratified count by
+    language.  Split membership is a pure function of the key: adding data
+    never reshuffles existing examples across splits (no leakage on
+    incremental builds)."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = hash_bucket(F.col("doc_id"))
+    tagged = docs.select(
+        "lang",
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test").alias("split"),
+    )
+    return tagged.groupBy("lang", "split").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@declared(
+    "deterministic_shuffle_order",
+    oracle="""
+    SELECT doc_id, shuffle_rank
+    FROM (
+      SELECT doc_id,
+             row_number() OVER (
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS shuffle_rank
+      FROM documents
+    ) t
+    WHERE shuffle_rank <= 20
+    """,
+)
+def deterministic_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible corpus shuffle: order by md5(key).  Gives every run
+    (and every engine) the same pseudo-random training order -- the
+    determinism knob for data-ordering ablations.  Top-20 shown; the full
+    ordering is the same expression without the limit (at scale: sort
+    within partitions after repartitioning by a hash prefix, avoiding a
+    global sort)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+    return (
+        docs.select("doc_id", F.row_number().over(w).alias("shuffle_rank"))
+        .filter(F.col("shuffle_rank") <= 20)
+    )
+
+
+@declared(
+    "pipeline_end_to_end",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang, text,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+             md5(lower(trim(text))) AS content_hash
+      FROM documents
+      WHERE length(text) >= 100
+    ),
+    deduped AS (
+      SELECT doc_id, lang, n_tokens,
+             row_number() OVER (PARTITION BY content_hash ORDER BY doc_id)
+               AS rn
+      FROM scored
+    ),
+    split_tagged AS (
+      SELECT lang, n_tokens,
+             CASE WHEN {_bucket_sql('doc_id')} < 80 THEN 'train'
+                  WHEN {_bucket_sql('doc_id')} < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM deduped WHERE rn = 1
+    )
+    SELECT lang, split,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM split_tagged
+    GROUP BY lang, split
+    """,
+)
+def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation flow: length filter -> exact dedup -> split
+    assignment -> per-(lang, split) token budget.  One declared query
+    proving the operators COMPOSE: the filter pushes to the scan, dedup is
+    one hash-key shuffle, split tagging is a projection, and the final
+    aggregate is partial+final -- three stages total regardless of corpus
+    size."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 100)
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"),
+        F.md5(F.lower(F.trim("text"))).alias("content_hash"),
+    )
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    deduped = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    b = hash_bucket(F.col("doc_id"))
+    tagged = deduped.select(
+        "lang",
+        "n_tokens",
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test").alias("split"),
+    )
+    return tagged.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )
+
+
+@declared(
+    "orders_above_cust_avg",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           round(o_totalprice, 2) AS total_price,
+           ((((a4 + 50) - (a4 + 50) % 100) / 100) / 100.0) AS cust_avg
+    FROM (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             ws / 10000.0 / n AS avg_raw,
+             ((2 * ws + n) - (2 * ws + n) % (2 * n)) / (2 * n) AS a4
+      FROM (
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               sum(CAST(round(o_totalprice * 10000) AS BIGINT))
+                 OVER (PARTITION BY o_custkey) AS ws,
+               count(*) OVER (PARTITION BY o_custkey) AS n
+        FROM orders
+      ) base
+    ) t
+    WHERE o_totalprice > avg_raw
+    """,
+)
+def orders_above_cust_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-aggregate filter: orders above their customer's average,
+    expressed as a window (one shuffle) instead of a correlated subquery
+    (which Catalyst would de-correlate into the same plan anyway).
+
+    The filter compares against the RAW mean (identical doubles on both
+    engines -- same integer sum, same two divisions); the reported mean is
+    rounded in integer space (plans/conventions.py rationale: engine
+    round() diverges on half-boundary doubles -- this query found that).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    ws = F.sum(F.round(F.col("o_totalprice") * 10000).cast("bigint")).over(w)
+    n = F.count(F.lit(1)).over(w)
+    avg_raw = ws / 10000.0 / n
+    x = 2 * ws + n
+    a4 = (x - x % (2 * n)) / (2 * n)
+    y = a4 + 50
+    cust_avg = ((y - y % 100) / 100) / 100.0
+    return (
+        orders.withColumn("avg_raw", avg_raw)
+        .withColumn("cust_avg", cust_avg)
+        .filter(F.col("o_totalprice") > F.col("avg_raw"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round("o_totalprice", 2).alias("total_price"),
+            "cust_avg",
+        )
+    )
+
+
+@declared(
+    "null_handling_semantics",
+    oracle="""
+    WITH n AS (
+      SELECT o_orderkey,
+             nullif(o_orderstatus, 'P') AS status_n,
+             round(o_totalprice, 2) AS price
+      FROM orders
+    )
+    SELECT status_n,
+           count(*) AS n_rows,
+           count(status_n) AS n_nonnull,
+           CAST(sum(CASE WHEN status_n IS NOT DISTINCT FROM NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe_null,
+           round(max(price), 2) AS max_price
+    FROM n
+    GROUP BY status_n
+    """,
+)
+def null_handling_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null discipline the reference never had (absent dict keys ~ NULL,
+    SURVEY SS2.12): NULL grouping keys group together, count(*) vs
+    count(col) differ on nulls, and null-safe equality (<=>) treats NULL
+    as a comparable value.  Both engines agree on all three -- pinned
+    here."""
+    orders = load_table(spark, sf_dir, "orders")
+    n = orders.select(
+        "o_orderkey",
+        F.nullif("o_orderstatus", F.lit("P")).alias("status_n"),
+        F.round("o_totalprice", 2).alias("price"),
+    )
+    return n.groupBy("status_n").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("status_n").alias("n_nonnull"),
+        F.sum(F.col("status_n").eqNullSafe(F.lit(None)).cast("int"))
+        .cast("bigint")
+        .alias("n_nullsafe_null"),
+        F.round(F.max("price"), 2).alias("max_price"),
+    )
+
+
+@declared(
+    "embedding_array_ops",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           round(CAST(list_max(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE))) AS DOUBLE), 4) AS max_val,
+           round(CAST(list_min(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE))) AS DOUBLE), 4) AS min_val,
+           round(CAST(embedding[1] AS DOUBLE), 4) AS first_val,
+           round(CAST(embedding[64] AS DOUBLE), 4) AS last_val
+    FROM embeddings
+    """,
+)
+def embedding_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function surface over the vector column: size, min/max,
+    element access -- all JVM-side higher-order/array built-ins, no
+    explode, no shuffle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    arr_d = F.transform("embedding", lambda x: x.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.array_max(arr_d), 4).alias("max_val"),
+        F.round(F.array_min(arr_d), 4).alias("min_val"),
+        F.round(F.element_at("embedding", 1).cast("double"), 4).alias("first_val"),
+        F.round(F.element_at("embedding", 64).cast("double"), 4).alias("last_val"),
+    )

@@ -49,8 +49,7 @@ _DOT_SQL = (
     "embed_norm",
     oracle=f"""
     SELECT vec_id, label,
-           round(sqrt({_DOT_SQL.format(a='embedding', b='embedding')}), 4)
-             AS l2_norm
+           sqrt({_DOT_SQL.format(a='embedding', b='embedding')}) AS l2_norm
     FROM embeddings
     """,
 )
@@ -61,9 +60,7 @@ def embed_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id",
         "label",
-        F.round(F.sqrt(dot_double(F.col("embedding"), F.col("embedding"))), 4).alias(
-            "l2_norm"
-        ),
+        F.sqrt(dot_double(F.col("embedding"), F.col("embedding"))).alias("l2_norm"),
     )
 
 
@@ -85,7 +82,7 @@ def embed_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 ORDER BY score DESC, cand_id) AS rnk
       FROM scored
     )
-    SELECT query_id, cand_id, rnk, round(score, 4) AS score
+    SELECT query_id, cand_id, rnk, score
     FROM ranked WHERE rnk <= {TOP_K}
     """,
 )
@@ -116,7 +113,7 @@ def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= TOP_K)
-        .select("query_id", "cand_id", "rnk", F.round("score", 4).alias("score"))
+        .select("query_id", "cand_id", "rnk", "score")
     )
 
 
@@ -164,7 +161,7 @@ list_sum(list_transform(generate_series(0, {N_PLANES - 1}), j ->
                                 ORDER BY score DESC, cand_id) AS rnk
       FROM scored
     )
-    SELECT query_id, cand_id, rnk, round(score, 4) AS score
+    SELECT query_id, cand_id, rnk, score
     FROM ranked WHERE rnk <= {TOP_K}
     """,
 )
@@ -206,7 +203,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= TOP_K)
-        .select("query_id", "cand_id", "rnk", F.round("score", 4).alias("score"))
+        .select("query_id", "cand_id", "rnk", "score")
     )
 
 
@@ -258,7 +255,7 @@ def _sq_dist(a: Column, b: Column) -> Column:
                                 ORDER BY score DESC, cand_id) AS rnk
       FROM scored
     )
-    SELECT query_id, cand_id, rnk, round(score, 4) AS score
+    SELECT query_id, cand_id, rnk, score
     FROM ranked WHERE rnk <= {TOP_K}
     """,
 )
@@ -302,7 +299,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rnk", F.row_number().over(wr))
         .filter(F.col("rnk") <= TOP_K)
-        .select("query_id", "cand_id", "rnk", F.round("score", 4).alias("score"))
+        .select("query_id", "cand_id", "rnk", "score")
     )
 
 
@@ -342,7 +339,7 @@ _VEC_CORPUS_SQL = """
                / (a.nrm * b.nrm) AS cosine
       FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
     )
-    SELECT vec_a, vec_b, label, round(cosine, 4) AS cosine
+    SELECT vec_a, vec_b, label, cosine
     FROM pairs WHERE cosine >= 0.99
     """,
 )
@@ -387,5 +384,4 @@ def cosine_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             cosine.alias("cosine"),
         )
         .filter(F.col("cosine") >= 0.99)
-        .withColumn("cosine", F.round("cosine", 4))
     )

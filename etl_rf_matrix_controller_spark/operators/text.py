@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from etl_rf_matrix_controller_spark.plans.conventions import ratio4
 from etl_rf_matrix_controller_spark.plans.registry import declared
 from etl_rf_matrix_controller_spark.sources.tables import load_table
 
@@ -58,8 +59,7 @@ def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
            len(string_split_regex(trim(text), '\\s+')) AS n_tokens_ws,
            len(regexp_extract_all(text, '{BPE_RE}')) AS n_tokens_bpe,
            length(text) AS n_chars_text,
-           round(length(replace(trim(text), ' ', '')) * 1.0
-                 / len(string_split_regex(trim(text), '\\s+')), 4)
+           ((((2 * (length(replace(trim(text), ' ', ''))) * 10000 + (len(string_split_regex(trim(text), '\\s+')))) - (2 * (length(replace(trim(text), ' ', ''))) * 10000 + (len(string_split_regex(trim(text), '\\s+')))) % (2 * (len(string_split_regex(trim(text), '\\s+'))))) / (2 * (len(string_split_regex(trim(text), '\\s+'))))) / 10000.0)
              AS avg_token_len
     FROM documents
     """,
@@ -76,7 +76,7 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_ws.alias("n_tokens_ws"),
         F.size(F.regexp_extract_all("text", F.lit(BPE_RE), 0)).alias("n_tokens_bpe"),
         F.length("text").alias("n_chars_text"),
-        F.round(F.length(F.replace(t, F.lit(" "), F.lit(""))) * 1.0 / n_ws, 4).alias(
+        ratio4(F.length(F.replace(t, F.lit(" "), F.lit(""))), n_ws).alias(
             "avg_token_len"
         ),
     )
@@ -94,11 +94,10 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     SELECT doc_id, lang, n_tokens,
-           round(n_stop * 1.0 / n_tokens, 4) AS stop_ratio,
-           round(least(1.0, n_tokens / 100.0) * 0.5
-                 + least(1.0, n_chars / 500.0) * 0.3
-                 + CASE WHEN n_stop * 1.0 / n_tokens BETWEEN 0.02 AND 0.4
-                        THEN 0.2 ELSE 0.0 END, 4) AS quality_score
+           ((((2 * (n_stop) * 10000 + (n_tokens)) - (2 * (n_stop) * 10000 + (n_tokens)) % (2 * (n_tokens))) / (2 * (n_tokens))) / 10000.0) AS stop_ratio,
+           (least(5000, n_tokens * 50) + least(3000, n_chars * 6)
+            + CASE WHEN 50 * n_stop >= n_tokens AND 5 * n_stop <= 2 * n_tokens
+                   THEN 2000 ELSE 0 END) / 10000.0 AS quality_score
     FROM feats
     """,
 )
@@ -116,18 +115,22 @@ def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda tok: tok.isin(*STOPWORDS),
         )
     )
-    stop_ratio = n_stop * 1.0 / n_tokens
-    score = (
-        F.least(F.lit(1.0), n_tokens / 100.0) * 0.5
-        + F.least(F.lit(1.0), n_chars / 500.0) * 0.3
-        + F.when((stop_ratio >= 0.02) & (stop_ratio <= 0.4), 0.2).otherwise(0.0)
+    # Integer-exact scoring: components expressed in 1e-4 units so the
+    # score is pure int arithmetic (cross-engine round() divergence cannot
+    # bite).  Band predicate 0.02 <= stop/tok <= 0.4 rewritten integrally.
+    score_scaled = (
+        F.least(F.lit(5000), n_tokens * 50)
+        + F.least(F.lit(3000), n_chars * 6)
+        + F.when(
+            (50 * n_stop >= n_tokens) & (5 * n_stop <= 2 * n_tokens), 2000
+        ).otherwise(0)
     )
     return docs.select(
         "doc_id",
         "lang",
         n_tokens.alias("n_tokens"),
-        F.round(stop_ratio, 4).alias("stop_ratio"),
-        F.round(score, 4).alias("quality_score"),
+        ratio4(n_stop, n_tokens).alias("stop_ratio"),
+        (score_scaled / 10000.0).alias("quality_score"),
     )
 
 

@@ -14,7 +14,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from etl_rf_matrix_controller_spark.plans.conventions import exact_sum_sql
+from etl_rf_matrix_controller_spark.plans.conventions import (
+    exact_sum,
+    exact_sum_sql,
+    int_round_scaled,
+)
 from etl_rf_matrix_controller_spark.plans.registry import declared
 from etl_rf_matrix_controller_spark.sources.tables import load_table
 
@@ -23,11 +27,15 @@ from etl_rf_matrix_controller_spark.sources.tables import load_table
     "window_range_frame",
     oracle="""
     SELECT event_id, user_id, ts,
-           round(sum(CAST(round(value * 10000) AS BIGINT)) OVER (
+           (((((sum(CAST(round(value * 10000) AS BIGINT)) OVER (
              PARTITION BY user_id
              ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
              RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
-           ) / 10000.0, 2) AS hour_sum
+           )) + 50) - ((sum(CAST(round(value * 10000) AS BIGINT)) OVER (
+             PARTITION BY user_id
+             ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+           )) + 50) % 100) / 100) / 100.0) AS hour_sum
     FROM events
     """,
 )
@@ -52,7 +60,7 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "ts",
-        F.round(running / 10000.0, 2).alias("hour_sum"),
+        int_round_scaled(running, 2).alias("hour_sum"),
     )
 
 
@@ -108,9 +116,7 @@ def orders_month_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.month("o_orderdate").cast("int").alias("order_month"),
     ).agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(
-            F.sum(F.round(F.col("o_totalprice") * 10000).cast("bigint")) / 10000.0, 2
-        ).alias("sum_price"),
+        exact_sum(F.col("o_totalprice")).alias("sum_price"),
     )
 
 

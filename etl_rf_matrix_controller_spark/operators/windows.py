@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from etl_rf_matrix_controller_spark.plans.conventions import int_round_scaled
 from etl_rf_matrix_controller_spark.plans.registry import declared
 from etl_rf_matrix_controller_spark.sources.tables import load_table
 
@@ -24,10 +25,13 @@ from etl_rf_matrix_controller_spark.sources.tables import load_table
     "window_running_total",
     oracle="""
     SELECT event_id, user_id, ts,
-           round(sum(CAST(round(value * 10000) AS BIGINT)) OVER (
+           (((((sum(CAST(round(value * 10000) AS BIGINT)) OVER (
              PARTITION BY user_id ORDER BY ts, event_id
              ROWS UNBOUNDED PRECEDING
-           ) / 10000.0, 2) AS running_value
+           )) + 50) - ((sum(CAST(round(value * 10000) AS BIGINT)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING
+           )) + 50) % 100) / 100) / 100.0) AS running_value
     FROM events
     """,
 )
@@ -49,7 +53,7 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "ts",
-        F.round(running / 10000.0, 2).alias("running_value"),
+        int_round_scaled(running, 2).alias("running_value"),
     )
 
 

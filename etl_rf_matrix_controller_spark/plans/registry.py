@@ -55,6 +55,7 @@ def load_all() -> None:
         groups,
         joins,
         multimodal,
+        pipeline,
         presets,
         range_partition,
         reshape,

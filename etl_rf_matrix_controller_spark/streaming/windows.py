@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_rf_matrix_controller_spark.plans.conventions import int_round_scaled
 from etl_rf_matrix_controller_spark.plans.registry import declared
 from etl_rf_matrix_controller_spark.sources.tables import load_table
 
@@ -28,8 +29,8 @@ def _tumbling_agg(events: DataFrame) -> DataFrame:
         events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(
-                F.sum(F.round(F.col("value") * 10000).cast("bigint")) / 10000.0, 2
+            int_round_scaled(
+                F.sum(F.round(F.col("value") * 10000).cast("bigint")), 2
             ).alias("sum_value"),
         )
         .select(
@@ -47,7 +48,7 @@ def _tumbling_agg(events: DataFrame) -> DataFrame:
     SELECT date_trunc('hour', ts) AS hour_start,
            event_type,
            count(*) AS n_events,
-           round(sum(CAST(round(value * 10000) AS BIGINT)) / 10000.0, 2)
+           (((((sum(CAST(round(value * 10000) AS BIGINT))) + 50) - ((sum(CAST(round(value * 10000) AS BIGINT))) + 50) % 100) / 100) / 100.0)
              AS sum_value
     FROM events
     GROUP BY date_trunc('hour', ts), event_type
@@ -126,7 +127,7 @@ def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(ws AS TIMESTAMP) AS window_start,
            event_type,
            count(*) AS n_events,
-           round(sum(CAST(round(value * 10000) AS BIGINT)) / 10000.0, 2)
+           (((((sum(CAST(round(value * 10000) AS BIGINT))) + 50) - ((sum(CAST(round(value * 10000) AS BIGINT))) + 50) % 100) / 100) / 100.0)
              AS sum_value
     FROM expanded
     GROUP BY ws, event_type
@@ -146,8 +147,8 @@ def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(
-                F.sum(F.round(F.col("value") * 10000).cast("bigint")) / 10000.0, 2
+            int_round_scaled(
+                F.sum(F.round(F.col("value") * 10000).cast("bigint")), 2
             ).alias("sum_value"),
         )
         .select(
@@ -258,8 +259,8 @@ def sliding_window_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(
-                F.sum(F.round(F.col("value") * 10000).cast("bigint")) / 10000.0, 2
+            int_round_scaled(
+                F.sum(F.round(F.col("value") * 10000).cast("bigint")), 2
             ).alias("sum_value"),
         )
         .select(
