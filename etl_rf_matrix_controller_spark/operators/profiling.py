@@ -1,0 +1,154 @@
+"""Data profiling and incremental-processing operators.
+
+The remaining pipeline plumbing: text normalization (the pre-dedup
+cleaning projection), numeric column profiling (the first query anyone
+runs on a new 100 TB table), fixed-width histograms, and incremental
+new-key detection (the anti-join that turns a batch pipeline into an
+idempotent incremental one).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_rf_matrix_controller_spark.plans.conventions import (
+    exact_avg,
+    exact_avg_sql,
+)
+from etl_rf_matrix_controller_spark.plans.registry import declared
+from etl_rf_matrix_controller_spark.sources.tables import load_table
+
+
+@declared(
+    "text_normalize",
+    oracle=r"""
+    SELECT doc_id,
+           trim(regexp_replace(
+             regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+             ' +', ' ', 'g')) AS norm_text,
+           length(trim(regexp_replace(
+             regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+             ' +', ' ', 'g'))) AS norm_len
+    FROM documents
+    """,
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text cleaning: lowercase, strip non-alphanumerics,
+    squeeze whitespace -- the projection that runs before every dedup/
+    tokenize pass.  NB: Spark regexp_replace replaces all matches by
+    default; DuckDB needs the explicit 'g' flag -- a silent semantic trap
+    pinned by this oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    return docs.select(
+        "doc_id", norm.alias("norm_text"), F.length(norm).alias("norm_len")
+    )
+
+
+@declared(
+    "numeric_profile",
+    oracle=f"""
+    SELECT 'l_quantity' AS col_name,
+           count(*) AS n_rows,
+           count(l_quantity) AS n_nonnull,
+           round(min(l_quantity), 2) AS min_val,
+           round(max(l_quantity), 2) AS max_val,
+           {exact_avg_sql('l_quantity')} AS mean_val
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice',
+           count(*), count(l_extendedprice),
+           round(min(l_extendedprice), 2), round(max(l_extendedprice), 2),
+           {exact_avg_sql('l_extendedprice')}
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount',
+           count(*), count(l_discount),
+           round(min(l_discount), 2), round(max(l_discount), 2),
+           {exact_avg_sql('l_discount')}
+    FROM lineitem
+    """,
+)
+def numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (the df.describe() shape, made oracle-exact):
+    count/nulls/min/max/mean per numeric column, one scan per... no --
+    ONE scan total: Spark computes all three columns' aggregates in a
+    single pass, then unpivots; min/max of clean 2-dec data round
+    identically, the mean uses the exact-avg convention."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.count(c).alias(f"{c}__nn"),
+            F.round(F.min(c), 2).alias(f"{c}__min"),
+            F.round(F.max(c), 2).alias(f"{c}__max"),
+            exact_avg(F.col(c)).alias(f"{c}__mean"),
+        ]
+    wide = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__n, {c}__nn, {c}__min, {c}__max, {c}__mean" for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(col_name, n_rows, n_nonnull, min_val, max_val, mean_val)"
+    )
+
+
+@declared(
+    "value_histogram",
+    oracle="""
+    SELECT CAST(floor(value / 5.0) AS INT) AS bin,
+           count(*) AS n,
+           round(CAST(floor(value / 5.0) AS INT) * 5.0, 1) AS bin_lo
+    FROM events
+    GROUP BY floor(value / 5.0)
+    """,
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (width 5): integer bin ids from floor
+    division -- deterministic, shuffle carries one row per bin.  The
+    at-scale profile tool for distribution drift checks."""
+    events = load_table(spark, sf_dir, "events")
+    bin_ = F.floor(F.col("value") / 5.0).cast("int")
+    return events.groupBy(bin_.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round((bin_ * 5.0), 1).alias("bin_lo"),
+    )
+
+
+@declared(
+    "incremental_new_keys",
+    oracle="""
+    WITH processed AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+    ),
+    current_batch AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+    )
+    SELECT c.user_id
+    FROM current_batch c
+    WHERE NOT EXISTS (SELECT 1 FROM processed p WHERE p.user_id = c.user_id)
+    """,
+)
+def incremental_new_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental processing: keys first seen in the current batch
+    (anti-join against the processed watermark).  The idempotency
+    primitive for incremental ETL: re-running the batch yields the same
+    new-key set.  Both sides are distinct key sets, so the anti join
+    shuffles only keys."""
+    events = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    processed = events.filter(F.col("ts") < cutoff).select("user_id").distinct()
+    current = events.filter(F.col("ts") >= cutoff).select("user_id").distinct()
+    return current.join(processed, "user_id", "left_anti")

@@ -57,6 +57,7 @@ def load_all() -> None:
         multimodal,
         pipeline,
         presets,
+        profiling,
         range_partition,
         reshape,
         setops,
