@@ -128,27 +128,40 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 @declared(
     "incremental_new_keys",
     oracle="""
-    WITH processed AS (
-      SELECT DISTINCT user_id FROM events
+    WITH keyed AS (
+      SELECT ts,
+             user_id * 100 + CAST(json_extract_string(props, '$.k') AS INT)
+               AS entity_key
+      FROM events
+    ),
+    processed AS (
+      SELECT DISTINCT entity_key FROM keyed
       WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
     ),
     current_batch AS (
-      SELECT DISTINCT user_id FROM events
+      SELECT DISTINCT entity_key FROM keyed
       WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
     )
-    SELECT c.user_id
+    SELECT c.entity_key
     FROM current_batch c
-    WHERE NOT EXISTS (SELECT 1 FROM processed p WHERE p.user_id = c.user_id)
+    WHERE NOT EXISTS
+      (SELECT 1 FROM processed p WHERE p.entity_key = c.entity_key)
     """,
 )
 def incremental_new_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental processing: keys first seen in the current batch
+    """Incremental processing: entity keys first seen in the current batch
     (anti-join against the processed watermark).  The idempotency
     primitive for incremental ETL: re-running the batch yields the same
-    new-key set.  Both sides are distinct key sets, so the anti join
-    shuffles only keys."""
+    new-key set.  The entity key is (user, prop-k) -- plain user_id is
+    fully covered by the first fortnight and would make the check vacuous.
+    Both sides are distinct key sets, so the anti join shuffles only keys."""
     events = load_table(spark, sf_dir, "events")
+    key = (
+        F.col("user_id") * 100
+        + F.get_json_object("props", "$.k").cast("int")
+    ).alias("entity_key")
     cutoff = F.lit("2024-01-15 00:00:00").cast("timestamp")
-    processed = events.filter(F.col("ts") < cutoff).select("user_id").distinct()
-    current = events.filter(F.col("ts") >= cutoff).select("user_id").distinct()
-    return current.join(processed, "user_id", "left_anti")
+    keyed = events.select("ts", key)
+    processed = keyed.filter(F.col("ts") < cutoff).select("entity_key").distinct()
+    current = keyed.filter(F.col("ts") >= cutoff).select("entity_key").distinct()
+    return current.join(processed, "entity_key", "left_anti")
