@@ -1,0 +1,157 @@
+"""Corpus curation operators: repetition scoring, split decontamination,
+token-budget packing.
+
+The last mile of a training-data pipeline: the Gopher-style repetition
+filter (drop boilerplate-heavy docs), the train/test decontamination join
+(no eval leakage), and greedy sequence packing into fixed token budgets.
+All pure DataFrame ops, all oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_rf_matrix_controller_spark.operators.dedup import _CORPUS_SQL, dup_corpus
+from etl_rf_matrix_controller_spark.operators.pipeline import _bucket_sql, hash_bucket
+from etl_rf_matrix_controller_spark.plans.conventions import ratio4, ratio4_sql
+from etl_rf_matrix_controller_spark.plans.registry import declared
+from etl_rf_matrix_controller_spark.sources.tables import load_table
+
+
+@declared(
+    "doc_repetition_score",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id,
+             greatest(length(trim(text)) - 7, 1) AS total_grams,
+             len(list_distinct(list_transform(
+               generate_series(1, greatest(length(trim(text)) - 7, 1)),
+               i -> substring(trim(text), CAST(i AS INT), 8)))) AS uniq_grams
+      FROM documents
+    )
+    SELECT doc_id, total_grams, uniq_grams,
+           {ratio4_sql('total_grams - uniq_grams', 'total_grams')} AS rep_ratio
+    FROM g
+    """,
+)
+def doc_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition: fraction of duplicate char-8-grams
+    (the Gopher repetition-filter signal -- boilerplate and looping text
+    score high).  All in-row array math: zero shuffles, scan-bound."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.trim("text")
+    total = F.greatest(F.length(t) - 7, F.lit(1))
+    uniq = F.size(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), total), lambda i: t.substr(i, F.lit(8))
+            )
+        )
+    )
+    return docs.select(
+        "doc_id",
+        total.alias("total_grams"),
+        uniq.alias("uniq_grams"),
+        ratio4(total - uniq, total).alias("rep_ratio"),
+    )
+
+
+@declared(
+    "split_contamination_check",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    tagged AS (
+      SELECT doc_id,
+             md5(lower(trim(text))) AS content_hash,
+             CASE WHEN {_bucket_sql('doc_id')} < 80 THEN 'train'
+                  WHEN {_bucket_sql('doc_id')} < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM corpus
+    )
+    SELECT tr.doc_id AS train_doc, te.doc_id AS eval_doc,
+           te.split AS eval_split, tr.content_hash
+    FROM tagged tr
+    JOIN tagged te
+      ON tr.content_hash = te.content_hash
+     AND tr.split = 'train' AND te.split <> 'train'
+    """,
+)
+def split_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination: eval-split documents whose exact content also
+    appears in train (the leakage auditors run before every training
+    job).  Runs over the dup corpus (the raw table has no duplicates, so
+    the check would be vacuous).  Equi-join on content hash: shuffles
+    hashes + ids only, never text; the near-dup version swaps the hash
+    for MinHash bands (minhash_near_dup_pairs) with the same join shape.
+    """
+    corpus = dup_corpus(spark, sf_dir)
+    tagged = corpus.select(
+        "doc_id",
+        F.md5(F.lower(F.trim("text"))).alias("content_hash"),
+    )
+    b = hash_bucket(F.col("doc_id"))
+    tagged = tagged.withColumn(
+        "split",
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test"),
+    )
+    tr = tagged.filter(F.col("split") == "train").select(
+        F.col("doc_id").alias("train_doc"), "content_hash"
+    )
+    te = tagged.filter(F.col("split") != "train").select(
+        F.col("doc_id").alias("eval_doc"),
+        F.col("split").alias("eval_split"),
+        F.col("content_hash").alias("te_hash"),
+    )
+    return tr.join(te, tr.content_hash == te.te_hash).select(
+        "train_doc", "eval_doc", "eval_split", "content_hash"
+    )
+
+
+@declared(
+    "token_budget_packing",
+    oracle="""
+    WITH counted AS (
+      SELECT doc_id, lang,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT doc_id, lang, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM counted
+    )
+    SELECT doc_id, lang, n_tokens,
+           CAST((cum_tokens - 1 - (cum_tokens - 1) % 4096) / 4096 AS BIGINT)
+             AS pack_bin
+    FROM packed
+    """,
+)
+def token_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: running token count per language stream,
+    binned into 4096-token budgets -- the batch assignment used to pack
+    training sequences.  One window per language partition; bin ids are
+    integer-exact ((cum-1) div 4096).  At scale the doc_id ordering key is
+    the deterministic-shuffle rank (deterministic_shuffle_order), keeping
+    packs reproducible."""
+    docs = load_table(spark, sf_dir, "documents")
+    counted = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    x = cum - 1
+    return counted.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        ((x - x % 4096) / 4096).cast("bigint").alias("pack_bin"),
+    )
