@@ -113,6 +113,49 @@ def props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "ip_valid_check",
+    oracle=r"""
+    WITH ips AS (
+      SELECT s_suppkey,
+             printf('%d.%d.%d.%d',
+                    (s_suppkey * 37) % 300,
+                    (s_suppkey * 53) % 256,
+                    (s_suppkey * 71) % 300,
+                    (s_suppkey * 89) % 256) AS ip
+      FROM supplier
+    )
+    SELECT s_suppkey, ip,
+           regexp_matches(ip, '^([0-9]{1,3}\.){3}[0-9]{1,3}$')
+             AND len(list_filter(string_split(ip, '.'),
+                                 o -> CAST(o AS INT) <= 255)) = 4
+             AS is_valid
+    FROM ips
+    """,
+)
+def ip_valid_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: IP validation -- format regex + octet range check via the
+    ``forall`` higher-order predicate (etl_controller.py:1508-1514:
+    ``^(\\d{1,3}\\.){3}\\d{1,3}$`` then per-octet <= 255).  Addresses are
+    synthesized from supplier keys; the % 300 octets produce genuine
+    invalid cases.  Pure projection."""
+    sup = load_table(spark, sf_dir, "supplier")
+    ips = sup.select(
+        "s_suppkey",
+        F.format_string(
+            "%d.%d.%d.%d",
+            ((F.col("s_suppkey") * 37) % 300).cast("int"),
+            ((F.col("s_suppkey") * 53) % 256).cast("int"),
+            ((F.col("s_suppkey") * 71) % 300).cast("int"),
+            ((F.col("s_suppkey") * 89) % 256).cast("int"),
+        ).alias("ip"),
+    )
+    valid = F.col("ip").rlike(r"^(\d{1,3}\.){3}\d{1,3}$") & F.forall(
+        F.split(F.col("ip"), r"\."), lambda o: o.cast("int") <= 255
+    )
+    return ips.select("s_suppkey", "ip", valid.alias("is_valid"))
+
+
+@declared(
     "doc_token_match",
     oracle=r"""
     SELECT doc_id, lang, source
