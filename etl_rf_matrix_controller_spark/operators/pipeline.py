@@ -268,26 +268,29 @@ def null_handling_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT vec_id,
            len(embedding) AS dim,
-           round(CAST(list_max(list_transform(embedding,
-                 x -> CAST(x AS DOUBLE))) AS DOUBLE), 4) AS max_val,
-           round(CAST(list_min(list_transform(embedding,
-                 x -> CAST(x AS DOUBLE))) AS DOUBLE), 4) AS min_val,
-           round(CAST(embedding[1] AS DOUBLE), 4) AS first_val,
-           round(CAST(embedding[64] AS DOUBLE), 4) AS last_val
+           CAST(list_max(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE))) AS DOUBLE) AS max_val,
+           CAST(list_min(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE))) AS DOUBLE) AS min_val,
+           CAST(embedding[1] AS DOUBLE) AS first_val,
+           CAST(embedding[64] AS DOUBLE) AS last_val
     FROM embeddings
     """,
 )
 def embedding_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-function surface over the vector column: size, min/max,
     element access -- all JVM-side higher-order/array built-ins, no
-    explode, no shuffle."""
+    explode, no shuffle.  Values are emitted RAW: both engines read the
+    same float32 bits (including signed zeros), so any rounding could
+    only introduce divergence (found at sf0.1: round() disagreement plus
+    a -0.0 ordering artifact), never remove it."""
     emb = load_table(spark, sf_dir, "embeddings")
     arr_d = F.transform("embedding", lambda x: x.cast("double"))
     return emb.select(
         "vec_id",
         F.size("embedding").alias("dim"),
-        F.round(F.array_max(arr_d), 4).alias("max_val"),
-        F.round(F.array_min(arr_d), 4).alias("min_val"),
-        F.round(F.element_at("embedding", 1).cast("double"), 4).alias("first_val"),
-        F.round(F.element_at("embedding", 64).cast("double"), 4).alias("last_val"),
+        F.array_max(arr_d).alias("max_val"),
+        F.array_min(arr_d).alias("min_val"),
+        F.element_at("embedding", 1).cast("double").alias("first_val"),
+        F.element_at("embedding", 64).cast("double").alias("last_val"),
     )

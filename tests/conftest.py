@@ -44,7 +44,9 @@ def canon_value(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # Queries round floats explicitly; this guards only repr noise.
+        if v == 0.0:
+            return 0.0  # collapse -0.0 (sorts/hashes differently from 0.0)
+        # Queries handle rounding explicitly; this guards only repr noise.
         return round(v, 9)
     if isinstance(v, datetime):
         return v.replace(tzinfo=None).isoformat()
