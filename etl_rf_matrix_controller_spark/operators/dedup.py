@@ -245,10 +245,16 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Candidates come from equi-joins on (band, band_key) -- the core LSH
     trick that replaces the O(n^2) cross join with a shuffle join on
-    bucket keys.  Only candidates pay the exact token-set Jaccard.  At
-    100 TB: band buckets are uniformly distributed (hash keys), so the
-    self-join partitions evenly; hot buckets (boilerplate docs) would be
-    the one skew source -- AQE skew-join handles them.
+    bucket keys.  Only candidates pay the exact token-set Jaccard,
+    computed per-pair on gram ARRAYS: measured faster than the
+    inverted-index shared-count join at this candidate volume (~10 s vs
+    ~5 s at sf0.1) because the candidate set is small; when LSH yields
+    millions of candidate pairs, flip to the inverted-index verification
+    (see ngram_jaccard_pairs) whose cost scales with shared grams, not
+    pairs x set size.  At 100 TB: band buckets are uniformly distributed
+    (hash keys), so the self-join partitions evenly; hot buckets
+    (boilerplate docs) would be the one skew source -- AQE skew-join
+    handles them.
     """
     sig = minhash_signature_df(spark, sf_dir)
     bands = None
