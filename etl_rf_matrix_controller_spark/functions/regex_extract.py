@@ -113,6 +113,78 @@ def props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "status_frame_parse",
+    oracle=r"""
+    WITH frames AS (
+      SELECT s_suppkey AS frame_id,
+             '{BASTATUS,' ||
+             CAST((s_suppkey * 7) % 16 AS VARCHAR) || ',' ||
+             CAST((s_suppkey * 11) % 16 AS VARCHAR) || ',' ||
+             CASE WHEN s_suppkey % 3 = 0 THEN 'x'
+                  ELSE CAST((s_suppkey * 13) % 16 AS VARCHAR) END || ',' ||
+             CAST((s_suppkey * 17) % 16 AS VARCHAR) || '}' AS frame
+      FROM supplier
+    ),
+    parts AS (
+      SELECT frame_id,
+             string_split(regexp_extract(frame, '\{BASTATUS,(.*)\}', 1), ',')
+               AS pl
+      FROM frames
+    ),
+    indexed AS (
+      SELECT frame_id, CAST(i AS INT) AS idx,
+             list_extract(pl, CAST(i AS INT)) AS part
+      FROM parts, unnest(generate_series(1, len(pl))) g(i)
+    )
+    SELECT frame_id,
+           idx AS output_id,
+           CAST(part AS INT) AS input_id
+    FROM indexed
+    WHERE regexp_matches(part, '^[0-9]+$')
+    """,
+)
+def status_frame_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/P3: full-state status frame -> route rows.
+
+    Mirrors ``_parse_status`` (etl_controller.py:615-623): split the
+    ``{BASTATUS,...}`` payload, keep digit-only parts (:621), and use the
+    1-based position as the output id (:619-622) -- non-digit slots (the
+    'x' every third frame here) are skipped WITHOUT shifting later
+    positions, exactly like the reference's enumerate.  posexplode is the
+    Spark ordinality primitive (DuckDB lacks WITH ORDINALITY; the oracle
+    indexes the split list instead).
+    """
+    sup = load_table(spark, sf_dir, "supplier")
+    frames = sup.select(
+        F.col("s_suppkey").alias("frame_id"),
+        F.concat(
+            F.lit("{BASTATUS,"),
+            ((F.col("s_suppkey") * 7) % 16).cast("string"),
+            F.lit(","),
+            ((F.col("s_suppkey") * 11) % 16).cast("string"),
+            F.lit(","),
+            F.when(F.col("s_suppkey") % 3 == 0, "x").otherwise(
+                ((F.col("s_suppkey") * 13) % 16).cast("string")
+            ),
+            F.lit(","),
+            ((F.col("s_suppkey") * 17) % 16).cast("string"),
+            F.lit("}"),
+        ).alias("frame"),
+    )
+    parts = frames.select(
+        "frame_id",
+        F.posexplode(
+            F.split(F.regexp_extract("frame", r"\{BASTATUS,(.*)\}", 1), ",")
+        ).alias("pos", "part"),
+    )
+    return parts.filter(F.col("part").rlike("^[0-9]+$")).select(
+        "frame_id",
+        (F.col("pos") + 1).alias("output_id"),
+        F.col("part").cast("int").alias("input_id"),
+    )
+
+
+@declared(
     "ip_valid_check",
     oracle=r"""
     WITH ips AS (

@@ -66,6 +66,44 @@ def route_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "dedup_event_ids",
+    oracle="""
+    SELECT event_id, user_id, event_type
+    FROM (
+      SELECT event_id, user_id, event_type,
+             row_number() OVER (PARTITION BY event_id
+                                ORDER BY ts, user_id) AS rn
+      FROM (
+        SELECT event_id, user_id, event_type, ts FROM events
+        UNION ALL
+        SELECT event_id, user_id, event_type, ts FROM events
+        WHERE event_id % 7 = 0
+      ) doubled
+    ) t WHERE rn = 1
+    """,
+)
+def dedup_event_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once ingestion dedup: drop redelivered events by id.
+
+    At-least-once transports redeliver (synthesized here: every 7th event
+    re-appended); the consumer keeps one row per event id.  Batch:
+    window keep-first (== dropDuplicates with a deterministic survivor).
+    Streaming: ``dropDuplicatesWithinWatermark`` bounds the id state by
+    event time (tests/test_streaming.py asserts batch == stream).
+    """
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    doubled = events.unionByName(events.filter(F.col("event_id") % 7 == 0))
+    w = Window.partitionBy("event_id").orderBy("ts", "user_id")
+    return (
+        doubled.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type")
+    )
+
+
+@declared(
     "asof_latest_order",
     oracle="""
     SELECT event_id, user_id, ts, asof_orderkey, asof_orderdate

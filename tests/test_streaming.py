@@ -130,6 +130,41 @@ def test_watermark_drops_too_late_rows(spark):
     assert dropped == 1, f"expected 1 watermark-dropped row, saw {dropped}"
 
 
+def test_dedup_ids_batch_eq_stream(spark):
+    """Streaming dropDuplicatesWithinWatermark == batch id-dedup (on the
+    raw events stream, which has unique ids -- the redelivery case is
+    batch-only synthesized; here we assert the streaming dedup keeps all
+    unique rows and drops nothing)."""
+    from etl_rf_matrix_controller_spark.streaming.windows import (
+        _events_stream,
+        run_stream_to_memory,
+    )
+    from pyspark.sql import functions as F
+
+    stream = (
+        _events_stream(spark, SF_DIR)
+        .withWatermark("ts", "1 day")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type")
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("dedup_stream")
+    batch = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("event_id")
+        .distinct()
+    )
+    assert got.count() == batch.count()
+    assert got.select("event_id").distinct().count() == got.count()
+
+
 def test_latest_state_batch_eq_stream(spark):
     from etl_rf_matrix_controller_spark.operators.state import route_latest_state
     from etl_rf_matrix_controller_spark.streaming.state import stream_latest_state
