@@ -20,6 +20,7 @@ Design tenets (see SURVEY.md SS4, SS7):
 
 __version__ = "0.1.0"
 
+from etl_rf_matrix_controller_spark.api import MatrixEngine  # noqa: F401
 from etl_rf_matrix_controller_spark.plans.registry import (  # noqa: F401
     ORACLES,
     QUERIES,

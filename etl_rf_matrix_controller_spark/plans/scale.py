@@ -9,7 +9,7 @@ plan-asserted in tests/test_plans.py.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -32,12 +32,6 @@ def write_bucketed(
         .format("parquet")
         .saveAsTable(table)
     )
-
-
-def salt_key(col: str, n_salts: int) -> Column:
-    """Deterministic salt derived from the row's own key column: spreads a
-    hot key over ``n_salts`` reducers without RNG (rerun-stable)."""
-    return (F.abs(F.hash(F.col(col))) % n_salts).alias("salt")
 
 
 def salted_agg(
