@@ -268,9 +268,11 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bkey"),
         )
         bands = b if bands is None else bands.unionByName(b)
-    # The self-join below consumes bands twice; persist to avoid paying the
-    # signature computation (explode + md5 + 8 min-aggs) twice.
-    bands = bands.persist()
+    # The self-join below consumes bands twice; localCheckpoint avoids
+    # paying the signature computation (explode + md5 + 8 min-aggs) twice
+    # AND is GC-cleaned when the DataFrame is dropped (persist() would pin
+    # cache for the session lifetime on every call).
+    bands = bands.localCheckpoint(eager=False)
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (

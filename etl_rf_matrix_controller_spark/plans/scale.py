@@ -49,7 +49,11 @@ def salted_agg(
     would otherwise process the entire hot key alone.  AQE's skew-join
     split does this automatically for joins; aggregation salting is ours.
     """
-    salted = df.withColumn("_salt", F.abs(F.hash(F.col(agg_col))) % n_salts)
+    # Row-unique salt source: salting on a VALUE column would collapse a
+    # hot key with constant values into one salt bucket and spread nothing.
+    salted = df.withColumn(
+        "_salt", F.monotonically_increasing_id() % n_salts
+    )
     partial = salted.groupBy(group_col, "_salt").agg(
         F.sum(agg_col).alias("_psum"), F.count(F.lit(1)).alias("_pcnt")
     )

@@ -43,6 +43,7 @@ STATE_SCHEMA = StructType(
 OUTPUT_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),
+        StructField("last_event_id", LongType()),
         StructField("last_event_type", StringType()),
         StructField("last_value", DoubleType()),
         StructField("last_ts", TimestampType()),
@@ -70,11 +71,15 @@ def _update_latest(key, pdf_iter, state: GroupState):
             best = cand
     if best is not None:
         state.update(best)
+        # value emitted RAW: Python round() is half-to-even on binary
+        # doubles and diverges from Spark's F.round on .xx5 boundaries;
+        # the batch-parity caller applies Spark-side rounding itself.
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
+                "last_event_id": [best[1]],
                 "last_event_type": [best[2]],
-                "last_value": [round(best[3], 2)],
+                "last_value": [best[3]],
                 "last_ts": [pd.Timestamp(best[0], unit="us")],
             }
         )
@@ -105,11 +110,18 @@ def stream_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     tbl = spark.table("latest_state_stream")
+    # (last_ts, last_event_id) is the same total order the state update
+    # used, so the newest emission per key wins even under ts ties.
     w = Window.partitionBy("user_id").orderBy(
-        F.col("last_ts").desc(), F.col("last_value")
+        F.col("last_ts").desc(), F.col("last_event_id").desc()
     )
     return (
         tbl.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .drop("rn")
+        .select(
+            "user_id",
+            "last_event_type",
+            F.round("last_value", 2).alias("last_value"),
+            "last_ts",
+        )
     )

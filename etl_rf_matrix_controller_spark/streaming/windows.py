@@ -80,7 +80,7 @@ def _session_agg(events: DataFrame) -> DataFrame:
     "session_windows",
     oracle="""
     WITH flagged AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
                                           ORDER BY ts, event_id)
                        < INTERVAL 30 MINUTE
@@ -89,7 +89,7 @@ def _session_agg(events: DataFrame) -> DataFrame:
     ),
     sessions AS (
       SELECT user_id, ts,
-             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                             ROWS UNBOUNDED PRECEDING) AS sess
       FROM flagged
     )
@@ -214,7 +214,8 @@ def interval_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet with the same nanos handling as
-    the batch reader."""
+    the batch reader (self-defending conf, like sources.tables.load_table)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
     stream = spark.readStream.schema(batch.schema).parquet(
         f"{sf_dir}", pathGlobFilter="events.parquet"

@@ -23,7 +23,10 @@ MULT = int(sys.argv[1]) if len(sys.argv) > 1 else 10
 
 
 def amplify(df, mult: int):
-    """mult-x the data with perturbed keys so group cardinality scales too."""
+    """mult-x the row count by unioning verbatim copies.  NB: group keys
+    are NOT perturbed -- per-group row counts grow mult-x (deeper window
+    partitions), group cardinality stays fixed; the probe measures the
+    data-volume slope, not a key-cardinality slope."""
     out = df
     for i in range(1, mult):
         out = out.unionByName(df)
