@@ -155,3 +155,119 @@ def token_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         ((x - x % 4096) / 4096).cast("bigint").alias("pack_bin"),
     )
+
+
+# PII patterns kept RE2-and-Java-regex compatible (no lookaround, no
+# backrefs) so the Spark and DuckDB sides compile the same automaton.
+_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PHONE_RE = r"\d{3}-\d{3}-\d{4}"
+
+# The driver's documents are word-salad tokens with no PII, so the op
+# injects deterministic synthetic emails/phones (keyed off doc_id) before
+# scanning -- same technique as cosine_near_dup_pairs' synthesized dups;
+# the redaction pipeline itself is exactly what runs on real corpora.
+_AUG_SQL = """
+    (text
+     || CASE WHEN doc_id % 5 = 0
+             THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+             ELSE '' END
+     || CASE WHEN doc_id % 7 = 0
+             THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                  || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+             ELSE '' END)
+"""
+
+
+@declared(
+    "pii_redact_stats",
+    oracle=f"""
+    WITH aug AS (SELECT doc_id, {_AUG_SQL} AS text FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_PHONE_RE}')) AS BIGINT)
+             AS n_phones,
+           CAST(length(regexp_replace(regexp_replace(text,
+                '{_EMAIL_RE}', '<EMAIL>', 'g'), '{_PHONE_RE}', '<PHONE>', 'g'))
+             AS BIGINT) AS redacted_len
+    FROM aug
+    """,
+)
+def pii_redact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass: count and redact email/phone occurrences per doc.
+
+    Standard training-corpus hygiene: regex detectors run in one scan
+    (JVM-side regexp_count/regexp_replace, no Python), emitting per-doc
+    detection counts plus the post-redaction length.  Zero shuffles --
+    scan-bound and embarrassingly parallel at any scale.  Spark
+    regexp_replace is replace-all by default; the DuckDB mirror needs the
+    explicit 'g' flag.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        ).otherwise(""),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+                F.lit("-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(""),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(aug, F.lit(_EMAIL_RE), F.lit("<EMAIL>")),
+        F.lit(_PHONE_RE),
+        F.lit("<PHONE>"),
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(aug, F.lit(_EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count(aug, F.lit(_PHONE_RE)).cast("bigint").alias("n_phones"),
+        F.length(redacted).cast("bigint").alias("redacted_len"),
+    )
+
+
+@declared(
+    "stratified_sample_docs",
+    oracle="""
+    SELECT doc_id, lang, sample_rank
+    FROM (
+        SELECT doc_id, lang,
+               CAST(row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR) || ':strat'), doc_id
+               ) AS BIGINT) AS sample_rank
+        FROM documents
+    )
+    WHERE sample_rank <= 20
+    """,
+)
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: exactly 20 docs per language
+    stratum, chosen by md5-hash order (a seeded, reproducible shuffle --
+    the portable-hash convention of hash_mod_sample applied per stratum).
+
+    One shuffle on the stratum key.  At 100 TB the per-stratum window sort
+    is bounded by stratum size; for mega-strata swap row_number for a
+    two-phase top-k (per-partition heads, then merge) -- same contract.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":strat"))), "doc_id"
+    )
+    return (
+        docs.select(
+            "doc_id", "lang", F.row_number().over(w).cast("bigint").alias("sample_rank")
+        )
+        .filter(F.col("sample_rank") <= 20)
+    )
