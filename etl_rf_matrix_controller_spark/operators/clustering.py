@@ -1,0 +1,239 @@
+"""Graph/vector clustering: near-dup connected components, k-means assign.
+
+Training-pipeline extension operators (SURVEY.md SS2.11 family).  Corpus
+dedup needs more than near-dup PAIRS: transitive closure groups pairs into
+clusters so exactly one canonical doc per cluster survives.  The closest
+reference behavior is group merge (`etl_controller.py:2184-2219`), which
+unions overlapping output sets one pair at a time on the GUI thread; here
+the same closure runs as a distributed fixpoint.
+
+Scale design:
+  * connected components = iterative min-label propagation with pointer
+    doubling (alternate edge-relax and label-of-label jump), the classic
+    O(log diameter) round MapReduce CC (Kiveris et al. "Connected
+    Components in MapReduce and Beyond" -- same family as GraphX CC).
+    Each round is two shuffles (join + min-agg); labels only decrease, so
+    sum(label) is a one-scalar convergence probe per round.
+  * k-means assignment = broadcast the k centroids, score each vector
+    locally, keep argmin -- zero shuffle of the candidate side, identical
+    plan shape to knn_brute_force.
+
+The driver's documents table has no real dup graph, so the edge set is
+synthesized deterministically from md5 arithmetic (each doc links back
+<=16 ids when its hash says so) -- same technique as dedup.py's dup
+corpus; production input is minhash_near_dup_pairs' (doc_a, doc_b) edges.
+Labels/ids are integer-exact end to end, so results hash-match the DuckDB
+recursive-CTE oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_rf_matrix_controller_spark.plans.registry import declared
+from etl_rf_matrix_controller_spark.sources.tables import load_table
+
+# Synthetic dup-graph knobs: ~1/3 of docs get one back-edge spanning <=16
+# ids.  Percolation stays subcritical => many small multi-hop chains
+# (sf0.01: 346 components, max size 8), the shape real near-dup graphs
+# take after LSH thresholding.
+EDGE_GATE_MOD = 3
+EDGE_SPAN = 16
+MAX_CC_ROUNDS = 15
+
+N_CLUSTERS = 8  # k-means seeds: vec_id < 8
+DIM = 64
+
+_EDGES_SQL = f"""
+      SELECT e.src, e.dst
+      FROM (
+        SELECT doc_id AS src,
+               doc_id - (h % {EDGE_SPAN} + 1) AS dst
+        FROM (
+          SELECT doc_id,
+                 ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':cc'),
+                                    1, 8))::BIGINT AS h
+          FROM documents
+        ) fp
+        WHERE h % {EDGE_GATE_MOD} = 0
+      ) e
+      JOIN documents d ON d.doc_id = e.dst
+"""
+
+
+def _edge_df(docs: DataFrame) -> DataFrame:
+    """Deterministic (src, dst) near-dup edges; dst semi-checked to exist."""
+    fp = docs.select(
+        "doc_id",
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":cc"))), 1, 8),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("h"),
+    )
+    edges = fp.filter(F.col("h") % EDGE_GATE_MOD == 0).select(
+        F.col("doc_id").alias("src"),
+        (F.col("doc_id") - (F.col("h") % EDGE_SPAN + 1)).alias("dst"),
+    )
+    nodes = docs.select(F.col("doc_id").alias("dst"))
+    return edges.join(nodes, "dst", "left_semi").select("src", "dst")
+
+
+@declared(
+    "near_dup_components",
+    oracle=f"""
+    WITH RECURSIVE
+    edges AS ({_EDGES_SQL}),
+    sym AS (
+      SELECT src, dst FROM edges
+      UNION ALL
+      SELECT dst AS src, src AS dst FROM edges
+    ),
+    reach(node, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.node
+    ),
+    comp AS (
+      SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS component_id
+      FROM reach GROUP BY node
+    )
+    SELECT doc_id, component_id,
+           CAST(count(*) OVER (PARTITION BY component_id) AS BIGINT)
+             AS n_members,
+           CAST(doc_id = component_id AS BOOLEAN) AS is_canonical
+    FROM comp
+    """,
+)
+def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clustering: each doc labeled with the min doc_id
+    reachable through the dup graph; lowest id is the canonical keeper.
+
+    Min-label propagation with pointer doubling: every round relaxes
+    labels across edges (join edges->labels, min-combine) THEN jumps each
+    label to its label's label (join labels->labels).  Doubling squares
+    effective path length per round, so rounds ~ log2(diameter) instead of
+    diameter -- the difference between 5 rounds and 500 on a long chain.
+    Rounds are lineage-truncated via localCheckpoint (an iterative plan
+    otherwise grows unboundedly) and convergence is a single-scalar
+    sum(label) probe: labels are monotone non-increasing, so an unchanged
+    sum IS the fixpoint, no row-wise diff needed.  At 100 TB each round is
+    two hash-partitioned shuffles on uniform integer keys; the final
+    min-agg is map-side combinable.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    edges = _edge_df(docs)
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+
+    labels = docs.select(
+        F.col("doc_id").alias("node"), F.col("doc_id").alias("lbl")
+    ).localCheckpoint(eager=True)
+    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+    for _ in range(MAX_CC_ROUNDS):
+        # Edge relax: each node offers its label to every neighbor.
+        msgs = sym.join(labels, sym.src == labels.node).select(
+            F.col("dst").alias("node"), "lbl"
+        )
+        relaxed = (
+            labels.unionByName(msgs).groupBy("node").agg(F.min("lbl").alias("lbl"))
+        )
+        # Pointer jump: follow lbl -> lbl(lbl) (labels are node ids, so the
+        # lookup always hits; left join guards the self-rooted case).
+        jl = relaxed.alias("l")
+        jp = relaxed.alias("p")
+        labels = (
+            jl.join(jp, F.col("l.lbl") == F.col("p.node"), "left")
+            .select(
+                F.col("l.node").alias("node"),
+                F.least(
+                    F.col("l.lbl"), F.coalesce(F.col("p.lbl"), F.col("l.lbl"))
+                ).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+
+    w = Window.partitionBy("component_id")
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("lbl").alias("component_id")
+    ).select(
+        "doc_id",
+        "component_id",
+        F.count(F.lit(1)).over(w).alias("n_members"),
+        (F.col("doc_id") == F.col("component_id")).alias("is_canonical"),
+    )
+
+
+_SQDIST_SQL = (
+    "list_sum(list_transform(generate_series(1, 64), "
+    "i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+    " * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))))"
+)
+
+
+@declared(
+    "kmeans_assign_embeddings",
+    oracle=f"""
+    WITH c AS (
+      SELECT vec_id AS cid, embedding AS ce
+      FROM embeddings WHERE vec_id < {N_CLUSTERS}
+    ),
+    scored AS (
+      SELECT e.vec_id, c.cid,
+             {_SQDIST_SQL.format(a='e.embedding', b='c.ce')} AS dist2
+      FROM embeddings e CROSS JOIN c
+    ),
+    ranked AS (
+      SELECT vec_id, cid, dist2,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dist2, cid) AS rnk
+      FROM scored
+    )
+    SELECT vec_id, cid AS cluster_id, dist2
+    FROM ranked WHERE rnk = 1
+    """,
+)
+def kmeans_assign_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means assignment step: nearest of k=8 seed centroids (vec_id<8)
+    by squared L2, ties to the lower centroid id.
+
+    The E-step of Lloyd's algorithm as a Spark plan: centroids broadcast,
+    every vector scored in place (sequential zip_with/aggregate fold in
+    double precision -- bit-identical to the oracle's list_sum fold, same
+    convention as knn_brute_force), argmin via a per-vector window.  Zero
+    shuffle of the embedding side until the k-row-per-vector ranking; at
+    100 TB the M-step (new centroids) would be one map-side-combinable
+    avg per cluster, and iterations reuse this exact plan.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    c = emb.filter(F.col("vec_id") < N_CLUSTERS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    diff2 = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("ce"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = emb.crossJoin(F.broadcast(c)).select(
+        "vec_id", "cid", diff2.alias("dist2")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("dist2"), F.asc("cid"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("vec_id", F.col("cid").alias("cluster_id"), "dist2")
+    )

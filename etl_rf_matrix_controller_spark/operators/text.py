@@ -236,3 +236,66 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: (acc * 31 + x) % 1000000007,
     )
     return docs.select("doc_id", fp.cast("bigint").alias("fingerprint"))
+
+
+@declared(
+    "term_rarity_top3",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, t.token
+      FROM documents, unnest(string_split(trim(text), ' ')) AS t(token)
+    ),
+    tf AS (
+      SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, token
+    ),
+    df AS (
+      SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      FROM tok GROUP BY token
+    ),
+    scored AS (
+      SELECT tf.doc_id, tf.token, tf.tf, df.df,
+             CAST((tf.tf * 1000000) // df.df AS BIGINT) AS score_ppm
+      FROM tf JOIN df ON df.token = tf.token
+    )
+    SELECT doc_id, token, tf, df, score_ppm, rnk
+    FROM (
+      SELECT *, CAST(row_number() OVER (
+                  PARTITION BY doc_id
+                  ORDER BY score_ppm DESC, token) AS BIGINT) AS rnk
+      FROM scored
+    ) WHERE rnk <= 3
+    """,
+)
+def term_rarity_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF-shaped term scoring: per-doc term frequency weighted by
+    inverse document frequency, top-3 terms per doc.
+
+    score_ppm = tf * 1e6 // df keeps the classic tf/df rarity ordering in
+    pure integer arithmetic (hash-exact; a float idf log would differ in
+    the last ulp across engines' libm).  Two aggregations -- tf on
+    (doc, token), df on token with map-side-combinable distinct -- then
+    the tiny df table broadcasts back onto tf; at 100 TB df is at most
+    vocabulary-sized, the textbook broadcast dim.  The driver's word-salad
+    corpus has a near-flat df, so ranking degenerates toward tf-ordering
+    here; on a real corpus the same plan yields true rarity weighting.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), " ")).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(df), "token").select(
+        "doc_id",
+        "token",
+        "tf",
+        "df",
+        F.expr("CAST((tf * 1000000) DIV df AS BIGINT)").alias("score_ppm"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_ppm"), F.asc("token"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "token", "tf", "df", "score_ppm", "rnk")
+    )

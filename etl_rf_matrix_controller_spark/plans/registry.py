@@ -52,6 +52,7 @@ def load_all() -> None:
         aggregates,
         analytics_suite,
         cdc,
+        clustering,
         curation,
         dedup,
         groups,
