@@ -1,0 +1,157 @@
+"""Event-behavior analytics: funnel progression and cohort retention.
+
+The telemetry staples over an event stream: how far users get through an
+ordered step sequence, and how cohorts (grouped by first-seen day) keep
+coming back.  Reference basis: the poll loop's state timeline
+(`etl_controller.py:576-613`) is an event stream keyed by device; these
+generalize its "when did X first happen / did Y follow" bookkeeping to
+per-user event analytics.
+
+Scale design: every stage is a groupBy/join on `user_id` -- one uniform
+integer shuffle key end to end, so each step reuses the same hash
+partitioning (Catalyst elides redundant exchanges between the per-user
+aggregations and the subsequent joins).  Counts and day offsets are
+integer-exact; timestamps pass through untouched (microsecond parity via
+sources.tables.load_table).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_rf_matrix_controller_spark.plans.registry import declared
+from etl_rf_matrix_controller_spark.sources.tables import load_table
+
+# Ordered funnel: each later stage must happen strictly AFTER the earlier.
+FUNNEL_STEPS = ("signup", "click", "purchase")
+
+
+@declared(
+    "funnel_stages",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t_signup
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN s1 ON s1.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t_signup
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN s2 ON s2.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t_click
+      GROUP BY e.user_id
+    )
+    SELECT s1.user_id, s1.t_signup, s2.t_click, s3.t_purchase,
+           CAST(1 + CAST(s2.user_id IS NOT NULL AS INT)
+                  + CAST(s3.user_id IS NOT NULL AS INT)
+                AS BIGINT) AS stage_reached
+    FROM s1
+    LEFT JOIN s2 ON s2.user_id = s1.user_id
+    LEFT JOIN s3 ON s3.user_id = s1.user_id
+    """,
+)
+def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel signup -> click -> purchase: first qualifying
+    timestamp per stage, each strictly after the previous stage's.
+
+    Stage k is min(ts) over events joined to stage k-1 survivors with a
+    per-user time bound -- the standard iterated conditional-min funnel.
+    Each stage is one equi-join plus a map-side-combinable min-agg on
+    user_id, so all three stages share one shuffle key; no window over
+    the full event history and no per-user event collection.  At 100 TB
+    an `events` scan serves all three stages (Spark reuses the cached
+    exchange), and stage tables shrink monotonically.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            "user_id",
+            "t_signup",
+            "t_click",
+            "t_purchase",
+            (
+                F.lit(1)
+                + F.col("t_click").isNotNull().cast("int")
+                + F.col("t_purchase").isNotNull().cast("int")
+            )
+            .cast("bigint")
+            .alias("stage_reached"),
+        )
+    )
+
+
+@declared(
+    "cohort_retention",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_day,
+             date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset
+      FROM events e JOIN first_seen f ON f.user_id = e.user_id
+    )
+    SELECT cohort_day, CAST(day_offset AS BIGINT) AS day_offset,
+           CAST(count(*) AS BIGINT) AS n_active
+    FROM activity
+    WHERE day_offset <= 7
+    GROUP BY cohort_day, day_offset
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-seen day, counted
+    on each of their first 7 active day-offsets.
+
+    first-seen is one min-agg on user_id; the offset join re-partitions by
+    the same key (no second full shuffle of events under exchange reuse);
+    the distinct collapses (user, cohort, offset) BEFORE the final count,
+    so the count shuffle carries at most users x 8 rows.  The offset <= 7
+    filter lands before the distinct -- at 100 TB that's the difference
+    between shuffling a week and shuffling all history.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("cohort_day")
+    )
+    activity = (
+        ev.join(first_seen, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.col("ts").cast("date"), F.col("cohort_day")).alias(
+                "day_offset"
+            ),
+        )
+        .filter(F.col("day_offset") <= 7)
+        .distinct()
+    )
+    return activity.groupBy(
+        "cohort_day", F.col("day_offset").cast("bigint").alias("day_offset")
+    ).agg(F.count(F.lit(1)).alias("n_active"))

@@ -165,3 +165,65 @@ def incremental_new_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     processed = keyed.filter(F.col("ts") < cutoff).select("entity_key").distinct()
     current = keyed.filter(F.col("ts") >= cutoff).select("entity_key").distinct()
     return current.join(processed, "entity_key", "left_anti")
+
+
+@declared(
+    "corr_value_props",
+    oracle="""
+    WITH pts AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS x,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS y
+      FROM events
+      WHERE json_extract_string(props, '$.k') IS NOT NULL
+    ),
+    moments AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sx2,
+             CAST(sum(y * y) AS BIGINT) AS sy2
+      FROM pts GROUP BY event_type
+    )
+    SELECT event_type, n,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sx2 - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * sy2 - sy * sy AS DOUBLE))) AS pearson_r
+    FROM moments
+    """,
+)
+def corr_value_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Pearson correlation (value vs props.k) per event type via
+    integer-space moments.
+
+    Built-in corr() accumulates doubles in engine-specific order, so its
+    last ulps never hash-match across engines.  Instead the five moments
+    are summed as exact int64 (value has 2 clean decimals -> x=value*100
+    is integral; products stay < 2^63), the numerator/variance terms are
+    exact int64 differences, and only the final three-operation double
+    expression touches floating point -- identical bit pattern on both
+    engines.  One map-side-combinable aggregation, no second pass (the
+    textbook shifted-moments formulation), safe to ~1e9 rows per group at
+    this value range before needing DECIMAL moments.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    pts = ev.filter(k.isNotNull()).select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("x"),
+        k.alias("y"),
+    )
+    m = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sx2"),
+        F.sum(F.col("y") * F.col("y")).alias("sy2"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    denx = F.sqrt((F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")).cast("double"))
+    deny = F.sqrt((F.col("n") * F.col("sy2") - F.col("sy") * F.col("sy")).cast("double"))
+    return m.select("event_type", "n", (num / (denx * deny)).alias("pearson_r"))

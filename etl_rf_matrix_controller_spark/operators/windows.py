@@ -82,3 +82,39 @@ def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.rank().over(w).alias("rnk"),
         F.dense_rank().over(w).alias("drnk"),
     )
+
+
+@declared(
+    "window_rank_extended",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cum_dist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC,
+                 o_orderkey)
+    """,
+)
+def window_rank_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution ranks per order status: ntile(4), percent_rank,
+    cume_dist over price order.
+
+    percent_rank = (rank-1)/(n-1) and cume_dist = peers<=/n are exact
+    integer ratios evaluated in one correctly-rounded double division, so
+    the doubles hash-match without any rounding convention.  One shuffle
+    on the partition key; the per-partition sort is the same sort all
+    three functions share (single Window physical operator).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cum_dist"),
+    )
