@@ -1,0 +1,574 @@
+"""Multi-join analytic suite, batch 3 (TPC-H Q2/Q6/Q7/Q8/Q9/Q11/Q17/Q19/Q20
+shapes) over the star schema.
+
+Continues analytics_suite.py's engine-parity program (SURVEY.md SS2.12):
+the reference's data surface is dict probes over a sparse route map
+(``etl_controller.py:1709, 1984-1996``); these are the classic warehouse
+plans those probes generalize to.  The driver's testdata has no
+``partsupp`` table, so the part<->supplier link for the Q2/Q11/Q20 shapes
+is derived from ``lineitem`` (the observed shipping relation) -- the plan
+shapes (correlated-min equality join, fraction-of-total HAVING, nested
+semi-join chain) are preserved exactly.
+
+Scale posture (verify with tools/plan_audit.py):
+- part/supplier/nation/region are broadcast decorators everywhere; the
+  lineitem/orders fact spine shuffles only on its own join keys.
+- Correlated scalars (Q2 per-part min, Q11 global total, Q17 per-part avg)
+  are computed as partial->final aggregates and joined back -- never a
+  single-partition window over the fact table.
+- All float aggregates use the integer-space conventions
+  (plans/conventions.py); equality/threshold comparisons happen on stored
+  doubles or scaled integers only, so both engines see identical bits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_rf_matrix_controller_spark.plans.conventions import (
+    SCALE,
+    exact_sum,
+    exact_sum_sql,
+    int_round_scaled,
+    int_round_scaled_sql,
+    ratio4,
+    ratio4_sql,
+)
+from etl_rf_matrix_controller_spark.plans.registry import declared
+from etl_rf_matrix_controller_spark.sources.tables import load_table
+
+_REVENUE = "l_extendedprice * (1 - l_discount)"
+
+
+def _ts(lit: str) -> F.Column:
+    return F.to_timestamp(F.lit(lit))
+
+
+@declared(
+    "min_cost_supplier_parts",
+    oracle="""
+    WITH parts AS (
+      SELECT p_partkey FROM part WHERE p_size <= 10 AND p_type = 'LARGE'
+    ),
+    offers AS (
+      SELECT l.l_partkey, l.l_suppkey, l.l_extendedprice,
+             min(l.l_extendedprice) OVER (PARTITION BY l.l_partkey)
+               AS min_price
+      FROM lineitem l JOIN parts p ON p.p_partkey = l.l_partkey
+    )
+    SELECT DISTINCT o.l_partkey AS part_key,
+           s.s_suppkey AS supp_key,
+           s.s_name AS supp_name,
+           n.n_name AS nation_name,
+           s.s_acctbal AS acct_bal,
+           o.min_price AS min_price
+    FROM offers o
+    JOIN supplier s ON s.s_suppkey = o.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE o.l_extendedprice = o.min_price
+    ORDER BY acct_bal DESC, part_key ASC, supp_key ASC
+    LIMIT 10
+    """,
+)
+def min_cost_supplier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each qualifying part, the supplier(s) offering
+    the minimum observed price -- a correlated-min subquery decorrelated to
+    a per-key window min + equality filter.
+
+    Formulated as min() OVER (PARTITION BY partkey) rather than an
+    aggregate + join-back: ONE scan of the fact and ONE shuffle on the
+    correlation key (the join-back form scans lineitem twice -- measured
+    via plan audit; no ReusedExchange because column pruning diverges the
+    subtrees).  Price equality is on STORED doubles (no arithmetic), so it
+    is bit-exact cross-engine.  supplier/nation are broadcast decorators
+    (supplier's 4/4-column scan is justified: every column lands in the
+    output or a join key); DISTINCT collapses multiple lineitems at the
+    same min price.  Total-ordered top-10 (acct_bal DESC with unique
+    (part, supp) tiebreak).
+    """
+    parts = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_size") <= 10) & (F.col("p_type") == "LARGE"))
+        .select("p_partkey")
+    )
+    offers = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_extendedprice")
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .drop("p_partkey")
+        .withColumn(
+            "min_price",
+            F.min("l_extendedprice").over(Window.partitionBy("l_partkey")),
+        )
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        offers.filter(F.col("l_extendedprice") == F.col("min_price"))
+        .select(F.col("l_partkey").alias("part_key"), "l_suppkey", "min_price")
+        .distinct()
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select(
+            "part_key",
+            F.col("s_suppkey").alias("supp_key"),
+            F.col("s_name").alias("supp_name"),
+            F.col("n_name").alias("nation_name"),
+            F.col("s_acctbal").alias("acct_bal"),
+            "min_price",
+        )
+        .orderBy(F.desc("acct_bal"), F.asc("part_key"), F.asc("supp_key"))
+        .limit(10)
+    )
+
+
+@declared(
+    "discount_band_revenue",
+    oracle=f"""
+    SELECT {exact_sum_sql("l_extendedprice * l_discount")} AS promo_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def discount_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate revenue forecast.
+
+    No joins at all -- the year/discount/quantity predicates all push to
+    the parquet scan, and the single global sum is a partial->final
+    aggregate over scaled integers (1-row result).  The BETWEEN bounds
+    compare stored doubles against literal doubles that parse identically
+    in both engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-01-01"))
+        & (F.col("l_shipdate") < _ts("1998-01-01"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        exact_sum(F.col("l_extendedprice") * F.col("l_discount")).alias(
+            "promo_revenue"
+        )
+    )
+
+
+@declared(
+    "nation_pair_trade_volume",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS ship_year,
+           {exact_sum_sql(_REVENUE)} AS revenue
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+    """,
+)
+def nation_pair_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations per ship
+    year -- the same nation dim joined twice under different roles with a
+    disjunctive cross-role predicate.
+
+    Both nation legs and supplier broadcast; the disjunction evaluates as
+    a post-join filter on broadcast columns (no extra shuffle).  The fact
+    spine shuffles once on orderkey and once for the 3-key groupBy.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1998-01-01"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("ship_year"),
+        )
+        .agg(exact_sum(F.expr(_REVENUE)).alias("revenue"))
+    )
+
+
+@declared(
+    "nation_market_share",
+    oracle=f"""
+    SELECT CAST(year(o.o_orderdate) AS BIGINT) AS order_year,
+           {ratio4_sql(
+               "sum(CASE WHEN n1.n_name = 'NATION_3' THEN CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT) ELSE 0 END)",
+               "sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS BIGINT))",
+           )} AS market_share
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n2.n_regionkey AND r.r_name = 'AMERICA'
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+    JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'ECONOMY'
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY year(o.o_orderdate)
+    """,
+)
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one supplier nation's share of a market (customer
+    region x part type) per order year -- conditional-sum ratio with the
+    nation dim in two roles.
+
+    The share numerator and denominator are computed in ONE pass as
+    conditional scaled-integer sums (no self-join, no second scan), then
+    combined with the integer-exact ratio4 convention.  part/region/
+    nation/supplier broadcast; customer joins the spine on its key.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-01-01"))
+        & (F.col("o_orderdate") < _ts("1998-01-01"))
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_region")
+    )
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "ECONOMY"
+    ).select("p_partkey")
+    rev_scaled = F.round(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))) * SCALE
+    ).cast("bigint")
+    m = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("n2_key"))
+        .join(F.broadcast(region), F.col("n2_region") == region.r_regionkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("order_year"))
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", rev_scaled).otherwise(0)
+            ).alias("nation_s"),
+            F.sum(rev_scaled).alias("total_s"),
+        )
+    )
+    return m.select(
+        "order_year",
+        ratio4(F.col("nation_s"), F.col("total_s")).alias("market_share"),
+    )
+
+
+@declared(
+    "part_type_profit_by_nation",
+    oracle=f"""
+    SELECT n.n_name AS nation_name,
+           CAST(year(o.o_orderdate) AS BIGINT) AS order_year,
+           {exact_sum_sql(_REVENUE)} AS profit
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_name LIKE '%bolt%'
+    GROUP BY n.n_name, year(o.o_orderdate)
+    """,
+)
+def part_type_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit on a product line (name-pattern parts) per
+    supplier nation per order year.
+
+    The LIKE filter prunes part before broadcast; supplier/nation are
+    broadcast decorators.  The only wide operations are the orderkey join
+    and the final 2-key groupBy -- both partial->final over scaled ints.
+    (The testdata has no partsupp.ps_supplycost, so profit reduces to
+    discounted revenue; the plan shape is unchanged.)
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%bolt%")
+    ).select("p_partkey")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation_name"),
+            F.year("o_orderdate").cast("bigint").alias("order_year"),
+        )
+        .agg(exact_sum(F.expr(_REVENUE)).alias("profit"))
+    )
+
+
+@declared(
+    "important_part_values",
+    oracle=f"""
+    WITH nation_lines AS (
+      SELECT l.l_partkey,
+             CAST(round(l.l_extendedprice * 10000) AS BIGINT) AS price_s
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = 'NATION_5'
+    ),
+    per_part AS (
+      SELECT l_partkey AS part_key, sum(price_s) AS value_s
+      FROM nation_lines GROUP BY l_partkey
+    ),
+    m AS (
+      SELECT part_key, value_s,
+             CAST(sum(value_s) OVER () AS BIGINT) AS total_s
+      FROM per_part
+    )
+    SELECT part_key, {int_round_scaled_sql("value_s")} AS part_value
+    FROM m
+    WHERE value_s > total_s * 0.002
+    """,
+)
+def important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts representing an outsized share of one
+    nation's shipped value -- fraction-of-total HAVING.
+
+    Per-part values are scaled-integer sums (one fact scan, one shuffle
+    on partkey); the global total is an unpartitioned window sum over the
+    ALREADY-AGGREGATED per-part set -- |distinct parts| narrow rows
+    through one task, vs. the scalar-subquery form's SECOND full fact
+    scan (no ReusedExchange: column pruning diverges the subtrees).  The
+    threshold compares BIGINT against BIGINT*0.002 (exact double product
+    of an integer < 2^53) -- deterministic in both engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_5"
+    )
+    per_part = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(F.col("l_partkey").alias("part_key"))
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * SCALE).cast("bigint")).alias(
+                "value_s"
+            )
+        )
+    )
+    return (
+        per_part.withColumn(
+            "total_s", F.sum("value_s").over(Window.partitionBy())
+        )
+        .filter(F.col("value_s") > F.col("total_s") * 0.002)
+        .select("part_key", int_round_scaled(F.col("value_s")).alias("part_value"))
+    )
+
+
+@declared(
+    "small_quantity_order_revenue",
+    oracle=f"""
+    WITH brand_lines AS (
+      SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#3'
+    ),
+    m AS (
+      SELECT l_quantity, l_extendedprice,
+             CAST(sum(CAST(round(l_quantity * {SCALE}) AS BIGINT))
+                    OVER (PARTITION BY l_partkey) AS BIGINT)
+               / (count(*) OVER (PARTITION BY l_partkey) * {SCALE}.0)
+               AS avg_qty
+      FROM brand_lines
+    )
+    SELECT {exact_sum_sql("l_extendedprice")} AS total_price,
+           CAST(count(*) AS BIGINT) AS line_count
+    FROM m
+    WHERE l_quantity < 0.5 * avg_qty
+    """,
+)
+def small_quantity_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from below-average-quantity lineitems of
+    one brand -- a correlated per-part average decorrelated to a per-key
+    window average + threshold filter.
+
+    Window form = ONE scan of lineitem and ONE shuffle on the correlation
+    key; the aggregate-plus-join-back form scans the fact twice (no
+    ReusedExchange: column pruning diverges the subtrees).  The per-part
+    average divides an exact scaled-integer window sum by (count * SCALE)
+    -- one double division with identical operands in both engines, then
+    one double multiply by 0.5: bit-deterministic.
+    """
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#3"
+    ).select("p_partkey")
+    w = Window.partitionBy("l_partkey")
+    avg_qty = F.sum(F.round(F.col("l_quantity") * SCALE).cast("bigint")).over(w) / (
+        F.count(F.lit(1)).over(w) * float(SCALE)
+    )
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .drop("p_partkey")
+        .withColumn("avg_qty", avg_qty)
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            exact_sum(F.col("l_extendedprice")).alias("total_price"),
+            F.count(F.lit(1)).alias("line_count"),
+        )
+    )
+
+
+@declared(
+    "disjunctive_brand_revenue",
+    oracle=f"""
+    SELECT {exact_sum_sql(_REVENUE)} AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def disjunctive_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of composite (brand, size, quantity)
+    clauses across the join boundary -- the classic OR-of-ANDs predicate
+    that defeats naive pushdown.
+
+    Catalyst pushes the derivable part-side bounds (brand IN, size
+    BETWEEN union) below the join via constraint propagation and
+    evaluates the full disjunction post-join; part broadcasts so the
+    residual costs no shuffle.  Single-row scaled-integer sum.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(clause)
+        .agg(exact_sum(F.expr(_REVENUE)).alias("revenue"))
+    )
+
+
+@declared(
+    "excess_qty_suppliers",
+    oracle=f"""
+    WITH small_parts AS (
+      SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+    ),
+    shipped AS (
+      SELECT l.l_suppkey, l.l_partkey,
+             sum(CAST(round(l.l_quantity * {SCALE}) AS BIGINT)) AS qty_s
+      FROM lineitem l
+      JOIN small_parts p ON p.p_partkey = l.l_partkey
+      WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l.l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY l.l_suppkey, l.l_partkey
+      HAVING sum(CAST(round(l.l_quantity * {SCALE}) AS BIGINT)) > {60 * SCALE}
+    )
+    SELECT DISTINCT s.s_suppkey AS supp_key, s.s_name AS supp_name
+    FROM shipped sh
+    JOIN supplier s ON s.s_suppkey = sh.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name IN ('NATION_7', 'NATION_8', 'NATION_9')
+    ORDER BY supp_key
+    """,
+)
+def excess_qty_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who shipped an excess quantity of a
+    name-filtered part family in a window -- a nested semi-join chain
+    (parts -> per-(supplier,part) shipped volume -> supplier identity).
+
+    The HAVING threshold compares scaled-integer sums against an integer
+    constant (exact).  small_parts broadcasts into the fact scan; the
+    per-(supp, part) aggregate is the only shuffle; the surviving set is
+    tiny so supplier/nation decoration broadcasts.  DISTINCT collapses a
+    supplier qualifying via multiple parts.  Ordered by unique key.
+    """
+    parts = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1998-01-01"))
+    )
+    shipped = (
+        li.join(F.broadcast(parts), li.l_partkey == parts.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.round(F.col("l_quantity") * SCALE).cast("bigint")).alias("qty_s"))
+        .filter(F.col("qty_s") > 60 * SCALE)
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_7", "NATION_8", "NATION_9")
+    )
+    return (
+        shipped.join(F.broadcast(supp), shipped.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select(
+            F.col("s_suppkey").alias("supp_key"), F.col("s_name").alias("supp_name")
+        )
+        .orderBy("supp_key")
+    )

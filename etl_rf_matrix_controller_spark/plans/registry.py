@@ -51,6 +51,7 @@ def load_all() -> None:
     from etl_rf_matrix_controller_spark.operators import (  # noqa: F401
         aggregates,
         analytics_suite,
+        analytics_suite2,
         behavior,
         cdc,
         clustering,
