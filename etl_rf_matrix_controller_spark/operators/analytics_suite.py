@@ -15,15 +15,16 @@ Scale posture (verify with tools/plan_audit.py):
   until the first groupBy.
 - Aggregations run partial -> final (map-side combine) on the group keys;
   no query collects more than its result rows to the driver.
-- Scalar subqueries (Q15's max) are computed as a 1-row aggregate and
-  broadcast back, never a single-partition window over the fact table.
+- Scalar subqueries (Q15's max) are unpartitioned windows over the
+  ALREADY-AGGREGATED set (never over the fact table): one fact scan,
+  with only |group keys| narrow rows through the single window task.
 - All float aggregates use the integer-space conventions
   (plans/conventions.py) so results hash-match DuckDB bit-for-bit.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_rf_matrix_controller_spark.plans.conventions import (
@@ -297,9 +298,11 @@ def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape: scalar-subquery filter (revenue == max revenue).
 
-    The max is a 1-row aggregate cross-joined (broadcast) back onto the
-    per-supplier revenues -- NOT a single-partition window, which would
-    serialize the whole fact aggregate through one task at scale.  Equality
+    The max is an unpartitioned window over the ALREADY-AGGREGATED
+    per-supplier revenue set (|suppliers| narrow rows through one task)
+    -- ONE fact scan.  The aggregate-plus-crossJoin form re-derives the
+    per-supplier aggregate for the max branch and scans lineitem twice
+    (no ReusedExchange: column pruning diverges the subtrees).  Equality
     on the max is safe cross-engine because revenues are integer-space
     sums (bit-identical doubles).
     """
@@ -310,11 +313,13 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         exact_sum(F.expr(_REVENUE)).alias("total_revenue")
     )
-    max_rev = rev.agg(F.max("total_revenue").alias("max_revenue"))
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        rev.join(F.broadcast(max_rev), rev.total_revenue == max_rev.max_revenue)
-        .join(F.broadcast(supp), rev.supplier_no == supp.s_suppkey)
+        rev.withColumn(
+            "max_revenue", F.max("total_revenue").over(Window.partitionBy())
+        )
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
         .select(
             F.col("s_suppkey").alias("supp_key"),
             F.col("s_name").alias("supp_name"),

@@ -17,7 +17,7 @@ sources.tables.load_table).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_rf_matrix_controller_spark.plans.registry import declared
@@ -59,37 +59,43 @@ def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel signup -> click -> purchase: first qualifying
     timestamp per stage, each strictly after the previous stage's.
 
-    Stage k is min(ts) over events joined to stage k-1 survivors with a
-    per-user time bound -- the standard iterated conditional-min funnel.
-    Each stage is one equi-join plus a map-side-combinable min-agg on
-    user_id, so all three stages share one shuffle key; no window over
-    the full event history and no per-user event collection.  At 100 TB
-    an `events` scan serves all three stages (Spark reuses the cached
-    exchange), and stage tables shrink monotonically.
+    ONE scan of events and ONE shuffle on user_id: funnel-type events are
+    collected per user, then each stage's conditional min is a JVM-side
+    higher-order filter/transform over the in-row array (array_min of the
+    qualifying timestamps; NULL when a stage is never reached).  The
+    staged join-tree formulation (the oracle's CTE chain) re-derives each
+    stage's lineage -- 6 event scans in the physical plan; per-user
+    collection is bounded by that user's funnel events, exactly the state
+    any funnel engine holds.
     """
-    ev = load_table(spark, sf_dir, "events")
-    s1 = (
-        ev.filter(F.col("event_type") == "signup")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_signup"))
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin(*FUNNEL_STEPS))
+        .select("user_id", "ts", "event_type")
     )
-    s2 = (
-        ev.filter(F.col("event_type") == "click")
-        .join(s1, "user_id")
-        .filter(F.col("ts") > F.col("t_signup"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_click"))
+    per_user = ev.groupBy("user_id").agg(
+        F.collect_list(F.struct("ts", "event_type")).alias("evs")
     )
-    s3 = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(s2, "user_id")
-        .filter(F.col("ts") > F.col("t_click"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_purchase"))
+    t1 = F.array_min(
+        F.expr("transform(filter(evs, x -> x.event_type = 'signup'), x -> x.ts)")
+    )
+    t2 = F.array_min(
+        F.expr(
+            "transform(filter(evs, x -> x.event_type = 'click'"
+            " AND x.ts > t_signup), x -> x.ts)"
+        )
+    )
+    t3 = F.array_min(
+        F.expr(
+            "transform(filter(evs, x -> x.event_type = 'purchase'"
+            " AND x.ts > t_click), x -> x.ts)"
+        )
     )
     return (
-        s1.join(s2, "user_id", "left")
-        .join(s3, "user_id", "left")
+        per_user.withColumn("t_signup", t1)
+        .filter(F.col("t_signup").isNotNull())
+        .withColumn("t_click", t2)
+        .withColumn("t_purchase", t3)
         .select(
             "user_id",
             "t_signup",
@@ -129,19 +135,18 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention triangle: users grouped by first-seen day, counted
     on each of their first 7 active day-offsets.
 
-    first-seen is one min-agg on user_id; the offset join re-partitions by
-    the same key (no second full shuffle of events under exchange reuse);
-    the distinct collapses (user, cohort, offset) BEFORE the final count,
-    so the count shuffle carries at most users x 8 rows.  The offset <= 7
-    filter lands before the distinct -- at 100 TB that's the difference
-    between shuffling a week and shuffling all history.
+    first-seen is a window min over the user partition -- ONE scan of
+    events and ONE shuffle on user_id (the agg+join-back form scans and
+    shuffles events twice); the distinct collapses (user, cohort, offset)
+    BEFORE the final count, so the count shuffle carries at most
+    users x 8 rows.  The offset <= 7 filter lands before the distinct --
+    at 100 TB that's the difference between shuffling a week and
+    shuffling all history.
     """
-    ev = load_table(spark, sf_dir, "events")
-    first_seen = ev.groupBy("user_id").agg(
-        F.min(F.col("ts").cast("date")).alias("cohort_day")
-    )
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    w = Window.partitionBy("user_id")
     activity = (
-        ev.join(first_seen, "user_id")
+        ev.withColumn("cohort_day", F.min(F.col("ts").cast("date")).over(w))
         .select(
             "user_id",
             "cohort_day",
