@@ -572,3 +572,116 @@ def excess_qty_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("supp_key")
     )
+
+
+@declared(
+    "yoy_revenue_growth",
+    oracle=f"""
+    WITH yearly AS (
+      SELECT n.n_name AS nation_name,
+             CAST(year(l.l_shipdate) AS BIGINT) AS ship_year,
+             sum(CAST(round((l_extendedprice * (1 - l_discount)) * {SCALE})
+                      AS BIGINT)) AS rev_s
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      GROUP BY n.n_name, year(l.l_shipdate)
+    ),
+    lagged AS (
+      SELECT nation_name, ship_year, rev_s,
+             lag(rev_s) OVER (PARTITION BY nation_name ORDER BY ship_year)
+               AS prev_s
+      FROM yearly
+    )
+    SELECT nation_name, ship_year,
+           {int_round_scaled_sql("rev_s")} AS revenue,
+           {ratio4_sql("rev_s", "prev_s")} AS yoy_ratio
+    FROM lagged
+    """,
+)
+def yoy_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year growth per supplier nation: lag() over the yearly
+    per-nation aggregate, growth as an integer-exact current/previous
+    ratio (NULL for each nation's first year).
+
+    The window runs over the ALREADY-AGGREGATED series (|nations| x
+    |years| rows), partitioned by nation -- never over the fact table.
+    One fact scan, one shuffle for the 2-key aggregate; supplier/nation
+    broadcast.  The growth ratio uses ratio4 on the scaled-integer sums,
+    so both engines agree bit-for-bit; NULL lag propagates identically.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    yearly = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation_name"),
+            F.year("l_shipdate").cast("bigint").alias("ship_year"),
+        )
+        .agg(
+            F.sum(
+                F.round(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))) * SCALE
+                ).cast("bigint")
+            ).alias("rev_s")
+        )
+    )
+    w = Window.partitionBy("nation_name").orderBy("ship_year")
+    return (
+        yearly.withColumn("prev_s", F.lag("rev_s").over(w))
+        .select(
+            "nation_name",
+            "ship_year",
+            int_round_scaled(F.col("rev_s")).alias("revenue"),
+            ratio4(F.col("rev_s"), F.col("prev_s")).alias("yoy_ratio"),
+        )
+    )
+
+
+@declared(
+    "brand_cooccurrence_pairs",
+    oracle="""
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey, p.p_brand
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    )
+    SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM ob a
+    JOIN ob b ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+    GROUP BY a.p_brand, b.p_brand
+    """,
+)
+def brand_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: for every unordered brand pair, the
+    number of orders containing both brands.
+
+    Single-scan formulation: distinct brands per order via in-row
+    collect_set (bounded by |brands| = 25), then the pair fan-out is a
+    JVM-side higher-order double-transform over the sorted in-row array
+    -- no self-join, so the fact shuffles ONCE on orderkey instead of
+    twice plus a quadratic join (the oracle keeps the classic self-join
+    formulation).  Pair counts shuffle at most |brands|^2 rows.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    per_order = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("brands"))
+        .filter(F.size("brands") >= 2)
+    )
+    pairs = per_order.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(brands, (x, i) ->"
+                " transform(slice(brands, i + 2, size(brands)),"
+                " y -> struct(x AS brand_a, y AS brand_b))))"
+            )
+        ).alias("p")
+    )
+    return pairs.groupBy(
+        F.col("p.brand_a").alias("brand_a"), F.col("p.brand_b").alias("brand_b")
+    ).agg(F.count(F.lit(1)).alias("n_orders"))

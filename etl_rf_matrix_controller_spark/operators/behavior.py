@@ -160,3 +160,48 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity.groupBy(
         "cohort_day", F.col("day_offset").cast("bigint").alias("day_offset")
     ).agg(F.count(F.lit(1)).alias("n_active"))
+
+
+@declared(
+    "user_interevent_gap_stats",
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT)
+               - lag(CAST(floor(epoch(ts)) AS BIGINT))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+      FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           CAST(sum(gap) AS BIGINT) AS total_gap_secs,
+           CAST(max(gap) AS BIGINT) AS max_gap_secs
+    FROM g WHERE gap IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def user_interevent_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event cadence: count/total/max of the gaps (whole
+    seconds) between consecutive events -- the activity-rhythm feature a
+    bot-detection or engagement model consumes.
+
+    lag() over (user, ts, event_id) computes gaps in event order -- ONE
+    scan, ONE shuffle on user_id, then the per-user stats ride the same
+    key (no second exchange).  Seconds are FLOORED epoch values on both
+    sides (Spark's long cast floors; DuckDB's epoch() is fractional --
+    the repo's documented divergence trap); equal-ts ties break on
+    event_id, and a zero gap is deterministic whichever order ties land.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    secs = F.col("ts").cast("long")
+    return (
+        ev.withColumn("gap", secs - F.lag(secs).over(w))
+        .filter(F.col("gap").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.sum("gap").alias("total_gap_secs"),
+            F.max("gap").alias("max_gap_secs"),
+        )
+    )

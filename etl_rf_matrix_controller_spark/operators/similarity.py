@@ -470,3 +470,46 @@ def cosine_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cosine") >= 0.99)
     )
+
+
+@declared(
+    "label_centroid_components",
+    oracle="""
+    SELECT label,
+           CAST(i - 1 AS BIGINT) AS pos,
+           list_sum(list(CAST(embedding[i] AS DOUBLE) ORDER BY vec_id))
+             / count(*) AS centroid_comp
+    FROM embeddings, generate_series(1, 64) AS g(i)
+    GROUP BY label, i
+    """,
+)
+def label_centroid_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid, one row per (label, dimension) --
+    the class-prototype computation behind IVF coarse quantizers and
+    nearest-centroid classifiers.
+
+    posexplode fans each vector into (label, pos, comp); per (label,
+    pos) the component sum is a SEQUENTIAL double fold over the
+    vec_id-sorted collected values (matches DuckDB's ordered list_sum
+    bit-for-bit -- float components are NOT clean decimals, so the
+    scaled-integer convention does not apply; ordered folding is the
+    repo's float-parity tool, cf. dot_double).  The mean divides two
+    bit-identical operands; emitted RAW per the no-round convention.
+    Per-group collection is |vectors in label| values; the 100 TB path
+    chunks the fold with a fixed-size tree aggregate, same determinism.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "comp")
+    )
+    ordered_sum = F.aggregate(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("vec_id", "comp"))),
+            lambda s: s.comp.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return exploded.groupBy("label", F.col("pos").cast("bigint").alias("pos")).agg(
+        (ordered_sum / F.count(F.lit(1))).alias("centroid_comp")
+    )

@@ -16,7 +16,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from etl_rf_matrix_controller_spark.plans.conventions import ratio4
+from etl_rf_matrix_controller_spark.plans.conventions import (
+    exact_avg,
+    exact_avg_sql,
+    ratio4,
+    ratio4_sql,
+)
 from etl_rf_matrix_controller_spark.plans.registry import declared
 from etl_rf_matrix_controller_spark.sources.tables import load_table
 
@@ -298,4 +303,90 @@ def term_rarity_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "token", "tf", "df", "score_ppm", "rnk")
+    )
+
+
+_N_TOK_SQL = "CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)"
+
+
+@declared(
+    "source_quality_profile",
+    oracle=f"""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           {exact_avg_sql("CAST(n_chars AS DOUBLE)")} AS avg_chars,
+           {exact_avg_sql(_N_TOK_SQL)} AS avg_tokens,
+           {ratio4_sql(
+               "sum(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END)", "count(*)"
+           )} AS long_doc_ratio
+    FROM documents
+    GROUP BY source
+    """,
+)
+def source_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus profile: doc count, language spread, mean
+    length in chars and whitespace tokens, share of long (>=200 char)
+    docs -- the per-domain triage table a curation pipeline keys its
+    source weighting on (CCNet-style per-source quality binning).
+
+    One scan, one shuffle on `source`; every metric is either an integer
+    count or an integer-space exact average/ratio, partial->final
+    combinable.  The distinct-lang count is the only per-group distinct
+    and rides the same shuffle key.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim("text"), r"\s+"))
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        exact_avg(F.col("n_chars").cast("double")).alias("avg_chars"),
+        exact_avg(n_tok.cast("double")).alias("avg_tokens"),
+        ratio4(
+            F.sum(F.when(F.col("n_chars") >= 200, 1).otherwise(0)),
+            F.count(F.lit(1)),
+        ).alias("long_doc_ratio"),
+    )
+
+
+@declared(
+    "vocab_build",
+    oracle="""
+    WITH tok AS (
+      SELECT t.token
+      FROM documents, unnest(string_split(trim(text), ' ')) AS t(token)
+    ),
+    counts AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences
+      FROM tok GROUP BY token
+    )
+    SELECT token, n_occurrences,
+           CAST(row_number() OVER (ORDER BY n_occurrences DESC, token ASC)
+                AS BIGINT) AS vocab_id
+    FROM counts
+    """,
+)
+def vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-ranked vocabulary: token -> dense id ordered by count
+    desc (token asc tiebreak) -- the id-assignment step before any
+    embedding/BPE training run.
+
+    Token counting is a partial->final aggregate over the exploded
+    corpus; the ranking window is unpartitioned but runs over the
+    ALREADY-AGGREGATED vocabulary (|vocab| rows, not |corpus|), the
+    standard way to mint contiguous ids.  At 100 TB the vocab table is
+    the small output of the big aggregation -- exactly what a single
+    task can rank.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split(F.trim("text"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("token"))
+    return counts.select(
+        "token",
+        "n_occurrences",
+        F.row_number().over(w).cast("bigint").alias("vocab_id"),
     )
