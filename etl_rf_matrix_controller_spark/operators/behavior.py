@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from etl_rf_matrix_controller_spark.plans.conventions import int_round_scaled
 from etl_rf_matrix_controller_spark.plans.registry import declared
 from etl_rf_matrix_controller_spark.sources.tables import load_table
 
@@ -204,4 +205,69 @@ def user_interevent_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("gap").alias("total_gap_secs"),
             F.max("gap").alias("max_gap_secs"),
         )
+    )
+
+
+@declared(
+    "orders_rfm_segments",
+    oracle="""
+    WITH rfm AS (
+      SELECT o_custkey AS cust_key,
+             date_diff('day', CAST(max(o_orderdate) AS DATE),
+                       DATE '1998-08-01') AS recency_days,
+             CAST(count(*) AS BIGINT) AS frequency,
+             sum(CAST(round(o_totalprice * 10000) AS BIGINT)) AS monetary_s
+      FROM orders
+      WHERE o_orderdate < TIMESTAMP '1998-08-01'
+      GROUP BY o_custkey
+    )
+    SELECT cust_key, CAST(recency_days AS BIGINT) AS recency_days,
+           frequency,
+           ((((monetary_s + 50) - (monetary_s + 50) % 100) / 100) / 100.0)
+             AS monetary,
+           CASE WHEN recency_days <= 180 AND frequency >= 12
+                  THEN 'champion'
+                WHEN frequency >= 8 THEN 'loyal'
+                WHEN recency_days > 365 THEN 'at_risk'
+                ELSE 'regular' END AS segment
+    FROM rfm
+    """,
+)
+def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency (days since last order, from a
+    fixed as-of date), frequency (order count), monetary (exact total
+    spend), bucketed by integer threshold rules -- the marketing staple
+    over any orders fact.
+
+    One shuffle on o_custkey; recency/frequency are pure integers and the
+    CASE thresholds compare integers only, so segment assignment cannot
+    diverge cross-engine; monetary is the scaled-integer sum rounded in
+    integer space.  The as-of date is pinned (reproducible), not now().
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.to_timestamp(F.lit("1998-08-01"))
+    )
+    rfm = orders.groupBy(F.col("o_custkey").alias("cust_key")).agg(
+        F.datediff(
+            F.to_date(F.lit("1998-08-01")), F.max(F.col("o_orderdate").cast("date"))
+        )
+        .cast("bigint")
+        .alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.round(F.col("o_totalprice") * 10000).cast("bigint")).alias(
+            "monetary_s"
+        ),
+    )
+    return rfm.select(
+        "cust_key",
+        "recency_days",
+        "frequency",
+        int_round_scaled(F.col("monetary_s")).alias("monetary"),
+        F.when(
+            (F.col("recency_days") <= 180) & (F.col("frequency") >= 12), "champion"
+        )
+        .when(F.col("frequency") >= 8, "loyal")
+        .when(F.col("recency_days") > 365, "at_risk")
+        .otherwise("regular")
+        .alias("segment"),
     )

@@ -237,3 +237,72 @@ def kmeans_assign_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") == 1)
         .select("vec_id", F.col("cid").alias("cluster_id"), "dist2")
     )
+
+
+@declared(
+    "dedup_cluster_keeper",
+    oracle=f"""
+    WITH RECURSIVE
+    edges AS ({_EDGES_SQL}),
+    sym AS (
+      SELECT src, dst FROM edges
+      UNION ALL
+      SELECT dst AS src, src AS dst FROM edges
+    ),
+    reach(node, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.node
+    ),
+    comp AS (
+      SELECT node AS doc_id, CAST(min(lbl) AS BIGINT) AS component_id
+      FROM reach GROUP BY node
+    ),
+    ranked AS (
+      SELECT c.component_id, c.doc_id, d.n_chars,
+             row_number() OVER (PARTITION BY c.component_id
+                                ORDER BY d.n_chars DESC, c.doc_id ASC) AS rn,
+             count(*) OVER (PARTITION BY c.component_id) AS n_members,
+             sum(d.n_chars) OVER (PARTITION BY c.component_id) AS total_chars
+      FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+    )
+    SELECT component_id,
+           doc_id AS keeper_doc_id,
+           CAST(n_members AS BIGINT) AS n_members,
+           CAST(total_chars - n_chars AS BIGINT) AS chars_dropped
+    FROM ranked WHERE rn = 1
+    """,
+)
+def dedup_cluster_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster representative selection: within each connected
+    component, keep the highest-quality member (longest text, doc_id
+    tiebreak) and report how many chars of duplicates it displaces --
+    the decision step that turns clustering into an actual dedup pass.
+
+    Reuses near_dup_components' label-propagation result (one extra
+    broadcast-joinable metadata lookup + one window on component_id);
+    keeper choice and the dropped-chars accounting are pure integer
+    logic.  At 100 TB the window partition is a dup cluster (typically
+    tiny); a pathological mega-cluster would already have been capped
+    upstream by the edge-similarity threshold.
+    """
+    comp = near_dup_components(spark, sf_dir).select("doc_id", "component_id")
+    meta = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w = Window.partitionBy("component_id")
+    ranked = (
+        comp.join(meta, "doc_id")
+        .withColumn(
+            "rn",
+            F.row_number().over(w.orderBy(F.desc("n_chars"), F.asc("doc_id"))),
+        )
+        .withColumn("n_members", F.count(F.lit(1)).over(w))
+        .withColumn("total_chars", F.sum("n_chars").over(w))
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "component_id",
+        F.col("doc_id").alias("keeper_doc_id"),
+        F.col("n_members").cast("bigint").alias("n_members"),
+        (F.col("total_chars") - F.col("n_chars")).cast("bigint").alias(
+            "chars_dropped"
+        ),
+    )

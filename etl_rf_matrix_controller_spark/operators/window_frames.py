@@ -153,3 +153,46 @@ def token_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("dist", F.levenshtein("tok_a", "tok_b"))
         .filter(F.col("dist") <= 2)
     )
+
+
+@declared(
+    "daily_event_series_dense",
+    oracle="""
+    WITH bounds AS (
+      SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+      FROM events
+    ),
+    spine AS (
+      SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+               AS day
+      FROM bounds
+    ),
+    daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY CAST(ts AS DATE)
+    )
+    SELECT s.day, coalesce(d.n_events, 0) AS n_events
+    FROM spine s LEFT JOIN daily d ON d.day = s.day
+    """,
+)
+def daily_event_series_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densification: one row per day between the corpus min and
+    max event dates, zero-filled where no events landed -- the gap-free
+    spine every time-series model and dashboard needs before windowing.
+
+    The spine is sequence(min, max) exploded from a 1-ROW aggregate (two
+    scalar values -- never a driver-side date loop), then a LEFT join
+    against the per-day counts with coalesce(0).  The daily aggregate is
+    the only fact shuffle; its RESULT is |days| rows and broadcasts onto
+    the spine (the preserved side of a left join cannot be the broadcast
+    build side, so the hint goes on the aggregate).
+    """
+    ev = load_table(spark, sf_dir, "events").select(F.col("ts").cast("date").alias("day"))
+    bounds = ev.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    spine = bounds.select(
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day")
+    )
+    daily = ev.groupBy("day").agg(F.count(F.lit(1)).alias("n_events"))
+    return spine.join(F.broadcast(daily), "day", "left").select(
+        "day", F.coalesce("n_events", F.lit(0)).alias("n_events")
+    )

@@ -118,3 +118,45 @@ def window_rank_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cum_dist"),
     )
+
+
+@declared(
+    "window_first_last_nth",
+    oracle="""
+    SELECT o_orderkey AS order_key,
+           o_custkey AS cust_key,
+           CAST(first_value(o_orderdate) OVER wfull AS DATE)
+             AS first_order_date,
+           last_value(o_totalprice) OVER wfull AS last_total,
+           nth_value(o_totalprice, 2) OVER wfull AS second_total
+    FROM orders
+    WINDOW wfull AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-boundary value functions: first_value / last_value /
+    nth_value over the FULL partition frame (UNBOUNDED PRECEDING ..
+    UNBOUNDED FOLLOWING) -- the default growing frame silently makes
+    last_value mean "current row", the classic frame-spec trap, pinned
+    here with the explicit full frame on both engines.
+
+    One shuffle on o_custkey; values are STORED doubles/dates passed
+    through untouched (no arithmetic -> no rounding convention needed);
+    nth_value(_, 2) is NULL for single-order customers on both engines.
+    """
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        F.col("o_orderkey").alias("order_key"),
+        F.col("o_custkey").alias("cust_key"),
+        F.first("o_orderdate").over(w).cast("date").alias("first_order_date"),
+        F.last("o_totalprice").over(w).alias("last_total"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_total"),
+    )
