@@ -37,7 +37,12 @@ from etl_rf_matrix_controller_spark.sources.tables import load_table
 MINHASH_PRIME = 2038074743
 MINHASH_A = [2971, 5023, 7919, 10007, 12653, 15731, 17389, 19937]
 MINHASH_B = [1409, 2861, 4409, 6199, 8123, 9733, 11003, 12889]
-N_BANDS, BAND_ROWS = 4, 2
+# 2 bands x 4 rows (over the 8 permutations): r=4 makes a band collision
+# require FOUR consecutive equal minhashes, so weakly-similar pairs
+# (J<=0.1 here) collide with prob ~J^4 per band -- measured 120k -> ~4k
+# candidates at sf0.1 vs the old 4x2 banding, while true near-dups
+# (J~0.98) still collide with prob 1-(1-J^4)^2 ~ 99.4%.
+N_BANDS, BAND_ROWS = 2, 4
 
 _CORPUS_SQL = """
       SELECT doc_id, text, lang, source FROM documents
@@ -204,18 +209,25 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_signature_df(spark, sf_dir)
 
 
+def _bands_sql() -> str:
+    """bands CTE body generated from (N_BANDS, BAND_ROWS) -- the oracle
+    rebands automatically when the LSH shape constants change."""
+    selects = []
+    for band in range(N_BANDS):
+        lo = BAND_ROWS * band
+        key = " || '_' || ".join(
+            f"CAST(mh{j} AS VARCHAR)" for j in range(lo, lo + BAND_ROWS)
+        )
+        selects.append(f"SELECT doc_id, {band} AS band, {key} AS bkey FROM sig")
+    return "\n      UNION ALL\n      ".join(selects)
+
+
 @declared(
     "minhash_near_dup_pairs",
     oracle=f"""
     WITH sig AS ({_minhash_hashes_sql()}),
     bands AS (
-      SELECT doc_id, 0 AS band, CAST(mh0 AS VARCHAR) || '_' || CAST(mh1 AS VARCHAR) AS bkey FROM sig
-      UNION ALL
-      SELECT doc_id, 1, CAST(mh2 AS VARCHAR) || '_' || CAST(mh3 AS VARCHAR) FROM sig
-      UNION ALL
-      SELECT doc_id, 2, CAST(mh4 AS VARCHAR) || '_' || CAST(mh5 AS VARCHAR) FROM sig
-      UNION ALL
-      SELECT doc_id, 3, CAST(mh6 AS VARCHAR) || '_' || CAST(mh7 AS VARCHAR) FROM sig
+      {_bands_sql()}
     ),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -245,26 +257,33 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Candidates come from equi-joins on (band, band_key) -- the core LSH
     trick that replaces the O(n^2) cross join with a shuffle join on
-    bucket keys.  Only candidates pay the exact token-set Jaccard,
-    computed per-pair on gram ARRAYS: measured faster than the
-    inverted-index shared-count join at this candidate volume (~10 s vs
-    ~5 s at sf0.1) because the candidate set is small; when LSH yields
-    millions of candidate pairs, flip to the inverted-index verification
-    (see ngram_jaccard_pairs) whose cost scales with shared grams, not
-    pairs x set size.  At 100 TB: band buckets are uniformly distributed
-    (hash keys), so the self-join partitions evenly; hot buckets
-    (boilerplate docs) would be the one skew source -- AQE skew-join
-    handles them.
+    bucket keys.  Band shape is the precision/recall knob: r=BAND_ROWS
+    sets the collision prob of a J-similar pair to 1-(1-J^r)^b, and the
+    4x2 shape originally used here let this corpus's weakly-similar pairs
+    (word-salad text, J<=0.1) through at ~0.25% precision -- 120k
+    candidates at sf0.1, 28+ s spent on per-pair verification.  The 2x4
+    shape cuts that to ~4k candidates (~7-10 s total) while keeping
+    ~99.4% collision prob for the true near-dups (J~0.98); pairs at
+    J~0.6 drop to ~24% recall, the documented cost of raising r --
+    widen to more bands (b) of the same r to buy recall back.  Only
+    candidates pay the exact token-set Jaccard, per-pair on gram ARRAYS
+    (right at this volume; when LSH yields millions of candidates, flip
+    to the inverted-index verification of ngram_jaccard_pairs, whose
+    cost scales with shared grams, not pairs x set size).  At 100 TB:
+    band buckets are uniformly distributed (hash keys), so the
+    self-join partitions evenly; hot buckets (boilerplate docs) would
+    be the one skew source -- AQE skew-join handles them.
     """
     sig = minhash_signature_df(spark, sf_dir)
     bands = None
     for band in range(N_BANDS):
-        lo, hi = BAND_ROWS * band, BAND_ROWS * band + 1
+        lo = BAND_ROWS * band
         b = sig.select(
             "doc_id",
             F.lit(band).alias("band"),
             F.concat_ws(
-                "_", F.col(f"mh{lo}").cast("string"), F.col(f"mh{hi}").cast("string")
+                "_",
+                *[F.col(f"mh{j}").cast("string") for j in range(lo, lo + BAND_ROWS)],
             ).alias("bkey"),
         )
         bands = b if bands is None else bands.unionByName(b)
@@ -286,14 +305,22 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     t = F.trim("text")
-    toksets = dup_corpus(spark, sf_dir).select(
-        "doc_id",
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(F.length(t) - 7, F.lit(1))),
-                lambda i: t.substr(i, F.lit(8)),
-            )
-        ).alias("toks"),
+    # Checkpointed for the same reason as `bands`: the verify join consumes
+    # toksets under two aliases, and without truncation each alias re-runs
+    # the corpus synthesis + 8-gram shingling (measured ~2x the whole
+    # query's steady-state cost at sf0.1).
+    toksets = (
+        dup_corpus(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.length(t) - 7, F.lit(1))),
+                    lambda i: t.substr(i, F.lit(8)),
+                )
+            ).alias("toks"),
+        )
+        .localCheckpoint(eager=False)
     )
     ta = toksets.alias("ta")
     tb = toksets.alias("tb")
