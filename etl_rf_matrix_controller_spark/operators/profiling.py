@@ -227,3 +227,65 @@ def corr_value_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     denx = F.sqrt((F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")).cast("double"))
     deny = F.sqrt((F.col("n") * F.col("sy2") - F.col("sy") * F.col("sy")).cast("double"))
     return m.select("event_type", "n", (num / (denx * deny)).alias("pearson_r"))
+
+
+@declared(
+    "referential_orphans",
+    oracle="""
+    SELECT 'lineitem->orders' AS relationship,
+           CAST(count(*) AS BIGINT) AS n_orphans
+    FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'lineitem->part',
+           CAST(count(*) AS BIGINT)
+    FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM part p
+                      WHERE p.p_partkey = l.l_partkey)
+    UNION ALL
+    SELECT 'orders->customer',
+           CAST(count(*) AS BIGINT)
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c
+                      WHERE c.c_custkey = o.o_custkey)
+    """,
+)
+def referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan counts per FK relationship
+    (facts pointing at missing dimension/parent keys) -- the data-quality
+    gate run before trusting any join-based metric downstream.
+
+    Each relationship is a LEFT ANTI join + count.  The child side only
+    carries its FK column; parent key sets are distinct-projected and
+    broadcast where dimension-sized (customer, part) while the
+    lineitem->orders check shuffles on the shared orderkey.  A healthy
+    warehouse reports zeros -- the VALUE is the guarantee, and at 100 TB
+    the cost is one narrow-column pass per relationship.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+
+    def orphans(child: DataFrame, fk: str, parent: DataFrame, pk: str, name: str, bcast: bool) -> DataFrame:
+        keys = parent.select(F.col(pk).alias(fk)).distinct()
+        if bcast:
+            keys = F.broadcast(keys)
+        return (
+            child.select(fk)
+            .join(keys, fk, "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+            .select(F.lit(name).alias("relationship"), "n_orphans")
+        )
+
+    cust = load_table(spark, sf_dir, "customer")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        orphans(li, "l_orderkey", orders.select(F.col("o_orderkey")), "o_orderkey",
+                "lineitem->orders", False)
+        .unionByName(
+            orphans(li, "l_partkey", part, "p_partkey", "lineitem->part", True)
+        )
+        .unionByName(
+            orphans(orders, "o_custkey", cust, "c_custkey", "orders->customer", True)
+        )
+    )

@@ -170,3 +170,75 @@ def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("kind") == 1) & F.col("asof_orderkey").isNotNull())
         .select("event_id", "user_id", "ts", "asof_orderkey", "asof_orderdate")
     )
+
+
+@declared(
+    "state_diff_classify",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN ts >= TIMESTAMP '2024-01-15' THEN 1 ELSE 0 END AS half
+      FROM events
+    ),
+    latest AS (
+      SELECT user_id, half, event_type
+      FROM (
+        SELECT user_id, half, event_type,
+               row_number() OVER (PARTITION BY user_id, half
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM marked
+      ) r WHERE rn = 1
+    ),
+    diff AS (
+      SELECT user_id,
+             max(CASE WHEN half = 0 THEN event_type END) AS old_state,
+             max(CASE WHEN half = 1 THEN event_type END) AS new_state
+      FROM latest GROUP BY user_id
+    )
+    SELECT user_id, old_state, new_state,
+           CASE WHEN old_state IS NULL THEN 'added'
+                WHEN new_state IS NULL THEN 'removed'
+                WHEN old_state <> new_state THEN 'changed'
+                ELSE 'unchanged' END AS change_class
+    FROM diff
+    """,
+)
+def state_diff_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-snapshot state diff: latest value per key in each of
+    two poll windows, classified added / removed / changed / unchanged --
+    the relational form of the reference's delta-invalidation update
+    (crosshair prev-vs-current recompute, etl_controller.py:1839-1906,
+    and the wholesale poll replace at :2535-2537, which this turns into
+    a keyed incremental diff).
+
+    ONE scan: the window ranks within (key, half) so both snapshots come
+    out of a single shuffle; the half-pivot is a max(CASE) aggregate on
+    the same key (exchange reused).  Classification is pure CASE logic
+    on equality of stored strings -- hash-exact.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    half = (F.col("ts") >= F.to_timestamp(F.lit("2024-01-15"))).cast("int")
+    w = Window.partitionBy("user_id", "half").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    latest = (
+        ev.withColumn("half", half)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    diff = latest.groupBy("user_id").agg(
+        F.max(F.when(F.col("half") == 0, F.col("event_type"))).alias("old_state"),
+        F.max(F.when(F.col("half") == 1, F.col("event_type"))).alias("new_state"),
+    )
+    return diff.select(
+        "user_id",
+        "old_state",
+        "new_state",
+        F.when(F.col("old_state").isNull(), "added")
+        .when(F.col("new_state").isNull(), "removed")
+        .when(F.col("old_state") != F.col("new_state"), "changed")
+        .otherwise("unchanged")
+        .alias("change_class"),
+    )
