@@ -513,3 +513,54 @@ def label_centroid_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exploded.groupBy("label", F.col("pos").cast("bigint").alias("pos")).agg(
         (ordered_sum / F.count(F.lit(1))).alias("centroid_comp")
     )
+
+
+@declared(
+    "vector_quantize_i8",
+    oracle="""
+    WITH comps AS (
+      SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos,
+             CAST(embedding[i] AS DOUBLE) AS v
+      FROM embeddings, generate_series(1, 64) AS g(i)
+    ),
+    stats AS (
+      SELECT pos, min(v) AS mn, max(v) AS mx FROM comps GROUP BY pos
+    )
+    SELECT c.vec_id, c.pos,
+           CAST(CASE WHEN s.mx = s.mn THEN 0
+                     ELSE floor(((c.v - s.mn) / (s.mx - s.mn)) * 255.0)
+                END AS BIGINT) AS code
+    FROM comps c JOIN stats s ON s.pos = c.pos
+    """,
+)
+def vector_quantize_i8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar (per-dimension min-max) int8 quantization of the embedding
+    table -- the 4x storage/bandwidth compression step before an ANN
+    index build.
+
+    Two-pass by design: pass 1 reduces to a 64-row (pos, min, max) stats
+    table -- partial->final, tiny; pass 2 re-expands and quantizes with
+    the stats BROADCAST back.  The window alternative (min/max OVER
+    (PARTITION BY pos)) would shuffle the full component fan-out into
+    |dims|=64 partitions -- a parallelism ceiling and a skew magnet at
+    100 TB -- so the double scan of the (narrow) embeddings table is the
+    right trade here, the mirror image of the single-scan rule for
+    per-KEY correlations.  Quantization arithmetic is fixed-order double
+    ops on float32-exact values, identical in both engines; degenerate
+    dims (mx == mn) code to 0.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    comps = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "comp")
+    ).select(
+        "vec_id",
+        F.col("pos").cast("bigint").alias("pos"),
+        F.col("comp").cast("double").alias("v"),
+    )
+    stats = comps.groupBy("pos").agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    code = F.when(F.col("mx") == F.col("mn"), F.lit(0).cast("bigint")).otherwise(
+        F.floor(((F.col("v") - F.col("mn")) / (F.col("mx") - F.col("mn"))) * 255.0)
+    )
+    return comps.join(F.broadcast(stats), "pos").select(
+        "vec_id", "pos", code.cast("bigint").alias("code")
+    )

@@ -139,10 +139,11 @@ def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@declared(
-    "lang_id_markers",
-    oracle="""
-    WITH tok AS (
+# Shared CTE chain for the marker-based language-ID model: learn top-5
+# tokens per language, score docs by marker hits, argmax per doc.  Used by
+# lang_id_markers (per-doc predictions) and lang_confusion_matrix (the
+# evaluation rollup of the same model).
+_LANG_ID_CTES = """tok AS (
       SELECT doc_id, lang, t.token
       FROM documents, unnest(string_split(trim(text), ' ')) AS t(token)
       WHERE t.token <> ''
@@ -168,7 +169,13 @@ def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
              row_number() OVER (PARTITION BY doc_id
                                 ORDER BY hits DESC, cand) AS rn
       FROM scores
-    )
+    )"""
+
+
+@declared(
+    "lang_id_markers",
+    oracle=f"""
+    WITH {_LANG_ID_CTES}
     SELECT b.doc_id, d.lang AS actual_lang, b.pred_lang, b.hits
     FROM best b JOIN documents d ON d.doc_id = b.doc_id
     WHERE b.rn = 1
@@ -389,4 +396,30 @@ def vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         "token",
         "n_occurrences",
         F.row_number().over(w).cast("bigint").alias("vocab_id"),
+    )
+
+
+@declared(
+    "lang_confusion_matrix",
+    oracle=f"""
+    WITH {_LANG_ID_CTES}
+    SELECT d.lang AS actual_lang, b.pred_lang,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM best b JOIN documents d ON d.doc_id = b.doc_id
+    WHERE b.rn = 1
+    GROUP BY d.lang, b.pred_lang
+    """,
+)
+def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-evaluation rollup of the marker language-ID: (actual,
+    predicted) doc counts -- the confusion matrix a curation pipeline
+    watches to decide whether its classifier is safe to filter on.
+
+    Pure composition: reuses lang_id_markers' per-doc argmax and adds one
+    low-cardinality (|langs|^2 keys) aggregate on top -- composition of
+    declared operators is itself an operator, same plan discipline.
+    """
+    preds = lang_id_markers(spark, sf_dir)
+    return preds.groupBy("actual_lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
     )
