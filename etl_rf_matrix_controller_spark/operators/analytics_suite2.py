@@ -35,14 +35,9 @@ from etl_rf_matrix_controller_spark.plans.conventions import (
     ratio4,
     ratio4_sql,
 )
+from etl_rf_matrix_controller_spark.operators.analytics_suite import _REVENUE, _ts
 from etl_rf_matrix_controller_spark.plans.registry import declared
 from etl_rf_matrix_controller_spark.sources.tables import load_table
-
-_REVENUE = "l_extendedprice * (1 - l_discount)"
-
-
-def _ts(lit: str) -> F.Column:
-    return F.to_timestamp(F.lit(lit))
 
 
 @declared(

@@ -20,7 +20,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from etl_rf_matrix_controller_spark.plans.conventions import int_round_scaled
+from etl_rf_matrix_controller_spark.plans.conventions import (
+    SCALE,
+    int_round_scaled,
+    int_round_scaled_sql,
+)
 from etl_rf_matrix_controller_spark.plans.registry import declared
 from etl_rf_matrix_controller_spark.sources.tables import load_table
 
@@ -60,43 +64,45 @@ def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel signup -> click -> purchase: first qualifying
     timestamp per stage, each strictly after the previous stage's.
 
-    ONE scan of events and ONE shuffle on user_id: funnel-type events are
-    collected per user, then each stage's conditional min is a JVM-side
-    higher-order filter/transform over the in-row array (array_min of the
-    qualifying timestamps; NULL when a stage is never reached).  The
-    staged join-tree formulation (the oracle's CTE chain) re-derives each
-    stage's lineage -- 6 event scans in the physical plan; per-user
-    collection is bounded by that user's funnel events, exactly the state
-    any funnel engine holds.
+    ONE scan of events and ONE shuffle on user_id: each stage is a
+    CONDITIONAL window min over the user partition (min(ts WHERE type=k
+    AND ts > prev stage)), three window passes sharing one partitioning,
+    then a same-key groupBy collapses to one row per user.  Per-task
+    state is a spillable window buffer -- never a collect_list row (a
+    hot user with millions of events would OOM an in-row array; window
+    buffers spill) and never the staged join tree of the oracle's CTE
+    chain (which re-derives each stage's lineage: 6 event scans).
     """
     ev = (
         load_table(spark, sf_dir, "events")
         .filter(F.col("event_type").isin(*FUNNEL_STEPS))
         .select("user_id", "ts", "event_type")
     )
-    per_user = ev.groupBy("user_id").agg(
-        F.collect_list(F.struct("ts", "event_type")).alias("evs")
-    )
-    t1 = F.array_min(
-        F.expr("transform(filter(evs, x -> x.event_type = 'signup'), x -> x.ts)")
-    )
-    t2 = F.array_min(
-        F.expr(
-            "transform(filter(evs, x -> x.event_type = 'click'"
-            " AND x.ts > t_signup), x -> x.ts)"
+    w = Window.partitionBy("user_id")
+    t1 = F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w)
+    t2 = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts") > F.col("t_signup")),
+            F.col("ts"),
         )
-    )
-    t3 = F.array_min(
-        F.expr(
-            "transform(filter(evs, x -> x.event_type = 'purchase'"
-            " AND x.ts > t_click), x -> x.ts)"
+    ).over(w)
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t_click")),
+            F.col("ts"),
         )
-    )
+    ).over(w)
     return (
-        per_user.withColumn("t_signup", t1)
-        .filter(F.col("t_signup").isNotNull())
+        ev.withColumn("t_signup", t1)
         .withColumn("t_click", t2)
         .withColumn("t_purchase", t3)
+        .filter(F.col("t_signup").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.max("t_signup").alias("t_signup"),
+            F.max("t_click").alias("t_click"),
+            F.max("t_purchase").alias("t_purchase"),
+        )
         .select(
             "user_id",
             "t_signup",
@@ -210,20 +216,20 @@ def user_interevent_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @declared(
     "orders_rfm_segments",
-    oracle="""
+    oracle=f"""
     WITH rfm AS (
       SELECT o_custkey AS cust_key,
              date_diff('day', CAST(max(o_orderdate) AS DATE),
                        DATE '1998-08-01') AS recency_days,
              CAST(count(*) AS BIGINT) AS frequency,
-             sum(CAST(round(o_totalprice * 10000) AS BIGINT)) AS monetary_s
+             sum(CAST(round(o_totalprice * {SCALE}) AS BIGINT)) AS monetary_s
       FROM orders
       WHERE o_orderdate < TIMESTAMP '1998-08-01'
       GROUP BY o_custkey
     )
     SELECT cust_key, CAST(recency_days AS BIGINT) AS recency_days,
            frequency,
-           ((((monetary_s + 50) - (monetary_s + 50) % 100) / 100) / 100.0)
+           {int_round_scaled_sql("monetary_s")}
              AS monetary,
            CASE WHEN recency_days <= 180 AND frequency >= 12
                   THEN 'champion'
@@ -254,7 +260,7 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("recency_days"),
         F.count(F.lit(1)).alias("frequency"),
-        F.sum(F.round(F.col("o_totalprice") * 10000).cast("bigint")).alias(
+        F.sum(F.round(F.col("o_totalprice") * SCALE).cast("bigint")).alias(
             "monetary_s"
         ),
     )

@@ -499,6 +499,9 @@ def label_centroid_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks the fold with a fixed-size tree aggregate, same determinism.
     """
     emb = load_table(spark, sf_dir, "embeddings")
+    # Narrow parquet (1-3 splits) fans out 64x: rebalance BEFORE the
+    # explode so the fan-out and fold use every core (CLAUDE.md rule).
+    emb = emb.repartition(spark.sparkContext.defaultParallelism)
     exploded = emb.select(
         "vec_id", "label", F.posexplode("embedding").alias("pos", "comp")
     )
@@ -550,6 +553,9 @@ def vector_quantize_i8(spark: SparkSession, sf_dir: str) -> DataFrame:
     dims (mx == mn) code to 0.
     """
     emb = load_table(spark, sf_dir, "embeddings")
+    # Same repartition-before-fan-out rule as label_centroid_components;
+    # paid once, feeds both the stats pass and the quantize pass.
+    emb = emb.repartition(spark.sparkContext.defaultParallelism)
     comps = emb.select(
         "vec_id", F.posexplode("embedding").alias("pos", "comp")
     ).select(

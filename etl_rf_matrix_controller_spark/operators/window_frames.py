@@ -181,18 +181,25 @@ def daily_event_series_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     spine every time-series model and dashboard needs before windowing.
 
     The spine is sequence(min, max) exploded from a 1-ROW aggregate (two
-    scalar values -- never a driver-side date loop), then a LEFT join
-    against the per-day counts with coalesce(0).  The daily aggregate is
-    the only fact shuffle; its RESULT is |days| rows and broadcasts onto
-    the spine (the preserved side of a left join cannot be the broadcast
-    build side, so the hint goes on the aggregate).
+    scalar values -- never a driver-side date loop); the bounds aggregate
+    runs over the |days|-row DAILY result, not the raw fact.  The daily
+    aggregate feeds BOTH the bounds and the join probe, and column
+    pruning diverges the two subtrees (no ReusedExchange), so it is
+    localCheckpointed -- |days| tiny rows materialized once, fact
+    scanned once.  Its result broadcasts onto the spine (the preserved
+    side of a left join cannot be the broadcast build side, so the hint
+    goes on the aggregate).
     """
     ev = load_table(spark, sf_dir, "events").select(F.col("ts").cast("date").alias("day"))
-    bounds = ev.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    daily = (
+        ev.groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .localCheckpoint(eager=False)
+    )
+    bounds = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
     spine = bounds.select(
         F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day")
     )
-    daily = ev.groupBy("day").agg(F.count(F.lit(1)).alias("n_events"))
     return spine.join(F.broadcast(daily), "day", "left").select(
         "day", F.coalesce("n_events", F.lit(0)).alias("n_events")
     )
