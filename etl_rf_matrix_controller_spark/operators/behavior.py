@@ -24,6 +24,8 @@ from etl_rf_matrix_controller_spark.plans.conventions import (
     SCALE,
     int_round_scaled,
     int_round_scaled_sql,
+    ratio4,
+    ratio4_sql,
 )
 from etl_rf_matrix_controller_spark.plans.registry import declared
 from etl_rf_matrix_controller_spark.sources.tables import load_table
@@ -276,4 +278,117 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("recency_days") > 365, "at_risk")
         .otherwise("regular")
         .alias("segment"),
+    )
+
+
+@declared(
+    "weekday_activity_bitmask",
+    oracle="""
+    SELECT user_id,
+           CAST(bit_or(1 << dayofweek(ts)) AS BIGINT) AS dow_mask,
+           CAST(bit_count(CAST(bit_or(1 << dayofweek(ts)) AS BIGINT))
+                AS BIGINT) AS n_active_dows,
+           (bit_or(1 << dayofweek(ts)) & 65) <> 0 AS weekend_active
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def weekday_activity_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user day-of-week presence as a 7-bit mask (bit 0 = Sunday):
+    bit_or fold + popcount + a weekend-bit test -- compact set-membership
+    aggregation, the bitmap trick behind segment filters and calendar
+    heatmaps.
+
+    One shuffle on user_id; bit_or is map-side combinable and the mask is
+    integer-exact.  Day-of-week parity trap pinned: Spark dayofweek() is
+    1-based (Sunday=1), DuckDB's 0-based (Sunday=0) -- the Spark side
+    shifts by dayofweek-1.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    # F.shiftleft only takes a literal bit count; the SQL form accepts a
+    # column expression.
+    bit = F.expr("shiftleft(CAST(1 AS BIGINT), dayofweek(ts) - 1)")
+    mask = F.bit_or(bit)
+    return ev.groupBy("user_id").agg(
+        mask.cast("bigint").alias("dow_mask"),
+        F.bit_count(mask).cast("bigint").alias("n_active_dows"),
+        (mask.bitwiseAND(F.lit(65)) != 0).alias("weekend_active"),
+    )
+
+
+@declared(
+    "monetary_decile_lift",
+    oracle=f"""
+    WITH per_cust AS (
+      SELECT o_custkey AS cust_key,
+             sum(CAST(round(o_totalprice * {SCALE}) AS BIGINT)) AS monetary_s
+      FROM orders GROUP BY o_custkey
+    ),
+    tiled AS (
+      SELECT cust_key, monetary_s,
+             ntile(10) OVER (ORDER BY monetary_s DESC, cust_key) AS decile
+      FROM per_cust
+    ),
+    per_decile AS (
+      SELECT CAST(decile AS BIGINT) AS decile,
+             CAST(count(*) AS BIGINT) AS n_custs,
+             CAST(sum(monetary_s) AS BIGINT) AS decile_s
+      FROM tiled GROUP BY decile
+    ),
+    cum AS (
+      SELECT decile, n_custs, decile_s,
+             CAST(sum(decile_s) OVER (ORDER BY decile
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_s,
+             CAST(sum(decile_s) OVER () AS BIGINT) AS total_s
+      FROM per_decile
+    )
+    SELECT decile, n_custs,
+           {int_round_scaled_sql("decile_s")} AS decile_revenue,
+           {{RATIO_SHARE}} AS revenue_share,
+           {{RATIO_CUM}} AS cum_share
+    FROM cum
+    """.replace("{RATIO_SHARE}", ratio4_sql("decile_s", "total_s")).replace(
+        "{RATIO_CUM}", ratio4_sql("cum_s", "total_s")
+    ),
+)
+def monetary_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift table: customers ranked into spend deciles, each
+    decile's revenue share and cumulative share -- the classic
+    concentration ('top 10% drive X%') marketing readout.
+
+    ntile and both share windows run over ALREADY-AGGREGATED sets (the
+    per-customer rollup, then the 10-row decile table) -- the fact
+    shuffles once on custkey and everything downstream is tiny.  All
+    shares are integer-exact ratio4 over scaled sums; ntile ties are
+    broken by unique cust_key so bucket assignment is deterministic.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy(F.col("o_custkey").alias("cust_key")).agg(
+        F.sum(F.round(F.col("o_totalprice") * SCALE).cast("bigint")).alias(
+            "monetary_s"
+        )
+    )
+    tiled = per_cust.withColumn(
+        "decile",
+        F.ntile(10).over(Window.orderBy(F.desc("monetary_s"), F.asc("cust_key"))),
+    )
+    per_decile = tiled.groupBy(F.col("decile").cast("bigint").alias("decile")).agg(
+        F.count(F.lit(1)).alias("n_custs"),
+        F.sum("monetary_s").alias("decile_s"),
+    )
+    wcum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = per_decile.select(
+        "decile",
+        "n_custs",
+        "decile_s",
+        F.sum("decile_s").over(wcum).alias("cum_s"),
+        F.sum("decile_s").over(wall).alias("total_s"),
+    )
+    return cum.select(
+        "decile",
+        "n_custs",
+        int_round_scaled(F.col("decile_s")).alias("decile_revenue"),
+        ratio4(F.col("decile_s"), F.col("total_s")).alias("revenue_share"),
+        ratio4(F.col("cum_s"), F.col("total_s")).alias("cum_share"),
     )
