@@ -392,3 +392,80 @@ def monetary_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ratio4(F.col("decile_s"), F.col("total_s")).alias("revenue_share"),
         ratio4(F.col("cum_s"), F.col("total_s")).alias("cum_share"),
     )
+
+
+@declared(
+    "event_transition_counts",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS cur_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    )
+    SELECT prev_type, cur_type, CAST(count(*) AS BIGINT) AS n_transitions
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, cur_type
+    """,
+)
+def event_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition matrix: counts of consecutive
+    (prev -> cur) pairs per user timeline -- the Markov-chain summary a
+    journey-analysis or anomaly model starts from.
+
+    lag() over (user, ts, event_id) orders each user's timeline in one
+    shuffle; the transition rollup groups on |types|^2 keys (tiny).
+    Equal-ts ties break on event_id, so the chain -- and therefore the
+    counts -- are deterministic on both engines.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("cur_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+
+
+@declared(
+    "open_orders_daily",
+    oracle="""
+    WITH deltas AS (
+      SELECT CAST(o_orderdate AS DATE) AS day, 1 AS delta FROM orders
+      UNION ALL
+      SELECT CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, -1 FROM orders
+    ),
+    per_day AS (
+      SELECT CAST(day AS DATE) AS day, CAST(sum(delta) AS BIGINT) AS net
+      FROM deltas GROUP BY day
+    )
+    SELECT day, net,
+           CAST(sum(net) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS n_open
+    FROM per_day
+    """,
+)
+def open_orders_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily open-order backlog via sweep-line decomposition: each order
+    contributes +1 at placement and -1 at its (fixed 30-day) close, the
+    per-day net is aggregated, and a running sum rebuilds the concurrent
+    count -- the interval-overlap counting pattern that avoids a
+    quadratic interval self-join entirely.
+
+    The fact is scanned for two narrow delta projections that union
+    map-side (no shuffle for the union itself); the per-day aggregate is
+    the only fact shuffle, and the cumulative window runs over the
+    |days|-row series.  All values are integers.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("date").alias("day")
+    )
+    deltas = orders.select("day", F.lit(1).alias("delta")).unionByName(
+        orders.select(F.date_add("day", 30).alias("day"), F.lit(-1).alias("delta"))
+    )
+    per_day = deltas.groupBy("day").agg(F.sum("delta").cast("bigint").alias("net"))
+    wcum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return per_day.select(
+        "day", "net", F.sum("net").over(wcum).cast("bigint").alias("n_open")
+    )
