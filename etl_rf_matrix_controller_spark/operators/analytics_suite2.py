@@ -680,3 +680,92 @@ def brand_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy(
         F.col("p.brand_a").alias("brand_a"), F.col("p.brand_b").alias("brand_b")
     ).agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+@declared(
+    "brand_affinity_lift",
+    oracle=f"""
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey, p.p_brand
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    pair AS (
+      SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+             CAST(count(*) AS BIGINT) AS n_ab
+      FROM ob a JOIN ob b ON a.l_orderkey = b.l_orderkey
+                         AND a.p_brand < b.p_brand
+      GROUP BY a.p_brand, b.p_brand
+    ),
+    marg AS (
+      SELECT p_brand, CAST(count(*) AS BIGINT) AS n FROM ob GROUP BY p_brand
+    ),
+    tot AS (
+      SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM ob
+    )
+    SELECT p.brand_a, p.brand_b, p.n_ab,
+           {ratio4_sql("p.n_ab * t.n_orders", "ma.n * mb.n")} AS lift
+    FROM pair p
+    JOIN marg ma ON ma.p_brand = p.brand_a
+    JOIN marg mb ON mb.p_brand = p.brand_b
+    CROSS JOIN tot t
+    WHERE p.n_ab >= 5
+    """,
+)
+def brand_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket lift per brand pair: observed co-occurrence over the
+    independence expectation, lift = n_ab * N / (n_a * n_b) -- the score
+    that separates real affinity from popularity.
+
+    The distinct (order, brand) projection is localCheckpointed and
+    feeds all three derivations (pairs via in-row fan-out, per-brand
+    marginals, total basket count) from ONE materialization -- without
+    it each consumer re-runs the lineitem join (the diamond-reuse rule).
+    Pair counts use the same sorted-collect_set fan-out as
+    brand_cooccurrence_pairs; marginals and the 1-row total broadcast.
+    Lift is integer-exact ratio4 on products of counts (<= ~1e12, well
+    inside the 2^53 envelope); a support floor keeps noise pairs out.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    per_order = (
+        ob.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list("p_brand")).alias("brands"))
+        .filter(F.size("brands") >= 2)
+    )
+    pair = (
+        per_order.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(brands, (x, i) ->"
+                    " transform(slice(brands, i + 2, size(brands)),"
+                    " y -> struct(x AS brand_a, y AS brand_b))))"
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.brand_a").alias("brand_a"), F.col("p.brand_b").alias("brand_b"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 5)
+    )
+    marg = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n"))
+    tot = ob.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    ma = marg.select(F.col("p_brand").alias("brand_a"), F.col("n").alias("n_a"))
+    mb = marg.select(F.col("p_brand").alias("brand_b"), F.col("n").alias("n_b"))
+    return (
+        pair.join(F.broadcast(ma), "brand_a")
+        .join(F.broadcast(mb), "brand_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_ab",
+            ratio4(
+                F.col("n_ab") * F.col("n_orders"), F.col("n_a") * F.col("n_b")
+            ).alias("lift"),
+        )
+    )
