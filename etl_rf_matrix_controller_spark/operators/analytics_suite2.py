@@ -769,3 +769,91 @@ def brand_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@declared(
+    "monthly_revenue_ma3",
+    oracle=f"""
+    WITH monthly AS (
+      SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
+             sum(CAST(round((l_extendedprice * (1 - l_discount)) * {SCALE})
+                      AS BIGINT)) AS rev_s
+      FROM lineitem
+      GROUP BY date_trunc('month', l_shipdate)
+    ),
+    framed AS (
+      SELECT ship_month, rev_s,
+             CAST(sum(rev_s) OVER (ORDER BY ship_month
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS sum3_s,
+             CAST(count(*) OVER (ORDER BY ship_month
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS n3
+      FROM monthly
+    )
+    SELECT ship_month,
+           {int_round_scaled_sql("rev_s")} AS revenue,
+           {ratio4_sql("sum3_s", f"n3 * {SCALE}")} AS ma3,
+           {ratio4_sql("n3 * rev_s", "sum3_s")} AS dev_ratio
+    FROM framed
+    """,
+)
+def monthly_revenue_ma3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue with a trailing 3-month moving average and the
+    deviation ratio against it -- the smoothing/anomaly readout of any
+    time-series dashboard, on an explicit ROWS frame.
+
+    The frame runs over the ALREADY-AGGREGATED month series (|months|
+    rows); partial months at the series head divide by the actual frame
+    count (n3), not a hardcoded 3.  Everything is scaled-integer sums
+    with ratio4 divisions: ma3 = sum3/(n3*SCALE) in money units,
+    dev = n3*rev/sum3 -- bit-exact cross-engine, no float accumulation.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    rev_s = F.round(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))) * SCALE
+    ).cast("bigint")
+    monthly = li.groupBy(
+        F.date_trunc("month", "l_shipdate").cast("date").alias("ship_month")
+    ).agg(F.sum(rev_s).alias("rev_s"))
+    w3 = Window.orderBy("ship_month").rowsBetween(-2, 0)
+    framed = monthly.select(
+        "ship_month",
+        "rev_s",
+        F.sum("rev_s").over(w3).alias("sum3_s"),
+        F.count(F.lit(1)).over(w3).alias("n3"),
+    )
+    return framed.select(
+        "ship_month",
+        int_round_scaled(F.col("rev_s")).alias("revenue"),
+        ratio4(F.col("sum3_s"), F.col("n3") * SCALE).alias("ma3"),
+        ratio4(F.col("n3") * F.col("rev_s"), F.col("sum3_s")).alias("dev_ratio"),
+    )
+
+
+@declared(
+    "qty_discount_histogram2d",
+    oracle="""
+    SELECT CAST(floor(l_quantity / 10) AS BIGINT) AS qty_bucket,
+           CAST(round(l_discount * 100) AS BIGINT) AS disc_pct,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    GROUP BY floor(l_quantity / 10), round(l_discount * 100)
+    """,
+)
+def qty_discount_histogram2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D histogram over (quantity decile-bucket x discount percent):
+    the joint-distribution profile behind pricing heatmaps and data-
+    drift monitors.
+
+    Pure scan -> two integer bucketings -> partial->final count; the
+    shuffle carries |buckets| rows (~6 x 11).  Bucket edges are integer
+    floor/round on stored values -- the discount percents are exact
+    (0.00-0.10 step 0.01 stored doubles round to integers identically
+    in both engines).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_quantity", "l_discount")
+    return li.groupBy(
+        F.floor(F.col("l_quantity") / 10).cast("bigint").alias("qty_bucket"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("disc_pct"),
+    ).agg(F.count(F.lit(1)).alias("n_lines"))
