@@ -9,7 +9,7 @@ idempotent incremental one).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_rf_matrix_controller_spark.plans.conventions import (
@@ -288,4 +288,81 @@ def referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(
             orphans(orders, "o_custkey", cust, "c_custkey", "orders->customer", True)
         )
+    )
+
+
+@declared(
+    "doc_char_length_mad",
+    oracle="""
+    WITH hist AS (
+      SELECT n_chars, CAST(count(*) AS BIGINT) AS c
+      FROM documents GROUP BY n_chars
+    ),
+    cum AS (
+      SELECT n_chars, c,
+             CAST(sum(c) OVER (ORDER BY n_chars
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_c,
+             CAST(sum(c) OVER () AS BIGINT) AS n
+      FROM hist
+    ),
+    med AS (
+      SELECT min(n_chars) AS median_chars, max(n) AS n_docs
+      FROM cum WHERE cum_c >= (n + 1) // 2
+    ),
+    dev_hist AS (
+      SELECT abs(d.n_chars - m.median_chars) AS dev,
+             CAST(count(*) AS BIGINT) AS c
+      FROM documents d CROSS JOIN med m
+      GROUP BY abs(d.n_chars - m.median_chars)
+    ),
+    dev_cum AS (
+      SELECT dev, CAST(sum(c) OVER (ORDER BY dev
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_c,
+             CAST(sum(c) OVER () AS BIGINT) AS n
+      FROM dev_hist
+    )
+    SELECT m.n_docs, m.median_chars,
+           (SELECT min(dev) FROM dev_cum WHERE cum_c >= (n + 1) // 2)
+             AS mad_chars
+    FROM med m
+    """,
+)
+def doc_char_length_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust corpus length profile: exact (type-1) median and median
+    absolute deviation of document char lengths -- the outlier-resistant
+    spread stats a truncation/filter policy is tuned against.
+
+    Exact global median WITHOUT a global sort: build the value histogram
+    (|distinct lengths| rows -- tiny), cumulative-sum it in order, and
+    select the first value whose cumulative count reaches (n+1)/2; MAD
+    repeats the same trick on |value - median| with the median broadcast
+    back.  Two narrow scans of the fact, all windows over histogram-sized
+    sets, every quantity an integer -- the distributed-selection pattern
+    that replaces "sort 100 TB to find the middle".
+    """
+    docs = load_table(spark, sf_dir, "documents").select("n_chars")
+    wcum = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+
+    def hist_median(values: DataFrame, col: str):
+        hist = values.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+        cum = hist.select(
+            F.col(col),
+            F.sum("c").over(Window.orderBy(col).rowsBetween(
+                Window.unboundedPreceding, 0)).alias("cum_c"),
+            F.sum("c").over(wall).alias("n"),
+        )
+        return cum.filter(F.col("cum_c") >= F.expr("(n + 1) DIV 2")).agg(
+            F.min(col).alias("median"), F.max("n").alias("n")
+        )
+
+    med = hist_median(docs, "n_chars").select(
+        F.col("median").alias("median_chars"), F.col("n").alias("n_docs")
+    )
+    devs = docs.crossJoin(F.broadcast(med)).select(
+        F.abs(F.col("n_chars") - F.col("median_chars")).alias("dev")
+    )
+    mad = hist_median(devs, "dev").select(F.col("median").alias("mad_chars"))
+    return med.crossJoin(F.broadcast(mad)).select(
+        "n_docs", "median_chars", "mad_chars"
     )
