@@ -366,3 +366,63 @@ def doc_char_length_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     return med.crossJoin(F.broadcast(mad)).select(
         "n_docs", "median_chars", "mad_chars"
     )
+
+
+@declared(
+    "lang_length_quartiles",
+    oracle="""
+    WITH hist AS (
+      SELECT lang, n_chars, CAST(count(*) AS BIGINT) AS c
+      FROM documents GROUP BY lang, n_chars
+    ),
+    cum AS (
+      SELECT lang, n_chars, c,
+             CAST(sum(c) OVER (PARTITION BY lang ORDER BY n_chars
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_c,
+             CAST(sum(c) OVER (PARTITION BY lang) AS BIGINT) AS n
+      FROM hist
+    )
+    SELECT lang,
+           CAST(max(n) AS BIGINT) AS n_docs,
+           min(CASE WHEN cum_c >= (n + 3) // 4 THEN n_chars END) AS q1_chars,
+           min(CASE WHEN cum_c >= (n + 1) // 2 THEN n_chars END)
+             AS median_chars,
+           min(CASE WHEN cum_c >= (3 * n + 3) // 4 THEN n_chars END)
+             AS q3_chars
+    FROM cum
+    GROUP BY lang
+    """,
+)
+def lang_length_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language length quartiles (type-1 q1/median/q3 of n_chars) --
+    the per-slice distribution profile behind language-aware truncation
+    and quality thresholds.
+
+    The distributed-selection pattern of doc_char_length_mad,
+    generalized per group: per-(lang, value) histogram, cumulative count
+    over the lang-partitioned value order (histogram-sized partitions),
+    then each quartile is a conditional first-reach min in ONE final
+    aggregate -- no per-group sort of raw rows, no row_number over the
+    full fact.  Quartile indices are ceil(p*n) in pure integer math.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("lang", "n_chars")
+    hist = docs.groupBy("lang", "n_chars").agg(F.count(F.lit(1)).alias("c"))
+    wc = Window.partitionBy("lang").orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wn = Window.partitionBy("lang")
+    cum = hist.select(
+        "lang",
+        "n_chars",
+        F.sum("c").over(wc).alias("cum_c"),
+        F.sum("c").over(wn).alias("n"),
+    )
+    pick = lambda target: F.min(  # noqa: E731
+        F.when(F.col("cum_c") >= F.expr(target), F.col("n_chars"))
+    )
+    return cum.groupBy("lang").agg(
+        F.max("n").alias("n_docs"),
+        pick("(n + 3) DIV 4").alias("q1_chars"),
+        pick("(n + 1) DIV 2").alias("median_chars"),
+        pick("(3 * n + 3) DIV 4").alias("q3_chars"),
+    )
