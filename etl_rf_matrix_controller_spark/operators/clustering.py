@@ -306,3 +306,44 @@ def dedup_cluster_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chars_dropped"
         ),
     )
+
+
+@declared(
+    "dup_graph_degree_hist",
+    oracle=f"""
+    WITH edges AS ({_EDGES_SQL}),
+    sym AS (
+      SELECT src, dst FROM edges
+      UNION ALL
+      SELECT dst AS src, src AS dst FROM edges
+    ),
+    deg AS (
+      SELECT d.doc_id, CAST(count(s.src) AS BIGINT) AS degree
+      FROM documents d LEFT JOIN sym s ON s.src = d.doc_id
+      GROUP BY d.doc_id
+    )
+    SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY degree
+    """,
+)
+def dup_graph_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the near-dup graph (isolated nodes included
+    at degree 0) -- the shape check run before any clustering pass: a
+    heavy tail here predicts hot keys in the component propagation.
+
+    Per-node degree is a LEFT join from the node set onto the
+    symmetrized edge list (count of non-null matches), then the
+    histogram groups on |distinct degrees| keys.  Both shuffles are on
+    uniform integer ids; the histogram output is tiny.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    edges = _edge_df(docs)
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = (
+        docs.join(sym, docs.doc_id == sym.src, "left")
+        .groupBy("doc_id")
+        .agg(F.count("src").alias("degree"))
+    )
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
