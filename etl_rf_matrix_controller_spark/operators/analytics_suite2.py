@@ -635,6 +635,16 @@ def yoy_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# In-row unordered-pair fan-out over a sorted `brands` array: for each
+# element x at index i, pair it with every later element.  Shared by both
+# market-basket queries so the slice-index arithmetic lives in ONE place.
+_BRAND_PAIR_EXPR = (
+    "flatten(transform(brands, (x, i) ->"
+    " transform(slice(brands, i + 2, size(brands)),"
+    " y -> struct(x AS brand_a, y AS brand_b))))"
+)
+
+
 @declared(
     "brand_cooccurrence_pairs",
     oracle="""
@@ -668,15 +678,7 @@ def brand_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sort_array(F.collect_set("p_brand")).alias("brands"))
         .filter(F.size("brands") >= 2)
     )
-    pairs = per_order.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(brands, (x, i) ->"
-                " transform(slice(brands, i + 2, size(brands)),"
-                " y -> struct(x AS brand_a, y AS brand_b))))"
-            )
-        ).alias("p")
-    )
+    pairs = per_order.select(F.explode(F.expr(_BRAND_PAIR_EXPR)).alias("p"))
     return pairs.groupBy(
         F.col("p.brand_a").alias("brand_a"), F.col("p.brand_b").alias("brand_b")
     ).agg(F.count(F.lit(1)).alias("n_orders"))
@@ -722,8 +724,10 @@ def brand_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     it each consumer re-runs the lineitem join (the diamond-reuse rule).
     Pair counts use the same sorted-collect_set fan-out as
     brand_cooccurrence_pairs; marginals and the 1-row total broadcast.
-    Lift is integer-exact ratio4 on products of counts (<= ~1e12, well
-    inside the 2^53 envelope); a support floor keeps noise pairs out.
+    Lift is integer-exact ratio4 on products of counts: ratio4's
+    intermediate is 2*num*SCALE + den, so num must stay <= ~4.5e11 for
+    the 2^53 envelope -- here num = n_ab*N is ~7.5e7 at sf0.1, five
+    orders of margin.  A support floor keeps noise pairs out.
     """
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
@@ -739,15 +743,7 @@ def brand_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("brands") >= 2)
     )
     pair = (
-        per_order.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(brands, (x, i) ->"
-                    " transform(slice(brands, i + 2, size(brands)),"
-                    " y -> struct(x AS brand_a, y AS brand_b))))"
-                )
-            ).alias("p")
-        )
+        per_order.select(F.explode(F.expr(_BRAND_PAIR_EXPR)).alias("p"))
         .groupBy(F.col("p.brand_a").alias("brand_a"), F.col("p.brand_b").alias("brand_b"))
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .filter(F.col("n_ab") >= 5)
@@ -790,12 +786,24 @@ def brand_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
                AS n3
       FROM monthly
+    ),
+    avgd AS (
+      SELECT ship_month, rev_s,
+             (((2 * sum3_s + n3) - (2 * sum3_s + n3) % (2 * n3)) / (2 * n3))
+               AS ma3_s
+      FROM framed
+    ),
+    centsd AS (
+      SELECT ship_month, rev_s, ma3_s,
+             CAST((rev_s + 50 - (rev_s + 50) % 100) / 100 AS BIGINT) AS rev_c,
+             CAST((ma3_s + 50 - (ma3_s + 50) % 100) / 100 AS BIGINT) AS ma3_c
+      FROM avgd
     )
     SELECT ship_month,
            {int_round_scaled_sql("rev_s")} AS revenue,
-           {ratio4_sql("sum3_s", f"n3 * {SCALE}")} AS ma3,
-           {ratio4_sql("n3 * rev_s", "sum3_s")} AS dev_ratio
-    FROM framed
+           {int_round_scaled_sql("ma3_s")} AS ma3,
+           {ratio4_sql("rev_c", "ma3_c")} AS dev_ratio
+    FROM centsd
     """,
 )
 def monthly_revenue_ma3(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -805,9 +813,14 @@ def monthly_revenue_ma3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The frame runs over the ALREADY-AGGREGATED month series (|months|
     rows); partial months at the series head divide by the actual frame
-    count (n3), not a hardcoded 3.  Everything is scaled-integer sums
-    with ratio4 divisions: ma3 = sum3/(n3*SCALE) in money units,
-    dev = n3*rev/sum3 -- bit-exact cross-engine, no float accumulation.
+    count (n3), not a hardcoded 3.  Numeric-envelope discipline (the
+    conventions.py 2^53 bound): the average is reduced FIRST in
+    small-integer space -- ma3_s = half-up (2*sum3 + n)/(2n), intermediates
+    ~2.4e13 -- and the deviation ratio runs on integer CENTS (rev_c/ma3_c
+    ~4e10 at sf0.1), so ratio4's 2*num*SCALE+den stays ~8e14.  Feeding
+    the raw scaled sums to ratio4 directly blows the envelope (~2.4e16:
+    mod-division goes inexact and the emitted doubles are off-ulp --
+    caught by review, verified empirically).
     """
     li = load_table(spark, sf_dir, "lineitem")
     rev_s = F.round(
@@ -823,11 +836,25 @@ def monthly_revenue_ma3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("rev_s").over(w3).alias("sum3_s"),
         F.count(F.lit(1)).over(w3).alias("n3"),
     )
-    return framed.select(
+    avgd = framed.withColumn(
+        "ma3_s", F.expr("(2 * sum3_s + n3) DIV (2 * n3)")
+    )
+    centsd = avgd.select(
+        "ship_month",
+        "rev_s",
+        "ma3_s",
+        F.expr("CAST((rev_s + 50 - (rev_s + 50) % 100) / 100 AS BIGINT)").alias(
+            "rev_c"
+        ),
+        F.expr("CAST((ma3_s + 50 - (ma3_s + 50) % 100) / 100 AS BIGINT)").alias(
+            "ma3_c"
+        ),
+    )
+    return centsd.select(
         "ship_month",
         int_round_scaled(F.col("rev_s")).alias("revenue"),
-        ratio4(F.col("sum3_s"), F.col("n3") * SCALE).alias("ma3"),
-        ratio4(F.col("n3") * F.col("rev_s"), F.col("sum3_s")).alias("dev_ratio"),
+        int_round_scaled(F.col("ma3_s")).alias("ma3"),
+        ratio4(F.col("rev_c"), F.col("ma3_c")).alias("dev_ratio"),
     )
 
 

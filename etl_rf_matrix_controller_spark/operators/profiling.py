@@ -341,7 +341,6 @@ def doc_char_length_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     that replaces "sort 100 TB to find the middle".
     """
     docs = load_table(spark, sf_dir, "documents").select("n_chars")
-    wcum = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, 0)
     wall = Window.partitionBy()
 
     def hist_median(values: DataFrame, col: str):
