@@ -348,12 +348,13 @@ def part_type_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     m AS (
       SELECT part_key, value_s,
-             CAST(sum(value_s) OVER () AS BIGINT) AS total_s
+             CAST(sum(value_s) OVER () AS BIGINT) AS total_s,
+             CAST(count(*) OVER () AS BIGINT) AS n_parts
       FROM per_part
     )
     SELECT part_key, {int_round_scaled_sql("value_s")} AS part_value
     FROM m
-    WHERE value_s > total_s * 0.002
+    WHERE value_s * n_parts > 3 * total_s
     """,
 )
 def important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -365,8 +366,10 @@ def important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     ALREADY-AGGREGATED per-part set -- |distinct parts| narrow rows
     through one task, vs. the scalar-subquery form's SECOND full fact
     scan (no ReusedExchange: column pruning diverges the subtrees).  The
-    threshold compares BIGINT against BIGINT*0.002 (exact double product
-    of an integer < 2^53) -- deterministic in both engines.
+    threshold is SCALE-INVARIANT -- "above 3x the mean part share",
+    value_s * n_parts > 3 * total_s in pure BIGINT arithmetic (a fixed
+    fraction like 0.002 goes vacuous as |parts| grows: at sf0.1 every
+    share dips below it; classic Q11's 0.0001 has the same flaw).
     """
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", "l_extendedprice"
@@ -389,7 +392,8 @@ def important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_part.withColumn(
             "total_s", F.sum("value_s").over(Window.partitionBy())
         )
-        .filter(F.col("value_s") > F.col("total_s") * 0.002)
+        .withColumn("n_parts", F.count(F.lit(1)).over(Window.partitionBy()))
+        .filter(F.col("value_s") * F.col("n_parts") > 3 * F.col("total_s"))
         .select("part_key", int_round_scaled(F.col("value_s")).alias("part_value"))
     )
 
@@ -587,11 +591,18 @@ def excess_qty_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
              lag(rev_s) OVER (PARTITION BY nation_name ORDER BY ship_year)
                AS prev_s
       FROM yearly
+    ),
+    centsd AS (
+      SELECT nation_name, ship_year, rev_s,
+             CAST((rev_s + 50 - (rev_s + 50) % 100) / 100 AS BIGINT) AS rev_c,
+             CAST((prev_s + 50 - (prev_s + 50) % 100) / 100 AS BIGINT)
+               AS prev_c
+      FROM lagged
     )
     SELECT nation_name, ship_year,
            {int_round_scaled_sql("rev_s")} AS revenue,
-           {ratio4_sql("rev_s", "prev_s")} AS yoy_ratio
-    FROM lagged
+           {ratio4_sql("rev_c", "prev_c")} AS yoy_ratio
+    FROM centsd
     """,
 )
 def yoy_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -602,8 +613,10 @@ def yoy_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     The window runs over the ALREADY-AGGREGATED series (|nations| x
     |years| rows), partitioned by nation -- never over the fact table.
     One fact scan, one shuffle for the 2-key aggregate; supplier/nation
-    broadcast.  The growth ratio uses ratio4 on the scaled-integer sums,
-    so both engines agree bit-for-bit; NULL lag propagates identically.
+    broadcast.  The growth ratio runs on integer CENTS -- the raw scaled
+    yearly sums (~1e12) would push ratio4's 2*num*SCALE+den intermediate
+    past the 2^53 envelope; cents keep it ~2e14 -- so both engines agree
+    bit-for-bit; NULL lag propagates identically.
     """
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
@@ -626,11 +639,19 @@ def yoy_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("nation_name").orderBy("ship_year")
     return (
         yearly.withColumn("prev_s", F.lag("rev_s").over(w))
+        .withColumn(
+            "rev_c",
+            F.expr("CAST((rev_s + 50 - (rev_s + 50) % 100) / 100 AS BIGINT)"),
+        )
+        .withColumn(
+            "prev_c",
+            F.expr("CAST((prev_s + 50 - (prev_s + 50) % 100) / 100 AS BIGINT)"),
+        )
         .select(
             "nation_name",
             "ship_year",
             int_round_scaled(F.col("rev_s")).alias("revenue"),
-            ratio4(F.col("rev_s"), F.col("prev_s")).alias("yoy_ratio"),
+            ratio4(F.col("rev_c"), F.col("prev_c")).alias("yoy_ratio"),
         )
     )
 

@@ -341,14 +341,24 @@ def weekday_activity_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_s,
              CAST(sum(decile_s) OVER () AS BIGINT) AS total_s
       FROM per_decile
+    ),
+    unitsd AS (
+      SELECT decile, n_custs, decile_s,
+             CAST((decile_s + 5000 - (decile_s + 5000) % 10000) / 10000
+                  AS BIGINT) AS decile_u,
+             CAST((cum_s + 5000 - (cum_s + 5000) % 10000) / 10000
+                  AS BIGINT) AS cum_u,
+             CAST((total_s + 5000 - (total_s + 5000) % 10000) / 10000
+                  AS BIGINT) AS total_u
+      FROM cum
     )
     SELECT decile, n_custs,
            {int_round_scaled_sql("decile_s")} AS decile_revenue,
            {{RATIO_SHARE}} AS revenue_share,
            {{RATIO_CUM}} AS cum_share
-    FROM cum
-    """.replace("{RATIO_SHARE}", ratio4_sql("decile_s", "total_s")).replace(
-        "{RATIO_CUM}", ratio4_sql("cum_s", "total_s")
+    FROM unitsd
+    """.replace("{RATIO_SHARE}", ratio4_sql("decile_u", "total_u")).replace(
+        "{RATIO_CUM}", ratio4_sql("cum_u", "total_u")
     ),
 )
 def monetary_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -385,12 +395,27 @@ def monetary_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("decile_s").over(wcum).alias("cum_s"),
         F.sum("decile_s").over(wall).alias("total_s"),
     )
+    # Share ratios run on WHOLE currency units (half-up from the 4-dec
+    # scale): the scaled totals (~2e14 at sf0.1) would blow ratio4's
+    # 2*num*SCALE+den past the 2^53 envelope; whole units keep the
+    # intermediates ~4e14 with no perceptible share precision loss.
+    units = lambda c: F.expr(  # noqa: E731
+        f"CAST(({c} + 5000 - ({c} + 5000) % 10000) / 10000 AS BIGINT)"
+    )
+    cum = cum.select(
+        "decile",
+        "n_custs",
+        "decile_s",
+        units("decile_s").alias("decile_u"),
+        units("cum_s").alias("cum_u"),
+        units("total_s").alias("total_u"),
+    )
     return cum.select(
         "decile",
         "n_custs",
         int_round_scaled(F.col("decile_s")).alias("decile_revenue"),
-        ratio4(F.col("decile_s"), F.col("total_s")).alias("revenue_share"),
-        ratio4(F.col("cum_s"), F.col("total_s")).alias("cum_share"),
+        ratio4(F.col("decile_u"), F.col("total_u")).alias("revenue_share"),
+        ratio4(F.col("cum_u"), F.col("total_u")).alias("cum_share"),
     )
 
 
