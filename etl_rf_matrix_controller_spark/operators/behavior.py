@@ -494,3 +494,61 @@ def open_orders_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_day.select(
         "day", "net", F.sum("net").over(wcum).cast("bigint").alias("n_open")
     )
+
+
+@declared(
+    "dow_seasonality_lift",
+    oracle=f"""
+    WITH g AS (
+      SELECT event_type, (dayofweek(ts) + 6) % 7 AS dow,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY event_type, (dayofweek(ts) + 6) % 7
+    ),
+    t AS (
+      SELECT event_type, dow, cnt,
+             CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT)
+               AS type_total,
+             CAST(sum(cnt) OVER (PARTITION BY dow) AS BIGINT) AS dow_total,
+             CAST(sum(cnt) OVER () AS BIGINT) AS total
+      FROM g
+    )
+    SELECT event_type, dow, cnt,
+           {ratio4_sql("cnt * total", "type_total * dow_total")} AS lift4
+    FROM t
+    """,
+)
+def dow_seasonality_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality index per event type: observed share of a
+    (type, weekday) cell over the share expected if type and weekday were
+    independent -- lift = P(type, dow) / (P(type) * P(dow)), the same
+    statistic as brand_affinity_lift applied to time-of-week seasonality.
+
+    Monday=0 on both engines (Spark dayofweek is Sunday=1, DuckDB
+    Sunday=0 -- the established parity shift from
+    weekday_activity_bitmask).  One scan -> 35-row aggregate; all three
+    marginals are window sums OVER THE AGGREGATED SET (never a second
+    fact scan -- the round-1 ReusedExchange lesson); lift is integer
+    ratio4.  cnt*total stays under the ratio4 envelope to ~sf1; past
+    that, divide both shares by 10^k first.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", ((F.dayofweek("ts") + 5) % 7).alias("dow")
+    )
+    g = ev.groupBy("event_type", "dow").agg(F.count(F.lit(1)).alias("cnt"))
+    t = g.select(
+        "event_type",
+        "dow",
+        "cnt",
+        F.sum("cnt").over(Window.partitionBy("event_type")).alias("type_total"),
+        F.sum("cnt").over(Window.partitionBy("dow")).alias("dow_total"),
+        F.sum("cnt").over(Window.partitionBy()).alias("total"),
+    )
+    return t.select(
+        "event_type",
+        "dow",
+        "cnt",
+        ratio4(
+            F.col("cnt") * F.col("total"),
+            F.col("type_total") * F.col("dow_total"),
+        ).alias("lift4"),
+    )

@@ -461,3 +461,92 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jacc >= 0.6)
         .select("doc_a", "doc_b", jacc.alias("jaccard"))
     )
+
+
+@declared(
+    "containment_pairs",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    ccorp AS (
+      SELECT doc_id, text, source FROM corpus
+      UNION ALL
+      SELECT doc_id + 3000000,
+             substring(trim(text), 1,
+               greatest(CAST(length(trim(text)) // 2 AS INT), 8)),
+             source
+      FROM corpus WHERE doc_id % 10 = 2
+    ),
+    grams AS (
+      SELECT doc_id, source, g.gram
+      FROM (
+        SELECT doc_id, source,
+               list_distinct(list_transform(
+                 generate_series(1, greatest(length(trim(text)) - 7, 1)),
+                 i -> substring(trim(text), CAST(i AS INT), 8))) AS grams
+        FROM ccorp
+      ) grammed, unnest(grams) AS g(gram)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS shared_grams
+      FROM grams a
+      JOIN grams b ON a.gram = b.gram AND a.source = b.source
+                  AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, shared_grams,
+           shared_grams * 1.0 / least(sa.n, sb.n) AS containment
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE shared_grams * 1.0 / least(sa.n, sb.n) >= 0.9
+    """,
+)
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup: |A n B| / min(|A|, |B|) >= 0.9 over
+    char-8-gram sets -- catches a short document EMBEDDED in a longer one
+    (quote inclusion, truncated re-crawls), which symmetric Jaccard
+    misses (a half-length prefix scores J ~ 0.5, containment ~ 1.0).
+
+    The corpus adds half-prefix truncations (+3M ids) to the synthesized
+    dup corpus to exercise exactly that case.  Same inverted-index shape
+    as ngram_jaccard_pairs: shared-gram counting via the (gram, source)
+    equi-join -- per-pair cost scales with shared grams, never pairs x
+    set size; the containment ratio is a single float division of two
+    exact integers (bit-identical cross-engine).
+    """
+    corpus = dup_corpus(spark, sf_dir).select("doc_id", "text", "source")
+    t = F.trim("text")
+    trunc = corpus.filter(F.col("doc_id") % 10 == 2).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        t.substr(
+            F.lit(1),
+            F.greatest(F.expr("CAST(length(trim(text)) DIV 2 AS INT)"), F.lit(8)),
+        ).alias("text"),
+        "source",
+    )
+    ccorp = corpus.unionByName(trunc)
+    grams = _gram_df(ccorp, "source")
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = grams.alias("a")
+    b = grams.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_grams"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    cont = F.col("shared_grams") * 1.0 / F.least(F.col("sa.n"), F.col("sb.n"))
+    return (
+        shared.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .filter(cont >= 0.9)
+        .select("doc_a", "doc_b", "shared_grams", cont.alias("containment"))
+    )

@@ -425,3 +425,68 @@ def lang_length_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick("(n + 1) DIV 2").alias("median_chars"),
         pick("(3 * n + 3) DIV 4").alias("q3_chars"),
     )
+
+
+@declared(
+    "value_zscore_outliers",
+    oracle="""
+    WITH x AS (
+      SELECT event_id, event_type, value,
+             CAST(round(value * 100) AS BIGINT) AS x
+      FROM events
+    ),
+    st AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(x * x) AS BIGINT) AS sx2
+      FROM x GROUP BY event_type
+    )
+    SELECT event_id, x.event_type, value,
+           (CAST(x.x AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+             / sqrt(CAST(sx2 AS DOUBLE) / CAST(n AS DOUBLE)
+                    - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) AS z
+    FROM x JOIN st USING (event_type)
+    WHERE abs((CAST(x.x AS DOUBLE) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+             / sqrt(CAST(sx2 AS DOUBLE) / CAST(n AS DOUBLE)
+                    - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))) > 3.0
+    """,
+)
+def value_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group anomaly detection: events whose value is more than 3
+    standard deviations from their event_type's mean.
+
+    Moments are EXACT int64 sums of the 2-decimal scaled value (the
+    corr_value_props convention), so mu/sigma^2 derive from identical
+    integers on both engines; the z expression then uses only IEEE
+    correctly-rounded ops (+ - * / sqrt) in an identical tree, so the
+    emitted doubles are bit-identical with NO rounding step.  z is
+    scale-invariant, so computing in scaled space changes nothing.
+
+    Plan: one scan -> 5-row stats aggregate -> broadcast back onto the
+    stream -> codegen'd filter.  At 100 TB this is the canonical
+    two-pass outlier scan (stats pass + filter pass share the scan via
+    the broadcast agg); the int64 moment envelope holds to ~sf10, past
+    which sum(x*x) swaps to DECIMAL(38,0) at the same call sites.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round(F.col("value") * 100).cast("bigint").alias("x"),
+    )
+    st = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sx2"),
+    )
+    n = F.col("n").cast("double")
+    mu = F.col("sx").cast("double") / n
+    var = F.col("sx2").cast("double") / n - mu * mu
+    z = (F.col("x").cast("double") - mu) / F.sqrt(var)
+    return (
+        ev.join(F.broadcast(st), "event_type")
+        .filter(F.abs(z) > 3.0)
+        .select("event_id", "event_type", "value", z.alias("z"))
+    )

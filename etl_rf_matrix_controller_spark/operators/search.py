@@ -1,0 +1,266 @@
+"""Ranked retrieval over the corpus: tf-idf search, inverted postings,
+and a bigram-LM fluency proxy.
+
+Training-data pipelines need a search path (find documents matching a
+probe query, inspect index health) and a cheap fluency signal (rank
+documents by how well a corpus n-gram model predicts them) before any
+GPU-side scoring.  All three are expressed as exact integer arithmetic so
+the DuckDB oracle hash-matches (a float ``log`` idf would differ in the
+last ulp across libm implementations; integer ppm scaling preserves the
+ranking and is portable).
+
+Reference basis: the reference has no search surface (SURVEY.md SS2.12);
+these extend the SS2.11 text-pipeline mandate (nearest reference behavior:
+the name-lookup probes in etl_controller.py:3293-3298).
+
+Scale design: term statistics are vocabulary-bounded (broadcast dims);
+per-doc scoring joins stay on the exploded token stream and collapse in
+partial aggregation; posting arrays are rank-bounded BEFORE collect_list
+so no unbounded array ever materializes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_rf_matrix_controller_spark.plans.conventions import (
+    SCALE,
+    ratio4,
+    ratio4_sql,
+)
+from etl_rf_matrix_controller_spark.plans.registry import declared
+from etl_rf_matrix_controller_spark.sources.tables import load_table
+
+# Fixed probe query for the retrieval operator (terms present in the
+# testdata vocabulary at every SF).
+QUERY_TERMS = ("spark", "hash", "window")
+_QUERY_SQL = ", ".join(f"'{t}'" for t in QUERY_TERMS)
+
+_TOK_SQL = """
+      SELECT doc_id, t.token
+      FROM documents, unnest(string_split(trim(text), ' ')) AS t(token)
+      WHERE t.token <> ''
+"""
+
+
+def _tok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+
+
+@declared(
+    "tfidf_retrieval_topk",
+    oracle=f"""
+    WITH tok AS ({_TOK_SQL}),
+    qtok AS (SELECT * FROM tok WHERE token IN ({_QUERY_SQL})),
+    tf AS (
+      SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      FROM qtok GROUP BY doc_id, token
+    ),
+    df AS (
+      SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      FROM qtok GROUP BY token
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(sum(tf.tf * ((n.n_docs * 1000000) // df.df)) AS BIGINT)
+               AS score_ppm
+      FROM tf JOIN df ON df.token = tf.token CROSS JOIN n
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, score_ppm, rnk
+    FROM (
+      SELECT doc_id, score_ppm,
+             CAST(row_number() OVER (ORDER BY score_ppm DESC, doc_id)
+               AS BIGINT) AS rnk
+      FROM scored
+    ) WHERE rnk <= 10
+    """,
+)
+def tfidf_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked retrieval: top-10 documents for a fixed multi-term probe
+    query under integer tf-idf (idf_ppm = N*1e6 DIV df).
+
+    Plan: the token stream is filtered to the query terms BEFORE any
+    shuffle (predicate on the exploded token, pushed below the tf
+    aggregation), so the scored set is query-selectivity-sized, not
+    corpus-sized.  df and N are vocabulary-/scalar-sized broadcast dims.
+    The final top-10 is an unpartitioned window over the already
+    aggregated per-doc scores -- at 100 TB you'd swap it for
+    orderBy(...).limit(10) (TakeOrdered, no single-partition shuffle),
+    kept as row_number here for the deterministic rnk column.
+    """
+    tok = _tok(spark, sf_dir)
+    qtok = tok.filter(F.col("token").isin(*QUERY_TERMS))
+    tf = qtok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = qtok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n = (
+        load_table(spark, sf_dir, "documents")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    scored = (
+        tf.join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.col("tf")
+                * F.expr("(n_docs * 1000000) DIV df")
+            )
+            .cast("bigint")
+            .alias("score_ppm")
+        )
+    )
+    w = Window.orderBy(F.desc("score_ppm"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 10)
+        .select("doc_id", "score_ppm", "rnk")
+    )
+
+
+@declared(
+    "inverted_postings",
+    oracle=f"""
+    WITH tok AS ({_TOK_SQL}),
+    pair AS (
+      SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, token
+    ),
+    stats AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS df,
+             CAST(sum(tf) AS BIGINT) AS cf
+      FROM pair GROUP BY token
+    ),
+    ranked AS (
+      SELECT token, doc_id,
+             row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn
+      FROM pair
+    ),
+    post AS (
+      SELECT token, list_sort(list(doc_id)) AS postings_sample
+      FROM ranked WHERE rn <= 16 GROUP BY token
+    )
+    SELECT s.token, s.df, s.cf, p.postings_sample
+    FROM stats s JOIN post p ON p.token = s.token
+    """,
+)
+def inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: per token, document frequency, collection
+    frequency, and the first 16 postings (doc_ids ascending).
+
+    The posting array is BOUNDED before it exists: rank postings per
+    token with row_number, filter rn <= 16, and only then collect_list.
+    Collecting the full postings and slicing after would materialize a
+    corpus-sized array per stop-token -- the classic OOM at 100 TB.  Both
+    aggregations shuffle on token (vocabulary-bounded output); the final
+    join of two vocabulary-sized sides is broadcastable.
+    """
+    tok = _tok(spark, sf_dir)
+    pair = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    stats = pair.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("tf").cast("bigint").alias("cf")
+    )
+    w = Window.partitionBy("token").orderBy("doc_id")
+    post = (
+        pair.select("token", "doc_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 16)
+        .groupBy("token")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("postings_sample"))
+    )
+    return stats.join(post, "token").select(
+        "token", "df", "cf", "postings_sample"
+    )
+
+
+@declared(
+    "bigram_fluency",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS l
+      FROM documents WHERE len(string_split(trim(text), ' ')) >= 2
+    ),
+    bg AS (
+      SELECT doc_id, b.bg
+      FROM (
+        SELECT doc_id,
+               list_transform(generate_series(1, len(l) - 1),
+                 i -> l[CAST(i AS INT)] || ' ' || l[CAST(i AS INT) + 1]) AS bgs
+        FROM toks
+      ) bgd, unnest(bgs) AS b(bg)
+    ),
+    cbg AS (SELECT bg, CAST(count(*) AS BIGINT) AS cb FROM bg GROUP BY bg),
+    cpf AS (
+      SELECT string_split(bg, ' ')[1] AS w1, CAST(count(*) AS BIGINT) AS cp
+      FROM bg GROUP BY string_split(bg, ' ')[1]
+    ),
+    inst AS (
+      SELECT bg.doc_id,
+             CAST(((2 * cb * {SCALE} + cp)
+                   - (2 * cb * {SCALE} + cp) % (2 * cp)) / (2 * cp)
+               AS BIGINT) AS p4s
+      FROM bg
+      JOIN cbg ON cbg.bg = bg.bg
+      JOIN cpf ON cpf.w1 = string_split(bg.bg, ' ')[1]
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           {ratio4_sql("sum(p4s)", f"count(*) * {SCALE}")} AS fluency4
+    FROM inst GROUP BY doc_id
+    """,
+)
+def bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM fluency proxy: score each document by the mean corpus
+    transition probability P(w2|w1) over its bigrams -- the log-prob-free
+    analog of LM perplexity filtering (high mean transition probability =
+    the corpus model predicts the document well).
+
+    Per-bigram probability is rounded half-up to 4 decimals IN INTEGER
+    SPACE (p4s = round(cb/cp * 1e4)), then averaged per doc with the same
+    integer trick -- no float division until the final exact-by-
+    construction emit, so both engines agree bit-for-bit.
+
+    Plan: one token-stream scan builds the bigram instances; bigram and
+    prefix count tables are vocabulary^2- / vocabulary-bounded broadcast
+    dims (a 30k-word vocab makes cbg ~1e9 -- past broadcast there, the
+    same plan falls back to a shuffle join on the uniform bigram key).
+    Doc scores collapse in partial aggregation on doc_id.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.trim("text"), " ").alias("l")
+    ).filter(F.size("l") >= 2)
+    # Rebalance thin rows before the ~30x bigram fan-out (small parquet =
+    # 1-3 input splits; same rule as _gram_df in dedup.py).
+    toks = toks.repartition(spark.sparkContext.defaultParallelism)
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("l") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("l", i), F.element_at("l", i + 1)
+                ),
+            )
+        ).alias("bg"),
+    )
+    cbg = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("cb"))
+    w1 = F.split(F.col("bg"), " ").getItem(0)
+    cpf = bg.groupBy(w1.alias("w1")).agg(F.count(F.lit(1)).alias("cp"))
+    p4s = F.expr(
+        f"CAST(((2 * cb * {SCALE} + cp) - (2 * cb * {SCALE} + cp) % (2 * cp))"
+        f" / (2 * cp) AS BIGINT)"
+    )
+    inst = (
+        bg.join(F.broadcast(cbg), "bg")
+        .join(F.broadcast(cpf), w1 == F.col("w1"))
+        .select("doc_id", p4s.alias("p4s"))
+    )
+    return inst.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        ratio4(F.sum("p4s"), F.count(F.lit(1)) * SCALE).alias("fluency4"),
+    )

@@ -65,6 +65,7 @@ def load_all() -> None:
         profiling,
         range_partition,
         reshape,
+        search,
         setops,
         similarity,
         state,
