@@ -552,3 +552,85 @@ def dow_seasonality_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("type_total") * F.col("dow_total"),
         ).alias("lift4"),
     )
+
+
+@declared(
+    "user_session_stats",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_id, sec,
+             CASE WHEN sec - lag(sec) OVER (
+               PARTITION BY user_id ORDER BY sec, event_id) > 1800
+               OR lag(sec) OVER (
+               PARTITION BY user_id ORDER BY sec, event_id) IS NULL
+             THEN 1 ELSE 0 END AS new_sess
+      FROM ev
+    ),
+    sess AS (
+      SELECT user_id, sec,
+             sum(new_sess) OVER (
+               PARTITION BY user_id ORDER BY sec, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      FROM flagged
+    ),
+    per_sess AS (
+      SELECT user_id, sess_id, CAST(count(*) AS BIGINT) AS n_events,
+             CAST(max(sec) - min(sec) AS BIGINT) AS dur_s
+      FROM sess GROUP BY user_id, sess_id
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(n_events) AS BIGINT) AS n_events,
+           {ratio4_sql("sum(dur_s)", "count(*)")} AS avg_dur_s4
+    FROM per_sess GROUP BY user_id
+    """,
+)
+def user_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: split each user's event stream on >30 min
+    silence (gaps-and-islands: lag -> boundary flag -> running sum), then
+    per-user session count, event count, and mean session duration.
+
+    The batch twin of the streaming session_window operator
+    (streaming/windows.py) -- same session semantics, expressed as
+    windows so a backfill job and the live stream agree.  All three
+    window steps and both aggregations partition by user_id: ONE shuffle
+    total, every subsequent step reuses the partitioning.  Durations are
+    integer epoch seconds (floor on both engines); the mean is integer
+    ratio4.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.col("ts").cast("long").alias("sec")
+    )
+    wo = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "sec",
+        F.when(
+            (F.col("sec") - F.lag("sec").over(wo) > 1800)
+            | F.lag("sec").over(wo).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+        F.col("event_id"),
+    )
+    sess = flagged.select(
+        "user_id",
+        "sec",
+        F.sum("new_sess")
+        .over(wo.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("sess_id"),
+    )
+    per_sess = sess.groupBy("user_id", "sess_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        (F.max("sec") - F.min("sec")).cast("bigint").alias("dur_s"),
+    )
+    return per_sess.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.sum("n_events").cast("bigint").alias("n_events"),
+        ratio4(F.sum("dur_s"), F.count(F.lit(1))).alias("avg_dur_s4"),
+    )

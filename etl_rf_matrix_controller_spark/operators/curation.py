@@ -271,3 +271,131 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("sample_rank") <= 20)
     )
+
+
+@declared(
+    "negative_sample_pairs",
+    oracle="""
+    WITH idx AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS rn,
+             CAST(count(*) OVER () AS BIGINT) AS n
+      FROM documents
+    ),
+    cand AS (
+      SELECT i.doc_id, j.j,
+             (i.doc_id * 2654435761 + j.j * 40503) % i.n AS neg_rn
+      FROM idx i, unnest([1, 2, 3]) AS j(j)
+    )
+    SELECT c.doc_id, CAST(c.j AS BIGINT) AS j, m.doc_id AS neg_doc_id
+    FROM cand c JOIN idx m ON m.rn = c.neg_rn
+    WHERE m.doc_id <> c.doc_id
+    """,
+)
+def negative_sample_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training negative sampling: 3 pseudo-random negative
+    documents per document, deterministic (Knuth multiplicative hash of
+    doc_id and slot, mod corpus size) -- no RNG state, so every re-run and
+    both engines produce the identical pair set.
+
+    Existence is guaranteed by resolving through a dense row_number index
+    rather than assuming dense doc_ids.  The global row_number here is
+    the one single-partition step; at 100 TB you precompute the dense id
+    map once (zipWithIndex-style per-partition offsets) and every
+    sampling epoch reuses it via the same uniform equi-join on neg_rn --
+    never a cartesian.  Accidental positives (hash lands on itself) are
+    filtered, mirroring rejection sampling.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    w = Window.orderBy("doc_id")
+    idx = docs.select(
+        "doc_id",
+        (F.row_number().over(w) - 1).cast("bigint").alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    cand = idx.select(
+        "doc_id",
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j"),
+        F.col("n"),
+    ).select(
+        "doc_id",
+        F.col("j").cast("bigint").alias("j"),
+        ((F.col("doc_id") * 2654435761 + F.col("j") * 40503) % F.col("n")).alias(
+            "neg_rn"
+        ),
+    )
+    m = idx.select(F.col("doc_id").alias("neg_doc_id"), "rn")
+    return (
+        cand.join(m, cand.neg_rn == m.rn)
+        .filter(F.col("neg_doc_id") != F.col("doc_id"))
+        .select("doc_id", "j", "neg_doc_id")
+    )
+
+
+@declared(
+    "span_corruption_pairs",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, trim(text) AS t, length(trim(text)) AS len
+      FROM documents WHERE length(trim(text)) >= 30
+    ),
+    spans AS (
+      SELECT doc_id, t, j.j,
+             CAST(1 + (doc_id * 31 + j.j * 7919)
+                      % greatest(len - 14, 1) AS BIGINT) AS span_start
+      FROM d, unnest([1, 2]) AS j(j)
+    )
+    SELECT doc_id, CAST(j AS BIGINT) AS span_id, span_start,
+           substring(t, CAST(span_start AS INT), 10) AS target,
+           substring(t, 1, CAST(span_start AS INT) - 1)
+             || '<extra_id_0>'
+             || substr(t, CAST(span_start AS INT) + 10) AS masked
+    FROM spans
+    """,
+)
+def span_corruption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption pair generation: two deterministic
+    10-char spans per document, each emitted as (masked input with a
+    sentinel, span target) -- the map-side self-supervised objective
+    builder.
+
+    Span starts derive from an integer hash of (doc_id, slot) bounded to
+    keep the span inside the text, so the pair set is reproducible across
+    runs and engines with zero RNG.  Pure projection after a row
+    filter -- no shuffle at all; at 100 TB this runs at scan speed and is
+    the template for any masked-LM / denoising objective (vary span
+    count/length per slot hash).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.trim("text")
+    d = docs.select(
+        "doc_id", t.alias("t"), F.length(t).alias("len")
+    ).filter(F.col("len") >= 30)
+    spans = d.select(
+        "doc_id",
+        "t",
+        F.explode(F.array(F.lit(1), F.lit(2))).alias("j"),
+        F.col("len"),
+    ).select(
+        "doc_id",
+        "t",
+        F.col("j").cast("bigint").alias("span_id"),
+        (
+            1
+            + (F.col("doc_id") * 31 + F.col("j") * 7919)
+            % F.greatest(F.col("len") - 14, F.lit(1))
+        )
+        .cast("bigint")
+        .alias("span_start"),
+    )
+    return spans.select(
+        "doc_id",
+        "span_id",
+        "span_start",
+        F.expr("substring(t, CAST(span_start AS INT), 10)").alias("target"),
+        F.concat(
+            F.expr("substring(t, 1, CAST(span_start AS INT) - 1)"),
+            F.lit("<extra_id_0>"),
+            F.expr("substr(t, CAST(span_start AS INT) + 10)"),
+        ).alias("masked"),
+    )

@@ -1,0 +1,152 @@
+"""Graph analytics over relational edges: unrolled PageRank.
+
+The reference has no graph surface (SURVEY.md SS2.12); this extends the
+clustering/connected-components family (operators/clustering.py) with the
+other canonical iterative-graph workload.  The nation-level trade graph
+(supplier nation -> customer nation, weighted by lineitem count) is the
+natural testdata graph: dimension-bounded nodes, fact-derived edge
+weights.
+
+Iterative algorithms on Spark are fixed-point loops of joins; for a
+DuckDB-checkable declared query the iteration count must be FIXED, so
+PageRank is unrolled to two power iterations (enough to rank a 25-node
+graph; production would loop to convergence with localCheckpoint every
+few steps to cut the lineage).  All rank mass is integer ppm with DIV
+floor division -- deterministic on both engines, no float drift across
+iterations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_rf_matrix_controller_spark.plans.registry import declared
+from etl_rf_matrix_controller_spark.sources.tables import load_table
+
+# Damping 0.85 as the exact rational 85/100; teleport mass (1-d) = 15%.
+_EDGES_SQL = """
+      SELECT s.s_nationkey AS u, c.c_nationkey AS v,
+             CAST(count(*) AS BIGINT) AS w
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY s.s_nationkey, c.c_nationkey
+"""
+
+
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy(
+            F.col("s_nationkey").alias("u"), F.col("c_nationkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+
+
+@declared(
+    "pagerank_nations",
+    oracle=f"""
+    WITH edges AS ({_EDGES_SQL}),
+    outd AS (SELECT u, CAST(sum(w) AS BIGINT) AS outw FROM edges GROUP BY u),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nation),
+    r0 AS (
+      SELECT n_nationkey AS node, CAST(1000000 // nn.n AS BIGINT) AS r
+      FROM nation CROSS JOIN nn
+    ),
+    c1 AS (
+      SELECT e.v AS node,
+             CAST(sum((r0.r * e.w * 85) // (outd.outw * 100)) AS BIGINT) AS m
+      FROM edges e JOIN outd ON outd.u = e.u JOIN r0 ON r0.node = e.u
+      GROUP BY e.v
+    ),
+    r1 AS (
+      SELECT r0.node,
+             CAST(150000 // nn.n + coalesce(c1.m, 0) AS BIGINT) AS r
+      FROM r0 LEFT JOIN c1 ON c1.node = r0.node CROSS JOIN nn
+    ),
+    c2 AS (
+      SELECT e.v AS node,
+             CAST(sum((r1.r * e.w * 85) // (outd.outw * 100)) AS BIGINT) AS m
+      FROM edges e JOIN outd ON outd.u = e.u JOIN r1 ON r1.node = e.u
+      GROUP BY e.v
+    ),
+    r2 AS (
+      SELECT r1.node,
+             CAST(150000 // nn.n + coalesce(c2.m, 0) AS BIGINT) AS r
+      FROM r1 LEFT JOIN c2 ON c2.node = r1.node CROSS JOIN nn
+    )
+    SELECT n.n_name AS nation, r2.r AS pagerank_ppm
+    FROM r2 JOIN nation n ON n.n_nationkey = r2.node
+    """,
+)
+def pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (2 unrolled power iterations, damping 85/100) over the
+    nation trade graph: edge u->v weighted by lineitems a supplier in
+    nation u shipped to a customer in nation v.
+
+    Rank mass is integer ppm: per-edge contribution
+    (r(u) * w * 85) DIV (out(u) * 100), teleport 150000 DIV N -- floor
+    division keeps every iteration bit-identical cross-engine (a float
+    PageRank diverges in ulps after one iteration).  Dangling mass is
+    dropped, the standard simplification.
+
+    Plan: the fact scan builds dimension-bounded edges (one orderkey
+    shuffle + broadcast dims), then each iteration is a broadcast join of
+    the 25-row rank vector onto the 625-row edge list -- iteration cost
+    is edge-bounded, never fact-bounded.  At real graph scale the same
+    loop shuffles edges once on u and reuses that partitioning every
+    iteration, localCheckpointing the rank vector to truncate lineage.
+    """
+    edges = _trade_edges(spark, sf_dir)
+    # Edges/ranks are dimension-bounded; checkpoint so the fact-derived
+    # edge list is computed once, not re-derived by every iteration's
+    # subtree (same rationale as the minhash band checkpoint).
+    edges = edges.localCheckpoint(eager=False)
+    outd = edges.groupBy("u").agg(F.sum("w").cast("bigint").alias("outw"))
+    nations = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("node"), "n_name"
+    )
+    nn = nations.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    r0 = nations.crossJoin(F.broadcast(nn)).select(
+        "node", F.expr("CAST(1000000 DIV n AS BIGINT)").alias("r")
+    )
+
+    def step(rank: DataFrame) -> DataFrame:
+        contrib = (
+            edges.join(F.broadcast(outd), "u")
+            .join(F.broadcast(rank.withColumnRenamed("node", "u")), "u")
+            .groupBy(F.col("v").alias("node"))
+            .agg(
+                F.sum(F.expr("(r * w * 85) DIV (outw * 100)"))
+                .cast("bigint")
+                .alias("m")
+            )
+        )
+        return (
+            r0.select("node")
+            .join(F.broadcast(contrib), "node", "left")
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "node",
+                (
+                    F.expr("CAST(150000 DIV n AS BIGINT)")
+                    + F.coalesce(F.col("m"), F.lit(0))
+                )
+                .cast("bigint")
+                .alias("r"),
+            )
+        )
+
+    r2 = step(step(r0))
+    return r2.join(F.broadcast(nations), "node").select(
+        F.col("n_name").alias("nation"), F.col("r").alias("pagerank_ppm")
+    )

@@ -490,3 +490,63 @@ def value_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(z) > 3.0)
         .select("event_id", "event_type", "value", z.alias("z"))
     )
+
+
+@declared(
+    "trimmed_mean_brand_price",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT p.p_brand, l.l_extendedprice,
+             row_number() OVER (
+               PARTITION BY p.p_brand
+               ORDER BY l.l_extendedprice, l.l_orderkey, l.l_linenumber
+             ) AS rn,
+             count(*) OVER (PARTITION BY p.p_brand) AS n
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    )
+    SELECT p_brand, CAST(max(n) AS BIGINT) AS n_total,
+           CAST(count(*) AS BIGINT) AS n_used,
+           {exact_avg_sql("l_extendedprice")} AS trimmed_avg
+    FROM ranked
+    WHERE rn > (n * 5) // 100 AND rn <= n - (n * 5) // 100
+    GROUP BY p_brand
+    """,
+)
+def trimmed_mean_brand_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust statistics: 5%-trimmed mean of extended price per brand --
+    rank within the group under a deterministic total order (price,
+    orderkey, linenumber), drop the bottom and top floor(5%) rows, then
+    the exact integer-space average of the rest.
+
+    Trimming by row_number (not a value threshold) makes the kept SET
+    identical on both engines even with duplicate boundary values.  One
+    shuffle+sort on brand for the window, then the aggregation reuses the
+    same partitioning (zero extra exchanges).  At 100 TB the full
+    per-group sort is the honest cost of exact trimming; the cheap
+    variant (approx_percentile bounds + value filter) trades that sort
+    for a sketch, losing exactness at the boundaries.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    w = Window.partitionBy("p_brand").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    wn = Window.partitionBy("p_brand")
+    ranked = j.select(
+        "p_brand",
+        "l_extendedprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    kept = ranked.filter(
+        (F.col("rn") > F.expr("(n * 5) DIV 100"))
+        & (F.col("rn") <= F.col("n") - F.expr("(n * 5) DIV 100"))
+    )
+    return kept.groupBy("p_brand").agg(
+        F.max("n").cast("bigint").alias("n_total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_used"),
+        exact_avg(F.col("l_extendedprice")).alias("trimmed_avg"),
+    )

@@ -57,6 +57,7 @@ def load_all() -> None:
         clustering,
         curation,
         dedup,
+        graph,
         groups,
         joins,
         multimodal,
