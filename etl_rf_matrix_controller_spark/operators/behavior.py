@@ -634,3 +634,65 @@ def user_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_events").cast("bigint").alias("n_events"),
         ratio4(F.sum("dur_s"), F.count(F.lit(1))).alias("avg_dur_s4"),
     )
+
+
+@declared(
+    "dod_largest_jump",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY event_type, date_trunc('day', ts)
+    ),
+    lagged AS (
+      SELECT event_type, day, cnt,
+             lag(cnt) OVER (PARTITION BY event_type ORDER BY day) AS prev_cnt
+      FROM daily
+    )
+    SELECT event_type, day, prev_cnt, cnt,
+           CAST(cnt - prev_cnt AS BIGINT) AS jump
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY event_type
+        ORDER BY abs(cnt - prev_cnt) DESC, day) AS rk
+      FROM lagged WHERE prev_cnt IS NOT NULL
+    ) WHERE rk = 1
+    """,
+)
+def dod_largest_jump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changepoint probe: for each event type, the day with the largest
+    absolute day-over-day volume jump -- the first-line telemetry alarm
+    (mirrors the reference's availability-indicator transition watching,
+    etl_controller.py:3119-3136, generalized to counts).
+
+    Daily counts collapse the stream to days x types rows; lag + argmax
+    are windows OVER THE AGGREGATE (tiny), partition-aligned with the
+    groupBy so the three steps share one shuffle.  Deterministic argmax:
+    ties broken by earliest day.  date_trunc is cast to DATE on both
+    engines (Spark returns TIMESTAMP, DuckDB DATE -- the established
+    parity trap).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    wo = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type", "day", "cnt", F.lag("cnt").over(wo).alias("prev_cnt")
+    ).filter(F.col("prev_cnt").isNotNull())
+    wr = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("cnt") - F.col("prev_cnt")).desc(), F.asc("day")
+    )
+    return (
+        lagged.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            "day",
+            "prev_cnt",
+            "cnt",
+            (F.col("cnt") - F.col("prev_cnt")).cast("bigint").alias("jump"),
+        )
+    )

@@ -294,3 +294,73 @@ def embedding_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("embedding", 1).cast("double").alias("first_val"),
         F.element_at("embedding", 64).cast("double").alias("last_val"),
     )
+
+
+@declared(
+    "weighted_systematic_sample",
+    oracle="""
+    WITH w AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS w_cents
+      FROM orders
+    ),
+    cum AS (
+      SELECT o_orderkey, w_cents,
+             CAST(sum(w_cents) OVER (
+               ORDER BY o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cumw,
+             CAST(sum(w_cents) OVER () AS BIGINT) AS total
+      FROM w
+    ),
+    strided AS (
+      SELECT o_orderkey, w_cents, cumw,
+             greatest(total // 400, 1) AS stride
+      FROM cum
+    )
+    SELECT o_orderkey, w_cents,
+           CAST(cumw // stride AS BIGINT) AS bucket
+    FROM strided
+    WHERE cumw // stride > (cumw - w_cents) // stride
+    """,
+)
+def weighted_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted systematic (PPS) sampling: walk the cumulative weight line
+    in strides of total/400 and keep each row that crosses a stride
+    boundary -- selection probability proportional to o_totalprice, ~400
+    rows out, zero RNG (deterministic across runs and engines).
+
+    This is how you draw a weighted training subsample without
+    normalizing weights to floats: all arithmetic is integer cents with
+    floor division.  The running sum is an unpartitioned window here (the
+    honest local formulation); at 100 TB you compute per-partition weight
+    subtotals, prefix-sum the ~thousands of subtotals on the driver, and
+    broadcast the offsets -- the same two-pass trick as
+    deterministic_shuffle_order, turning the global cumsum into one scan
+    + one map.
+    """
+    w = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("w_cents"),
+    )
+    wo = Window.orderBy("o_orderkey").rowsBetween(Window.unboundedPreceding, 0)
+    cum = w.select(
+        "o_orderkey",
+        "w_cents",
+        F.sum("w_cents").over(wo).cast("bigint").alias("cumw"),
+        F.sum("w_cents")
+        .over(Window.partitionBy())
+        .cast("bigint")
+        .alias("total"),
+    )
+    strided = cum.select(
+        "o_orderkey",
+        "w_cents",
+        "cumw",
+        F.greatest(F.expr("total DIV 400"), F.lit(1)).alias("stride"),
+    )
+    return strided.filter(
+        F.expr("cumw DIV stride > (cumw - w_cents) DIV stride")
+    ).select(
+        "o_orderkey", "w_cents", F.expr("cumw DIV stride").cast("bigint").alias("bucket")
+    )

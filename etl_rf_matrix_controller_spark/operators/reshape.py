@@ -90,3 +90,57 @@ def cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n_items")
     )
+
+
+@declared(
+    "multigrain_time_rollup",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(year(o_orderdate) AS BIGINT) AS y,
+           CAST(month(o_orderdate) AS BIGINT) AS m,
+           CAST(grouping(month(o_orderdate)) AS BIGINT) AS is_year_grain,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS (
+      (o_orderstatus, year(o_orderdate)),
+      (o_orderstatus, year(o_orderdate), month(o_orderdate))
+    )
+    """,
+)
+def multigrain_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-granularity rollup: order counts per status
+    at BOTH the year and year-month grain in one pass (GROUPING SETS),
+    with grouping() disambiguating the coarse rows from genuine NULLs.
+
+    This is the continuous-aggregate pattern of time-series stores:
+    maintain several grains of the same cube without re-scanning per
+    grain.  Spark expands the grouping sets map-side into a single
+    shuffle whose key carries the grouping id -- one exchange for both
+    grains, vs two scans + a union for the naive formulation.  At 100 TB
+    add the coarser grains to the same set list; cost grows with output
+    cells, not scans.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+    )
+    return (
+        o.groupingSets(
+            [["o_orderstatus", "y"], ["o_orderstatus", "y", "m"]],
+            "o_orderstatus",
+            "y",
+            "m",
+        )
+        .agg(
+            F.grouping("m").cast("bigint").alias("is_year_grain"),
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        )
+        .select(
+            "o_orderstatus",
+            F.col("y").cast("bigint").alias("y"),
+            F.col("m").cast("bigint").alias("m"),
+            "is_year_grain",
+            "n_orders",
+        )
+    )

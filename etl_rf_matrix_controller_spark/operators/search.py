@@ -178,6 +178,43 @@ def inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bigram_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exploded bigram instances ("w1 w2" strings), one row per adjacent
+    token pair occurrence.  Thin rows are rebalanced before the ~30x
+    fan-out (small parquet = 1-3 input splits; same rule as _gram_df in
+    dedup.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.trim("text"), " ").alias("l")
+    ).filter(F.size("l") >= 2)
+    toks = toks.repartition(spark.sparkContext.defaultParallelism)
+    return toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("l") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("l", i), F.element_at("l", i + 1)
+                ),
+            )
+        ).alias("bg"),
+    )
+
+
+_BG_SQL = """
+      SELECT doc_id, b.bg
+      FROM (
+        SELECT doc_id,
+               list_transform(generate_series(1, len(l) - 1),
+                 i -> l[CAST(i AS INT)] || ' ' || l[CAST(i AS INT) + 1]) AS bgs
+        FROM (
+          SELECT doc_id, string_split(trim(text), ' ') AS l
+          FROM documents WHERE len(string_split(trim(text), ' ')) >= 2
+        ) toks
+      ) bgd, unnest(bgs) AS b(bg)
+"""
+
+
 @declared(
     "bigram_fluency",
     oracle=f"""
@@ -230,24 +267,7 @@ def bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
     same plan falls back to a shuffle join on the uniform bigram key).
     Doc scores collapse in partial aggregation on doc_id.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.split(F.trim("text"), " ").alias("l")
-    ).filter(F.size("l") >= 2)
-    # Rebalance thin rows before the ~30x bigram fan-out (small parquet =
-    # 1-3 input splits; same rule as _gram_df in dedup.py).
-    toks = toks.repartition(spark.sparkContext.defaultParallelism)
-    bg = toks.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("l") - 1),
-                lambda i: F.concat_ws(
-                    " ", F.element_at("l", i), F.element_at("l", i + 1)
-                ),
-            )
-        ).alias("bg"),
-    )
+    bg = _bigram_df(spark, sf_dir)
     cbg = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("cb"))
     w1 = F.split(F.col("bg"), " ").getItem(0)
     cpf = bg.groupBy(w1.alias("w1")).agg(F.count(F.lit(1)).alias("cp"))
@@ -263,4 +283,79 @@ def bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inst.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         ratio4(F.sum("p4s"), F.count(F.lit(1)) * SCALE).alias("fluency4"),
+    )
+
+
+@declared(
+    "token_pmi_lift",
+    oracle=f"""
+    WITH bg AS ({_BG_SQL}),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM bg),
+    cbg AS (
+      SELECT bg, CAST(count(*) AS BIGINT) AS cb FROM bg GROUP BY bg
+    ),
+    c1 AS (
+      SELECT string_split(bg, ' ')[1] AS w1, CAST(count(*) AS BIGINT) AS ca
+      FROM bg GROUP BY string_split(bg, ' ')[1]
+    ),
+    c2 AS (
+      SELECT string_split(bg, ' ')[2] AS w2, CAST(count(*) AS BIGINT) AS cc
+      FROM bg GROUP BY string_split(bg, ' ')[2]
+    )
+    SELECT string_split(cbg.bg, ' ')[1] AS w1,
+           string_split(cbg.bg, ' ')[2] AS w2,
+           cb AS pair_count,
+           {ratio4_sql("cb * t", "ca * cc")} AS lift4
+    FROM cbg CROSS JOIN tot
+    JOIN c1 ON c1.w1 = string_split(cbg.bg, ' ')[1]
+    JOIN c2 ON c2.w2 = string_split(cbg.bg, ' ')[2]
+    WHERE cb >= 5
+    """,
+)
+def token_pmi_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation (phrase) mining: pointwise-mutual-information lift of
+    adjacent token pairs -- observed pair rate over the rate expected if
+    first and second positions were independent,
+    lift = P(w1,w2) / (P(w1, .) * P(., w2)) = cb*T / (ca*cc).
+
+    The exp-free rational form of PMI (same ranking as log-PMI; a float
+    log diverges in the last ulp across libm implementations), rounded in
+    integer space.  lift4 > 1 marks sticky phrases -- the standard
+    pre-tokenizer phrase-merge signal.
+
+    Plan: one bigram-stream scan feeds the pair, prefix, and suffix
+    count tables; all three are vocabulary(^2)-bounded broadcast dims
+    joined back onto the pair table (never onto the stream).  The
+    support filter cb >= 5 runs before the joins, shrinking the scored
+    set to frequent pairs only.
+    """
+    bg = _bigram_df(spark, sf_dir)
+    bg = bg.localCheckpoint(eager=False)
+    tot = bg.agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+    cbg = (
+        bg.groupBy("bg")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cb"))
+        .filter(F.col("cb") >= 5)
+    )
+    w1 = F.split(F.col("bg"), " ").getItem(0)
+    w2 = F.split(F.col("bg"), " ").getItem(1)
+    c1 = bg.groupBy(w1.alias("w1")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("ca")
+    )
+    c2 = bg.groupBy(w2.alias("w2")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cc")
+    )
+    scored = (
+        cbg.select(w1.alias("w1"), w2.alias("w2"), "cb")
+        .crossJoin(F.broadcast(tot))
+        .join(F.broadcast(c1), "w1")
+        .join(F.broadcast(c2), "w2")
+    )
+    return scored.select(
+        "w1",
+        "w2",
+        F.col("cb").alias("pair_count"),
+        ratio4(F.col("cb") * F.col("t"), F.col("ca") * F.col("cc")).alias(
+            "lift4"
+        ),
     )

@@ -570,3 +570,66 @@ def vector_quantize_i8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comps.join(F.broadcast(stats), "pos").select(
         "vec_id", "pos", code.cast("bigint").alias("code")
     )
+
+
+@declared(
+    "embedding_quantile_normalize",
+    oracle="""
+    WITH flat0 AS (
+      -- select-list unnests zip positionally (lateral generate_series
+      -- cannot see the embedding column)
+      SELECT vec_id,
+             unnest(generate_series(0, len(embedding) - 1)) AS dim0,
+             unnest(embedding) AS v
+      FROM embeddings
+    ),
+    flat AS (SELECT vec_id, CAST(dim0 AS BIGINT) AS dim, v FROM flat0),
+    ranked AS (
+      SELECT vec_id, dim,
+             CAST(row_number() OVER (
+               PARTITION BY dim ORDER BY v, vec_id) AS BIGINT) AS rn,
+             CAST(count(*) OVER (PARTITION BY dim) AS BIGINT) AS n
+      FROM flat
+    )
+    SELECT vec_id, dim,
+           CAST(((rn - 1) * 1000000) // greatest(n - 1, 1) AS BIGINT)
+             AS q_ppm
+    FROM ranked
+    """,
+)
+def embedding_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension quantile normalization: map each embedding component
+    to its empirical quantile rank in that dimension (0..1e6 ppm) -- the
+    rank-based whitening that makes dimensions comparable regardless of
+    their marginal distributions (and the exact form of what quantile
+    sketches approximate).
+
+    Emitting the INTEGER rank quantile (ties broken by vec_id) rather
+    than the float value sidesteps any cross-engine float formatting;
+    the source floats only ever feed the sort comparator, where identical
+    bits give identical order.  Plan: posexplode fans each vector into
+    (dim, value) rows; ONE shuffle partitions by dim (64 even
+    partitions); rank + count are two window passes over the same
+    partitioning.  At 100 TB swap row_number for a per-dim histogram
+    cumulative rank (the doc_char_length_mad trick) to avoid the
+    per-dim global sort.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "v")
+    ).select("vec_id", F.col("dim").cast("bigint").alias("dim"), "v")
+    wr = Window.partitionBy("dim").orderBy("v", "vec_id")
+    wn = Window.partitionBy("dim")
+    ranked = flat.select(
+        "vec_id",
+        "dim",
+        F.row_number().over(wr).cast("bigint").alias("rn"),
+        F.count(F.lit(1)).over(wn).cast("bigint").alias("n"),
+    )
+    return ranked.select(
+        "vec_id",
+        "dim",
+        F.expr("CAST(((rn - 1) * 1000000) DIV greatest(n - 1, 1) AS BIGINT)").alias(
+            "q_ppm"
+        ),
+    )
