@@ -43,10 +43,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # the TIMESTAMP(NANOS) column at all.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # TIMESTAMP(NANOS) read as long-nanos (spark.sql.legacy.parquet.
-        # nanosAsLong); truncate ns -> us exactly like DuckDB's fetch does.
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if ts_type == "bigint":
+            # TIMESTAMP(NANOS) read as long-nanos (spark.sql.legacy.parquet.
+            # nanosAsLong); truncate ns -> us exactly like DuckDB's fetch.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # Newer Spark reads TIMESTAMP(NANOS) as micros-truncated NTZ
+            # (ignoring nanosAsLong).  Normalize to the session-TZ timestamp
+            # type: NTZ forbids cast-to-long, which the epoch-seconds
+            # operators rely on.  All engine sessions pin UTC, so the
+            # NTZ wall time IS the epoch instant, same as DuckDB's.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
