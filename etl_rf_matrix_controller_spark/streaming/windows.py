@@ -21,7 +21,11 @@ from pyspark.sql import functions as F
 
 from etl_rf_matrix_controller_spark.plans.conventions import int_round_scaled
 from etl_rf_matrix_controller_spark.plans.registry import declared
-from etl_rf_matrix_controller_spark.sources.tables import load_table
+from etl_rf_matrix_controller_spark.sources.tables import (
+    load_table,
+    normalize_events_ts,
+    set_events_read_confs,
+)
 
 
 def _tumbling_agg(events: DataFrame) -> DataFrame:
@@ -213,16 +217,15 @@ def interval_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the events parquet with the same nanos handling as
-    the batch reader (self-defending conf, like sources.tables.load_table)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """readStream over the events parquet, routed through the SAME ts
+    normalizer as the batch reader (sources.tables.normalize_events_ts) so
+    the two can never diverge on a Spark parquet-timestamp quirk again."""
+    set_events_read_confs(spark)
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
     stream = spark.readStream.schema(batch.schema).parquet(
         f"{sf_dir}", pathGlobFilter="events.parquet"
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return stream
+    return normalize_events_ts(stream)
 
 
 def run_stream_to_memory(
