@@ -436,8 +436,18 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     splits it, and production would drop top-percentile grams first.
     """
     corpus = dup_corpus(spark, sf_dir)
-    grams = _gram_df(corpus, "source")
-    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # The gram index feeds FOUR consumers (both self-join aliases + both
+    # size lookups); without truncation each alias re-runs corpus synthesis
+    # + shingling + explode -- PLANS.md showed `documents` scanned 12x.  At
+    # 100 TB re-shingling the corpus a dozen times is the scale-killer;
+    # localCheckpoint materializes it once (same pattern as the LSH `bands`
+    # above) and is GC-cleaned when the DataFrame drops.
+    grams = _gram_df(corpus, "source").localCheckpoint(eager=False)
+    sizes = (
+        grams.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
     a = grams.alias("a")
     b = grams.alias("b")
     shared = (
@@ -527,8 +537,15 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
     )
     ccorp = corpus.unionByName(trunc)
-    grams = _gram_df(ccorp, "source")
-    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # Checkpointed for the same reason as ngram_jaccard_pairs: four
+    # consumers of the gram index (PLANS.md showed 24 document scans
+    # without it -- the corpus here is synthesized twice per alias).
+    grams = _gram_df(ccorp, "source").localCheckpoint(eager=False)
+    sizes = (
+        grams.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
     a = grams.alias("a")
     b = grams.alias("b")
     shared = (

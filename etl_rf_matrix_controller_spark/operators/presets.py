@@ -6,10 +6,12 @@ snapshot of the route map, optionally scoped to a subset of outputs
 and overwrites the live state (``_load_preset``, :3241-3270); saving
 filters by group membership first (:3218-3239).
 
-Spark re-expression: FULL OUTER JOIN of state and preset on the key with
-priority-coalesce -- preset rows win inside scope, state rows survive
-elsewhere, preset-only keys are created.  One co-partitioned shuffle on the
-key; at scale this is exactly a Delta/Iceberg MERGE keyed by output id.
+Spark re-expression: priority-tagged UNION folded into the latest-state
+window -- preset rows win inside scope, state rows survive elsewhere,
+preset-only keys are created.  One shuffle on the key and no join at all
+(a full-outer merge can't broadcast-hash-join, so the join form costs a
+sort-merge); at scale this is exactly a Delta/Iceberg MERGE keyed by
+output id.
 """
 
 from __future__ import annotations
@@ -62,18 +64,24 @@ def preset_apply_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The preset snapshot (etl_controller.py:3199-3216) is synthesized
     deterministically from the key space; applying mirrors _load_preset's
-    per-entry overwrite (:3258-3262) as a single merge: full outer join +
-    priority coalesce.  Keys only in the preset are (re)created, exactly
-    like routing an output the device had no state for.
+    per-entry overwrite (:3258-3262).  The oracle states it as FULL OUTER
+    JOIN + priority coalesce, but Spark cannot broadcast a full-outer
+    (BroadcastHashJoin supports no full side), so that form forces the
+    suite's only sort-merge join.  Instead: tag preset rows with priority
+    1, union them into the event stream BEFORE the latest-state window,
+    and let the same row_number pick preset-over-latest-event per key.
+    One shuffle on user_id total, zero joins; preset-only keys fall out
+    of the window for free (their only row is the preset row).  At 100 TB
+    this folds the merge into the shuffle the state scan already pays.
     """
     events = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
-    )
-    state = (
-        events.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("user_id", "event_type", F.round("value", 2).alias("value"))
+    cand = events.select(
+        "user_id",
+        F.col("event_type").alias("typ"),
+        F.col("value").cast("double").alias("val"),
+        "ts",
+        "event_id",
+        F.lit(0).alias("prio"),
     )
     preset = (
         events.select("user_id")
@@ -81,22 +89,26 @@ def preset_apply_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("user_id") % 3 == 0)
         .select(
             "user_id",
-            F.lit("restored").alias("p_type"),
-            (F.lit(100.0) + F.col("user_id")).cast("double").alias("p_value"),
+            F.lit("restored").alias("typ"),
+            (F.lit(100.0) + F.col("user_id")).cast("double").alias("val"),
+            F.lit(None).cast(dict(events.dtypes)["ts"]).alias("ts"),
+            F.lit(None).cast(dict(events.dtypes)["event_id"]).alias("event_id"),
+            F.lit(1).alias("prio"),
         )
     )
-    s = state.alias("s")
-    p = preset.alias("p")
-    in_preset = F.col("p.user_id").isNotNull()
-    return s.join(p, F.col("s.user_id") == F.col("p.user_id"), "full_outer").select(
-        F.coalesce(F.col("s.user_id"), F.col("p.user_id")).alias("user_id"),
-        F.when(in_preset, F.col("p.p_type"))
-        .otherwise(F.col("s.event_type"))
-        .alias("final_type"),
-        F.round(
-            F.when(in_preset, F.col("p.p_value")).otherwise(F.col("s.value")), 2
-        ).alias("final_value"),
-        in_preset.alias("from_preset"),
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("prio").desc(), F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        cand.unionByName(preset)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("typ").alias("final_type"),
+            F.round("val", 2).alias("final_value"),
+            (F.col("prio") == 1).alias("from_preset"),
+        )
     )
 
 
