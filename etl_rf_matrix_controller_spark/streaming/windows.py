@@ -256,6 +256,59 @@ def session_windows_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(_session_agg(events), "session_stream", spark)
 
 
+def interval_join_clicks_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream watermarked interval join: the streaming twin of
+    `interval_join_clicks`, mirroring the reference's deferred
+    write-verification (etl_controller.py:2446-2448) where a write is
+    checked against reads that arrive within a bounded window after it.
+
+    Both sides carry watermarks and the join condition bounds event time
+    on both sides (c_ts in (error_ts - 1h, error_ts]), so Spark can evict
+    click state older than error-watermark - 1h -- state is O(events per
+    user per hour), never unbounded.  Inner form: outer-row emission
+    timing depends on the final watermark commit, so batch==stream is
+    asserted on the matched pairs (the part the stream-stream state
+    machinery actually produces); the zero-click errors are batch-side
+    coalesce sugar on top.
+    """
+    errors = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            "user_id",
+            F.col("ts").alias("error_ts"),
+        )
+        .withWatermark("error_ts", "1 hour")
+    )
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("c_id"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    joined = errors.join(
+        clicks,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("c_ts") <= F.col("error_ts"))
+        & (F.col("c_ts") > F.col("error_ts") - F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select("error_id", "user_id", "error_ts", "c_id")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("interval_join_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("interval_join_stream")
+
+
 def sliding_window_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1 sliding variant under real Structured Streaming."""
     events = _events_stream(spark, sf_dir).withWatermark("ts", "1 day")

@@ -165,6 +165,40 @@ def test_dedup_ids_batch_eq_stream(spark):
     assert got.select("event_id").distinct().count() == got.count()
 
 
+def test_interval_join_batch_eq_stream(spark):
+    """Stream-stream watermarked interval join == batch interval join on
+    the matched (error, click) pairs.  The batch declared query is the
+    left-outer + count form; the stream twin produces the matched pairs,
+    so the batch side is re-derived as the inner pair set here."""
+    from etl_rf_matrix_controller_spark.sources.tables import load_table
+    from etl_rf_matrix_controller_spark.streaming.windows import (
+        interval_join_clicks_stream,
+    )
+    from pyspark.sql import functions as F
+
+    got = interval_join_clicks_stream(spark, SF_DIR).select("error_id", "c_id")
+
+    events = load_table(spark, SF_DIR, "events")
+    errors = events.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        F.col("ts").alias("error_ts"),
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("c_id"),
+    )
+    want = errors.join(
+        clicks,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("c_ts") <= F.col("error_ts"))
+        & (F.col("c_ts") > F.col("error_ts") - F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select("error_id", "c_id")
+    _assert_same(want, got, "interval_join_clicks")
+
+
 def test_latest_state_batch_eq_stream(spark):
     from etl_rf_matrix_controller_spark.operators.state import route_latest_state
     from etl_rf_matrix_controller_spark.streaming.state import stream_latest_state
