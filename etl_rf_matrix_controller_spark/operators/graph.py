@@ -119,34 +119,102 @@ def pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     r0 = nations.crossJoin(F.broadcast(nn)).select(
         "node", F.expr("CAST(1000000 DIV n AS BIGINT)").alias("r")
     )
-
-    def step(rank: DataFrame) -> DataFrame:
-        contrib = (
-            edges.join(F.broadcast(outd), "u")
-            .join(F.broadcast(rank.withColumnRenamed("node", "u")), "u")
-            .groupBy(F.col("v").alias("node"))
-            .agg(
-                F.sum(F.expr("(r * w * 85) DIV (outw * 100)"))
-                .cast("bigint")
-                .alias("m")
-            )
-        )
-        return (
-            r0.select("node")
-            .join(F.broadcast(contrib), "node", "left")
-            .crossJoin(F.broadcast(nn))
-            .select(
-                "node",
-                (
-                    F.expr("CAST(150000 DIV n AS BIGINT)")
-                    + F.coalesce(F.col("m"), F.lit(0))
-                )
-                .cast("bigint")
-                .alias("r"),
-            )
-        )
-
+    step = lambda rank: _pr_step(edges, outd, r0.select("node"), nn, rank)  # noqa: E731
     r2 = step(step(r0))
     return r2.join(F.broadcast(nations), "node").select(
         F.col("n_name").alias("nation"), F.col("r").alias("pagerank_ppm")
     )
+
+
+def _pr_step(
+    edges: DataFrame,
+    outd: DataFrame,
+    nodes: DataFrame,
+    nn: DataFrame,
+    rank: DataFrame,
+    damping_pct: int = 85,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """One integer-ppm power iteration: contributions flow u->v scaled by
+    edge weight over out-weight, damped; teleport mass tops every node up.
+    Floor division end-to-end -- bit-identical cross-engine, no float
+    drift accumulating over iterations."""
+    teleport = (scale * (100 - damping_pct)) // 100
+    contrib = (
+        edges.join(F.broadcast(outd), "u")
+        .join(F.broadcast(rank.withColumnRenamed("node", "u")), "u")
+        .groupBy(F.col("v").alias("node"))
+        .agg(
+            F.sum(F.expr(f"(r * w * {damping_pct}) DIV (outw * 100)"))
+            .cast("bigint")
+            .alias("m")
+        )
+    )
+    return (
+        nodes.join(F.broadcast(contrib), "node", "left")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "node",
+            (
+                F.expr(f"CAST({teleport} DIV n AS BIGINT)")
+                + F.coalesce(F.col("m"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("r"),
+        )
+    )
+
+
+def pagerank_loop(
+    nodes: DataFrame,
+    edges: DataFrame,
+    max_iter: int = 50,
+    damping_pct: int = 85,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Loop-until-convergence PageRank over an arbitrary weighted edge
+    list -- the production generalization of `pagerank_nations`'s fixed
+    2-iteration declared form.
+
+    ``nodes`` is DataFrame[node], ``edges`` is DataFrame[u, v, w]; returns
+    DataFrame[node, r] with integer-``scale`` rank mass.  Same skeleton as
+    near_dup_components (operators/clustering.py): localCheckpoint per
+    iteration truncates the otherwise unbounded lineage, and convergence
+    is a single-scalar probe per round -- integer ranks make exact
+    fixpoint detection trivial (max |delta| == 0), where a float PageRank
+    needs an epsilon.  max_iter guards the rare floor-division 2-cycle.
+
+    Scale posture: edge list checkpointed once; each iteration is one
+    shuffle of contributions on v plus a broadcast of the rank vector.
+    The rank broadcast is right for dimension-bounded graphs (nations,
+    categories); for billion-node graphs swap the two broadcasts for a
+    u-partitioned edge cache co-located with a u-partitioned rank vector
+    so every iteration reuses one partitioning, exactly as the CC loop
+    reuses its edge partitioning.
+    """
+    edges = edges.localCheckpoint(eager=True)
+    outd = (
+        edges.groupBy("u")
+        .agg(F.sum("w").cast("bigint").alias("outw"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = nodes.select("node").localCheckpoint(eager=True)
+    nn = nodes.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    rank = nodes.crossJoin(F.broadcast(nn)).select(
+        "node", F.expr(f"CAST({scale} DIV n AS BIGINT)").alias("r")
+    )
+    rank = rank.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nxt = _pr_step(
+            edges, outd, nodes, nn, rank, damping_pct, scale
+        ).localCheckpoint(eager=True)
+        delta = (
+            nxt.withColumnRenamed("r", "r_new")
+            .join(rank, "node")
+            .agg(F.max(F.abs(F.col("r_new") - F.col("r"))))
+            .collect()[0][0]
+        )
+        rank = nxt
+        if delta == 0:
+            break
+    return rank
