@@ -95,8 +95,25 @@ def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
     scans, no candidate shuffle.  This is the correctness baseline the
     ANN variant (ann_lsh_topk) is measured against.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+    return knn_topk_df(load_table(spark, sf_dir, "embeddings"))
+
+
+def _topk(scored: DataFrame, top_k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top_k)
+        .select("query_id", "cand_id", "rnk", "score")
+    )
+
+
+def knn_topk_df(
+    emb: DataFrame, n_queries: int = N_QUERIES, top_k: int = TOP_K
+) -> DataFrame:
+    """Core of knn_brute_force over an arbitrary (vec_id, embedding)
+    frame; queries are vec_id < n_queries.  Exposed so the recall gate
+    (tests/test_ann_recall.py) can drive it on a clustered corpus."""
+    q = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
     c = emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ce"))
@@ -109,12 +126,7 @@ def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
             dot_double(F.col("qe"), F.col("ce")).alias("score"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("cand_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= TOP_K)
-        .select("query_id", "cand_id", "rnk", "score")
-    )
+    return _topk(scored, top_k)
 
 
 # w(j, i) = pseudo-random hyperplane weight in [-1, 1), integer-derived.
@@ -176,35 +188,48 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries in sparse buckets return < k (or zero) neighbors; production
     raises recall by probing adjacent codes or unioning multiple tables.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_topk_df(load_table(spark, sf_dir, "embeddings"))
+
+
+def lsh_topk_df(
+    emb: DataFrame,
+    multiprobe: bool = False,
+    n_queries: int = N_QUERIES,
+    top_k: int = TOP_K,
+) -> DataFrame:
+    """Core of ann_lsh_topk / ann_lsh_multiprobe over an arbitrary
+    (vec_id, embedding) frame.  multiprobe=True additionally probes the
+    N_PLANES buckets at Hamming distance 1 from each query's code."""
     b = emb.select(
         "vec_id",
         "embedding",
         F.expr(_BUCKET_SPARK.format(col="embedding")).cast("bigint").alias("bucket"),
     )
-    q = b.filter(F.col("vec_id") < N_QUERIES).select(
+    q = b.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
         F.col("bucket").alias("qbucket"),
     )
-    scored = (
-        b.join(
-            F.broadcast(q),
-            (F.col("bucket") == F.col("qbucket"))
-            & (F.col("vec_id") != F.col("query_id")),
+    if multiprobe:
+        probe_codes = F.expr(
+            f"concat(array(qbucket), transform(sequence(0, {N_PLANES - 1}), "
+            "j -> qbucket ^ shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))))"
         )
-        .select(
-            "query_id",
-            F.col("vec_id").alias("cand_id"),
-            dot_double(F.col("qe"), F.col("embedding")).alias("score"),
+        q = q.select(
+            "query_id", "qe", F.explode(probe_codes).alias("qbucket")
         )
+    scored = b.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("qbucket"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("cand_id"),
+        dot_double(F.col("qe"), F.col("embedding")).alias("score"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("cand_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= TOP_K)
-        .select("query_id", "cand_id", "rnk", "score")
-    )
+    if multiprobe:
+        scored = scored.distinct()
+    return _topk(scored, top_k)
 
 
 @declared(
@@ -253,43 +278,7 @@ def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     BENCHNOTES for the multiprobe lift.  The probe expansion is a 9x
     fan-out of the tiny query dim; candidates still arrive via the bucket
     equi-join, never a scan."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    b = emb.select(
-        "vec_id",
-        "embedding",
-        F.expr(_BUCKET_SPARK.format(col="embedding")).cast("bigint").alias("bucket"),
-    )
-    q = b.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qe"),
-        F.col("bucket").alias("qbucket"),
-    )
-    probe_codes = F.expr(
-        f"concat(array(qbucket), transform(sequence(0, {N_PLANES - 1}), "
-        "j -> qbucket ^ shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))))"
-    )
-    probes = q.select(
-        "query_id", "qe", F.explode(probe_codes).alias("probe_bucket")
-    )
-    scored = (
-        b.join(
-            F.broadcast(probes),
-            (F.col("bucket") == F.col("probe_bucket"))
-            & (F.col("vec_id") != F.col("query_id")),
-        )
-        .select(
-            "query_id",
-            F.col("vec_id").alias("cand_id"),
-            dot_double(F.col("qe"), F.col("embedding")).alias("score"),
-        )
-        .distinct()
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("cand_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= TOP_K)
-        .select("query_id", "cand_id", "rnk", "score")
-    )
+    return lsh_topk_df(load_table(spark, sf_dir, "embeddings"), multiprobe=True)
 
 
 _DIST_SQL = (
@@ -355,19 +344,36 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     join shuffles on list id.  nprobe=1 here; production probes the
     nearest few lists to trade cost for recall.
     """
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cents = emb.filter(F.col("vec_id") % 100 == 0).select(
+    return ivf_topk_df(load_table(spark, sf_dir, "embeddings"))
+
+
+def ivf_topk_df(
+    emb: DataFrame,
+    cent_mod: int = 100,
+    nprobe: int = 1,
+    n_queries: int = N_QUERIES,
+    top_k: int = TOP_K,
+) -> DataFrame:
+    """Core of ann_ivf_topk over an arbitrary (vec_id, embedding) frame:
+    every cent_mod-th vector is a centroid, vectors join their nearest
+    centroid's inverted list, queries probe their nprobe nearest lists
+    (nprobe=1 is the declared-query shape; raising it is the recall
+    knob the gate test exercises)."""
+    emb = emb.select("vec_id", "embedding")
+    cents = emb.filter(F.col("vec_id") % cent_mod == 0).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce")
     )
     dist = _sq_dist(F.col("embedding"), F.col("ce"))
     w = Window.partitionBy("vec_id").orderBy(dist.asc(), F.col("cent_id").asc())
-    assigned = (
-        emb.crossJoin(F.broadcast(cents))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cent_id")
+    ranked = emb.crossJoin(F.broadcast(cents)).withColumn(
+        "rn", F.row_number().over(w)
     )
-    q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+    assigned = ranked.filter(F.col("rn") == 1).select(
+        "vec_id", "embedding", "cent_id"
+    )
+    q = ranked.filter(
+        (F.col("vec_id") < n_queries) & (F.col("rn") <= nprobe)
+    ).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
         F.col("cent_id").alias("q_cent"),
@@ -380,12 +386,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cand_id"),
         dot_double(F.col("qe"), F.col("embedding")).alias("score"),
     )
-    wr = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("cand_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(wr))
-        .filter(F.col("rnk") <= TOP_K)
-        .select("query_id", "cand_id", "rnk", "score")
-    )
+    if nprobe > 1:
+        scored = scored.distinct()
+    return _topk(scored, top_k)
 
 
 @declared("approx_percentile_prices")  # rows-only: sketch internals differ
