@@ -696,3 +696,49 @@ def dod_largest_jump(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cnt") - F.col("prev_cnt")).cast("bigint").alias("jump"),
         )
     )
+
+
+@declared(
+    "ema_user_value",
+    oracle="""
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           list_reduce(list(CAST(value AS DOUBLE) ORDER BY ts, event_id),
+                       (acc, x) -> 0.3e0 * x + (1e0 - 0.3e0) * acc)
+             AS ema_value
+    FROM events GROUP BY user_id
+    """,
+)
+def ema_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponential moving average of event values in (ts,
+    event_id) order, alpha = 0.3 -- the classic smoothed-telemetry
+    signal; the stateful-streaming twin (streaming/state.py::
+    stream_ema_user_value) folds the same recurrence per micro-batch.
+
+    A sequential float fold CAN be oracle-exact: both engines execute
+    the identical left-to-right recurrence (collect ordered values, fold
+    0.3e0*x + (1e0-0.3e0)*acc with double literals), so every
+    intermediate is bit-identical and the result is emitted raw per the
+    conventions (never rounded).  Scale: one shuffle on user_id;
+    per-user arrays are bounded by per-key event counts (the same bound
+    any per-key state op carries) -- for unbounded keys, the streaming
+    twin IS the scale path, holding one scalar per key instead of the
+    array.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", F.col("value").cast("double").alias("value")
+    )
+    grouped = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))).alias(
+            "arr"
+        ),
+    )
+    return grouped.select(
+        "user_id",
+        "n_events",
+        F.expr(
+            "aggregate(slice(arr, 2, size(arr) - 1), "
+            "element_at(arr, 1).value, "
+            "(acc, s) -> 0.3e0 * s.value + (1e0 - 0.3e0) * acc)"
+        ).alias("ema_value"),
+    )

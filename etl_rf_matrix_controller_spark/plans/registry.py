@@ -54,6 +54,7 @@ def load_all() -> None:
         analytics_suite2,
         behavior,
         cdc,
+        cleaning,
         clustering,
         curation,
         dedup,

@@ -125,3 +125,76 @@ def stream_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             "last_ts",
         )
     )
+
+
+EMA_STATE_SCHEMA = StructType(
+    [StructField("ema", DoubleType()), StructField("n", LongType())]
+)
+EMA_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("ema_value", DoubleType()),
+    ]
+)
+
+
+def _update_ema(key, pdf_iter, state: GroupState):
+    """Fold alpha=0.3 EMA over (ts, event_id)-ordered values; state holds
+    one (ema, count) scalar pair per key -- O(1) state per key, the shape
+    that scales where the batch collect_list cannot."""
+    import pandas as pd
+
+    ema, n = state.get if state.exists else (None, 0)
+    for pdf in pdf_iter:
+        if pdf.empty:
+            continue
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for v in pdf["value"].astype("float64"):
+            v = float(v)
+            # Identical double recurrence to the batch/oracle fold
+            # (0.3e0 * x + (1e0 - 0.3e0) * acc): same literals, same
+            # order, bit-identical result.
+            ema = v if ema is None else 0.3 * v + (1 - 0.3) * ema
+            n += 1
+    if n:
+        state.update((float(ema), int(n)))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "ema_value": [ema]}
+        )
+
+
+def stream_ema_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming op: per-user EMA via applyInPandasWithState
+    (update mode, availableNow); returns the final per-key emission as a
+    batch DataFrame, comparable to operators.behavior.ema_user_value."""
+    events = _events_stream(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "value"
+    )
+    updates = events.groupBy("user_id").applyInPandasWithState(
+        _update_ema,
+        outputStructType=EMA_OUTPUT_SCHEMA,
+        stateStructType=EMA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        updates.writeStream.format("memory")
+        .queryName("ema_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    tbl = spark.table("ema_stream")
+    # n_events is strictly increasing per key across emissions, so the
+    # max-n row per key is the final state.
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        tbl.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "ema_value")
+    )

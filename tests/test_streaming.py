@@ -208,3 +208,19 @@ def test_latest_state_batch_eq_stream(spark):
         stream_latest_state(spark, SF_DIR),
         "route_latest_state",
     )
+
+
+def test_ema_batch_eq_stream(spark):
+    """Custom stateful op (applyInPandasWithState EMA) == batch ordered
+    fold, bit-exact: both sides run the identical double recurrence in
+    the identical order."""
+    from etl_rf_matrix_controller_spark.operators.behavior import ema_user_value
+    from etl_rf_matrix_controller_spark.streaming.state import (
+        stream_ema_user_value,
+    )
+
+    _assert_same(
+        ema_user_value(spark, SF_DIR),
+        stream_ema_user_value(spark, SF_DIR),
+        "ema_user_value",
+    )
