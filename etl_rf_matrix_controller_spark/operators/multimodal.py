@@ -154,3 +154,146 @@ def multimodal_meta_only(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("height").cast("bigint").alias("sum_height"),
         )
     )
+
+
+RESIZE_TARGET = 32  # fit the longest side to 32, preserving aspect ratio
+RESIZE_SCHEMA = (
+    "doc_id long, width int, height int, new_width int, new_height int, "
+    "resized_hash string"
+)
+
+
+def _resize_batches(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+    """Arrow-batched deterministic fake 'resize': integer fit-to-box dims +
+    an md5 over (payload hex, new dims) standing in for the resampled
+    bytes.  A real implementation swaps the hash for PIL's resize over the
+    decoded array; everything else (batch shape, schema, partition-local
+    execution) is identical."""
+    import hashlib
+
+    import pandas as pd
+
+    for pdf in batches:
+        w = pdf["width"].astype("int64")
+        h = pdf["height"].astype("int64")
+        longest = w.where(w >= h, h)
+        nw = (w * RESIZE_TARGET // longest).clip(lower=1).astype("int32")
+        nh = (h * RESIZE_TARGET // longest).clip(lower=1).astype("int32")
+        digest = [
+            hashlib.md5(
+                f"{d.hex()}_{a}x{b}".encode("ascii")
+            ).hexdigest()
+            for d, a, b in zip(pdf["data"], nw, nh)
+        ]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "width": pdf["width"],
+                "height": pdf["height"],
+                "new_width": nw,
+                "new_height": nh,
+                "resized_hash": digest,
+            }
+        )
+
+
+@declared(
+    "multimodal_resize",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id, md5(text) AS h,
+             CAST(1 + doc_id % 64 AS INT) AS width,
+             CAST(1 + doc_id % 48 AS INT) AS height
+      FROM documents
+    ),
+    d AS (
+      SELECT doc_id, h, width, height,
+             greatest(width, height) AS longest
+      FROM m
+    )
+    SELECT doc_id, width, height,
+           CAST(greatest((width * {RESIZE_TARGET}) // longest, 1) AS INT)
+             AS new_width,
+           CAST(greatest((height * {RESIZE_TARGET}) // longest, 1) AS INT)
+             AS new_height,
+           md5(h || '_' ||
+               CAST(greatest((width * {RESIZE_TARGET}) // longest, 1) AS VARCHAR)
+               || 'x' ||
+               CAST(greatest((height * {RESIZE_TARGET}) // longest, 1) AS VARCHAR))
+             AS resized_hash
+    FROM d
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing: fit each image's metadata dims into a 32-box
+    (longest side, integer-exact aspect preservation) and emit the
+    deterministic stand-in for the resampled payload.  1 row in -> 1 row
+    out through mapInPandas; the binary column never leaves the scan
+    partition, so at 100 TB this is scan-transform-write with zero
+    shuffle."""
+    media = media_table(spark, sf_dir)
+    flat = media.select(
+        "doc_id",
+        "data",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )
+    return flat.mapInPandas(_resize_batches, schema=RESIZE_SCHEMA)
+
+
+FRAME_STRIDE = 4  # sample every 4th 'frame' (byte) of the fake video
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_byte int"
+
+
+def _frame_sample_batches(
+    batches: "Iterator[pd.DataFrame]",
+) -> "Iterator[pd.DataFrame]":
+    """Arrow-batched deterministic fake 'frame sample': the 16-byte payload
+    is a 16-frame video; emit every FRAME_STRIDE-th frame's byte.  The 1 ->
+    N fan-out inside the pandas function is the shape a real ffmpeg frame
+    extractor uses (one input row yields a variable number of frame rows,
+    batched, never per-row Python calls)."""
+    import pandas as pd
+
+    for pdf in batches:
+        ids, idxs, vals = [], [], []
+        for doc_id, data in zip(pdf["doc_id"], pdf["data"]):
+            for i in range(0, len(data), FRAME_STRIDE):
+                ids.append(doc_id)
+                idxs.append(i)
+                vals.append(int(data[i]))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int32"),
+                "frame_byte": pd.Series(vals, dtype="int32"),
+            }
+        )
+
+
+@declared(
+    "multimodal_frame_sample",
+    oracle=f"""
+    WITH m AS (SELECT doc_id, md5(text) AS h FROM documents),
+    f AS (
+      SELECT doc_id, h,
+             generate_series(0, 15, {FRAME_STRIDE}) AS frames
+      FROM m
+    )
+    SELECT doc_id,
+           CAST(i.i AS INT) AS frame_idx,
+           CAST(('0x' || substring(h, 1 + 2 * i.i, 2))::BIGINT AS INT)
+             AS frame_byte
+    FROM f, unnest(frames) AS i(i)
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling plumbing: every FRAME_STRIDE-th frame of each
+    payload, via a 1->N fan-out inside the Arrow batch.  Downstream
+    (per-frame features, dedup, embedding) consumes the frame rows like
+    any other table; the fan-out happens partition-local, so frame count
+    scales with corpus bytes and never adds a shuffle."""
+    media = media_table(spark, sf_dir)
+    return media.select("doc_id", "data").mapInPandas(
+        _frame_sample_batches, schema=FRAME_SCHEMA
+    )
