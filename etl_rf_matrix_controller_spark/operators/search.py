@@ -96,7 +96,11 @@ def tfidf_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept as row_number here for the deterministic rnk column.
     """
     tok = _tok(spark, sf_dir)
-    qtok = tok.filter(F.col("token").isin(*QUERY_TERMS))
+    # tf and df both consume the filtered token stream; checkpoint so the
+    # corpus tokenize+explode runs once, not per consumer.
+    qtok = tok.filter(F.col("token").isin(*QUERY_TERMS)).localCheckpoint(
+        eager=False
+    )
     tf = qtok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     df = qtok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
     n = (
@@ -267,7 +271,11 @@ def bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
     same plan falls back to a shuffle join on the uniform bigram key).
     Doc scores collapse in partial aggregation on doc_id.
     """
-    bg = _bigram_df(spark, sf_dir)
+    # Three consumers of the bigram stream (pair counts, prefix counts,
+    # the instance join) -- materialize the tokenization once instead of
+    # re-exploding the corpus per consumer (same pattern as the dedup
+    # gram-index checkpoints).
+    bg = _bigram_df(spark, sf_dir).localCheckpoint(eager=False)
     cbg = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("cb"))
     w1 = F.split(F.col("bg"), " ").getItem(0)
     cpf = bg.groupBy(w1.alias("w1")).agg(F.count(F.lit(1)).alias("cp"))
