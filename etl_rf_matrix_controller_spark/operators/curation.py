@@ -399,3 +399,108 @@ def span_corruption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("substr(t, CAST(span_start AS INT) + 10)"),
         ).alias("masked"),
     )
+
+
+# Gopher-style rule bounds, scaled to this corpus's short word-salad docs.
+STOPWORDS_GOPHER = ("the", "a", "of", "and", "to")
+RULE_MIN_WORDS, RULE_MAX_WORDS = 20, 1000
+RULE_MIN_MWL, RULE_MAX_MWL = 3.0, 10.0
+RULE_MIN_STOPWORD_FRAC = 0.02
+RULE_MAX_REP_RATIO = 0.8
+_SW_SQL = "['the', 'a', 'of', 'and', 'to']"
+
+
+@declared(
+    "gopher_quality_rules",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id,
+             string_split(trim(text), ' ') AS words,
+             trim(text) AS txt
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(len(words) AS BIGINT) AS n_words,
+             CAST(length(replace(txt, ' ', '')) AS BIGINT) AS n_word_chars,
+             CAST(len(list_filter(words, x -> list_contains({_SW_SQL}, x)))
+               AS BIGINT) AS n_stop,
+             CAST(greatest(length(txt) - 7, 1) AS BIGINT) AS total_grams,
+             CAST(len(list_distinct(list_transform(
+               generate_series(1, greatest(length(txt) - 7, 1)),
+               i -> substring(txt, CAST(i AS INT), 8)))) AS BIGINT)
+               AS uniq_grams
+      FROM w
+    )
+    SELECT doc_id, n_words,
+           n_words BETWEEN {RULE_MIN_WORDS} AND {RULE_MAX_WORDS}
+             AS rule_word_count,
+           {ratio4_sql('n_word_chars', 'n_words')} BETWEEN {RULE_MIN_MWL}
+             AND {RULE_MAX_MWL} AS rule_mean_word_len,
+           {ratio4_sql('n_stop', 'n_words')} >= {RULE_MIN_STOPWORD_FRAC}
+             AS rule_stopwords,
+           {ratio4_sql('total_grams - uniq_grams', 'total_grams')}
+             <= {RULE_MAX_REP_RATIO} AS rule_repetition,
+           (n_words BETWEEN {RULE_MIN_WORDS} AND {RULE_MAX_WORDS})
+             AND ({ratio4_sql('n_word_chars', 'n_words')}
+                  BETWEEN {RULE_MIN_MWL} AND {RULE_MAX_MWL})
+             AND ({ratio4_sql('n_stop', 'n_words')}
+                  >= {RULE_MIN_STOPWORD_FRAC})
+             AND ({ratio4_sql('total_grams - uniq_grams', 'total_grams')}
+                  <= {RULE_MAX_REP_RATIO}) AS keep
+    FROM m
+    """,
+)
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named per-rule quality booleans (Gopher-filter form): word-count
+    bounds, mean word length bounds, stopword-fraction floor, and
+    repetition ceiling, plus the conjunctive keep flag.  Unlike the
+    aggregate doc_quality_score, each rule is its own auditable column --
+    the form real curation pipelines ship, because rule-level pass rates
+    are what you monitor when a filter starts eating good data.
+
+    All rule inputs are integers and every ratio is integer-space
+    (plans/conventions.py), so the booleans are bit-identical
+    cross-engine.  Pure per-row projection: zero shuffles at any scale.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.trim("text")
+    words = F.split(t, " ")
+    sw = F.array([F.lit(s) for s in STOPWORDS_GOPHER])
+    total_grams = F.greatest(F.length(t) - 7, F.lit(1)).cast("bigint")
+    uniq_grams = F.size(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length(t) - 7, F.lit(1))),
+                lambda i: t.substr(i, F.lit(8)),
+            )
+        )
+    ).cast("bigint")
+    m = docs.select(
+        "doc_id",
+        F.size(words).cast("bigint").alias("n_words"),
+        F.length(F.regexp_replace(t, " ", "")).cast("bigint").alias(
+            "n_word_chars"
+        ),
+        F.size(F.filter(words, lambda x: F.array_contains(sw, x)))
+        .cast("bigint")
+        .alias("n_stop"),
+        total_grams.alias("total_grams"),
+        uniq_grams.alias("uniq_grams"),
+    )
+    mwl = ratio4(F.col("n_word_chars"), F.col("n_words"))
+    stop_frac = ratio4(F.col("n_stop"), F.col("n_words"))
+    rep = ratio4(F.col("total_grams") - F.col("uniq_grams"), F.col("total_grams"))
+    r_wc = F.col("n_words").between(RULE_MIN_WORDS, RULE_MAX_WORDS)
+    r_mwl = mwl.between(RULE_MIN_MWL, RULE_MAX_MWL)
+    r_sw = stop_frac >= RULE_MIN_STOPWORD_FRAC
+    r_rep = rep <= RULE_MAX_REP_RATIO
+    return m.select(
+        "doc_id",
+        "n_words",
+        r_wc.alias("rule_word_count"),
+        r_mwl.alias("rule_mean_word_len"),
+        r_sw.alias("rule_stopwords"),
+        r_rep.alias("rule_repetition"),
+        (r_wc & r_mwl & r_sw & r_rep).alias("keep"),
+    )

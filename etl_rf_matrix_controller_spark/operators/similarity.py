@@ -636,3 +636,98 @@ def embedding_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_ppm"
         ),
     )
+
+
+_QABS_SPARK = "aggregate(embedding, 0.0D, (acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE))))"
+_QABS_DUCK = "list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))"
+_QCODE_SPARK = (
+    "transform(embedding, x -> CAST(floor((CAST(x AS DOUBLE) * 127.0) / maxabs)"
+    " AS BIGINT))"
+)
+_QCODE_DUCK = (
+    "list_transform(embedding, x -> CAST(floor((CAST(x AS DOUBLE) * 127.0)"
+    " / maxabs) AS BIGINT))"
+)
+
+
+@declared(
+    "knn_quantized_i8",
+    oracle=f"""
+    WITH q8 AS (
+      SELECT vec_id, maxabs / 127.0 AS scale, {_QCODE_DUCK} AS codes
+      FROM (SELECT vec_id, embedding, {_QABS_DUCK} AS maxabs FROM embeddings)
+      WHERE maxabs > 0
+    ),
+    q AS (
+      SELECT vec_id AS query_id, scale AS qs, codes AS qc
+      FROM q8 WHERE vec_id < {N_QUERIES}
+    ),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS cand_id,
+             (q.qs * c.scale) * CAST(list_sum(list_transform(
+                generate_series(1, {DIM}), i -> q.qc[i] * c.codes[i]))
+               AS DOUBLE) AS score
+      FROM q JOIN q8 c ON c.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, cand_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, cand_id) AS rnk
+      FROM scored
+    )
+    SELECT query_id, cand_id, rnk, score
+    FROM ranked WHERE rnk <= {TOP_K}
+    """,
+)
+def knn_quantized_i8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 quantized path: top-k by int8 dot product -- the production
+    memory/bandwidth trade (4x smaller vectors, integer SIMD dots).
+
+    Per-vector symmetric quantization: code_i = floor(v_i * 127 / max|v|),
+    score = (scale_a * scale_b) * integer_dot.  The inner loop is EXACT
+    integer arithmetic (bit-identical cross-engine; only the two scale
+    multiplies are float, in a fixed order), and at 100 TB the candidate
+    scan moves 64 bytes/vector instead of 256 -- the quantized corpus is
+    what actually fits in cluster memory.  Same broadcast-probe shape as
+    knn_brute_force; recall retention vs the full-precision top-k is
+    pinned by tests/test_ann_recall.py on the clustered corpus.
+    """
+    return quantized_knn_df(load_table(spark, sf_dir, "embeddings"))
+
+
+def quantized_knn_df(
+    emb: DataFrame, n_queries: int = N_QUERIES, top_k: int = TOP_K
+) -> DataFrame:
+    """Core of knn_quantized_i8 over an arbitrary (vec_id, embedding)
+    frame (exposed for the recall gate)."""
+    q8 = (
+        emb.select("vec_id", "embedding", F.expr(_QABS_SPARK).alias("maxabs"))
+        .filter(F.col("maxabs") > 0)
+        .select(
+            "vec_id",
+            (F.col("maxabs") / 127.0).alias("scale"),
+            F.expr(_QCODE_SPARK).alias("codes"),
+        )
+    )
+    q = q8.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("scale").alias("qs"),
+        F.col("codes").alias("qc"),
+    )
+    int_dot = F.aggregate(
+        F.zip_with(F.col("qc"), F.col("codes"), lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        q8.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            ((F.col("qs") * F.col("scale")) * int_dot.cast("double")).alias(
+                "score"
+            ),
+        )
+    )
+    return _topk(scored, top_k)

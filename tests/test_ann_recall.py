@@ -21,6 +21,7 @@ from etl_rf_matrix_controller_spark.operators.similarity import (
     ivf_topk_df,
     knn_topk_df,
     lsh_topk_df,
+    quantized_knn_df,
 )
 
 N, DIM, N_CLUSTERS = 320, 64, 8
@@ -64,3 +65,7 @@ def test_ann_recall_ordering_and_floors(spark):
     # 0.93 / 1.0 at this seed; floors leave refactor headroom only).
     assert lshm >= 0.8, lshm
     assert ivf2 >= 0.9, ivf2
+    # int8 quantization must retain the full-precision top-k almost
+    # exactly (measured 1.0 at this seed).
+    q8 = _recall(_pairs(quantized_knn_df(emb)), truth)
+    assert q8 >= 0.9, q8
