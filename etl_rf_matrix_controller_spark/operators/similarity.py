@@ -731,3 +731,108 @@ def quantized_knn_df(
         )
     )
     return _topk(scored, top_k)
+
+
+@declared(
+    "semantic_dedup_keeper",
+    oracle=f"""
+    WITH corpus AS ({_VEC_CORPUS_SQL}),
+    cents AS (
+      SELECT vec_id AS cent_id, embedding AS ce
+      FROM corpus WHERE vec_id % 100 = 0
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, cent_id, cdist FROM (
+        SELECT v.vec_id, v.embedding, c.cent_id,
+               {_DIST_SQL.format(a='v.embedding', b='c.ce')} AS cdist,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY {_DIST_SQL.format(a='v.embedding', b='c.ce')},
+                          c.cent_id
+               ) AS rn
+        FROM corpus v CROSS JOIN cents c
+      ) t WHERE rn = 1
+    ),
+    keepers AS (
+      SELECT cent_id, vec_id AS keeper_id, embedding AS ke FROM (
+        SELECT cent_id, vec_id, embedding,
+               row_number() OVER (PARTITION BY cent_id
+                                  ORDER BY cdist, vec_id) AS krn
+        FROM assigned
+      ) t WHERE krn = 1
+    )
+    SELECT a.vec_id, a.cent_id,
+           a.vec_id = k.keeper_id AS is_keeper,
+           ({_DOT_SQL.format(a='a.embedding', b='k.ke')}
+             / (sqrt({_DOT_SQL.format(a='a.embedding', b='a.embedding')})
+                * sqrt({_DOT_SQL.format(a='k.ke', b='k.ke')})))
+             AS cos_to_keeper,
+           a.vec_id <> k.keeper_id AND
+           ({_DOT_SQL.format(a='a.embedding', b='k.ke')}
+             / (sqrt({_DOT_SQL.format(a='a.embedding', b='a.embedding')})
+                * sqrt({_DOT_SQL.format(a='k.ke', b='k.ke')}))) >= 0.99
+             AS is_semantic_dup
+    FROM assigned a JOIN keepers k ON k.cent_id = a.cent_id
+    """,
+)
+def semantic_dedup_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E17 SemDeDup-style semantic dedup: cluster the corpus with the IVF
+    coarse quantizer, elect each cluster's exemplar (closest to the
+    centroid, vec_id tiebreak), and flag members whose cosine to the
+    exemplar >= 0.99 as semantic duplicates to drop.
+
+    The pruning join is members x exemplar (ONE row per cluster,
+    broadcast) -- linear in corpus size, never a within-cluster pair
+    explosion; that is the entire reason SemDeDup scales where pairwise
+    cosine dedup cannot.  Runs over the corpus with synthesized verbatim
+    copies (+100000 ids) so real dup groups exist; every distance/cosine
+    is an explicit sequential fold (bit-identical cross-engine) and the
+    0.99 cut sits far from any float boundary.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    copies = emb.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "label", "embedding"
+    )
+    corpus = emb.unionByName(copies).select("vec_id", "embedding")
+    cents = corpus.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce")
+    )
+    cdist = _sq_dist(F.col("embedding"), F.col("ce"))
+    wv = Window.partitionBy("vec_id").orderBy(cdist.asc(), F.col("cent_id").asc())
+    assigned = (
+        corpus.crossJoin(F.broadcast(cents))
+        .withColumn("cdist", cdist)
+        .withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cent_id", "cdist")
+    )
+    # The keeper election and the pruning join both consume `assigned`;
+    # materialize the quantizer pass once.
+    assigned = assigned.localCheckpoint(eager=False)
+    wk = Window.partitionBy("cent_id").orderBy(
+        F.col("cdist").asc(), F.col("vec_id").asc()
+    )
+    keepers = (
+        assigned.withColumn("krn", F.row_number().over(wk))
+        .filter(F.col("krn") == 1)
+        .select(
+            "cent_id",
+            F.col("vec_id").alias("keeper_id"),
+            F.col("embedding").alias("ke"),
+        )
+    )
+    cos = dot_double(F.col("embedding"), F.col("ke")) / (
+        F.sqrt(dot_double(F.col("embedding"), F.col("embedding")))
+        * F.sqrt(dot_double(F.col("ke"), F.col("ke")))
+    )
+    return assigned.join(F.broadcast(keepers), "cent_id").select(
+        "vec_id",
+        "cent_id",
+        (F.col("vec_id") == F.col("keeper_id")).alias("is_keeper"),
+        cos.alias("cos_to_keeper"),
+        ((F.col("vec_id") != F.col("keeper_id")) & (cos >= 0.99)).alias(
+            "is_semantic_dup"
+        ),
+    )
