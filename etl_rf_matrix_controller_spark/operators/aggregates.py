@@ -271,3 +271,120 @@ def topk_event_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("total_value"), F.asc("user_id"))
         .limit(10)
     )
+
+
+# Count-min sketch shape: 4 hash rows x 2048 cells, md5-derived hashes --
+# fully deterministic, so unlike HLL this sketch gets an exact oracle.
+CMS_ROWS, CMS_CELLS = 4, 2048
+
+
+@declared(
+    "cms_heavy_hitters",
+    oracle=f"""
+    WITH cells AS (
+      SELECT j.j AS row_id,
+             ('0x' || substring(md5(CAST(j.j AS VARCHAR) || '_' ||
+                                    CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+               % {CMS_CELLS} AS cell,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events, unnest(generate_series(0, {CMS_ROWS - 1})) AS j(j)
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS exact_count
+      FROM events GROUP BY user_id
+    ),
+    est AS (
+      SELECT e.user_id, e.exact_count,
+             CAST(min(cl.c) AS BIGINT) AS est_count
+      FROM exact e
+      JOIN cells cl
+        ON cl.cell = ('0x' || substring(md5(CAST(cl.row_id AS VARCHAR) || '_'
+                                        || CAST(e.user_id AS VARCHAR)), 1, 8))::BIGINT
+                     % {CMS_CELLS}
+      GROUP BY e.user_id, e.exact_count
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(exact_count) AS BIGINT) AS total_events
+      FROM exact
+    )
+    SELECT user_id, est_count, exact_count,
+           est_count >= exact_count AS never_underestimates
+    FROM est, tot
+    WHERE est_count * 5 * n_keys >= 6 * total_events
+    """,
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters over the event stream: 4x2048
+    md5-derived hash rows, per-key estimate = min over rows of the cell
+    counts, keys reported when the estimate crosses 1.2x the mean
+    per-key count (scale-relative, integer-exact).
+
+    The sketch build is ONE pass with map-side combine into 1024 cells --
+    at 100 TB the cells are the only shuffled state (mergeable across
+    executors/days by cell-wise +, the CMS property), while the exact
+    per-key count it is compared against needs a full keyed shuffle.  The
+    estimate-vs-exact join here exists to certify the one-sided error
+    bound (never_underestimates is provably always true); production
+    keeps only the sketch side.  Deterministic hashes (md5 prefix, the
+    engine-portable fingerprint used by hash_bucket) make the sketch
+    contents oracle-exact, unlike the HLL whose internals are
+    engine-specific.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    rows = F.explode(F.sequence(F.lit(0), F.lit(CMS_ROWS - 1))).alias("row_id")
+    cell = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "_",
+                        F.col("row_id").cast("string"),
+                        F.col("user_id").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % CMS_CELLS
+    )
+    cells = (
+        ev.select("user_id", rows)
+        .select("row_id", cell.alias("cell"))
+        .groupBy("row_id", "cell")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    exact = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_count")
+    )
+    probes = exact.select("user_id", "exact_count", rows).select(
+        "user_id", "exact_count", "row_id", cell.alias("cell")
+    )
+    est = (
+        probes.join(F.broadcast(cells), ["row_id", "cell"])
+        .groupBy("user_id", "exact_count")
+        .agg(F.min("c").cast("bigint").alias("est_count"))
+    )
+    tot = exact.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("exact_count").cast("bigint").alias("total_events"),
+    )
+    # Heavy = estimate >= 1.2x the mean per-key count, in exact integer
+    # form (est * 5 * n_keys >= 6 * total) -- scale-relative, so the same
+    # query is non-vacuous at every sf.
+    return (
+        est.crossJoin(F.broadcast(tot))
+        .filter(F.col("est_count") * 5 * F.col("n_keys") >= 6 * F.col("total_events"))
+        .select(
+            "user_id",
+            "est_count",
+            "exact_count",
+            (F.col("est_count") >= F.col("exact_count")).alias(
+                "never_underestimates"
+            ),
+        )
+    )
