@@ -1,0 +1,202 @@
+"""Physical-layout operators: Bloom-filter join pruning and Z-order keys.
+
+The two data-layout techniques that matter most at 100 TB and exist
+below the logical plan in production engines (Spark runtime filters,
+Delta/Iceberg OPTIMIZE ZORDER), expressed here as declared queries so
+their arithmetic is oracle-checkable:
+
+- A Bloom prefilter turns "join 100 TB of facts against 1M selected
+  keys" into "scan-side drop of ~99% of rows before the shuffle" --
+  the manual form of Spark's runtime row-level filtering.
+- A Z-order key interleaves the bits of two dimension columns so rows
+  close in (a, b) space land close in sort order -- the clustering key
+  that makes min/max row-group pruning work for BOTH dimensions at once.
+
+Determinism: Bloom hash positions are md5-prefix derived (the repo's
+engine-portable fingerprint), Z-values are pure integer bit arithmetic --
+everything hash-matches cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_rf_matrix_controller_spark.operators.pipeline import _bucket_sql, hash_bucket
+from etl_rf_matrix_controller_spark.plans.conventions import ratio4, ratio4_sql
+from etl_rf_matrix_controller_spark.plans.registry import declared
+from etl_rf_matrix_controller_spark.sources.tables import load_table
+
+BLOOM_BITS = 65536  # m: sized so k=2, n~1.4k keys (sf0.1) gives fp ~0.2%
+# Two independent md5-derived hash functions (k=2): salt the key string.
+
+
+@declared(
+    "bloom_prefilter_join",
+    oracle=f"""
+    WITH sel AS (
+      SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+    ),
+    bloom AS (
+      SELECT DISTINCT {_bucket_sql("'h1_' || CAST(c_custkey AS VARCHAR)", BLOOM_BITS)} AS pos
+      FROM sel
+      UNION
+      SELECT DISTINCT {_bucket_sql("'h2_' || CAST(c_custkey AS VARCHAR)", BLOOM_BITS)} AS pos
+      FROM sel
+    ),
+    passed AS (
+      SELECT o.o_orderkey, o.o_custkey
+      FROM orders o
+      WHERE {_bucket_sql("'h1_' || CAST(o.o_custkey AS VARCHAR)", BLOOM_BITS)}
+              IN (SELECT pos FROM bloom)
+        AND {_bucket_sql("'h2_' || CAST(o.o_custkey AS VARCHAR)", BLOOM_BITS)}
+              IN (SELECT pos FROM bloom)
+    ),
+    stats AS (
+      SELECT
+        CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_orders,
+        CAST((SELECT count(*) FROM passed) AS BIGINT) AS n_pass_bloom,
+        CAST((SELECT count(*) FROM passed p
+              JOIN sel s ON s.c_custkey = p.o_custkey) AS BIGINT) AS n_exact
+    )
+    SELECT n_orders, n_pass_bloom, n_exact,
+           n_pass_bloom - n_exact AS n_false_pos,
+           {ratio4_sql('n_pass_bloom - n_exact', 'n_orders')} AS fp_rate
+    FROM stats
+    """,
+)
+def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered semi join: high-balance customers build a
+    k=2/m=4096 Bloom filter; the orders scan drops rows failing either
+    hash BEFORE the exact join, and the output certifies the numbers
+    (rows passed, exact matches, false positives, fp rate).
+
+    This is the manual form of Spark's runtime filter / Delta bloom
+    index: at 100 TB the filter (a few KB of bit positions) broadcasts to
+    the scan, the fact table never shuffles its non-matching 99%, and
+    false positives -- the price of the compressed filter -- are bounded
+    by (1-e^(-kn/m))^k, visible here as an exact count.  Membership
+    tests are broadcast LEFT SEMI joins on the position set; the exact
+    refine is the same semi join on the true key set.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    sel = cust.filter(F.col("c_acctbal") > 9000).select("c_custkey")
+    h = lambda salt, col: hash_bucket(  # noqa: E731
+        F.concat(F.lit(salt), col.cast("string")), BLOOM_BITS
+    )
+    bloom = (
+        sel.select(h("h1_", F.col("c_custkey")).alias("pos"))
+        .unionByName(sel.select(h("h2_", F.col("c_custkey")).alias("pos")))
+        .distinct()
+    )
+    passed = (
+        orders.withColumn("p1", h("h1_", F.col("o_custkey")))
+        .withColumn("p2", h("h2_", F.col("o_custkey")))
+        .join(F.broadcast(bloom.withColumnRenamed("pos", "p1")), "p1", "semi")
+        .join(F.broadcast(bloom.withColumnRenamed("pos", "p2")), "p2", "semi")
+        .select("o_orderkey", "o_custkey")
+    )
+    # The stats certification consumes `passed` twice (count + refine);
+    # checkpoint so the double-hash scan runs once.
+    passed = passed.localCheckpoint(eager=False)
+    n_orders = orders.agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    n_pass = passed.agg(F.count(F.lit(1)).cast("bigint").alias("n_pass_bloom"))
+    n_exact = (
+        passed.join(F.broadcast(sel), passed.o_custkey == sel.c_custkey, "semi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+    )
+    return (
+        n_orders.crossJoin(n_pass)
+        .crossJoin(n_exact)
+        .select(
+            "n_orders",
+            "n_pass_bloom",
+            "n_exact",
+            (F.col("n_pass_bloom") - F.col("n_exact")).alias("n_false_pos"),
+            ratio4(
+                F.col("n_pass_bloom") - F.col("n_exact"), F.col("n_orders")
+            ).alias("fp_rate"),
+        )
+    )
+
+
+Z_BITS = 8  # interleave 8 bits of each dimension -> 16-bit z-value
+
+
+def _z_sql(a: str, b: str) -> str:
+    """Pure-arithmetic bit interleave (portable: no shift operators):
+    z = sum_i bit_i(a)*4^i + bit_i(b)*2*4^i."""
+    terms = []
+    for i in range(Z_BITS):
+        terms.append(f"((({a}) // {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"((({b}) // {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _z_spark(a: str, b: str) -> str:
+    terms = []
+    for i in range(Z_BITS):
+        terms.append(f"((({a}) DIV {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"((({b}) DIV {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+@declared(
+    "zorder_key_events",
+    oracle=f"""
+    WITH d AS (
+      SELECT event_id,
+             CAST(user_id % 256 AS BIGINT) AS ua,
+             CAST(CAST(extract(hour FROM ts) AS BIGINT) * 8
+                  + CAST(extract(dow FROM ts) AS BIGINT) % 8 AS BIGINT) AS tb
+      FROM events
+    ),
+    z AS (
+      SELECT event_id, ua, tb,
+             CAST({_z_sql('ua', 'tb')} AS BIGINT) AS z_key
+      FROM d
+    )
+    SELECT CAST(z_key // 4096 AS BIGINT) AS z_block,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(ua) AS BIGINT) AS min_user_bucket,
+           CAST(max(ua) AS BIGINT) AS max_user_bucket,
+           CAST(min(tb) AS BIGINT) AS min_time_bucket,
+           CAST(max(tb) AS BIGINT) AS max_time_bucket
+    FROM z
+    GROUP BY z_key // 4096
+    """,
+)
+def zorder_key_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering key over (user bucket, time-of-week bucket) with
+    per-block min/max ranges -- the layout op behind OPTIMIZE ZORDER.
+
+    Interleaving the bits of both dimensions means sorting by z_key
+    co-locates rows close in EITHER dimension, so a 4096-wide z_block
+    (a stand-in for a parquet row group) carries tight min/max ranges on
+    BOTH columns at once -- exactly what makes data-skipping work for
+    two-predicate queries where a single-column sort can only serve one.
+    The emitted per-block ranges ARE the skipping index a reader would
+    consult.  Pure integer bit arithmetic; one shuffle on the block id.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    d = ev.select(
+        "event_id",
+        (F.col("user_id") % 256).cast("bigint").alias("ua"),
+        (
+            F.hour("ts").cast("bigint") * 8
+            + (F.dayofweek("ts").cast("bigint") - 1) % 8
+        ).alias("tb"),
+    )
+    z = d.select(
+        "event_id", "ua", "tb", F.expr(_z_spark("ua", "tb")).cast("bigint").alias("z_key")
+    )
+    return z.groupBy(
+        F.expr("z_key DIV 4096").cast("bigint").alias("z_block")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.min("ua").cast("bigint").alias("min_user_bucket"),
+        F.max("ua").cast("bigint").alias("max_user_bucket"),
+        F.min("tb").cast("bigint").alias("min_time_bucket"),
+        F.max("tb").cast("bigint").alias("max_time_bucket"),
+    )

@@ -61,6 +61,7 @@ def load_all() -> None:
         graph,
         groups,
         joins,
+        layout,
         multimodal,
         pipeline,
         presets,
