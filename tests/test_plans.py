@@ -126,3 +126,22 @@ def test_whole_stage_codegen_everywhere(spark):
     df.collect()
     plan = plan_of(df)
     assert "*(" in plan or "WholeStageCodegen" in plan, plan
+
+
+def test_no_sort_merge_or_cartesian_anywhere(spark):
+    """Suite-wide physical-plan invariant: no declared query may plan a
+    SortMergeJoin (every join must broadcast, bucket, or hash) or a
+    CartesianProduct (broadcast nested loops over tiny probe frames are
+    fine; true cartesians are not).  Locks in the round-2 removal of the
+    suite's only SMJ (preset_apply_merge)."""
+    from etl_rf_matrix_controller_spark.plans import registry
+
+    registry.load_all()
+    offenders = {}
+    for name in sorted(registry.QUERIES):
+        plan = plan_of(registry.QUERIES[name](spark, SF_DIR))
+        smj = plan.count("SortMergeJoin")
+        cart = plan.count("CartesianProduct")
+        if smj or cart:
+            offenders[name] = (smj, cart)
+    assert not offenders, offenders
