@@ -29,13 +29,22 @@ def main() -> None:
         }
 
     truth = pairs("knn_brute_force")
-    for name in ("ann_lsh_topk", "ann_lsh_multiprobe", "ann_ivf_topk"):
+    for name in (
+        "ann_lsh_topk",
+        "ann_lsh_multiprobe",
+        "ann_ivf_topk",
+        "knn_quantized_i8",
+    ):
         approx = pairs(name)
         hit = len(truth & approx)
+        scanned = (
+            "full scan, int8"
+            if "quantized" in name
+            else ("~1/256 buckets" if "lsh" in name else "~1/n_lists")
+        )
         print(
             f"{name}: recall@3 = {hit}/{len(truth)} = {hit / len(truth):.2f} "
-            f"(returned {len(approx)} pairs; candidates scanned ~1/"
-            f"{'256 buckets' if 'lsh' in name else 'n_lists'})"
+            f"(returned {len(approx)} pairs; {scanned})"
         )
     spark.stop()
 
