@@ -1,0 +1,70 @@
+"""Custom Python DataSource: the reference's frame protocol as a Spark
+connector.
+
+Reference semantics: the controller reads checksummed ASCII frames off a
+TCP socket (etl_controller.py:420-461) and parses them into route state.
+Spark 4's Python DataSource API lets that protocol be a first-class
+``spark.read.format("frame_protocol")`` source: schema declaration,
+option handling, and PARTITIONED reads (each partition materializes its
+slice independently -- the property that makes a connector scale across
+executors instead of funneling through the driver).
+
+The generator is deterministic in ``frame_id`` (no RNG), so tests can
+assert exact parsed values; a real deployment would replace ``read``'s
+synthesis loop with socket/Kafka consumption per partition.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+
+class FrameProtocolDataSource(DataSource):
+    """``spark.read.format("frame_protocol")`` -- options:
+
+    - ``frames`` (default 100): total frames to emit
+    - ``partitions`` (default 4): read parallelism
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "frame_protocol"
+
+    def schema(self) -> str:
+        return "frame_id BIGINT, frame STRING"
+
+    def reader(self, schema) -> "FrameProtocolReader":
+        return FrameProtocolReader(self.options)
+
+
+def synth_frame(fid: int) -> str:
+    """Deterministic {BAcC,+ooo,+iii,ccccc,[OC]} frame for frame_id fid
+    (same shape the regex _FRAME_RE in functions/regex_extract.py parses)."""
+    out_id = fid % 256 + 1
+    in_id = (fid * 7) % 256 + 1
+    weight = (fid * 37) % 100000
+    oc = "O" if fid % 3 else "C"
+    return f"{{BAcC,+{out_id:03d},+{in_id:03d},{weight:05d},{oc}}}"
+
+
+class FrameProtocolReader(DataSourceReader):
+    def __init__(self, options: dict) -> None:
+        self.n = int(options.get("frames", 100))
+        self.n_parts = int(options.get("partitions", 4))
+
+    def partitions(self) -> Sequence[InputPartition]:
+        return [InputPartition(i) for i in range(self.n_parts)]
+
+    def read(self, partition: InputPartition) -> Iterator[tuple]:
+        # Strided slice per partition: partition i emits frame_ids
+        # i, i+P, i+2P, ... -- balanced without any coordination.
+        start = partition.value
+        for fid in range(start, self.n, self.n_parts):
+            yield (fid, synth_frame(fid))
+
+
+def register(spark) -> None:
+    """Idempotently register the source on a session."""
+    spark.dataSource.register(FrameProtocolDataSource)

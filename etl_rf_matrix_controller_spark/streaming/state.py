@@ -198,3 +198,91 @@ def stream_ema_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "n_events", "ema_value")
     )
+
+
+class EmaProcessor:
+    """transformWithStateInPandas processor: the Spark-4 arbitrary-state
+    API form of the EMA fold (same recurrence as _update_ema; ValueState
+    holds the (ema, n) scalar pair per key).  Class body defined lazily
+    to keep module import working if the API is absent."""
+
+
+def _make_ema_processor():
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _EmaProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("ema", "ema double, n bigint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            if self._state.exists():
+                prev = self._state.get()
+                ema, n = float(prev[0]), int(prev[1])
+            else:
+                ema, n = None, 0
+            for pdf in rows:
+                if pdf.empty:
+                    continue
+                pdf = pdf.sort_values(["ts", "event_id"])
+                for v in pdf["value"].astype("float64"):
+                    v = float(v)
+                    # Same double recurrence as _update_ema / the oracle.
+                    ema = v if ema is None else 0.3 * v + (1 - 0.3) * ema
+                    n += 1
+            if n:
+                self._state.update((float(ema), int(n)))
+                yield pd.DataFrame(
+                    {"user_id": [key[0]], "n_events": [n], "ema_value": [ema]}
+                )
+
+        def close(self) -> None:
+            pass
+
+    return _EmaProcessor()
+
+
+def stream_ema_user_value_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMA via transformWithStateInPandas (Spark 4 arbitrary-state API,
+    RocksDB state store): the modern twin of stream_ema_user_value.
+    Returns the final per-key emission as a batch DataFrame.
+
+    NOTE: the TWS state protocol imports google.protobuf at runtime; in
+    containers without it the query fails at initialization (the pytest
+    twin importorskips).  stream_ema_user_value (applyInPandasWithState)
+    is the dependency-free fallback with identical semantics."""
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    events = _events_stream(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "value"
+    )
+    updates = events.groupBy("user_id").transformWithStateInPandas(
+        _make_ema_processor(),
+        outputStructType=EMA_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+    q = (
+        updates.writeStream.format("memory")
+        .queryName("ema_tws_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    tbl = spark.table("ema_tws_stream")
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        tbl.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "ema_value")
+    )

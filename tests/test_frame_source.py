@@ -1,0 +1,46 @@
+"""Custom Python DataSource tests (sources/frame_source.py): the frame
+protocol as a partitioned Spark connector."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_rf_matrix_controller_spark.functions.regex_extract import _FRAME_RE
+from etl_rf_matrix_controller_spark.sources.frame_source import register, synth_frame
+
+
+def test_frame_source_reads_partitioned_and_parses(spark):
+    register(spark)
+    df = (
+        spark.read.format("frame_protocol")
+        .option("frames", 120)
+        .option("partitions", 6)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 6
+    assert df.count() == 120
+    g = lambda i: F.regexp_extract("frame", _FRAME_RE, i)  # noqa: E731
+    parsed = df.select(
+        "frame_id",
+        g(1).cast("int").alias("output_id"),
+        g(2).cast("int").alias("input_id"),
+        g(3).cast("int").alias("weight"),
+    )
+    # Every frame parses, and the fields match the deterministic formula.
+    rows = {r.frame_id: (r.output_id, r.input_id, r.weight) for r in parsed.collect()}
+    assert len(rows) == 120
+    for fid in (0, 1, 59, 119):
+        assert rows[fid] == (fid % 256 + 1, (fid * 7) % 256 + 1, (fid * 37) % 100000)
+
+
+def test_frame_source_matches_python_generator(spark):
+    register(spark)
+    df = (
+        spark.read.format("frame_protocol")
+        .option("frames", 50)
+        .option("partitions", 3)
+        .load()
+    )
+    got = {(r.frame_id, r.frame) for r in df.collect()}
+    want = {(i, synth_frame(i)) for i in range(50)}
+    assert got == want

@@ -224,3 +224,23 @@ def test_ema_batch_eq_stream(spark):
         stream_ema_user_value(spark, SF_DIR),
         "ema_user_value",
     )
+
+
+def test_ema_transform_with_state_eq_batch(spark):
+    """Spark-4 transformWithStateInPandas (RocksDB state store) produces
+    the same bit-exact EMA as the batch ordered fold.  The TWS state
+    protocol needs google.protobuf, which this container lacks -- skip
+    (the applyInPandasWithState twin above covers the semantics)."""
+    import pytest
+
+    pytest.importorskip("google.protobuf.descriptor")
+    from etl_rf_matrix_controller_spark.operators.behavior import ema_user_value
+    from etl_rf_matrix_controller_spark.streaming.state import (
+        stream_ema_user_value_tws,
+    )
+
+    _assert_same(
+        ema_user_value(spark, SF_DIR),
+        stream_ema_user_value_tws(spark, SF_DIR),
+        "ema_user_value_tws",
+    )
