@@ -218,3 +218,69 @@ def pagerank_loop(
         if delta == 0:
             break
     return rank
+
+
+@declared(
+    "triangle_count_nations",
+    oracle=f"""
+    WITH edges AS ({_EDGES_SQL}),
+    und AS (
+      SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+      FROM edges WHERE u <> v
+    ),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM und e1
+      JOIN und e2 ON e2.a = e1.b
+      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT n.n_name AS nation,
+           CAST(count(*) AS BIGINT) AS n_triangles
+    FROM tri
+    JOIN nation n ON n.n_nationkey = tri.x
+    GROUP BY n.n_name
+    """,
+)
+def triangle_count_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the (undirected) nation trade graph, reported
+    per lowest-id member nation.
+
+    The canonical ordered-edge formulation: orient every edge a < b,
+    then a triangle is exactly one wedge (a-b, b-c) closed by (a-c) --
+    each triangle counted ONCE, no 6x symmetry blowup.  At real graph
+    scale the wedge join is the cost center and is bounded by
+    sum(deg^2); production orients edges by DEGREE (low-degree node
+    first) instead of by id, which provably caps wedge counts at
+    O(m^1.5) -- the id orientation here keeps the oracle trivially
+    mirrorable on a dimension-bounded graph.  Edge derivation is one
+    fact-table pass (checkpointed), the joins are three
+    dimension-bounded self-joins.
+    """
+    edges = _trade_edges(spark, sf_dir).localCheckpoint(eager=False)
+    und = (
+        edges.filter(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    e1 = und.alias("e1")
+    e2 = und.alias("e2")
+    e3 = und.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(F.col("e1.a").alias("x"))
+    )
+    nations = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("x"), "n_name"
+    )
+    return (
+        tri.join(F.broadcast(nations), "x")
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
