@@ -66,3 +66,87 @@ def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(True).alias("is_current"),
     )
     return v1.unionByName(v2)
+
+
+# Deterministic SCD2 validity windows: customers with key % 5 == 0 change
+# balance at the fixed cutover instant; everyone else has one open version.
+_CUTOVER = "1995-07-01 00:00:00"
+
+_WINDOWS_SQL = f"""
+      SELECT c_custkey, round(c_acctbal, 2) AS acctbal, 1 AS version,
+             TIMESTAMP '1990-01-01 00:00:00' AS valid_from,
+             CASE WHEN c_custkey % 5 = 0
+                  THEN TIMESTAMP '{_CUTOVER}'
+                  ELSE TIMESTAMP '2099-01-01 00:00:00' END AS valid_to
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, round(c_acctbal + 100.0, 2) AS acctbal, 2 AS version,
+             TIMESTAMP '{_CUTOVER}' AS valid_from,
+             TIMESTAMP '2099-01-01 00:00:00' AS valid_to
+      FROM customer WHERE c_custkey % 5 = 0
+"""
+
+
+@declared(
+    "scd2_point_in_time_join",
+    oracle=f"""
+    WITH win AS ({_WINDOWS_SQL})
+    SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+           w.version AS dim_version,
+           w.acctbal AS acctbal_asof_order
+    FROM orders o
+    JOIN win w
+      ON w.c_custkey = o.o_custkey
+     AND o.o_orderdate >= w.valid_from
+     AND o.o_orderdate < w.valid_to
+    """,
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join: each order is enriched with the
+    dimension version that was valid AT its order date -- the warehouse
+    query SCD2 history exists to serve, and the one a latest-only join
+    silently gets wrong for historical facts.
+
+    The join is equi-keyed on the customer key with the validity-window
+    range as a residual predicate, so it stays a hash join (range checked
+    per matched key-group, never a range-only join).  At 100 TB the dim's
+    window table is version-count x keys (small, often broadcastable);
+    when it isn't, co-partitioning both sides on the key keeps the range
+    residual local to each partition.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    cutover = F.lit(_CUTOVER).cast("timestamp")
+    far = F.lit("2099-01-01 00:00:00").cast("timestamp")
+    epoch = F.lit("1990-01-01 00:00:00").cast("timestamp")
+    v1 = customer.select(
+        "c_custkey",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.lit(1).alias("version"),
+        epoch.alias("valid_from"),
+        F.when(F.col("c_custkey") % 5 == 0, cutover).otherwise(far).alias(
+            "valid_to"
+        ),
+    )
+    v2 = customer.filter(F.col("c_custkey") % 5 == 0).select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") + 100.0, 2).alias("acctbal"),
+        F.lit(2).alias("version"),
+        cutover.alias("valid_from"),
+        far.alias("valid_to"),
+    )
+    win = v1.unionByName(v2)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    return orders.join(
+        F.broadcast(win),
+        (F.col("c_custkey") == F.col("o_custkey"))
+        & (F.col("o_orderdate") >= F.col("valid_from"))
+        & (F.col("o_orderdate") < F.col("valid_to")),
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.col("version").alias("dim_version"),
+        F.col("acctbal").alias("acctbal_asof_order"),
+    )

@@ -550,3 +550,201 @@ def trimmed_mean_brand_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_used"),
         exact_avg(F.col("l_extendedprice")).alias("trimmed_avg"),
     )
+
+
+@declared(
+    "dq_expectations",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_checked,
+             CAST(sum(CAST(l_orderkey IS NULL AS INT)) AS BIGINT) AS v_null_key,
+             CAST(sum(CAST(l_quantity < 1 OR l_quantity > 50 AS INT)) AS BIGINT)
+               AS v_qty_range,
+             CAST(sum(CAST(l_discount < 0 OR l_discount > 0.1 AS INT)) AS BIGINT)
+               AS v_disc_range,
+             CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+               AS BIGINT) AS v_pk_dup,
+             CAST(sum(CAST(l_shipdate >= TIMESTAMP '1999-01-01 00:00:00' AS INT))
+               AS BIGINT) AS v_future_ship
+      FROM lineitem
+    )
+    SELECT rule, n_checked, n_violations, n_violations = 0 AS passed
+    FROM (
+      SELECT 'l_orderkey_not_null' AS rule, n_checked, v_null_key AS n_violations FROM m
+      UNION ALL SELECT 'l_quantity_in_1_50', n_checked, v_qty_range FROM m
+      UNION ALL SELECT 'l_discount_in_0_0.1', n_checked, v_disc_range FROM m
+      UNION ALL SELECT 'pk_orderkey_linenumber_unique', n_checked, v_pk_dup FROM m
+      UNION ALL SELECT 'l_shipdate_not_future', n_checked, v_future_ship FROM m
+    ) r
+    """,
+)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations (Great-Expectations shape):
+    null checks, range checks, primary-key uniqueness, and temporal
+    sanity, evaluated in ONE conditional-aggregation pass over the fact
+    and unpivoted to a row per rule with violation counts and pass flags.
+
+    The single-scan form is the point at 100 TB: N expectations cost one
+    table pass (conditional sums fold into the same partial aggregate),
+    not N passes; only the exact uniqueness check adds distinct-count
+    state, and the sketch variant (approx_count_distinct) drops even
+    that when +-2% suffices.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    m = li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_checked"),
+        F.sum(F.col("l_orderkey").isNull().cast("int"))
+        .cast("bigint")
+        .alias("v_null_key"),
+        F.sum(((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).cast("int"))
+        .cast("bigint")
+        .alias("v_qty_range"),
+        F.sum(
+            ((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)).cast("int")
+        )
+        .cast("bigint")
+        .alias("v_disc_range"),
+        (
+            F.count(F.lit(1)) - F.countDistinct("l_orderkey", "l_linenumber")
+        )
+        .cast("bigint")
+        .alias("v_pk_dup"),
+        F.sum(
+            (
+                F.col("l_shipdate")
+                >= F.lit("1999-01-01 00:00:00").cast("timestamp")
+            ).cast("int")
+        )
+        .cast("bigint")
+        .alias("v_future_ship"),
+    )
+    stacked = m.select(
+        "n_checked",
+        F.expr(
+            "stack(5, "
+            "'l_orderkey_not_null', v_null_key, "
+            "'l_quantity_in_1_50', v_qty_range, "
+            "'l_discount_in_0_0.1', v_disc_range, "
+            "'pk_orderkey_linenumber_unique', v_pk_dup, "
+            "'l_shipdate_not_future', v_future_ship) AS (rule, n_violations)"
+        ),
+    )
+    return stacked.select(
+        "rule",
+        "n_checked",
+        "n_violations",
+        (F.col("n_violations") == 0).alias("passed"),
+    )
+
+
+@declared(
+    "value_drift_histogram",
+    oracle="""
+    WITH e AS (
+      SELECT event_type,
+             CAST(floor(value) AS BIGINT) // 10 AS bucket,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ep
+      FROM events
+    ),
+    mid AS (
+      SELECT (min(ep) + max(ep)) // 2 AS m FROM e
+    ),
+    counts AS (
+      SELECT event_type, bucket,
+             CAST(sum(CASE WHEN ep <  m THEN 1 ELSE 0 END) AS BIGINT) AS n_early,
+             CAST(sum(CASE WHEN ep >= m THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+      FROM e, mid GROUP BY event_type, bucket
+    ),
+    tot AS (
+      SELECT event_type, bucket, n_early, n_late,
+             sum(n_early) OVER (PARTITION BY event_type) AS t_early,
+             sum(n_late)  OVER (PARTITION BY event_type) AS t_late
+      FROM counts
+    ),
+    scaled AS (
+      SELECT event_type, bucket,
+             ((2 * n_early * 10000 + t_early)
+               - (2 * n_early * 10000 + t_early) % (2 * t_early))
+               // (2 * t_early) AS p_early,
+             ((2 * n_late * 10000 + t_late)
+               - (2 * n_late * 10000 + t_late) % (2 * t_late))
+               // (2 * t_late) AS p_late
+      FROM tot
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(abs(p_early - p_late)) AS BIGINT) AS drift_l1_scaled,
+           CAST(sum(abs(p_early - p_late)) AS BIGINT) / 10000.0 AS drift_l1
+    FROM scaled
+    GROUP BY event_type
+    """,
+)
+def value_drift_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: per event type, the L1 distance between
+    the value histograms of the early and late halves of the stream --
+    the deterministic stand-in for PSI/KL drift scores (whose ln() is not
+    bit-stable across libm implementations; L1 needs only integer
+    arithmetic and ranks drifting types identically).
+
+    Every proportion stays a SCALED INTEGER until the single final
+    division -- summing 4-decimal doubles would re-introduce
+    order-dependent float error.  One scan + one groupBy(type, bucket);
+    the per-type windows run over histogram-sized frames.  At 100 TB the
+    same shape monitors feature drift between training snapshots.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.floor("value").cast("bigint") / 10)
+        .cast("bigint")
+        .alias("bucket"),
+        F.unix_timestamp("ts").cast("bigint").alias("ep"),
+    )
+    # Integer bucket: floor(value) DIV 10 (the /10 cast truncates toward
+    # zero only for non-negative values, which holds for events.value).
+    mid = ev.agg(
+        ((F.min("ep") + F.max("ep")) / 2).cast("bigint").alias("m")
+    )
+    counts = (
+        ev.crossJoin(F.broadcast(mid))
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.sum((F.col("ep") < F.col("m")).cast("int"))
+            .cast("bigint")
+            .alias("n_early"),
+            F.sum((F.col("ep") >= F.col("m")).cast("int"))
+            .cast("bigint")
+            .alias("n_late"),
+        )
+    )
+    w = Window.partitionBy("event_type")
+    tot = counts.select(
+        "event_type",
+        "bucket",
+        "n_early",
+        "n_late",
+        F.sum("n_early").over(w).alias("t_early"),
+        F.sum("n_late").over(w).alias("t_late"),
+    )
+    scaled = tot.select(
+        "event_type",
+        F.expr(
+            "((2 * n_early * 10000 + t_early)"
+            " - (2 * n_early * 10000 + t_early) % (2 * t_early))"
+            " DIV (2 * t_early)"
+        ).alias("p_early"),
+        F.expr(
+            "((2 * n_late * 10000 + t_late)"
+            " - (2 * n_late * 10000 + t_late) % (2 * t_late))"
+            " DIV (2 * t_late)"
+        ).alias("p_late"),
+    )
+    return scaled.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.sum(F.abs(F.col("p_early") - F.col("p_late")))
+        .cast("bigint")
+        .alias("drift_l1_scaled"),
+        (
+            F.sum(F.abs(F.col("p_early") - F.col("p_late"))).cast("bigint")
+            / 10000.0
+        ).alias("drift_l1"),
+    )
