@@ -268,10 +268,14 @@ def triangle_count_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     e1 = und.alias("e1")
     e2 = und.alias("e2")
     e3 = und.alias("e3")
+    # The oriented edge list is dimension-bounded (<= nations^2 rows) but
+    # checkpointed frames carry no stats, so hint the broadcast -- at
+    # real graph scale drop the hints and let the wedge join shuffle on
+    # its equi keys.
     tri = (
-        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        e1.join(F.broadcast(e2), F.col("e2.a") == F.col("e1.b"))
         .join(
-            e3,
+            F.broadcast(e3),
             (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
         )
         .select(F.col("e1.a").alias("x"))
