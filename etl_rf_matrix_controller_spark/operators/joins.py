@@ -192,3 +192,81 @@ def ungroup_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
             "synth_group"
         ),
     )
+
+
+@declared(
+    "record_linkage_scores",
+    oracle="""
+    WITH dirty AS (
+      SELECT c_custkey + 500000 AS d_id,
+             substring(c_name, 1, length(c_name) - 2) AS d_name,
+             c_nationkey AS d_nation,
+             round(c_acctbal + 0.5, 2) AS d_bal
+      FROM customer WHERE c_custkey % 7 = 0
+    ),
+    cand AS (
+      SELECT c.c_custkey AS clean_id, d.d_id AS dirty_id,
+             CASE WHEN substring(c.c_name, 1, length(d.d_name)) = d.d_name
+                  THEN 60 ELSE 0 END
+             + CASE WHEN CAST(round(d.d_bal * 100) AS BIGINT)
+                         - CAST(round(c.c_acctbal * 100) AS BIGINT) = 50
+                    THEN 30 ELSE 0 END
+             + 10 AS score
+      FROM customer c
+      JOIN dirty d
+        ON d.d_nation = c.c_nationkey
+       AND substring(d.d_name, 13, 3) = substring(c.c_name, 13, 3)
+    )
+    SELECT clean_id, dirty_id, CAST(score AS BIGINT) AS score,
+           score >= 70 AS is_match
+    FROM cand
+    """,
+)
+def record_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage (Fellegi-Sunter shape): match a dirty external
+    customer feed (names truncated, balances shifted -- synthesized
+    deterministically) back to the clean dimension via BLOCKING + weighted
+    field agreement.
+
+    Blocking on (nation, name-digit prefix) is the scale move: candidate
+    pairs are per-block products, never clean x dirty -- the same
+    inverted-index discipline as the dedup family, applied across TWO
+    tables.  Agreement weights are integers (name-prefix containment 60,
+    balance-delta-exactly-50-cents 30, block agreement 10; threshold 70),
+    so scores hash-match cross-engine; balance proximity compares
+    round-scaled integer cents, never raw doubles.  At 100 TB both sides
+    hash-partition on the block key and the scorer is a map-side
+    projection.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    dirty = cust.filter(F.col("c_custkey") % 7 == 0).select(
+        (F.col("c_custkey") + 500000).alias("d_id"),
+        F.expr("substring(c_name, 1, length(c_name) - 2)").alias("d_name"),
+        F.col("c_nationkey").alias("d_nation"),
+        F.round(F.col("c_acctbal") + 0.5, 2).alias("d_bal"),
+    )
+    name_agree = (
+        F.expr("substring(c_name, 1, length(d_name))") == F.col("d_name")
+    ).cast("int") * 60
+    bal_agree = (
+        (
+            F.round(F.col("d_bal") * 100).cast("bigint")
+            - F.round(F.col("c_acctbal") * 100).cast("bigint")
+        )
+        == 50
+    ).cast("int") * 30
+    cand = cust.join(
+        F.broadcast(dirty),
+        (F.col("d_nation") == F.col("c_nationkey"))
+        & (
+            F.expr("substring(d_name, 13, 3)")
+            == F.expr("substring(c_name, 13, 3)")
+        ),
+    ).select(
+        F.col("c_custkey").alias("clean_id"),
+        F.col("d_id").alias("dirty_id"),
+        (name_agree + bal_agree + F.lit(10)).cast("bigint").alias("score"),
+    )
+    return cand.select(
+        "clean_id", "dirty_id", "score", (F.col("score") >= 70).alias("is_match")
+    )
