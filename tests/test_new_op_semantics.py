@@ -1,0 +1,92 @@
+"""Edge-semantics unit tests for the round-2 operators: chunk boundaries,
+EMA single-event identity, Bloom no-false-negatives, Z-order locality."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def test_chunk_boundaries_and_short_doc(spark):
+    """A doc shorter than CHUNK_SIZE yields exactly one full-text chunk;
+    longer docs chunk at 1 + k*stride with the configured overlap."""
+    from etl_rf_matrix_controller_spark.operators.cleaning import (
+        CHUNK_SIZE,
+        CHUNK_STRIDE,
+        doc_chunk_overlap,
+    )
+
+    rows = doc_chunk_overlap(spark, SF_DIR).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    docs = {
+        r.doc_id: len(r.txt)
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", F.trim("text").alias("txt"))
+        .collect()
+    }
+    for doc_id, chunks in by_doc.items():
+        n = docs[doc_id]
+        expected = (max(n, 1) - 1) // CHUNK_STRIDE + 1
+        assert len(chunks) == expected, (doc_id, n)
+        for c in sorted(chunks, key=lambda c: c.chunk_idx):
+            assert c.chunk_start == 1 + c.chunk_idx * CHUNK_STRIDE
+            assert c.chunk_len == min(CHUNK_SIZE, n - (c.chunk_start - 1))
+        if n <= CHUNK_STRIDE:
+            # One full-text chunk only when the doc fits inside a stride
+            # (an n in (stride, size] doc still gets a second, overlap-
+            # only chunk so no suffix is ever chunk-final-truncated).
+            assert len(chunks) == 1 and chunks[0].chunk_len == n
+
+
+def test_ema_single_event_is_identity(spark):
+    """A user with one event has ema_value exactly equal to that value
+    (fold seeds with the first element, no smoothing applied)."""
+    from etl_rf_matrix_controller_spark.operators.behavior import ema_user_value
+
+    out = {r.user_id: r for r in ema_user_value(spark, SF_DIR).collect()}
+    vals = {
+        r.user_id: [float(v) for v in r.vs]
+        for r in spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.collect_list("value").alias("vs"))
+        .collect()
+    }
+    singles = [u for u, v in vals.items() if len(v) == 1]
+    for u in singles:
+        assert out[u].ema_value == vals[u][0]
+    # And every user's count matches.
+    for u, r in out.items():
+        assert r.n_events == len(vals[u])
+
+
+def test_bloom_has_no_false_negatives(spark):
+    """The Bloom property that matters: every true match passes the
+    filter -- n_exact equals the directly-computed semi-join count."""
+    from etl_rf_matrix_controller_spark.operators.layout import (
+        bloom_prefilter_join,
+    )
+    from etl_rf_matrix_controller_spark.sources.tables import load_table
+
+    row = bloom_prefilter_join(spark, SF_DIR).collect()[0]
+    cust = load_table(spark, SF_DIR, "customer")
+    orders = load_table(spark, SF_DIR, "orders")
+    sel = cust.filter(F.col("c_acctbal") > 9000).select("c_custkey")
+    true_matches = orders.join(
+        sel, orders.o_custkey == sel.c_custkey, "semi"
+    ).count()
+    assert row.n_exact == true_matches
+    assert row.n_pass_bloom >= row.n_exact  # one-sided error only
+
+
+def test_zorder_blocks_bound_both_dimensions(spark):
+    """A 4096-wide z-block fixes the top 2 bits of BOTH 8-bit dimensions,
+    so every block's (user, time) ranges are each confined to a 64-wide
+    band -- the two-dimensional locality a single-column sort cannot give."""
+    from etl_rf_matrix_controller_spark.operators.layout import zorder_key_events
+
+    for r in zorder_key_events(spark, SF_DIR).collect():
+        assert r.max_user_bucket - r.min_user_bucket <= 63, r
+        assert r.max_time_bucket - r.min_time_bucket <= 63, r
