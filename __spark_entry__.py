@@ -32,10 +32,28 @@ def entry(spark: SparkSession) -> DataFrame:
     return registry.QUERIES["routes_csv_denorm"](spark, SMOKE_SF_DIR)
 
 
+def _with_session_defense(
+    fn: Callable[["SparkSession", str], "DataFrame"],
+) -> Callable[["SparkSession", str], "DataFrame"]:
+    """Wrap a declared query so it self-defends the session confs the
+    oracle parity depends on: UTC timezone (timestamp truncation /
+    epoch math must agree with DuckDB regardless of the caller's TZ)
+    and the legacy nanos conf for the events table.  Both are
+    runtime-settable and idempotent; a caller session that already
+    carries them is untouched."""
+
+    def wrapped(spark: "SparkSession", sf_dir: str) -> "DataFrame":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md SS2."""
     registry.load_all()
-    return dict(registry.QUERIES)
+    return {name: _with_session_defense(fn) for name, fn in registry.QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
