@@ -742,3 +742,131 @@ def ema_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(acc, s) -> 0.3e0 * s.value + (1e0 - 0.3e0) * acc)"
         ).alias("ema_value"),
     )
+
+
+@declared(
+    "late_data_corrections",
+    oracle="""
+    WITH tagged AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+             event_type,
+             event_id % 50 = 0 AS is_late
+      FROM events
+    ),
+    agg AS (
+      SELECT window_start, event_type,
+             CAST(sum(CASE WHEN is_late THEN 0 ELSE 1 END) AS BIGINT)
+               AS on_time_n,
+             CAST(count(*) AS BIGINT) AS full_n
+      FROM tagged GROUP BY window_start, event_type
+    )
+    SELECT window_start, event_type, on_time_n, full_n,
+           full_n - on_time_n AS correction
+    FROM agg
+    WHERE full_n <> on_time_n
+    """,
+)
+def late_data_corrections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lambda-architecture reconciliation: the batch backfill recomputes
+    each hourly window INCLUDING late arrivals (simulated: every 50th
+    event arrived after the watermark closed its window) and emits
+    correction records only for windows whose counts changed -- the
+    delta feed a serving layer applies on top of the streamed results.
+
+    One pass, one shuffle: both the on-time and full counts fold into
+    the same conditional aggregate, so reconciliation costs exactly one
+    window recount, not two scans; the correction filter ships only
+    changed windows downstream (sparse at any scale -- late data is the
+    exception, not the rule).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.select(
+        F.date_trunc("hour", "ts").alias("window_start"),
+        "event_type",
+        (F.col("event_id") % 50 == 0).alias("is_late"),
+    )
+    agg = tagged.groupBy("window_start", "event_type").agg(
+        F.sum(F.when(F.col("is_late"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("on_time_n"),
+        F.count(F.lit(1)).cast("bigint").alias("full_n"),
+    )
+    return agg.filter(F.col("full_n") != F.col("on_time_n")).select(
+        "window_start",
+        "event_type",
+        "on_time_n",
+        "full_n",
+        (F.col("full_n") - F.col("on_time_n")).alias("correction"),
+    )
+
+
+@declared(
+    "value_trend_slope",
+    oracle="""
+    WITH base AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS xh,
+             CAST(round(value * 100) AS BIGINT) AS yc
+      FROM events
+    ),
+    centered AS (
+      SELECT event_type, xh - (SELECT min(xh) FROM base) AS x, yc AS y
+      FROM base
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM centered GROUP BY event_type
+    )
+    SELECT event_type, n,
+           n * sxy - sx * sy AS slope_num,
+           n * sxx - sx * sx AS slope_den,
+           (n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx)
+             AS slope_cents_per_hour
+    FROM s
+    """,
+)
+def value_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type OLS trend: the slope of event value (cents) against time
+    (hours), the drift/trend detector behind burn-rate and regression
+    alerts.
+
+    The classic overflow-and-float trap is defused by working in SMALL
+    integer units end to end: x = hour offsets from the corpus minimum
+    (centering keeps x^2 sums ~1e10, far from int64 limits where raw
+    epoch-seconds squared overflow), y = value cents; every moment sum
+    (n, Sx, Sy, Sxy, Sxx) is then an exact order-independent integer and
+    the slope is ONE float division of two exact integers -- bit-stable
+    cross-engine where a naive sum of double products is not.  One pass,
+    one shuffle, slope formula n*Sxy - Sx*Sy over n*Sxx - Sx^2.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.expr("CAST(unix_timestamp(ts) AS BIGINT) DIV 3600").alias("xh"),
+        F.round(F.col("value") * 100).cast("bigint").alias("yc"),
+    )
+    minx = base.agg(F.min("xh").alias("min_xh"))
+    centered = base.crossJoin(F.broadcast(minx)).select(
+        "event_type", (F.col("xh") - F.col("min_xh")).alias("x"), F.col("yc").alias("y")
+    )
+    s = centered.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.select(
+        "event_type",
+        "n",
+        num.alias("slope_num"),
+        den.alias("slope_den"),
+        (num * 1.0 / den).alias("slope_cents_per_hour"),
+    )
