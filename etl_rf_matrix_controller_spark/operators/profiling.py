@@ -15,6 +15,8 @@ from pyspark.sql import functions as F
 from etl_rf_matrix_controller_spark.plans.conventions import (
     exact_avg,
     exact_avg_sql,
+    ratio4,
+    ratio4_sql,
 )
 from etl_rf_matrix_controller_spark.plans.registry import declared
 from etl_rf_matrix_controller_spark.sources.tables import load_table
@@ -747,4 +749,115 @@ def value_drift_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.abs(F.col("p_early") - F.col("p_late"))).cast("bigint")
             / 10000.0
         ).alias("drift_l1"),
+    )
+
+
+@declared(
+    "weighted_median_price",
+    oracle="""
+    WITH h AS (
+      SELECT l_returnflag, l_extendedprice AS price,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS w
+      FROM lineitem GROUP BY l_returnflag, l_extendedprice
+    ),
+    cum AS (
+      SELECT l_returnflag, price,
+             sum(w) OVER (PARTITION BY l_returnflag ORDER BY price
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cw,
+             sum(w) OVER (PARTITION BY l_returnflag) AS tw
+      FROM h
+    )
+    SELECT l_returnflag,
+           CAST(max(tw) AS BIGINT) AS total_weight,
+           min(price) AS weighted_median_price
+    FROM cum
+    WHERE 2 * cw >= tw
+    GROUP BY l_returnflag
+    """,
+)
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag: the smallest price
+    whose cumulative quantity weight reaches half the group's total --
+    rank selection over a VALUE HISTOGRAM, generalizing the unweighted
+    histogram-median (doc_char_length_mad) to weighted data.
+
+    No global sort of the fact: the histogram collapses the 600k-row
+    group to its distinct prices first (one shuffle, map-side combined),
+    and the cumulative window runs over histogram-sized frames.  Weights
+    are integers (rounded quantities), the half-total test is the exact
+    integer inequality 2*cw >= tw, and the price passes through raw --
+    nothing floats until the untouched original value is emitted.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    h = li.groupBy("l_returnflag", F.col("l_extendedprice").alias("price")).agg(
+        F.sum(F.round("l_quantity").cast("bigint")).cast("bigint").alias("w")
+    )
+    wcum = Window.partitionBy("l_returnflag").orderBy("price").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy("l_returnflag")
+    cum = h.select(
+        "l_returnflag",
+        "price",
+        F.sum("w").over(wcum).alias("cw"),
+        F.sum("w").over(wall).alias("tw"),
+    )
+    return (
+        cum.filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.max("tw").cast("bigint").alias("total_weight"),
+            F.min("price").alias("weighted_median_price"),
+        )
+    )
+
+
+@declared(
+    "user_event_diversity",
+    oracle=f"""
+    WITH c AS (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_i
+      FROM events GROUP BY user_id, event_type
+    ),
+    s AS (
+      SELECT user_id,
+             CAST(sum(n_i) AS BIGINT) AS n,
+             CAST(sum(n_i * n_i) AS BIGINT) AS sq,
+             CAST(count(*) AS BIGINT) AS n_types
+      FROM c GROUP BY user_id
+    )
+    SELECT user_id, n_types, n,
+           {ratio4_sql('n * n - sq', 'n * n')} AS simpson_diversity
+    FROM s
+    """,
+)
+def user_event_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral diversity as the Gini-Simpson index
+    1 - sum(p_i^2): 0 for single-event-type users, approaching
+    1 - 1/k for a uniform mix over k types.
+
+    Chosen over Shannon entropy deliberately: entropy needs ln(), which
+    is NOT bit-stable across libm implementations, while Gini-Simpson is
+    the exact integer rational (n^2 - sum n_i^2) / n^2 -- same ranking
+    power for mix-vs-monoculture monitoring, zero cross-engine risk.
+    Two map-side-combinable aggregations sharing the user_id
+    partitioning; at 100 TB this is a standard two-level rollup.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_i")
+    )
+    s = c.groupBy("user_id").agg(
+        F.sum("n_i").cast("bigint").alias("n"),
+        F.sum(F.col("n_i") * F.col("n_i")).cast("bigint").alias("sq"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+    )
+    return s.select(
+        "user_id",
+        "n_types",
+        "n",
+        ratio4(
+            F.col("n") * F.col("n") - F.col("sq"), F.col("n") * F.col("n")
+        ).alias("simpson_diversity"),
     )
