@@ -150,3 +150,76 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("version").alias("dim_version"),
         F.col("acctbal").alias("acctbal_asof_order"),
     )
+
+
+@declared(
+    "survivorship_merge",
+    oracle="""
+    WITH versions AS (
+      SELECT c_custkey, 1 AS src_priority, c_name,
+             CAST(NULL AS VARCHAR) AS mktsegment, round(c_acctbal, 2) AS bal
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, 2 AS src_priority, CAST(NULL AS VARCHAR) AS c_name,
+             c_mktsegment, CASE WHEN c_custkey % 3 = 0
+                                THEN round(c_acctbal + 50.0, 2)
+                                ELSE NULL END AS bal
+      FROM customer WHERE c_custkey % 2 = 0
+    ),
+    ranked AS (
+      SELECT c_custkey,
+             max(src_priority) AS best_src,
+             arg_max(c_name, CASE WHEN c_name IS NOT NULL
+                                  THEN src_priority ELSE -1 END) AS name,
+             arg_max(mktsegment, CASE WHEN mktsegment IS NOT NULL
+                                      THEN src_priority ELSE -1 END) AS segment,
+             arg_max(bal, CASE WHEN bal IS NOT NULL
+                               THEN src_priority ELSE -1 END) AS bal
+      FROM versions GROUP BY c_custkey
+    )
+    SELECT c_custkey, name, segment, bal,
+           CAST(best_src AS BIGINT) AS n_sources_seen
+    FROM ranked
+    """,
+)
+def survivorship_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MDM golden-record survivorship: duplicate customer records from two
+    sources (source 2 synthesized with a sparser column set and partial
+    balance updates) merge COLUMN-WISE -- each field independently takes
+    its highest-priority NON-NULL value, unlike row-level dedup where one
+    whole record wins and its nulls erase better data from losers.
+
+    One groupBy on the key with per-column max_by over a null-demoting
+    priority (null values rank -1, so they never survive a non-null from
+    any source) -- column-level survivorship costs the same single
+    shuffle as row-level keep-first.  The standard MERGE policy table
+    (per-column priority orders) drops in by swapping the priority
+    expression per field.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    v1 = cust.select(
+        "c_custkey",
+        F.lit(1).alias("src_priority"),
+        "c_name",
+        F.lit(None).cast("string").alias("mktsegment"),
+        F.round("c_acctbal", 2).alias("bal"),
+    )
+    v2 = cust.filter(F.col("c_custkey") % 2 == 0).select(
+        "c_custkey",
+        F.lit(2).alias("src_priority"),
+        F.lit(None).cast("string").alias("c_name"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.when(
+            F.col("c_custkey") % 3 == 0, F.round(F.col("c_acctbal") + 50.0, 2)
+        ).alias("bal"),
+    )
+    versions = v1.unionByName(v2)
+    prio = lambda c: F.when(  # noqa: E731
+        F.col(c).isNotNull(), F.col("src_priority")
+    ).otherwise(F.lit(-1))
+    return versions.groupBy("c_custkey").agg(
+        F.max_by("c_name", prio("c_name")).alias("name"),
+        F.max_by("mktsegment", prio("mktsegment")).alias("segment"),
+        F.max_by("bal", prio("bal")).alias("bal"),
+        F.max("src_priority").cast("bigint").alias("n_sources_seen"),
+    ).select("c_custkey", "name", "segment", "bal", "n_sources_seen")

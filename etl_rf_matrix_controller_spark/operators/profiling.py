@@ -861,3 +861,93 @@ def user_event_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n") * F.col("n") - F.col("sq"), F.col("n") * F.col("n")
         ).alias("simpson_diversity"),
     )
+
+
+@declared(
+    "join_skew_report",
+    oracle="""
+    WITH keyed AS (
+      SELECT 'orders.o_custkey' AS key_col, o_custkey AS k FROM orders
+      UNION ALL
+      SELECT 'lineitem.l_suppkey', l_suppkey FROM lineitem
+      UNION ALL
+      SELECT 'lineitem.l_partkey', l_partkey FROM lineitem
+    ),
+    counts AS (
+      SELECT key_col, k, CAST(count(*) AS BIGINT) AS n
+      FROM keyed GROUP BY key_col, k
+    ),
+    stats AS (
+      SELECT key_col, n, k,
+             max(n) OVER (PARTITION BY key_col) AS max_n,
+             sum(n) OVER (PARTITION BY key_col) AS tot,
+             count(*) OVER (PARTITION BY key_col) AS n_keys,
+             row_number() OVER (PARTITION BY key_col
+                                ORDER BY n DESC, k) AS rnk
+      FROM counts
+    )
+    SELECT key_col,
+           CAST(max(n_keys) AS BIGINT) AS n_keys,
+           CAST(max(max_n) AS BIGINT) AS heaviest_key_rows,
+           CAST(min(k) AS BIGINT) AS heaviest_key,
+           CAST((max(max_n) * max(n_keys) * 100) // max(tot) AS BIGINT)
+             AS skew_pct_of_avg
+    FROM stats
+    WHERE rnk = 1
+    GROUP BY key_col
+    """,
+)
+def join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew diagnostic over the schema's join keys: per key
+    column, the key-space size, the heaviest key and its row count, and
+    that weight as an integer percentage of the average key's -- the
+    number that predicts whether a shuffle join on this key needs
+    salting or AQE skew splitting BEFORE you run it.
+
+    One pass per key column folded into a single union scan; all the
+    windows run over per-key count frames (key-space-sized, not
+    row-sized).  skew_pct_of_avg = max_n * n_keys * 100 DIV total is
+    exact integer arithmetic: 100 means perfectly uniform, 10_000 means
+    the hottest key is 100x average -- the salting threshold in
+    plans/scale.py keys off exactly this ratio.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.lit("orders.o_custkey").alias("key_col"), F.col("o_custkey").alias("k")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    keyed = orders.unionByName(
+        li.select(
+            F.lit("lineitem.l_suppkey").alias("key_col"),
+            F.col("l_suppkey").alias("k"),
+        )
+    ).unionByName(
+        li.select(
+            F.lit("lineitem.l_partkey").alias("key_col"),
+            F.col("l_partkey").alias("k"),
+        )
+    )
+    counts = keyed.groupBy("key_col", "k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    w = Window.partitionBy("key_col")
+    wr = Window.partitionBy("key_col").orderBy(F.desc("n"), F.asc("k"))
+    stats = counts.select(
+        "key_col",
+        "k",
+        "n",
+        F.max("n").over(w).alias("max_n"),
+        F.sum("n").over(w).alias("tot"),
+        F.count(F.lit(1)).over(w).alias("n_keys"),
+        F.row_number().over(wr).alias("rnk"),
+    )
+    return (
+        stats.filter(F.col("rnk") == 1)
+        .groupBy("key_col")
+        .agg(
+            F.max("n_keys").cast("bigint").alias("n_keys"),
+            F.max("max_n").cast("bigint").alias("heaviest_key_rows"),
+            F.min("k").cast("bigint").alias("heaviest_key"),
+            F.expr("CAST((max(max_n) * max(n_keys) * 100) DIV max(tot) AS BIGINT)")
+            .alias("skew_pct_of_avg"),
+        )
+    )
