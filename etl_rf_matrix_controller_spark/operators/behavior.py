@@ -870,3 +870,98 @@ def value_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         den.alias("slope_den"),
         (num * 1.0 / den).alias("slope_cents_per_hour"),
     )
+
+
+@declared(
+    "funnel_time_to_convert",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > v.t_view
+      GROUP BY e.user_id
+    ),
+    d AS (
+      SELECT p.user_id,
+             CAST(floor(epoch(p.t_purchase)) AS BIGINT)
+               - CAST(floor(epoch(v.t_view)) AS BIGINT) AS secs
+      FROM p JOIN v ON v.user_id = p.user_id
+    ),
+    h AS (
+      SELECT secs // 3600 AS hours_bucket,
+             CAST(count(*) AS BIGINT) AS n_users
+      FROM d GROUP BY secs // 3600
+    ),
+    cum AS (
+      SELECT hours_bucket, n_users,
+             sum(n_users) OVER (ORDER BY hours_bucket
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cw,
+             sum(n_users) OVER () AS tw
+      FROM h
+    )
+    SELECT hours_bucket, n_users,
+           CAST(min(CASE WHEN 2 * cw >= tw THEN hours_bucket END)
+                OVER () AS BIGINT) AS median_hours_bucket
+    FROM cum
+    """,
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: hours between each user's first view
+    and their first subsequent purchase, bucketed by hour, with the
+    median bucket annotated -- the DURATION complement to funnel_stages'
+    conversion counts (how long, not just how many).
+
+    Same histogram-median discipline as weighted_median_price: durations
+    collapse to hour buckets before any window runs, so the cumulative
+    selection scans bucket-count rows regardless of user count; epoch
+    subtraction is exact integer seconds (floored epochs per the DuckDB
+    parity convention).  Two first-event aggregations sharing the
+    user_id shuffle, then bucket-sized windows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    d = p.join(v, "user_id").select(
+        (
+            F.unix_timestamp("t_purchase").cast("bigint")
+            - F.unix_timestamp("t_view").cast("bigint")
+        ).alias("secs")
+    )
+    h = d.groupBy(F.expr("secs DIV 3600").alias("hours_bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    wcum = Window.orderBy("hours_bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy()
+    cum = h.select(
+        "hours_bucket",
+        "n_users",
+        F.sum("n_users").over(wcum).alias("cw"),
+        F.sum("n_users").over(wall).alias("tw"),
+    )
+    return cum.select(
+        "hours_bucket",
+        "n_users",
+        F.min(
+            F.when(2 * F.col("cw") >= F.col("tw"), F.col("hours_bucket"))
+        )
+        .over(wall)
+        .cast("bigint")
+        .alias("median_hours_bucket"),
+    )
