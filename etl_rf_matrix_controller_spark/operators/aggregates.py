@@ -358,8 +358,13 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("row_id", "cell")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     )
-    exact = ev.groupBy("user_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("exact_count")
+    # exact feeds both the probe join and the totals row; checkpoint the
+    # per-key aggregate once so the events scan runs twice total (sketch
+    # build + exact counts), not three times.
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_count"))
+        .localCheckpoint(eager=True)
     )
     probes = exact.select("user_id", "exact_count", rows).select(
         "user_id", "exact_count", "row_id", cell.alias("cell")

@@ -924,19 +924,24 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_id shuffle, then bucket-sized windows.
     """
     ev = load_table(spark, sf_dir, "events")
+    # v is consumed by two joins (purchase gating + duration pairing);
+    # checkpoint the per-user first-view aggregate once so the view scan
+    # runs once, not once per consumer (was a 3x events plan).  v is
+    # user-dim sized at 100 TB: shuffle_hash, not broadcast, not sort.
     v = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_view"))
+        .localCheckpoint(eager=True)
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")
-        .join(v, "user_id")
+        .join(v.hint("shuffle_hash"), "user_id")
         .filter(F.col("ts") > F.col("t_view"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_purchase"))
     )
-    d = p.join(v, "user_id").select(
+    d = p.join(v.hint("shuffle_hash"), "user_id").select(
         (
             F.unix_timestamp("t_purchase").cast("bigint")
             - F.unix_timestamp("t_view").cast("bigint")

@@ -47,9 +47,17 @@ def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     the natural layout for a partitioned-by-version parquet dim.
     """
     customer = load_table(spark, sf_dir, "customer")
-    changes = customer.filter(F.col("c_custkey") % 5 == 0).select(
-        F.col("c_custkey").alias("ch_key"),
-        F.round(F.col("c_acctbal") + 100.0, 2).alias("new_bal"),
+    # The change feed is consumed twice (close-out join + version-2
+    # append); checkpoint it so the dim is scanned once for v1 and once
+    # for the feed, not three times.  Change feeds stay small vs the dim,
+    # so the broadcast below remains the honest 100 TB plan.
+    changes = (
+        customer.filter(F.col("c_custkey") % 5 == 0)
+        .select(
+            F.col("c_custkey").alias("ch_key"),
+            F.round(F.col("c_acctbal") + 100.0, 2).alias("new_bal"),
+        )
+        .localCheckpoint(eager=True)
     )
     v1 = customer.join(
         F.broadcast(changes), customer.c_custkey == changes.ch_key, "left"

@@ -80,7 +80,12 @@ def _edge_df(docs: DataFrame) -> DataFrame:
         (F.col("doc_id") - (F.col("h") % EDGE_SPAN + 1)).alias("dst"),
     )
     nodes = docs.select(F.col("doc_id").alias("dst"))
-    return edges.join(nodes, "dst", "left_semi").select("src", "dst")
+    # Callers pass docs as a localCheckpoint (stat-less), so pin the semi
+    # join strategy: shuffle_hash, which is also the honest 100 TB plan
+    # (the node set is corpus-sized -- never broadcastable, never sorted).
+    return edges.join(nodes.hint("shuffle_hash"), "dst", "left_semi").select(
+        "src", "dst"
+    )
 
 
 @declared(
@@ -125,7 +130,14 @@ def near_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     two hash-partitioned shuffles on uniform integer keys; the final
     min-agg is map-side combinable.
     """
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # doc_id is consumed three times (edge fingerprints, the existence
+    # semi-join, the label init); checkpoint the narrow id column once so
+    # the corpus is scanned once, not three times.
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .localCheckpoint(eager=True)
+    )
     edges = _edge_df(docs)
     sym = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -336,13 +348,22 @@ def dup_graph_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     histogram groups on |distinct degrees| keys.  Both shuffles are on
     uniform integer ids; the histogram output is tiny.
     """
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    edges = _edge_df(docs)
+    # One scan of documents total (was 5): the id column checkpoints once
+    # and feeds the fingerprints, the semi-join node set, and the left
+    # side; edges checkpoint once so symmetrization doesn't recompute
+    # them.  Stat-less sides get explicit shuffle_hash pins (corpus-sized
+    # at 100 TB -- neither broadcastable nor worth sorting).
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .localCheckpoint(eager=True)
+    )
+    edges = _edge_df(docs).localCheckpoint(eager=True)
     sym = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     deg = (
-        docs.join(sym, docs.doc_id == sym.src, "left")
+        docs.join(sym.hint("shuffle_hash"), docs.doc_id == sym.src, "left")
         .groupBy("doc_id")
         .agg(F.count("src").alias("degree"))
     )

@@ -92,10 +92,16 @@ def split_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.lower(F.trim("text"))).alias("content_hash"),
     )
     b = hash_bucket(F.col("doc_id"))
+    # Both join aliases (train/eval) consume this frame; checkpoint the
+    # NARROW (id, hash, split) projection once so the corpus scan + md5
+    # run a single time instead of once per alias (was a 6x-scan plan).
+    # Checkpointed frames carry no stats, so pin the join strategy:
+    # shuffle_hash, the honest 100 TB choice (both split sides scale with
+    # the corpus -- hash-partition on the content hash, never sort).
     tagged = tagged.withColumn(
         "split",
         F.when(b < 80, "train").when(b < 90, "val").otherwise("test"),
-    )
+    ).localCheckpoint(eager=True)
     tr = tagged.filter(F.col("split") == "train").select(
         F.col("doc_id").alias("train_doc"), "content_hash"
     )
@@ -104,7 +110,7 @@ def split_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("split").alias("eval_split"),
         F.col("content_hash").alias("te_hash"),
     )
-    return tr.join(te, tr.content_hash == te.te_hash).select(
+    return tr.join(te.hint("shuffle_hash"), tr.content_hash == te.te_hash).select(
         "train_doc", "eval_doc", "eval_split", "content_hash"
     )
 

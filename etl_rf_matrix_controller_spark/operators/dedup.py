@@ -56,20 +56,43 @@ _CORPUS_SQL = """
 
 
 def dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents + synthesized exact dups (+1M ids) and near dups (+2M)."""
+    """documents + synthesized exact dups (+1M ids) and near dups (+2M).
+
+    Built as a per-row variant fan-out (array -> filter nulls -> explode)
+    over ONE scan of documents, not a 3-branch union: the union form read
+    the table three times, which at 100 TB is two wasted full corpus
+    passes (the oracle keeps the UNION ALL spelling -- DuckDB reads a
+    view, the shape there is irrelevant)."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source"
     )
-    exact = docs.filter(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"), "text", "lang", "source"
+    variants = F.filter(
+        F.array(
+            F.struct(
+                F.col("doc_id"), F.col("text"), F.col("lang"), F.col("source")
+            ),
+            F.when(
+                F.col("doc_id") % 10 == 0,
+                F.struct(
+                    (F.col("doc_id") + 1000000).alias("doc_id"),
+                    F.col("text"),
+                    F.col("lang"),
+                    F.col("source"),
+                ),
+            ),
+            F.when(
+                F.col("doc_id") % 10 == 1,
+                F.struct(
+                    (F.col("doc_id") + 2000000).alias("doc_id"),
+                    F.concat(F.col("text"), F.lit(" zzextra")).alias("text"),
+                    F.col("lang"),
+                    F.col("source"),
+                ),
+            ),
+        ),
+        lambda x: x.isNotNull(),
     )
-    near = docs.filter(F.col("doc_id") % 10 == 1).select(
-        (F.col("doc_id") + 2000000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" zzextra")).alias("text"),
-        "lang",
-        "source",
-    )
-    return docs.unionByName(exact).unionByName(near)
+    return docs.select(F.explode(variants).alias("r")).select("r.*")
 
 
 def token_fingerprint(token: Column) -> Column:

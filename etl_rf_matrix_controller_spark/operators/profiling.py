@@ -357,8 +357,13 @@ def doc_char_length_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(col).alias("median"), F.max("n").alias("n")
         )
 
-    med = hist_median(docs, "n_chars").select(
-        F.col("median").alias("median_chars"), F.col("n").alias("n_docs")
+    # med is a ONE-ROW frame consumed twice (deviation pass + final
+    # select); checkpoint it so the histogram subtree (a documents scan)
+    # isn't recomputed per consumer -- 2 scans total, not 3.
+    med = (
+        hist_median(docs, "n_chars")
+        .select(F.col("median").alias("median_chars"), F.col("n").alias("n_docs"))
+        .localCheckpoint(eager=True)
     )
     devs = docs.crossJoin(F.broadcast(med)).select(
         F.abs(F.col("n_chars") - F.col("median_chars")).alias("dev")

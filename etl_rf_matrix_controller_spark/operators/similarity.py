@@ -359,7 +359,12 @@ def ivf_topk_df(
     centroid's inverted list, queries probe their nprobe nearest lists
     (nprobe=1 is the declared-query shape; raising it is the recall
     knob the gate test exercises)."""
-    emb = emb.select("vec_id", "embedding")
+    # The frame feeds three consumers (centroid sample, list assignment,
+    # query ranking); checkpoint it once so the table is scanned once, not
+    # four times.  At 100 TB this materialization IS the IVF build step:
+    # the assignment pass is a write-once index artifact, exactly the
+    # FAISS layout; probes afterwards touch only their lists.
+    emb = emb.select("vec_id", "embedding").localCheckpoint(eager=True)
     cents = emb.filter(F.col("vec_id") % cent_mod == 0).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce")
     )
@@ -432,14 +437,22 @@ _VEC_CORPUS_SQL = """
     """,
 )
 def cosine_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E5e: embedding-cosine near-duplicate pairs, blocked by label.
+    """E5e: embedding-cosine near-duplicate pairs, blocked by LSH sign-bucket.
 
     The driver's embeddings are near-orthogonal (max natural within-label
     cosine ~0.45), so duplicates are synthesized deterministically
     (verbatim copies, +100000 ids) and the 0.99 threshold sits far from
-    any float boundary.  Blocking on label keeps the pair join an
-    equi-join; the 100 TB version swaps the block key for an LSH bucket
-    (see ann_lsh_topk).
+    any float boundary.  The candidate join keys on the random-hyperplane
+    sign-bucket (the same 8-bit code as ann_lsh_topk) with Hamming-1
+    multiprobe on one side, NOT on label: bucket population is
+    data-independent-bounded (~n/256 expected per bucket, and the plane
+    count is a knob), so the pair join is never quadratic within a data
+    block -- the property the label block lacked at 100x.  Pairs at
+    cosine >= 0.99 agree on all/most sign bits (exact copies on all), so
+    the probe set covers them; the verify stage (exact double-fold cosine
+    + label equality) is unchanged and the DuckDB oracle stays the
+    label-blocked ground truth, making every gate run a recall check of
+    the bucketing itself.
     """
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", "embedding"
@@ -447,31 +460,87 @@ def cosine_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     copies = emb.filter(F.col("vec_id") % 20 == 0).select(
         (F.col("vec_id") + 100000).alias("vec_id"), "label", "embedding"
     )
-    corpus = emb.unionByName(copies)
-    n = corpus.select(
-        "vec_id",
-        "label",
-        "embedding",
-        F.sqrt(dot_double(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    return cosine_pairs_df(spark, emb.unionByName(copies))
+
+
+def cosine_pairs_df(
+    spark: SparkSession,
+    corpus: DataFrame,
+    block: str = "bucket",
+    threshold: float = 0.99,
+) -> DataFrame:
+    """Near-dup pair join over a (vec_id, label, embedding) corpus.
+
+    block="bucket" (default): candidates pair via an equi-join on the LSH
+    sign-bucket, with the left side probing its own code plus the
+    N_PLANES codes at Hamming distance 1 (flip one sign bit).  The probe
+    codes of one row are pairwise distinct and the right side keys on its
+    single code, so each (vec_a, vec_b) pair joins at most once -- no
+    distinct pass needed.  block="label": the legacy quadratic-in-block
+    form, kept only so tests/test_ann_recall.py can assert the bucket
+    path's recall against it.
+
+    The norm+bucket projection is consumed by both join sides, so it is
+    localCheckpointed once (CLAUDE.md rule); checkpointed frames carry no
+    stats, so the join strategy is pinned with a shuffle_hash hint -- the
+    honest 100 TB choice too (both sides are corpus-sized; hash-partition
+    by bucket, hash-join, never sort-merge and never broadcast).
+    """
+    n = (
+        corpus.repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "vec_id",
+            "label",
+            "embedding",
+            F.sqrt(dot_double(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+            F.expr(_BUCKET_SPARK.format(col="embedding"))
+            .cast("bigint")
+            .alias("bucket"),
+        )
+        .localCheckpoint(eager=True)
     )
-    a = n.alias("a")
-    b = n.alias("b")
-    cosine = dot_double(F.col("a.embedding"), F.col("b.embedding")) / (
-        F.col("a.nrm") * F.col("b.nrm")
+    a = n.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("label").alias("label_a"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("nrm_a"),
+        F.col("bucket").alias("bucket_a"),
+    )
+    b = n.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("label").alias("label_b"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nrm_b"),
+        F.col("bucket").alias("bucket_b"),
+    )
+    if block == "bucket":
+        probe_codes = F.expr(
+            f"concat(array(bucket_a), transform(sequence(0, {N_PLANES - 1}), "
+            "j -> bucket_a ^ shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))))"
+        )
+        a = a.select(
+            "vec_a", "label_a", "ea", "nrm_a", F.explode(probe_codes).alias("probe")
+        )
+        cond = (F.col("probe") == F.col("bucket_b")) & (
+            F.col("vec_a") < F.col("vec_b")
+        )
+    else:
+        cond = (F.col("label_a") == F.col("label_b")) & (
+            F.col("vec_a") < F.col("vec_b")
+        )
+    cosine = dot_double(F.col("ea"), F.col("eb")) / (
+        F.col("nrm_a") * F.col("nrm_b")
     )
     return (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
+        a.join(b.hint("shuffle_hash"), cond)
+        .filter(F.col("label_a") == F.col("label_b"))
         .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.col("a.label").alias("label"),
+            "vec_a",
+            "vec_b",
+            F.col("label_a").alias("label"),
             cosine.alias("cosine"),
         )
-        .filter(F.col("cosine") >= 0.99)
+        .filter(F.col("cosine") >= threshold)
     )
 
 

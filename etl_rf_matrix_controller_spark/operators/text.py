@@ -191,11 +191,20 @@ def lang_id_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
     size, no cross-doc shuffle beyond the per-doc aggregation.
     """
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id",
-        "lang",
-        F.explode(F.split(F.trim("text"), " ")).alias("token"),
-    ).filter(F.col("token") != "")
+    # The token stream feeds both the marker-learning pass and the
+    # scoring join; checkpoint it once (same discipline as search.py's
+    # postings) so the corpus is scanned+exploded once, not twice.
+    # Rebalance BEFORE the explode so the fan-out uses every core.
+    tok = (
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(F.split(F.trim("text"), " ")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .localCheckpoint(eager=True)
+    )
     freq = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("c"))
     w = Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("token"))
     markers = (

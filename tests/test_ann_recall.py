@@ -18,6 +18,7 @@ import numpy as np
 from pyspark.sql import functions as F
 
 from etl_rf_matrix_controller_spark.operators.similarity import (
+    cosine_pairs_df,
     ivf_topk_df,
     knn_topk_df,
     lsh_topk_df,
@@ -69,3 +70,42 @@ def test_ann_recall_ordering_and_floors(spark):
     # exactly (measured 1.0 at this seed).
     q8 = _recall(_pairs(quantized_knn_df(emb)), truth)
     assert q8 >= 0.9, q8
+
+
+def test_cosine_bucket_blocking_recall(spark):
+    """The LSH sign-bucket blocking in cosine_near_dup_pairs must recover
+    every pair the legacy label blocking finds (recall 1.0 on this corpus:
+    near-dups are verbatim copies, so their codes are identical and
+    single-probe already collides; multiprobe covers perturbed
+    boundaries).  Clustered corpus with same-label exact copies, plus a
+    perturbed copy that multiprobe must still catch."""
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(N_CLUSTERS, DIM))
+    centers = 10.0 * centers / np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for vid in range(N):
+        c = vid % N_CLUSTERS
+        v = centers[c] + rng.normal(0.0, 0.25, size=DIM)
+        rows.append((vid, int(c), [float(x) for x in v]))
+        if vid % 16 == 0:
+            # verbatim copy (code-identical) and a tiny perturbation
+            # (cosine ~0.9999, may flip a boundary sign bit -> exercises
+            # the Hamming-1 multiprobe).
+            rows.append((vid + 100000, int(c), [float(x) for x in v]))
+            w = v + rng.normal(0.0, 1e-3, size=DIM)
+            rows.append((vid + 200000, int(c), [float(x) for x in w]))
+    corpus = spark.createDataFrame(
+        rows, "vec_id bigint, label bigint, embedding array<float>"
+    ).localCheckpoint(eager=True)
+
+    def pairset(df):
+        return {(r.vec_a, r.vec_b) for r in df.collect()}
+
+    truth = pairset(cosine_pairs_df(spark, corpus, block="label"))
+    bucketed = pairset(cosine_pairs_df(spark, corpus, block="bucket"))
+    assert truth, "vacuous ground truth"
+    missed = truth - bucketed
+    assert not missed, f"bucket blocking missed {len(missed)}/{len(truth)}: {sorted(missed)[:5]}"
+    # bucket blocking may only ever *verify fewer* candidates, never emit
+    # a pair the label+cosine verify stage would reject.
+    assert bucketed <= truth, sorted(bucketed - truth)[:5]

@@ -128,20 +128,55 @@ def test_whole_stage_codegen_everywhere(spark):
     assert "*(" in plan or "WholeStageCodegen" in plan, plan
 
 
-def test_no_sort_merge_or_cartesian_anywhere(spark):
-    """Suite-wide physical-plan invariant: no declared query may plan a
-    SortMergeJoin (every join must broadcast, bucket, or hash) or a
-    CartesianProduct (broadcast nested loops over tiny probe frames are
-    fine; true cartesians are not).  Locks in the round-2 removal of the
-    suite's only SMJ (preset_apply_merge)."""
+# Deliberate multi-pass ops exempt from the scan-count ceiling:
+#   set_except      -- EXCEPT is definitionally two passes per operand pair
+#                      (4 scans of orders across its two set operands);
+#   pagerank_nations -- the declared 2-iteration unroll re-reads the
+#                      25-row fixed nation dim per iteration by design
+#                      (the production loop is pagerank_loop, which
+#                      checkpoints per round).
+SCAN_CEILING = 2
+SCAN_ALLOWLIST = {"set_except", "pagerank_nations"}
+
+
+def test_suitewide_plan_invariants(spark):
+    """Suite-wide physical-plan invariants, one pass over every declared
+    query (construction is the expensive part -- eager checkpoints run):
+
+    1. No SortMergeJoin (every join must broadcast, bucket, or hash) and
+       no CartesianProduct (broadcast nested loops over tiny probe frames
+       are fine; true cartesians are not).  Locks in the round-2 removal
+       of the suite's only SMJ (preset_apply_merge).
+    2. No base table scanned more than SCAN_CEILING times in one plan
+       (allowlist above for deliberate multi-pass ops): at 100 TB each
+       extra scan is a full corpus read, the regression class the round-3
+       localCheckpoint sweep eliminated.  Note eager localCheckpoints hide
+       their build scan from the final plan -- by construction a
+       checkpoint's subtree runs exactly once, which is the point.
+    """
+    import re
+    from collections import Counter
+
     from etl_rf_matrix_controller_spark.plans import registry
 
     registry.load_all()
-    offenders = {}
+    join_offenders = {}
+    scan_offenders = {}
     for name in sorted(registry.QUERIES):
-        plan = plan_of(registry.QUERIES[name](spark, SF_DIR))
+        df = registry.QUERIES[name](spark, SF_DIR)
+        plan = plan_of(df)
         smj = plan.count("SortMergeJoin")
         cart = plan.count("CartesianProduct")
         if smj or cart:
-            offenders[name] = (smj, cart)
-    assert not offenders, offenders
+            join_offenders[name] = (smj, cart)
+        if name not in SCAN_ALLOWLIST:
+            fmt = formatted(df)
+            counts = Counter(
+                m.group(1)
+                for m in re.finditer(r"Location:.*?/(\w+)\.parquet", fmt)
+            )
+            over = {t: c for t, c in counts.items() if c > SCAN_CEILING}
+            if over:
+                scan_offenders[name] = over
+    assert not join_offenders, f"SMJ/cartesian: {join_offenders}"
+    assert not scan_offenders, f"repeated scans: {scan_offenders}"
