@@ -316,12 +316,14 @@ CMS_ROWS, CMS_CELLS = 4, 2048
     """,
 )
 def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count-min-sketch heavy hitters over the event stream: 4x2048
-    md5-derived hash rows, per-key estimate = min over rows of the cell
+    """Count-min-sketch heavy hitters over the event stream: CMS_ROWS x
+    CMS_CELLS md5-derived hash rows (the constants above are the single
+    source of truth), per-key estimate = min over rows of the cell
     counts, keys reported when the estimate crosses 1.2x the mean
     per-key count (scale-relative, integer-exact).
 
-    The sketch build is ONE pass with map-side combine into 1024 cells --
+    The sketch build is ONE pass with map-side combine into CMS_CELLS
+    cells --
     at 100 TB the cells are the only shuffled state (mergeable across
     executors/days by cell-wise +, the CMS property), while the exact
     per-key count it is compared against needs a full keyed shuffle.  The

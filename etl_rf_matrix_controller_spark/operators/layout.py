@@ -66,10 +66,11 @@ BLOOM_BITS = 65536  # m: sized so k=2, n~1.4k keys (sf0.1) gives fp ~0.2%
     """,
 )
 def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bloom-prefiltered semi join: high-balance customers build a
-    k=2/m=4096 Bloom filter; the orders scan drops rows failing either
-    hash BEFORE the exact join, and the output certifies the numbers
-    (rows passed, exact matches, false positives, fp rate).
+    """Bloom-prefiltered semi join: high-balance customers build a k=2,
+    m=BLOOM_BITS-bit Bloom filter (the constant above is the single
+    source of truth); the orders scan drops rows failing either hash
+    BEFORE the exact join, and the output certifies the numbers (rows
+    passed, exact matches, false positives, fp rate).
 
     This is the manual form of Spark's runtime filter / Delta bloom
     index: at 100 TB the filter (a few KB of bit positions) broadcasts to
@@ -180,17 +181,7 @@ def zorder_key_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     consult.  Pure integer bit arithmetic; one shuffle on the block id.
     """
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
-    d = ev.select(
-        "event_id",
-        (F.col("user_id") % 256).cast("bigint").alias("ua"),
-        (
-            F.hour("ts").cast("bigint") * 8
-            + (F.dayofweek("ts").cast("bigint") - 1) % 8
-        ).alias("tb"),
-    )
-    z = d.select(
-        "event_id", "ua", "tb", F.expr(_z_spark("ua", "tb")).cast("bigint").alias("z_key")
-    )
+    z = zorder_projection(ev)
     return z.groupBy(
         F.expr("z_key DIV 4096").cast("bigint").alias("z_block")
     ).agg(
@@ -199,4 +190,43 @@ def zorder_key_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ua").cast("bigint").alias("max_user_bucket"),
         F.min("tb").cast("bigint").alias("min_time_bucket"),
         F.max("tb").cast("bigint").alias("max_time_bucket"),
+    )
+
+
+def zorder_projection(ev: DataFrame) -> DataFrame:
+    """(event_id, ua, tb, z_key) over an events frame: user bucket, time-
+    of-week bucket, and their bit-interleaved z-value.  Shared by the
+    declared range query (zorder_key_events) and the physical writer
+    (write_zordered)."""
+    d = ev.select(
+        "event_id",
+        (F.col("user_id") % 256).cast("bigint").alias("ua"),
+        (
+            F.hour("ts").cast("bigint") * 8
+            + (F.dayofweek("ts").cast("bigint") - 1) % 8
+        ).alias("tb"),
+    )
+    return d.select(
+        "event_id",
+        "ua",
+        "tb",
+        F.expr(_z_spark("ua", "tb")).cast("bigint").alias("z_key"),
+    )
+
+
+def write_zordered(ev: DataFrame, path: str, n_files: int = 8) -> None:
+    """OPTIMIZE ZORDER, the write side: range-partition the frame by
+    z_key and sort within each file, so every parquet row group carries
+    tight min/max footer stats on BOTH ua and tb at once -- the physical
+    layout zorder_key_events' per-block ranges model.  A reader with a
+    (user-bucket, time-bucket) predicate then skips the row groups whose
+    stats miss the box (asserted against an unclustered layout in
+    tests/test_zorder_skipping.py).  At 100 TB this is a one-off
+    re-cluster pass: one range shuffle on z_key, then append-only reads."""
+    (
+        zorder_projection(ev)
+        .repartitionByRange(n_files, "z_key")
+        .sortWithinPartitions("z_key")
+        .write.mode("overwrite")
+        .parquet(path)
     )

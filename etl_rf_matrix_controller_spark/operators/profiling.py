@@ -677,6 +677,7 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
                - (2 * n_late * 10000 + t_late) % (2 * t_late))
                // (2 * t_late) AS p_late
       FROM tot
+      WHERE t_early > 0 AND t_late > 0
     )
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n_buckets,
@@ -732,7 +733,11 @@ def value_drift_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_early").over(w).alias("t_early"),
         F.sum("n_late").over(w).alias("t_late"),
     )
-    scaled = tot.select(
+    # A type with all its events in one half would make a divisor 0 ->
+    # NULL on both engines, silently dropping those buckets from the
+    # drift sums; exclude one-sided types explicitly (both sides) so the
+    # score is never quietly biased by invisible NULLs.
+    scaled = tot.filter((F.col("t_early") > 0) & (F.col("t_late") > 0)).select(
         "event_type",
         F.expr(
             "((2 * n_early * 10000 + t_early)"

@@ -309,6 +309,29 @@ def interval_join_clicks_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("interval_join_stream")
 
 
+def interval_join_outer(errors: DataFrame, clicks: DataFrame) -> DataFrame:
+    """LEFT OUTER watermarked stream-stream interval join: the
+    no-response case of the reference's deferred write-verification
+    (etl_controller.py:2446-2448 -- a write with no read-back within the
+    window times out).  A null click id is a WATERMARK-CERTIFIED
+    no-response: the row is emitted only once the global watermark proves
+    no qualifying click can still arrive, and clicks older than the
+    watermark are dropped as late data on arrival -- both semantics the
+    inner form never has to exercise.  State stays bounded exactly as in
+    the inner form (eviction from the same time-bound condition).
+
+    Callers attach watermarks to both inputs; errors carry
+    (error_id, user_id, error_ts), clicks (c_user, c_ts, c_id).
+    """
+    return errors.join(
+        clicks,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("c_ts") <= F.col("error_ts"))
+        & (F.col("c_ts") > F.col("error_ts") - F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    ).select("error_id", "user_id", "error_ts", "c_id")
+
+
 def sliding_window_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1 sliding variant under real Structured Streaming."""
     events = _events_stream(spark, sf_dir).withWatermark("ts", "1 day")

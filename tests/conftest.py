@@ -86,6 +86,20 @@ def duck_rows(con, sql):
     )
 
 
+def result_hash(df) -> str:
+    """Stable digest of (sorted columns, canonicalized sorted rows) --
+    the same canonical form the oracle gate compares, so manifest
+    stability == driver-gate stability (tests/test_result_manifest.py)."""
+    import hashlib
+
+    cols, rows = spark_rows(df)
+    h = hashlib.sha256()
+    h.update(repr(cols).encode())
+    for r in rows:
+        h.update(repr(r).encode())
+    return h.hexdigest()
+
+
 def assert_oracle_match(spark_df, duck_con, oracle_sql, name=""):
     """Mirror of the driver's correctness gate."""
     s_cols, s_rows = spark_rows(spark_df)

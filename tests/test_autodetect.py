@@ -23,7 +23,9 @@ def test_infer_schema_types_and_dims(spark, tmp_path):
     p = tmp_path / "drop"
     p.mkdir()
     (p / "routes.csv").write_text(CSV)
-    df = detect_csv_schema(spark, str(p))
+    # Tiny drop: exact inference is worth the full read (the default 0.1
+    # sampling ratio is the 100 TB posture, not the 3-row one).
+    df = detect_csv_schema(spark, str(p), sampling_ratio=1.0)
     got = {f.name: type(f.dataType) for f in df.schema.fields}
     assert got == {
         "route_id": IntegerType,
@@ -33,6 +35,10 @@ def test_infer_schema_types_and_dims(spark, tmp_path):
         "seen_at": TimestampType,
     }
     assert detect_matrix_config(df) == (3, 5)
+    # Bounded-scan estimate: single-partition source -> exact here, but
+    # via the one-partition path (no full count job at scale).
+    est_rows, est_cols = detect_matrix_config(df, exact=False)
+    assert est_cols == 5 and est_rows >= 1
 
 
 def test_pinned_schema_reread_skips_inference(spark, tmp_path):
@@ -41,7 +47,7 @@ def test_pinned_schema_reread_skips_inference(spark, tmp_path):
     p = tmp_path / "drop"
     p.mkdir()
     (p / "routes.csv").write_text(CSV)
-    probe = detect_csv_schema(spark, str(p))
+    probe = detect_csv_schema(spark, str(p), sampling_ratio=1.0)
     pinned = (
         spark.read.option("header", "true")
         .schema(probe.schema)

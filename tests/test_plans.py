@@ -128,6 +128,75 @@ def test_whole_stage_codegen_everywhere(spark):
     assert "*(" in plan or "WholeStageCodegen" in plan, plan
 
 
+def test_aqe_splits_skewed_join(spark):
+    """AQE skew handling, demonstrated end-to-end on the kind of hot key
+    join_skew_report exists to flag: one key carrying ~90% of the fact
+    rows.  With broadcast disabled (the 100 TB posture -- both sides too
+    big to ship) the join shuffles on the skewed key; AQE must detect the
+    oversized partition at runtime and split it, which the final adaptive
+    plan records as ``skew=true`` on the join node.  When AQE cannot
+    engage (e.g. the join sits under another shuffle-consuming operator),
+    plans/scale.py's salted_agg is the manual fallback -- asserted
+    result-equal in test_salted_agg_matches_direct."""
+    saved = {
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold", None
+        ),
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": spark.conf.get(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"
+        ),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": spark.conf.get(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+        ),
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": spark.conf.get(
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor"
+        ),
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        # Tuned down so the local hot partition (a few MB) trips the same
+        # detection a multi-GB partition would on a cluster.
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1m"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256k")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+
+        # 90% of 400k fact rows land on key 0; dim side is uniform.
+        fact = spark.range(0, 400_000).select(
+            F_col("id").alias("v"),
+            (F_col("id") % 101)
+            .alias("m")
+            .cast("long"),
+        )
+        fact = fact.select(
+            F_col("v"),
+            (F_col("v") % 10 < 9).cast("long").alias("hot"),
+        ).select(
+            F_col("v"),
+            ((1 - F_col("hot")) * (F_col("v") % 101)).alias("k"),
+        )
+        dim = spark.range(0, 101).select(
+            F_col("id").alias("k"), (F_col("id") * 2).alias("w")
+        )
+        j = fact.join(dim, "k")
+        # AQE only finalizes the plan on execution (same discipline as
+        # test_whole_stage_codegen_everywhere).
+        assert len(j.collect()) == 400_000
+        plan = plan_of(j)
+        assert "skew=true" in plan, plan
+    finally:
+        for key, val in saved.items():
+            if val is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, val)
+
+
 # Deliberate multi-pass ops exempt from the scan-count ceiling:
 #   set_except      -- EXCEPT is definitionally two passes per operand pair
 #                      (4 scans of orders across its two set operands);

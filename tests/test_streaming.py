@@ -3,6 +3,8 @@ identical results via Structured Streaming (availableNow) and batch SQL."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from etl_rf_matrix_controller_spark.streaming.windows import (
     session_windows,
     session_windows_stream,
@@ -199,6 +201,134 @@ def test_interval_join_batch_eq_stream(spark):
     _assert_same(want, got, "interval_join_clicks")
 
 
+def test_interval_join_outer_late_data_batch_eq_stream(spark, tmp_path):
+    """LEFT OUTER stream-stream interval join with real watermark
+    semantics, driven as two micro-batches via a shared checkpoint:
+
+    - matched pairs emit at match time;
+    - an unmatched error emits its NULL row only after the global
+      watermark certifies no qualifying click can still arrive
+      (the reference's write-verification timeout path);
+    - a late click (below the watermark when its batch arrives) is
+      DROPPED, even though it would have matched on time;
+    - state not yet expired at shutdown is NOT emitted (no premature
+      timeout).
+
+    The batch reference is the same join over the on-time rows,
+    restricted to watermark-expired errors -- exactly what the stream
+    must have produced.
+    """
+    import pandas as pd
+
+    from etl_rf_matrix_controller_spark.streaming.windows import (
+        interval_join_outer,
+    )
+
+    datadir = tmp_path / "ev"
+    datadir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def t(h, m=0):
+        return pd.Timestamp(2024, 1, 1, h, m)
+
+    batch1 = pd.DataFrame(
+        [
+            # error 1 (u1) has an on-time click 3; error 2 (u2) has none.
+            dict(event_id=1, user_id=1, event_type="error", ts=t(10)),
+            dict(event_id=2, user_id=2, event_type="error", ts=t(10)),
+            dict(event_id=3, user_id=1, event_type="click", ts=t(9, 30)),
+            # pushes the click-side watermark past 9:45 for batch 2
+            dict(event_id=4, user_id=98, event_type="click", ts=t(11, 50)),
+        ]
+    )
+    batch2 = pd.DataFrame(
+        [
+            # LATE: would match error 1 ((9:00, 10:00]) but arrives below
+            # the watermark (9:50 after batch 1) -> must be dropped.
+            dict(event_id=5, user_id=1, event_type="click", ts=t(9, 45)),
+            # advance both sides so errors at 10:00 expire (global
+            # watermark 21:00), while error 6 itself stays unexpired.
+            dict(event_id=6, user_id=3, event_type="error", ts=t(23)),
+            dict(event_id=7, user_id=99, event_type="click", ts=t(23)),
+        ]
+    )
+    schema = (
+        "event_id bigint, user_id bigint, event_type string, ts timestamp"
+    )
+
+    outdir = str(tmp_path / "out")
+
+    def run_available_now():
+        # File sink, not memory: the two-run watermark handoff needs a
+        # checkpoint-recoverable sink (memory sink cannot recover).
+        src = spark.readStream.schema(schema).parquet(str(datadir))
+        errors = (
+            src.filter(F.col("event_type") == "error")
+            .select(
+                F.col("event_id").alias("error_id"),
+                "user_id",
+                F.col("ts").alias("error_ts"),
+            )
+            .withWatermark("error_ts", "10 minutes")
+        )
+        clicks = (
+            src.filter(F.col("event_type") == "click")
+            .select(
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("c_ts"),
+                F.col("event_id").alias("c_id"),
+            )
+            .withWatermark("c_ts", "2 hours")
+        )
+        q = (
+            interval_join_outer(errors, clicks)
+            .writeStream.format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # Write micros, not pandas' default nanos: the session reads
+    # TIMESTAMP(NANOS) as long (nanosAsLong, the events.parquet trap),
+    # which would clash with the declared timestamp schema here.
+    batch1.astype({"ts": "datetime64[us]"}).to_parquet(datadir / "f1.parquet")
+    run_available_now()
+    batch2.astype({"ts": "datetime64[us]"}).to_parquet(datadir / "f2.parquet")
+    run_available_now()
+    got = {
+        (r.error_id, r.c_id) for r in spark.read.parquet(outdir).collect()
+    }
+
+    # Batch reference: on-time rows only, errors expired by the final
+    # global watermark (min(23:00-10m, 23:00-2h) = 21:00).
+    ontime = pd.concat([batch1, batch2[batch2.event_id != 5]])
+    sdf = spark.createDataFrame(ontime)
+    errors_b = sdf.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        F.col("ts").alias("error_ts"),
+    )
+    clicks_b = sdf.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("c_id"),
+    )
+    want = {
+        (r.error_id, r.c_id)
+        for r in interval_join_outer(errors_b, clicks_b)
+        .filter(F.col("error_ts") < F.lit(t(21)))
+        .collect()
+    }
+    assert want == {(1, 3), (2, None)}, want
+    assert got == want, (got, want)
+    # The late click must NOT have produced (1, 5), and the unexpired
+    # error 6 must NOT have emitted a premature NULL.
+    assert (1, 5) not in got and not any(e == 6 for e, _ in got)
+
+
 def test_latest_state_batch_eq_stream(spark):
     from etl_rf_matrix_controller_spark.operators.state import route_latest_state
     from etl_rf_matrix_controller_spark.streaming.state import stream_latest_state
@@ -224,6 +354,88 @@ def test_ema_batch_eq_stream(spark):
         stream_ema_user_value(spark, SF_DIR),
         "ema_user_value",
     )
+
+
+def test_ema_tws_pipeline_constructs_and_processor_folds(spark):
+    """The transformWithStateInPandas path, validated as far as this
+    container allows WITHOUT executing the state protocol (google.protobuf
+    is absent; only the runtime state server needs it):
+
+    1. the full streaming pipeline BUILDS -- analyzed plan carries the
+       TransformWithStateInPySpark node, output schema is the declared
+       contract, the frame is streaming;
+    2. the processor itself (the code TWS would run per key) produces the
+       bit-exact EMA fold when driven through its init/handleInputRows
+       contract with a stub ValueState.
+
+    Together with the importorskip'd execution twin below, the code path
+    is constructed in CI here and executes wherever protobuf exists.
+    """
+    import pandas as pd
+
+    from etl_rf_matrix_controller_spark.streaming.state import (
+        EMA_OUTPUT_SCHEMA,
+        _events_stream,
+        _make_ema_processor,
+    )
+
+    events = _events_stream(spark, SF_DIR).select(
+        "user_id", "ts", "event_id", "value"
+    )
+    updates = events.groupBy("user_id").transformWithStateInPandas(
+        _make_ema_processor(),
+        outputStructType=EMA_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+    assert updates.isStreaming
+    assert [f.name for f in updates.schema.fields] == [
+        "user_id",
+        "n_events",
+        "ema_value",
+    ]
+    analyzed = updates._jdf.queryExecution().analyzed().toString()
+    assert "TransformWithStateInPySpark" in analyzed, analyzed[:500]
+
+    # Drive the processor through its stateful contract with a stub
+    # ValueState: two batches for one key must continue the fold across
+    # the state handoff exactly like the batch recurrence.
+    class _StubState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    class _StubHandle:
+        def __init__(self):
+            self.state = _StubState()
+
+        def getValueState(self, name, schema):
+            return self.state
+
+    proc = _make_ema_processor()
+    handle = _StubHandle()
+    proc.init(handle)
+    b1 = pd.DataFrame(
+        {"ts": [1, 2], "event_id": [10, 11], "value": [1.0, 2.0]}
+    )
+    b2 = pd.DataFrame({"ts": [3], "event_id": [12], "value": [4.0]})
+    out1 = list(proc.handleInputRows((7,), [b1], None))
+    out2 = list(proc.handleInputRows((7,), [b2], None))
+    proc.close()
+    ema = 1.0
+    ema = 0.3 * 2.0 + (1 - 0.3) * ema
+    assert out1[0]["ema_value"][0] == ema and out1[0]["n_events"][0] == 2
+    ema = 0.3 * 4.0 + (1 - 0.3) * ema
+    assert out2[0]["ema_value"][0] == ema and out2[0]["n_events"][0] == 3
+    assert handle.state.get() == (ema, 3)
 
 
 def test_ema_transform_with_state_eq_batch(spark):

@@ -28,13 +28,14 @@ FRAMES = [
 ]
 
 
-def _serve_frames(server: socket.socket) -> None:
+def _serve_frames(server: socket.socket, done: threading.Event) -> None:
     conn, _ = server.accept()
     with conn:
         for f in FRAMES:
             conn.sendall((f + "\n").encode("ascii"))
-        # Keep the connection open long enough for Spark to drain it.
-        time.sleep(20)
+        # Hold the connection only until the test has observed the rows
+        # (fixed sleeps here were pure dead time in the suite).
+        done.wait(timeout=30)
 
 
 def test_socket_source_parses_checksummed_frames(spark):
@@ -46,7 +47,10 @@ def test_socket_source_parses_checksummed_frames(spark):
     server.bind(("127.0.0.1", 0))
     server.listen(1)
     port = server.getsockname()[1]
-    t = threading.Thread(target=_serve_frames, args=(server,), daemon=True)
+    done = threading.Event()
+    t = threading.Thread(
+        target=_serve_frames, args=(server, done), daemon=True
+    )
     t.start()
 
     lines = (
@@ -79,6 +83,7 @@ def test_socket_source_parses_checksummed_frames(spark):
             for r in spark.table("socket_frames").collect()
         }
     finally:
+        done.set()
         q.stop()
         server.close()
     assert rows == {
@@ -92,11 +97,21 @@ def test_max_files_per_trigger_throttles_batches(spark, tmp_path):
     """T6 analog: maxFilesPerTrigger=1 paces ingestion one file per
     micro-batch, the declarative form of the reference's 0.1 s/route
     write pacing."""
+    # Write the drip files directly with pyarrow: no Spark job per file
+    # (coalesce(1) on a parallelized local collection costs ~5 s/action)
+    # and no sleeps -- distinct mtimes are set explicitly instead.
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    drip = tmp_path / "drip"
+    drip.mkdir()
+    base = time.time() - 60
     for i in range(3):
-        spark.createDataFrame([(i,)], "n int").coalesce(1).write.mode(
-            "append"
-        ).parquet(str(tmp_path / "drip"))
-        time.sleep(1.1)  # distinct mtimes -> deterministic file order
+        f = drip / f"part-{i}.parquet"
+        pq.write_table(pa.table({"n": pa.array([i], pa.int32())}), f)
+        os.utime(f, (base + 10 * i, base + 10 * i))
     stream = (
         spark.readStream.schema("n int")
         .option("maxFilesPerTrigger", 1)
