@@ -1,0 +1,280 @@
+"""Corpus-level curation: boilerplate detection, per-source crawl caps,
+DSIR-style importance weighting.
+
+Frontier-pipeline operators over the ``documents`` table (no reference
+analog -- SURVEY.md SS2.11 extension family, same contract as
+operators/curation.py):
+
+  * boilerplate detection: a char-8-gram appearing in >=30% of one
+    source's documents is boilerplate (nav chrome, license headers,
+    cookie banners in a real crawl); each doc reports its boilerplate
+    fraction.  The gram doc-frequency table is the classic "stop-gram"
+    structure: tiny relative to the corpus, broadcastable.
+  * per-source cap: web crawls cap documents per domain so one giant
+    host cannot dominate the mixture (CommonCrawl-style host capping) --
+    deterministic hash-ordered keep-first-K, a window over the source.
+  * DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling" -- public paper):
+    score out-of-domain docs by how target-like their token
+    distribution is, here as the integer-ppm lift sum
+    sum_t(ppm_target(t) - ppm_corpus(t)) over the doc's tokens.
+
+All integer-space math (DIV / ppm) per plans/conventions.py -- results
+hash-match the DuckDB oracles bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_rf_matrix_controller_spark.operators.dedup import _gram_df
+from etl_rf_matrix_controller_spark.plans.conventions import ratio4, ratio4_sql
+from etl_rf_matrix_controller_spark.plans.registry import declared
+from etl_rf_matrix_controller_spark.sources.tables import load_table
+
+# A gram is boilerplate within a source when present in >=30% of its docs
+# (integer form: 10*doc_freq >= 3*n_docs).
+BOILER_PCT_X10 = 3
+# Per-source document cap (keep-first-K by deterministic hash order).
+SOURCE_CAP = 8
+# DSIR target domain.
+DSIR_TARGET = "src0"
+DSIR_TOPK = 20
+
+_DOC_GRAMS_SQL = """
+      SELECT doc_id, source, g.gram
+      FROM (
+        SELECT doc_id, source,
+               list_distinct(list_transform(
+                 generate_series(1, greatest(length(trim(text)) - 7, 1)),
+                 i -> substring(trim(text), CAST(i AS INT), 8))) AS grams
+        FROM documents
+      ) grammed, unnest(grams) AS g(gram)
+"""
+
+
+@declared(
+    "boilerplate_gram_ratio",
+    oracle=f"""
+    WITH g AS ({_DOC_GRAMS_SQL}),
+    nd AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+    freq AS (
+      SELECT source, gram, count(*) AS df FROM g GROUP BY source, gram
+    ),
+    bl AS (
+      SELECT freq.source, freq.gram
+      FROM freq JOIN nd ON freq.source = nd.source
+      WHERE freq.df * 10 >= {BOILER_PCT_X10} * nd.n_docs
+    ),
+    tot AS (
+      SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_grams
+      FROM g GROUP BY doc_id, source
+    ),
+    bc AS (
+      SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_boiler
+      FROM g JOIN bl ON g.source = bl.source AND g.gram = bl.gram
+      GROUP BY g.doc_id
+    )
+    SELECT tot.doc_id, tot.source, tot.n_grams,
+           CAST(coalesce(bc.n_boiler, 0) AS BIGINT) AS n_boiler,
+           {ratio4_sql('coalesce(bc.n_boiler, 0)', 'tot.n_grams')}
+             AS boiler_ratio
+    FROM tot LEFT JOIN bc ON bc.doc_id = tot.doc_id
+    """,
+)
+def boilerplate_gram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document boilerplate fraction via source-local stop-grams.
+
+    Shape at 100 TB: the gram index is built ONCE (localCheckpoint -- it
+    feeds the doc-frequency agg, the per-doc totals, and the boilerplate
+    count); the boilerplate table itself is doc-frequency-thresholded and
+    therefore tiny (tens of grams per source here, bounded by the
+    distinct-gram count of one source in general), so both the threshold
+    join and the per-doc membership count broadcast it -- the corpus
+    never shuffles on gram twice.  ``documents`` is scanned exactly
+    twice (grams + the per-source doc counts), inside the suite's
+    <=2-scans ceiling.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    grams = _gram_df(docs, "source").localCheckpoint(eager=False)
+    n_docs = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    boiler = (
+        grams.groupBy("source", "gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .join(F.broadcast(n_docs), "source")
+        .filter(F.col("df") * 10 >= BOILER_PCT_X10 * F.col("n_docs"))
+        .select("source", "gram")
+    )
+    totals = grams.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams")
+    )
+    bcounts = (
+        grams.join(F.broadcast(boiler), ["source", "gram"], "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_boiler"))
+    )
+    n_boiler = F.coalesce(F.col("n_boiler"), F.lit(0).cast("bigint"))
+    return (
+        totals.join(F.broadcast(bcounts), "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "n_grams",
+            n_boiler.alias("n_boiler"),
+            ratio4(n_boiler, F.col("n_grams")).alias("boiler_ratio"),
+        )
+    )
+
+
+@declared(
+    "docs_per_source_cap",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS cap_rank,
+             CAST(count(*) OVER (PARTITION BY source) AS BIGINT)
+               AS total_docs
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(cap_rank AS BIGINT) AS cap_rank, total_docs
+    FROM ranked WHERE cap_rank <= {SOURCE_CAP}
+    """,
+)
+def docs_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-cap sampling: keep at most SOURCE_CAP docs per source, chosen
+    by deterministic hash order (md5 of the id -- stable across runs and
+    engines, unbiased w.r.t. crawl insertion order).
+
+    One window over the source key == one shuffle partitioned by source.
+    At 100 TB the per-source ordering never needs a global sort: rank
+    within partition only, and a giant source (the exact host-cap
+    motivation) is ONE partition's worth of work -- for pathological
+    hosts, pre-aggregate a per-source count and reservoir-sample instead.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    w = Window.partitionBy("source")
+    ranked = docs.select(
+        "doc_id",
+        "source",
+        F.row_number()
+        .over(w.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id"))
+        .alias("cap_rank"),
+        F.count(F.lit(1)).over(w).alias("total_docs"),
+    )
+    return ranked.filter(F.col("cap_rank") <= SOURCE_CAP).select(
+        "doc_id",
+        "source",
+        F.col("cap_rank").cast("bigint").alias("cap_rank"),
+        "total_docs",
+    )
+
+
+@declared(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source, t.token
+      FROM (
+        SELECT doc_id, source, string_split(trim(text), ' ') AS toks
+        FROM documents
+      ) s, unnest(toks) AS t(token)
+    ),
+    tgt AS (
+      SELECT token, count(*) AS c_t,
+             sum(count(*)) OVER () AS n_t
+      FROM tok WHERE source = '{DSIR_TARGET}' GROUP BY token
+    ),
+    allc AS (
+      SELECT token, count(*) AS c_a,
+             sum(count(*)) OVER () AS n_a
+      FROM tok GROUP BY token
+    ),
+    lift AS (
+      SELECT allc.token,
+             CAST(coalesce(tgt.c_t, 0) * 1000000 // max(tgt.n_t) OVER ()
+                  - allc.c_a * 1000000 // allc.n_a AS BIGINT) AS ppm_lift
+      FROM allc LEFT JOIN tgt ON allc.token = tgt.token
+    )
+    SELECT tok.doc_id, tok.source,
+           CAST(sum(lift.ppm_lift) AS BIGINT) AS dsir_score
+    FROM tok JOIN lift ON tok.token = lift.token
+    WHERE tok.source <> '{DSIR_TARGET}'
+    GROUP BY tok.doc_id, tok.source
+    ORDER BY dsir_score DESC, doc_id
+    LIMIT {DSIR_TOPK}
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance scores: rank out-of-domain docs by summed
+    token-level ppm lift toward the target domain's distribution.
+
+    The token stream is materialized once (localCheckpoint, 3 consumers:
+    target counts, corpus counts, doc scoring); both frequency tables
+    collapse to vocabulary size -- at 100 TB a hashed-feature vocabulary
+    stays small by construction (DSIR uses hashed n-grams for exactly
+    this reason), so the lift table always broadcasts and the scoring
+    pass is a map-side join + partial-aggregated sum, one shuffle on
+    doc_id.  All arithmetic is integer ppm (DIV), bit-exact vs DuckDB.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    spark_para = spark.sparkContext.defaultParallelism
+    tok = (
+        docs.repartition(spark_para)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.split(F.trim("text"), " ")).alias("token"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    wall = Window.partitionBy()
+    tgt = (
+        tok.filter(F.col("source") == DSIR_TARGET)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c_t"))
+        .select("token", "c_t", F.sum("c_t").over(wall).alias("n_t"))
+    )
+    allc = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c_a"))
+        .select("token", "c_a", F.sum("c_a").over(wall).alias("n_a"))
+    )
+    # max(n_t) over () mirrors the oracle's spelling: after the left join
+    # rows missing from tgt carry NULL n_t; the window max rebroadcasts
+    # the (single) target total to every row on both engines.
+    lift = (
+        allc.join(F.broadcast(tgt), "token", "left")
+        .select(
+            "token",
+            "c_t",
+            "c_a",
+            "n_a",
+            F.max("n_t").over(wall).alias("n_t"),
+        )
+        .select(
+            "token",
+            (
+                F.expr("coalesce(c_t, 0) * 1000000 DIV n_t")
+                - F.expr("c_a * 1000000 DIV n_a")
+            )
+            .cast("bigint")
+            .alias("ppm_lift"),
+        )
+    )
+    return (
+        tok.filter(F.col("source") != DSIR_TARGET)
+        .join(F.broadcast(lift), "token")
+        .groupBy("doc_id", "source")
+        .agg(F.sum("ppm_lift").cast("bigint").alias("dsir_score"))
+        .orderBy(F.col("dsir_score").desc(), "doc_id")
+        .limit(DSIR_TOPK)
+    )

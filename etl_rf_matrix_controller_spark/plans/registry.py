@@ -56,6 +56,7 @@ def load_all() -> None:
         cdc,
         cleaning,
         clustering,
+        corpus,
         curation,
         dedup,
         graph,

@@ -90,3 +90,61 @@ def test_zorder_blocks_bound_both_dimensions(spark):
     for r in zorder_key_events(spark, SF_DIR).collect():
         assert r.max_user_bucket - r.min_user_bucket <= 63, r
         assert r.max_time_bucket - r.min_time_bucket <= 63, r
+
+
+def test_boilerplate_ratio_bounds_and_threshold(spark):
+    """boiler_ratio is a valid fraction; a doc's boilerplate grams are a
+    subset of its grams; and every source has SOME boilerplate at the 30%
+    threshold on this corpus (non-vacuous)."""
+    from etl_rf_matrix_controller_spark.operators.corpus import (
+        boilerplate_gram_ratio,
+    )
+
+    rows = boilerplate_gram_ratio(spark, SF_DIR).collect()
+    assert len(rows) == 500
+    sources_with_boiler = set()
+    for r in rows:
+        assert 0 <= r.n_boiler <= r.n_grams, r
+        assert 0.0 <= r.boiler_ratio <= 1.0, r
+        if r.n_boiler > 0:
+            sources_with_boiler.add(r.source)
+    assert len(sources_with_boiler) == 20  # every source non-vacuous
+
+
+def test_source_cap_keeps_exactly_k_and_is_deterministic(spark):
+    """Each source keeps exactly min(K, total) docs, ranks are 1..K, and
+    two runs pick the identical doc set (hash order, not RNG)."""
+    from etl_rf_matrix_controller_spark.operators.corpus import (
+        SOURCE_CAP,
+        docs_per_source_cap,
+    )
+
+    a = docs_per_source_cap(spark, SF_DIR).collect()
+    b = docs_per_source_cap(spark, SF_DIR).collect()
+    assert {(r.doc_id, r.cap_rank) for r in a} == {
+        (r.doc_id, r.cap_rank) for r in b
+    }
+    per_src = {}
+    for r in a:
+        per_src.setdefault(r.source, []).append(r)
+    for src, rows in per_src.items():
+        assert len(rows) == min(SOURCE_CAP, rows[0].total_docs), src
+        assert sorted(r.cap_rank for r in rows) == list(
+            range(1, len(rows) + 1)
+        ), src
+
+
+def test_dsir_excludes_target_and_orders_by_score(spark):
+    """The target domain never scores itself; output is top-k by score
+    with doc_id tiebreak (total order -- required for LIMIT parity)."""
+    from etl_rf_matrix_controller_spark.operators.corpus import (
+        DSIR_TARGET,
+        DSIR_TOPK,
+        dsir_importance_weights,
+    )
+
+    rows = dsir_importance_weights(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= DSIR_TOPK
+    assert all(r.source != DSIR_TARGET for r in rows)
+    keys = [(-r.dsir_score, r.doc_id) for r in rows]
+    assert keys == sorted(keys)

@@ -456,3 +456,71 @@ def test_ema_transform_with_state_eq_batch(spark):
         stream_ema_user_value_tws(spark, SF_DIR),
         "ema_user_value_tws",
     )
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Watermarked streaming dedup: in-horizon duplicates are dropped
+    across micro-batches; a replay arriving after its key's state was
+    evicted is re-admitted (bounded state is the contract, not a bug)."""
+    from datetime import datetime
+
+    import pandas as pd
+
+    from etl_rf_matrix_controller_spark.streaming.dedup import (
+        dedup_stream_within_watermark,
+    )
+
+    src = tmp_path / "feed"
+    src.mkdir()
+
+    def write_batch(fname, rows):
+        pdf = pd.DataFrame(rows, columns=["event_id", "ts", "value"])
+        # micros, not pandas-default nanos: the session reads TIMESTAMP(NANOS)
+        # as BIGINT (the events.parquet trap), which would break withWatermark
+        # UTC-instant micros (not pandas-default tz-naive nanos): naive
+        # stamps read back TIMESTAMP_NTZ (watermark rejects) and NANOS
+        # reads as BIGINT under the session's events-parquet conf
+        pdf["ts"] = (
+            pd.to_datetime(pdf["ts"])
+            .dt.tz_localize("UTC")
+            .astype("datetime64[us, UTC]")
+        )
+        pdf.to_parquet(src / fname, index=False)
+
+    t = datetime(2026, 1, 1, 12, 0, 0)
+
+    def at(minutes):
+        return t.replace(hour=12 + minutes // 60, minute=minutes % 60)
+
+    # Batch 1: three events.  Batch 2 (same event-time neighborhood):
+    # replays id 1 and 2, adds id 4 -- the replays are inside the 1 h
+    # watermark horizon and must be dropped.  Batch 3: event time jumps
+    # +3 h, advancing the watermark past batch-1 state.  The watermark a
+    # batch RUNS under comes from the previous batch's max event time,
+    # and expired state is swept at batch END, so eviction completes one
+    # batch later (batch 4).  Batch 5: replays id 1 -- the replay lands
+    # AFTER eviction and is re-admitted.
+    write_batch("b1.parquet", [(1, at(0), 10.0), (2, at(1), 20.0), (3, at(2), 30.0)])
+    write_batch("b2.parquet", [(1, at(5), 10.0), (2, at(6), 20.0), (4, at(7), 40.0)])
+    write_batch("b3.parquet", [(5, at(185), 50.0)])
+    write_batch("b4.parquet", [(6, at(191), 60.0)])
+    write_batch("b5.parquet", [(1, at(195), 10.0)])
+
+    schema = spark.read.parquet(str(src / "b1.parquet")).schema
+    got = dedup_stream_within_watermark(
+        spark, str(src), schema, "dedup_stream_test", delay="1 hour"
+    )
+    rows = sorted((r.event_id, r.ts) for r in got.collect())
+
+    # File order == lexical name order under availableNow+maxFilesPerTrigger.
+    assert rows == sorted(
+        [
+            (1, at(0)),    # first sight
+            (2, at(1)),
+            (3, at(2)),
+            (4, at(7)),    # new key in batch 2; replays of 1/2 dropped
+            (5, at(185)),  # advances the watermark past batch-1 state
+            (6, at(191)),  # state eviction runs under that watermark here
+            (1, at(195)),  # re-admitted after state eviction
+        ]
+    )
