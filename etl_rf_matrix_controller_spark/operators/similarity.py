@@ -905,3 +905,271 @@ def semantic_dedup_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_semantic_dup"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR re-ranking and IVF diagnostics
+# ---------------------------------------------------------------------------
+
+MMR_LAMBDA = "0.7e0"  # relevance weight (0.3 = diversity); e0 forces DOUBLE
+MMR_POOL = 8  # candidate pool per query fed to the greedy re-rank
+MMR_PICKS = 3
+
+_MMR_CAND_SQL = f"""
+    q AS (
+      SELECT vec_id AS query_id, embedding AS qe
+      FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS cand_id, c.embedding AS ce,
+             {_DOT_SQL.format(a='q.qe', b='c.embedding')} AS rel
+      FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+    ),
+    cand AS (
+      SELECT query_id, cand_id, ce, rel FROM (
+        SELECT query_id, cand_id, ce, rel,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY rel DESC, cand_id) AS rnk
+        FROM scored
+      ) t WHERE rnk <= {MMR_POOL}
+    )
+"""
+
+
+@declared(
+    "mmr_rerank_topk",
+    oracle=f"""
+    WITH {_MMR_CAND_SQL},
+    p1 AS (
+      SELECT query_id, cand_id, ce, rel FROM (
+        SELECT query_id, cand_id, ce, rel,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY rel DESC, cand_id) AS rn
+        FROM cand
+      ) t WHERE rn = 1
+    ),
+    s2 AS (
+      SELECT c.query_id, c.cand_id, c.ce, c.rel,
+             {MMR_LAMBDA} * c.rel - (1e0 - {MMR_LAMBDA})
+               * {_DOT_SQL.format(a='c.ce', b='p1.ce')} AS mmr
+      FROM cand c JOIN p1 ON c.query_id = p1.query_id
+                         AND c.cand_id <> p1.cand_id
+    ),
+    p2 AS (
+      SELECT query_id, cand_id, ce, mmr FROM (
+        SELECT query_id, cand_id, ce, mmr,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY mmr DESC, cand_id) AS rn
+        FROM s2
+      ) t WHERE rn = 1
+    ),
+    s3 AS (
+      SELECT c.query_id, c.cand_id, c.rel,
+             {MMR_LAMBDA} * c.rel - (1e0 - {MMR_LAMBDA})
+               * greatest({_DOT_SQL.format(a='c.ce', b='p1.ce')},
+                          {_DOT_SQL.format(a='c.ce', b='p2.ce')}) AS mmr
+      FROM cand c
+      JOIN p1 ON c.query_id = p1.query_id AND c.cand_id <> p1.cand_id
+      JOIN p2 ON c.query_id = p2.query_id AND c.cand_id <> p2.cand_id
+    ),
+    p3 AS (
+      SELECT query_id, cand_id, mmr FROM (
+        SELECT query_id, cand_id, mmr,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY mmr DESC, cand_id) AS rn
+        FROM s3
+      ) t WHERE rn = 1
+    )
+    SELECT query_id, CAST(1 AS INT) AS pick_rank, cand_id,
+           {MMR_LAMBDA} * rel AS mmr_score
+    FROM p1
+    UNION ALL
+    SELECT query_id, CAST(2 AS INT) AS pick_rank, cand_id, mmr AS mmr_score
+    FROM p2
+    UNION ALL
+    SELECT query_id, CAST(3 AS INT) AS pick_rank, cand_id, mmr AS mmr_score
+    FROM p3
+    """,
+)
+def mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance re-rank (Carbonell & Goldstein 1998):
+    greedy top-{MMR_PICKS} from a {MMR_POOL}-candidate pool, trading
+    relevance against redundancy -- mmr(c) = lambda*rel(c) -
+    (1-lambda)*max_sim(c, picked).
+
+    Greedy selection is inherently sequential, so like pagerank_nations
+    the declared form unrolls the (fixed, small) pick count; each step is
+    a window argmax over the candidate pool with the picked vectors
+    broadcast back.  The EXPENSIVE part -- scoring the corpus and taking
+    the top pool per query -- is the same broadcast-probe scan as
+    knn_brute_force: at 100 TB the pool extraction is the only corpus
+    pass, and the re-rank runs on pools of tens of rows per query
+    (driver-scale work, kept distributed here for the contract).  Floats
+    follow the dot_double fold convention -- bit-exact vs the oracle.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ce"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            "ce",
+            dot_double(F.col("qe"), F.col("ce")).alias("rel"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("cand_id"))
+    # The pool feeds every greedy step under multiple join aliases;
+    # checkpoint once (stat-less afterwards -> explicit broadcasts below).
+    cand = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= MMR_POOL)
+        .select("query_id", "cand_id", "ce", "rel")
+        .localCheckpoint(eager=False)
+    )
+    lam = F.lit(0.7)
+    div = F.lit(1.0) - lam
+
+    def argmax(df: DataFrame, score_col: str) -> DataFrame:
+        wa = Window.partitionBy("query_id").orderBy(
+            F.desc(score_col), F.asc("cand_id")
+        )
+        return (
+            df.withColumn("rn", F.row_number().over(wa))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    p1 = argmax(cand, "rel")
+    s2 = cand.join(
+        F.broadcast(
+            p1.select(
+                "query_id",
+                F.col("cand_id").alias("p1_id"),
+                F.col("ce").alias("p1e"),
+            )
+        ),
+        "query_id",
+    ).filter(F.col("cand_id") != F.col("p1_id"))
+    s2 = s2.withColumn(
+        "mmr", lam * F.col("rel") - div * dot_double(F.col("ce"), F.col("p1e"))
+    )
+    p2 = argmax(s2, "mmr")
+    s3 = (
+        cand.join(
+            F.broadcast(
+                p1.select(
+                    "query_id",
+                    F.col("cand_id").alias("p1_id"),
+                    F.col("ce").alias("p1e"),
+                )
+            ),
+            "query_id",
+        )
+        .join(
+            F.broadcast(
+                p2.select(
+                    "query_id",
+                    F.col("cand_id").alias("p2_id"),
+                    F.col("ce").alias("p2e"),
+                )
+            ),
+            "query_id",
+        )
+        .filter(
+            (F.col("cand_id") != F.col("p1_id"))
+            & (F.col("cand_id") != F.col("p2_id"))
+        )
+        .withColumn(
+            "mmr",
+            lam * F.col("rel")
+            - div
+            * F.greatest(
+                dot_double(F.col("ce"), F.col("p1e")),
+                dot_double(F.col("ce"), F.col("p2e")),
+            ),
+        )
+    )
+    p3 = argmax(s3, "mmr")
+    pick = lambda df, k, score: df.select(  # noqa: E731
+        "query_id",
+        F.lit(k).cast("int").alias("pick_rank"),
+        "cand_id",
+        F.col(score).alias("mmr_score"),
+    )
+    return (
+        pick(p1.withColumn("lam_rel", lam * F.col("rel")), 1, "lam_rel")
+        .unionByName(pick(p2, 2, "mmr"))
+        .unionByName(pick(p3, 3, "mmr"))
+    )
+
+
+@declared(
+    "ivf_list_balance",
+    oracle=f"""
+    WITH cents AS (
+      SELECT vec_id AS cent_id, embedding AS ce
+      FROM embeddings WHERE vec_id % 100 = 0
+    ),
+    assigned AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT v.vec_id, c.cent_id,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY {_DIST_SQL.format(a='v.embedding', b='c.ce')}, c.cent_id
+               ) AS rn
+        FROM embeddings v CROSS JOIN cents c
+      ) t WHERE rn = 1
+    ),
+    lists AS (
+      SELECT cent_id, CAST(count(*) AS BIGINT) AS list_size
+      FROM assigned GROUP BY cent_id
+    )
+    SELECT cent_id, list_size,
+           CAST(list_size * 1000000
+                // (sum(list_size) OVER ()) AS BIGINT) AS share_ppm
+    FROM lists
+    """,
+)
+def ivf_list_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF build diagnostic: inverted-list sizes and their corpus share.
+
+    The operational health check for ann_ivf_topk -- probe cost is
+    proportional to the probed list's size, so a skewed assignment
+    (one hot list) silently turns nprobe=1 into a near-full scan.  Same
+    assignment pass as the index build (broadcast centroids, one
+    window), then a vocabulary-sized aggregate; at 100 TB this runs as a
+    by-product of index construction, not a separate scan.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce")
+    )
+    dist = _sq_dist(F.col("embedding"), F.col("ce"))
+    w = Window.partitionBy("vec_id").orderBy(dist.asc(), F.col("cent_id").asc())
+    assigned = (
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cent_id")
+    )
+    lists = assigned.groupBy("cent_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("list_size")
+    )
+    total = Window.partitionBy()
+    return lists.select(
+        "cent_id",
+        "list_size",
+        F.expr("list_size * 1000000")
+        .cast("bigint")
+        .alias("_num"),
+        F.sum("list_size").over(total).alias("_den"),
+    ).select(
+        "cent_id",
+        "list_size",
+        F.expr("_num DIV _den").cast("bigint").alias("share_ppm"),
+    )

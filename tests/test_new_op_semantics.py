@@ -148,3 +148,42 @@ def test_dsir_excludes_target_and_orders_by_score(spark):
     assert all(r.source != DSIR_TARGET for r in rows)
     keys = [(-r.dsir_score, r.doc_id) for r in rows]
     assert keys == sorted(keys)
+
+
+def test_mmr_picks_are_distinct_and_greedy(spark):
+    """Structural MMR properties: per query the picks are distinct, pick 1
+    is the relevance argmax, and every later pick's MMR score is <= the
+    pick-1 score (the diversity penalty only subtracts)."""
+    from etl_rf_matrix_controller_spark.operators.similarity import (
+        MMR_PICKS,
+        N_QUERIES,
+        mmr_rerank_topk,
+    )
+
+    rows = mmr_rerank_topk(spark, SF_DIR).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, {})[r.pick_rank] = r
+    assert len(by_q) == N_QUERIES
+    for q, picks in by_q.items():
+        assert sorted(picks) == list(range(1, MMR_PICKS + 1)), q
+        ids = [picks[k].cand_id for k in sorted(picks)]
+        assert len(set(ids)) == MMR_PICKS, (q, ids)
+        assert all(
+            picks[k].mmr_score <= picks[1].mmr_score + 1e-12
+            for k in range(2, MMR_PICKS + 1)
+        ), q
+
+
+def test_ivf_list_shares_sum_to_one(spark):
+    """List shares cover the corpus: ppm shares sum to ~1e6 (floor loss
+    < n_lists) and list sizes sum to the vector count."""
+    from etl_rf_matrix_controller_spark.operators.similarity import (
+        ivf_list_balance,
+    )
+
+    rows = ivf_list_balance(spark, SF_DIR).collect()
+    n_vecs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
+    assert sum(r.list_size for r in rows) == n_vecs
+    total_ppm = sum(r.share_ppm for r in rows)
+    assert 1_000_000 - len(rows) < total_ppm <= 1_000_000
