@@ -145,7 +145,10 @@ def ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cost scales with shared grams, never eval x train pairs; stop-gram
     skew is the hot-key risk and AQE skew-join the mitigation.
     """
-    corpus = dup_corpus(spark, sf_dir)
+    # Rebalance before the word-5-gram fan-out (the _gram_df rule).
+    corpus = dup_corpus(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     gram_list = F.expr(
         f"array_distinct(transform(sequence(1, greatest(size(split(trim(text),"
         f" ' ')) - {NGRAM_N - 1}, 1)), i -> array_join(slice(split(trim(text),"

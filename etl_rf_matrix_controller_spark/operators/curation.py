@@ -39,8 +39,12 @@ from etl_rf_matrix_controller_spark.sources.tables import load_table
 def doc_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intra-document repetition: fraction of duplicate char-8-grams
     (the Gopher repetition-filter signal -- boilerplate and looping text
-    score high).  All in-row array math: zero shuffles, scan-bound."""
-    docs = load_table(spark, sf_dir, "documents")
+    score high).  All in-row array math; the only exchange is the
+    narrow-row rebalance before the gram transforms (_gram_df rule --
+    locally the scan is one split and would serialize the compute)."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     t = F.trim("text")
     total = F.greatest(F.length(t) - 7, F.lit(1))
     uniq = F.size(
@@ -469,7 +473,12 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     (plans/conventions.py), so the booleans are bit-identical
     cross-engine.  Pure per-row projection: zero shuffles at any scale.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # Rebalance the narrow rows before the per-row gram transforms (the
+    # _gram_df rule): the single-split scan would otherwise run ~650
+    # substr+distinct ops per row on one task.
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     t = F.trim("text")
     words = F.split(t, " ")
     sw = F.array([F.lit(s) for s in STOPWORDS_GOPHER])

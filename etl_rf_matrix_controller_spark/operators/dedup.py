@@ -297,7 +297,38 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join partitions evenly; hot buckets (boilerplate docs) would
     be the one skew source -- AQE skew-join handles them.
     """
-    sig = minhash_signature_df(spark, sf_dir)
+    # ONE corpus synthesis + shingling feeds BOTH stages: the tokset
+    # arrays are materialized first (checkpoint), signatures derive from
+    # their in-memory explode, and the verify join reuses the same arrays
+    # -- previously signatures and toksets each re-shingled the corpus
+    # (two full passes; at 100 TB one whole wasted corpus read).
+    spark_para = spark.sparkContext.defaultParallelism
+    t = F.trim("text")
+    toksets = (
+        dup_corpus(spark, sf_dir)
+        .repartition(spark_para)
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.length(t) - 7, F.lit(1))),
+                    lambda i: t.substr(i, F.lit(8)),
+                )
+            ).alias("toks"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    fp = toksets.select(
+        "doc_id", F.explode("toks").alias("gram")
+    ).select("doc_id", token_fingerprint(F.col("gram")).alias("tokint"))
+    sig = fp.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("tokint") + F.lit(b)) % MINHASH_PRIME)
+            .cast("bigint")
+            .alias(f"mh{j}")
+            for j, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+        ]
+    )
     bands = None
     for band in range(N_BANDS):
         lo = BAND_ROWS * band
@@ -326,24 +357,6 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
-    )
-    t = F.trim("text")
-    # Checkpointed for the same reason as `bands`: the verify join consumes
-    # toksets under two aliases, and without truncation each alias re-runs
-    # the corpus synthesis + 8-gram shingling (measured ~2x the whole
-    # query's steady-state cost at sf0.1).
-    toksets = (
-        dup_corpus(spark, sf_dir)
-        .select(
-            "doc_id",
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), F.greatest(F.length(t) - 7, F.lit(1))),
-                    lambda i: t.substr(i, F.lit(8)),
-                )
-            ).alias("toks"),
-        )
-        .localCheckpoint(eager=False)
     )
     ta = toksets.alias("ta")
     tb = toksets.alias("tb")

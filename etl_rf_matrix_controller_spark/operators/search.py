@@ -46,6 +46,9 @@ _TOK_SQL = """
 
 
 def _tok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOT rebalanced before the explode: the ~50x word fan-out is too
+    # small to pay for a shuffle of the text column (measured 0.95 ->
+    # 1.2 s at sf0.1); the _gram_df rule applies to ~650x gram fan-outs.
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
         "doc_id", F.explode(F.split(F.trim("text"), " ")).alias("token")
