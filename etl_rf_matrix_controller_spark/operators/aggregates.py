@@ -366,7 +366,7 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = (
         ev.groupBy("user_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("exact_count"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     probes = exact.select("user_id", "exact_count", rows).select(
         "user_id", "exact_count", "row_id", cell.alias("cell")

@@ -57,7 +57,7 @@ def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_custkey").alias("ch_key"),
             F.round(F.col("c_acctbal") + 100.0, 2).alias("new_bal"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     v1 = customer.join(
         F.broadcast(changes), customer.c_custkey == changes.ch_key, "left"

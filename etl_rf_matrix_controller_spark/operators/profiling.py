@@ -363,7 +363,7 @@ def doc_char_length_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     med = (
         hist_median(docs, "n_chars")
         .select(F.col("median").alias("median_chars"), F.col("n").alias("n_docs"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     devs = docs.crossJoin(F.broadcast(med)).select(
         F.abs(F.col("n_chars") - F.col("median_chars")).alias("dev")

@@ -203,7 +203,7 @@ def lang_id_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.split(F.trim("text"), " ")).alias("token"),
         )
         .filter(F.col("token") != "")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     freq = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("c"))
     w = Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("token"))
