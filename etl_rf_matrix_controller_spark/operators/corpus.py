@@ -226,10 +226,10 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
     )
-    spark_para = spark.sparkContext.defaultParallelism
+    # No pre-explode rebalance: the ~50x word fan-out is below the
+    # shuffle-payback threshold (see search._tok).
     tok = (
-        docs.repartition(spark_para)
-        .select(
+        docs.select(
             "doc_id",
             "source",
             F.explode(F.split(F.trim("text"), " ")).alias("token"),
