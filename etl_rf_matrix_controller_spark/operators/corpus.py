@@ -278,3 +278,80 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("dsir_score").desc(), "doc_id")
         .limit(DSIR_TOPK)
     )
+
+
+# Token budget for one training run and the repeat ceiling (integer x100:
+# 400 = at most 4 epochs over any source, the data-constrained-scaling
+# rule of thumb -- repeating data beyond ~4 epochs stops buying loss).
+EPOCH_BUDGET_TOKENS = 1_000_000
+EPOCH_CAP_X100 = 400
+
+
+@declared(
+    "source_epoch_plan",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source,
+             CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT)
+               AS tokens_s
+      FROM documents GROUP BY source
+    ),
+    weighted AS (
+      SELECT source, tokens_s,
+             CAST(floor(sqrt(tokens_s) * 10000) AS BIGINT) AS w_scaled
+      FROM toks
+    ),
+    target AS (
+      SELECT source, tokens_s, w_scaled,
+             CAST({EPOCH_BUDGET_TOKENS} * w_scaled
+                  // sum(w_scaled) OVER () AS BIGINT) AS target_tokens
+      FROM weighted
+    )
+    SELECT source, tokens_s, target_tokens,
+           CAST(least({EPOCH_CAP_X100},
+                      target_tokens * 100 // tokens_s) AS BIGINT)
+             AS epochs_x100,
+           CAST(target_tokens * 100 // tokens_s
+                > {EPOCH_CAP_X100} AS BOOLEAN) AS capped
+    FROM target
+    """,
+)
+def source_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch allocation under a fixed token budget: temperature-0.5
+    mixture targets per source, converted to repeat counts (epochs x100)
+    with a 4-epoch ceiling -- the data-constrained-scaling planning step
+    (Muennighoff et al. 2023, public work) that decides how often each
+    source is repeated when the target exceeds its available tokens.
+
+    One token-count aggregation to a row per source, then a
+    domain-cardinality window; every ratio is integer DIV so the plan is
+    bit-identical cross-engine.  The `capped` flag is the monitoring
+    signal: a capped source means the mixture wants more of it than
+    exists -- go collect more, don't repeat a fifth time.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.groupBy("source").agg(
+        F.sum(F.size(F.split(F.trim("text"), " ")))
+        .cast("bigint")
+        .alias("tokens_s")
+    )
+    weighted = toks.select(
+        "source",
+        "tokens_s",
+        F.floor(F.sqrt("tokens_s") * 10000).cast("bigint").alias("w_scaled"),
+    ).withColumn("total_w", F.sum("w_scaled").over(Window.partitionBy()))
+    target = weighted.select(
+        "source",
+        "tokens_s",
+        F.expr(f"CAST({EPOCH_BUDGET_TOKENS} * w_scaled DIV total_w AS BIGINT)")
+        .alias("target_tokens"),
+    )
+    raw_epochs = F.expr("target_tokens * 100 DIV tokens_s")
+    return target.select(
+        "source",
+        "tokens_s",
+        "target_tokens",
+        F.least(F.lit(EPOCH_CAP_X100).cast("bigint"), raw_epochs.cast("bigint"))
+        .alias("epochs_x100"),
+        (raw_epochs > EPOCH_CAP_X100).alias("capped"),
+    )

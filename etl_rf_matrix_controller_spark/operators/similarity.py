@@ -1173,3 +1173,82 @@ def ivf_list_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "list_size",
         F.expr("_num DIV _den").cast("bigint").alias("share_ppm"),
     )
+
+
+HARD_NEG_K = 3
+
+
+@declared(
+    "hard_negative_mining",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qe, label AS qlabel
+      FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS cand_id, c.label AS cand_label,
+             {_DOT_SQL.format(a='q.qe', b='c.embedding')} AS score
+      FROM q JOIN embeddings c
+        ON c.vec_id <> q.query_id AND c.label <> q.qlabel
+    ),
+    ranked AS (
+      SELECT query_id, cand_id, cand_label, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, cand_id) AS neg_rank
+      FROM scored
+    )
+    SELECT query_id, CAST(neg_rank AS INT) AS neg_rank, cand_id,
+           cand_label, score
+    FROM ranked WHERE neg_rank <= {HARD_NEG_K}
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard negatives for contrastive training: per query, the top-k
+    highest-scoring candidates with a DIFFERENT label -- the near-miss
+    examples that make an embedding model actually learn a boundary
+    (random negatives are trivially separable; see DPR / ANCE-style
+    mining, both public work).
+
+    Identical scale shape to knn_brute_force: queries broadcast, one
+    candidate scan, label inequality fused into the join predicate so
+    same-label rows never leave the scan, per-query top-k window.  At
+    100 TB production mines from an ANN index instead of the full scan
+    (swap in ann_lsh_topk's bucket join); the ranking contract here is
+    the exact baseline that path is measured against.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("qlabel"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("ce"),
+        F.col("label").alias("cand_label"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(
+            (F.col("cand_id") != F.col("query_id"))
+            & (F.col("cand_label") != F.col("qlabel"))
+        )
+        .select(
+            "query_id",
+            "cand_id",
+            "cand_label",
+            dot_double(F.col("qe"), F.col("ce")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("cand_id"))
+    return (
+        scored.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= HARD_NEG_K)
+        .select(
+            "query_id",
+            F.col("neg_rank").cast("int").alias("neg_rank"),
+            "cand_id",
+            "cand_label",
+            "score",
+        )
+    )

@@ -187,3 +187,50 @@ def test_ivf_list_shares_sum_to_one(spark):
     assert sum(r.list_size for r in rows) == n_vecs
     total_ppm = sum(r.share_ppm for r in rows)
     assert 1_000_000 - len(rows) < total_ppm <= 1_000_000
+
+
+def test_hard_negatives_never_share_query_label(spark):
+    """Every mined negative has a different label from its query, ranks
+    are contiguous, and scores are non-increasing per query."""
+    from etl_rf_matrix_controller_spark.operators.similarity import (
+        HARD_NEG_K,
+        hard_negative_mining,
+    )
+
+    emb = {
+        r.vec_id: r.label
+        for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .select("vec_id", "label")
+        .collect()
+    }
+    by_q = {}
+    for r in hard_negative_mining(spark, SF_DIR).collect():
+        assert r.cand_label != emb[r.query_id], r
+        assert r.cand_label == emb[r.cand_id], r
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r.neg_rank)
+        assert [r.neg_rank for r in rows] == list(range(1, HARD_NEG_K + 1))
+        scores = [r.score for r in rows]
+        assert scores == sorted(scores, reverse=True), q
+
+
+def test_epoch_plan_respects_cap_and_budget(spark):
+    """Epochs never exceed the cap; an uncapped source's allocation
+    reproduces target_tokens (integer identity); budget conservation:
+    sum of targets <= budget."""
+    from etl_rf_matrix_controller_spark.operators.corpus import (
+        EPOCH_BUDGET_TOKENS,
+        EPOCH_CAP_X100,
+        source_epoch_plan,
+    )
+
+    rows = source_epoch_plan(spark, SF_DIR).collect()
+    assert len(rows) == 20
+    assert sum(r.target_tokens for r in rows) <= EPOCH_BUDGET_TOKENS
+    for r in rows:
+        assert r.epochs_x100 <= EPOCH_CAP_X100, r
+        if not r.capped:
+            assert r.epochs_x100 == r.target_tokens * 100 // r.tokens_s, r
+        else:
+            assert r.target_tokens * 100 // r.tokens_s > EPOCH_CAP_X100, r
