@@ -34,6 +34,12 @@ def dedup_stream_within_watermark(
 ) -> DataFrame:
     """Run a file-fed stream through watermarked exact dedup to completion.
 
+    The memory sink here is for assertions only and cannot recover from a
+    checkpoint; the production (and crash-recovery-tested) form writes a
+    parquet sink with a checkpointLocation -- source offsets and dedup
+    key state restore across a restart, pinned by
+    tests/test_streaming.py::test_stream_dedup_state_survives_restart.
+
     ``maxFilesPerTrigger=1`` forces one micro-batch per file so the test
     exercises real cross-batch state (a single batch would dedup trivially);
     ``availableNow`` drains the directory then stops.  Append mode: rows

@@ -524,3 +524,73 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
             (1, at(195)),  # re-admitted after state eviction
         ]
     )
+
+
+def test_stream_dedup_state_survives_restart(spark, tmp_path):
+    """Checkpointed dedup recovers across a stop/start: the second run
+    reads only NEW files (offsets restored) and still drops an
+    in-watermark replay of a key seen before the restart (keyed state
+    restored), while admitting genuinely new keys."""
+    from datetime import datetime
+
+    import pandas as pd
+
+    src = tmp_path / "feed"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_batch(fname, rows):
+        pdf = pd.DataFrame(rows, columns=["event_id", "ts", "value"])
+        pdf["ts"] = (
+            pd.to_datetime(pdf["ts"])
+            .dt.tz_localize("UTC")
+            .astype("datetime64[us, UTC]")
+        )
+        pdf.to_parquet(src / fname, index=False)
+
+    t = datetime(2026, 1, 1, 12, 0, 0)
+
+    def at(minutes):
+        return t.replace(hour=12 + minutes // 60, minute=minutes % 60)
+
+    out = str(tmp_path / "out")
+
+    def run_once():
+        # Parquet sink: the durable, checkpoint-recoverable sink (the
+        # memory sink refuses recovery).  Returns the completed query.
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+            .withWatermark("ts", "1 hour")
+            .dropDuplicatesWithinWatermark(["event_id"])
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return q
+
+    write_batch("b1.parquet", [(1, at(0), 10.0), (2, at(1), 20.0)])
+    schema = spark.read.parquet(str(src / "b1.parquet")).schema
+    q1 = run_once()
+    assert {r.event_id for r in spark.read.parquet(out).collect()} == {1, 2}
+    in1 = sum(p["numInputRows"] for p in q1.recentProgress)
+    assert in1 == 2
+
+    # After the query stopped: a replay of id 1 (within watermark) and a
+    # new id 3 arrive.  The restarted query must process ONLY this file.
+    write_batch("b2.parquet", [(1, at(5), 10.0), (3, at(6), 30.0)])
+    q2 = run_once()
+    # Restored source offsets: the restart reads exactly b2's 2 rows.
+    in2 = sum(p["numInputRows"] for p in q2.recentProgress)
+    assert in2 == 2
+    rows = [(r.event_id, r.ts) for r in spark.read.parquet(out).collect()]
+    # Restored keyed state: id 1's replay is dropped across the restart;
+    # id 3 is admitted; nothing re-emitted.
+    assert sorted(rows) == [(1, at(0)), (2, at(1)), (3, at(6))]
