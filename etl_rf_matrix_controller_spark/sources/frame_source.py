@@ -18,7 +18,12 @@ from __future__ import annotations
 
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 
 class FrameProtocolDataSource(DataSource):
@@ -37,6 +42,9 @@ class FrameProtocolDataSource(DataSource):
 
     def reader(self, schema) -> "FrameProtocolReader":
         return FrameProtocolReader(self.options)
+
+    def simpleStreamReader(self, schema) -> "FrameProtocolStreamReader":
+        return FrameProtocolStreamReader(self.options)
 
 
 def synth_frame(fid: int) -> str:
@@ -63,6 +71,45 @@ class FrameProtocolReader(DataSourceReader):
         start = partition.value
         for fid in range(start, self.n, self.n_parts):
             yield (fid, synth_frame(fid))
+
+
+class FrameProtocolStreamReader(SimpleDataSourceStreamReader):
+    """``spark.readStream.format("frame_protocol")`` -- the live-feed
+    form of the frame transport (the reference polls its socket
+    continuously; etl_controller.py:2793-2807 background sync).
+
+    Offsets are a dict ``{"fid": next_frame_id}``: ``read`` advances by
+    at most ``batchSize`` frames per micro-batch and stops advancing at
+    ``frames`` (a bounded feed lets tests drain it deterministically);
+    ``readBetweenOffsets`` re-synthesizes any offset range on replay, so
+    recovery after a crash re-reads IDENTICAL data -- the deterministic-
+    replay contract Structured Streaming requires of a source.  A real
+    deployment keys offsets by socket sequence number and replays from a
+    journal.
+    """
+
+    def __init__(self, options: dict) -> None:
+        self.total = int(options.get("frames", 100))
+        self.batch = int(options.get("batchSize", 10))
+
+    def initialOffset(self) -> dict:
+        return {"fid": 0}
+
+    def read(self, start: dict):
+        s = int(start["fid"])
+        e = min(s + self.batch, self.total)
+        return (
+            iter([(fid, synth_frame(fid)) for fid in range(s, e)]),
+            {"fid": e},
+        )
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(
+            [
+                (fid, synth_frame(fid))
+                for fid in range(int(start["fid"]), int(end["fid"]))
+            ]
+        )
 
 
 def register(spark) -> None:

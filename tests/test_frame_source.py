@@ -44,3 +44,34 @@ def test_frame_source_matches_python_generator(spark):
     got = {(r.frame_id, r.frame) for r in df.collect()}
     want = {(i, synth_frame(i)) for i in range(50)}
     assert got == want
+
+
+def test_frame_protocol_stream_reader(spark):
+    """The streaming form of the connector: micro-batches advance by
+    batchSize offsets, the feed drains at `frames`, and every emitted
+    frame is byte-identical to the batch synthesis (deterministic
+    replay)."""
+    from etl_rf_matrix_controller_spark.sources.frame_source import (
+        register,
+        synth_frame,
+    )
+
+    register(spark)
+    q = (
+        spark.readStream.format("frame_protocol")
+        .option("frames", 40)
+        .option("batchSize", 16)
+        .load()
+        .writeStream.format("memory")
+        .queryName("frame_stream")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.table("frame_stream").collect()
+    assert len(rows) == 40
+    got = {r.frame_id: r.frame for r in rows}
+    assert got == {fid: synth_frame(fid) for fid in range(40)}
