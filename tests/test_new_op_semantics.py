@@ -234,3 +234,40 @@ def test_epoch_plan_respects_cap_and_budget(spark):
             assert r.epochs_x100 == r.target_tokens * 100 // r.tokens_s, r
         else:
             assert r.target_tokens * 100 // r.tokens_s > EPOCH_CAP_X100, r
+
+
+def test_interval_overlap_bucket_blocking_is_lossless(spark):
+    """The bucket-blocked equi-join finds EXACTLY the pairs the direct
+    range predicate finds (no pair lost at bucket boundaries), and every
+    overlap is within (0, window] seconds."""
+    from etl_rf_matrix_controller_spark.operators.behavior import (
+        OVERLAP_WINDOW_US,
+        interval_overlap_pairs,
+    )
+    from etl_rf_matrix_controller_spark.sources.tables import load_table
+
+    got = {r.day: r for r in interval_overlap_pairs(spark, SF_DIR).collect()}
+    ev = load_table(spark, SF_DIR, "events")
+    iv = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.min("ts").alias("s"))
+    rows = iv.collect()
+    from collections import defaultdict
+
+    by_day = defaultdict(list)
+    for r in rows:
+        by_day[r.day].append(r)
+    w_us = OVERLAP_WINDOW_US
+    for day, ivs in by_day.items():
+        n = 0
+        for i, a in enumerate(ivs):
+            for b in ivs[i + 1 :]:
+                lo, hi = sorted([a, b], key=lambda r: r.user_id)
+                sa = int(lo.s.timestamp() * 1e6)
+                sb = int(hi.s.timestamp() * 1e6)
+                if sa < sb + w_us and sb < sa + w_us:
+                    n += 1
+        want = got.get(day)
+        assert (want.n_pairs if want else 0) == n, day
+        if want:
+            assert 0 < want.max_overlap_secs <= w_us // 1_000_000, day
