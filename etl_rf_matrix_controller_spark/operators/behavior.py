@@ -1072,3 +1072,90 @@ def interval_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ov_s").cast("bigint").alias("sum_overlap_secs"),
         F.max("ov_s").cast("bigint").alias("max_overlap_secs"),
     )
+
+
+ATTRIBUTION_WINDOW_US = 1_800_000_000  # 30 minutes
+
+
+@declared(
+    "conversion_attribution",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_id, ts, event_type,
+             last_value(CASE WHEN event_type IN ('click', 'view')
+                             THEN ts END IGNORE NULLS)
+               OVER w AS touch_ts,
+             last_value(CASE WHEN event_type IN ('click', 'view')
+                             THEN event_type END IGNORE NULLS)
+               OVER w AS touch_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    conv AS (
+      SELECT CASE WHEN touch_ts IS NOT NULL
+                   AND epoch_us(ts) - epoch_us(touch_ts)
+                       <= {ATTRIBUTION_WINDOW_US}
+                  THEN touch_type ELSE 'none' END AS attributed_type,
+             CASE WHEN touch_ts IS NOT NULL
+                   AND epoch_us(ts) - epoch_us(touch_ts)
+                       <= {ATTRIBUTION_WINDOW_US}
+                  THEN (epoch_us(ts) - epoch_us(touch_ts)) // 1000000
+             END AS gap_s
+      FROM seq WHERE event_type = 'purchase'
+    )
+    SELECT attributed_type, CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(coalesce(sum(gap_s), 0) AS BIGINT) AS sum_gap_secs
+    FROM conv GROUP BY attributed_type
+    """,
+)
+def conversion_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the most recent
+    click/view by the same user within a 30-minute lookback, else
+    'none' -- the marketing-analytics classic, and the same
+    carry-last-qualifying-event-forward window the reference's state
+    scan uses for route freshness (etl_controller.py:615-623).
+
+    One window shuffle on user_id with a deterministic (ts, event_id)
+    total order; ``last(..., ignorenulls)`` over an up-to-previous-row
+    frame carries the touch forward without a self-join -- the
+    at-100-TB alternative (as-of join purchases to touches) costs a
+    second shuffle.  Gap arithmetic is integer microseconds (DIV).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type").isin("click", "view")
+    seq = ev.select(
+        "ts",
+        "event_type",
+        F.last(F.when(is_touch, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("touch_ts"),
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("touch_type"),
+    ).filter(F.col("event_type") == "purchase")
+    gap_us = F.unix_micros("ts") - F.unix_micros("touch_ts")
+    in_window = F.col("touch_ts").isNotNull() & (
+        gap_us <= ATTRIBUTION_WINDOW_US
+    )
+    conv = seq.select(
+        F.when(in_window, F.col("touch_type"))
+        .otherwise("none")
+        .alias("attributed_type"),
+        F.when(in_window, F.expr(
+            f"(unix_micros(ts) - unix_micros(touch_ts)) DIV 1000000"
+        )).alias("gap_s"),
+    )
+    return conv.groupBy("attributed_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+        F.coalesce(F.sum("gap_s"), F.lit(0)).cast("bigint").alias(
+            "sum_gap_secs"
+        ),
+    )
