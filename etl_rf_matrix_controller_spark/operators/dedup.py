@@ -603,3 +603,201 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cont >= 0.9)
         .select("doc_a", "doc_b", "shared_grams", cont.alias("containment"))
     )
+
+
+# Incremental dedup: the nightly-ingest form.  The index is the full
+# existing corpus; the new batch synthesizes one near-dup per doc_id%10==3
+# (text + ' zznew', id+4M) and one scrambled non-dup per %10==4
+# (reversed text, id+5M).  Candidates come from bands(new) x bands(index)
+# -- never index x index, which is the entire point: ingest cost scales
+# with the BATCH, not the corpus.
+_INC_CORPUS_SQL = """
+      SELECT doc_id, text, 'idx' AS tag FROM documents
+      UNION ALL
+      SELECT doc_id + 4000000, text || ' zznew', 'new'
+      FROM documents WHERE doc_id % 10 = 3
+      UNION ALL
+      SELECT doc_id + 5000000, reverse(trim(text)), 'new'
+      FROM documents WHERE doc_id % 10 = 4
+"""
+
+_INC_GRAMS_SQL = """
+      SELECT doc_id, tag, g.gram
+      FROM (
+        SELECT doc_id, tag,
+               list_distinct(list_transform(
+                 generate_series(1, greatest(length(trim(text)) - 7, 1)),
+                 i -> substring(trim(text), CAST(i AS INT), 8))) AS grams
+        FROM corpus
+      ) grammed, unnest(grams) AS g(gram)
+"""
+
+
+def _inc_sig_sql() -> str:
+    cols = ", ".join(
+        f"CAST(min(({a} * tokint + {b}) % {MINHASH_PRIME}) AS BIGINT) AS mh{j}"
+        for j, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    )
+    return f"""
+    corpus AS ({_INC_CORPUS_SQL}),
+    tok AS ({_INC_GRAMS_SQL}),
+    fp AS (
+      SELECT doc_id, tag,
+             ('0x' || substring(md5(gram), 1, 8))::BIGINT AS tokint
+      FROM tok
+    ),
+    sig AS (SELECT doc_id, tag, {cols} FROM fp GROUP BY doc_id, tag)
+    """
+
+
+def _inc_bands_sql() -> str:
+    selects = []
+    for band in range(N_BANDS):
+        lo = BAND_ROWS * band
+        key = " || '_' || ".join(
+            f"CAST(mh{j} AS VARCHAR)" for j in range(lo, lo + BAND_ROWS)
+        )
+        selects.append(
+            f"SELECT doc_id, tag, {band} AS band, {key} AS bkey FROM sig"
+        )
+    return "\n      UNION ALL\n      ".join(selects)
+
+
+@declared(
+    "incremental_near_dup_check",
+    oracle=f"""
+    WITH {_inc_sig_sql()},
+    bands AS (
+      {_inc_bands_sql()}
+    ),
+    cand AS (
+      SELECT DISTINCT n.doc_id AS new_doc_id, i.doc_id AS matched_doc_id
+      FROM bands n JOIN bands i
+        ON n.band = i.band AND n.bkey = i.bkey
+       AND n.tag = 'new' AND i.tag = 'idx'
+    ),
+    toksets AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(length(trim(text)) - 7, 1)),
+               i -> substring(trim(text), CAST(i AS INT), 8))) AS toks
+      FROM corpus
+    )
+    SELECT c.new_doc_id, c.matched_doc_id,
+           len(list_intersect(tn.toks, ti.toks)) * 1.0
+             / len(list_distinct(list_concat(tn.toks, ti.toks))) AS jaccard
+    FROM cand c
+    JOIN toksets tn ON tn.doc_id = c.new_doc_id
+    JOIN toksets ti ON ti.doc_id = c.matched_doc_id
+    WHERE len(list_intersect(tn.toks, ti.toks)) * 1.0
+          / len(list_distinct(list_concat(tn.toks, ti.toks))) >= 0.6
+    """,
+)
+def incremental_near_dup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time near-dup check: LSH bands of the NEW batch probe the
+    band index of the EXISTING corpus; only new-vs-index candidates are
+    verified.
+
+    This is the incremental form every production pipeline actually
+    runs (the self-join form, minhash_near_dup_pairs, is the one-off
+    backfill): the band index is a write-once artifact, tonight's batch
+    shuffles only ITS bands against it, and cost scales with the batch
+    size times collision rate -- never corpus x corpus.  At 100 TB the
+    index side is bucketed on (band, bkey) so the probe is a co-located
+    join.  Same toksets-once materialization as the self-join form; the
+    scrambled decoys (reversed text) exercise the no-match path.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    variants = F.filter(
+        F.array(
+            F.struct(
+                F.col("doc_id"), F.col("text"), F.lit("idx").alias("tag")
+            ),
+            F.when(
+                F.col("doc_id") % 10 == 3,
+                F.struct(
+                    (F.col("doc_id") + 4000000).alias("doc_id"),
+                    F.concat(F.col("text"), F.lit(" zznew")).alias("text"),
+                    F.lit("new").alias("tag"),
+                ),
+            ),
+            F.when(
+                F.col("doc_id") % 10 == 4,
+                F.struct(
+                    (F.col("doc_id") + 5000000).alias("doc_id"),
+                    F.reverse(F.trim("text")).alias("text"),
+                    F.lit("new").alias("tag"),
+                ),
+            ),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    corpus = (
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        .select(F.explode(variants).alias("r"))
+        .select("r.*")
+    )
+    t = F.trim("text")
+    toksets = corpus.select(
+        "doc_id",
+        "tag",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length(t) - 7, F.lit(1))),
+                lambda i: t.substr(i, F.lit(8)),
+            )
+        ).alias("toks"),
+    ).localCheckpoint(eager=False)
+    fp = toksets.select(
+        "doc_id", "tag", F.explode("toks").alias("gram")
+    ).select("doc_id", "tag", token_fingerprint(F.col("gram")).alias("tokint"))
+    sig = fp.groupBy("doc_id", "tag").agg(
+        *[
+            F.min((F.lit(a) * F.col("tokint") + F.lit(b)) % MINHASH_PRIME)
+            .cast("bigint")
+            .alias(f"mh{j}")
+            for j, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+        ]
+    )
+    bands = None
+    for band in range(N_BANDS):
+        lo = BAND_ROWS * band
+        b = sig.select(
+            "doc_id",
+            "tag",
+            F.lit(band).alias("band"),
+            F.concat_ws(
+                "_",
+                *[
+                    F.col(f"mh{j}").cast("string")
+                    for j in range(lo, lo + BAND_ROWS)
+                ],
+            ).alias("bkey"),
+        )
+        bands = b if bands is None else bands.unionByName(b)
+    bands = bands.localCheckpoint(eager=False)
+    n = bands.filter(F.col("tag") == "new").alias("n")
+    i = bands.filter(F.col("tag") == "idx").alias("i")
+    cand = (
+        n.join(
+            i,
+            (F.col("n.band") == F.col("i.band"))
+            & (F.col("n.bkey") == F.col("i.bkey")),
+        )
+        .select(
+            F.col("n.doc_id").alias("new_doc_id"),
+            F.col("i.doc_id").alias("matched_doc_id"),
+        )
+        .distinct()
+    )
+    tn = toksets.alias("tn")
+    ti = toksets.alias("ti")
+    jacc = F.size(
+        F.array_intersect(F.col("tn.toks"), F.col("ti.toks"))
+    ) / F.size(F.array_union(F.col("tn.toks"), F.col("ti.toks")))
+    return (
+        cand.join(tn, F.col("tn.doc_id") == F.col("new_doc_id"))
+        .join(ti, F.col("ti.doc_id") == F.col("matched_doc_id"))
+        .filter(jacc >= 0.6)
+        .select("new_doc_id", "matched_doc_id", jacc.alias("jaccard"))
+    )

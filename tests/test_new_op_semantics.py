@@ -271,3 +271,36 @@ def test_interval_overlap_bucket_blocking_is_lossless(spark):
         assert (want.n_pairs if want else 0) == n, day
         if want:
             assert 0 < want.max_overlap_secs <= w_us // 1_000_000, day
+
+
+def test_incremental_dedup_finds_planted_pairs_only_from_new_batch(spark):
+    """Every planted near-dup (+4M) matches its origin doc; the scrambled
+    decoys (+5M) never match; and matches always pair new-vs-index (the
+    incremental property -- no index x index pairs)."""
+    from etl_rf_matrix_controller_spark.operators.dedup import (
+        incremental_near_dup_check,
+    )
+
+    rows = incremental_near_dup_check(spark, SF_DIR).collect()
+    docs = {
+        r.doc_id
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    }
+    planted = {d + 4000000 for d in docs if d % 10 == 3}
+    for r in rows:
+        assert r.new_doc_id >= 4000000  # left side is always the new batch
+        assert r.matched_doc_id in docs  # right side is always the index
+        assert r.new_doc_id < 5000000, r  # no scrambled decoy matches
+    # LSH banding is probabilistic: a true near-dup (J~0.98) collides
+    # with prob 1-(1-J^4)^2 ~ 99.4% per pair, so a rare planted pair may
+    # miss its bands -- require >=90% recall, and that every recalled
+    # planted dup matches its actual origin doc.
+    origin_hits = {
+        r.new_doc_id for r in rows if r.matched_doc_id == r.new_doc_id - 4000000
+    }
+    assert len(origin_hits & planted) >= 0.9 * len(planted), (
+        len(origin_hits & planted),
+        len(planted),
+    )
