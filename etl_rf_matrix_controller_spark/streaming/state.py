@@ -286,3 +286,126 @@ def stream_ema_user_value_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "n_events", "ema_value")
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end: frame-protocol stream -> parse -> keyed route state
+# ---------------------------------------------------------------------------
+
+FRAME_STATE_SCHEMA = StructType(
+    [
+        StructField("frame_id", LongType()),
+        StructField("in_id", LongType()),
+        StructField("weight", LongType()),
+        StructField("door_open", StringType()),
+    ]
+)
+FRAME_OUT_SCHEMA = StructType(
+    [
+        StructField("out_id", LongType()),
+        StructField("frame_id", LongType()),
+        StructField("in_id", LongType()),
+        StructField("weight", LongType()),
+        StructField("door_open", StringType()),
+    ]
+)
+
+
+def _update_route(key, pdf_iter, state: GroupState):
+    """Last-writer-wins per out_id, ordered by frame_id -- the
+    reference's route map update loop (etl_controller.py:615-623) as
+    keyed streaming state."""
+    import pandas as pd
+
+    best = state.get if state.exists else None
+    for pdf in pdf_iter:
+        if pdf.empty:
+            continue
+        top = pdf.sort_values("frame_id", ascending=False).iloc[0]
+        cand = (
+            int(top["frame_id"]),
+            int(top["in_id"]),
+            int(top["weight"]),
+            str(top["door_open"]),
+        )
+        if best is None or cand[0] > best[0]:
+            best = cand
+    if best is not None:
+        state.update(best)
+        yield pd.DataFrame(
+            {
+                "out_id": [key[0]],
+                "frame_id": [best[0]],
+                "in_id": [best[1]],
+                "weight": [best[2]],
+                "door_open": [best[3]],
+            }
+        )
+
+
+def parse_frames(df: DataFrame) -> DataFrame:
+    """frame string -> (out_id, in_id, weight, door_open); shared by the
+    batch and streaming forms so the two can never diverge."""
+    from pyspark.sql import functions as F
+
+    from etl_rf_matrix_controller_spark.functions.regex_extract import _FRAME_RE
+
+    g = lambda i: F.regexp_extract("frame", _FRAME_RE, i)  # noqa: E731
+    return df.select(
+        "frame_id",
+        g(1).cast("long").alias("out_id"),
+        g(2).cast("long").alias("in_id"),
+        g(3).cast("long").alias("weight"),
+        g(4).alias("door_open"),
+    )
+
+
+def stream_route_state_from_frames(
+    spark: SparkSession, frames: int = 60, batch_size: int = 25
+) -> DataFrame:
+    """The reference's whole ingest loop, Spark-shaped end to end:
+    frame-protocol STREAM (custom SimpleDataSourceStreamReader) ->
+    checksummed-frame regex parse -> keyed last-writer-wins state
+    (applyInPandasWithState) -> final route map.
+
+    Micro-batches of ``batch_size`` frames update per-route state
+    incrementally, exactly as the controller applies each polled frame
+    to its route matrix; the batch twin (read the same feed, window
+    argmax) must agree row-for-row, pinned in tests.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from etl_rf_matrix_controller_spark.sources.frame_source import register
+
+    register(spark)
+    raw = (
+        spark.readStream.format("frame_protocol")
+        .option("frames", frames)
+        .option("batchSize", batch_size)
+        .load()
+    )
+    updates = parse_frames(raw).groupBy("out_id").applyInPandasWithState(
+        _update_route,
+        outputStructType=FRAME_OUT_SCHEMA,
+        stateStructType=FRAME_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        updates.writeStream.format("memory")
+        .queryName("frame_route_state")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    tbl = spark.table("frame_route_state")
+    w = Window.partitionBy("out_id").orderBy(F.col("frame_id").desc())
+    return (
+        tbl.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

@@ -75,3 +75,33 @@ def test_frame_protocol_stream_reader(spark):
     assert len(rows) == 40
     got = {r.frame_id: r.frame for r in rows}
     assert got == {fid: synth_frame(fid) for fid in range(40)}
+
+
+def test_frame_stream_to_route_state_eq_batch(spark):
+    """The full reference loop end to end -- frame stream -> parse ->
+    keyed last-writer-wins state -- agrees row-for-row with the batch
+    computation over the same feed."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from etl_rf_matrix_controller_spark.sources.frame_source import register
+    from etl_rf_matrix_controller_spark.streaming.state import (
+        parse_frames,
+        stream_route_state_from_frames,
+    )
+
+    got = stream_route_state_from_frames(spark, frames=60, batch_size=25)
+
+    register(spark)
+    batch = parse_frames(
+        spark.read.format("frame_protocol").option("frames", 60).load()
+    )
+    w = Window.partitionBy("out_id").orderBy(F.col("frame_id").desc())
+    want = (
+        batch.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    g = {tuple(r) for r in got.select(sorted(got.columns)).collect()}
+    x = {tuple(r) for r in want.select(sorted(want.columns)).collect()}
+    assert g == x and len(g) > 0
