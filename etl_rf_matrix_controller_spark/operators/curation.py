@@ -519,3 +519,64 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         r_rep.alias("rule_repetition"),
         (r_wc & r_mwl & r_sw & r_rep).alias("keep"),
     )
+
+
+def export_training_shards(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> dict:
+    """Materialize the packed training set as partitioned parquet shards
+    plus a JSON manifest -- the artifact a trainer's data loader consumes.
+
+    Shards are the pack bins of token_budget_packing written
+    ``partitionBy(lang, pack_bin)``: each shard holds one language's
+    4096-token pack, so a loader schedules shards without opening them
+    (partition pruning == shard selection).  The manifest carries per-
+    shard row/token counts and an order-insensitive content fingerprint
+    (sum of per-row md5 prefixes -- associative, so partition order
+    cannot change it), letting the loader verify integrity without a
+    second full read.  At 100 TB this export is the final write pass of
+    the curation pipeline; everything upstream (dedup, filtering,
+    packing) feeds it.
+    """
+    import json
+    import os
+
+    packs = token_budget_packing(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    rows = packs.join(docs, "doc_id").select(
+        "doc_id", "lang", "pack_bin", "n_tokens", "text"
+    )
+    rows.write.mode("overwrite").partitionBy("lang", "pack_bin").parquet(
+        out_dir
+    )
+    back = spark.read.parquet(out_dir)
+    fp = F.conv(F.substring(F.md5(F.col("text")), 1, 8), 16, 10).cast("bigint")
+    stats = (
+        back.groupBy("lang", "pack_bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.sum(fp).cast("bigint").alias("content_fp"),
+        )
+        .collect()
+    )
+    manifest = {
+        "shards": sorted(
+            (
+                {
+                    "lang": r.lang,
+                    "pack_bin": int(r.pack_bin),
+                    "n_docs": int(r.n_docs),
+                    "n_tokens": int(r.n_tokens),
+                    "content_fp": int(r.content_fp),
+                }
+                for r in stats
+            ),
+            key=lambda s: (s["lang"], s["pack_bin"]),
+        ),
+        "total_docs": int(sum(r.n_docs for r in stats)),
+        "total_tokens": int(sum(r.n_tokens for r in stats)),
+    }
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    return manifest
