@@ -1159,3 +1159,66 @@ def conversion_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_gap_secs"
         ),
     )
+
+
+DECAY_TOPK = 20
+
+
+@declared(
+    "time_decayed_user_value",
+    oracle=f"""
+    WITH anchor AS (
+      SELECT max(CAST(date_trunc('day', ts) AS DATE)) AS max_day FROM events
+    ),
+    scored AS (
+      SELECT e.user_id,
+             CAST(round(e.value * 10000) AS BIGINT)
+               // (1::BIGINT << least(
+                     date_diff('day', CAST(date_trunc('day', e.ts) AS DATE),
+                               a.max_day), 62)) AS decayed
+      FROM events e, anchor a
+    )
+    SELECT user_id,
+           CAST(sum(decayed) AS BIGINT) AS decayed_value_x10000,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM scored GROUP BY user_id
+    ORDER BY decayed_value_x10000 DESC, user_id
+    LIMIT {DECAY_TOPK}
+    """,
+)
+def time_decayed_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user engagement with exponential time decay (half-life = one
+    day): each event contributes value / 2^age_days relative to the
+    newest day in the data -- the recency-weighted score ranking systems
+    actually use, but INTEGER-EXACT: scaled value divided by a bigint
+    power of two (shift), so no float pow and no cross-engine drift.
+
+    The anchor day is a one-row scalar (aggregate -> broadcast cross
+    join, the idiomatic scalar-attach); the decay itself is per-row
+    arithmetic folded into one map-side-combinable sum -- at 100 TB this
+    is a single scan + one shuffle on user_id, and yesterday's scores
+    can be rolled forward incrementally (decay is multiplicative:
+    shift the running sum right by the day delta, add today).
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    anchor = ev.agg(
+        F.max(F.date_trunc("day", "ts").cast("date")).alias("max_day")
+    )
+    scored = ev.crossJoin(F.broadcast(anchor)).select(
+        "user_id",
+        F.expr(
+            "CAST(round(value * 10000) AS BIGINT)"
+            " DIV shiftleft(CAST(1 AS BIGINT),"
+            " least(datediff(max_day, CAST(date_trunc('day', ts) AS DATE)),"
+            " 62))"
+        ).alias("decayed"),
+    )
+    return (
+        scored.groupBy("user_id")
+        .agg(
+            F.sum("decayed").cast("bigint").alias("decayed_value_x10000"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        )
+        .orderBy(F.col("decayed_value_x10000").desc(), "user_id")
+        .limit(DECAY_TOPK)
+    )
