@@ -355,3 +355,82 @@ def source_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("epochs_x100"),
         (raw_epochs > EPOCH_CAP_X100).alias("capped"),
     )
+
+
+# Coverage mass threshold: the smallest doc set covering >=90% of a
+# source's characters (integer form: 10*cum >= 9*total at the boundary).
+COVERAGE_PCT_X10 = 9
+
+
+@declared(
+    "source_coverage_concentration",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT source, n_chars,
+             sum(n_chars) OVER (PARTITION BY source ORDER BY n_chars DESC,
+                                doc_id ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(n_chars) OVER (PARTITION BY source) AS total,
+             count(*) OVER (PARTITION BY source) AS n_docs
+      FROM documents
+    ),
+    kept AS (
+      SELECT source, n_docs, total, count(*) AS n_kept,
+             max(cum) AS chars_kept
+      FROM ranked
+      WHERE (cum - n_chars) * 10 < {COVERAGE_PCT_X10} * total
+      GROUP BY source, n_docs, total
+    )
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_kept AS BIGINT) AS n_kept,
+           CAST(total AS BIGINT) AS total_chars,
+           CAST(chars_kept AS BIGINT) AS chars_kept
+    FROM kept
+    """,
+)
+def source_coverage_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How concentrated is each source: the size of the smallest document
+    set (largest-first) covering >=90% of the source's characters -- a
+    nucleus/top-p-style concentration diagnostic.  A source where 3 of
+    25 docs carry 90% of the mass is a few giant pages plus chaff; a
+    source needing 20 is evenly spread -- they need different cap and
+    sampling treatment upstream (docs_per_source_cap).
+
+    One cumulative window per source partition + one aggregate; the
+    boundary test is integer ((cum-prev)*10 < 9*total keeps exactly the
+    prefix whose PREDECESSOR was still short of the mass), so the kept
+    set is deterministic and bit-identical cross-engine.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("n_chars").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ws = Window.partitionBy("source")
+    ranked = docs.select(
+        "source",
+        "n_chars",
+        F.sum("n_chars").over(w).alias("cum"),
+        F.sum("n_chars").over(ws).alias("total"),
+        F.count(F.lit(1)).over(ws).alias("n_docs"),
+    )
+    kept = (
+        ranked.filter(
+            (F.col("cum") - F.col("n_chars")) * 10
+            < COVERAGE_PCT_X10 * F.col("total")
+        )
+        .groupBy("source", "n_docs", "total")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.max("cum").alias("chars_kept"),
+        )
+    )
+    return kept.select(
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_kept").cast("bigint").alias("n_kept"),
+        F.col("total").cast("bigint").alias("total_chars"),
+        F.col("chars_kept").cast("bigint").alias("chars_kept"),
+    )
