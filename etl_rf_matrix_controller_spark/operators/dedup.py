@@ -29,6 +29,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from etl_rf_matrix_controller_spark.plans.conventions import ratio4, ratio4_sql
 from etl_rf_matrix_controller_spark.plans.registry import declared
 from etl_rf_matrix_controller_spark.sources.tables import load_table
 
@@ -800,4 +801,155 @@ def incremental_near_dup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(ti, F.col("ti.doc_id") == F.col("matched_doc_id"))
         .filter(jacc >= 0.6)
         .select("new_doc_id", "matched_doc_id", jacc.alias("jaccard"))
+    )
+
+
+@declared(
+    "dup_ratio_by_source",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    hashed AS (
+      SELECT doc_id, source, md5(lower(trim(text))) AS h FROM corpus
+    ),
+    marked AS (
+      SELECT source,
+             count(*) OVER (PARTITION BY h) > 1 AS is_dup
+      FROM hashed
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE is_dup) AS BIGINT) AS n_dup_docs,
+           {ratio4_sql('count(*) FILTER (WHERE is_dup)', 'count(*)')}
+             AS dup_ratio
+    FROM marked GROUP BY source
+    """,
+)
+def dup_ratio_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate pressure per source: the fraction of a source's docs
+    whose exact content appears more than once in the corpus -- the
+    crawl-health signal that routes a mirror-heavy domain into
+    aggressive dedup and leaves a clean one alone.
+
+    One window over the content hash marks duplicates (same single
+    shuffle as dedup_exact_docs -- only hash + source move, never
+    text), then a per-source conditional count.  Runs over the dup
+    corpus (the raw table is duplicate-free).
+    """
+    corpus = dup_corpus(spark, sf_dir)
+    hashed = corpus.select(
+        "source", F.md5(F.lower(F.trim("text"))).alias("h")
+    )
+    marked = hashed.select(
+        "source",
+        (F.count(F.lit(1)).over(Window.partitionBy("h")) > 1).alias("is_dup"),
+    )
+    dup_count = F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
+    return marked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        dup_count.cast("bigint").alias("n_dup_docs"),
+        ratio4(dup_count, F.count(F.lit(1))).alias("dup_ratio"),
+    )
+
+
+_SIG_MATCH_SQL = " + ".join(
+    f"CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END" for j in range(8)
+)
+
+
+@declared(
+    "minhash_estimator_calibration",
+    oracle=f"""
+    WITH sig AS ({_minhash_hashes_sql()}),
+    corpus AS ({_CORPUS_SQL}),
+    toksets AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(length(trim(text)) - 7, 1)),
+               i -> substring(trim(text), CAST(i AS INT), 8))) AS toks
+      FROM corpus
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST({_SIG_MATCH_SQL} AS BIGINT) AS n_match
+      FROM sig a JOIN sig b ON b.doc_id = a.doc_id + 2000000
+    )
+    SELECT p.doc_a, p.doc_b, p.n_match,
+           p.n_match / 8.0 AS est_jaccard,
+           len(list_intersect(ta.toks, tb.toks)) * 1.0
+             / len(list_distinct(list_concat(ta.toks, tb.toks)))
+             AS exact_jaccard
+    FROM pairs p
+    JOIN toksets ta ON ta.doc_id = p.doc_a
+    JOIN toksets tb ON tb.doc_id = p.doc_b
+    """,
+)
+def minhash_estimator_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator calibration on ground-truth pairs: for every planted
+    near-dup (doc, doc+2M), the MinHash similarity estimate (matching
+    signature components / k) next to the exact gram Jaccard -- the
+    report that justifies the k and banding knobs with data instead of
+    faith (E[matches/k] = J; k=8 gives sd ~ sqrt(J(1-J)/8) ~ 0.17, so
+    estimates are coarse and banding, not thresholding on the estimate,
+    is the right use of the signature -- visible directly in the rows).
+
+    The pair join is an equi-join on the planted id offset (ground
+    truth is known); signatures and toksets come from the same one-pass
+    materialization as the production operators.  est is an exact small
+    rational (n/8), exact_jaccard the usual exact-int division -- both
+    bit-stable cross-engine.
+    """
+    spark_para = spark.sparkContext.defaultParallelism
+    t = F.trim("text")
+    toksets = (
+        dup_corpus(spark, sf_dir)
+        .repartition(spark_para)
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.length(t) - 7, F.lit(1))),
+                    lambda i: t.substr(i, F.lit(8)),
+                )
+            ).alias("toks"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    fp = toksets.select("doc_id", F.explode("toks").alias("gram")).select(
+        "doc_id", token_fingerprint(F.col("gram")).alias("tokint")
+    )
+    sig = fp.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("tokint") + F.lit(b)) % MINHASH_PRIME)
+            .cast("bigint")
+            .alias(f"mh{j}")
+            for j, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+        ]
+    ).localCheckpoint(eager=False)
+    a = sig.alias("a")
+    b = sig.alias("b")
+    n_match = None
+    for j in range(8):
+        term = F.when(F.col(f"a.mh{j}") == F.col(f"b.mh{j}"), 1).otherwise(0)
+        n_match = term if n_match is None else n_match + term
+    pairs = a.join(
+        b, F.col("b.doc_id") == F.col("a.doc_id") + 2000000
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        n_match.cast("bigint").alias("n_match"),
+    )
+    ta = toksets.alias("ta")
+    tb = toksets.alias("tb")
+    exact = F.size(
+        F.array_intersect(F.col("ta.toks"), F.col("tb.toks"))
+    ) / F.size(F.array_union(F.col("ta.toks"), F.col("tb.toks")))
+    return (
+        pairs.join(ta, F.col("ta.doc_id") == F.col("doc_a"))
+        .join(tb, F.col("tb.doc_id") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_match",
+            (F.col("n_match") / 8.0).alias("est_jaccard"),
+            exact.alias("exact_jaccard"),
+        )
     )
