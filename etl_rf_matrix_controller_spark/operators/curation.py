@@ -580,3 +580,117 @@ def export_training_shards(
     with open(os.path.join(out_dir, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
     return manifest
+
+
+# Leak corpus for the semantic contamination check: every vec_id % 5 == 0
+# re-emitted verbatim with +200000 -- a "paraphrase-identical" eval leak.
+# Denser than similarity._VEC_CORPUS_SQL's % 20 so leaked pairs straddle
+# the 80/20 hash split non-vacuously even at sf0.001.
+_LEAK_CORPUS_SQL = """
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 200000, embedding
+      FROM embeddings WHERE vec_id % 5 = 0
+"""
+
+
+@declared(
+    "semantic_contamination_check",
+    oracle=f"""
+    WITH corpus AS ({_LEAK_CORPUS_SQL}),
+    tagged AS (
+      SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(generate_series(1, 64),
+               i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+               AS nrm,
+             CASE WHEN {_bucket_sql('vec_id')} < 80 THEN 'train'
+                  ELSE 'eval' END AS split
+      FROM corpus
+    ),
+    pairs AS (
+      SELECT tr.vec_id AS train_vec, te.vec_id AS eval_vec,
+             list_sum(list_transform(generate_series(1, 64),
+               i -> CAST(tr.embedding[i] AS DOUBLE)
+                    * CAST(te.embedding[i] AS DOUBLE)))
+               / (tr.nrm * te.nrm) AS cosine
+      FROM tagged tr JOIN tagged te ON tr.split = 'train' AND te.split = 'eval'
+    )
+    SELECT train_vec, eval_vec, cosine
+    FROM pairs WHERE cosine >= 0.99
+    """,
+)
+def semantic_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level decontamination: eval-split vectors whose cosine
+    against some train vector is >= 0.99 -- the semantic tier of the
+    leakage audit, above the exact tier (split_contamination_check) and
+    the n-gram tier (ngram_contamination).  The reference's closest
+    analog is its state-diff verification loop (etl_controller.py:
+    2446-2448): compare what you are about to use against what is
+    already committed.
+
+    Split membership is the portable md5 bucket of vec_id (80/20), so
+    membership is engine- and rerun-stable; leaks are synthesized
+    verbatim copies (natural cross-pair cosine tops out ~0.45, so the
+    0.99 cut sits far from any float boundary and exact copies score
+    bit-identical 1.0 on both engines).
+
+    Scale shape: candidates come from an equi-join on the 8-bit LSH
+    sign-bucket (eval side multiprobes Hamming-1), NEVER train x eval --
+    identical vectors share a code, so recall on verbatim leaks is exact
+    while bucket population stays ~n/256.  The oracle is the unblocked
+    ground truth, making every gate run a recall check of the bucketing.
+    The tagged projection feeds both join sides: localCheckpoint once,
+    shuffle_hash hint (both sides corpus-sized; no stats after the
+    checkpoint).
+    """
+    from etl_rf_matrix_controller_spark.operators.similarity import (
+        _BUCKET_SPARK,
+        N_PLANES,
+        dot_double,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = emb.unionByName(
+        emb.filter(F.col("vec_id") % 5 == 0).select(
+            (F.col("vec_id") + 200000).alias("vec_id"), "embedding"
+        )
+    )
+    tagged = (
+        corpus.repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "vec_id",
+            "embedding",
+            F.sqrt(dot_double(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+            F.expr(_BUCKET_SPARK.format(col="embedding"))
+            .cast("bigint")
+            .alias("bucket"),
+            F.when(hash_bucket(F.col("vec_id")) < 80, "train")
+            .otherwise("eval")
+            .alias("split"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tr = tagged.filter(F.col("split") == "train").select(
+        F.col("vec_id").alias("train_vec"),
+        F.col("embedding").alias("tre"),
+        F.col("nrm").alias("tr_nrm"),
+        F.col("bucket").alias("tr_bucket"),
+    )
+    probe_codes = F.expr(
+        f"concat(array(bucket), transform(sequence(0, {N_PLANES - 1}), "
+        "j -> bucket ^ shiftleft(CAST(1 AS BIGINT), CAST(j AS INT))))"
+    )
+    te = tagged.filter(F.col("split") == "eval").select(
+        F.col("vec_id").alias("eval_vec"),
+        F.col("embedding").alias("tee"),
+        F.col("nrm").alias("te_nrm"),
+        F.explode(probe_codes).alias("probe"),
+    )
+    cosine = dot_double(F.col("tre"), F.col("tee")) / (
+        F.col("tr_nrm") * F.col("te_nrm")
+    )
+    return (
+        tr.join(te.hint("shuffle_hash"), F.col("tr_bucket") == F.col("probe"))
+        .select("train_vec", "eval_vec", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= 0.99)
+    )

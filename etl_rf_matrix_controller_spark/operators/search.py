@@ -370,3 +370,111 @@ def token_pmi_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lift4"
         ),
     )
+
+
+@declared(
+    "bm25_retrieval_topk",
+    oracle=f"""
+    WITH tok AS ({_TOK_SQL}),
+    dl AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS dl
+      FROM documents
+    ),
+    scal AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS BIGINT) AS t_tokens
+      FROM dl
+    ),
+    qtok AS (SELECT * FROM tok WHERE token IN ({_QUERY_SQL})),
+    tf AS (
+      SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      FROM qtok GROUP BY doc_id, token
+    ),
+    df AS (
+      SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      FROM qtok GROUP BY token
+    ),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(sum(
+               (((s.n_docs * 1000000) // df.df) * (220 * s.t_tokens * tf.tf))
+               // (100 * s.t_tokens * tf.tf + 30 * s.t_tokens
+                   + 90 * dl.dl * s.n_docs)
+             ) AS BIGINT) AS score_ppm
+      FROM tf
+      JOIN df ON df.token = tf.token
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN scal s
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, score_ppm, rnk
+    FROM (
+      SELECT doc_id, score_ppm,
+             CAST(row_number() OVER (ORDER BY score_ppm DESC, doc_id)
+               AS BIGINT) AS rnk
+      FROM scored
+    ) WHERE rnk <= 10
+    """.format(_TOK_SQL=_TOK_SQL, _QUERY_SQL=_QUERY_SQL),
+)
+def bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked retrieval under BM25 (k1=1.2, b=0.75), integer-exact.
+
+    The rational form clears every denominator: with T = corpus tokens
+    and N = docs, the per-term contribution
+
+        idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    multiplied through by 100*T becomes
+
+        idf_ppm * (220*T*tf) DIV (100*T*tf + 30*T + 90*dl*N)
+
+    -- all-integer products and a single floor division performed
+    identically by both engines (a float form would diverge in final
+    ulps and flip ranks).  idf_ppm = N*1e6 DIV df as in
+    tfidf_retrieval_topk.  Envelope: idf_ppm(<=1e6*N/df) * 220*T*tf
+    must stay < 2^63 -- holds to ~1e9-token corpora per partition-local
+    doc; beyond that the same expression runs in DECIMAL(38,0).
+
+    Plan shape mirrors tfidf_retrieval_topk: the exploded token stream
+    is filtered to query terms before any shuffle; df is a broadcast
+    dim; doc lengths join the query-selectivity-sized tf frame via a
+    broadcast of tf (never a corpus-wide shuffle of dl); the top-10 is a
+    window over per-doc scores.  BM25's length normalization is the only
+    addition -- one extra projection-only frame (dl), no new corpus pass
+    over the exploded tokens.
+    """
+    tok = _tok(spark, sf_dir)
+    qtok = tok.filter(F.col("token").isin(*QUERY_TERMS)).localCheckpoint(
+        eager=False
+    )
+    tf = qtok.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    df = qtok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    docs = load_table(spark, sf_dir, "documents")
+    dl = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias("dl"),
+    )
+    scal = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("t_tokens"),
+    )
+    contrib = F.expr(
+        "(((n_docs * 1000000) DIV df) * (220 * t_tokens * tf))"
+        " DIV (100 * t_tokens * tf + 30 * t_tokens + 90 * dl * n_docs)"
+    )
+    scored = (
+        dl.join(F.broadcast(tf), "doc_id")
+        .join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(scal))
+        .groupBy("doc_id")
+        .agg(F.sum(contrib).cast("bigint").alias("score_ppm"))
+    )
+    w = Window.orderBy(F.desc("score_ppm"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 10)
+        .select("doc_id", "score_ppm", "rnk")
+    )

@@ -432,3 +432,75 @@ def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return preds.groupBy("actual_lang", "pred_lang").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+
+
+@declared(
+    "bpe_merge_pair_counts",
+    oracle="""
+    WITH tok AS (
+      SELECT t.token
+      FROM documents, unnest(string_split(trim(text), ' ')) AS t(token)
+      WHERE t.token <> ''
+    ),
+    wf AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS cnt
+      FROM tok GROUP BY token
+    ),
+    wp AS (
+      SELECT cnt,
+             list_transform(generate_series(1, length(token) - 1),
+                            i -> substring(token, i, 2)) AS pairs
+      FROM wf WHERE length(token) >= 2
+    ),
+    pc AS (
+      SELECT p.pair, CAST(sum(cnt) AS BIGINT) AS pair_count
+      FROM wp, unnest(pairs) AS p(pair)
+      GROUP BY p.pair
+    )
+    SELECT pair, pair_count, rnk
+    FROM (
+      SELECT pair, pair_count,
+             CAST(row_number() OVER (ORDER BY pair_count DESC, pair)
+               AS BIGINT) AS rnk
+      FROM pc
+    ) WHERE rnk <= 20
+    """,
+)
+def bpe_merge_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inner step of BPE tokenizer training: corpus-weighted counts of
+    adjacent symbol pairs, top-20 merge candidates (the pair a BPE trainer
+    would merge next, iterated to build the vocab).
+
+    Plan: the token explode collapses immediately into the word-frequency
+    table (vocab-sized, partial-agg map-side), and the character-pair
+    explode runs over DISTINCT words weighted by their counts -- at 100 TB
+    the pair fan-out is O(vocab * word_len), independent of corpus size,
+    which is why real BPE trainers also operate on the word-count table
+    rather than the raw stream.  Guard: single-char words are filtered
+    BEFORE the pair transform on both engines (Spark's sequence(1, 0)
+    yields a DESCENDING [1,0], DuckDB's generate_series(1, 0) is empty --
+    an engine-semantics trap, not a no-op).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    wf = (
+        docs.select(F.explode(F.split(F.trim("text"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    wp = wf.filter(F.length("token") >= 2).select(
+        "cnt",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(token) - 1),"
+                " i -> substring(token, i, 2))"
+            )
+        ).alias("pair"),
+    )
+    pc = wp.groupBy("pair").agg(F.sum("cnt").cast("bigint").alias("pair_count"))
+    w = Window.orderBy(F.desc("pair_count"), F.asc("pair"))
+    return (
+        pc.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 20)
+        .select("pair", "pair_count", "rnk")
+    )
