@@ -1222,3 +1222,39 @@ def time_decayed_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("decayed_value_x10000").desc(), "user_id")
         .limit(DECAY_TOPK)
     )
+
+
+@declared(
+    "user_event_sequences",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           (list(event_type ORDER BY ts, event_id))[1:10] AS first_events
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-ordered event-type sequences (first 10), the
+    extraction step for behavioral sequence models -- the corpus a
+    next-event predictor trains on, analogous to the reference's ordered
+    command journals (etl_controller.py:3222-3223 keeps per-group ordered
+    name lists for exactly this replay purpose).
+
+    Determinism under parallelism: collect_list order is
+    partition-arrival order, so the structs carry (ts, event_id) and are
+    sort_array'd before the type is projected out -- (ts, event_id) is a
+    total order (ids unique), so both engines produce the identical
+    sequence.  One shuffle on user_id; the slice caps per-user payload,
+    so a power-user key cannot balloon a row (the skew guard a sequence
+    extractor needs at 100 TB -- full histories would make hot keys into
+    multi-GB rows).
+    """
+    events = load_table(spark, sf_dir, "events")
+    ordered = F.sort_array(F.collect_list(F.struct("ts", "event_id", "event_type")))
+    return events.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.slice(
+            F.transform(ordered, lambda s: s.event_type), 1, 10
+        ).alias("first_events"),
+    )

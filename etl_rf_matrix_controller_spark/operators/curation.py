@@ -694,3 +694,60 @@ def semantic_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("train_vec", "eval_vec", cosine.alias("cosine"))
         .filter(F.col("cosine") >= 0.99)
     )
+
+
+def _quality_oracle() -> str:
+    # Reuse doc_quality_score's registered oracle as the scoring CTE so
+    # the two stay definitionally identical (composition of declared
+    # operators, the lang_confusion_matrix pattern).
+    from etl_rf_matrix_controller_spark.operators import text as _text  # noqa: F401
+    from etl_rf_matrix_controller_spark.plans.registry import ORACLES
+
+    return ORACLES["doc_quality_score"]
+
+
+@declared(
+    "curriculum_quality_bins",
+    oracle=f"""
+    WITH q AS ({_quality_oracle()}),
+    staged AS (
+      SELECT n_tokens, quality_score,
+             CAST(ntile(4) OVER (ORDER BY quality_score DESC, doc_id)
+               AS BIGINT) AS stage
+      FROM q
+    )
+    SELECT stage,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           min(quality_score) AS min_score,
+           max(quality_score) AS max_score
+    FROM staged
+    GROUP BY stage
+    """,
+)
+def curriculum_quality_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum construction: quartile-bin the corpus by quality score
+    (stage 1 = cleanest quarter, trained on first/last per the chosen
+    schedule) with per-stage doc and token budgets.
+
+    Composes the declared doc_quality_score (same scoring, definitionally
+    -- the oracle embeds its registered SQL).  ntile over the total order
+    (score desc, doc_id) is deterministic and identical across engines
+    (remainder rows go to the leading buckets in both).  At 100 TB the
+    global ntile sort is the one non-scalable step; production computes
+    stage boundaries from a quantile sketch of the score and assigns by
+    range comparison -- same output contract, sample-pass cost.
+    """
+    from etl_rf_matrix_controller_spark.operators.text import doc_quality_score
+
+    q = doc_quality_score(spark, sf_dir)
+    w = Window.orderBy(F.desc("quality_score"), F.asc("doc_id"))
+    staged = q.select(
+        "n_tokens", "quality_score", F.ntile(4).over(w).cast("bigint").alias("stage")
+    )
+    return staged.groupBy("stage").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.min("quality_score").alias("min_score"),
+        F.max("quality_score").alias("max_score"),
+    )

@@ -961,3 +961,112 @@ def join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("skew_pct_of_avg"),
         )
     )
+
+
+@declared(
+    "column_encoding_advisor",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(count(*) AS BIGINT) AS total,
+             CAST(count(DISTINCT event_id) AS BIGINT) AS ndv_event_id,
+             CAST(count(DISTINCT event_type) AS BIGINT) AS ndv_event_type,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS ndv_user_id,
+             CAST(count(DISTINCT props) AS BIGINT) AS ndv_props
+      FROM events
+    ),
+    u AS (
+      SELECT 'event_id' AS column_name, ndv_event_id AS n_distinct, total FROM s
+      UNION ALL
+      SELECT 'event_type', ndv_event_type, total FROM s
+      UNION ALL
+      SELECT 'props', ndv_props, total FROM s
+      UNION ALL
+      SELECT 'user_id', ndv_user_id, total FROM s
+    )
+    SELECT column_name, n_distinct,
+           CAST((n_distinct * 1000000) // total AS BIGINT) AS ndv_ppm,
+           CASE WHEN (n_distinct * 1000000) // total <= 1000 THEN 'dict-rle'
+                WHEN (n_distinct * 1000000) // total <= 200000 THEN 'dict'
+                ELSE 'plain' END AS advice
+    FROM u
+    """,
+)
+def column_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-layout advisor: per-column NDV ratio -> recommended parquet
+    encoding (low-cardinality columns dictionary-encode, near-unique ones
+    do not -- the knob that decides whether a 100 TB column occupies 2 TB
+    or 40 TB on disk, and whether its scans are CPU- or IO-bound).
+
+    One corpus pass: the four exact count-distincts share a single
+    aggregation (Catalyst plans one Expand over the scan, not four
+    scans), then the one-row stats frame unpivots via stack -- the same
+    shape DuckDB's UNION-of-scalars oracle has.  At 100 TB swap the
+    exact NDVs for approx_count_distinct at the same call sites (the
+    advice thresholds are orders-of-magnitude cuts; HLL's ~2% error
+    cannot flip them).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.agg(
+        F.count(F.lit(1)).cast("bigint").alias("total"),
+        F.countDistinct("event_id").cast("bigint").alias("ndv_event_id"),
+        F.countDistinct("event_type").cast("bigint").alias("ndv_event_type"),
+        F.countDistinct("user_id").cast("bigint").alias("ndv_user_id"),
+        F.countDistinct("props").cast("bigint").alias("ndv_props"),
+    )
+    stacked = s.selectExpr(
+        "total",
+        "stack(4, 'event_id', ndv_event_id, 'event_type', ndv_event_type,"
+        " 'props', ndv_props, 'user_id', ndv_user_id)"
+        " AS (column_name, n_distinct)",
+    )
+    ndv_ppm = F.expr("(n_distinct * 1000000) DIV total")
+    return stacked.select(
+        "column_name",
+        "n_distinct",
+        ndv_ppm.cast("bigint").alias("ndv_ppm"),
+        F.when(ndv_ppm <= 1000, "dict-rle")
+        .when(ndv_ppm <= 200000, "dict")
+        .otherwise("plain")
+        .alias("advice"),
+    )
+
+
+@declared(
+    "equidepth_value_bands",
+    oracle="""
+    WITH staged AS (
+      SELECT value,
+             CAST(ntile(10) OVER (ORDER BY value, event_id) AS BIGINT) AS band
+      FROM events
+    )
+    SELECT band,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(value) AS lo,
+           max(value) AS hi
+    FROM staged
+    GROUP BY band
+    """,
+)
+def equidepth_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equi-height) histogram of the value column: 10 bands
+    of equal row count with their [lo, hi] boundaries -- the histogram
+    shape cost-based optimizers keep per column, robust to skew where
+    the fixed-width value_histogram is not (one hot band absorbs any
+    spike instead of emptying the rest).
+
+    ntile over the total order (value, event_id) is deterministic and
+    cross-engine identical; boundaries are raw column values (no
+    arithmetic, so no float hazard).  The global sort is the honest
+    small-scale form; at 100 TB the boundaries come from approx
+    quantiles over a sample and assignment is a range comparison --
+    same output contract, no total sort (the same swap
+    curriculum_quality_bins documents).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.orderBy(F.asc("value"), F.asc("event_id"))
+    staged = ev.select("value", F.ntile(10).over(w).cast("bigint").alias("band"))
+    return staged.groupBy("band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+    )

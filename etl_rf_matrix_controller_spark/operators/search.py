@@ -453,10 +453,13 @@ def bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df = qtok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
     docs = load_table(spark, sf_dir, "documents")
+    # dl feeds both the per-doc join and the corpus scalars: checkpoint
+    # the narrow (id, len) projection once so documents isn't re-scanned
+    # per consumer (CLAUDE.md rule; the scan-ceiling plan test pins it).
     dl = docs.select(
         "doc_id",
         F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias("dl"),
-    )
+    ).localCheckpoint(eager=True)
     scal = dl.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("dl").cast("bigint").alias("t_tokens"),

@@ -504,3 +504,41 @@ def bpe_merge_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 20)
         .select("pair", "pair_count", "rnk")
     )
+
+
+_WS_SQL = "sum(len(string_split_regex(trim(text), '\\s+')))"
+_BPE_SQL = f"sum(len(regexp_extract_all(text, '{BPE_RE}')))"
+
+
+@declared(
+    "tokenizer_fertility_by_lang",
+    oracle=f"""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST({_WS_SQL} AS BIGINT) AS ws_tokens,
+           CAST({_BPE_SQL} AS BIGINT) AS bpe_tokens,
+           {ratio4_sql(_BPE_SQL, _WS_SQL)} AS fertility4
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: BPE-ish tokens per whitespace
+    word -- the standard multilingual-tokenizer health metric (fertility
+    near 1 = efficient encoding; high fertility = the language pays more
+    sequence length per word, skewing compute budgets).
+
+    Single aggregation pass; both token counts are pure projections
+    folded map-side, and the ratio is integer-space (ratio4) so the
+    engines agree bit-for-bit.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.trim("text")
+    n_ws = F.size(F.split(t, r"\s+")).cast("bigint")
+    n_bpe = F.size(F.regexp_extract_all("text", F.lit(BPE_RE), 0)).cast("bigint")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(n_ws).cast("bigint").alias("ws_tokens"),
+        F.sum(n_bpe).cast("bigint").alias("bpe_tokens"),
+        ratio4(F.sum(n_bpe), F.sum(n_ws)).alias("fertility4"),
+    )
