@@ -26,6 +26,7 @@ from etl_rf_matrix_controller_spark.plans.conventions import (
     exact_avg,
     exact_avg_sql,
     exact_sum,
+    int_round_scaled,
     exact_sum_sql,
     ratio4,
 )
@@ -394,4 +395,66 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "never_underestimates"
             ),
         )
+    )
+
+
+@declared(
+    "incremental_agg_merge",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT)
+               AS sum_scaled,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events
+      GROUP BY date_trunc('day', ts)
+    ),
+    monthly AS (
+      SELECT CAST(date_trunc('month', day) AS TIMESTAMP) AS month,
+             CAST(sum(sum_scaled) AS BIGINT) AS s,
+             CAST(sum(n_events) AS BIGINT) AS c,
+             CAST(count(*) AS BIGINT) AS n_partials
+      FROM daily
+      GROUP BY date_trunc('month', day)
+    )
+    SELECT month, n_partials, c AS n_events,
+           ((((((((2 * s + c) - (2 * s + c) % (2 * c)) / (2 * c))) + 50) - ((((2 * s + c) - (2 * s + c) % (2 * c)) / (2 * c)) + 50) % 100) / 100) / 100.0)
+             AS avg_value
+    FROM monthly
+    """,
+)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-aggregate maintenance: daily (sum, count) partials merged
+    into an exact monthly average WITHOUT re-reading raw rows -- the
+    incremental-materialized-view pattern.  At 100 TB this is how
+    rollups stay fresh: each day closes into a partial once, and any
+    coarser grain is a merge over partials (mergeable because the state
+    is algebraic: sums of scaled ints add associatively), turning a
+    month-end recompute over 3 TB/day of raw events into a 30-row merge.
+
+    Determinism: the partial state is the scaled-integer sum (exact,
+    order-independent); the final average is the two-step integer
+    rounding of exact_avg applied to the MERGED (s, c) -- bit-identical
+    to computing exact_avg over the raw month, which is what the oracle's
+    equivalent merge verifies.
+    """
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 10000).cast("bigint"))
+        .cast("bigint")
+        .alias("sum_scaled"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    monthly = daily.groupBy(F.date_trunc("month", "day").alias("month")).agg(
+        F.sum("sum_scaled").cast("bigint").alias("s"),
+        F.sum("n_events").cast("bigint").alias("c"),
+        F.count(F.lit(1)).cast("bigint").alias("n_partials"),
+    )
+    x = 2 * F.col("s") + F.col("c")
+    a4 = (x - x % (2 * F.col("c"))) / (2 * F.col("c"))  # scaled 4-dec avg
+    return monthly.select(
+        "month",
+        "n_partials",
+        F.col("c").alias("n_events"),
+        int_round_scaled(a4, 2).alias("avg_value"),
     )

@@ -20,6 +20,9 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from etl_rf_matrix_controller_spark.plans.registry import (
+    ORACLES as _REGISTRY_ORACLES,
+)
 from etl_rf_matrix_controller_spark.plans.registry import declared
 from etl_rf_matrix_controller_spark.sources.tables import load_table
 
@@ -1250,5 +1253,192 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cand_id",
             "cand_label",
             "score",
+        )
+    )
+
+
+@declared(
+    "centroid_similarity_matrix",
+    oracle=f"""
+    WITH cent AS ({{cent}}),
+    vecs AS (
+      SELECT label, list(centroid_comp ORDER BY pos) AS cvec
+      FROM cent GROUP BY label
+    ),
+    n AS (
+      SELECT label, cvec,
+             sqrt({_DOT_SQL.format(a='cvec', b='cvec')}) AS nrm
+      FROM vecs
+    )
+    SELECT a.label AS label_a, b.label AS label_b,
+           {_DOT_SQL.format(a='a.cvec', b='b.cvec')} / (a.nrm * b.nrm)
+             AS cosine
+    FROM n a JOIN n b ON a.label < b.label
+    """.format(cent=_REGISTRY_ORACLES["label_centroid_components"]),
+)
+def centroid_similarity_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine between label centroids -- the class-confusability
+    matrix (which labels' embedding clusters overlap) used to audit a
+    taxonomy before nearest-centroid classification or IVF list design.
+
+    Composes the declared label_centroid_components (its oracle is
+    embedded, so the prototype definition cannot drift).  The k
+    centroids are a k-row frame: reassembly is one tiny shuffle, and the
+    k x k/2 pair join is a broadcast nested loop over single-digit rows
+    -- at 100 TB the corpus pass is the centroid aggregation (linear,
+    already shuffle-bounded inside label_centroid_components); this
+    matrix stage is O(k^2) driver-trivial.  Determinism: centroid
+    components are bit-identical cross-engine (ordered folds), so the
+    dot/norm folds over them match exactly.
+    """
+    from etl_rf_matrix_controller_spark.operators.similarity import (
+        label_centroid_components as _lcc,
+    )
+
+    cent = _lcc(spark, sf_dir)
+    vecs = (
+        cent.groupBy("label")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "centroid_comp"))),
+                lambda s: s.centroid_comp,
+            ).alias("cvec")
+        )
+        .select(
+            "label",
+            "cvec",
+            F.sqrt(dot_double(F.col("cvec"), F.col("cvec"))).alias("nrm"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    a = vecs.select(
+        F.col("label").alias("label_a"),
+        F.col("cvec").alias("va"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    b = vecs.select(
+        F.col("label").alias("label_b"),
+        F.col("cvec").alias("vb"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    return (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a",
+            "label_b",
+            (
+                dot_double(F.col("va"), F.col("vb"))
+                / (F.col("nrm_a") * F.col("nrm_b"))
+            ).alias("cosine"),
+        )
+    )
+
+
+@declared(
+    "percentile_cont_prices",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+      FROM lineitem
+    ),
+    ranked AS (
+      SELECT l_returnflag, v,
+             CAST(row_number() OVER (PARTITION BY l_returnflag ORDER BY v)
+               AS BIGINT) AS rn
+      FROM s
+    ),
+    nn AS (
+      SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n
+      FROM s GROUP BY l_returnflag
+    ),
+    ps AS (
+      SELECT l_returnflag, p,
+             ((p * (n - 1)) // 4) + 1 AS lo_rn,
+             (p * (n - 1)) % 4 AS rem
+      FROM nn, unnest([CAST(1 AS BIGINT), CAST(2 AS BIGINT),
+                       CAST(3 AS BIGINT)]) AS t(p)
+    )
+    SELECT ps.l_returnflag,
+           'p' || CAST(ps.p * 25 AS VARCHAR) AS pct,
+           (lo.v * (4 - ps.rem) + hi.v * ps.rem) / 4.0 / 100.0 AS price_cont
+    FROM ps
+    JOIN ranked lo ON lo.l_returnflag = ps.l_returnflag AND lo.rn = ps.lo_rn
+    JOIN ranked hi ON hi.l_returnflag = ps.l_returnflag
+                  AND hi.rn = ps.lo_rn + CASE WHEN ps.rem > 0 THEN 1 ELSE 0 END
+    """,
+)
+def percentile_cont_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated (percentile_cont-style) quartiles per return flag,
+    integer-exact: engine-builtin percentile_cont interpolates in float
+    (engine-divergent in final ulps), so the interpolation runs in
+    scaled-integer space -- position p*(n-1)/4 splits into an integer
+    rank and a /4 remainder, and the blended value
+    (v_lo*(4-rem) + v_hi*rem)/4 is exact (prices are clean 2-decimal).
+
+    Completes the percentile family: exact rank (percentile_disc_prices)
+    / sketch (approx_percentile_prices) / exact interpolated (this).
+    The ranked frame feeds both boundary lookups: checkpointed once,
+    with the per-group window being the only sort -- at 100 TB the
+    row_number rank is replaced by a merge of per-partition sorted runs
+    or a two-pass count-below-boundary selection, same contract.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("v"),
+    )
+    ranked = (
+        s.withColumn(
+            "rn",
+            F.row_number()
+            .over(Window.partitionBy("l_returnflag").orderBy("v"))
+            .cast("bigint"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    nn = s.groupBy("l_returnflag").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ps = (
+        nn.select(
+            "l_returnflag",
+            F.explode(
+                F.array(F.lit(1), F.lit(2), F.lit(3)).cast("array<bigint>")
+            ).alias("p"),
+            F.col("n"),
+        )
+        .select(
+            "l_returnflag",
+            "p",
+            (F.expr("(p * (n - 1)) DIV 4") + 1).alias("lo_rn"),
+            F.expr("(p * (n - 1)) % 4").alias("rem"),
+        )
+    )
+    lo = ranked.select(
+        F.col("l_returnflag").alias("rf_lo"), F.col("v").alias("v_lo"), "rn"
+    )
+    hi = ranked.select(
+        F.col("l_returnflag").alias("rf_hi"),
+        F.col("v").alias("v_hi"),
+        F.col("rn").alias("rn_hi"),
+    )
+    hi_rn = F.col("lo_rn") + F.when(F.col("rem") > 0, 1).otherwise(0)
+    return (
+        lo.join(
+            F.broadcast(ps),
+            (F.col("rf_lo") == F.col("l_returnflag")) & (F.col("rn") == F.col("lo_rn")),
+        )
+        .join(
+            hi.hint("shuffle_hash"),
+            (F.col("rf_hi") == F.col("l_returnflag")) & (F.col("rn_hi") == hi_rn),
+        )
+        .select(
+            "l_returnflag",
+            F.concat(F.lit("p"), (F.col("p") * 25).cast("string")).alias("pct"),
+            (
+                (F.col("v_lo") * (4 - F.col("rem")) + F.col("v_hi") * F.col("rem"))
+                / 4.0
+                / 100.0
+            ).alias("price_cont"),
         )
     )

@@ -351,3 +351,79 @@ def sliding_window_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_stream_to_memory(agg, "sliding_stream", spark)
+
+
+def _severity_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static severity dimension: distinct event types classified by a
+    deterministic rule.  Stands in for the operational lookup table
+    (device registry, alert severity map) a streaming enrichment joins
+    against; derived from the batch table so every SF has full coverage."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select("event_type").distinct().select(
+        "event_type",
+        F.when(F.col("event_type") == "error", "fault")
+        .otherwise("activity")
+        .alias("severity"),
+    )
+
+
+def _enriched_agg(events: DataFrame, dim: DataFrame) -> DataFrame:
+    return (
+        events.join(F.broadcast(dim), "event_type")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "severity")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            int_round_scaled(
+                F.sum(F.round(F.col("value") * 10000).cast("bigint")), 2
+            ).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "severity",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@declared(
+    "stream_static_enriched_counts",
+    oracle="""
+    WITH dim AS (
+      SELECT DISTINCT event_type,
+             CASE WHEN event_type = 'error' THEN 'fault'
+                  ELSE 'activity' END AS severity
+      FROM events
+    )
+    SELECT CAST(date_trunc('hour', e.ts) AS TIMESTAMP) AS hour_start,
+           d.severity,
+           CAST(count(*) AS BIGINT) AS n_events,
+           (((((sum(CAST(round(e.value * 10000) AS BIGINT))) + 50) - ((sum(CAST(round(e.value * 10000) AS BIGINT))) + 50) % 100) / 100) / 100.0)
+             AS sum_value
+    FROM events e JOIN dim d ON d.event_type = e.event_type
+    GROUP BY date_trunc('hour', e.ts), d.severity
+    """,
+)
+def stream_static_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-series enrichment: hourly severity rollup after joining the
+    event stream with a STATIC dimension (the alert-severity map).  The
+    batch form here is the declared oracle-checked query; the streaming
+    twin (stream_static_enriched_counts_stream) runs the identical plan
+    as a Structured Streaming stream-static join -- Spark broadcasts the
+    static side into every micro-batch, the standard pattern for
+    enriching a 100 TB/day stream with dimension tables without a
+    stateful join (no watermark needed on the static side, state store
+    untouched).  Batch == stream pinned in tests/test_streaming.py.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return _enriched_agg(events, _severity_dim(spark, sf_dir))
+
+
+def stream_static_enriched_counts_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming twin of stream_static_enriched_counts: readStream ->
+    broadcast stream-static join -> windowed agg, availableNow."""
+    events = _events_stream(spark, sf_dir).withWatermark("ts", "1 day")
+    agg = _enriched_agg(events, _severity_dim(spark, sf_dir))
+    return run_stream_to_memory(agg, "stream_static_enriched", spark)

@@ -594,3 +594,18 @@ def test_stream_dedup_state_survives_restart(spark, tmp_path):
     # Restored keyed state: id 1's replay is dropped across the restart;
     # id 3 is admitted; nothing re-emitted.
     assert sorted(rows) == [(1, at(0)), (2, at(1)), (3, at(6))]
+
+
+def test_stream_static_join_batch_eq_stream(spark):
+    """Stream-static broadcast join (dimension enrichment) must produce
+    the identical hourly severity rollup as the batch join."""
+    from etl_rf_matrix_controller_spark.streaming.windows import (
+        stream_static_enriched_counts,
+        stream_static_enriched_counts_stream,
+    )
+
+    _assert_same(
+        stream_static_enriched_counts(spark, SF_DIR),
+        stream_static_enriched_counts_stream(spark, SF_DIR),
+        "stream_static_enriched_counts",
+    )
