@@ -1,0 +1,265 @@
+"""Edge-semantics unit tests for the round-3 session operators: BM25
+reference math, BPE pair guard, contamination recall, sequence caps,
+equi-depth balance, interpolated-percentile identities, partial-agg
+merge equivalence, curriculum monotonicity, centroid-matrix shape."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def _md5_bucket(key: int, buckets: int = 100) -> int:
+    return int(hashlib.md5(str(key).encode()).hexdigest()[:8], 16) % buckets
+
+
+def test_bm25_matches_pure_python_reference(spark):
+    """The declared BM25 top-10 must equal an independent pure-Python
+    evaluation of the same integer-exact formula."""
+    from etl_rf_matrix_controller_spark.operators.search import (
+        QUERY_TERMS,
+        bm25_retrieval_topk,
+    )
+
+    docs = {
+        r.doc_id: [t for t in r.txt.split(" ") if t]
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", F.trim("text").alias("txt"))
+        .collect()
+    }
+    n_docs = len(docs)
+    t_tokens = sum(len(v) for v in docs.values())
+    df = {
+        q: sum(1 for toks in docs.values() if q in toks) for q in QUERY_TERMS
+    }
+    scores = {}
+    for doc_id, toks in docs.items():
+        s = 0
+        dl = len(toks)
+        for q in QUERY_TERMS:
+            tf = toks.count(q)
+            if tf == 0:
+                continue
+            idf_ppm = (n_docs * 1000000) // df[q]
+            s += (idf_ppm * (220 * t_tokens * tf)) // (
+                100 * t_tokens * tf + 30 * t_tokens + 90 * dl * n_docs
+            )
+        if s > 0:
+            scores[doc_id] = s
+    expected = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = [
+        (r.doc_id, r.score_ppm)
+        for r in bm25_retrieval_topk(spark, SF_DIR).orderBy("rnk").collect()
+    ]
+    assert got == expected
+
+
+def test_bpe_pairs_are_true_bigrams(spark):
+    """Every merge candidate is a 2-char adjacency actually present in
+    some word, and its count matches a pure-Python recount."""
+    from etl_rf_matrix_controller_spark.operators.text import (
+        bpe_merge_pair_counts,
+    )
+
+    counts = {}
+    for r in (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select(F.trim("text").alias("txt"))
+        .collect()
+    ):
+        for w in r.txt.split(" "):
+            if w:
+                for i in range(len(w) - 1):
+                    counts[w[i : i + 2]] = counts.get(w[i : i + 2], 0) + 1
+    for r in bpe_merge_pair_counts(spark, SF_DIR).collect():
+        assert len(r.pair) == 2
+        assert counts[r.pair] == r.pair_count
+
+
+def test_semantic_contamination_finds_every_straddling_leak(spark):
+    """Every planted verbatim copy whose (orig, copy) ids straddle the
+    80/20 split must be reported -- LSH blocking may not lose leaks."""
+    from etl_rf_matrix_controller_spark.operators.curation import (
+        semantic_contamination_check,
+    )
+
+    vec_ids = [
+        r.vec_id
+        for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .select("vec_id")
+        .collect()
+    ]
+    expected = set()
+    for v in vec_ids:
+        if v % 5 == 0:
+            a, b = v, v + 200000
+            sa = _md5_bucket(a) < 80
+            sb = _md5_bucket(b) < 80
+            if sa and not sb:
+                expected.add((a, b))
+            elif sb and not sa:
+                expected.add((b, a))
+    got = {
+        (r.train_vec, r.eval_vec)
+        for r in semantic_contamination_check(spark, SF_DIR).collect()
+    }
+    assert expected <= got
+    # and nothing below the cosine threshold sneaks in
+    for r in semantic_contamination_check(spark, SF_DIR).collect():
+        assert r.cosine >= 0.99
+
+
+def test_user_event_sequences_cap_and_order(spark):
+    """Sequences are the first-10 events in (ts, event_id) order."""
+    from etl_rf_matrix_controller_spark.operators.behavior import (
+        user_event_sequences,
+    )
+
+    raw = {}
+    for r in (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    ):
+        raw.setdefault(r.user_id, []).append((r.ts, r.event_id, r.event_type))
+    for r in user_event_sequences(spark, SF_DIR).collect():
+        evs = sorted(raw[r.user_id])
+        assert r.n_events == len(evs)
+        assert list(r.first_events) == [t[2] for t in evs[:10]]
+        assert len(r.first_events) <= 10
+
+
+def test_equidepth_bands_are_balanced_and_ordered(spark):
+    """Equi-depth means counts differ by <=1; bands must be contiguous
+    non-overlapping value ranges."""
+    from etl_rf_matrix_controller_spark.operators.profiling import (
+        equidepth_value_bands,
+    )
+
+    rows = sorted(
+        equidepth_value_bands(spark, SF_DIR).collect(), key=lambda r: r.band
+    )
+    assert [r.band for r in rows] == list(range(1, 11))
+    counts = [r.n_events for r in rows]
+    assert max(counts) - min(counts) <= 1
+    for a, b in zip(rows, rows[1:]):
+        assert a.hi <= b.lo
+        assert a.lo <= a.hi
+
+
+def test_percentile_cont_identities(spark):
+    """p50 of an odd-sized group is the exact middle element; quartiles
+    are monotone."""
+    from etl_rf_matrix_controller_spark.operators.similarity import (
+        percentile_cont_prices,
+    )
+
+    got = {}
+    for r in percentile_cont_prices(spark, SF_DIR).collect():
+        got.setdefault(r.l_returnflag, {})[r.pct] = r.price_cont
+    vals = {}
+    for r in (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .select("l_returnflag", "l_extendedprice")
+        .collect()
+    ):
+        vals.setdefault(r.l_returnflag, []).append(
+            round(r.l_extendedprice * 100)
+        )
+    for flag, v in vals.items():
+        v.sort()
+        n = len(v)
+        q = got[flag]
+        assert q["p25"] <= q["p50"] <= q["p75"]
+        if n % 2 == 1:
+            assert q["p50"] == v[n // 2] / 100.0
+
+
+def test_incremental_merge_equals_direct_monthly_avg(spark):
+    """Merging daily partials must reproduce the exact monthly average
+    computed directly from raw rows (algebraic-state property)."""
+    from etl_rf_matrix_controller_spark.operators.aggregates import (
+        incremental_agg_merge,
+    )
+    from etl_rf_matrix_controller_spark.plans.conventions import exact_avg
+    from etl_rf_matrix_controller_spark.sources.tables import load_table
+
+    direct = {
+        r.month: r.avg_value
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy(F.date_trunc("month", "ts").alias("month"))
+        .agg(exact_avg(F.col("value")).alias("avg_value"))
+        .collect()
+    }
+    for r in incremental_agg_merge(spark, SF_DIR).collect():
+        assert r.avg_value == direct[r.month]
+
+
+def test_curriculum_bins_monotone_and_balanced(spark):
+    """Stage sizes differ by <=1 and quality is non-increasing across
+    stages (stage 1 holds the cleanest quarter)."""
+    from etl_rf_matrix_controller_spark.operators.curation import (
+        curriculum_quality_bins,
+    )
+
+    rows = sorted(
+        curriculum_quality_bins(spark, SF_DIR).collect(), key=lambda r: r.stage
+    )
+    assert [r.stage for r in rows] == [1, 2, 3, 4]
+    sizes = [r.n_docs for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    for a, b in zip(rows, rows[1:]):
+        assert a.min_score >= b.max_score
+
+
+def test_centroid_matrix_shape_and_range(spark):
+    """k labels -> k*(k-1)/2 pairs, every cosine in [-1, 1]."""
+    from etl_rf_matrix_controller_spark.operators.similarity import (
+        centroid_similarity_matrix,
+    )
+
+    rows = centroid_similarity_matrix(spark, SF_DIR).collect()
+    k = len(
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .select("label")
+        .distinct()
+        .collect()
+    )
+    assert len(rows) == k * (k - 1) // 2
+    for r in rows:
+        assert -1.0 - 1e-9 <= r.cosine <= 1.0 + 1e-9
+        assert r.label_a < r.label_b
+
+
+def test_encoding_advisor_sane(spark):
+    """NDV never exceeds rows; the unique key encodes plain, the tiny
+    enum dictionary-RLE encodes."""
+    from etl_rf_matrix_controller_spark.operators.profiling import (
+        column_encoding_advisor,
+    )
+
+    rows = {r.column_name: r for r in column_encoding_advisor(spark, SF_DIR).collect()}
+    total = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    for r in rows.values():
+        assert r.n_distinct <= total
+    assert rows["event_id"].advice == "plain"
+    # ndv_ppm is scale-relative: the tiny enum is 'dict-rle' at real row
+    # counts but can land in 'dict' at the 1000-row test fixture.
+    assert rows["event_type"].advice in ("dict", "dict-rle")
+    assert rows["event_type"].n_distinct < rows["user_id"].n_distinct
+
+
+def test_fertility_at_least_one(spark):
+    """BPE-ish tokenization never merges across whitespace, so fertility
+    (bpe tokens per word) is >= 1 for every language."""
+    from etl_rf_matrix_controller_spark.operators.text import (
+        tokenizer_fertility_by_lang,
+    )
+
+    for r in tokenizer_fertility_by_lang(spark, SF_DIR).collect():
+        assert r.ws_tokens > 0
+        assert r.bpe_tokens >= r.ws_tokens
+        assert r.fertility4 >= 1.0
