@@ -458,3 +458,71 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").alias("n_events"),
         int_round_scaled(a4, 2).alias("avg_value"),
     )
+
+
+@declared(
+    "kmv_distinct_estimate",
+    oracle="""
+    WITH hashed AS (
+      SELECT DISTINCT
+             ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+               AS h
+      FROM events
+    ),
+    kth AS (
+      SELECT h AS h_k
+      FROM (
+        SELECT h, row_number() OVER (ORDER BY h) AS rn FROM hashed
+      ) WHERE rn = 8
+    ),
+    exact AS (
+      SELECT CAST(count(*) AS BIGINT) AS exact_distinct FROM hashed
+    )
+    SELECT CAST(8 AS BIGINT) AS k,
+           kth.h_k,
+           CAST((7 * 4294967296) // kth.h_k AS BIGINT) AS est_distinct,
+           exact.exact_distinct
+    FROM kth CROSS JOIN exact
+    """,
+)
+def kmv_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch, k=8 -- the
+    DETERMINISTIC member of the sketch family: unlike HLL
+    (approx_distinct_users_daily, rows-only because engine sketch
+    internals differ), KMV's estimate is a pure function of the k-th
+    smallest portable hash, so the estimator itself is oracle-checked:
+    est = (k-1) * 2^32 DIV h_k over md5-derived 32-bit hashes.
+
+    Mergeability (union = keep the k smallest of the combined sets) is
+    what makes it a one-pass 100 TB sketch: each partition keeps its k
+    minima, the merge is k log k per pair.  The exact count rides along
+    here as the self-audit column; production drops it (that is the
+    whole point of the sketch).  If fewer than k distinct hashes exist
+    the sketch degenerates to the exact count (no row from the k-th
+    lookup) -- fixture SFs all exceed k (k=8 keeps even the 15-user sf0.001 fixture non-vacuous; production uses k in the hundreds for ~1/sqrt(k) relative error).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hashed = ev.select(
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("h")
+    ).distinct()
+    kth = (
+        hashed.withColumn(
+            "rn", F.row_number().over(Window.orderBy("h"))
+        )
+        .filter(F.col("rn") == 8)
+        .select(F.col("h").alias("h_k"))
+    )
+    exact = hashed.agg(F.count(F.lit(1)).cast("bigint").alias("exact_distinct"))
+    return (
+        kth.crossJoin(F.broadcast(exact))
+        .select(
+            F.lit(8).cast("bigint").alias("k"),
+            "h_k",
+            F.expr("(7 * 4294967296) DIV h_k").cast("bigint").alias(
+                "est_distinct"
+            ),
+            "exact_distinct",
+        )
+    )

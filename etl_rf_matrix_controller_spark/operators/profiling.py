@@ -1070,3 +1070,55 @@ def equidepth_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("lo"),
         F.max("value").alias("hi"),
     )
+
+
+@declared(
+    "skew_salt_plan",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY user_id
+    ),
+    tot AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS n_keys
+      FROM counts
+    )
+    SELECT c.user_id, c.cnt,
+           CAST((c.cnt * t.n_keys + 2 * t.total - 1) // (2 * t.total)
+             AS BIGINT) AS salt_factor
+    FROM counts c CROSS JOIN tot t
+    """,
+)
+def skew_salt_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The consumer of join_skew_report: a concrete salting plan.  Each
+    key's salt factor is how many sub-keys its rows split into --
+    ceil(cnt / (2 * fair_share)) with fair_share = total/n_keys, so a
+    uniform key stays at factor 1 and a key holding x fair-shares splits
+    ~x/2 ways.  Downstream, the big side maps rows to (key, rand % f)
+    and the small side replicates f ways -- bounding any single task at
+    ~2 fair-shares, which is the property AQE's skew split enforces at
+    runtime and this plan enforces statically (the choice at 100 TB when
+    the skew is known ahead: no runtime re-plan, stable task sizing).
+
+    Integer-exact: ceil via (a + b - 1) DIV b on bigint counts; one
+    aggregation plus a broadcast of the 1-row totals.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    tot = counts.agg(
+        F.sum("cnt").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "user_id",
+            "cnt",
+            F.expr("(cnt * n_keys + 2 * total - 1) DIV (2 * total)")
+            .cast("bigint")
+            .alias("salt_factor"),
+        )
+    )
