@@ -30,6 +30,10 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
+from etl_rf_matrix_controller_spark.sources.tables import (
+    normalize_events_ts,
+    set_events_read_confs,
+)
 from etl_rf_matrix_controller_spark.streaming.windows import _events_stream
 
 STATE_SCHEMA = StructType(
@@ -409,3 +413,108 @@ def stream_route_state_from_frames(
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+TTL_STATE_SCHEMA = StructType(
+    [StructField("last_tsm", LongType()), StructField("n", LongType())]
+)
+TTL_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("last_ts", TimestampType()),
+        StructField("n_events", LongType()),
+        StructField("status", StringType()),
+    ]
+)
+
+
+def _make_ttl_updater(ttl_seconds: int):
+    def _update_ttl(key, pdf_iter, state: GroupState):
+        """Keyed liveness state with an event-time TTL: active keys track
+        (last_ts, n_events); a key idle past the TTL once the watermark
+        passes expires -- emitted as a tombstone and its state removed."""
+        import pandas as pd
+
+        if state.hasTimedOut:
+            last_tsm, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "last_ts": [pd.Timestamp(last_tsm, unit="us")],
+                    "n_events": [n],
+                    "status": ["expired"],
+                }
+            )
+            return
+        last_tsm, n = state.get if state.exists else (None, 0)
+        for pdf in pdf_iter:
+            if pdf.empty:
+                continue
+            tsm = pdf["ts"].astype("int64") // 1000
+            mx = int(tsm.max())
+            if last_tsm is None or mx > last_tsm:
+                last_tsm = mx
+            n += len(pdf)
+        if last_tsm is not None:
+            state.update((last_tsm, n))
+            state.setTimeoutTimestamp(last_tsm // 1000 + ttl_seconds * 1000)
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "last_ts": [pd.Timestamp(last_tsm, unit="us")],
+                    "n_events": [n],
+                    "status": ["active"],
+                }
+            )
+
+    return _update_ttl
+
+
+def stream_state_ttl_expiry(
+    spark: SparkSession,
+    events_dir: str,
+    ttl_seconds: int,
+    query_name: str = "ttl_expiry_stream",
+) -> DataFrame:
+    """Keyed state with event-time TTL expiry (GroupStateTimeout.
+    EventTimeTimeout) -- the reference's deferred-verification timeout
+    path (etl_controller.py:2446-2448: a route that never confirms is
+    surfaced, not silently retained) as a streaming state machine:
+    sessions that go quiet past the TTL are CLOSED and emitted as
+    tombstones instead of occupying the state store forever.
+
+    The state-store angle is the 100 TB one: without TTL, keyed state
+    grows with lifetime distinct keys (unbounded); with event-time TTL
+    the store holds only keys active within the TTL horizon, and expiry
+    is driven by the watermark (late data cannot resurrect a key it
+    would not have kept alive).  maxFilesPerTrigger=1 in the test splits
+    the input so the watermark actually advances between micro-batches
+    -- with a single batch no timeout can ever fire (watermark moves
+    after a batch completes), which is itself documented behavior worth
+    pinning.
+    """
+    set_events_read_confs(spark)
+    batch = spark.read.parquet(events_dir)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(events_dir)
+    )
+    stream = normalize_events_ts(stream).withWatermark("ts", "0 seconds")
+    updates = stream.groupBy("user_id").applyInPandasWithState(
+        _make_ttl_updater(ttl_seconds),
+        outputStructType=TTL_OUTPUT_SCHEMA,
+        stateStructType=TTL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    q = (
+        updates.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

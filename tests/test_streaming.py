@@ -609,3 +609,74 @@ def test_stream_static_join_batch_eq_stream(spark):
         stream_static_enriched_counts_stream(spark, SF_DIR),
         "stream_static_enriched_counts",
     )
+
+
+def test_state_ttl_expiry_event_time_timeout(spark, tmp_path):
+    """EventTimeTimeout: keys idle past the TTL when the watermark
+    advances are emitted as tombstones and removed; keys with data in
+    the later batch never time out."""
+    import os
+
+    from etl_rf_matrix_controller_spark.sources.tables import load_table
+    from etl_rf_matrix_controller_spark.streaming.state import (
+        stream_state_ttl_expiry,
+    )
+
+    events = load_table(spark, SF_DIR, "events")
+    rows = events.select("user_id", "ts", "event_id").collect()
+    final = max(rows, key=lambda r: (r.ts, r.event_id))
+    max_a = max(r.ts for r in rows if r.event_id != final.event_id)
+    last_a = {}
+    n_a = {}
+    for r in rows:
+        if r.event_id == final.event_id:
+            continue
+        n_a[r.user_id] = n_a.get(r.user_id, 0) + 1
+        if r.user_id not in last_a or r.ts > last_a[r.user_id]:
+            last_a[r.user_id] = r.ts
+    # Timeouts fire against the FINAL watermark (= the global max ts):
+    # after the last data batch, availableNow runs a state-cleanup batch
+    # whose watermark has advanced past batch B, so every key idle
+    # longer than the TTL at end-of-stream expires -- not just those
+    # already stale at the intermediate watermark.  TTL at the median
+    # end-of-stream idle gap guarantees both expirers and survivors.
+    gaps = sorted(
+        (final.ts - last_a[u]).total_seconds()
+        for u in last_a
+        if u != final.user_id
+    )
+    ttl = int(gaps[len(gaps) // 2]) + 1
+    expected_expired = {
+        u
+        for u in last_a
+        if u != final.user_id
+        and last_a[u].timestamp() + ttl < final.ts.timestamp()
+    }
+    assert expected_expired and len(expected_expired) < len(last_a)
+
+    src = str(tmp_path / "ttl_events")
+    a = events.filter(F.col("event_id") != final.event_id)
+    b = events.filter(F.col("event_id") == final.event_id)
+    a.repartition(1).write.parquet(src)
+    b.repartition(1).write.mode("append").parquet(src)
+    parts = sorted(
+        f for f in os.listdir(src) if f.endswith(".parquet")
+    )
+    # FileStreamSource batches by modification time: pin A strictly older.
+    now = 1700000000
+    sizes = {f: os.path.getsize(os.path.join(src, f)) for f in parts}
+    big_first = max(sizes, key=lambda f: sizes[f])  # A holds all but 1 row
+    for f in parts:
+        age = 100 if f == big_first else 0
+        os.utime(os.path.join(src, f), (now - age, now - age))
+
+    out = stream_state_ttl_expiry(spark, src, ttl).collect()
+    expired = {r.user_id: r for r in out if r.status == "expired"}
+    assert set(expired) == expected_expired
+    for u, r in expired.items():
+        assert r.n_events == n_a[u]
+        assert r.last_ts == last_a[u]
+    # every user appeared as active at least once
+    assert {r.user_id for r in out if r.status == "active"} == set(last_a) | {
+        final.user_id
+    }
