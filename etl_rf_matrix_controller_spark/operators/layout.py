@@ -272,3 +272,144 @@ def compact_parquet(
         out = df.repartition(n_files)
     out.write.mode("overwrite").parquet(out_dir)
     return n_files
+
+
+# Broadcast advisor sizing: per-row payload estimate = string bytes +
+# 8 bytes per numeric column; threshold mirrors Spark's default
+# spark.sql.autoBroadcastJoinThreshold (10 MB).
+BROADCAST_THRESHOLD_BYTES = 10 * 1024 * 1024
+
+
+@declared(
+    "broadcast_threshold_advisor",
+    oracle=f"""
+    WITH per_table AS (
+      SELECT 'region' AS table_name,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(length(r_name) + 8) AS BIGINT)
+               AS est_bytes
+      FROM region
+      UNION ALL
+      SELECT 'nation', CAST(count(*) AS BIGINT),
+             CAST(sum(length(n_name) + 16) AS BIGINT)
+      FROM nation
+      UNION ALL
+      SELECT 'supplier', CAST(count(*) AS BIGINT),
+             CAST(sum(length(s_name) + 24) AS BIGINT)
+      FROM supplier
+      UNION ALL
+      SELECT 'customer', CAST(count(*) AS BIGINT),
+             CAST(sum(length(c_name) + length(c_mktsegment) + 24) AS BIGINT)
+      FROM customer
+    )
+    SELECT table_name, n_rows, est_bytes,
+           est_bytes <= {BROADCAST_THRESHOLD_BYTES} AS broadcastable
+    FROM per_table
+    """,
+)
+def broadcast_threshold_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy advisor: per-dimension in-memory size estimate vs
+    the 10 MB autoBroadcastJoinThreshold -- the decision every join in
+    this suite already encodes by hand (F.broadcast on dim sides), made
+    data-driven.  At 100 TB this is the table-stats pass an ANALYZE
+    would persist: a dim that outgrows the threshold silently converts
+    broadcast joins into shuffles, so the advisor is the regression
+    alarm for dimension growth.
+
+    Four dimension scans (each dim read once, column-pruned to the
+    sized fields); the estimate is exact integer byte accounting over
+    string lengths + fixed numeric widths, so both engines agree.
+    """
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    supplier = load_table(spark, sf_dir, "supplier")
+    customer = load_table(spark, sf_dir, "customer")
+
+    def sized(df: DataFrame, name: str, byte_expr) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("table_name"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(byte_expr).cast("bigint").alias("est_bytes"),
+        )
+
+    per_table = (
+        sized(region, "region", F.length("r_name") + 8)
+        .unionByName(
+            sized(nation, "nation", F.length("n_name") + 16)
+        )
+        .unionByName(sized(supplier, "supplier", F.length("s_name") + 24))
+        .unionByName(
+            sized(
+                customer,
+                "customer",
+                F.length("c_name") + F.length("c_mktsegment") + 24,
+            )
+        )
+    )
+    return per_table.select(
+        "table_name",
+        "n_rows",
+        "est_bytes",
+        (F.col("est_bytes") <= BROADCAST_THRESHOLD_BYTES).alias("broadcastable"),
+    )
+
+
+@declared(
+    "delta_encoding_gain",
+    oracle="""
+    WITH deltas AS (
+      SELECT event_id - lag(event_id) OVER (ORDER BY event_id) AS d
+      FROM events
+    ),
+    widths AS (
+      SELECT CASE WHEN d <= 255 THEN 1
+                  WHEN d <= 65535 THEN 2
+                  WHEN d <= 16777215 THEN 3
+                  ELSE 8 END AS delta_bytes
+      FROM deltas WHERE d IS NOT NULL
+    )
+    SELECT delta_bytes,
+           CAST(count(*) AS BIGINT) AS n_values,
+           CAST(count(*) * 8 AS BIGINT) AS raw_bytes,
+           CAST(count(*) * delta_bytes AS BIGINT) AS encoded_bytes
+    FROM widths
+    GROUP BY delta_bytes
+    """,
+)
+def delta_encoding_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-encoding payoff analysis for a sorted key column: the
+    byte-width histogram of successive event_id deltas versus the raw
+    8-byte representation -- the arithmetic behind parquet's
+    DELTA_BINARY_PACKED choice, and the column_encoding_advisor's
+    numeric-key counterpart.  A dense surrogate key encodes in ~1
+    byte/value (8x scan IO reduction on a 100 TB fact table's key
+    column); a sparse or shuffled key shows up here as wide deltas,
+    i.e. "do not bother".
+
+    The lag runs over the globally-ordered key -- at scale, per
+    row-group (parquet already encodes per-page), so the production
+    form partitions the window by file/row-group id; the single global
+    window here keeps the declared form total-order deterministic.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    d = F.col("event_id") - F.lag("event_id").over(Window.orderBy("event_id"))
+    widths = (
+        ev.select(d.alias("d"))
+        .filter(F.col("d").isNotNull())
+        .select(
+            F.when(F.col("d") <= 255, 1)
+            .when(F.col("d") <= 65535, 2)
+            .when(F.col("d") <= 16777215, 3)
+            .otherwise(8)
+            .alias("delta_bytes")
+        )
+    )
+    return widths.groupBy("delta_bytes").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_values"),
+        (F.count(F.lit(1)) * 8).cast("bigint").alias("raw_bytes"),
+        (F.count(F.lit(1)) * F.col("delta_bytes")).cast("bigint").alias(
+            "encoded_bytes"
+        ),
+    )
