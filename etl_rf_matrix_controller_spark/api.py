@@ -113,6 +113,41 @@ class MatrixEngine:
     def decode_media(self) -> DataFrame:
         return self._q("multimodal_decode_features")
 
+    def search(self, ranking: str = "bm25") -> DataFrame:
+        """Ranked retrieval for the fixed probe query: 'bm25' (length-
+        normalized) or 'tfidf'."""
+        return self._q(
+            "bm25_retrieval_topk" if ranking == "bm25" else "tfidf_retrieval_topk"
+        )
+
+    def decontaminate(self, tier: str = "exact") -> DataFrame:
+        """Train/eval leakage audit at the chosen tier: 'exact' (content
+        hash), 'ngram' (n-gram overlap), or 'semantic' (embedding
+        cosine, LSH-blocked)."""
+        return self._q(
+            {
+                "exact": "split_contamination_check",
+                "ngram": "ngram_contamination",
+                "semantic": "semantic_contamination_check",
+            }[tier]
+        )
+
+    def event_sequences(self) -> DataFrame:
+        """Per-user time-ordered event sequences (first 10)."""
+        return self._q("user_event_sequences")
+
+    def curriculum(self) -> DataFrame:
+        """Quality-quartile curriculum stages with token budgets."""
+        return self._q("curriculum_quality_bins")
+
+    def storage_advice(self) -> DataFrame:
+        """Per-column NDV-ratio parquet-encoding recommendations."""
+        return self._q("column_encoding_advisor")
+
+    def column_histogram(self) -> DataFrame:
+        """Equi-depth (CBO-style) histogram of the value column."""
+        return self._q("equidepth_value_bands")
+
     # -- escape hatch ------------------------------------------------------
     def query(self, name: str) -> DataFrame:
         """Any declared operator by SURVEY SS2 query id."""

@@ -73,3 +73,14 @@ def test_queries_self_defend_session_timezone(spark, duck):
         assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
     finally:
         spark.conf.set("spark.sql.session.timeZone", old)
+
+
+def test_engine_curation_facade(spark):
+    eng = MatrixEngine(spark, SF_DIR)
+    assert eng.search().count() == 10
+    assert eng.search("tfidf").count() == 10
+    assert eng.decontaminate("semantic").count() > 0
+    assert eng.event_sequences().count() > 0
+    assert eng.curriculum().count() == 4
+    assert eng.storage_advice().count() == 4
+    assert eng.column_histogram().count() == 10
