@@ -21,8 +21,10 @@ from collections.abc import Iterator, Sequence
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 
@@ -45,6 +47,13 @@ class FrameProtocolDataSource(DataSource):
 
     def simpleStreamReader(self, schema) -> "FrameProtocolStreamReader":
         return FrameProtocolStreamReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> "FrameProtocolWriter":
+        required = {"out_id", "in_id", "weight", "door_open"}
+        missing = required - {f.name for f in schema.fields}
+        if missing:
+            raise ValueError(f"frame_protocol write needs columns {missing}")
+        return FrameProtocolWriter(self.options, overwrite)
 
 
 def synth_frame(fid: int) -> str:
@@ -110,6 +119,68 @@ class FrameProtocolStreamReader(SimpleDataSourceStreamReader):
                 for fid in range(int(start["fid"]), int(end["fid"]))
             ]
         )
+
+
+class FrameProtocolWriter(DataSourceWriter):
+    """``df.write.format("frame_protocol").option("path", dir).save()`` --
+    the COMMAND side of the transport: structured route rows serialize to
+    the reference's checksummed-frame wire format (etl_controller.py:
+    503-552 builds "{ABs,+ooo,+iii,...}" per route write), one text file
+    per task, so emission scales with write parallelism exactly like the
+    partitioned read path.
+
+    Rows out of wire range (ids > 999, weight > 99999) raise rather than
+    truncate -- the reference device would reject them, and a connector
+    that silently mangles payloads is worse than one that fails loudly.
+    ``mode("overwrite")`` clears prior frame files driver-side before
+    tasks run; commit drops a _SUCCESS marker only after every task
+    reports, preserving the all-or-nothing visibility contract.
+    """
+
+    def __init__(self, options: dict, overwrite: bool) -> None:
+        import glob
+        import os
+
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("frame_protocol write requires option('path')")
+        os.makedirs(self.path, exist_ok=True)
+        if overwrite:
+            for f in glob.glob(os.path.join(self.path, "frames-*.txt")):
+                os.remove(f)
+            marker = os.path.join(self.path, "_SUCCESS")
+            if os.path.exists(marker):
+                os.remove(marker)
+
+    def write(self, iterator) -> WriterCommitMessage:
+        import os
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        out = os.path.join(self.path, f"frames-{pid:05d}.txt")
+        with open(out, "w") as f:
+            for row in iterator:
+                o, i, w, d = (
+                    int(row.out_id),
+                    int(row.in_id),
+                    int(row.weight),
+                    str(row.door_open),
+                )
+                if not (0 <= o <= 999 and 0 <= i <= 999 and 0 <= w <= 99999
+                        and d in ("O", "C")):
+                    raise ValueError(f"frame field out of wire range: {row}")
+                f.write(f"{{BAcC,+{o:03d},+{i:03d},{w:05d},{d}}}\n")
+        return WriterCommitMessage()
+
+    def commit(self, messages) -> None:
+        import os
+
+        with open(os.path.join(self.path, "_SUCCESS"), "w"):
+            pass
+
+    def abort(self, messages) -> None:
+        pass
 
 
 def register(spark) -> None:

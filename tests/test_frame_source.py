@@ -105,3 +105,57 @@ def test_frame_stream_to_route_state_eq_batch(spark):
     g = {tuple(r) for r in got.select(sorted(got.columns)).collect()}
     x = {tuple(r) for r in want.select(sorted(want.columns)).collect()}
     assert g == x and len(g) > 0
+
+
+def test_frame_writer_round_trip(spark, tmp_path):
+    """Write path of the connector: structured route rows -> wire frames
+    on disk -> re-parsed rows identical to the originals."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_rf_matrix_controller_spark.functions.regex_extract import _FRAME_RE
+    from etl_rf_matrix_controller_spark.sources.frame_source import register
+    from etl_rf_matrix_controller_spark.streaming.state import parse_frames
+
+    register(spark)
+    raw = spark.read.format("frame_protocol").option("frames", "60").load()
+    parsed = parse_frames(raw).select("out_id", "in_id", "weight", "door_open")
+    out = str(tmp_path / "wire")
+    parsed.write.format("frame_protocol").option("path", out).mode(
+        "overwrite"
+    ).save()
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    files = glob.glob(os.path.join(out, "frames-*.txt"))
+    assert files
+    g = lambda i: F.regexp_extract("frame", _FRAME_RE, i)  # noqa: E731
+    back = (
+        spark.read.text(os.path.join(out, "frames-*.txt"))
+        .select(F.col("value").alias("frame"))
+        .select(
+            g(1).cast("long").alias("out_id"),
+            g(2).cast("long").alias("in_id"),
+            g(3).cast("long").alias("weight"),
+            g(4).alias("door_open"),
+        )
+    )
+    key = lambda r: (r.out_id, r.in_id, r.weight, r.door_open)  # noqa: E731
+    assert sorted(map(key, back.collect())) == sorted(map(key, parsed.collect()))
+
+
+def test_frame_writer_rejects_out_of_range(spark, tmp_path):
+    """A row the wire format cannot carry fails the write loudly."""
+    from etl_rf_matrix_controller_spark.sources.frame_source import register
+
+    register(spark)
+    bad = spark.createDataFrame(
+        [(1000, 1, 1, "O")], "out_id INT, in_id INT, weight INT, door_open STRING"
+    )
+    try:
+        bad.write.format("frame_protocol").option(
+            "path", str(tmp_path / "w2")
+        ).mode("append").save()
+        raise AssertionError("expected write failure")
+    except Exception as e:
+        assert "wire range" in str(e) or "ValueError" in str(e)
