@@ -97,3 +97,28 @@ def test_digit_sum_checksum_reference_semantics(spark, pairs):
         assert r.raw == expect
         wrapped = expect - 95 if expect > 126 else expect
         assert wrapped <= 126
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=10_000_000),
+        min_size=2,
+        max_size=50,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_integer_percentile_interpolation_matches_numpy(cents):
+    """percentile_cont_prices' integer-space interpolation is exactly
+    numpy's 'linear' method on the same data (scaled-cent values)."""
+    import numpy as np
+
+    v = sorted(cents)
+    n = len(v)
+    for p in (1, 2, 3):
+        pos = p * (n - 1)
+        lo = pos // 4
+        rem = pos % 4
+        hi = lo + (1 if rem > 0 else 0)
+        ours = (v[lo] * (4 - rem) + v[hi] * rem) / 4.0 / 100.0
+        ref = float(np.percentile(np.array(v) / 100.0, p * 25, method="linear"))
+        assert abs(ours - ref) < 1e-9 * max(1.0, ref)
