@@ -1122,3 +1122,146 @@ def skew_salt_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("salt_factor"),
         )
     )
+
+
+@declared(
+    "value_ks_drift",
+    oracle="""
+    WITH tagged AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS v,
+             CASE WHEN CAST(date_part('day', ts) AS BIGINT) <= 15
+                  THEN 1 ELSE 2 END AS half
+      FROM events
+    ),
+    per_value AS (
+      SELECT event_type, v,
+             CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+             CAST(sum(CASE WHEN half = 2 THEN 1 ELSE 0 END) AS BIGINT) AS d2
+      FROM tagged GROUP BY event_type, v
+    ),
+    cum AS (
+      SELECT event_type,
+             sum(d1) OVER (PARTITION BY event_type ORDER BY v) AS c1,
+             sum(d2) OVER (PARTITION BY event_type ORDER BY v) AS c2,
+             sum(d1) OVER (PARTITION BY event_type) AS n1,
+             sum(d2) OVER (PARTITION BY event_type) AS n2
+      FROM per_value
+    )
+    SELECT event_type,
+           CAST(max(n1) AS BIGINT) AS n_early,
+           CAST(max(n2) AS BIGINT) AS n_late,
+           ((((2 * (CAST(max(abs(c1 * n2 - c2 * n1)) AS BIGINT)) * 10000 + (CAST(max(n1) * max(n2) AS BIGINT))) - (2 * (CAST(max(abs(c1 * n2 - c2 * n1)) AS BIGINT)) * 10000 + (CAST(max(n1) * max(n2) AS BIGINT))) % (2 * (CAST(max(n1) * max(n2) AS BIGINT)))) / (2 * (CAST(max(n1) * max(n2) AS BIGINT)))) / 10000.0)
+             AS ks4
+    FROM cum
+    GROUP BY event_type
+    HAVING max(n1) > 0 AND max(n2) > 0
+    """,
+)
+def value_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift per event type: max CDF gap
+    between the first half-month's value distribution and the second's
+    -- the distribution-free drift statistic a monitoring pipeline
+    alarms on (the histogram form, value_drift_histogram, bins first;
+    KS needs no binning choice).
+
+    Integer-exact throughout: the gap |F1(x) - F2(x)| is compared as
+    |c1*n2 - c2*n1| over the common denominator n1*n2, so the max is an
+    integer max and only the final reported statistic divides (ratio4).
+    One shuffle to (type, value) cells, then per-type windows over the
+    distinct-value stream -- cardinality is |values| per type, not rows,
+    the same collapse weighted_median_price uses.  One-sided types are
+    excluded explicitly (HAVING both halves non-empty) rather than
+    silently divided by zero.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("v"),
+        F.when(F.dayofmonth("ts") <= 15, 1).otherwise(2).alias("half"),
+    )
+    per_value = tagged.groupBy("event_type", "v").agg(
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("d1"),
+        F.sum(F.when(F.col("half") == 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("d2"),
+    )
+    wv = Window.partitionBy("event_type").orderBy("v")
+    wt = Window.partitionBy("event_type")
+    cum = per_value.select(
+        "event_type",
+        F.sum("d1").over(wv).alias("c1"),
+        F.sum("d2").over(wv).alias("c2"),
+        F.sum("d1").over(wt).alias("n1"),
+        F.sum("d2").over(wt).alias("n2"),
+    )
+    num = F.max(F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))).cast(
+        "bigint"
+    )
+    den = (F.max("n1") * F.max("n2")).cast("bigint")
+    return (
+        cum.groupBy("event_type")
+        .agg(
+            F.max("n1").cast("bigint").alias("n_early"),
+            F.max("n2").cast("bigint").alias("n_late"),
+            ratio4(num, den).alias("ks4"),
+        )
+        .filter((F.col("n_early") > 0) & (F.col("n_late") > 0))
+    )
+
+
+@declared(
+    "benford_first_digit",
+    oracle="""
+    WITH digits AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS v
+      FROM events
+      WHERE round(value * 100) >= 1
+    ),
+    lead AS (
+      SELECT v // CAST(power(10, length(CAST(v AS VARCHAR)) - 1) AS BIGINT)
+               AS first_digit
+      FROM digits
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lead)
+    SELECT l.first_digit,
+           CAST(count(*) AS BIGINT) AS n_values,
+           CAST((count(*) * 1000000) // max(t.n) AS BIGINT) AS share_ppm
+    FROM lead l CROSS JOIN tot t
+    GROUP BY l.first_digit
+    """,
+)
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of the value column -- the
+    Benford's-law audit fraud and data-quality teams run (organically
+    generated magnitudes lean toward small leading digits; synthetic or
+    capped data shows up as a flat or spiked profile).
+
+    The leading digit is extracted in integer space: v DIV
+    10^(digits(v)-1) over scaled cents, with digits(v) from the decimal
+    string length of a positive integer (identical across engines --
+    never log10, whose float rounding can misplace a power-of-ten
+    boundary).  Single aggregation, one broadcast scalar for the share.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    digits = ev.select(
+        F.round(F.col("value") * 100).cast("bigint").alias("v")
+    ).filter(F.col("v") >= 1)
+    lead = digits.select(
+        F.expr(
+            "v DIV CAST(power(10, length(CAST(v AS STRING)) - 1) AS BIGINT)"
+        ).alias("first_digit")
+    )
+    tot = lead.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return (
+        lead.crossJoin(F.broadcast(tot))
+        .groupBy("first_digit")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_values"),
+            F.expr("CAST((count(1) * 1000000) DIV max(n) AS BIGINT)").alias(
+                "share_ppm"
+            ),
+        )
+    )
