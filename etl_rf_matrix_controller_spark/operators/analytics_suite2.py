@@ -905,3 +905,166 @@ def qty_discount_histogram2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("l_quantity") / 10).cast("bigint").alias("qty_bucket"),
         F.round(F.col("l_discount") * 100).cast("bigint").alias("disc_pct"),
     ).agg(F.count(F.lit(1)).alias("n_lines"))
+
+
+@declared(
+    "order_fully_shipped_sla",
+    oracle=f"""
+    WITH per_order AS (
+      SELECT o.o_orderkey,
+             CAST(date_trunc('month', o.o_orderdate) AS TIMESTAMP) AS month,
+             CAST(count(*) AS BIGINT) AS n_items,
+             CAST(sum(CASE WHEN l.l_shipdate <= o.o_orderdate
+                                + INTERVAL 90 DAY
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_on_time
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, date_trunc('month', o.o_orderdate)
+    )
+    SELECT month,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN n_items = n_on_time THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_fully_on_time,
+           {ratio4_sql(
+               "sum(CASE WHEN n_items = n_on_time THEN 1 ELSE 0 END)",
+               "count(*)",
+           )} AS full_ship_rate
+    FROM per_order
+    GROUP BY month
+    """,
+)
+def order_fully_shipped_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational division: orders where ALL line items shipped within
+    the 90-day SLA, rolled to a monthly fill rate -- the universally-
+    quantified dual of the suite's EXISTS-shaped queries (a semi join
+    answers "any item late?"; division answers "every item on time?"),
+    expressed as the standard count(items) == count(qualifying items)
+    collapse rather than a double-negated anti join (one shuffle
+    join + two aggregations; the NOT EXISTS form costs an extra anti
+    join pass).
+
+    Both aggregations are partial-aggregable and the fact-fact join
+    hashes on the order key -- at 100 TB orders and lineitem co-bucket
+    on that key (plans/scale.py posture) and the join is co-located.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    on_time = F.when(
+        F.col("l_shipdate") <= F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+        1,
+    ).otherwise(0)
+    per_order = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(
+            "o_orderkey", F.date_trunc("month", "o_orderdate").alias("month")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.sum(on_time).cast("bigint").alias("n_on_time"),
+        )
+    )
+    fully = F.when(F.col("n_items") == F.col("n_on_time"), 1).otherwise(0)
+    return per_order.groupBy("month").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(fully).cast("bigint").alias("n_fully_on_time"),
+        ratio4(F.sum(fully), F.count(F.lit(1))).alias("full_ship_rate"),
+    )
+
+
+# Pearson correlation from exact integer moments: every sum is over
+# per-row BIGINT products of scaled (x100) values, accumulated in
+# DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) -- exact, order-independent.
+# The final (num, var_x, var_y) convert to DOUBLE once (round-to-nearest
+# of an exact integer is identical across engines), then sqrt/divide.
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def _corr_sql(a: str, b: str) -> str:
+    sa, sb = f"s_{a}", f"s_{b}"
+    sab = f"s_{a}_{b}"
+    return (
+        f"CAST(n * {sab} - {sa} * {sb} AS DOUBLE)"
+        f" / (sqrt(CAST(n * s_{a}_{a} - {sa} * {sa} AS DOUBLE))"
+        f" * sqrt(CAST(n * s_{b}_{b} - {sb} * {sb} AS DOUBLE)))"
+    )
+
+
+def _corr_pairs():
+    cols = [c.replace("l_", "") for c in _CORR_COLS]
+    out = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            out.append((a, b))
+    return out
+
+
+def _corr_moments_sql() -> str:
+    cols = [c.replace("l_", "") for c in _CORR_COLS]
+    sums = ", ".join(
+        f"sum(CAST(round(l_{c} * 100) AS BIGINT)) AS s_{c}" for c in cols
+    )
+    prods = ", ".join(
+        f"sum(CAST(round(l_{a} * 100) AS BIGINT)"
+        f" * CAST(round(l_{b} * 100) AS BIGINT)) AS s_{a}_{b}"
+        for i, a in enumerate(cols)
+        for b in cols[i:]
+    )
+    return f"SELECT CAST(count(*) AS BIGINT) AS n, {sums}, {prods} FROM lineitem"
+
+
+@declared(
+    "lineitem_corr_matrix",
+    oracle=f"""
+    WITH m AS ({_corr_moments_sql()})
+    {" UNION ALL ".join(
+        f"SELECT '{a}_{b}' AS pair, {_corr_sql(a, b)} AS corr FROM m"
+        for a, b in [("quantity", "extendedprice"), ("quantity", "discount"),
+                     ("quantity", "tax"), ("extendedprice", "discount"),
+                     ("extendedprice", "tax"), ("discount", "tax")]
+    )}
+    """,
+)
+def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation over the lineitem measures from
+    EXACT integer moments -- the multi-column generalization of
+    corr_value_props, and the statistics-collection pass a feature-
+    selection or CBO layer keeps per table.
+
+    One corpus pass computes every moment (n, 4 sums, 10 product sums)
+    in a single aggregation; the 6 pair correlations are scalar
+    arithmetic over that one row (stack -- no second scan, no
+    per-pair shuffle).  Accumulation is DECIMAL(38,0) because sums of
+    squared cents exceed both int64 and double-exact range at sf0.1
+    already (price^2 ~ 1e14/row); the decimal->double conversion of the
+    three final exact integers is correctly rounded in both engines, so
+    the float sqrt/divide sees bit-identical inputs.  F.corr itself is
+    avoided: its streaming-covariance accumulation is order-dependent
+    in float.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = [c.replace("l_", "") for c in _CORR_COLS]
+    scaled = {
+        c: F.round(F.col(f"l_{c}") * 100).cast("bigint") for c in cols
+    }
+    aggs = [F.count(F.lit(1)).cast("decimal(38,0)").alias("n")]
+    for c in cols:
+        aggs.append(
+            F.sum(scaled[c].cast("decimal(38,0)")).alias(f"s_{c}")
+        )
+    for i, a in enumerate(cols):
+        for b in cols[i:]:
+            aggs.append(
+                F.sum((scaled[a] * scaled[b]).cast("decimal(38,0)")).alias(
+                    f"s_{a}_{b}"
+                )
+            )
+    m = li.agg(*aggs)
+    pair_exprs = ", ".join(
+        f"'{a}_{b}', {_corr_sql(a, b)}" for a, b in _corr_pairs()
+    )
+    return m.selectExpr(
+        f"stack({len(_corr_pairs())}, {pair_exprs}) AS (pair, corr)"
+    )

@@ -263,3 +263,104 @@ def test_fertility_at_least_one(spark):
         assert r.ws_tokens > 0
         assert r.bpe_tokens >= r.ws_tokens
         assert r.fertility4 >= 1.0
+
+
+def test_ks_drift_bounds_and_self_zero(spark):
+    """KS statistic lies in [0,1]; identical halves give 0 (checked by
+    recomputing with half forced constant via a direct Python fold)."""
+    from etl_rf_matrix_controller_spark.operators.profiling import (
+        value_ks_drift,
+    )
+
+    rows = value_ks_drift(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.ks4 <= 1.0
+        assert r.n_early > 0 and r.n_late > 0
+    # independent recompute of one type's KS from raw rows
+    import collections
+
+    raw = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .selectExpr(
+            "event_type",
+            "CAST(round(value * 100) AS BIGINT) AS v",
+            "CASE WHEN dayofmonth(ts) <= 15 THEN 1 ELSE 2 END AS half",
+        )
+        .collect()
+    )
+    typ = rows[0].event_type
+    d1 = collections.Counter(r.v for r in raw if r.event_type == typ and r.half == 1)
+    d2 = collections.Counter(r.v for r in raw if r.event_type == typ and r.half == 2)
+    n1, n2 = sum(d1.values()), sum(d2.values())
+    c1 = c2 = 0
+    best = 0
+    for v in sorted(set(d1) | set(d2)):
+        c1 += d1.get(v, 0)
+        c2 += d2.get(v, 0)
+        best = max(best, abs(c1 * n2 - c2 * n1))
+    x = 2 * best * 10000 + n1 * n2
+    expect = ((x - x % (2 * n1 * n2)) // (2 * n1 * n2)) / 10000.0
+    got = {r.event_type: r.ks4 for r in rows}[typ]
+    assert got == expect
+
+
+def test_benford_shares_partition_unity(spark):
+    """First digits are 1..9 and ppm shares sum to ~1e6 (floor slack)."""
+    from etl_rf_matrix_controller_spark.operators.profiling import (
+        benford_first_digit,
+    )
+
+    rows = benford_first_digit(spark, SF_DIR).collect()
+    assert set(r.first_digit for r in rows) <= set(range(1, 10))
+    total_ppm = sum(r.share_ppm for r in rows)
+    assert 1_000_000 - len(rows) <= total_ppm <= 1_000_000
+
+
+def test_corr_matrix_matches_builtin_and_bounds(spark):
+    """Exact-moment correlations agree with F.corr to float tolerance
+    and stay in [-1, 1]."""
+    from pyspark.sql import functions as F
+
+    from etl_rf_matrix_controller_spark.operators.analytics_suite2 import (
+        lineitem_corr_matrix,
+    )
+
+    got = {r.pair: r.corr for r in lineitem_corr_matrix(spark, SF_DIR).collect()}
+    assert len(got) == 6
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    ref = li.agg(
+        F.corr("l_quantity", "l_extendedprice").alias("qp"),
+        F.corr("l_discount", "l_tax").alias("dt"),
+    ).collect()[0]
+    assert abs(got["quantity_extendedprice"] - ref.qp) < 1e-6
+    assert abs(got["discount_tax"] - ref.dt) < 1e-6
+    for v in got.values():
+        assert -1.0 - 1e-12 <= v <= 1.0 + 1e-12
+
+
+def test_division_counts_are_consistent(spark):
+    """Relational division sanity: fully-on-time orders never exceed the
+    month's orders, and the global counts reconcile with a direct
+    NOT-EXISTS computation."""
+    from pyspark.sql import functions as F
+
+    from etl_rf_matrix_controller_spark.operators.analytics_suite2 import (
+        order_fully_shipped_sla,
+    )
+    from etl_rf_matrix_controller_spark.sources.tables import load_table
+
+    rows = order_fully_shipped_sla(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_fully_on_time <= r.n_orders
+    orders = load_table(spark, SF_DIR, "orders")
+    li = load_table(spark, SF_DIR, "lineitem")
+    late = li.join(
+        orders, li.l_orderkey == orders.o_orderkey
+    ).filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    ).select("l_orderkey").distinct()
+    with_items = li.select("l_orderkey").distinct()
+    fully_direct = with_items.join(late, "l_orderkey", "anti").count()
+    assert sum(r.n_fully_on_time for r in rows) == fully_direct
