@@ -1265,3 +1265,83 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@declared(
+    "value_changepoint_cusum",
+    oracle="""
+    WITH tagged AS (
+      SELECT event_type, ts, event_id,
+             CAST(round(value * 100) AS BIGINT) AS v
+      FROM events
+    ),
+    cum AS (
+      SELECT event_type, ts,
+             CAST(row_number() OVER (PARTITION BY event_type
+                                     ORDER BY ts, event_id) AS BIGINT) AS rn,
+             CAST(sum(v) OVER (PARTITION BY event_type
+                               ORDER BY ts, event_id) AS BIGINT) AS cumv,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+             CAST(sum(v) OVER (PARTITION BY event_type) AS BIGINT) AS s
+      FROM tagged
+    ),
+    scored AS (
+      SELECT event_type, ts, rn, n,
+             abs(n * cumv - rn * s) AS dev,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY abs(n * cumv - rn * s) DESC, rn)
+               AS pick
+      FROM cum
+    )
+    SELECT event_type, n AS n_events, ts AS cp_ts,
+           rn AS cp_index, CAST(dev AS BIGINT) AS max_abs_cusum
+    FROM scored WHERE pick = 1
+    """,
+)
+def value_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point localization per event type: the time-ordered
+    position maximizing |sum_{i<=k}(n*v_i - S)| -- where the KS drift
+    statistic (value_ks_drift) says THAT a distribution moved, CUSUM
+    says WHEN, with the same integer-exactness (the deviation-from-mean
+    sum is cross-multiplied to n*cumsum_k - k*S, so no mean division
+    ever happens; ties break to the earliest index).
+
+    One shuffle on event_type serves all four window passes; row count
+    entering the argmax is per-type event count.  At 100 TB the running
+    sum is the only sequential dependency -- computed per partition with
+    a per-partition offset merge (the classic distributed prefix-sum),
+    same output contract.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("v"),
+    )
+    w_ord = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    w_all = Window.partitionBy("event_type")
+    cum = tagged.select(
+        "event_type",
+        "ts",
+        F.row_number().over(w_ord).cast("bigint").alias("rn"),
+        F.sum("v").over(w_ord).cast("bigint").alias("cumv"),
+        F.count(F.lit(1)).over(w_all).cast("bigint").alias("n"),
+        F.sum("v").over(w_all).cast("bigint").alias("s"),
+    )
+    dev = F.abs(F.col("n") * F.col("cumv") - F.col("rn") * F.col("s"))
+    w_pick = Window.partitionBy("event_type").orderBy(
+        dev.desc(), F.col("rn").asc()
+    )
+    return (
+        cum.withColumn("dev", dev)
+        .withColumn("pick", F.row_number().over(w_pick))
+        .filter(F.col("pick") == 1)
+        .select(
+            "event_type",
+            F.col("n").alias("n_events"),
+            F.col("ts").alias("cp_ts"),
+            F.col("rn").alias("cp_index"),
+            F.col("dev").cast("bigint").alias("max_abs_cusum"),
+        )
+    )
