@@ -288,3 +288,131 @@ def triangle_count_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_name").alias("nation"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
     )
+
+
+# Edge capacity in scaled cents: round() of the identical double product
+# is deterministic cross-engine (same binary input on both sides).
+_EDGE_SQL = """
+      SELECT n1.n_name AS src, n2.n_name AS dst,
+             CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                      AS BIGINT)) AS BIGINT) AS cap
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+      JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+      WHERE n1.n_name <> n2.n_name
+      GROUP BY n1.n_name, n2.n_name
+"""
+
+
+@declared(
+    "widest_two_hop_trade",
+    oracle=f"""
+    WITH edges AS ({_EDGE_SQL}),
+    relay AS (
+      SELECT e1.src, e2.dst,
+             CAST(max(least(e1.cap, e2.cap)) AS BIGINT) AS relay_cap
+      FROM edges e1 JOIN edges e2
+        ON e2.src = e1.dst AND e2.dst <> e1.src
+      GROUP BY e1.src, e2.dst
+    ),
+    unioned AS (
+      SELECT src, dst, cap AS direct_cap, NULL::BIGINT AS relay_cap
+      FROM edges
+      UNION ALL
+      SELECT src, dst, NULL::BIGINT, relay_cap FROM relay
+    )
+    SELECT src AS src_nation, dst AS dst_nation,
+           CAST(coalesce(max(direct_cap), 0) AS BIGINT) AS direct_cap,
+           CAST(coalesce(max(relay_cap), 0) AS BIGINT) AS best_relay_cap,
+           CAST(greatest(coalesce(max(direct_cap), 0),
+                         coalesce(max(relay_cap), 0)) AS BIGINT) AS best_cap
+    FROM unioned
+    GROUP BY src, dst
+    """,
+)
+def widest_two_hop_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Widest-path (bottleneck-capacity) routing over the nation trade
+    graph, paths of length <= 2: for each nation pair, the best
+    single-corridor capacity vs the best relay through one intermediate
+    (capacity of a path = its thinnest edge).  The graph family's path
+    query, alongside reachability (near_dup_components) and centrality
+    (pagerank_nations).
+
+    The expensive part is the edge build -- the full Q7-shaped fact join
+    -- which runs ONCE into a checkpointed |nations|^2-bounded edge
+    list; the 2-hop exploration is a self-join on that tiny frame
+    (broadcast, never a fact-side shuffle).  The direct/relay merge is a
+    tagged union + group-max, not a full-outer join (Spark cannot
+    broadcast full outer; the union form stays joinless -- CLAUDE.md
+    trap).  All capacities are scaled-cent integers: least/greatest/max
+    are exact, no float comparison anywhere.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("src")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("dst")
+    )
+    cap_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("n2_key"))
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.sum(cap_cents).cast("bigint").alias("cap"))
+        .localCheckpoint(eager=True)
+    )
+    e1 = edges.select(
+        F.col("src").alias("r_src"),
+        F.col("dst").alias("mid"),
+        F.col("cap").alias("cap1"),
+    )
+    e2 = edges.select(
+        F.col("src").alias("mid2"),
+        F.col("dst").alias("r_dst"),
+        F.col("cap").alias("cap2"),
+    )
+    relay = (
+        e1.join(
+            F.broadcast(e2),
+            (F.col("mid2") == F.col("mid")) & (F.col("r_dst") != F.col("r_src")),
+        )
+        .groupBy(F.col("r_src").alias("src"), F.col("r_dst").alias("dst"))
+        .agg(
+            F.max(F.least(F.col("cap1"), F.col("cap2")))
+            .cast("bigint")
+            .alias("relay_cap")
+        )
+    )
+    unioned = edges.select(
+        "src", "dst", F.col("cap").alias("direct_cap"),
+        F.lit(None).cast("bigint").alias("relay_cap"),
+    ).unionByName(
+        relay.select(
+            "src", "dst", F.lit(None).cast("bigint").alias("direct_cap"),
+            "relay_cap",
+        )
+    )
+    direct_m = F.coalesce(F.max("direct_cap"), F.lit(0)).cast("bigint")
+    relay_m = F.coalesce(F.max("relay_cap"), F.lit(0)).cast("bigint")
+    return unioned.groupBy(
+        F.col("src").alias("src_nation"), F.col("dst").alias("dst_nation")
+    ).agg(
+        direct_m.alias("direct_cap"),
+        relay_m.alias("best_relay_cap"),
+        F.greatest(direct_m, relay_m).cast("bigint").alias("best_cap"),
+    )
