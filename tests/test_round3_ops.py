@@ -364,3 +364,32 @@ def test_division_counts_are_consistent(spark):
     with_items = li.select("l_orderkey").distinct()
     fully_direct = with_items.join(late, "l_orderkey", "anti").count()
     assert sum(r.n_fully_on_time for r in rows) == fully_direct
+
+
+def test_equidepth_sampled_boundary_path(spark):
+    """The documented 100 TB path for equi-depth bands -- approx-quantile
+    boundaries + range assignment instead of a global ntile sort --
+    produces bands within a reasonable balance tolerance of fair share."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select("value")
+    n = ev.count()
+    cuts = ev.agg(
+        F.percentile_approx(
+            "value", [i / 10 for i in range(1, 10)], 10000
+        ).alias("qs")
+    ).collect()[0].qs
+    band = F.lit(1)
+    for i, c in enumerate(cuts, start=1):
+        band = F.when(F.col("value") > float(c), i + 1).otherwise(band)
+    counts = [
+        r.cnt
+        for r in ev.select(band.alias("band"))
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    ]
+    assert len(counts) == 10
+    fair = n / 10
+    for c in counts:
+        assert 0.5 * fair <= c <= 2.0 * fair
