@@ -751,3 +751,75 @@ def curriculum_quality_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("quality_score").alias("min_score"),
         F.max("quality_score").alias("max_score"),
     )
+
+
+@declared(
+    "quality_length_corr_by_source",
+    oracle=f"""
+    WITH q AS ({_quality_oracle()}),
+    feats AS (
+      SELECT d.source,
+             CAST(d.n_chars AS BIGINT) AS x,
+             CAST(round(q.quality_score * 10000) AS BIGINT) AS y
+      FROM q JOIN documents d ON d.doc_id = q.doc_id
+    ),
+    m AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+      FROM feats GROUP BY source
+    )
+    SELECT source, n,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr
+    FROM m
+    WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    """,
+)
+def quality_length_corr_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Pearson correlation between document length and the
+    declared quality score -- the curation diagnostic that catches a
+    quality model that is secretly a length model (|corr| near 1 in a
+    source means its "quality" signal adds nothing over n_chars).
+
+    The grouped form of lineitem_corr_matrix's exact-moment method: all
+    six moments accumulate per source in one aggregation (integer,
+    order-independent; DECIMAL(38,0) in Spark for headroom -- char
+    counts x 1e4-scaled scores overflow int64 sums near 1e12-row
+    sources), and only the final three exact integers convert to double
+    for the sqrt/divide.  Zero-variance sources are excluded explicitly
+    on both engines rather than emitting engine-dependent NaN/NULL.
+    """
+    from etl_rf_matrix_controller_spark.operators.text import doc_quality_score
+
+    q = doc_quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    feats = docs.join(q, "doc_id").select(
+        "source",
+        F.col("n_chars").cast("bigint").alias("x"),
+        F.round(F.col("quality_score") * 10000).cast("bigint").alias("y"),
+    )
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = feats.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(d(F.col("x"))).alias("sx"),
+        F.sum(d(F.col("y"))).alias("sy"),
+        F.sum(d(F.col("x") * F.col("x"))).alias("sxx"),
+        F.sum(d(F.col("y") * F.col("y"))).alias("syy"),
+        F.sum(d(F.col("x") * F.col("y"))).alias("sxy"),
+    )
+    var_x = F.expr("n * sxx - sx * sx")
+    var_y = F.expr("n * syy - sy * sy")
+    corr = F.expr(
+        "CAST(n * sxy - sx * sy AS DOUBLE)"
+        " / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))"
+        " * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))"
+    )
+    return (
+        m.filter((var_x > 0) & (var_y > 0))
+        .select("source", "n", corr.alias("corr"))
+    )

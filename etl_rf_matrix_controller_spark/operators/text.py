@@ -542,3 +542,72 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(n_bpe).cast("bigint").alias("bpe_tokens"),
         ratio4(F.sum(n_bpe), F.sum(n_ws)).alias("fertility4"),
     )
+
+
+@declared(
+    "tokenizer_oov_rate",
+    oracle="""
+    WITH tok AS (
+      SELECT t.token
+      FROM documents, unnest(string_split(trim(text), ' ')) AS t(token)
+      WHERE t.token <> ''
+    ),
+    vocab AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(row_number() OVER (ORDER BY count(*) DESC, token)
+               AS BIGINT) AS rnk
+      FROM tok GROUP BY token
+    ),
+    cum AS (
+      SELECT rnk,
+             CAST(sum(cnt) OVER (ORDER BY rnk) AS BIGINT) AS covered,
+             CAST(sum(cnt) OVER () AS BIGINT) AS total
+      FROM vocab
+    )
+    SELECT rnk AS vocab_k, covered, total,
+           CAST(((total - covered) * 1000000) // total AS BIGINT) AS oov_ppm
+    FROM cum WHERE rnk IN (10, 20, 30)
+    """,
+)
+def tokenizer_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary mass at candidate vocab sizes: the fraction of
+    corpus tokens NOT covered by the top-K vocabulary, for K along the
+    coverage curve -- the sizing analysis run before fixing a
+    tokenizer's vocab (each row answers "if the vocab stopped at K,
+    how much of the corpus falls to <unk>?").
+
+    Token counts collapse map-side to the vocab table; the coverage
+    cumsum is a window over VOCAB rank (vocab-sized, corpus-independent
+    -- the same reason bpe_merge_pair_counts works at 100 TB), and the
+    OOV share is an integer ppm.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(F.split(F.trim("text"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .withColumn(
+            "rnk",
+            F.row_number()
+            .over(Window.orderBy(F.desc("cnt"), F.asc("token")))
+            .cast("bigint"),
+        )
+    )
+    cum = vocab.select(
+        "rnk",
+        F.sum("cnt").over(Window.orderBy("rnk")).cast("bigint").alias("covered"),
+        F.sum("cnt").over(
+            Window.orderBy("rnk").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).cast("bigint").alias("total"),
+    )
+    return cum.filter(F.col("rnk").isin(10, 20, 30)).select(
+        F.col("rnk").alias("vocab_k"),
+        "covered",
+        "total",
+        F.expr("CAST(((total - covered) * 1000000) DIV total AS BIGINT)").alias(
+            "oov_ppm"
+        ),
+    )
