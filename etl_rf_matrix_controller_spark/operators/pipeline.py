@@ -364,3 +364,105 @@ def weighted_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "o_orderkey", "w_cents", F.expr("cumw DIV stride").cast("bigint").alias("bucket")
     )
+
+
+@declared(
+    "split_balance_tv_distance",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT lang,
+             CASE WHEN {_bucket_sql('doc_id')} < 80 THEN 'train'
+                  WHEN {_bucket_sql('doc_id')} < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ),
+    per_lang AS (
+      SELECT lang,
+             CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_tr,
+             CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_va,
+             CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_te
+      FROM tagged GROUP BY lang
+    ),
+    m AS (
+      SELECT CAST(sum(n_tr) AS BIGINT) AS nt,
+             CAST(sum(n_va) AS BIGINT) AS nv,
+             CAST(sum(n_te) AS BIGINT) AS ne,
+             CAST(sum(abs(n_va * (SELECT sum(n_tr) FROM per_lang)
+                          - n_tr * (SELECT sum(n_va) FROM per_lang)))
+               AS BIGINT) AS num_va,
+             CAST(sum(abs(n_te * (SELECT sum(n_tr) FROM per_lang)
+                          - n_tr * (SELECT sum(n_te) FROM per_lang)))
+               AS BIGINT) AS num_te
+      FROM per_lang
+    )
+    SELECT 'val' AS split, nv AS n_docs,
+           CAST((num_va * 1000000) // (2 * nv * nt) AS BIGINT)
+             AS tv_vs_train_ppm
+    FROM m
+    UNION ALL
+    SELECT 'test', ne,
+           CAST((num_te * 1000000) // (2 * ne * nt) AS BIGINT)
+    FROM m
+    """,
+)
+def split_balance_tv_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-health audit: total-variation distance between each eval
+    split's language distribution and train's -- the stratification
+    check run after hash_split_assign (a TV near 0 means val/test are
+    drawn from the same language mixture as train; a spike means some
+    language landed lopsided and eval metrics will not transfer).
+
+    Integer-exact: each |p_l - q_l| term cross-multiplies to
+    |n_l_s * N_train - n_l_train * N_s| over the common denominator,
+    so the sum is an integer and only the final ppm divides.  One
+    aggregation to per-language conditional counts (|langs| rows), one
+    scalar fold -- both corpus-size-independent after the first
+    shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    b = hash_bucket(F.col("doc_id"))
+    tagged = docs.select(
+        "lang",
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test").alias(
+            "split"
+        ),
+    )
+    per_lang = tagged.groupBy("lang").agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_tr"),
+        F.sum(F.when(F.col("split") == "val", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_va"),
+        F.sum(F.when(F.col("split") == "test", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_te"),
+    )
+    tot = per_lang.agg(
+        F.sum("n_tr").cast("bigint").alias("nt"),
+        F.sum("n_va").cast("bigint").alias("nv"),
+        F.sum("n_te").cast("bigint").alias("ne"),
+    )
+    m = (
+        per_lang.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("nt").cast("bigint").alias("nt"),
+            F.max("nv").cast("bigint").alias("nv"),
+            F.max("ne").cast("bigint").alias("ne"),
+            F.sum(F.abs(F.col("n_va") * F.col("nt") - F.col("n_tr") * F.col("nv")))
+            .cast("bigint")
+            .alias("num_va"),
+            F.sum(F.abs(F.col("n_te") * F.col("nt") - F.col("n_tr") * F.col("ne")))
+            .cast("bigint")
+            .alias("num_te"),
+        )
+    )
+    return m.selectExpr(
+        "stack(2,"
+        " 'val', nv, CAST((num_va * 1000000) DIV (2 * nv * nt) AS BIGINT),"
+        " 'test', ne, CAST((num_te * 1000000) DIV (2 * ne * nt) AS BIGINT)"
+        ") AS (split, n_docs, tv_vs_train_ppm)"
+    )
