@@ -393,3 +393,148 @@ def test_equidepth_sampled_boundary_path(spark):
     fair = n / 10
     for c in counts:
         assert 0.5 * fair <= c <= 2.0 * fair
+
+
+def test_cusum_changepoint_matches_python(spark):
+    """CUSUM argmax per type equals a direct Python fold."""
+    import collections
+
+    from etl_rf_matrix_controller_spark.operators.profiling import (
+        value_changepoint_cusum,
+    )
+
+    raw = collections.defaultdict(list)
+    for r in (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .selectExpr(
+            "event_type", "ts", "event_id",
+            "CAST(round(value * 100) AS BIGINT) AS v",
+        )
+        .collect()
+    ):
+        raw[r.event_type].append((r.ts, r.event_id, r.v))
+    got = {r.event_type: r for r in value_changepoint_cusum(spark, SF_DIR).collect()}
+    for typ, evs in raw.items():
+        evs.sort()
+        n = len(evs)
+        s = sum(v for _, _, v in evs)
+        cum = 0
+        best = (-1, None)
+        for k, (ts, _, v) in enumerate(evs, start=1):
+            cum += v
+            dev = abs(n * cum - k * s)
+            if dev > best[0]:
+                best = (dev, k, ts)
+        r = got[typ]
+        assert (r.max_abs_cusum, r.cp_index, r.cp_ts) == (
+            best[0], best[1], best[2],
+        )
+
+
+def test_widest_path_dominance_and_relay(spark):
+    """best_cap >= direct_cap; relay capacities match a Python
+    widest-2-hop recompute over the collected edge list."""
+    from etl_rf_matrix_controller_spark.operators.graph import (
+        widest_two_hop_trade,
+    )
+
+    rows = widest_two_hop_trade(spark, SF_DIR).collect()
+    direct = {
+        (r.src_nation, r.dst_nation): r.direct_cap
+        for r in rows
+        if r.direct_cap > 0
+    }
+    for r in rows:
+        assert r.best_cap == max(r.direct_cap, r.best_relay_cap)
+    # recompute relay from the direct edges
+    best_relay = {}
+    for (a, b), c1 in direct.items():
+        for (b2, c), c2 in direct.items():
+            if b2 == b and c != a:
+                k = (a, c)
+                cap = min(c1, c2)
+                if cap > best_relay.get(k, -1):
+                    best_relay[k] = cap
+    for r in rows:
+        assert r.best_relay_cap == best_relay.get(
+            (r.src_nation, r.dst_nation), 0
+        )
+
+
+def test_oov_rate_monotone_and_totals(spark):
+    """Coverage grows with vocab size; OOV mass shrinks; totals equal
+    the corpus token count."""
+    from etl_rf_matrix_controller_spark.operators.text import (
+        tokenizer_oov_rate,
+    )
+    from pyspark.sql import functions as F
+
+    rows = sorted(tokenizer_oov_rate(spark, SF_DIR).collect(), key=lambda r: r.vocab_k)
+    total_direct = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select(F.explode(F.split(F.trim("text"), " ")).alias("t"))
+        .filter(F.col("t") != "")
+        .count()
+    )
+    for a, b in zip(rows, rows[1:]):
+        assert a.covered <= b.covered
+        assert a.oov_ppm >= b.oov_ppm
+    for r in rows:
+        assert r.total == total_direct
+        assert 0 <= r.oov_ppm <= 1_000_000
+
+
+def test_grouped_corr_matches_numpy(spark):
+    """Per-source quality/length correlation equals numpy's corrcoef."""
+    import numpy as np
+
+    from etl_rf_matrix_controller_spark.operators.curation import (
+        quality_length_corr_by_source,
+    )
+    from etl_rf_matrix_controller_spark.operators.text import doc_quality_score
+
+    q = {r.doc_id: r.quality_score for r in doc_quality_score(spark, SF_DIR).collect()}
+    feats = {}
+    for r in (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "source", "n_chars")
+        .collect()
+    ):
+        feats.setdefault(r.source, []).append(
+            (r.n_chars, round(q[r.doc_id] * 10000))
+        )
+    for r in quality_length_corr_by_source(spark, SF_DIR).collect():
+        xs, ys = zip(*feats[r.source])
+        ref = float(np.corrcoef(xs, ys)[0, 1])
+        assert abs(r.corr - ref) < 1e-9
+        assert -1.0 - 1e-12 <= r.corr <= 1.0 + 1e-12
+
+
+def test_tv_distance_matches_python(spark):
+    """Split TV distance equals the direct definition."""
+    import collections
+
+    from etl_rf_matrix_controller_spark.operators.pipeline import (
+        split_balance_tv_distance,
+    )
+
+    counts = collections.defaultdict(lambda: collections.Counter())
+    for r in (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "lang")
+        .collect()
+    ):
+        b = _md5_bucket(r.doc_id)
+        split = "train" if b < 80 else ("val" if b < 90 else "test")
+        counts[split][r.lang] += 1
+    nt = sum(counts["train"].values())
+    got = {r.split: r for r in split_balance_tv_distance(spark, SF_DIR).collect()}
+    for split in ("val", "test"):
+        ns = sum(counts[split].values())
+        langs = set(counts["train"]) | set(counts[split])
+        num = sum(
+            abs(counts[split][l] * nt - counts["train"][l] * ns) for l in langs
+        )
+        expect = (num * 1_000_000) // (2 * ns * nt)
+        assert got[split].n_docs == ns
+        assert got[split].tv_vs_train_ppm == expect
