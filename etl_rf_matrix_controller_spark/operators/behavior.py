@@ -1258,3 +1258,56 @@ def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(ordered, lambda s: s.event_type), 1, 10
         ).alias("first_events"),
     )
+
+
+@declared(
+    "event_trigram_paths",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS t1,
+             lead(event_type, 1) OVER w AS t2,
+             lead(event_type, 2) OVER w AS t3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    paths AS (
+      SELECT t1 || '>' || t2 || '>' || t3 AS path,
+             CAST(count(*) AS BIGINT) AS n_paths
+      FROM seq WHERE t3 IS NOT NULL
+      GROUP BY t1 || '>' || t2 || '>' || t3
+    )
+    SELECT path, n_paths, rnk
+    FROM (
+      SELECT path, n_paths,
+             CAST(row_number() OVER (ORDER BY n_paths DESC, path)
+               AS BIGINT) AS rnk
+      FROM paths
+    ) WHERE rnk <= 15
+    """,
+)
+def event_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 3-step behavioral paths: the trigram extension of
+    event_transition_counts (bigrams), i.e. the flow segments a Sankey /
+    user-journey view renders.  Two leads over one per-user window --
+    the same single shuffle the bigram form pays, NOT a self-join per
+    extra step (the join form doubles shuffles per path length; the
+    window form is O(1) shuffles for any fixed n).  Path cardinality is
+    |event_types|^3-bounded, so the count aggregation collapses
+    map-side regardless of corpus size.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).filter(F.col("t3").isNotNull())
+    paths = seq.select(
+        F.concat_ws(">", "t1", "t2", "t3").alias("path")
+    ).groupBy("path").agg(F.count(F.lit(1)).cast("bigint").alias("n_paths"))
+    wr = Window.orderBy(F.desc("n_paths"), F.asc("path"))
+    return (
+        paths.withColumn("rnk", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rnk") <= 15)
+        .select("path", "n_paths", "rnk")
+    )
