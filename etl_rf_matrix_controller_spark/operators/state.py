@@ -242,3 +242,85 @@ def state_diff_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("unchanged")
         .alias("change_class"),
     )
+
+
+@declared(
+    "asof_next_order",
+    oracle="""
+    SELECT o_orderkey, user_id, o_orderdate, next_event_id, next_event_ts
+    FROM (
+      SELECT o.o_orderkey, o.o_custkey AS user_id, o.o_orderdate,
+             e.event_id AS next_event_id,
+             e.ts AS next_event_ts,
+             row_number() OVER (
+               PARTITION BY o.o_orderkey
+               ORDER BY e.ts ASC, e.event_id ASC
+             ) AS rn
+      FROM orders o
+      JOIN events e
+        ON e.user_id = o.o_custkey AND e.ts > o.o_orderdate
+    ) t
+    WHERE rn = 1
+    """,
+)
+def asof_next_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: for each order, the EARLIEST event of its
+    customer strictly after the order date -- the response-matching
+    direction (a command matched to the next observed effect), the dual
+    of asof_latest_order's state-at-command direction; together they
+    complete the as-of family around the reference's verify loop
+    (etl_controller.py:2446-2448 polls for the effect AFTER a write).
+
+    Same scalable union-merge as the backward form, mirrored: one
+    shuffle on the key, a [current row, unbounded following] window,
+    ``first(..., ignorenulls=True)``.  Strictness encoded in the sort:
+    events sort BEFORE orders at an equal timestamp (kind 0 < 1), so a
+    same-instant event is NOT visible to the order's forward-looking
+    window -- matching the oracle's ``e.ts > o.o_orderdate`` exactly;
+    among equal later timestamps the min event_id wins (event_id asc +
+    first).  Never materializes the order x event cross-range the
+    oracle's theta-join implies.
+    """
+    events = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+
+    event_rows = events.select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("kind"),
+        F.col("event_id").alias("e_id"),
+        F.col("ts").alias("e_ts"),
+        F.lit(None).cast("bigint").alias("o_orderkey"),
+        F.lit(None).cast("timestamp").alias("o_orderdate"),
+    )
+    order_rows = orders.select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("ts"),
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("bigint").alias("e_id"),
+        F.lit(None).cast("timestamp").alias("e_ts"),
+        "o_orderkey",
+        "o_orderdate",
+    )
+    merged = event_rows.unionByName(order_rows)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("kind").asc(), F.col("e_id").asc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    return (
+        merged.withColumn(
+            "next_event_id", F.first("e_id", ignorenulls=True).over(w)
+        )
+        .withColumn(
+            "next_event_ts", F.first("e_ts", ignorenulls=True).over(w)
+        )
+        .filter((F.col("kind") == 1) & F.col("next_event_id").isNotNull())
+        .select(
+            "o_orderkey",
+            "user_id",
+            "o_orderdate",
+            "next_event_id",
+            "next_event_ts",
+        )
+    )
