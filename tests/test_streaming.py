@@ -680,3 +680,83 @@ def test_state_ttl_expiry_event_time_timeout(spark, tmp_path):
     assert {r.user_id for r in out if r.status == "active"} == set(last_a) | {
         final.user_id
     }
+
+def test_watermark_drop_metrics_and_result(spark, tmp_path):
+    """Late rows below the watermark are dropped AND the drop is
+    observable: numRowsDroppedByWatermark accounts for exactly the
+    engineered late batch (append mode -- update mode does not filter
+    late rows against still-live window state), and every finalized
+    window in the sink matches the on-time-only batch aggregation."""
+    import os
+
+    from etl_rf_matrix_controller_spark.sources.tables import (
+        load_table,
+        normalize_events_ts,
+        set_events_read_confs,
+    )
+    from etl_rf_matrix_controller_spark.streaming.windows import _tumbling_agg
+
+    events = load_table(spark, SF_DIR, "events")
+    ordered = events.orderBy("ts", "event_id").collect()
+    late_ids = {r.event_id for r in ordered[:50]}
+    final_id = ordered[-1].event_id
+    src = str(tmp_path / "wm_events")
+    on_time = events.filter(
+        ~F.col("event_id").isin(*late_ids) & (F.col("event_id") != final_id)
+    )
+    mid = events.filter(F.col("event_id") == final_id)
+    late = events.filter(F.col("event_id").isin(*late_ids))
+    # Three micro-batches with strictly increasing mtimes: the watermark
+    # used to FILTER batch N is the one computed from batch N-2's data
+    # (one-batch propagation lag), so the late file must arrive in batch
+    # 3 to meet a watermark advanced by batch 1.
+    on_time.repartition(1).write.parquet(src)
+    mid.repartition(1).write.mode("append").parquet(src)
+    late.repartition(1).write.mode("append").parquet(src)
+    parts = [f for f in os.listdir(src) if f.endswith(".parquet")]
+    sizes = {f: os.path.getsize(os.path.join(src, f)) for f in parts}
+    order = sorted(parts, key=lambda f: -sizes[f])  # on_time(950) > late(50) > mid(1)
+    order = [order[0], order[2], order[1]]
+    now = 1700000000
+    for age, f in zip((200, 100, 0), order):
+        os.utime(os.path.join(src, f), (now - age, now - age))
+
+    set_events_read_confs(spark)
+    batch = spark.read.parquet(src)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    stream = normalize_events_ts(stream).withWatermark("ts", "0 seconds")
+    q = (
+        _tumbling_agg(stream)
+        .writeStream.format("memory")
+        .queryName("wm_drop_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for op in p.get("stateOperators", [])
+    )
+    # The watermark filter sits AFTER map-side partial aggregation, so it
+    # counts dropped PARTIAL rows: with the late file read as a single
+    # split, that is exactly its distinct (window, type) group count.
+    expected_drop = (
+        late.select(
+            F.date_trunc("hour", "ts").alias("h"), "event_type"
+        )
+        .distinct()
+        .count()
+    )
+    assert dropped == expected_drop > 0
+    # every finalized window the sink emitted matches the batch agg over
+    # the rows that were admitted (on-time + the single mid event)
+    admitted = events.filter(~F.col("event_id").isin(*late_ids))
+    got = {tuple(r) for r in spark.table("wm_drop_stream").collect()}
+    want = {tuple(r) for r in _tumbling_agg(admitted).collect()}
+    assert got and got <= want
