@@ -823,3 +823,89 @@ def quality_length_corr_by_source(spark: SparkSession, sf_dir: str) -> DataFrame
         m.filter((var_x > 0) & (var_y > 0))
         .select("source", "n", corr.alias("corr"))
     )
+
+
+# Fixed integer weights for the inference demo model: score is a pure
+# integer function of (tokens, chars, stopwords) so the oracle can
+# recompute it exactly in SQL.
+_INF_W_TOKENS = 3000
+_INF_W_CHARS = 200
+_INF_W_STOP = -50000
+_INF_BIAS = 100000
+
+
+@declared(
+    "model_inference_scores",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(trim(text), ' '),
+                                  t -> t <> '')) AS BIGINT) AS n_tokens,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(len(list_filter(string_split(trim(text), ' '),
+                       t -> t IN ('the', 'a', 'of', 'and', 'to')))
+               AS BIGINT) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           CAST({_INF_W_TOKENS} * n_tokens + {_INF_W_CHARS} * n_chars
+                + {_INF_W_STOP} * n_stop + {_INF_BIAS} AS BIGINT)
+             AS logit_scaled,
+           CASE WHEN {_INF_W_TOKENS} * n_tokens + {_INF_W_CHARS} * n_chars
+                     + {_INF_W_STOP} * n_stop + {_INF_BIAS} >= 150000
+                THEN 'keep' ELSE 'review' END AS grade
+    FROM feats
+    """,
+)
+def model_inference_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch model inference via Arrow-batched ``mapInPandas`` -- the
+    production shape for running a quality/safety classifier over a
+    100 TB corpus: one Python worker per partition, features and scores
+    computed per Arrow batch with vectorized pandas ops, model weights
+    closed over (a real deployment loads an ONNX/torch session once per
+    worker in the generator and scores each batch; here the model is a
+    fixed-integer linear scorer so the oracle can recompute it exactly
+    -- the PLUMBING is the deliverable, like multimodal.py's decode).
+
+    Tokenization inside the UDF mirrors the SQL split exactly
+    (whitespace split, empties dropped); all arithmetic is integer, so
+    the Python path hash-matches the engine path bit-for-bit -- which
+    is also the right production check: a scorer whose features drift
+    from the declared feature spec is silently mis-scoring the corpus.
+    """
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    stop = {"the", "a", "of", "and", "to"}
+
+    def score_batches(batches):
+        for pdf in batches:
+            toks = pdf["text"].map(
+                lambda t: [x for x in t.strip().split(" ") if x]
+            )
+            n_tokens = toks.map(len)
+            n_chars = pdf["text"].str.len()
+            n_stop = toks.map(lambda ts: sum(1 for t in ts if t in stop))
+            logit = (
+                _INF_W_TOKENS * n_tokens
+                + _INF_W_CHARS * n_chars
+                + _INF_W_STOP * n_stop
+                + _INF_BIAS
+            )
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_tokens": n_tokens,
+                    "logit_scaled": logit,
+                    "grade": (logit >= 150000).map(
+                        {True: "keep", False: "review"}
+                    ),
+                }
+            )
+            yield out
+
+    return docs.mapInPandas(
+        score_batches,
+        schema="doc_id BIGINT, n_tokens BIGINT, logit_scaled BIGINT,"
+        " grade STRING",
+    )
