@@ -324,3 +324,56 @@ def asof_next_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             "next_event_ts",
         )
     )
+
+
+@declared(
+    "route_flap_detection",
+    oracle="""
+    WITH ch AS (
+      SELECT user_id,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CASE WHEN event_type <> lag(event_type) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id)
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+    )
+    SELECT user_id, day,
+           CAST(sum(chg) AS BIGINT) AS n_changes,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM ch
+    GROUP BY user_id, day
+    HAVING sum(chg) >= 3
+    """,
+)
+def route_flap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flap detection: keys whose state CHANGED >= 3 times within a day
+    -- the oscillation alarm a routing controller needs on top of
+    last-write-wins state (a route that keeps switching is a failing
+    link, not a sequence of valid writes; the reference's 500 ms
+    readback verification, etl_controller.py:2447-2448, exists exactly
+    because a write may not stick).  The change flag compares each
+    event to the key's PREVIOUS event across day boundaries (a flap at
+    midnight is still a flap); only the grouping is daily.
+
+    One shuffle on the key serves the lag window; the daily rollup is a
+    partial-aggregable count.  The first event of a key counts as no
+    change (lag NULL -> <> is NULL -> 0 on both engines).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = F.when(
+        F.col("event_type") != F.lag("event_type").over(w), 1
+    ).otherwise(0)
+    return (
+        ev.select(
+            "user_id",
+            F.date_trunc("day", "ts").alias("day"),
+            chg.alias("chg"),
+        )
+        .groupBy("user_id", "day")
+        .agg(
+            F.sum("chg").cast("bigint").alias("n_changes"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        )
+        .filter(F.col("n_changes") >= 3)
+    )
