@@ -427,3 +427,26 @@ def stream_static_enriched_counts_stream(
     events = _events_stream(spark, sf_dir).withWatermark("ts", "1 day")
     agg = _enriched_agg(events, _severity_dim(spark, sf_dir))
     return run_stream_to_memory(agg, "stream_static_enriched", spark)
+
+
+def interval_join_full(errors: DataFrame, clicks: DataFrame) -> DataFrame:
+    """FULL OUTER watermarked stream-stream interval join: both
+    no-response directions of the verification pattern -- an error with
+    no click times out (left null), and a click matching no error is
+    surfaced as an orphan effect (right null) once the watermark proves
+    no qualifying error can still arrive.  Same bounded state as the
+    inner/left forms: each side evicts when the global watermark passes
+    its join-range reach.  (This is a stream-STREAM full outer --
+    Spark's no-broadcast-full-outer limitation applies to batch joins
+    with a small side, not here.)
+
+    Callers attach watermarks to both inputs; errors carry
+    (error_id, user_id, error_ts), clicks (c_user, c_ts, c_id).
+    """
+    return errors.join(
+        clicks,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("c_ts") <= F.col("error_ts"))
+        & (F.col("c_ts") > F.col("error_ts") - F.expr("INTERVAL 1 HOUR")),
+        "full_outer",
+    ).select("error_id", "user_id", "error_ts", "c_user", "c_ts", "c_id")

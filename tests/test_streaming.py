@@ -760,3 +760,86 @@ def test_watermark_drop_metrics_and_result(spark, tmp_path):
     got = {tuple(r) for r in spark.table("wm_drop_stream").collect()}
     want = {tuple(r) for r in _tumbling_agg(admitted).collect()}
     assert got and got <= want
+
+
+def test_interval_join_full_outer_both_null_sides(spark, tmp_path):
+    """FULL OUTER stream-stream interval join: matched pairs, a
+    watermark-certified unmatched error (left null), AND a
+    watermark-certified orphan click (right null) -- while unexpired
+    state on both sides stays unemitted at shutdown."""
+    import pandas as pd
+
+    from etl_rf_matrix_controller_spark.streaming.windows import (
+        interval_join_full,
+    )
+
+    datadir = tmp_path / "ev"
+    datadir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    outdir = str(tmp_path / "out")
+
+    def t(h, m=0):
+        return pd.Timestamp(2024, 1, 1, h, m)
+
+    batch1 = pd.DataFrame(
+        [
+            dict(event_id=1, user_id=1, event_type="error", ts=t(10)),
+            dict(event_id=2, user_id=2, event_type="error", ts=t(10)),
+            dict(event_id=3, user_id=1, event_type="click", ts=t(9, 30)),
+            # orphan click: matches no error, ever
+            dict(event_id=4, user_id=98, event_type="click", ts=t(11, 50)),
+        ]
+    )
+    batch2 = pd.DataFrame(
+        [
+            # advance both watermarks far enough to expire everything in
+            # batch 1 (global watermark min(23:50-10m, 23:50-2h)=21:50)
+            dict(event_id=6, user_id=3, event_type="error", ts=t(23, 50)),
+            dict(event_id=7, user_id=99, event_type="click", ts=t(23, 50)),
+        ]
+    )
+    schema = (
+        "event_id bigint, user_id bigint, event_type string, ts timestamp"
+    )
+
+    def run_available_now():
+        src = spark.readStream.schema(schema).parquet(str(datadir))
+        errors = (
+            src.filter(F.col("event_type") == "error")
+            .select(
+                F.col("event_id").alias("error_id"),
+                "user_id",
+                F.col("ts").alias("error_ts"),
+            )
+            .withWatermark("error_ts", "10 minutes")
+        )
+        clicks = (
+            src.filter(F.col("event_type") == "click")
+            .select(
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("c_ts"),
+                F.col("event_id").alias("c_id"),
+            )
+            .withWatermark("c_ts", "2 hours")
+        )
+        q = (
+            interval_join_full(errors, clicks)
+            .writeStream.format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    batch1.astype({"ts": "datetime64[us]"}).to_parquet(datadir / "f1.parquet")
+    run_available_now()
+    batch2.astype({"ts": "datetime64[us]"}).to_parquet(datadir / "f2.parquet")
+    run_available_now()
+    got = {
+        (r.error_id, r.c_id) for r in spark.read.parquet(outdir).collect()
+    }
+    # matched pair, expired unmatched error, expired orphan click --
+    # and nothing premature from the unexpired batch-2 rows.
+    assert got == {(1, 3), (2, None), (None, 4)}, got
