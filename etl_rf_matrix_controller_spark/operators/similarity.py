@@ -1442,3 +1442,66 @@ def percentile_cont_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("price_cont"),
         )
     )
+
+
+GRAM_DIMS = 16  # declared form covers the leading 16 dims (136 cells)
+
+
+@declared(
+    "embedding_gram_matrix",
+    oracle=f"""
+    SELECT CAST(i AS BIGINT) AS pos_a, CAST(j AS BIGINT) AS pos_b,
+           list_sum(list(CAST(embedding[i] AS DOUBLE)
+                         * CAST(embedding[j] AS DOUBLE) ORDER BY vec_id))
+             AS gram
+    FROM embeddings,
+         generate_series(1, {GRAM_DIMS}) AS g(i),
+         generate_series(1, {GRAM_DIMS}) AS h(j)
+    WHERE j >= i
+    GROUP BY i, j
+    """,
+)
+def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gram matrix (X^T X) over the leading {GRAM_DIMS} embedding
+    dimensions, upper triangle -- the covariance precursor every
+    PCA/whitening/linear-probe step needs, and the distributed
+    matrix-product shape (cf. cuboid-fused matrix engines, FuseME
+    SIGMOD'22): each row contributes its local outer product, cells
+    partial-aggregate.
+
+    Determinism: per-cell sums are SEQUENTIAL double folds over
+    vec_id-sorted products (the label_centroid_components pattern --
+    embedding floats are not clean decimals, so scaled integers cannot
+    apply; ordered folding is the float-parity tool).  The declared form
+    covers 136 cells; the full 64-dim matrix is the same expression with
+    GRAM_DIMS=64 (2080 cells), and at 100 TB the per-cell collect
+    becomes a fixed-fanout tree aggregate, same determinism.  The pair
+    fan-out is per-row (no shuffle until the cell aggregation) and
+    cells are corpus-size-independent.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb = emb.repartition(spark.sparkContext.defaultParallelism)
+    pairs = emb.select(
+        "vec_id",
+        F.explode(
+            F.expr(
+                f"""flatten(transform(sequence(1, {GRAM_DIMS}), i ->
+                      transform(sequence(i, {GRAM_DIMS}), j ->
+                        struct(CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+                               CAST(element_at(embedding, i) AS DOUBLE)
+                               * CAST(element_at(embedding, j) AS DOUBLE)
+                               AS prod))))"""
+            )
+        ).alias("c"),
+    ).select("vec_id", "c.i", "c.j", "c.prod")
+    ordered_sum = F.aggregate(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("vec_id", "prod"))),
+            lambda s: s.prod.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return pairs.groupBy(
+        F.col("i").alias("pos_a"), F.col("j").alias("pos_b")
+    ).agg(ordered_sum.alias("gram"))
