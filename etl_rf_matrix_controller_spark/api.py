@@ -148,6 +148,14 @@ class MatrixEngine:
         """Equi-depth (CBO-style) histogram of the value column."""
         return self._q("equidepth_value_bands")
 
+    def flap_alarms(self) -> DataFrame:
+        """Keys whose state changed >= 3 times in a day (oscillation)."""
+        return self._q("route_flap_detection")
+
+    def score_corpus(self) -> DataFrame:
+        """Arrow-batched model-inference scores over documents."""
+        return self._q("model_inference_scores")
+
     # -- escape hatch ------------------------------------------------------
     def query(self, name: str) -> DataFrame:
         """Any declared operator by SURVEY SS2 query id."""

@@ -1462,7 +1462,7 @@ GRAM_DIMS = 16  # declared form covers the leading 16 dims (136 cells)
     """,
 )
 def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gram matrix (X^T X) over the leading {GRAM_DIMS} embedding
+    """Gram matrix (X^T X) over the leading GRAM_DIMS (=16) embedding
     dimensions, upper triangle -- the covariance precursor every
     PCA/whitening/linear-probe step needs, and the distributed
     matrix-product shape (cf. cuboid-fused matrix engines, FuseME
