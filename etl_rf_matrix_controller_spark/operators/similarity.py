@@ -1505,3 +1505,81 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy(
         F.col("i").alias("pos_a"), F.col("j").alias("pos_b")
     ).agg(ordered_sum.alias("gram"))
+
+
+@declared(
+    "gram_top_eigvec",
+    oracle=f"""
+    WITH tri AS ({{tri}}),
+    m AS (
+      SELECT pos_a AS i, pos_b AS j, gram FROM tri
+      UNION ALL
+      SELECT pos_b, pos_a, gram FROM tri WHERE pos_a <> pos_b
+    ),
+    v1 AS (
+      SELECT i, list_sum(list(gram ORDER BY j)) AS v FROM m GROUP BY i
+    ),
+    mx AS (SELECT max(abs(v)) AS ma FROM v1),
+    v1n AS (SELECT i, v1.v / mx.ma AS v FROM v1, mx),
+    v2 AS (
+      SELECT m.i, list_sum(list(m.gram * v1n.v ORDER BY m.j)) AS comp
+      FROM m JOIN v1n ON v1n.i = m.j
+      GROUP BY m.i
+    )
+    SELECT i AS pos, comp FROM v2
+    """.format(tri=_REGISTRY_ORACLES["embedding_gram_matrix"]),
+)
+def gram_top_eigvec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two power-iteration steps toward the Gram matrix's top
+    eigenvector (the first principal direction), from an all-ones seed
+    with an infinity-norm rescale between steps -- the declared
+    fixed-unroll form of iterative linear algebra, exactly the
+    pagerank_nations discipline: unrolled for the oracle, generalizable
+    to loop-until-convergence with per-iteration checkpoints.
+
+    Cross-engine float exactness: every matrix-vector component is a
+    SEQUENTIAL fold over j-sorted terms (Gram cells are themselves
+    ordered folds, so both engines see bit-identical inputs), and the
+    rescale divides by an identically-computed max -- no epsilon
+    anywhere.  Scale: after the corpus-sized Gram aggregation the
+    iteration space is GRAM_DIMS^2 cells; the expanded symmetric matrix
+    feeds both steps from one eager checkpoint (tiny), with broadcast
+    joins -- at a real 100 TB PCA this is the classic "aggregate once,
+    iterate on the driver-scale Gram" split.
+    """
+    tri = embedding_gram_matrix(spark, sf_dir)
+    m = (
+        tri.select(
+            F.col("pos_a").alias("i"), F.col("pos_b").alias("j"), "gram"
+        )
+        .unionByName(
+            tri.filter(F.col("pos_a") != F.col("pos_b")).select(
+                F.col("pos_b").alias("i"), F.col("pos_a").alias("j"), "gram"
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def mv(mat: DataFrame, vec_col: str, val: F.Column) -> DataFrame:
+        ordered = F.aggregate(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("j", val.alias("t")))),
+                lambda s: s.t.cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return mat.groupBy("i").agg(ordered.alias(vec_col))
+
+    v1 = mv(m, "v", F.col("gram"))
+    mx = v1.agg(F.max(F.abs("v")).alias("ma"))
+    v1n = v1.crossJoin(F.broadcast(mx)).select(
+        F.col("i").alias("jj"), (F.col("v") / F.col("ma")).alias("vn")
+    )
+    joined = m.join(F.broadcast(v1n), m.j == F.col("jj"))
+    v2 = mv(
+        joined.select("i", "j", (F.col("gram") * F.col("vn")).alias("gv")),
+        "comp",
+        F.col("gv"),
+    )
+    return v2.select(F.col("i").alias("pos"), "comp")
