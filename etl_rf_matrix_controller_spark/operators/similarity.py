@@ -1583,3 +1583,70 @@ def gram_top_eigvec(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("gv"),
     )
     return v2.select(F.col("i").alias("pos"), "comp")
+
+
+@declared(
+    "pca_projection_topk",
+    oracle=f"""
+    WITH v AS ({{eig}}),
+    scored AS (
+      SELECT e.vec_id, e.label,
+             list_sum(list(CAST(e.embedding[v.pos] AS DOUBLE) * v.comp
+                           ORDER BY v.pos)) AS proj
+      FROM embeddings e JOIN v ON v.pos BETWEEN 1 AND {GRAM_DIMS}
+      GROUP BY e.vec_id, e.label
+    )
+    SELECT vec_id, label, proj, rnk
+    FROM (
+      SELECT vec_id, label, proj,
+             CAST(row_number() OVER (ORDER BY abs(proj) DESC, vec_id)
+               AS BIGINT) AS rnk
+      FROM scored
+    ) WHERE rnk <= 10
+    """.format(eig=_REGISTRY_ORACLES["gram_top_eigvec"]),
+)
+def pca_projection_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Project every embedding onto the learned principal direction and
+    report the 10 most extreme vectors -- the apply phase of the
+    aggregate-then-iterate PCA split (gram_top_eigvec is the train
+    phase), and the outlier-surfacing pattern a curation pipeline uses
+    on projection scores.
+
+    The 16-component direction broadcasts; each vector's projection is
+    a SEQUENTIAL pos-ordered fold (same parity discipline as every dot
+    product here), so scores -- and therefore the |proj| ranking cut --
+    hash-match the oracle.  One corpus pass + a broadcast join; the
+    top-10 window runs over per-vector scalars.
+    """
+    v = gram_top_eigvec(spark, sf_dir).localCheckpoint(eager=True)
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    exploded = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.slice("embedding", 1, GRAM_DIMS)).alias("p0", "comp_e"),
+    ).select(
+        "vec_id", "label", (F.col("p0") + 1).alias("pos"), "comp_e"
+    )
+    joined = exploded.join(F.broadcast(v), "pos").select(
+        "vec_id",
+        "label",
+        "pos",
+        (F.col("comp_e").cast("double") * F.col("comp")).alias("t"),
+    )
+    ordered = F.aggregate(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "t"))),
+            lambda s: s.t.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = joined.groupBy("vec_id", "label").agg(ordered.alias("proj"))
+    w = Window.orderBy(F.abs(F.col("proj")).desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 10)
+        .select("vec_id", "label", "proj", "rnk")
+    )
