@@ -526,3 +526,129 @@ def kmv_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_distinct",
         )
     )
+
+
+BOOT_B = 32  # bootstrap replicas
+
+
+@declared(
+    "bootstrap_mean_ci",
+    oracle=f"""
+    WITH reps AS (
+      SELECT r.r,
+             CAST(round(e.value * 10000) AS BIGINT) AS v,
+             CASE
+               WHEN ('0x' || substring(md5(CAST(e.event_id AS VARCHAR)
+                         || '_' || CAST(r.r AS VARCHAR)), 1, 8))::BIGINT
+                    % 1000 < 368 THEN 0
+               WHEN ('0x' || substring(md5(CAST(e.event_id AS VARCHAR)
+                         || '_' || CAST(r.r AS VARCHAR)), 1, 8))::BIGINT
+                    % 1000 < 736 THEN 1
+               ELSE 2
+             END AS w
+      FROM events e, generate_series(0, {BOOT_B - 1}) AS r(r)
+    ),
+    means AS (
+      SELECT r,
+             CAST(sum(w * v) AS BIGINT) AS s,
+             CAST(sum(w) AS BIGINT) AS c
+      FROM reps GROUP BY r HAVING sum(w) > 0
+    ),
+    a4 AS (
+      SELECT r,
+             CAST(((2 * s + c) - (2 * s + c) % (2 * c)) / (2 * c) AS BIGINT)
+               AS mean4
+      FROM means
+    ),
+    ranked AS (
+      SELECT mean4,
+             CAST(row_number() OVER (ORDER BY mean4, r) AS BIGINT) AS rn,
+             CAST(count(*) OVER () AS BIGINT) AS nb
+      FROM a4
+    )
+    SELECT CAST(max(nb) AS BIGINT) AS n_replicas,
+           max(CASE WHEN rn = 4 THEN mean4 END) / 10000.0 AS ci_lo,
+           max(CASE WHEN rn = nb - 3 THEN mean4 END) / 10000.0 AS ci_hi
+    FROM ranked
+    """,
+)
+def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the mean value -- THE
+    resampling method that works at 100 TB: classic bootstrap needs n
+    draws with replacement per replica (a global shuffle per replica),
+    while Poisson bootstrap gives each row an independent Poisson(1)
+    weight per replica, so all B replicas compute in ONE pass as
+    weighted partial aggregations.
+
+    Determinism: the Poisson(1) weight is approximated by thresholding
+    a portable md5 hash of (row id, replica id) at the pmf boundaries
+    (P(0)=P(1)=.368 -> w in {{0,1,2}} with the tail mass folded into 2)
+    -- no RNG, rerun- and engine-stable.  Replica means are exact
+    scaled-integer averages (the exact_avg half-up step); the 90%-ish
+    band is rank-based over the B=32 sorted replica means (ranks 4 and
+    B-3), so every emitted number is integer-derived.  Empty replicas
+    (possible only at toy n) are excluded identically on both sides.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    ev = ev.repartition(spark.sparkContext.defaultParallelism)
+    reps = ev.select(
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("r"),
+        F.round(F.col("value") * 10000).cast("bigint").alias("v"),
+        F.col("event_id"),
+    )
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "_",
+                        F.col("event_id").cast("string"),
+                        F.col("r").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000
+    )
+    w = F.when(h < 368, 0).when(h < 736, 1).otherwise(2)
+    means = (
+        reps.select("r", "v", w.alias("w"))
+        .groupBy("r")
+        .agg(
+            F.sum(F.col("w") * F.col("v")).cast("bigint").alias("s"),
+            F.sum("w").cast("bigint").alias("c"),
+        )
+        .filter(F.col("c") > 0)
+    )
+    x = 2 * F.col("s") + F.col("c")
+    mean4 = ((x - x % (2 * F.col("c"))) / (2 * F.col("c"))).cast("bigint")
+    a4 = means.select("r", mean4.alias("mean4"))
+    wr = Window.orderBy("mean4", "r")
+    ranked = a4.select(
+        "mean4",
+        F.row_number().over(wr).cast("bigint").alias("rn"),
+        F.count(F.lit(1))
+        .over(
+            Window.orderBy("mean4").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .cast("bigint")
+        .alias("nb"),
+    )
+    return ranked.agg(
+        F.max("nb").cast("bigint").alias("n_replicas"),
+        (F.max(F.when(F.col("rn") == 4, F.col("mean4"))) / 10000.0).alias(
+            "ci_lo"
+        ),
+        (
+            F.max(
+                F.when(F.col("rn") == F.col("nb") - 3, F.col("mean4"))
+            )
+            / 10000.0
+        ).alias("ci_hi"),
+    )

@@ -538,3 +538,181 @@ def test_tv_distance_matches_python(spark):
         expect = (num * 1_000_000) // (2 * ns * nt)
         assert got[split].n_docs == ns
         assert got[split].tv_vs_train_ppm == expect
+
+
+def test_gram_matrix_matches_numpy(spark):
+    """Gram cells equal numpy's X^T X over the leading dims (float
+    tolerance; ours is the deterministic sequential fold)."""
+    import numpy as np
+
+    from etl_rf_matrix_controller_spark.operators.similarity import (
+        GRAM_DIMS,
+        embedding_gram_matrix,
+    )
+
+    X = np.array(
+        [
+            r.embedding[:GRAM_DIMS]
+            for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+            .orderBy("vec_id")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    G = X.T @ X
+    for r in embedding_gram_matrix(spark, SF_DIR).collect():
+        assert abs(r.gram - G[r.pos_a - 1, r.pos_b - 1]) < 1e-9 * max(
+            1.0, abs(G[r.pos_a - 1, r.pos_b - 1])
+        )
+
+
+def test_power_iteration_improves_rayleigh_quotient(spark):
+    """Power iteration's guaranteed property on a PSD matrix: the
+    Rayleigh quotient is non-decreasing step to step (the embeddings'
+    Gram spectrum is nearly flat, so absolute eigenvector alignment
+    after 2 steps is weak -- the monotone invariant is what the
+    algorithm promises), plus alignment well above the random-direction
+    baseline."""
+    import numpy as np
+
+    from etl_rf_matrix_controller_spark.operators.similarity import (
+        GRAM_DIMS,
+        gram_top_eigvec,
+    )
+
+    X = np.array(
+        [
+            r.embedding[:GRAM_DIMS]
+            for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+            .orderBy("vec_id")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    G = X.T @ X
+
+    def rq(v):
+        return (v @ G @ v) / (v @ v)
+
+    v0 = np.ones(GRAM_DIMS)
+    v1 = G @ v0
+    got = np.zeros(GRAM_DIMS)
+    for r in gram_top_eigvec(spark, SF_DIR).collect():
+        got[r.pos - 1] = r.comp
+    # our v2 is G @ (v1 / max|v1|): same direction as G @ v1
+    assert np.allclose(got, G @ (v1 / np.abs(v1).max()), rtol=1e-9)
+    assert rq(got) >= rq(v1) - 1e-9 >= rq(v0) - 2e-9
+    vals, vecs = np.linalg.eigh(G)
+    top = vecs[:, -1]
+    cos = abs(got @ top) / (np.linalg.norm(got) * np.linalg.norm(top))
+    # random 16-dim direction baseline is ~0.2; two steps reach ~0.7
+    assert cos > 0.5, cos
+
+
+def test_pca_projection_is_true_topk(spark):
+    """The surfaced vectors really are the |projection| top-10 against a
+    numpy recompute with the same direction."""
+    import numpy as np
+
+    from etl_rf_matrix_controller_spark.operators.similarity import (
+        GRAM_DIMS,
+        gram_top_eigvec,
+        pca_projection_topk,
+    )
+
+    v = np.zeros(GRAM_DIMS)
+    for r in gram_top_eigvec(spark, SF_DIR).collect():
+        v[r.pos - 1] = r.comp
+    rows = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    proj = {r.vec_id: float(np.array(r.embedding[:GRAM_DIMS]) @ v) for r in rows}
+    expect = sorted(proj, key=lambda k: (-abs(proj[k]), k))[:10]
+    got = [
+        r.vec_id for r in pca_projection_topk(spark, SF_DIR).orderBy("rnk").collect()
+    ]
+    assert got == expect
+
+
+def test_flap_detection_matches_python(spark):
+    """Per (user, day) change counts equal a direct fold; first event is
+    never a change."""
+    import collections
+
+    from etl_rf_matrix_controller_spark.operators.state import (
+        route_flap_detection,
+    )
+
+    seqs = collections.defaultdict(list)
+    for r in (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    ):
+        seqs[r.user_id].append((r.ts, r.event_id, r.event_type))
+    counts = collections.Counter()
+    totals = collections.Counter()
+    for u, evs in seqs.items():
+        evs.sort()
+        prev = None
+        for ts, _, et in evs:
+            day = ts.replace(hour=0, minute=0, second=0, microsecond=0)
+            totals[(u, day)] += 1
+            if prev is not None and et != prev:
+                counts[(u, day)] += 1
+            prev = et
+    expect = {
+        k: (v, totals[k]) for k, v in counts.items() if v >= 3
+    }
+    got = {
+        (r.user_id, r.day): (r.n_changes, r.n_events)
+        for r in route_flap_detection(spark, SF_DIR).collect()
+    }
+    assert got == expect
+
+
+def test_trigram_paths_match_python(spark):
+    """Top trigram path counts equal a direct per-user fold."""
+    import collections
+
+    from etl_rf_matrix_controller_spark.operators.behavior import (
+        event_trigram_paths,
+    )
+
+    seqs = collections.defaultdict(list)
+    for r in (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    ):
+        seqs[r.user_id].append((r.ts, r.event_id, r.event_type))
+    counts = collections.Counter()
+    for evs in seqs.values():
+        evs.sort()
+        ts = [e[2] for e in evs]
+        for i in range(len(ts) - 2):
+            counts[f"{ts[i]}>{ts[i+1]}>{ts[i+2]}"] += 1
+    expect = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+    got = [
+        (r.path, r.n_paths)
+        for r in event_trigram_paths(spark, SF_DIR).orderBy("rnk").collect()
+    ]
+    assert got == expect
+
+
+def test_bootstrap_ci_brackets_true_mean(spark):
+    """The Poisson-bootstrap band contains the exact mean and is
+    ordered; replicas are all present."""
+    from etl_rf_matrix_controller_spark.operators.aggregates import (
+        BOOT_B,
+        bootstrap_mean_ci,
+    )
+    from pyspark.sql import functions as F
+
+    row = bootstrap_mean_ci(spark, SF_DIR).collect()[0]
+    assert row.n_replicas == BOOT_B
+    assert row.ci_lo <= row.ci_hi
+    true_mean = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .agg(F.avg("value"))
+        .collect()[0][0]
+    )
+    assert row.ci_lo <= true_mean <= row.ci_hi
