@@ -1311,3 +1311,65 @@ def event_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 15)
         .select("path", "n_paths", "rnk")
     )
+
+
+@declared(
+    "seasonal_naive_forecast_error",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT)
+               AS v_scaled
+      FROM events
+      GROUP BY event_type, date_trunc('day', ts)
+    ),
+    fc AS (
+      SELECT event_type, day, v_scaled,
+             lag(v_scaled, 7) OVER (PARTITION BY event_type ORDER BY day)
+               AS naive_fc
+      FROM daily
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days_scored,
+           ((((2 * (CAST(sum(abs(v_scaled - naive_fc)) AS BIGINT)) * 10000 + (CAST(count(*) AS BIGINT) * 10000)) - (2 * (CAST(sum(abs(v_scaled - naive_fc)) AS BIGINT)) * 10000 + (CAST(count(*) AS BIGINT) * 10000)) % (2 * (CAST(count(*) AS BIGINT) * 10000))) / (2 * (CAST(count(*) AS BIGINT) * 10000))) / 10000.0)
+             AS mae
+    FROM fc
+    WHERE naive_fc IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def seasonal_naive_forecast_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-quality floor: mean absolute error of the seasonal-naive
+    forecast (each day predicted by the same weekday one week earlier)
+    per event type -- the baseline every real forecasting model must
+    beat, and the first number a capacity-planning pipeline reports.
+
+    Integer-exact end to end: daily totals are scaled-int sums, the
+    absolute errors stay integers, and the MAE divides via the half-up
+    integer-rounding convention (the denominator carries the x10000
+    scale so the division is one exact step).  Days without a
+    week-earlier observation are excluded identically on both engines.
+    One shuffle to daily cells, a lag over the per-type day series
+    (|days| rows per type), one rollup.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 10000).cast("bigint"))
+        .cast("bigint")
+        .alias("v_scaled")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    fc = daily.withColumn("naive_fc", F.lag("v_scaled", 7).over(w)).filter(
+        F.col("naive_fc").isNotNull()
+    )
+    err = F.sum(F.abs(F.col("v_scaled") - F.col("naive_fc"))).cast("bigint")
+    den = (F.count(F.lit(1)).cast("bigint") * 10000)
+    x = 2 * err * 10000 + den
+    mae = ((x - x % (2 * den)) / (2 * den)) / 10000.0
+    return fc.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days_scored"),
+        mae.alias("mae"),
+    )
