@@ -1547,7 +1547,10 @@ def gram_top_eigvec(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins -- at a real 100 TB PCA this is the classic "aggregate once,
     iterate on the driver-scale Gram" split.
     """
-    tri = embedding_gram_matrix(spark, sf_dir)
+    # tri feeds BOTH union branches below: checkpoint the 136-cell frame
+    # once or the corpus-sized Gram aggregation runs twice (CLAUDE.md
+    # shared-consumer rule; measured ~1.5 s of the op's 3.8 s at sf0.1).
+    tri = embedding_gram_matrix(spark, sf_dir).localCheckpoint(eager=True)
     m = (
         tri.select(
             F.col("pos_a").alias("i"), F.col("pos_b").alias("j"), "gram"
