@@ -1373,3 +1373,40 @@ def seasonal_naive_forecast_error(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).cast("bigint").alias("n_days_scored"),
         mae.alias("mae"),
     )
+
+
+@declared(
+    "weekday_hour_heatmap",
+    oracle="""
+    SELECT CAST((CAST(floor(epoch(ts)) AS BIGINT) // 86400 + 4) % 7 AS BIGINT)
+             AS dow,
+           CAST(date_part('hour', ts) AS BIGINT) AS hour,
+           CAST(count(*) AS BIGINT) AS n_events,
+           (((((sum(CAST(round(value * 10000) AS BIGINT))) + 50) - ((sum(CAST(round(value * 10000) AS BIGINT))) + 50) % 100) / 100) / 100.0)
+             AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def weekday_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 7x24 activity heatmap (weekday x hour event counts + value
+    mass) every operations dashboard renders -- the 2-D grid behind the
+    1-D seasonality views (dow_seasonality_lift, tumbling_hour_counts).
+
+    Weekday is derived portably as (days_since_epoch + 4) % 7
+    (0=Sunday): Spark's and DuckDB's dayofweek() conventions differ
+    (CLAUDE.md trap), integer epoch arithmetic does not.  Single
+    partial-aggregable pass; output cardinality is a constant 168
+    cells regardless of corpus size.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    dow = (F.expr("unix_timestamp(ts) DIV 86400") + 4) % 7
+    return ev.groupBy(
+        dow.cast("bigint").alias("dow"),
+        F.hour("ts").cast("bigint").alias("hour"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        int_round_scaled(
+            F.sum(F.round(F.col("value") * 10000).cast("bigint")), 2
+        ).alias("sum_value"),
+    )
