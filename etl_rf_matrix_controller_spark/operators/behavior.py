@@ -1410,3 +1410,90 @@ def weekday_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(F.col("value") * 10000).cast("bigint")), 2
         ).alias("sum_value"),
     )
+
+
+@declared(
+    "daily_value_autocorr_lag1",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT)
+               AS v
+      FROM events
+      GROUP BY event_type, date_trunc('day', ts)
+    ),
+    pairs AS (
+      SELECT event_type, v AS x,
+             lead(v) OVER (PARTITION BY event_type ORDER BY day) AS y
+      FROM daily
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+      FROM pairs WHERE y IS NOT NULL
+      GROUP BY event_type
+    )
+    SELECT event_type, n AS n_pairs,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS autocorr
+    FROM m
+    WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    """,
+)
+def daily_value_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of each event type's daily value series --
+    the diagnostic that says whether the seasonal-naive baseline
+    (seasonal_naive_forecast_error) is even beatable: autocorr near 0
+    means the series is white noise around its mean and no forecaster
+    will improve on it; strong autocorr means structure worth modeling.
+
+    Exact-moment Pearson on (x_t, x_{t+1}) pairs -- the
+    quality_length_corr_by_source method applied to a lagged self-pair:
+    daily totals are exact scaled-int sums, the six moments accumulate
+    as integers (DECIMAL(38,0) for headroom), and only the three final
+    exact integers convert to double.  The day series per type is
+    |days| rows, so the lead window and moment rollup cost nothing
+    after the one daily aggregation pass.  Zero-variance series are
+    excluded identically on both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 10000).cast("bigint"))
+        .cast("bigint")
+        .alias("v")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    pairs = (
+        daily.select(
+            "event_type",
+            F.col("v").alias("x"),
+            F.lead("v").over(w).alias("y"),
+        )
+        .filter(F.col("y").isNotNull())
+    )
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(d(F.col("x"))).alias("sx"),
+        F.sum(d(F.col("y"))).alias("sy"),
+        F.sum(d(F.col("x") * F.col("x"))).alias("sxx"),
+        F.sum(d(F.col("y") * F.col("y"))).alias("syy"),
+        F.sum(d(F.col("x") * F.col("y"))).alias("sxy"),
+    )
+    var_x = F.expr("n * sxx - sx * sx")
+    var_y = F.expr("n * syy - sy * sy")
+    corr = F.expr(
+        "CAST(n * sxy - sx * sy AS DOUBLE)"
+        " / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))"
+        " * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))"
+    )
+    return (
+        m.filter((var_x > 0) & (var_y > 0))
+        .select("event_type", F.col("n").alias("n_pairs"), corr.alias("autocorr"))
+    )
