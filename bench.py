@@ -1,7 +1,13 @@
 """Benchmark harness: run every declared query at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+compact JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec for the slowest queries}, "sf": ..., "n_queries": N,
+"median_query_sec": ..., "max_query_sec": ...}.
+
+The driver captures only a bounded tail of stdout, so the final line MUST
+stay small: the full 200+-entry per-query map goes to the sidecar file
+BENCH_DETAIL.json (next to this script); the stdout line carries summary
+stats plus the slowest-query subset and stays well under 2000 characters.
 
 Each query is forced end-to-end with the JVM-side noop sink (count() would
 let Catalyst prune the whole projection; noop executes the full plan but
@@ -49,16 +55,47 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    out = {
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    ordered = sorted(timings.values())
+    median = round(ordered[len(ordered) // 2], 3) if ordered else 0.0
+
+    detail = {
         "metric": "declared_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
     }
     if errors:
-        out["errors"] = errors
-    print(json.dumps(out))
+        detail["errors"] = errors
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+
+    # Final stdout line: compact summary + slowest-query subset. The driver
+    # tails ~2000 chars of stdout, so this line must stay safely inside that.
+    slow_items = sorted(timings.items(), key=lambda kv: -kv[1])[:25]
+    out = {
+        "metric": "declared_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "sf": sf_val,
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "median_query_sec": median,
+        "max_query_sec": max(ordered) if ordered else 0.0,
+        "detail_file": "BENCH_DETAIL.json",
+        "queries": dict(sorted(slow_items)),
+    }
+    line = json.dumps(out)
+    while len(line) > 1800 and slow_items:
+        # Belt-and-braces: shed the fastest remaining entries until the
+        # line fits the driver's tail capture.
+        slow_items = slow_items[:-1]
+        out["queries"] = dict(sorted(slow_items))
+        line = json.dumps(out)
+    print(line)
     spark.stop()
 
 

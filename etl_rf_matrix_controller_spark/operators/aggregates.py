@@ -502,11 +502,15 @@ def kmv_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     lookup) -- fixture SFs all exceed k (k=8 keeps even the 15-user sf0.001 fixture non-vacuous; production uses k in the hundreds for ~1/sqrt(k) relative error).
     """
     ev = load_table(spark, sf_dir, "events")
+    # hashed feeds two consumers (k-th lookup + exact-count audit), so it
+    # is localCheckpointed once: the events scan and the distinct shuffle
+    # run exactly once (shared-consumer rule); the scalar join below is
+    # an explicit broadcast since checkpointed frames carry no stats.
     hashed = ev.select(
         F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
         .cast("bigint")
         .alias("h")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)
     kth = (
         hashed.withColumn(
             "rn", F.row_number().over(Window.orderBy("h"))

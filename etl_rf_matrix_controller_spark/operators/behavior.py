@@ -1245,18 +1245,26 @@ def user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition-arrival order, so the structs carry (ts, event_id) and are
     sort_array'd before the type is projected out -- (ts, event_id) is a
     total order (ids unique), so both engines produce the identical
-    sequence.  One shuffle on user_id; the slice caps per-user payload,
-    so a power-user key cannot balloon a row (the skew guard a sequence
-    extractor needs at 100 TB -- full histories would make hot keys into
-    multi-GB rows).
+    sequence.  Skew guard: rows beyond the per-user top-10 by (ts,
+    event_id) are nulled BEFORE the collect (collect_list skips nulls),
+    so a power-user hot key contributes at most 10 structs to its row --
+    the full history is never materialized into one array (at 100 TB a
+    hot key would otherwise build a multi-GB intermediate row).  The
+    row_number window and the groupBy share the user_id hash partitioning,
+    so Catalyst reuses the exchange: still one shuffle total.
     """
     events = load_table(spark, sf_dir, "events")
-    ordered = F.sort_array(F.collect_list(F.struct("ts", "event_id", "event_type")))
-    return events.groupBy("user_id").agg(
+    rn = F.row_number().over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+    )
+    capped = events.select(
+        "user_id",
+        F.when(rn <= 10, F.struct("ts", "event_id", "event_type")).alias("s"),
+    )
+    ordered = F.sort_array(F.collect_list("s"))
+    return capped.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
-        F.slice(
-            F.transform(ordered, lambda s: s.event_type), 1, 10
-        ).alias("first_events"),
+        F.transform(ordered, lambda s: s.event_type).alias("first_events"),
     )
 
 
@@ -1478,13 +1486,17 @@ def daily_value_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("y").isNotNull())
     )
     d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    # Cast EACH OPERAND to decimal before multiplying: a bigint*bigint
+    # product wraps silently in non-ANSI Spark where DuckDB's HUGEINT
+    # errors loudly -- the decimal headroom must cover the product, not
+    # just the accumulation.
     m = pairs.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum(d(F.col("x"))).alias("sx"),
         F.sum(d(F.col("y"))).alias("sy"),
-        F.sum(d(F.col("x") * F.col("x"))).alias("sxx"),
-        F.sum(d(F.col("y") * F.col("y"))).alias("syy"),
-        F.sum(d(F.col("x") * F.col("y"))).alias("sxy"),
+        F.sum(d(F.col("x")) * d(F.col("x"))).alias("sxx"),
+        F.sum(d(F.col("y")) * d(F.col("y"))).alias("syy"),
+        F.sum(d(F.col("x")) * d(F.col("y"))).alias("sxy"),
     )
     var_x = F.expr("n * sxx - sx * sx")
     var_y = F.expr("n * syy - sy * sy")

@@ -804,13 +804,16 @@ def quality_length_corr_by_source(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round(F.col("quality_score") * 10000).cast("bigint").alias("y"),
     )
     d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    # Operands cast to decimal BEFORE the multiply so the product itself
+    # (not just the sum) has HUGEINT-like headroom; bigint*bigint would
+    # wrap silently in non-ANSI Spark while DuckDB errors.
     m = feats.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum(d(F.col("x"))).alias("sx"),
         F.sum(d(F.col("y"))).alias("sy"),
-        F.sum(d(F.col("x") * F.col("x"))).alias("sxx"),
-        F.sum(d(F.col("y") * F.col("y"))).alias("syy"),
-        F.sum(d(F.col("x") * F.col("y"))).alias("sxy"),
+        F.sum(d(F.col("x")) * d(F.col("x"))).alias("sxx"),
+        F.sum(d(F.col("y")) * d(F.col("y"))).alias("syy"),
+        F.sum(d(F.col("x")) * d(F.col("y"))).alias("sxy"),
     )
     var_x = F.expr("n * sxx - sx * sx")
     var_y = F.expr("n * syy - sy * sy")

@@ -953,3 +953,119 @@ def minhash_estimator_calibration(spark: SparkSession, sf_dir: str) -> DataFrame
             exact.alias("exact_jaccard"),
         )
     )
+
+
+# Exact substring-span dedup (Lee et al. 2022, "Deduplicating Training
+# Data Makes Language Models Better"): find >=K-char VERBATIM spans shared
+# across otherwise-distinct documents.  K is sized so a chance collision
+# is negligible (~8 words of this corpus's vocabulary) while any true
+# copied passage of that length is caught; real deployments tune K to the
+# tokenizer's ~50-token span.
+SPAN_K = 40
+
+
+@declared(
+    "substring_span_dups",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    pg AS (
+      SELECT doc_id, i.i AS pos,
+             substring(t, CAST(i.i AS INT), {SPAN_K}) AS gram
+      FROM (
+        SELECT doc_id, trim(text) AS t,
+               generate_series(1, greatest(length(trim(text)) - {SPAN_K - 1},
+                                           0)) AS idxs
+        FROM corpus
+      ) g, unnest(idxs) AS i(i)
+    ),
+    m AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.pos AS pos_a, a.pos - b.pos AS diag
+      FROM pg a JOIN pg b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    ),
+    isl AS (
+      SELECT doc_a, doc_b, diag, pos_a,
+             pos_a - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+                                        ORDER BY pos_a) AS island
+      FROM m
+    )
+    SELECT doc_a, doc_b,
+           CAST(min(pos_a) AS BIGINT) AS start_a,
+           CAST(min(pos_a) - diag AS BIGINT) AS start_b,
+           CAST(max(pos_a) - min(pos_a) + {SPAN_K} AS BIGINT) AS span_chars
+    FROM isl
+    GROUP BY doc_a, doc_b, diag, island
+    """,
+)
+def substring_span_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9: exact substring-span dedup -- maximal verbatim char spans
+    (>= SPAN_K chars) repeated across documents, the suffix-array-family
+    member of the dedup suite (Lee et al. 2022's ExactSubstr; the
+    reference's nearest behavior is whole-selection set dedupe,
+    etl_controller.py:2193 -- this finds PARTIAL copies those miss).
+
+    Algorithm (inverted positional index, not a driver-side suffix
+    array): every position contributes its K-char gram; an equi-join on
+    the gram groups identical spans; runs of consecutive positions on
+    the same (doc pair, diagonal) merge into maximal spans via a
+    gaps-and-islands pass (the display_group_islands machinery,
+    operators/groups.py:48, inlined here over the composite key).
+
+    Scale: cost is bounded by TRUE gram matches -- K=40 makes chance
+    collisions vanishingly rare, so the join output is ~(number of
+    actually-copied chars), never all-pairs; bucket skew from viral
+    boilerplate spans is the one hot spot (AQE skew-join splits those
+    buckets).  The positional gram frame feeds both join sides, so it
+    is localCheckpointed once (one corpus scan + one fan-out, not two);
+    checkpointed frames carry no stats, so the self-join pins a
+    shuffle-hash hint (CLAUDE.md rule -- an SMJ would sort the full
+    gram stream).  At 100 TB, join on a 128-bit gram hash instead of
+    the string to shrink the shuffle; here the string keeps the oracle
+    byte-identical.
+    """
+    spark_para = spark.sparkContext.defaultParallelism
+    t = F.trim("text")
+    grams = F.when(
+        F.length(t) >= SPAN_K,
+        F.transform(
+            F.sequence(F.lit(1), F.length(t) - (SPAN_K - 1)),
+            lambda i: t.substr(i, F.lit(SPAN_K)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pg = (
+        dup_corpus(spark, sf_dir)
+        .repartition(spark_para)  # rebalance BEFORE the ~650x fan-out
+        .select("doc_id", F.posexplode(grams).alias("pos0", "gram"))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram")
+        .localCheckpoint(eager=False)
+    )
+    a, b = pg.alias("a"), pg.alias("b")
+    m = a.join(
+        b.hint("shuffle_hash"),
+        (F.col("a.gram") == F.col("b.gram"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.pos").alias("pos_a"),
+        (F.col("a.pos") - F.col("b.pos")).alias("diag"),
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    isl = m.select(
+        "doc_a",
+        "doc_b",
+        "diag",
+        "pos_a",
+        (F.col("pos_a") - F.row_number().over(w)).alias("island"),
+    )
+    return (
+        isl.groupBy("doc_a", "doc_b", "diag", "island")
+        .agg(
+            F.min("pos_a").cast("bigint").alias("start_a"),
+            (F.min("pos_a") - F.first("diag")).cast("bigint").alias("start_b"),
+            (F.max("pos_a") - F.min("pos_a") + SPAN_K)
+            .cast("bigint")
+            .alias("span_chars"),
+        )
+        .select("doc_a", "doc_b", "start_a", "start_b", "span_chars")
+    )

@@ -1102,12 +1102,17 @@ def skew_salt_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     the skew is known ahead: no runtime re-plan, stable task sizing).
 
     Integer-exact: ceil via (a + b - 1) DIV b on bigint counts; one
-    aggregation plus a broadcast of the 1-row totals.
+    aggregation plus a broadcast of the 1-row totals.  The per-key
+    counts frame feeds two consumers (the scalar totals and the salted
+    projection), so it is localCheckpointed once -- the events scan and
+    its shuffle run exactly once (shared-consumer rule); the totals join
+    stays an explicit broadcast because checkpointed frames carry no
+    stats.
     """
     ev = load_table(spark, sf_dir, "events")
     counts = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")
-    )
+    ).localCheckpoint(eager=True)
     tot = counts.agg(
         F.sum("cnt").cast("bigint").alias("total"),
         F.count(F.lit(1)).cast("bigint").alias("n_keys"),
@@ -1243,7 +1248,11 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     10^(digits(v)-1) over scaled cents, with digits(v) from the decimal
     string length of a positive integer (identical across engines --
     never log10, whose float rounding can misplace a power-of-ten
-    boundary).  Single aggregation, one broadcast scalar for the share.
+    boundary).  Single corpus scan + aggregation; the total for the
+    share is an unpartitioned window SUM over the aggregated <=9-row
+    digit table, so the events subtree has exactly one consumer (no
+    scalar crossJoin recomputing the scan -- the CLAUDE.md
+    shared-consumer rule satisfied structurally, no checkpoint needed).
     """
     ev = load_table(spark, sf_dir, "events")
     digits = ev.select(
@@ -1254,16 +1263,15 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "v DIV CAST(power(10, length(CAST(v AS STRING)) - 1) AS BIGINT)"
         ).alias("first_digit")
     )
-    tot = lead.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    return (
-        lead.crossJoin(F.broadcast(tot))
-        .groupBy("first_digit")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_values"),
-            F.expr("CAST((count(1) * 1000000) DIV max(n) AS BIGINT)").alias(
-                "share_ppm"
-            ),
-        )
+    per_digit = lead.groupBy("first_digit").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_values")
+    )
+    return per_digit.select(
+        "first_digit",
+        "n_values",
+        F.expr(
+            "CAST((n_values * 1000000) DIV (sum(n_values) OVER ()) AS BIGINT)"
+        ).alias("share_ppm"),
     )
 
 

@@ -398,9 +398,11 @@ def token_pmi_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored AS (
       SELECT tf.doc_id,
              CAST(sum(
-               (((s.n_docs * 1000000) // df.df) * (220 * s.t_tokens * tf.tf))
-               // (100 * s.t_tokens * tf.tf + 30 * s.t_tokens
-                   + 90 * dl.dl * s.n_docs)
+               (((CAST(s.n_docs AS HUGEINT) * 1000000) // df.df)
+                * (220 * CAST(s.t_tokens AS HUGEINT) * tf.tf))
+               // (100 * CAST(s.t_tokens AS HUGEINT) * tf.tf
+                   + 30 * CAST(s.t_tokens AS HUGEINT)
+                   + 90 * CAST(dl.dl AS HUGEINT) * s.n_docs)
              ) AS BIGINT) AS score_ppm
       FROM tf
       JOIN df ON df.token = tf.token
@@ -415,7 +417,7 @@ def token_pmi_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS BIGINT) AS rnk
       FROM scored
     ) WHERE rnk <= 10
-    """.format(_TOK_SQL=_TOK_SQL, _QUERY_SQL=_QUERY_SQL),
+    """,
 )
 def bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranked retrieval under BM25 (k1=1.2, b=0.75), integer-exact.
@@ -432,9 +434,11 @@ def bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- all-integer products and a single floor division performed
     identically by both engines (a float form would diverge in final
     ulps and flip ranks).  idf_ppm = N*1e6 DIV df as in
-    tfidf_retrieval_topk.  Envelope: idf_ppm(<=1e6*N/df) * 220*T*tf
-    must stay < 2^63 -- holds to ~1e9-token corpora per partition-local
-    doc; beyond that the same expression runs in DECIMAL(38,0).
+    tfidf_retrieval_topk.  Envelope: the contribution product
+    idf_ppm(<=1e6*N for df=1) * 220*T*tf exceeds 2^63 well below
+    1e9-token corpora for rare query terms, so the product runs in
+    DECIMAL(38,0) on the Spark side and HUGEINT in the oracle -- same
+    exact integers, 38-digit headroom, no silent wrap.
 
     Plan shape mirrors tfidf_retrieval_topk: the exploded token stream
     is filtered to query terms before any shuffle; df is a broadcast
@@ -465,8 +469,11 @@ def bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("dl").cast("bigint").alias("t_tokens"),
     )
     contrib = F.expr(
-        "(((n_docs * 1000000) DIV df) * (220 * t_tokens * tf))"
-        " DIV (100 * t_tokens * tf + 30 * t_tokens + 90 * dl * n_docs)"
+        "(CAST((n_docs * 1000000) DIV df AS DECIMAL(38,0))"
+        " * (220 * CAST(t_tokens AS DECIMAL(38,0)) * tf))"
+        " DIV (100 * CAST(t_tokens AS DECIMAL(38,0)) * tf"
+        " + 30 * CAST(t_tokens AS DECIMAL(38,0))"
+        " + 90 * CAST(dl AS DECIMAL(38,0)) * n_docs)"
     )
     scored = (
         dl.join(F.broadcast(tf), "doc_id")

@@ -43,20 +43,28 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P2/SS2.7: EXCEPT and its INTERSECT dual, tagged and unioned.
 
     Mirrors group-removal difference and membership intersection
-    (etl_controller.py:2204-2208, 2160).  Both set ops reduce to a single
-    narrow-key shuffle; the union is exchange-free.
+    (etl_controller.py:2204-2208, 2160).  Because both operands come from
+    the same base table, the EXCEPT/INTERSECT pair collapses to ONE
+    grouped scan: a distinct key belongs to the intersection iff it has at
+    least one 'F' row, and to the difference otherwise -- so a single
+    groupBy with a conditional tag replaces the two anti/semi joins (one
+    scan, one shuffle, zero joins; was 4 scans before round 4).
     """
-    all_keys = load_table(spark, sf_dir, "orders").select("o_custkey")
-    f_keys = (
-        load_table(spark, sf_dir, "orders")
-        .filter(F.col("o_orderstatus") == "F")
-        .select("o_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderstatus"
     )
-    ex = all_keys.subtract(f_keys).select(F.lit("except").alias("op"), "o_custkey")
-    ix = all_keys.intersect(f_keys).select(
-        F.lit("intersect").alias("op"), "o_custkey"
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max((F.col("o_orderstatus") == "F").cast("int")).alias("has_f")
+        )
+        .select(
+            F.when(F.col("has_f") == 1, F.lit("intersect"))
+            .otherwise(F.lit("except"))
+            .alias("op"),
+            "o_custkey",
+        )
     )
-    return ex.unionByName(ix)
 
 
 @declared(

@@ -121,6 +121,14 @@ class FrameProtocolStreamReader(SimpleDataSourceStreamReader):
         )
 
 
+class FrameCommitMessage(WriterCommitMessage):
+    """Carries a task's temp-file path and final name to commit()."""
+
+    def __init__(self, tmp: str, final: str) -> None:
+        self.tmp = tmp
+        self.final = final
+
+
 class FrameProtocolWriter(DataSourceWriter):
     """``df.write.format("frame_protocol").option("path", dir).save()`` --
     the COMMAND side of the transport: structured route rows serialize to
@@ -157,9 +165,16 @@ class FrameProtocolWriter(DataSourceWriter):
 
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
-        out = os.path.join(self.path, f"frames-{pid:05d}.txt")
-        with open(out, "w") as f:
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
+        # Tasks write to attempt-unique temp names; only commit() renames
+        # them to the final frames-*.txt, so a failed/aborted job never
+        # leaves partial frame files visible to a reader globbing
+        # frames-*.txt (all-or-nothing, even without a _SUCCESS check).
+        tmp = os.path.join(
+            self.path, f".frames-{pid:05d}-{ctx.taskAttemptId()}.txt.tmp"
+        )
+        with open(tmp, "w") as f:
             for row in iterator:
                 o, i, w, d = (
                     int(row.out_id),
@@ -171,16 +186,27 @@ class FrameProtocolWriter(DataSourceWriter):
                         and d in ("O", "C")):
                     raise ValueError(f"frame field out of wire range: {row}")
                 f.write(f"{{BAcC,+{o:03d},+{i:03d},{w:05d},{d}}}\n")
-        return WriterCommitMessage()
+        return FrameCommitMessage(tmp=tmp, final=f"frames-{pid:05d}.txt")
 
     def commit(self, messages) -> None:
         import os
 
+        for m in messages:
+            os.replace(m.tmp, os.path.join(self.path, m.final))
         with open(os.path.join(self.path, "_SUCCESS"), "w"):
             pass
 
     def abort(self, messages) -> None:
-        pass
+        import glob
+        import os
+
+        # Drop every temp file from this (and any crashed) attempt; the
+        # final frames-*.txt namespace is untouched by construction.
+        for f in glob.glob(os.path.join(self.path, ".frames-*.txt.tmp")):
+            try:
+                os.remove(f)
+            except OSError:
+                pass
 
 
 def register(spark) -> None:

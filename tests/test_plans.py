@@ -198,14 +198,14 @@ def test_aqe_splits_skewed_join(spark):
 
 
 # Deliberate multi-pass ops exempt from the scan-count ceiling:
-#   set_except      -- EXCEPT is definitionally two passes per operand pair
-#                      (4 scans of orders across its two set operands);
 #   pagerank_nations -- the declared 2-iteration unroll re-reads the
 #                      25-row fixed nation dim per iteration by design
 #                      (the production loop is pagerank_loop, which
 #                      checkpoints per round).
+# (set_except left the allowlist in round 4: its EXCEPT/INTERSECT pair
+#  over a shared base table is now one grouped scan, zero joins.)
 SCAN_CEILING = 2
-SCAN_ALLOWLIST = {"set_except", "pagerank_nations"}
+SCAN_ALLOWLIST = {"pagerank_nations"}
 
 
 def test_suitewide_plan_invariants(spark):

@@ -1,0 +1,89 @@
+"""One-command correctness gate: run every declared query (or a subset)
+against its DuckDB oracle at a given scale factor, mirroring the driver's
+count+schema+value-hash compare exactly.
+
+Usage:
+    python tools/gate.py                        # full sweep at sf0.01
+    python tools/gate.py /root/testdata/sf0.1   # 10x stress gate
+    python tools/gate.py --subset set_except,bm25_retrieval_topk
+    python tools/gate.py /root/testdata/sf0.01 --subset dedup_exact_docs
+
+Prints one line per query (MATCH / rows-only / FAIL) and a final
+``DONE. failures: [...]`` line; exit code 1 if any failure.  This is the
+loop the verify skill, the driver, and the judge all run — kept here so
+it is one command instead of a heredoc.
+"""
+
+from __future__ import annotations
+
+import sys
+import traceback
+
+sys.path.insert(0, ".")
+sys.path.insert(0, "tests")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    subset: set[str] | None = None
+    if "--subset" in args:
+        i = args.index("--subset")
+        subset = {s.strip() for s in args[i + 1].split(",") if s.strip()}
+        args = args[:i] + args[i + 2:]
+    sf_dir = args[0].rstrip("/") if args else "/root/testdata/sf0.01"
+
+    import duckdb
+
+    import __spark_entry__ as e
+    from conftest import assert_oracle_match
+    from etl_rf_matrix_controller_spark.session import get_spark
+
+    spark = get_spark(app_name="gate")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs, osql = e.queries(), e.oracle_sql()
+    names = sorted(qs)
+    if subset is not None:
+        unknown = subset - set(names)
+        if unknown:
+            print(f"unknown queries: {sorted(unknown)}")
+            return 2
+        names = sorted(subset)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    failures: list[str] = []
+    for name in names:
+        try:
+            sdf = qs[name](spark, sf_dir)
+            if name in osql:
+                assert_oracle_match(sdf, con, osql[name], name=name)
+                print(name, "MATCH", flush=True)
+            else:
+                n = sdf.count()
+                status = "rows-only:" if n > 0 else "VACUOUS rows-only:"
+                if n == 0:
+                    failures.append(name)
+                print(name, status, n, flush=True)
+        except Exception:
+            failures.append(name)
+            print(name, "FAIL", flush=True)
+            traceback.print_exc()
+
+    print(f"DONE. failures: {failures}")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
