@@ -1023,17 +1023,23 @@ def substring_span_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     the string to shrink the shuffle; here the string keeps the oracle
     byte-identical.
     """
-    spark_para = spark.sparkContext.defaultParallelism
+    return substring_span_pairs_df(dup_corpus(spark, sf_dir))
+
+
+def substring_span_pairs_df(docs: DataFrame, k: int = SPAN_K) -> DataFrame:
+    """Core of substring_span_dups over an arbitrary (doc_id, text) frame
+    (exposed for the overlapping-span edge tests)."""
+    spark_para = docs.sparkSession.sparkContext.defaultParallelism
     t = F.trim("text")
     grams = F.when(
-        F.length(t) >= SPAN_K,
+        F.length(t) >= k,
         F.transform(
-            F.sequence(F.lit(1), F.length(t) - (SPAN_K - 1)),
-            lambda i: t.substr(i, F.lit(SPAN_K)),
+            F.sequence(F.lit(1), F.length(t) - (k - 1)),
+            lambda i: t.substr(i, F.lit(k)),
         ),
     ).otherwise(F.array().cast("array<string>"))
     pg = (
-        dup_corpus(spark, sf_dir)
+        docs
         .repartition(spark_para)  # rebalance BEFORE the ~650x fan-out
         .select("doc_id", F.posexplode(grams).alias("pos0", "gram"))
         .select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram")
@@ -1063,7 +1069,7 @@ def substring_span_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.min("pos_a").cast("bigint").alias("start_a"),
             (F.min("pos_a") - F.first("diag")).cast("bigint").alias("start_b"),
-            (F.max("pos_a") - F.min("pos_a") + SPAN_K)
+            (F.max("pos_a") - F.min("pos_a") + k)
             .cast("bigint")
             .alias("span_chars"),
         )

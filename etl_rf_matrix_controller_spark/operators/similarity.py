@@ -1653,3 +1653,291 @@ def pca_projection_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 10)
         .select("vec_id", "label", "proj", "rnk")
     )
+
+
+# IVF-PQ parameters: 16 subspaces x 4 dims, 16 codewords per subspace ->
+# 16 codes of 4 bits = 8 bytes/vector vs 256 bytes float32 (32x), the
+# compression that puts a 100 TB embedding corpus in cluster memory.
+# 4-dim subspaces matter: 16 random codewords cover a 4-dim residual
+# space far more densely than an 8-dim one (measured recall 0.07 -> 0.6+
+# on the clustered gate corpus).  PQ_TRAIN_MOD decouples the codebook
+# sample stride from the centroid stride so the codebook is full even
+# when centroids are sparse.
+PQ_M, PQ_SUBDIM, PQ_CBK = 16, 4, 16
+PQ_TRAIN_MOD = 20
+# ADC ranks a shortlist; the top-k is re-ranked EXACTLY on the raw
+# vectors (FAISS's refine step) -- PQ's job is to cheaply prune the list
+# to PQ_SHORTLIST candidates, not to win the final ordering.
+PQ_SHORTLIST = 10
+
+
+def ivfpq_topk_df(
+    emb: DataFrame,
+    cent_mod: int = 100,
+    cb_k: int = PQ_CBK,
+    n_queries: int = N_QUERIES,
+    top_k: int = TOP_K,
+) -> DataFrame:
+    """Core of ann_ivfpq_topk over an arbitrary (vec_id, embedding) frame
+    (exposed for the clustered-corpus recall gate).
+
+    Index build = coarse assignment + PQ encoding; both are write-once
+    passes over the checkpointed frame.  Queries score candidates against
+    PQ RECONSTRUCTIONS (asymmetric distance), so the scan-side memory is
+    codes (4 B/vec) + the tiny codebook, never the raw vectors.
+    """
+    emb = emb.select("vec_id", "embedding").localCheckpoint(eager=True)
+
+    # Coarse quantizer: nearest sampled centroid (ann_ivf_topk's shape).
+    # assigned keeps the winning centroid's vector and the RESIDUAL
+    # (v - c): PQ encodes residuals, not raw vectors -- within one
+    # inverted list every member shares the centroid, so only the
+    # residual carries ranking information (the FAISS IVFADC design;
+    # quantizing raw vectors collapses within-list ranking).
+    cents = emb.filter(F.col("vec_id") % cent_mod == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce")
+    )
+    dist = _sq_dist(F.col("embedding"), F.col("ce"))
+    w = Window.partitionBy("vec_id").orderBy(dist.asc(), F.col("cent_id").asc())
+    assigned = (
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "embedding",
+            "cent_id",
+            "ce",
+            F.zip_with(
+                "embedding",
+                "ce",
+                lambda x, y: x.cast("double") - y.cast("double"),
+            ).alias("res"),
+        )
+        .localCheckpoint(eager=True)  # feeds train, encode, queries, cands
+    )
+
+    def sub_structs(col: str) -> Column:
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+            lambda m: F.struct(
+                m.alias("m"),
+                F.transform(
+                    F.slice(col, m * PQ_SUBDIM + 1, PQ_SUBDIM),
+                    lambda x: x.cast("double"),
+                ).alias("sv"),
+            ),
+        )
+
+    # PQ codebook: residual subvectors of the cb_k lowest-id vectors at
+    # stride offset 1 (offset 0 would train on the centroids themselves,
+    # whose residuals are identically zero).  Deterministic stand-in for
+    # per-subspace k-means, which isn't oracle-reproducible.
+    train = (
+        assigned.filter(F.col("vec_id") % PQ_TRAIN_MOD == 1)
+        .withColumn("cw", F.row_number().over(Window.orderBy("vec_id")))
+        .filter(F.col("cw") <= cb_k)
+    )
+    subv = train.select("cw", F.explode(sub_structs("res")).alias("s")).select(
+        "cw", "s.m", "s.sv"
+    )
+
+    # Encode: each (vector, subspace) takes its nearest residual codeword.
+    vsub = assigned.select(
+        "vec_id", F.explode(sub_structs("res")).alias("s")
+    ).select("vec_id", "s.m", F.col("s.sv").alias("vv"))
+    cw_dist = F.aggregate(
+        F.zip_with(F.col("vv"), F.col("sv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wc = Window.partitionBy("vec_id", "m").orderBy(
+        cw_dist.asc(), F.col("cw").asc()
+    )
+    codes = (
+        vsub.join(F.broadcast(subv), "m")
+        .withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", "cw")
+    )
+
+    # Reconstruct each residual from its codewords (ordered by subspace);
+    # the struct sort makes collect_list order deterministic.
+    recon = (
+        codes.join(F.broadcast(subv), ["m", "cw"])
+        .groupBy("vec_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("m", "sv"))),
+                    lambda s: s.sv,
+                )
+            ).alias("rres")
+        )
+    )
+
+    q = assigned.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("cent_id").alias("q_cent"),
+    )
+    # Candidate reconstruction = centroid + quantized residual, built
+    # in-row; the score is the usual fixed-order double fold against it.
+    rv = F.zip_with(
+        "ce", "rres", lambda c, r: c.cast("double") + r
+    )
+    scored = (
+        assigned.join(recon.hint("shuffle_hash"), "vec_id")
+        .join(
+            F.broadcast(q),
+            (F.col("cent_id") == F.col("q_cent"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            dot_double(F.col("qe"), rv).alias("score"),
+        )
+    )
+    # Refine: the ADC shortlist (tiny: n_queries x PQ_SHORTLIST rows) is
+    # re-ranked exactly on the raw vectors -- only shortlist members pay
+    # a full-precision fetch, the memory story PQ exists for.
+    shortlist = _topk(scored, PQ_SHORTLIST).select("query_id", "cand_id")
+    refined = (
+        assigned.select(F.col("vec_id").alias("cand_id"), "embedding")
+        .join(F.broadcast(shortlist), "cand_id")
+        .join(F.broadcast(q.select("query_id", "qe")), "query_id")
+        .select(
+            "query_id",
+            "cand_id",
+            dot_double(F.col("qe"), F.col("embedding")).alias("score"),
+        )
+    )
+    return _topk(refined, top_k)
+
+
+@declared(
+    "ann_ivfpq_topk",
+    oracle=f"""
+    WITH cents AS (
+      SELECT vec_id AS cent_id, embedding AS ce
+      FROM embeddings WHERE vec_id % 100 = 0
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, cent_id, ce,
+             list_transform(generate_series(1, {DIM}),
+               i -> CAST(embedding[i] AS DOUBLE) - CAST(ce[i] AS DOUBLE))
+               AS res
+      FROM (
+        SELECT v.vec_id, v.embedding, c.cent_id, c.ce,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY {_DIST_SQL.format(a='v.embedding', b='c.ce')}, c.cent_id
+               ) AS rn
+        FROM embeddings v CROSS JOIN cents c
+      ) t WHERE rn = 1
+    ),
+    train AS (
+      SELECT res, row_number() OVER (ORDER BY vec_id) AS cw
+      FROM assigned WHERE vec_id % {PQ_TRAIN_MOD} = 1
+      QUALIFY cw <= {PQ_CBK}
+    ),
+    subv AS (
+      SELECT m.m AS m, t.cw,
+             t.res[(m.m * {PQ_SUBDIM} + 1):(m.m * {PQ_SUBDIM} + {PQ_SUBDIM})]
+               AS sv
+      FROM train t, unnest(generate_series(0, {PQ_M - 1})) AS m(m)
+    ),
+    vsub AS (
+      SELECT v.vec_id, m.m AS m,
+             v.res[(m.m * {PQ_SUBDIM} + 1):(m.m * {PQ_SUBDIM} + {PQ_SUBDIM})]
+               AS vv
+      FROM assigned v, unnest(generate_series(0, {PQ_M - 1})) AS m(m)
+    ),
+    codes AS (
+      SELECT vec_id, m, cw FROM (
+        SELECT v.vec_id, v.m, s.cw,
+               row_number() OVER (
+                 PARTITION BY v.vec_id, v.m
+                 ORDER BY list_sum(list_transform(
+                   generate_series(1, {PQ_SUBDIM}),
+                   i -> (v.vv[i] - s.sv[i]) * (v.vv[i] - s.sv[i]))), s.cw
+               ) AS rn
+        FROM vsub v JOIN subv s ON s.m = v.m
+      ) t WHERE rn = 1
+    ),
+    recon AS (
+      SELECT c.vec_id, flatten(list(s.sv ORDER BY c.m)) AS rres
+      FROM codes c JOIN subv s ON s.m = c.m AND s.cw = c.cw
+      GROUP BY c.vec_id
+    ),
+    q AS (
+      SELECT vec_id AS query_id, embedding AS qe, cent_id AS q_cent
+      FROM assigned WHERE vec_id < {N_QUERIES}
+    ),
+    scored AS (
+      SELECT q.query_id, a.vec_id AS cand_id,
+             list_sum(list_transform(generate_series(1, {DIM}),
+               i -> CAST(q.qe[i] AS DOUBLE)
+                    * (CAST(a.ce[i] AS DOUBLE) + r.rres[i]))) AS score
+      FROM q
+      JOIN assigned a ON a.cent_id = q.q_cent AND a.vec_id <> q.query_id
+      JOIN recon r ON r.vec_id = a.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, cand_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, cand_id) AS rnk
+      FROM scored
+    ),
+    shortlist AS (
+      SELECT query_id, cand_id FROM ranked WHERE rnk <= {PQ_SHORTLIST}
+    ),
+    refined AS (
+      SELECT s.query_id, s.cand_id,
+             {_DOT_SQL.format(a='q.qe', b='a.embedding')} AS score
+      FROM shortlist s
+      JOIN assigned a ON a.vec_id = s.cand_id
+      JOIN q ON q.query_id = s.query_id
+    ),
+    rr AS (
+      SELECT query_id, cand_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, cand_id) AS rnk
+      FROM refined
+    )
+    SELECT query_id, cand_id, rnk, score
+    FROM rr WHERE rnk <= {TOP_K}
+    """,
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4d: IVF-PQ -- product quantization on top of ann_ivf_topk's
+    coarse quantizer (similarity.py ivf_topk_df), the FAISS production
+    layout for billion-vector search.
+
+    Each vector is coarse-assigned to its nearest sampled centroid, then
+    its RESIDUAL (v - centroid) is PQ-encoded: 8 subspaces of 8 dims,
+    each mapped to its nearest of 16 deterministic codewords (residual
+    subvectors of the lowest-id vectors at stride offset 1 -- offset 0
+    would train on the centroids' own zero residuals; real deployments
+    run per-subspace k-means, which isn't oracle-reproducible).
+    Residual encoding is the IVFADC essential: within one inverted list
+    every member shares the centroid, so quantizing raw vectors collapses
+    within-list ranking (measured recall 0.07 raw vs 0.33 residual ADC on
+    the clustered gate corpus).  Codes are 16 x 4 bits = 8 bytes/vector
+    vs 256 raw -- 32x compression, the difference between spilling and
+    serving from memory at 100 TB.  Queries probe their own inverted
+    list, rank by asymmetric distance (full-precision query x centroid +
+    reconstructed residual), then the ADC SHORTLIST alone is re-ranked
+    exactly on raw vectors (FAISS's refine stage): only ~PQ_SHORTLIST
+    full-width fetches per query ever happen.  The clustered-corpus
+    recall gate (tests/test_ann_recall.py) pins the recall/bytes
+    tradeoff row vs knn_quantized_i8 (64 B/vec).
+
+    Determinism: every distance/score is the fixed-order double fold both
+    engines share; codeword and rank ties break on (cw, cand_id); the
+    reconstruction array orders subspaces by a struct sort.  The only
+    non-broadcast join (candidates x reconstructions) pins a shuffle-hash
+    hint -- its inputs are checkpointed and stat-less (CLAUDE.md rule).
+    """
+    return ivfpq_topk_df(load_table(spark, sf_dir, "embeddings"))

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from etl_rf_matrix_controller_spark.operators.similarity import (
     cosine_pairs_df,
     ivf_topk_df,
+    ivfpq_topk_df,
     knn_topk_df,
     lsh_topk_df,
     quantized_knn_df,
@@ -70,6 +71,18 @@ def test_ann_recall_ordering_and_floors(spark):
     # exactly (measured 1.0 at this seed).
     q8 = _recall(_pairs(quantized_knn_df(emb)), truth)
     assert q8 >= 0.9, q8
+    # The recall/bytes tradeoff table (per-vector scan bytes vs recall@3,
+    # this corpus/seed):
+    #   knn_quantized_i8   64 B/vec   recall 1.0
+    #   ivf flat nprobe=1 256 B/list  recall 0.87
+    #   ivfpq+refine        8 B/vec   recall 0.80  (+ <=10 raw fetches/q)
+    # IVF-PQ trades top-rank fidelity for 32x less scan traffic; the
+    # exact-refine stage recovers most of it (ADC-only measured 0.33).
+    # Floor leaves refactor headroom only; it must stay below q8 by
+    # construction (shortlist pruning can only lose candidates).
+    pq = _recall(_pairs(ivfpq_topk_df(emb, cent_mod=37)), truth)
+    assert pq >= 0.6, pq
+    assert pq <= q8, (pq, q8)
 
 
 def test_cosine_bucket_blocking_recall(spark):
