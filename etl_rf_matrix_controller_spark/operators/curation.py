@@ -912,3 +912,48 @@ def model_inference_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id BIGINT, n_tokens BIGINT, logit_scaled BIGINT,"
         " grade STRING",
     )
+
+
+# k-anonymity threshold: quasi-identifier combos observed on fewer than
+# K_ANON documents are re-identification risks.
+K_ANON = 5
+
+
+@declared(
+    "k_anonymity_risk",
+    oracle=f"""
+    WITH cells AS (
+      SELECT lang, source, CAST(n_chars // 100 AS BIGINT) AS len_band,
+             CAST(count(*) AS BIGINT) AS group_size
+      FROM documents
+      GROUP BY lang, source, n_chars // 100
+    )
+    SELECT lang, source, len_band, group_size
+    FROM cells WHERE group_size < {K_ANON}
+    """,
+)
+def k_anonymity_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifiers (lang, source, coarse
+    length band): every combination observed on fewer than K_ANON
+    documents is a re-identification risk cell -- the aggregate-privacy
+    complement of the per-value PII redaction stats (a doc can leak
+    identity through rare ATTRIBUTE COMBINATIONS even with all direct
+    identifiers scrubbed; Sweeney 2002).  Release pipelines either
+    suppress these cells or coarsen the banding until none remain.
+
+    One partial->final aggregation on the quasi-identifier key, then a
+    filter on the (cell-cardinality-bounded) group table: cost is one
+    corpus scan regardless of scale, and the output is bounded by
+    |lang| x |source| x |bands|, never by rows.  Banding in integer
+    space (n_chars DIV 100) keeps the cell key engine-exact.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(
+            "lang",
+            "source",
+            F.expr("CAST(n_chars DIV 100 AS BIGINT)").alias("len_band"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("group_size"))
+        .filter(F.col("group_size") < K_ANON)
+    )

@@ -1941,3 +1941,66 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     hint -- its inputs are checkpointed and stat-less (CLAUDE.md rule).
     """
     return ivfpq_topk_df(load_table(spark, sf_dir, "embeddings"))
+
+
+@declared(
+    "cross_label_mutual_knn",
+    oracle=f"""
+    WITH a AS (
+      SELECT vec_id AS a_id, embedding AS ae
+      FROM embeddings WHERE label = 0
+    ),
+    b AS (
+      SELECT vec_id AS b_id, embedding AS be
+      FROM embeddings WHERE label = 1
+    ),
+    scored AS (
+      SELECT a.a_id, b.b_id,
+             {_DOT_SQL.format(a='a.ae', b='b.be')} AS score
+      FROM a CROSS JOIN b
+    ),
+    r AS (
+      SELECT a_id, b_id, score,
+             row_number() OVER (PARTITION BY a_id
+                                ORDER BY score DESC, b_id) AS rab,
+             row_number() OVER (PARTITION BY b_id
+                                ORDER BY score DESC, a_id) AS rba
+      FROM scored
+    )
+    SELECT a_id, b_id, score FROM r WHERE rab = 1 AND rba = 1
+    """,
+)
+def cross_label_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual nearest neighbors ACROSS two embedding groups -- the bitext
+    / parallel-pair mining primitive (Artetxe & Schwenk 2019's margin
+    criterion starts from exactly this forward-AND-backward-NN set): a
+    pair survives only if b is a's top match in group B AND a is b's top
+    match in group A, which kills the hub vectors a one-directional kNN
+    would pair with everything.
+
+    Labels 0/1 play the two languages (the driver's embeddings carry no
+    lang column).  Plan: one scored frame, TWO window passes over it
+    (partition by a_id, then by b_id) and a single conjunction filter --
+    mutuality needs no self-join of two kNN result sets.  The small side
+    broadcasts; at 100 TB both sides are LSH/IVF-blocked first (the
+    ann_lsh/ann_ivf machinery) so 'all pairs' becomes 'all pairs within a
+    bucket', and the two windows shuffle only bucket-local candidates.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.filter(F.col("label") == 0).select(
+        F.col("vec_id").alias("a_id"), F.col("embedding").alias("ae")
+    )
+    b = emb.filter(F.col("label") == 1).select(
+        F.col("vec_id").alias("b_id"), F.col("embedding").alias("be")
+    )
+    scored = a.crossJoin(F.broadcast(b)).select(
+        "a_id", "b_id", dot_double(F.col("ae"), F.col("be")).alias("score")
+    )
+    wab = Window.partitionBy("a_id").orderBy(F.desc("score"), F.asc("b_id"))
+    wba = Window.partitionBy("b_id").orderBy(F.desc("score"), F.asc("a_id"))
+    return (
+        scored.withColumn("rab", F.row_number().over(wab))
+        .withColumn("rba", F.row_number().over(wba))
+        .filter((F.col("rab") == 1) & (F.col("rba") == 1))
+        .select("a_id", "b_id", "score")
+    )

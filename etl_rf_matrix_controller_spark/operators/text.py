@@ -695,3 +695,83 @@ def bpe_merge_loop(
 def _sql_str(s: str) -> str:
     """SQL single-quoted string literal (symbols come from corpus text)."""
     return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+@declared(
+    "doc_char_gini",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, c.c AS ch
+      FROM (
+        SELECT doc_id,
+               list_transform(generate_series(1, length(trim(text))),
+                              i -> substring(trim(text), CAST(i AS INT), 1))
+                 AS cs
+        FROM documents
+      ) t, unnest(cs) AS c(c)
+    ),
+    percnt AS (
+      SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+      FROM chars GROUP BY doc_id, ch
+    ),
+    agg AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(c * c) AS BIGINT) AS s2
+      FROM percnt GROUP BY doc_id
+    )
+    SELECT doc_id, n AS n_chars_eff,
+           CAST(1000000 - (s2 * 1000000) // (n * n) AS BIGINT) AS gini_ppm
+    FROM agg WHERE n > 0
+    """,
+)
+def doc_char_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character Gini impurity (1 - sum p_i^2, in ppm) -- the
+    log-free cousin of character entropy and the same quality signal:
+    near-zero marks low-diversity degenerate text (one repeated char),
+    high values mark natural character mixes; used alongside
+    doc_repetition_score to catch keyboard-mash and padding docs.
+
+    Gini is RATIONAL where entropy needs log(), so the whole score is
+    integer-exact across engines: gini_ppm = 1e6 - (sum c_i^2 * 1e6) DIV
+    n^2.  Spark computes it fully IN-ROW (distinct chars of a ~tiny
+    alphabet x one filter-count each via nested higher-order lambdas): no
+    explode, no shuffle, one narrow output row per doc -- at 100 TB this
+    is a pure map pass, where the explode form would shuffle a
+    corpus-x-length char stream (the oracle keeps the unnest spelling;
+    DuckDB reads a view, its plan shape is irrelevant).  Envelope: s2 *
+    1e6 <= n^2 * 1e6 stays under 2^63 for docs up to ~3e6 chars; larger
+    single docs would move the product to DECIMAL(38,0).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    # length >= 1 guard BEFORE the sequence: Spark's sequence(1, 0) is a
+    # DESCENDING [1, 0] while DuckDB's generate_series(1, 0) is empty --
+    # an empty/whitespace doc would diverge (the CLAUDE.md shingle trap).
+    chars = docs.filter(F.length(F.trim("text")) >= 1).select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(1, length(trim(text))),"
+            " i -> substring(trim(text), i, 1))"
+        ).alias("cs"),
+    )
+    # per distinct char: count once (transform), then fold the squares.
+    s2 = F.expr(
+        "aggregate(transform(array_distinct(cs),"
+        " d -> CAST(size(filter(cs, c -> c = d)) AS BIGINT)),"
+        " CAST(0 AS BIGINT), (acc, c) -> acc + c * c)"
+    )
+    return (
+        chars.select(
+            "doc_id",
+            F.size("cs").cast("bigint").alias("n_chars_eff"),
+            s2.alias("s2"),
+        )
+        .filter(F.col("n_chars_eff") > 0)
+        .select(
+            "doc_id",
+            "n_chars_eff",
+            F.expr(
+                "CAST(1000000 - (s2 * 1000000)"
+                " DIV (n_chars_eff * n_chars_eff) AS BIGINT)"
+            ).alias("gini_ppm"),
+        )
+    )
