@@ -101,8 +101,36 @@ class MatrixEngine:
         """MinHash+LSH candidates verified by shingle Jaccard."""
         return self._q("minhash_near_dup_pairs")
 
-    def similar_vectors(self, approximate: bool = False) -> DataFrame:
-        return self._q("ann_lsh_topk" if approximate else "knn_brute_force")
+    def similar_vectors(self, index: str = "flat") -> DataFrame:
+        """Top-k vector search at the chosen index tier: 'flat' (exact
+        brute force), 'lsh' (sign-bucket ANN), 'ivf' (inverted lists),
+        or 'ivfpq' (product-quantized lists + exact refine, the
+        memory-bound 100 TB tier)."""
+        return self._q(
+            {
+                "flat": "knn_brute_force",
+                "lsh": "ann_lsh_topk",
+                "ivf": "ann_ivf_topk",
+                "ivfpq": "ann_ivfpq_topk",
+            }[index]
+        )
+
+    def span_duplicates(self) -> DataFrame:
+        """Maximal >=40-char verbatim spans repeated across documents
+        (exact substring dedup, Lee et al. 2022 family)."""
+        return self._q("substring_span_dups")
+
+    def parallel_pairs(self) -> DataFrame:
+        """Cross-group mutual nearest neighbors (bitext mining shape)."""
+        return self._q("cross_label_mutual_knn")
+
+    def privacy_risk_cells(self) -> DataFrame:
+        """Quasi-identifier combos below the k-anonymity threshold."""
+        return self._q("k_anonymity_risk")
+
+    def experiment_variance_report(self) -> DataFrame:
+        """CUPED theta + achievable variance reduction per event type."""
+        return self._q("cuped_variance_reduction")
 
     def document_quality(self) -> DataFrame:
         return self._q("doc_quality_score")

@@ -656,3 +656,109 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000.0
         ).alias("ci_hi"),
     )
+
+
+@declared(
+    "kmv_union_distinct",
+    oracle="""
+    WITH hashed AS (
+      SELECT DISTINCT
+             CASE WHEN CAST(date_part('day', ts) AS BIGINT) <= 15
+                  THEN 1 ELSE 2 END AS half,
+             ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+               AS h
+      FROM events
+    ),
+    sk AS (
+      SELECT half, h
+      FROM (
+        SELECT half, h,
+               row_number() OVER (PARTITION BY half ORDER BY h) AS rn
+        FROM hashed
+      ) WHERE rn <= 8
+    ),
+    side_k AS (
+      SELECT half, max(h) AS h_k FROM sk GROUP BY half
+    ),
+    merged AS (
+      SELECT h FROM (
+        SELECT h, row_number() OVER (ORDER BY h) AS rn
+        FROM (SELECT DISTINCT h FROM sk)
+      ) WHERE rn = 8
+    ),
+    exact AS (
+      SELECT CAST(count(DISTINCT h) AS BIGINT) AS exact_union FROM hashed
+    )
+    SELECT CAST(8 AS BIGINT) AS k,
+           CAST((7 * 4294967296) // a.h_k AS BIGINT) AS est_first,
+           CAST((7 * 4294967296) // b.h_k AS BIGINT) AS est_second,
+           CAST((7 * 4294967296) // m.h AS BIGINT) AS est_union,
+           e.exact_union
+    FROM side_k a, side_k b, merged m, exact e
+    WHERE a.half = 1 AND b.half = 2
+    """,
+)
+def kmv_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch UNION -- the mergeability demo the 100 TB story rests
+    on, kept fully deterministic and oracle-checked (unlike HLL, whose
+    engine internals differ): month halves play two shards, each reduced
+    to its k=8 smallest distinct user hashes, and the union sketch is the
+    k smallest of the MERGED SKETCHES alone (never the re-scanned data)
+    -- the identity "k-min of (sketch_a union sketch_b) == k-min of the
+    full union" that lets a 1000-executor job reduce per-partition
+    sketches in a tree instead of re-shuffling raw keys.  The exact union
+    count rides along as the self-audit column.
+
+    Plan: one events scan -> distinct (half, hash) -> the per-half and
+    merged ranks all run over the k*2-row sketch table; the exact count
+    shares the same checkpointed distinct frame (shared-consumer rule,
+    explicit broadcasts on the stat-less scalar frames).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hashed = (
+        ev.select(
+            F.when(F.dayofmonth("ts") <= 15, F.lit(1))
+            .otherwise(F.lit(2))
+            .alias("half"),
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+            )
+            .cast("bigint")
+            .alias("h"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sk = (
+        hashed.withColumn(
+            "rn", F.row_number().over(Window.partitionBy("half").orderBy("h"))
+        )
+        .filter(F.col("rn") <= 8)
+        .select("half", "h")
+        .localCheckpoint(eager=True)  # feeds side_k AND merged
+    )
+    side_k = sk.groupBy("half").agg(F.max("h").alias("h_k"))
+    a = side_k.filter(F.col("half") == 1).select(F.col("h_k").alias("h_a"))
+    b = side_k.filter(F.col("half") == 2).select(F.col("h_k").alias("h_b"))
+    merged = (
+        sk.select("h")
+        .distinct()
+        .withColumn("rn", F.row_number().over(Window.orderBy("h")))
+        .filter(F.col("rn") == 8)
+        .select(F.col("h").alias("h_m"))
+    )
+    exact = hashed.select("h").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_union")
+    )
+    return (
+        a.crossJoin(F.broadcast(b))
+        .crossJoin(F.broadcast(merged))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            F.lit(8).cast("bigint").alias("k"),
+            F.expr("(7 * 4294967296) DIV h_a").cast("bigint").alias("est_first"),
+            F.expr("(7 * 4294967296) DIV h_b").cast("bigint").alias("est_second"),
+            F.expr("(7 * 4294967296) DIV h_m").cast("bigint").alias("est_union"),
+            "exact_union",
+        )
+    )

@@ -1509,3 +1509,103 @@ def daily_value_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
         m.filter((var_x > 0) & (var_y > 0))
         .select("event_type", F.col("n").alias("n_pairs"), corr.alias("autocorr"))
     )
+
+
+@declared(
+    "cuped_variance_reduction",
+    oracle="""
+    WITH per_user AS (
+      SELECT event_type, user_id,
+             CAST(sum(CASE WHEN CAST(date_part('day', ts) AS BIGINT) <= 15
+                           THEN CAST(round(value * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS x,
+             CAST(sum(CASE WHEN CAST(date_part('day', ts) AS BIGINT) > 15
+                           THEN CAST(round(value * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS y
+      FROM events
+      GROUP BY event_type, user_id
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+             CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+             CAST(sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS HUGEINT)
+               AS sxx,
+             CAST(sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS HUGEINT)
+               AS syy,
+             CAST(sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS HUGEINT)
+               AS sxy
+      FROM per_user GROUP BY event_type
+    )
+    SELECT event_type, n AS n_users,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) AS theta,
+           (CAST(n * sxy - sx * sy AS DOUBLE)
+              * CAST(n * sxy - sx * sy AS DOUBLE))
+             / (CAST(n * sxx - sx * sx AS DOUBLE)
+                  * CAST(n * syy - sy * sy AS DOUBLE)) AS var_reduction
+    FROM m
+    WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    """,
+)
+def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED pre-experiment covariate adjustment (Deng et al. 2013), the
+    standard experimentation-platform variance cutter: per user, the
+    first half-month's value total is the pre-period covariate X and the
+    second half's is the metric Y; theta = cov(X,Y)/var(X) is the
+    adjustment coefficient, and the achievable variance reduction is
+    exactly rho^2 = cov^2/(var X * var Y) -- the fraction of metric
+    variance the covariate explains, i.e. how much smaller the
+    experiment's sample size could be.
+
+    Exactness: all five moments accumulate as DECIMAL(38,0) (operands
+    cast BEFORE multiplying, the HUGEINT-parity rule); only the final
+    theta and rho^2 convert to double, as single fixed-order
+    multiply/divide expressions over identical integers -- bit-equal
+    across engines.  Squaring cov INSIDE the decimal space could
+    overflow 38 digits at scale, so the square happens in double on both
+    sides.  Plan: one events scan -> per-(type,user) conditional sums
+    (partial-agg map-side) -> per-type moment reduction; two shuffles
+    total, both key-bounded.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = F.round(F.col("value") * 100).cast("bigint")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.sum(F.when(F.dayofmonth("ts") <= 15, v).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("x"),
+        F.sum(F.when(F.dayofmonth("ts") > 15, v).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("y"),
+    )
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = per_user.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(d(F.col("x"))).alias("sx"),
+        F.sum(d(F.col("y"))).alias("sy"),
+        F.sum(d(F.col("x")) * d(F.col("x"))).alias("sxx"),
+        F.sum(d(F.col("y")) * d(F.col("y"))).alias("syy"),
+        F.sum(d(F.col("x")) * d(F.col("y"))).alias("sxy"),
+    )
+    var_x = F.expr("n * sxx - sx * sx")
+    var_y = F.expr("n * syy - sy * sy")
+    theta = F.expr(
+        "CAST(n * sxy - sx * sy AS DOUBLE)"
+        " / CAST(n * sxx - sx * sx AS DOUBLE)"
+    )
+    vr = F.expr(
+        "(CAST(n * sxy - sx * sy AS DOUBLE)"
+        " * CAST(n * sxy - sx * sy AS DOUBLE))"
+        " / (CAST(n * sxx - sx * sx AS DOUBLE)"
+        " * CAST(n * syy - sy * sy AS DOUBLE))"
+    )
+    return (
+        m.filter((var_x > 0) & (var_y > 0))
+        .select(
+            "event_type",
+            F.col("n").alias("n_users"),
+            theta.alias("theta"),
+            vr.alias("var_reduction"),
+        )
+    )

@@ -1686,7 +1686,10 @@ def ivfpq_topk_df(
     PQ RECONSTRUCTIONS (asymmetric distance), so the scan-side memory is
     codes (4 B/vec) + the tiny codebook, never the raw vectors.
     """
-    emb = emb.select("vec_id", "embedding").localCheckpoint(eager=True)
+    # Lazy checkpoint: materialized inside the first consumer's job (the
+    # eager `assigned` checkpoint below) instead of as a separate
+    # blocking action; later consumers reuse the cached blocks.
+    emb = emb.select("vec_id", "embedding").localCheckpoint(eager=False)
 
     # Coarse quantizer: nearest sampled centroid (ann_ivf_topk's shape).
     # assigned keeps the winning centroid's vector and the RESIDUAL
@@ -1698,19 +1701,35 @@ def ivfpq_topk_df(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce")
     )
     dist = _sq_dist(F.col("embedding"), F.col("ce"))
-    w = Window.partitionBy("vec_id").orderBy(dist.asc(), F.col("cent_id").asc())
-    assigned = (
+    # argmin by hash aggregation (min over a (dist, cent_id, ce) struct,
+    # lexicographic = the same (dist, cent_id) tie-break a row_number
+    # window would use) -- a partial-aggregating map-side reduction
+    # instead of a full sort of the |vectors| x |centroids| fan-out.
+    best = (
         emb.crossJoin(F.broadcast(cents))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
+        .groupBy("vec_id")
+        .agg(
+            F.min(
+                F.struct(
+                    dist.alias("d"),
+                    F.col("cent_id").alias("cent_id"),
+                    F.col("ce").alias("ce"),
+                )
+            ).alias("b"),
+            # constant within the group (vec_id is the frame's key), so
+            # first() is deterministic here.
+            F.first("embedding").alias("embedding"),
+        )
+    )
+    assigned = (
+        best.select(
             "vec_id",
             "embedding",
-            "cent_id",
-            "ce",
+            F.col("b.cent_id").alias("cent_id"),
+            F.col("b.ce").alias("ce"),
             F.zip_with(
                 "embedding",
-                "ce",
+                F.col("b.ce"),
                 lambda x, y: x.cast("double") - y.cast("double"),
             ).alias("res"),
         )
@@ -1751,14 +1770,13 @@ def ivfpq_topk_df(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    wc = Window.partitionBy("vec_id", "m").orderBy(
-        cw_dist.asc(), F.col("cw").asc()
-    )
+    # Same argmin-by-aggregation as the coarse step: the |vectors| x M x
+    # cb_k encode fan-out reduces map-side instead of sorting.
     codes = (
         vsub.join(F.broadcast(subv), "m")
-        .withColumn("rn", F.row_number().over(wc))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "m", "cw")
+        .groupBy("vec_id", "m")
+        .agg(F.min(F.struct(cw_dist.alias("d"), F.col("cw").alias("cw"))).alias("b"))
+        .select("vec_id", "m", F.col("b.cw").alias("cw"))
     )
 
     # Reconstruct each residual from its codewords (ordered by subspace);
