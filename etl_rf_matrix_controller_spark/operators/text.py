@@ -733,37 +733,32 @@ def doc_char_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Gini is RATIONAL where entropy needs log(), so the whole score is
     integer-exact across engines: gini_ppm = 1e6 - (sum c_i^2 * 1e6) DIV
-    n^2.  Spark computes it fully IN-ROW (distinct chars of a ~tiny
-    alphabet x one filter-count each via nested higher-order lambdas): no
-    explode, no shuffle, one narrow output row per doc -- at 100 TB this
-    is a pure map pass, where the explode form would shuffle a
-    corpus-x-length char stream (the oracle keeps the unnest spelling;
-    DuckDB reads a view, its plan shape is irrelevant).  Envelope: s2 *
-    1e6 <= n^2 * 1e6 stays under 2^63 for docs up to ~3e6 chars; larger
+    n^2.  Plan: split-to-chars explode (JVM codegen, no higher-order
+    functions) -> partial-aggregating (doc, char) counts -> per-doc
+    moment reduction; both shuffles carry count rows bounded by
+    |docs| x |alphabet|, never the raw char stream (map-side combine
+    collapses it).  Two in-row zero-shuffle variants were A/B-tested and
+    REJECTED at sf0.1: nested per-distinct-char filter lambdas (5.4 s)
+    and a sorted run-length struct fold (3.5 s) -- higher-order
+    functions are interpreted, not codegen'd, so the explode form wins
+    ~5x (measured 0.95 s) despite the exchange.  Envelope: s2 * 1e6
+    <= n^2 * 1e6 stays under 2^63 for docs up to ~3e6 chars; larger
     single docs would move the product to DECIMAL(38,0).
     """
-    docs = load_table(spark, sf_dir, "documents")
-    # length >= 1 guard BEFORE the sequence: Spark's sequence(1, 0) is a
-    # DESCENDING [1, 0] while DuckDB's generate_series(1, 0) is empty --
-    # an empty/whitespace doc would diverge (the CLAUDE.md shingle trap).
-    chars = docs.filter(F.length(F.trim("text")) >= 1).select(
-        "doc_id",
-        F.expr(
-            "transform(sequence(1, length(trim(text))),"
-            " i -> substring(trim(text), i, 1))"
-        ).alias("cs"),
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism  # rebalance BEFORE the fan-out
     )
-    # per distinct char: count once (transform), then fold the squares.
-    s2 = F.expr(
-        "aggregate(transform(array_distinct(cs),"
-        " d -> CAST(size(filter(cs, c -> c = d)) AS BIGINT)),"
-        " CAST(0 AS BIGINT), (acc, c) -> acc + c * c)"
+    chars = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), "")).alias("ch")
+    ).filter(F.col("ch") != "")
+    percnt = chars.groupBy("doc_id", "ch").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
     )
     return (
-        chars.select(
-            "doc_id",
-            F.size("cs").cast("bigint").alias("n_chars_eff"),
-            s2.alias("s2"),
+        percnt.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_chars_eff"),
+            F.sum(F.col("c") * F.col("c")).cast("bigint").alias("s2"),
         )
         .filter(F.col("n_chars_eff") > 0)
         .select(
