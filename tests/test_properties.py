@@ -122,3 +122,81 @@ def test_integer_percentile_interpolation_matches_numpy(cents):
         ours = (v[lo] * (4 - rem) + v[hi] * rem) / 4.0 / 100.0
         ref = float(np.percentile(np.array(v) / 100.0, p * 25, method="linear"))
         assert abs(ours - ref) < 1e-9 * max(1.0, ref)
+
+
+# -- round-4 operators ----------------------------------------------------
+
+doc_texts = st.lists(
+    st.text(alphabet="ab ", min_size=0, max_size=60), min_size=2, max_size=4
+)
+
+
+def _ref_spans(docs: list[tuple[int, str]], k: int) -> set[tuple]:
+    """Brute-force maximal shared-span reference (definitionally: matching
+    k-gram positions grouped by (pair, diagonal), consecutive runs
+    merged)."""
+    pg = []
+    for did, text in docs:
+        t = text.strip()
+        for i in range(1, max(len(t) - k + 1, 0) + 1):
+            pg.append((did, i, t[i - 1: i - 1 + k]))
+    out = set()
+    matches: dict[tuple[int, int, int], set[int]] = {}
+    for da, pa, ga in pg:
+        for db, pb, gb in pg:
+            if da < db and ga == gb:
+                matches.setdefault((da, db, pa - pb), set()).add(pa)
+    for (da, db, diag), poss in matches.items():
+        for p in sorted(poss):
+            if p - 1 not in poss:  # island start
+                end = p
+                while end + 1 in poss:
+                    end += 1
+                out.add((da, db, p, p - diag, end - p + k))
+    return out
+
+
+@given(texts=doc_texts)
+@SETTINGS
+def test_substring_spans_match_bruteforce(spark, texts):
+    """substring_span_pairs_df == the brute-force positional-gram
+    reference for any small corpus (tiny 'ab ' alphabet forces heavy
+    overlap, repeated grams, and multi-diagonal matches)."""
+    from etl_rf_matrix_controller_spark.operators.dedup import (
+        substring_span_pairs_df,
+    )
+
+    docs = list(enumerate(texts))
+    df = spark.createDataFrame(
+        [(i, t) for i, t in docs], "doc_id bigint, text string"
+    )
+    got = {
+        (r.doc_a, r.doc_b, r.start_a, r.start_b, r.span_chars)
+        for r in substring_span_pairs_df(df, k=8).collect()
+    }
+    assert got == _ref_spans(docs, 8), (texts, got)
+
+
+word_tables = st.dictionaries(
+    st.text(alphabet="abc", min_size=1, max_size=6),
+    st.integers(min_value=1, max_value=9),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(words=word_tables)
+@SETTINGS
+def test_bpe_merge_loop_matches_reference_random(spark, words):
+    """bpe_merge_loop == the plain-Python Sennrich reference for any
+    small word-frequency table (3 merges; ties and overlap runs arise
+    naturally from the tiny alphabet)."""
+    from etl_rf_matrix_controller_spark.operators.text import bpe_merge_loop
+    from tests.test_round4_ops import _ref_bpe
+
+    ref_merges, ref_vocab = _ref_bpe(dict(words), 3)
+    df = spark.createDataFrame(list(words.items()), "token string, cnt bigint")
+    merges, vocab = bpe_merge_loop(df, n_merges=3)
+    assert merges == ref_merges, (words, merges, ref_merges)
+    got = {r.token: list(r.syms) for r in vocab.collect()}
+    assert got == ref_vocab, (words, got, ref_vocab)
