@@ -77,6 +77,47 @@ def main() -> None:
                 f"{name} x{mult}: {dt:.2f}s (~{rows/1e6:.1f}M rows, "
                 f"{rows/dt/1e6:.1f}M rows/s)"
             )
+
+    # Substring-span dedup slope.  Copies are ALPHABET-ROTATED, not
+    # verbatim: verbatim clones would make every copy pair a true
+    # full-length match (output genuinely quadratic in mult -- an
+    # output-size property, not a cost bug), while rotation keeps the
+    # cross-copy gram overlap at zero so the probe isolates the
+    # index-build volume slope (gram explode + bucket join).
+    from etl_rf_matrix_controller_spark.operators.dedup import (
+        substring_span_pairs_df,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    n_docs = docs.count()
+
+    def amplify_docs(mult: int):
+        parts = []
+        for i in range(mult):
+            rot = alpha[i:] + alpha[:i]
+            parts.append(
+                docs.select(
+                    (F.col("doc_id") + i * 10_000_000).alias("doc_id"),
+                    F.translate("text", alpha, rot).alias("text"),
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    for mult in (1, MULT):
+        t0 = time.perf_counter()
+        substring_span_pairs_df(amplify_docs(mult)).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        dt = time.perf_counter() - t0
+        grams = n_docs * mult * 650  # ~len-39 grams per doc
+        print(
+            f"span_dedup x{mult}: {dt:.2f}s (~{grams/1e6:.1f}M grams, "
+            f"{grams/dt/1e6:.1f}M grams/s)"
+        )
     spark.stop()
 
 
