@@ -434,3 +434,80 @@ def source_coverage_concentration(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("total").cast("bigint").alias("total_chars"),
         F.col("chars_kept").cast("bigint").alias("chars_kept"),
     )
+
+
+# The driver's documents carry no URLs, so the op injects deterministic
+# synthetic ones keyed off doc_id (same technique as pii_redact_stats'
+# _AUG_SQL); the extraction + rollup is exactly what runs on a crawl.
+_URL_AUG_SQL = """
+    (text || CASE WHEN doc_id % 3 = 0
+                  THEN ' https://site' || CAST(doc_id % 20 AS VARCHAR)
+                       || '.example/p' || CAST(doc_id % 7 AS VARCHAR)
+                  ELSE '' END)
+"""
+
+
+@declared(
+    "domain_curation_profile",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id, lang, n_chars, {_URL_AUG_SQL} AS text
+      FROM documents
+    ),
+    tagged AS (
+      SELECT doc_id, lang, n_chars,
+             regexp_extract(text, 'https://([a-z0-9.]+)/', 1) AS domain
+      FROM aug
+    )
+    SELECT domain,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           {ratio4_sql('sum(n_chars)', 'count(*)')} AS avg_chars,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM tagged
+    WHERE domain <> ''
+    GROUP BY domain
+    """,
+)
+def domain_curation_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain curation rollup -- the CommonCrawl-style source-of-truth
+    table crawl pipelines keep per registered domain (doc volume, byte
+    mass, language spread) to drive domain-level keep/cap/block
+    decisions; the companion of docs_per_source_cap at URL granularity.
+
+    The URL is pulled with one regexp_extract (capture group 1 = the
+    domain) -- a pure codegen'd projection -- and the rollup is a single
+    partial->final aggregation keyed by domain, output bounded by
+    |domains|.  Exact count(DISTINCT lang) rides in the same aggregate
+    (Spark plans the distinct as an expand, still one scan).  The ratio
+    is integer-space (ratio4), engine-exact.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" https://site"),
+                    (F.col("doc_id") % 20).cast("string"),
+                    F.lit(".example/p"),
+                    (F.col("doc_id") % 7).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    tagged = aug.select(
+        "lang",
+        "n_chars",
+        F.regexp_extract("text", r"https://([a-z0-9.]+)/", 1).alias("domain"),
+    ).filter(F.col("domain") != "")
+    return tagged.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        ratio4(F.sum("n_chars"), F.count(F.lit(1))).alias("avg_chars"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+    )

@@ -1353,3 +1353,112 @@ def value_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dev").cast("bigint").alias("max_abs_cusum"),
         )
     )
+
+
+@declared(
+    "value_mad_outliers",
+    oracle="""
+    WITH vals AS (
+      SELECT event_type, event_id,
+             CAST(round(value * 100) AS BIGINT) AS v
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, event_id, v,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY v, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM vals
+    ),
+    meds AS (
+      SELECT event_type, v AS med FROM ranked WHERE rn = (n + 1) // 2
+    ),
+    dev AS (
+      SELECT r.event_type, r.event_id, r.v, m.med,
+             abs(r.v - m.med) AS d
+      FROM vals r JOIN meds m ON m.event_type = r.event_type
+    ),
+    dranked AS (
+      SELECT event_type, d,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY d, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM dev
+    ),
+    mads AS (
+      SELECT event_type, d AS mad FROM dranked WHERE rn = (n + 1) // 2
+    )
+    SELECT dev.event_type, dev.event_id, dev.v, dev.med, mads.mad,
+           CAST((dev.d * 100000000) // (14826 * greatest(mads.mad, 1))
+             AS BIGINT) AS rz4
+    FROM dev JOIN mads ON mads.event_type = dev.event_type
+    WHERE (dev.d * 100000000) // (14826 * greatest(mads.mad, 1)) > 30000
+    """,
+)
+def value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outliers via median/MAD: |v - median| / (1.4826 * MAD) > 3
+    -- the estimator value_zscore_outliers' mean/stddev version lacks
+    (one extreme value inflates a stddev and HIDES other outliers; the
+    median and MAD have 50% breakdown, so contamination can't mask
+    itself -- the reason robust z is the production data-quality
+    default).
+
+    Integer-exact throughout: medians are LOWER-median rank selections
+    ((n+1) DIV 2 over (value, event_id) total order, the
+    percentile_disc_prices machinery), and the robust z is emitted as
+    rz4 = d*1e8 DIV (14826 * MAD) -- 1.4826 lives in the denominator as
+    the integer 14826, so no float ever appears.  Plan: one events scan
+    checkpointed narrow; two rank windows (median, then MAD) each
+    partitioned by event_type; the per-type scalars broadcast back.  At
+    100 TB swap the rank windows for the two-pass histogram rank
+    (doc_char_length_mad's trick) to avoid per-type global sorts.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    vals = ev.select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("v"),
+    ).localCheckpoint(eager=True)  # feeds median rank AND deviation join
+    w = Window.partitionBy("event_type").orderBy("v", "event_id")
+    wn = Window.partitionBy("event_type")
+    meds = (
+        vals.select(
+            "event_type",
+            "v",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        )
+        .filter(F.col("rn") == F.expr("(n + 1) DIV 2"))
+        .select("event_type", F.col("v").alias("med"))
+    )
+    dev = vals.join(F.broadcast(meds), "event_type").select(
+        "event_type",
+        "event_id",
+        "v",
+        "med",
+        F.abs(F.col("v") - F.col("med")).alias("d"),
+    ).localCheckpoint(eager=True)  # feeds MAD rank AND the output filter
+    wd = Window.partitionBy("event_type").orderBy("d", "event_id")
+    mads = (
+        dev.select(
+            "event_type",
+            "d",
+            F.row_number().over(wd).alias("rn"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        )
+        .filter(F.col("rn") == F.expr("(n + 1) DIV 2"))
+        .select("event_type", F.col("d").alias("mad"))
+    )
+    rz4 = F.expr("(d * 100000000) DIV (14826 * greatest(mad, 1))")
+    return (
+        dev.join(F.broadcast(mads), "event_type")
+        .filter(rz4 > 30000)
+        .select(
+            "event_type",
+            "event_id",
+            "v",
+            "med",
+            "mad",
+            rz4.cast("bigint").alias("rz4"),
+        )
+    )
