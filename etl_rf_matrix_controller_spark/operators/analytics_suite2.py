@@ -1068,3 +1068,73 @@ def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.selectExpr(
         f"stack({len(_corr_pairs())}, {pair_exprs}) AS (pair, corr)"
     )
+
+
+@declared(
+    "pareto_front_parts",
+    oracle="""
+    WITH pts AS (
+      SELECT p_partkey,
+             CAST(round(p_retailprice * 100) AS BIGINT) AS price_c,
+             CAST(p_size AS BIGINT) AS size
+      FROM part
+    ),
+    per_price AS (
+      SELECT price_c, min(size) AS min_size
+      FROM pts GROUP BY price_c
+    ),
+    fronts AS (
+      SELECT price_c, min_size,
+             min(min_size) OVER (ORDER BY price_c
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING) AS strict_min
+      FROM per_price
+    )
+    SELECT p.p_partkey, p.price_c, p.size
+    FROM pts p
+    JOIN fronts f ON f.price_c = p.price_c
+    WHERE (f.strict_min IS NULL OR f.strict_min > p.size)
+      AND p.size = f.min_size
+    """,
+)
+def pareto_front_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline: parts Pareto-optimal on (cheap price, small size) --
+    the dominance query class (BNL/SFS skyline literature) that a
+    multi-objective part picker runs; a part is dominated if another is
+    <= on both dimensions and strictly better on one.
+
+    NOT the naive O(n^2) dominance self-join: the 2-D skyline reduces to
+    a sort-free two-level form -- per-price min size (one partial-agg
+    groupBy, output = |distinct prices|), then a running strict-prefix
+    min over the PER-PRICE table ordered by price (a window over the
+    aggregated table, corpus-independent), broadcast back.  A row
+    survives iff no strictly-cheaper price offers <= its size
+    (strict_min > size) and it ties the min within its own price (exact
+    (price, size) duplicates survive together -- neither dominates, no
+    strict dimension).  At 100 TB the only corpus-sized ops are the
+    groupBy and the final broadcast-join filter; the windowed frame is
+    price-cardinality-bounded.  Integer-exact: price in scaled cents.
+    """
+    pts = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100).cast("bigint").alias("price_c"),
+        F.col("p_size").cast("bigint").alias("size"),
+    )
+    per_price = pts.groupBy("price_c").agg(F.min("size").alias("min_size"))
+    w = (
+        Window.orderBy("price_c")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    fronts = per_price.select(
+        "price_c",
+        "min_size",
+        F.min("min_size").over(w).alias("strict_min"),
+    )
+    return (
+        pts.join(F.broadcast(fronts), "price_c")
+        .filter(
+            (F.col("strict_min").isNull() | (F.col("strict_min") > F.col("size")))
+            & (F.col("size") == F.col("min_size"))
+        )
+        .select("p_partkey", "price_c", "size")
+    )

@@ -1609,3 +1609,92 @@ def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
             vr.alias("var_reduction"),
         )
     )
+
+
+@declared(
+    "rfm_segments",
+    oracle="""
+    WITH anchor AS (
+      SELECT max(CAST(date_trunc('day', ts) AS DATE)) AS max_day FROM events
+    ),
+    per_user AS (
+      SELECT user_id,
+             CAST(datediff('day',
+                           max(CAST(date_trunc('day', ts) AS DATE)),
+                           max(a.max_day)) AS BIGINT) AS recency_days,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS monetary_c
+      FROM events CROSS JOIN anchor a
+      GROUP BY user_id
+    ),
+    binned AS (
+      SELECT user_id,
+             CAST((row_number() OVER (ORDER BY recency_days, user_id) - 1) * 3
+                  // count(*) OVER () AS BIGINT) AS r_bin,
+             CAST((row_number() OVER (ORDER BY frequency, user_id) - 1) * 3
+                  // count(*) OVER () AS BIGINT) AS f_bin,
+             CAST((row_number() OVER (ORDER BY monetary_c, user_id) - 1) * 3
+                  // count(*) OVER () AS BIGINT) AS m_bin
+      FROM per_user
+    )
+    SELECT r_bin, f_bin, m_bin, CAST(count(*) AS BIGINT) AS n_users
+    FROM binned
+    GROUP BY r_bin, f_bin, m_bin
+    """,
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation -- the classic behavioral-marketing rollup: per
+    user, Recency (days since last event vs the corpus anchor day),
+    Frequency (event count), Monetary (value total in cents), each cut
+    into tertiles, then users counted per (R, F, M) cell; the 27-cell
+    table that drives churn/VIP/win-back targeting.
+
+    Tertile cuts are RANK-based integers -- bin = (rn-1)*3 DIV n over a
+    (metric, user_id) total order -- so the cuts are engine-exact
+    (value-quantile cuts would put engines on different sides of a float
+    boundary).  Plan: one events scan -> per-user partial-agg rollup;
+    the three rank windows run over the USER table (corpus-independent);
+    the output is 27-cell-bounded.  The anchor day is a 1-row broadcast.
+    At 100 TB the three global rank sorts over users become histogram
+    cumulative ranks (doc_char_length_mad's trick) if the user table
+    itself is huge.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    anchor = ev.agg(
+        F.max(F.date_trunc("day", "ts").cast("date")).alias("max_day")
+    )
+    per_user = (
+        ev.crossJoin(F.broadcast(anchor))
+        .groupBy("user_id")
+        .agg(
+            F.datediff(
+                F.max("max_day"),
+                F.max(F.date_trunc("day", "ts").cast("date")),
+            )
+            .cast("bigint")
+            .alias("recency_days"),
+            F.count(F.lit(1)).cast("bigint").alias("frequency"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("monetary_c"),
+        )
+    )
+    n_all = Window.partitionBy()
+    ranked = per_user.select(
+        "user_id",
+        F.row_number()
+        .over(Window.orderBy("recency_days", "user_id"))
+        .alias("rn_r"),
+        F.row_number().over(Window.orderBy("frequency", "user_id")).alias("rn_f"),
+        F.row_number().over(Window.orderBy("monetary_c", "user_id")).alias("rn_m"),
+        F.count(F.lit(1)).over(n_all).alias("n"),
+    )
+    binned = ranked.select(
+        F.expr("CAST((rn_r - 1) * 3 DIV n AS BIGINT)").alias("r_bin"),
+        F.expr("CAST((rn_f - 1) * 3 DIV n AS BIGINT)").alias("f_bin"),
+        F.expr("CAST((rn_m - 1) * 3 DIV n AS BIGINT)").alias("m_bin"),
+    )
+    return binned.groupBy("r_bin", "f_bin", "m_bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
