@@ -177,3 +177,28 @@ def test_training_shard_export_manifest_is_verifiable(spark, tmp_path):
             s["n_docs"],
             s["content_fp"],
         )
+
+
+def test_orc_roundtrip_and_pushdown(spark, tmp_path):
+    """Format breadth beyond parquet: ORC round-trips byte-identically and
+    takes predicate pushdown + column pruning at the scan, the same scale
+    contract the parquet readers are held to."""
+    events = load_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    out = str(tmp_path / "events_orc")
+    events.write.mode("overwrite").orc(out)
+
+    back = spark.read.orc(out)
+    assert back.count() == events.count()
+    df = back.filter(F.col("user_id") == 7).select("event_id", "value")
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "PushedFilters: [IsNotNull(user_id), EqualTo(user_id,7)" in plan, plan
+    assert "ReadSchema: struct<event_id:bigint,user_id:bigint,value:double>" in plan
+    got = sorted(r.event_id for r in df.collect())
+    want = sorted(
+        r.event_id for r in events.filter(F.col("user_id") == 7).collect()
+    )
+    assert got == want and got, "ORC round-trip changed the row set"
