@@ -1698,3 +1698,102 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binned.groupBy("r_bin", "f_bin", "m_bin").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_users")
     )
+
+
+@declared(
+    "conversion_latency_quantiles",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_type,
+             min(CASE WHEN event_type = 'signup' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS first_signup
+      FROM events
+    ),
+    conv AS (
+      SELECT user_id,
+             CAST(min(CAST(floor(epoch(ts)) AS BIGINT)
+                      - CAST(floor(epoch(first_signup)) AS BIGINT))
+               AS BIGINT) AS delay_sec
+      FROM seq
+      WHERE event_type = 'purchase' AND first_signup IS NOT NULL
+      GROUP BY user_id
+    ),
+    ranked AS (
+      SELECT CAST(delay_sec // 60 AS BIGINT) AS delay_min,
+             row_number() OVER (ORDER BY delay_sec, user_id) AS rn,
+             count(*) OVER () AS n
+      FROM conv
+    )
+    SELECT 'p50' AS quantile, delay_min,
+           CAST(n AS BIGINT) AS n_converted
+    FROM ranked WHERE rn = (n + 1) // 2
+    UNION ALL
+    SELECT 'p90' AS quantile, delay_min,
+           CAST(n AS BIGINT) AS n_converted
+    FROM ranked WHERE rn = (9 * n + 9) // 10
+    """,
+)
+def conversion_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup-to-first-purchase latency quantiles (p50/p90) -- the
+    product-analytics time-to-convert distribution: how long after their
+    FIRST signup users take to make their first purchase, summarized at
+    the median and tail.
+
+    The first-signup carry is one running-min window per user (ordered
+    by (ts, event_id)), so purchases see the signup that precedes them
+    without a self-join; per-user first conversion is a groupBy over the
+    SAME user_id partitioning (exchange reused).  Quantiles are
+    percentile_disc rank selections over the converted-user table
+    (p50 at (n+1) DIV 2, p90 at ceil(0.9n) = (9n+9) DIV 10), and the
+    delay is integer seconds (both engines floor the epoch -- DuckDB's
+    epoch() is fractional, Spark's long cast truncates) DIV 60.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seq = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.min(
+            F.when(F.col("event_type") == "signup", F.col("ts"))
+        ).over(w).alias("first_signup"),
+    )
+    conv = (
+        seq.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("first_signup").isNotNull()
+        )
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.col("ts").cast("long") - F.col("first_signup").cast("long")
+            )
+            .cast("bigint")
+            .alias("delay_sec")
+        )
+    )
+    # Both quantile filters consume this frame; checkpoint so the events
+    # window + conversion rollup run once (shared-consumer rule).
+    ranked = conv.select(
+        F.expr("CAST(delay_sec DIV 60 AS BIGINT)").alias("delay_min"),
+        F.row_number()
+        .over(Window.orderBy("delay_sec", "user_id"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    ).localCheckpoint(eager=True)
+    p50 = ranked.filter(F.col("rn") == F.expr("(n + 1) DIV 2")).select(
+        F.lit("p50").alias("quantile"),
+        "delay_min",
+        F.col("n").cast("bigint").alias("n_converted"),
+    )
+    p90 = ranked.filter(F.col("rn") == F.expr("(9 * n + 9) DIV 10")).select(
+        F.lit("p90").alias("quantile"),
+        "delay_min",
+        F.col("n").cast("bigint").alias("n_converted"),
+    )
+    return p50.unionByName(p90)

@@ -1462,3 +1462,124 @@ def value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             rz4.cast("bigint").alias("rz4"),
         )
     )
+
+
+@declared(
+    "daily_seasonal_anomalies",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS total_c
+      FROM events GROUP BY date_trunc('day', ts)
+    ),
+    tagged AS (
+      SELECT day, total_c,
+             (CAST(datediff('day', DATE '1970-01-01', day) AS BIGINT) + 4) % 7
+               AS weekday
+      FROM daily
+    ),
+    wd_ranked AS (
+      SELECT day, total_c, weekday,
+             row_number() OVER (PARTITION BY weekday
+                                ORDER BY total_c, day) AS rn,
+             count(*) OVER (PARTITION BY weekday) AS n
+      FROM tagged
+    ),
+    wd_med AS (
+      SELECT weekday, total_c AS wd_med
+      FROM wd_ranked WHERE rn = (n + 1) // 2
+    ),
+    resid AS (
+      SELECT t.day, t.total_c, t.weekday, m.wd_med,
+             t.total_c - m.wd_med AS resid_c
+      FROM tagged t JOIN wd_med m ON m.weekday = t.weekday
+    ),
+    mad_ranked AS (
+      SELECT abs(resid_c) AS a,
+             row_number() OVER (ORDER BY abs(resid_c), day) AS rn,
+             count(*) OVER () AS n
+      FROM resid
+    ),
+    mad AS (SELECT a AS mad FROM mad_ranked WHERE rn = (n + 1) // 2)
+    SELECT r.day, r.total_c, r.weekday, r.wd_med, r.resid_c,
+           CAST((abs(r.resid_c) * 100000000)
+                // (14826 * greatest(m.mad, 1)) AS BIGINT) AS rz4,
+           (abs(r.resid_c) * 100000000)
+             // (14826 * greatest(m.mad, 1)) > 30000 AS is_anomaly
+    FROM resid r CROSS JOIN mad m
+    """,
+)
+def daily_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-adjusted daily anomaly report (STL-lite): the daily
+    value series is deseasonalized by subtracting each WEEKDAY's median
+    (the dominant retail cycle), and the residuals are scored with the
+    robust median/MAD z -- the time-series complement of the point-level
+    value_mad_outliers (a quiet Sunday is not an anomaly; a Sunday-sized
+    Tuesday is).  Every day is emitted with its rz4 + is_anomaly flag so
+    the result is non-vacuous whether or not the window contains a
+    genuine incident.
+
+    Integer-exact: scaled-cent totals, portable weekday ((epoch_days+4)%7
+    -- engine dayofweek conventions differ), lower-median rank
+    selections, and the all-integer rz4.  Plan: one events scan collapses
+    to the ~30-row daily table; every window after that is
+    day-cardinality-bounded.  At 100 TB only the first aggregation
+    touches the corpus.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("total_c")
+        )
+    )
+    tagged = daily.select(
+        "day",
+        "total_c",
+        ((F.datediff("day", F.lit("1970-01-01").cast("date")) + 4) % 7)
+        .cast("bigint")
+        .alias("weekday"),
+    ).localCheckpoint(eager=True)  # feeds weekday-median rank AND residual join
+    w = Window.partitionBy("weekday").orderBy("total_c", "day")
+    wn = Window.partitionBy("weekday")
+    wd_med = (
+        tagged.select(
+            "weekday",
+            "total_c",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        )
+        .filter(F.col("rn") == F.expr("(n + 1) DIV 2"))
+        .select("weekday", F.col("total_c").alias("wd_med"))
+    )
+    resid = tagged.join(F.broadcast(wd_med), "weekday").select(
+        "day",
+        "total_c",
+        "weekday",
+        "wd_med",
+        (F.col("total_c") - F.col("wd_med")).alias("resid_c"),
+    ).localCheckpoint(eager=True)  # feeds MAD rank AND the final report
+    wm = Window.orderBy(F.abs("resid_c"), "day")
+    wall = Window.partitionBy()
+    mad = (
+        resid.select(
+            F.abs("resid_c").alias("a"),
+            F.row_number().over(wm).alias("rn"),
+            F.count(F.lit(1)).over(wall).alias("n"),
+        )
+        .filter(F.col("rn") == F.expr("(n + 1) DIV 2"))
+        .select(F.col("a").alias("mad"))
+    )
+    rz4 = F.expr("(abs(resid_c) * 100000000) DIV (14826 * greatest(mad, 1))")
+    return resid.crossJoin(F.broadcast(mad)).select(
+        "day",
+        "total_c",
+        "weekday",
+        "wd_med",
+        "resid_c",
+        rz4.cast("bigint").alias("rz4"),
+        (rz4 > 30000).alias("is_anomaly"),
+    )
