@@ -511,3 +511,64 @@ def domain_curation_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ratio4(F.sum("n_chars"), F.count(F.lit(1))).alias("avg_chars"),
         F.countDistinct("lang").cast("bigint").alias("n_langs"),
     )
+
+
+@declared(
+    "gram_novelty_curve",
+    oracle=f"""
+    WITH corpus AS (SELECT doc_id, text FROM documents),
+    grams AS (
+      SELECT doc_id, g.gram
+      FROM (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                 generate_series(1, greatest(length(trim(text)) - 7, 1)),
+                 i -> substring(trim(text), CAST(i AS INT), 8))) AS gs
+        FROM corpus
+      ) t, unnest(gs) AS g(gram)
+    ),
+    first_seen AS (
+      SELECT gram, min(doc_id) AS first_doc FROM grams GROUP BY gram
+    )
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+             AS BIGINT) AS novel_grams,
+           {ratio4_sql("sum(CASE WHEN f.first_doc < g.doc_id THEN 1 ELSE 0 END)", 'count(*)')} AS stale_ratio
+    FROM grams g JOIN first_seen f ON f.gram = g.gram
+    GROUP BY g.doc_id
+    """,
+)
+def gram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty under the corpus's ingestion order (doc_id):
+    how many of a doc's distinct char-8-grams were ALREADY introduced by
+    an earlier doc -- the dataset-ordering memorization/duplication
+    pressure curve (a rising stale_ratio across ids means later training
+    batches are increasingly re-showing old text; the signal behind
+    dedup-before-epoch-planning).
+
+    first-seen is min(doc_id) per gram -- one partial-agg pass over the
+    gram index -- joined back to the SAME checkpointed gram frame
+    (shared-consumer rule; shuffle-hash pinned since checkpointed inputs
+    carry no stats and both sides scale with the corpus at 100 TB).  The
+    stale ratio is integer-space (ratio4).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    grams = _gram_df(docs).localCheckpoint(eager=True)
+    first_seen = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    stale = F.sum(
+        F.when(F.col("first_doc") < F.col("doc_id"), 1).otherwise(0)
+    )
+    return (
+        grams.join(first_seen.hint("shuffle_hash"), "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("novel_grams"),
+            ratio4(stale, F.count(F.lit(1))).alias("stale_ratio"),
+        )
+    )

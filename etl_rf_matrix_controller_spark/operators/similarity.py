@@ -2015,3 +2015,134 @@ def cross_label_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("rab") == 1) & (F.col("rba") == 1))
         .select("a_id", "b_id", "score")
     )
+
+
+@declared(
+    "label_silhouette_lite",
+    oracle=f"""
+    WITH comps AS (
+      SELECT label AS member_label, vec_id, CAST(i - 1 AS BIGINT) AS m,
+             CAST(round(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT) AS x
+      FROM embeddings, generate_series(1, {DIM}) AS g(i)
+    ),
+    sizes AS (
+      SELECT member_label AS cent_label,
+             CAST(count(DISTINCT vec_id) AS BIGINT) AS n_c
+      FROM comps GROUP BY member_label
+    ),
+    cent AS (
+      SELECT c.member_label AS cent_label, c.m,
+             CAST(sum(c.x) AS BIGINT) AS csum, max(s.n_c) AS n_c
+      FROM comps c JOIN sizes s ON s.cent_label = c.member_label
+      GROUP BY c.member_label, c.m
+    ),
+    pair_sums AS (
+      SELECT c.member_label, t.cent_label,
+             CAST(sum((CAST(t.n_c AS HUGEINT) * c.x - t.csum)
+                      * (CAST(t.n_c AS HUGEINT) * c.x - t.csum)) AS HUGEINT)
+               AS s2,
+             CAST(count(DISTINCT c.vec_id) AS BIGINT) AS n_members,
+             max(t.n_c) AS n_c
+      FROM comps c JOIN cent t ON t.m = c.m
+      GROUP BY c.member_label, t.cent_label
+    ),
+    scored AS (
+      SELECT member_label, cent_label,
+             CAST(s2 AS DOUBLE)
+               / CAST(n_members * n_c * n_c AS DOUBLE) AS avg_d
+      FROM pair_sums
+    ),
+    own AS (
+      SELECT member_label, avg_d AS own_avg_d
+      FROM scored WHERE member_label = cent_label
+    ),
+    other AS (
+      SELECT member_label, cent_label, avg_d,
+             row_number() OVER (PARTITION BY member_label
+                                ORDER BY avg_d, cent_label) AS rn
+      FROM scored WHERE member_label <> cent_label
+    )
+    SELECT o.member_label AS label, ow.own_avg_d,
+           o.cent_label AS nearest_other_label,
+           o.avg_d AS nearest_avg_d,
+           o.avg_d / ow.own_avg_d AS separation
+    FROM other o JOIN own ow ON ow.member_label = o.member_label
+    WHERE o.rn = 1
+    """,
+)
+def label_silhouette_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-separation report per embedding label (silhouette-lite):
+    mean squared distance of members to their OWN centroid vs to the
+    NEAREST OTHER centroid, and the separation ratio -- the standard
+    clustering-quality readout (separation >> 1 = tight, well-separated
+    labels; ~1 = the label blends into a neighbor), i.e. the evaluation
+    the k-means/IVF assignment families get judged by.
+
+    Exactness without float folds: components quantize to 1e4-scaled
+    ints; with centroid SUMS kept unscaled, n_c^2 * ||x - mean||^2 ==
+    sum_m (n_c*x_m - csum_m)^2 is PURE INTEGER (DECIMAL(38,0) products
+    per the operand-cast rule), so every aggregation is order-independent
+    and codegen'd -- no interpreted in-row lambdas (the doc_char_gini
+    lesson) and no sequential-fold requirement.  Only the final avg_d
+    and separation are doubles, each a single division of identical
+    integers on both engines.  Plan: one posexplode feeds the centroid
+    table (label x dim bounded) and the member-x-centroid term join
+    (broadcast, |labels|-fan-out); both aggregations collapse map-side.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    comps = emb.select(
+        F.col("label").alias("member_label"),
+        "vec_id",
+        F.posexplode("embedding").alias("m", "v"),
+    ).select(
+        "member_label",
+        "vec_id",
+        F.col("m").cast("bigint").alias("m"),
+        F.round(F.col("v").cast("double") * 10000).cast("bigint").alias("x"),
+    ).localCheckpoint(eager=True)  # feeds centroid build AND the term join
+    sizes = comps.groupBy(F.col("member_label").alias("cent_label")).agg(
+        F.countDistinct("vec_id").cast("bigint").alias("n_c")
+    )
+    cent = (
+        comps.groupBy(F.col("member_label").alias("cent_label"), "m")
+        .agg(F.sum("x").cast("bigint").alias("csum"))
+        .join(F.broadcast(sizes), "cent_label")
+    )
+    # n_c is cast BEFORE the multiply (operand-cast rule): a bigint
+    # n_c*x product would wrap silently at scale where DuckDB errors.
+    term = F.expr(
+        "(CAST(n_c AS DECIMAL(38,0)) * x - csum)"
+        " * (CAST(n_c AS DECIMAL(38,0)) * x - csum)"
+    )
+    pair_sums = (
+        comps.join(F.broadcast(cent), "m")
+        .groupBy("member_label", "cent_label")
+        .agg(
+            F.sum(term).alias("s2"),
+            F.countDistinct("vec_id").cast("bigint").alias("n_members"),
+            F.max("n_c").alias("n_c"),
+        )
+    )
+    scored = pair_sums.select(
+        "member_label",
+        "cent_label",
+        F.expr(
+            "CAST(s2 AS DOUBLE) / CAST(n_members * n_c * n_c AS DOUBLE)"
+        ).alias("avg_d"),
+    ).localCheckpoint(eager=True)  # feeds the own row AND the other-rank
+    own = scored.filter(F.col("member_label") == F.col("cent_label")).select(
+        "member_label", F.col("avg_d").alias("own_avg_d")
+    )
+    w = Window.partitionBy("member_label").orderBy("avg_d", "cent_label")
+    other = (
+        scored.filter(F.col("member_label") != F.col("cent_label"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return other.join(F.broadcast(own), "member_label").select(
+        F.col("member_label").alias("label"),
+        "own_avg_d",
+        F.col("cent_label").alias("nearest_other_label"),
+        F.col("avg_d").alias("nearest_avg_d"),
+        (F.col("avg_d") / F.col("own_avg_d")).alias("separation"),
+    )
