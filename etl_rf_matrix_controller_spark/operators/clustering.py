@@ -368,3 +368,156 @@ def dup_graph_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("src").alias("degree"))
     )
     return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+_IQDIST_SQL = (
+    "list_sum(list_transform(generate_series(1, 64), "
+    "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+)
+
+
+@declared(
+    "kmeans_lloyd_two_step",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    seeds AS (SELECT vec_id AS cid, qv AS c FROM q WHERE vec_id < {N_CLUSTERS}),
+    s1 AS (
+      SELECT v.vec_id, s.cid,
+             {_IQDIST_SQL.format(a='v.qv', b='s.c')} AS d
+      FROM q v CROSS JOIN seeds s
+    ),
+    a1 AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rnk
+        FROM s1
+      ) WHERE rnk = 1
+    ),
+    comps AS (
+      SELECT a1.cid, i AS m, v.qv[i] AS x
+      FROM a1 JOIN q v USING (vec_id), generate_series(1, 64) AS g(i)
+    ),
+    cstats AS (
+      SELECT cid, m,
+             CAST(floor(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT) AS cm
+      FROM comps GROUP BY cid, m
+    ),
+    cent2 AS (SELECT cid, list(cm ORDER BY m) AS c FROM cstats GROUP BY cid),
+    s2 AS (
+      SELECT v.vec_id, t.cid,
+             CAST({_IQDIST_SQL.format(a='v.qv', b='t.c')} AS BIGINT) AS d
+      FROM q v CROSS JOIN cent2 t
+    ),
+    a2 AS (
+      SELECT vec_id, cid, d FROM (
+        SELECT vec_id, cid, d,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rnk
+        FROM s2
+      ) WHERE rnk = 1
+    )
+    SELECT a2.cid AS cluster_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(a2.d) AS BIGINT) AS inertia,
+           CAST(sum(CASE WHEN a2.cid <> a1.cid THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_moved
+    FROM a2 JOIN a1 USING (vec_id)
+    GROUP BY a2.cid
+    """,
+)
+def kmeans_lloyd_two_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two full Lloyd iterations (assign -> mean-update -> reassign) with
+    the per-cluster convergence readout: size, inertia, and how many
+    vectors changed cluster between the iterations (n_moved -> 0 is the
+    stopping signal).  Extends `kmeans_assign_embeddings` (one E-step)
+    into the actual training loop shape.
+
+    Oracle-exact iteration without float drift: components quantize to
+    the 1e4 integer grid, distances are pure-integer folds (associative,
+    order-independent -- no sequential-fold requirement), and the M-step
+    centroid is the FLOOR of the component mean (floor() on a computed
+    double is engine-safe where round() is not), so iteration 2's input
+    is bit-identical on both engines.  Scale: the E-step broadcasts k
+    centroid arrays and never shuffles the vector side; the M-step is one
+    map-side-combinable (cid, m) aggregation (k x 64 groups); per-round
+    cost is 2 scans of the checkpointed quantized frame -- the
+    pagerank_loop checkpoint-per-iteration shape, unrolled to the
+    declared 2 rounds.  Integer envelope: |q| <= 2e4, per-dim diff^2 <=
+    1.6e9, 64-dim fold <= 1.1e11, summed inertia < 2^63 up to ~8e7
+    members/cluster; past that the fold accumulates in DECIMAL(38,0)
+    (operand-cast rule).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = (
+        emb.select(
+            "vec_id",
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double") * 10000).cast("bigint"),
+            ).alias("qv"),
+        )
+        # consumed by assign-1, the M-step member join, and assign-2
+        .localCheckpoint(eager=True)
+    )
+    seeds = q.filter(F.col("vec_id") < N_CLUSTERS).select(
+        F.col("vec_id").alias("cid"), F.col("qv").alias("c")
+    )
+
+    def idist(a: str, b: str):
+        return F.aggregate(
+            F.zip_with(
+                F.col(a), F.col(b), lambda x, y: (x - y) * (x - y)
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    w = Window.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("cid"))
+    a1 = (
+        q.crossJoin(F.broadcast(seeds))
+        .select("vec_id", "cid", idist("qv", "c").alias("d"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("vec_id", "cid")
+        # consumed by the M-step join AND the moved check
+        .localCheckpoint(eager=True)
+    )
+    comps = (
+        a1.join(q.hint("shuffle_hash"), "vec_id")
+        .select("cid", F.posexplode("qv").alias("m0", "x"))
+    )
+    cstats = comps.groupBy("cid", F.col("m0").alias("m")).agg(
+        F.floor(
+            F.sum("x").cast("double") / F.count(F.lit(1))
+        ).cast("bigint").alias("cm")
+    )
+    cent2 = cstats.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("m", "cm"))),
+            lambda s: s.getField("cm"),
+        ).alias("c")
+    )
+    a2 = (
+        q.crossJoin(F.broadcast(cent2))
+        .select(
+            "vec_id", "cid", idist("qv", "c").cast("bigint").alias("d")
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("vec_id", F.col("cid").alias("cid2"), "d")
+    )
+    return (
+        a2.join(a1.hint("shuffle_hash"), "vec_id")
+        .groupBy(F.col("cid2").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.sum("d").cast("bigint").alias("inertia"),
+            F.sum(
+                F.when(F.col("cid2") != F.col("cid"), 1).otherwise(0)
+            ).cast("bigint").alias("n_moved"),
+        )
+    )

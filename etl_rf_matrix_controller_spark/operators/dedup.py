@@ -1075,3 +1075,103 @@ def substring_span_pairs_df(docs: DataFrame, k: int = SPAN_K) -> DataFrame:
         )
         .select("doc_a", "doc_b", "start_a", "start_b", "span_chars")
     )
+
+
+SIMHASH_BANDS, SIMHASH_BAND_BITS, SIMHASH_MAX_HAMMING = 4, 8, 3
+
+
+@declared(
+    "simhash_near_dup_pairs",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    tok AS ({_GRAMS_SQL}),
+    fp AS (
+      SELECT doc_id,
+             ('0x' || substring(md5(gram), 1, 8))::BIGINT AS tokint
+      FROM tok
+    ),
+    votes AS (
+      SELECT doc_id, {_SIMHASH_VOTE_COLS}
+      FROM fp
+      GROUP BY doc_id
+    ),
+    sig AS (
+      SELECT doc_id, CAST({_SIMHASH_RECOMBINE} AS BIGINT) AS simhash
+      FROM votes
+    ),
+    bands AS (
+      SELECT doc_id, simhash, band,
+             (simhash >> ({SIMHASH_BAND_BITS} * band))
+               & {(1 << SIMHASH_BAND_BITS) - 1} AS bkey
+      FROM sig, (SELECT unnest(generate_series(0, {SIMHASH_BANDS - 1}))
+                 AS band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sig_a, b.simhash AS sig_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sig_a, sig_b)) <= {SIMHASH_MAX_HAMMING}
+    """,
+)
+def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5d: SimHash near-dup pairs at Hamming <= 3 via Manku-style band
+    blocking (Manku et al., WWW 2007) -- the signature-space member of
+    the near-dup family (MinHash banding finds Jaccard near-dups;
+    this finds fingerprint near-dups without re-touching the text).
+
+    The blocking is LOSSLESS for the declared predicate: 4 disjoint
+    8-bit bands over the 32-bit signature mean any pair differing in
+    <= 3 bits MUST agree exactly on at least one band (pigeonhole), so
+    the banded equi-join + bit_count verify equals brute-force all-pairs
+    -- the oracle is an equality, not a recall check.  Signatures ride
+    the band rows, so candidate verification is bit_count(XOR) inline:
+    ZERO joins back to the signature table.
+
+    Scale: bucket population per band is n/2^band_bits; at 100 TB you
+    widen the production knobs (64-bit signature, 4x16-bit bands per
+    Manku) to keep buckets sparse -- same plan shape, declared here at
+    the 32-bit/8-bit setting that matches `simhash_docs`.  The sig frame
+    is checkpointed once (shared by all band rows); the self-join is
+    shuffle-hash pinned (checkpointed inputs carry no stats, and both
+    sides scale with the corpus -- never SMJ, never broadcast).
+    """
+    sig = simhash_docs(spark, sf_dir).localCheckpoint(eager=False)
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[F.lit(j) for j in range(SIMHASH_BANDS)])
+        ).alias("band"),
+    ).withColumn(
+        "bkey",
+        F.expr(
+            f"shiftright(simhash, {SIMHASH_BAND_BITS} * band)"
+            f" & {(1 << SIMHASH_BAND_BITS) - 1}"
+        ),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b.hint("shuffle_hash"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.expr("sig_a ^ sig_b")).cast("bigint")
+    return cand.filter(hamming <= SIMHASH_MAX_HAMMING).select(
+        "doc_a", "doc_b", hamming.alias("hamming")
+    )

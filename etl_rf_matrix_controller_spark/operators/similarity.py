@@ -2146,3 +2146,143 @@ def label_silhouette_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("avg_d").alias("nearest_avg_d"),
         (F.col("avg_d") / F.col("own_avg_d")).alias("separation"),
     )
+
+
+SWEEP_THRESHOLDS = (0.10, 0.45, 0.75, 0.87, 0.94)
+_SWEEP_DOT = (
+    "list_sum(list_transform(generate_series(1, 64), "
+    "i -> {a}[i] * {b}[i]))"
+)
+
+
+@declared(
+    "semantic_dup_threshold_sweep",
+    oracle=f"""
+    WITH js AS (SELECT unnest([1, 2, 3]) AS j),
+    base AS (
+      SELECT vec_id, label,
+             list_transform(generate_series(1, 64),
+               i -> CAST(embedding[i] AS DOUBLE)) AS e
+      FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    corpus AS (
+      SELECT vec_id, label, e FROM base
+      UNION ALL
+      SELECT b.vec_id + 100000 * js.j AS vec_id, b.label,
+             list_transform(generate_series(1, 64),
+               i -> CASE WHEN i <= 8 * js.j THEN 0.0e0 ELSE b.e[i] END) AS e
+      FROM base b CROSS JOIN js
+    ),
+    n AS (
+      SELECT vec_id, label, e,
+             sqrt({_SWEEP_DOT.format(a='e', b='e')}) AS nrm
+      FROM corpus
+    ),
+    pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             {_SWEEP_DOT.format(a='a.e', b='b.e')} / (a.nrm * b.nrm)
+               AS cosine
+      FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+    ),
+    th AS (SELECT unnest([{', '.join(f'{t}e0' for t in SWEEP_THRESHOLDS)}])
+           AS threshold)
+    SELECT t.threshold,
+           CAST(sum(CASE WHEN p.cosine >= t.threshold THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT CASE WHEN p.cosine >= t.threshold
+                                    THEN p.vec_b END) AS BIGINT) AS n_dropped
+    FROM pairs p CROSS JOIN th t
+    GROUP BY t.threshold
+    """,
+)
+def semantic_dup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-dedup threshold calibration: how many near-dup pairs (and
+    how many docs a keep-lowest-id policy would drop) at each candidate
+    cosine threshold -- the tuning curve you read BEFORE committing a
+    `semantic_dedup_keeper` threshold to a 100 TB run.  Planted graded
+    duplicates (first 8/16/24 of 64 components zeroed -> cosine ~0.94 /
+    0.87 / 0.79 to their originals) give the curve known knees; natural
+    within-label pairs (~<=0.45) populate the low end.
+
+    Calibration runs on a BOUNDED deterministic sample (vec_id % 50 = 0,
+    same posture as minhash_estimator_calibration): the within-label
+    ground-truth pair join is quadratic per label by design -- exactness
+    over the sample is the point; the production dedup itself stays
+    LSH-blocked (cosine_near_dup_pairs).  Cosines are sequential double
+    folds (dot_double convention, bit-identical to DuckDB list_sum), so
+    every >= comparison decides identically on both engines; thresholds
+    ride as literal doubles.  Pairs are computed ONCE, then fanned 5x by
+    an in-row threshold explode and collapsed by one map-side-combinable
+    aggregation.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = (
+        emb.filter(F.col("vec_id") % 50 == 0)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "vec_id",
+            "label",
+            F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+        )
+    )
+    variants = base.select(
+        "vec_id",
+        "label",
+        "e",
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j"),
+    ).select(
+        (F.col("vec_id") + 100000 * F.col("j")).alias("vec_id"),
+        "label",
+        F.transform(
+            "e",
+            lambda x, i: F.when(i < 8 * F.col("j"), F.lit(0.0)).otherwise(x),
+        ).alias("e"),
+    )
+    corpus = base.unionByName(variants)
+    n = corpus.select(
+        "vec_id",
+        "label",
+        "e",
+        F.sqrt(dot_double(F.col("e"), F.col("e"))).alias("nrm"),
+    ).localCheckpoint(eager=True)  # both sides of the pair join
+    a = n.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("label").alias("label_a"),
+        F.col("e").alias("ea"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    b = n.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("label").alias("label_b"),
+        F.col("e").alias("eb"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    cosine = dot_double(F.col("ea"), F.col("eb")) / (
+        F.col("nrm_a") * F.col("nrm_b")
+    )
+    pairs = (
+        a.join(
+            b.hint("shuffle_hash"),
+            (F.col("label_a") == F.col("label_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .select("vec_a", "vec_b", cosine.alias("cosine"))
+    )
+    swept = pairs.select(
+        "vec_a",
+        "vec_b",
+        "cosine",
+        F.explode(
+            F.array(*[F.lit(t) for t in SWEEP_THRESHOLDS])
+        ).alias("threshold"),
+    )
+    return swept.groupBy("threshold").agg(
+        F.sum(F.when(F.col("cosine") >= F.col("threshold"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pairs"),
+        F.countDistinct(
+            F.when(F.col("cosine") >= F.col("threshold"), F.col("vec_b"))
+        )
+        .cast("bigint")
+        .alias("n_dropped"),
+    )

@@ -1,0 +1,98 @@
+"""Round-4 (cont.) operator edge semantics: SimHash band-blocking
+losslessness against brute force, and the two-step Lloyd loop against a
+plain-Python reference on a crafted 1-D-in-64-D embedding table.
+"""
+
+from __future__ import annotations
+
+import math
+
+from tests.conftest import SF_DIR
+
+from etl_rf_matrix_controller_spark.operators.dedup import (
+    SIMHASH_MAX_HAMMING,
+    simhash_docs,
+    simhash_near_dup_pairs,
+)
+from etl_rf_matrix_controller_spark.operators.clustering import (
+    N_CLUSTERS,
+    kmeans_lloyd_two_step,
+)
+
+
+def test_simhash_band_blocking_is_lossless(spark):
+    """4 disjoint 8-bit bands over a 32-bit signature: any pair within
+    Hamming <= 3 shares a band (pigeonhole), so the banded join must
+    equal brute-force all-pairs -- checked on the real sf0.001 corpus."""
+    sigs = {r.doc_id: r.simhash for r in simhash_docs(spark, SF_DIR).collect()}
+    ids = sorted(sigs)
+    brute = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            h = bin(sigs[a] ^ sigs[b]).count("1")
+            if h <= SIMHASH_MAX_HAMMING:
+                brute.add((a, b, h))
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_near_dup_pairs(spark, SF_DIR).collect()
+    }
+    assert got == brute
+    assert len(got) > 0  # planted exact dups guarantee non-vacuity
+
+
+def _ref_lloyd_two_step(vecs: list[list[float]]):
+    """Plain-Python mirror of kmeans_lloyd_two_step: 1e4-grid quantize,
+    integer-L2 assign to vec_id<k seeds (tie -> lower cid), floor-mean
+    centroid update, reassign, per-cluster (n, inertia, n_moved)."""
+    q = [[int(round(x * 10000)) for x in v] for v in vecs]
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    def assign(cents: dict[int, list[int]]):
+        out = []
+        for v in q:
+            best = min(sorted(cents), key=lambda c: (d2(v, cents[c]), c))
+            out.append((best, d2(v, cents[best])))
+        return out
+
+    seeds = {i: q[i] for i in range(N_CLUSTERS)}
+    a1 = assign(seeds)
+    cents2: dict[int, list[int]] = {}
+    for c in {cid for cid, _ in a1}:
+        members = [q[i] for i in range(len(q)) if a1[i][0] == c]
+        cents2[c] = [
+            math.floor(sum(col) / len(members)) for col in zip(*members)
+        ]
+    a2 = assign(cents2)
+    out: dict[int, list[int]] = {}
+    for i, (cid, d) in enumerate(a2):
+        n, inertia, moved = out.get(cid, [0, 0, 0])
+        out[cid] = [n + 1, inertia + d, moved + (cid != a1[i][0])]
+    return {c: tuple(v) for c, v in out.items()}
+
+
+def test_kmeans_two_step_reassignment_matches_reference(spark, tmp_path):
+    """Crafted 1-D layout where the M-step moves a tie-broken point to
+    the other cluster in iteration 2 (vec 11: tie -> c0 in round 1, then
+    c0's centroid is pulled away by its mass at 0 while c1's moves
+    toward it).  All component values are float32-exact multiples of
+    2^-4 so quantization is exact on every engine."""
+    comp0 = [0.0, 1.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0,  # seeds 0..7
+             0.0, 0.0, 0.6875, 0.5]                   # members 8..11
+    vecs = [[c] + [0.0] * 63 for c in comp0]
+    rows = [(i, v, i % 3) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    ref = _ref_lloyd_two_step(vecs)
+    got = {
+        r.cluster_id: (r.n_members, r.inertia, r.n_moved)
+        for r in kmeans_lloyd_two_step(spark, str(tmp_path)).collect()
+    }
+    assert got == ref
+    # the engineered mover actually moved: cluster 1 gained exactly one.
+    assert got[1][2] == 1 and got[1][0] == 3
