@@ -1583,3 +1583,100 @@ def daily_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         rz4.cast("bigint").alias("rz4"),
         (rz4 > 30000).alias("is_anomaly"),
     )
+
+
+@declared(
+    "winsorized_brand_price",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT p.p_brand, l.l_extendedprice,
+             row_number() OVER (
+               PARTITION BY p.p_brand
+               ORDER BY l.l_extendedprice, l.l_orderkey, l.l_linenumber
+             ) AS rn,
+             count(*) OVER (PARTITION BY p.p_brand) AS n
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    bounded AS (
+      SELECT p_brand, l_extendedprice, rn, n,
+             (n * 5) // 100 + 1 AS lo_rn,
+             n - (n * 5) // 100 AS hi_rn,
+             max(CASE WHEN rn = (n * 5) // 100 + 1
+                      THEN l_extendedprice END)
+               OVER (PARTITION BY p_brand) AS lo_val,
+             max(CASE WHEN rn = n - (n * 5) // 100
+                      THEN l_extendedprice END)
+               OVER (PARTITION BY p_brand) AS hi_val
+      FROM ranked
+    )
+    SELECT p_brand,
+           CAST(max(n) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN rn < lo_rn OR rn > hi_rn
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+           {exact_avg_sql("least(greatest(l_extendedprice, lo_val), hi_val)")}
+             AS winsorized_avg
+    FROM bounded
+    GROUP BY p_brand
+    """,
+)
+def winsorized_brand_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust statistics: 5% WINSORIZED mean of extended price per brand
+    -- tail values are CLAMPED to the p5/p95 boundary values instead of
+    dropped (`trimmed_mean_brand_price`'s sibling: winsorizing keeps the
+    sample size, the standard choice when downstream weights must not
+    change).
+
+    The boundary VALUES are picked by row_number under the deterministic
+    total order (price, orderkey, linenumber), so duplicates at the
+    boundary clamp identically on both engines; n_clipped counts by rank
+    for the same reason.  The boundary lookup is a conditional window max
+    over the SAME brand partitioning as the rank -- one shuffle+sort
+    total, aggregation reuses it (zero extra exchanges).  Clamped prices
+    stay cents-clean, so the average is exact integer space.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    w = Window.partitionBy("p_brand").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    wn = Window.partitionBy("p_brand")
+    ranked = j.select(
+        "p_brand",
+        "l_extendedprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    lo_rn = F.expr("(n * 5) DIV 100 + 1")
+    hi_rn = F.col("n") - F.expr("(n * 5) DIV 100")
+    bounded = ranked.select(
+        "p_brand",
+        "l_extendedprice",
+        "rn",
+        "n",
+        lo_rn.alias("lo_rn"),
+        hi_rn.alias("hi_rn"),
+        F.max(F.when(F.col("rn") == lo_rn, F.col("l_extendedprice")))
+        .over(wn)
+        .alias("lo_val"),
+        F.max(F.when(F.col("rn") == hi_rn, F.col("l_extendedprice")))
+        .over(wn)
+        .alias("hi_val"),
+    )
+    clamped = F.least(
+        F.greatest(F.col("l_extendedprice"), F.col("lo_val")), F.col("hi_val")
+    )
+    return bounded.groupBy("p_brand").agg(
+        F.max("n").cast("bigint").alias("n_total"),
+        F.sum(
+            F.when(
+                (F.col("rn") < F.col("lo_rn")) | (F.col("rn") > F.col("hi_rn")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_clipped"),
+        exact_avg(clamped).alias("winsorized_avg"),
+    )

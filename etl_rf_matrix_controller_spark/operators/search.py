@@ -488,3 +488,147 @@ def bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 10)
         .select("doc_id", "score_ppm", "rnk")
     )
+
+
+@declared(
+    "doc_top_terms",
+    oracle=f"""
+    WITH tok AS ({_TOK_SQL}),
+    tf AS (
+      SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, token
+    ),
+    df AS (
+      SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      FROM tok GROUP BY token
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             CAST(tf.tf * ((n.n_docs * 1000000) // df.df) AS BIGINT)
+               AS score_ppm
+      FROM tf JOIN df ON df.token = tf.token CROSS JOIN n
+    )
+    SELECT doc_id, token, score_ppm, rnk
+    FROM (
+      SELECT doc_id, token, score_ppm,
+             CAST(row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY score_ppm DESC, token)
+               AS BIGINT) AS rnk
+      FROM scored
+    ) WHERE rnk <= 3
+    """,
+)
+def doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 terms by integer tf-idf
+    (idf_ppm = N*1e6 DIV df, the tfidf_retrieval_topk convention) --
+    the doc-centric dual of query retrieval, used for tagging/faceting
+    an ingested corpus.
+
+    Plan: ONE tokenize+explode feeds tf and df (checkpointed); df is a
+    vocabulary-sized broadcast dim; the top-3 window partitions by
+    doc_id, so it scales with docs (hash-partitioned), never a global
+    sort.  Integer scoring end to end -- the only per-doc state is the
+    3-row window head.
+    """
+    tok = _tok(spark, sf_dir).localCheckpoint(eager=False)
+    tf = tok.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    df = tok.groupBy("token").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("df")
+    )
+    n = (
+        load_table(spark, sf_dir, "documents")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    scored = (
+        tf.join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            (F.col("tf") * F.expr("(n_docs * 1000000) DIV df"))
+            .cast("bigint")
+            .alias("score_ppm"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_ppm"), F.asc("token")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "token", "score_ppm", "rnk")
+    )
+
+
+VOCAB_CUTOFFS = (100, 500, 2000, 10000)
+
+
+@declared(
+    "vocab_coverage_curve",
+    oracle=f"""
+    WITH tok AS ({_TOK_SQL}),
+    freq AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS f
+      FROM tok GROUP BY token
+    ),
+    tot AS (SELECT CAST(sum(f) AS BIGINT) AS total FROM freq),
+    ranked AS (
+      SELECT token, f,
+             row_number() OVER (ORDER BY f DESC, token) AS rnk
+      FROM freq
+    ),
+    fanned AS (
+      SELECT r.rnk, r.f, c.cutoff
+      FROM ranked r,
+           (SELECT unnest([{', '.join(str(c) for c in VOCAB_CUTOFFS)}])
+            AS cutoff) c
+      WHERE r.rnk <= c.cutoff
+    )
+    SELECT CAST(fanned.cutoff AS BIGINT) AS cutoff,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(fanned.f) AS BIGINT) AS covered_tokens,
+           {ratio4_sql('sum(fanned.f)', 'max(t.total)')} AS coverage
+    FROM fanned CROSS JOIN tot t
+    GROUP BY fanned.cutoff
+    """,
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-design readout: what share of all corpus token
+    OCCURRENCES the top-K token types cover, at K = 100/500/2000/10000
+    -- the curve that sizes a vocabulary (pick the knee where marginal
+    coverage flattens; the Zipf-mass view of `vocab_build`).
+
+    The global frequency rank is a window over the VOCABULARY (types,
+    not occurrences) -- bounded by distinct tokens, so the single
+    ordered partition is safe at any corpus size once counts are
+    aggregated (map-side combinable).  The cutoff fan-out is an in-row
+    explode + filter (no join); coverage is integer-space (ratio4)
+    against the broadcast scalar total.
+    """
+    tok = _tok(spark, sf_dir)
+    freq = tok.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("f")
+    ).localCheckpoint(eager=False)  # ranked rows + the scalar total
+    tot = freq.agg(F.sum("f").cast("bigint").alias("total"))
+    ranked = freq.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(F.desc("f"), F.asc("token")))
+    )
+    fanned = ranked.select(
+        "rnk",
+        "f",
+        F.explode(
+            F.array(*[F.lit(c) for c in VOCAB_CUTOFFS])
+        ).alias("cutoff"),
+    ).filter(F.col("rnk") <= F.col("cutoff"))
+    return (
+        fanned.crossJoin(F.broadcast(tot))
+        .groupBy(F.col("cutoff").cast("bigint").alias("cutoff"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_types"),
+            F.sum("f").cast("bigint").alias("covered_tokens"),
+            ratio4(F.sum("f"), F.max("total")).alias("coverage"),
+        )
+    )

@@ -2286,3 +2286,114 @@ def semantic_dup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_dropped"),
     )
+
+
+@declared(
+    "label_outlier_candidates",
+    oracle=f"""
+    WITH comps AS (
+      SELECT label, vec_id, CAST(i AS BIGINT) AS m,
+             CAST(round(CAST(embedding[i] AS DOUBLE) * 10000) AS BIGINT) AS x
+      FROM embeddings, generate_series(1, {DIM}) AS g(i)
+    ),
+    sizes AS (
+      SELECT label, CAST(count(DISTINCT vec_id) AS BIGINT) AS n_c
+      FROM comps GROUP BY label
+    ),
+    cent AS (
+      SELECT label, m, CAST(sum(x) AS BIGINT) AS csum
+      FROM comps GROUP BY label, m
+    ),
+    s AS (
+      SELECT c.label, c.vec_id,
+             CAST(sum((CAST(z.n_c AS HUGEINT) * c.x - t.csum)
+                      * (CAST(z.n_c AS HUGEINT) * c.x - t.csum))
+               AS HUGEINT) AS sv
+      FROM comps c
+      JOIN cent t ON t.label = c.label AND t.m = c.m
+      JOIN sizes z ON z.label = c.label
+      GROUP BY c.label, c.vec_id
+    ),
+    lab AS (
+      SELECT label, CAST(sum(sv) AS HUGEINT) AS sum_s,
+             CAST(count(*) AS BIGINT) AS n
+      FROM s GROUP BY label
+    )
+    SELECT s.label, s.vec_id,
+           CAST(s.sv * l.n AS DOUBLE) / CAST(l.sum_s AS DOUBLE)
+             AS dist_ratio,
+           CAST(row_number() OVER (PARTITION BY s.label
+                                   ORDER BY s.sv DESC, s.vec_id)
+             AS BIGINT) AS rnk
+    FROM s JOIN lab l ON l.label = s.label
+    QUALIFY rnk <= 5
+    """,
+)
+def label_outlier_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding outliers: the 5 members FARTHEST from their
+    own label centroid, with distance-to-label-mean ratio -- the
+    mislabeled-sample / noise-candidate mining pass a curation pipeline
+    runs before training (rank-based, not threshold-based, so it is
+    never vacuous and needs no distribution assumption).
+
+    Same n_c-scaled pure-integer distance trick as
+    `label_silhouette_lite`: sv = sum_m (n_c*x_m - csum_m)^2 ==
+    n_c^2 * ||x - mean||^2, exact in DECIMAL(38,0) (operand-cast rule),
+    so the per-label ranking is an INTEGER sort -- ties impossible to
+    split differently across engines; dist_ratio = sv*n/sum_s is one
+    double division of identical exact integers.  Envelope: sv <=
+    64 * n_c^2 * 4e8, sv*n <= 2.56e10 * n_c^3 < 1e38 up to n_c ~ 1.6e9
+    members/label.  Plan: centroid table is |label| x dim (broadcast);
+    the per-vector sum collapses map-side; s feeds the label totals AND
+    the final ranking (checkpointed once).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    comps = (
+        emb.repartition(spark.sparkContext.defaultParallelism)
+        .select("label", "vec_id", F.posexplode("embedding").alias("m0", "v"))
+        .select(
+            "label",
+            "vec_id",
+            (F.col("m0") + 1).cast("bigint").alias("m"),
+            F.round(F.col("v").cast("double") * 10000)
+            .cast("bigint")
+            .alias("x"),
+        )
+        .localCheckpoint(eager=True)  # feeds cent, sizes, and the s join
+    )
+    sizes = comps.groupBy("label").agg(
+        F.countDistinct("vec_id").cast("bigint").alias("n_c")
+    )
+    cent = comps.groupBy("label", "m").agg(
+        F.sum("x").cast("bigint").alias("csum")
+    )
+    term = F.expr(
+        "(CAST(n_c AS DECIMAL(38,0)) * x - csum)"
+        " * (CAST(n_c AS DECIMAL(38,0)) * x - csum)"
+    )
+    s = (
+        comps.join(F.broadcast(cent), ["label", "m"])
+        .join(F.broadcast(sizes), "label")
+        .groupBy("label", "vec_id")
+        .agg(F.sum(term).alias("sv"))
+        .localCheckpoint(eager=True)  # label totals AND final ranking
+    )
+    lab = s.groupBy("label").agg(
+        F.sum("sv").alias("sum_s"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("sv"), F.asc("vec_id"))
+    return (
+        s.join(F.broadcast(lab), "label")
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            "label",
+            "vec_id",
+            (
+                F.expr("CAST(sv * n AS DOUBLE)")
+                / F.expr("CAST(sum_s AS DOUBLE)")
+            ).alias("dist_ratio"),
+            "rnk",
+        )
+    )
