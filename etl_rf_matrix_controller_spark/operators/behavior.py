@@ -1797,3 +1797,108 @@ def conversion_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_converted"),
     )
     return p50.unionByName(p90)
+
+
+@declared(
+    "holt_linear_daily_value",
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT event_type,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS v
+      FROM events
+      GROUP BY event_type, date_trunc('day', ts)
+    ),
+    series AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_days,
+             list(CAST(v AS DOUBLE) ORDER BY day) AS ys
+      FROM daily GROUP BY event_type
+    ),
+    fold(event_type, n_days, i, l, b) AS (
+      SELECT event_type, n_days, 1, ys[1], 0.0e0 FROM series
+      UNION ALL
+      SELECT f.event_type, f.n_days, f.i + 1,
+             0.5e0 * s.ys[f.i + 1] + 0.5e0 * (f.l + f.b),
+             0.3e0 * ((0.5e0 * s.ys[f.i + 1] + 0.5e0 * (f.l + f.b)) - f.l)
+               + 0.7e0 * f.b
+      FROM fold f JOIN series s ON s.event_type = f.event_type
+      WHERE f.i < f.n_days
+    )
+    SELECT event_type, n_days,
+           l / 10000.0e0 AS level,
+           b / 10000.0e0 AS trend,
+           (l + b) / 10000.0e0 AS forecast_next
+    FROM fold WHERE i = n_days
+    """,
+)
+def holt_linear_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear (double-exponential) smoothing over each event
+    type's daily value series: final level, trend, and the one-step
+    forecast l+b -- the trend-aware upgrade of the EMA fold
+    (`ema_user_value`) and the model the seasonal-naive baseline
+    (`seasonal_naive_forecast_error`) is compared against.
+
+    Two-component state rides a STRUCT accumulator on the Spark side
+    (F.aggregate, seeded with the first element per the EMA mirror
+    rule); the ORACLE folds via a recursive CTE, NOT list_reduce --
+    DuckDB's list_reduce with a struct accumulator evaluates cross-field
+    acc references inconsistently (acc.l inside the b field sees a
+    different iteration's value; verified empirically), so multi-state
+    folds must use the recursive-CTE spelling.  Daily totals are exact
+    scaled-int sums (order-independent); the fold uses identical
+    '0.5e0'/'0.3e0' literals and an identical operation sequence on both
+    engines (the l' expression is repeated verbatim inside b' -- IEEE
+    doubles make textually identical expression trees bit-identical);
+    final outputs are single divisions of identical doubles, emitted
+    raw.  Scale: the fold is per
+    (event_type, day) SERIES -- |days| elements after a
+    map-side-combinable daily aggregation, never per raw event; at
+    100 TB the state array is bounded by the calendar, not the data.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 10000).cast("bigint"))
+        .cast("bigint")
+        .alias("v")
+    )
+    series = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "v"))),
+            lambda s: s.getField("v").cast("double"),
+        ).alias("ys"),
+    )
+    elems = F.transform(
+        F.col("ys"),
+        lambda y: F.struct(y.alias("l"), F.lit(0.0).alias("b")),
+    )
+
+    def merge(acc, e):
+        lp = F.lit(0.5) * e.getField("l") + F.lit(0.5) * (
+            acc.getField("l") + acc.getField("b")
+        )
+        return F.struct(
+            lp.alias("l"),
+            (
+                F.lit(0.3) * (lp - acc.getField("l"))
+                + F.lit(0.7) * acc.getField("b")
+            ).alias("b"),
+        )
+
+    st = F.aggregate(
+        F.slice(elems, 2, F.size("ys") - 1),
+        F.element_at(elems, 1),
+        merge,
+    )
+    return series.select(
+        "event_type",
+        "n_days",
+        (st.getField("l") / 10000.0).alias("level"),
+        (st.getField("b") / 10000.0).alias("trend"),
+        ((st.getField("l") + st.getField("b")) / 10000.0).alias(
+            "forecast_next"
+        ),
+    )
