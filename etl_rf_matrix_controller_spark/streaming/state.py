@@ -518,3 +518,126 @@ def stream_state_ttl_expiry(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+HOLT_STATE_SCHEMA = StructType(
+    [
+        StructField("l", DoubleType()),
+        StructField("b", DoubleType()),
+        StructField("n_closed", LongType()),
+        StructField("cur_day", LongType()),
+        StructField("cur_total", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+HOLT_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("n_days", LongType()),
+        StructField("level", DoubleType()),
+        StructField("trend", DoubleType()),
+        StructField("forecast_next", DoubleType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+
+def _holt_step(l: float, b: float, n_closed: int, total: int):
+    """One day closes: identical double recurrence (and literals) to the
+    batch fold in operators.behavior.holt_linear_daily_value."""
+    y = float(total)
+    if n_closed == 0:
+        return y, 0.0
+    lp = 0.5 * y + 0.5 * (l + b)
+    bn = 0.3 * (lp - l) + 0.7 * b
+    return lp, bn
+
+
+def _update_holt(key, pdf_iter, state: GroupState):
+    """Two-component Holt state per event_type: (level, trend) over the
+    CLOSED days plus the open day's running integer total -- O(1) state
+    per key regardless of history length (the property the batch
+    collect-the-series form gives up).  Day totals accumulate as exact
+    scaled ints (the rounding already happened JVM-side), so only the
+    per-day fold is float -- same order, same literals as batch."""
+    import pandas as pd
+
+    l, b, n_closed, cur_day, cur_total, n_events = (
+        state.get if state.exists else (0.0, 0.0, 0, -1, 0, 0)
+    )
+    for pdf in pdf_iter:
+        if pdf.empty:
+            continue
+        pdf = pdf.sort_values(["day_idx", "ts", "event_id"])
+        for day, v in zip(pdf["day_idx"].astype("int64"),
+                          pdf["v_s"].astype("int64")):
+            day, v = int(day), int(v)
+            if cur_day == -1:
+                cur_day = day
+            elif day != cur_day:
+                l, b = _holt_step(l, b, n_closed, cur_total)
+                n_closed += 1
+                cur_day, cur_total = day, 0
+            cur_total += v
+            n_events += 1
+    if n_events:
+        state.update(
+            (float(l), float(b), int(n_closed), int(cur_day),
+             int(cur_total), int(n_events))
+        )
+        # Emission closes the open day tentatively (not committed to
+        # state): the final emission therefore equals the batch fold
+        # over ALL days.
+        lt, bt = _holt_step(l, b, n_closed, cur_total)
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_days": [n_closed + 1],
+                "level": [lt / 10000.0],
+                "trend": [bt / 10000.0],
+                "forecast_next": [(lt + bt) / 10000.0],
+                "n_events": [n_events],
+            }
+        )
+
+
+def stream_holt_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming op: per-event-type Holt linear smoothing
+    via applyInPandasWithState (update mode, availableNow); returns the
+    final per-key emission as a batch DataFrame, comparable to
+    operators.behavior.holt_linear_daily_value.  Day index and the
+    scaled integer value are computed JVM-SIDE before the stream enters
+    Python, so day bucketing and rounding are bit-identical to batch."""
+    from pyspark.sql import functions as F
+
+    events = _events_stream(spark, sf_dir).select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.unix_timestamp(F.date_trunc("day", "ts")).alias("day_idx"),
+        F.round(F.col("value") * 10000).cast("long").alias("v_s"),
+    )
+    updates = events.groupBy("event_type").applyInPandasWithState(
+        _update_holt,
+        outputStructType=HOLT_OUTPUT_SCHEMA,
+        stateStructType=HOLT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        updates.writeStream.format("memory")
+        .queryName("holt_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    from pyspark.sql.window import Window
+
+    tbl = spark.table("holt_stream")
+    w = Window.partitionBy("event_type").orderBy(F.col("n_events").desc())
+    return (
+        tbl.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_type", "n_days", "level", "trend", "forecast_next")
+    )

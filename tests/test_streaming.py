@@ -843,3 +843,22 @@ def test_interval_join_full_outer_both_null_sides(spark, tmp_path):
     # matched pair, expired unmatched error, expired orphan click --
     # and nothing premature from the unexpired batch-2 rows.
     assert got == {(1, 3), (2, None), (None, 4)}, got
+
+
+def test_holt_batch_eq_stream(spark):
+    """Custom 2-component stateful op (applyInPandasWithState Holt) ==
+    batch fold, bit-exact: day bucketing and rounding happen JVM-side
+    before the stream enters Python, and the per-day double recurrence
+    uses identical literals and order on both sides."""
+    from etl_rf_matrix_controller_spark.operators.behavior import (
+        holt_linear_daily_value,
+    )
+    from etl_rf_matrix_controller_spark.streaming.state import (
+        stream_holt_daily_value,
+    )
+
+    _assert_same(
+        holt_linear_daily_value(spark, SF_DIR),
+        stream_holt_daily_value(spark, SF_DIR),
+        "holt_linear_daily_value",
+    )
