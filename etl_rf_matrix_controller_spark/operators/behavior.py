@@ -1902,3 +1902,179 @@ def holt_linear_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             "forecast_next"
         ),
     )
+
+
+@declared(
+    "event_markov_stationary",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS cur_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    tc AS (
+      SELECT prev_type AS s, cur_type AS d, CAST(count(*) AS BIGINT) AS c
+      FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    ),
+    rs AS (SELECT s, CAST(sum(c) AS BIGINT) AS rsum FROM tc GROUP BY s),
+    t AS (SELECT tc.s, tc.d, tc.c, rs.rsum FROM tc JOIN rs ON rs.s = tc.s),
+    nf AS (SELECT CAST(count(*) AS BIGINT) AS n_states FROM rs),
+    x0 AS (
+      SELECT s AS state, CAST(1000000 // n_states AS BIGINT) AS x
+      FROM rs CROSS JOIN nf
+    ),
+    x1 AS (
+      SELECT t.d AS state, CAST(sum((x0.x * t.c) // t.rsum) AS BIGINT) AS x
+      FROM t JOIN x0 ON x0.state = t.s GROUP BY t.d
+    ),
+    x2 AS (
+      SELECT t.d AS state, CAST(sum((x1.x * t.c) // t.rsum) AS BIGINT) AS x
+      FROM t JOIN x1 ON x1.state = t.s GROUP BY t.d
+    )
+    SELECT state, x AS stationary_ppm,
+           CAST(row_number() OVER (ORDER BY x DESC, state) AS BIGINT) AS rnk
+    FROM x2
+    """,
+)
+def event_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary-distribution estimate of the event-type Markov chain:
+    two power-iteration steps x -> xP from the uniform start, in ppm
+    FIXED-POINT integer arithmetic -- where user journeys concentrate in
+    the long run (the `event_transition_counts` matrix put to its
+    standard use; the journey-simulation prior).
+
+    Exactness: each term floors ((x[s] * c(s,d)) DIV rowsum(s)) in
+    integer space, so the iteration is deterministic on both engines --
+    the float form would sum order-dependent doubles and cannot hash-
+    match.  Total mass drifts a few ppm below 1e6 from the per-term
+    floors; that bias is the declared semantics (and vanishes at ppm
+    scale).  Envelope: x*c <= 1e6 * total transitions, int64-safe below
+    ~9e12 transitions; past that, cast the product to DECIMAL(38,0).
+    Plan: one user-timeline shuffle builds the |types|^2 count matrix
+    (bounded, broadcast everywhere); each iteration is a broadcast join
+    + |types|-key aggregation -- iteration cost is independent of corpus
+    size, the pagerank_loop property.
+    """
+    tc = (
+        event_transition_counts(spark, sf_dir)
+        .select(
+            F.col("prev_type").alias("s"),
+            F.col("cur_type").alias("d"),
+            F.col("n_transitions").cast("bigint").alias("c"),
+        )
+        .localCheckpoint(eager=True)  # row sums AND both iteration joins
+    )
+    rs = tc.groupBy("s").agg(F.sum("c").cast("bigint").alias("rsum"))
+    t = tc.join(F.broadcast(rs), "s").localCheckpoint(eager=True)
+    nf = rs.agg(F.count(F.lit(1)).cast("bigint").alias("n_states"))
+    x0 = (
+        rs.select(F.col("s").alias("state"))
+        .crossJoin(F.broadcast(nf))
+        .select("state", F.expr("1000000 DIV n_states").cast("bigint").alias("x"))
+    )
+
+    def step(x: DataFrame) -> DataFrame:
+        return (
+            t.join(F.broadcast(x), t.s == x.state)
+            .groupBy(F.col("d").alias("state"))
+            .agg(F.sum(F.expr("(x * c) DIV rsum")).cast("bigint").alias("x"))
+        )
+
+    x2 = step(step(x0))
+    w = Window.orderBy(F.desc("x"), F.asc("state"))
+    return x2.select(
+        "state",
+        F.col("x").alias("stationary_ppm"),
+        F.row_number().over(w).cast("bigint").alias("rnk"),
+    )
+
+
+@declared(
+    "cohort_ltv_curve",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) // 86400 // 7 AS wk,
+             CAST(round(value * 10000) AS BIGINT) AS v_s
+      FROM events
+    ),
+    firsts AS (
+      SELECT user_id, min(wk) AS cohort_week FROM ev GROUP BY user_id
+    ),
+    sizes AS (
+      SELECT cohort_week, CAST(count(*) AS BIGINT) AS n_users
+      FROM firsts GROUP BY cohort_week
+    ),
+    weekly AS (
+      SELECT f.cohort_week, e.wk - f.cohort_week AS week_index,
+             CAST(sum(e.v_s) AS BIGINT) AS wv
+      FROM ev e JOIN firsts f ON f.user_id = e.user_id
+      GROUP BY f.cohort_week, e.wk - f.cohort_week
+    ),
+    cum AS (
+      SELECT cohort_week, week_index,
+             CAST(sum(wv) OVER (PARTITION BY cohort_week ORDER BY week_index
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_s
+      FROM weekly
+    )
+    SELECT c.cohort_week, c.week_index, s.n_users,
+           {int_round_scaled_sql('c.cum_s')} AS cum_value,
+           {ratio4_sql('c.cum_s', 's.n_users * 10000')} AS ltv_per_user
+    FROM cum c JOIN sizes s ON s.cohort_week = c.cohort_week
+    """,
+)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: users cohorted by the epoch-week of
+    their first event; per (cohort, weeks-since-entry) the CUMULATIVE
+    value mass and its per-user average -- the revenue twin of
+    `cohort_retention` (that one counts active users; this one
+    accumulates value), the curve LTV forecasting reads off.
+
+    Weeks are integer epoch arithmetic (epoch-day DIV 7; the anchor is
+    arbitrary but identical on both engines -- the weekday_hour_heatmap
+    portability rule).  Value mass is exact scaled-int sums; the
+    cumulative is a ROWS-framed running sum over the per-week partials
+    (|cohorts| x |weeks| rows, trivial after the one user-cohort join);
+    money and per-user outputs round in integer space.  Scale: firsts is
+    a per-user aggregation (shuffle on user_id, reused by the join);
+    sizes is |cohorts| rows, broadcast.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("unix_timestamp(ts) DIV 86400 DIV 7").alias("wk"),
+        F.round(F.col("value") * 10000).cast("bigint").alias("v_s"),
+    )
+    firsts = (
+        ev.groupBy("user_id")
+        .agg(F.min("wk").alias("cohort_week"))
+        .localCheckpoint(eager=True)  # cohort sizes AND the event join
+    )
+    sizes = firsts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    weekly = (
+        ev.join(firsts.hint("shuffle_hash"), "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("wk") - F.col("cohort_week")).alias("week_index"),
+        )
+        .agg(F.sum("v_s").cast("bigint").alias("wv"))
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_index")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = weekly.select(
+        "cohort_week",
+        "week_index",
+        F.sum("wv").over(w).cast("bigint").alias("cum_s"),
+    )
+    return cum.join(F.broadcast(sizes), "cohort_week").select(
+        "cohort_week",
+        "week_index",
+        "n_users",
+        int_round_scaled(F.col("cum_s")).alias("cum_value"),
+        ratio4(F.col("cum_s"), F.col("n_users") * 10000).alias("ltv_per_user"),
+    )

@@ -8,6 +8,7 @@ from __future__ import annotations
 import math
 
 from tests.conftest import SF_DIR
+from tests.test_round4_ops import _write_events
 
 from etl_rf_matrix_controller_spark.operators.dedup import (
     SIMHASH_MAX_HAMMING,
@@ -96,3 +97,50 @@ def test_kmeans_two_step_reassignment_matches_reference(spark, tmp_path):
     assert got == ref
     # the engineered mover actually moved: cluster 1 gained exactly one.
     assert got[1][2] == 1 and got[1][0] == 3
+
+
+def test_markov_stationary_fixed_point_mirror(spark, tmp_path):
+    """Crafted 2-user timeline with self-loops and an asymmetric A/B
+    exchange; the engine's ppm fixed-point iteration must equal a plain
+    Python mirror including the per-term floors."""
+    from datetime import datetime, timedelta
+
+    from etl_rf_matrix_controller_spark.operators.behavior import (
+        event_markov_stationary,
+    )
+
+    t0 = datetime(2024, 1, 5, 12, 0, 0)
+    # user 1: A A A B A  (A->A x2, A->B, B->A); user 2: B B A B
+    types = {1: ["a", "a", "a", "b", "a"], 2: ["b", "b", "a", "b"]}
+    rows = []
+    eid = 0
+    for uid, seq in types.items():
+        for i, et in enumerate(seq):
+            rows.append((eid, t0 + timedelta(minutes=i), uid, et, 1.0, "{}"))
+            eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+
+    # python mirror: counts -> two floored ppm iterations
+    trans: dict[tuple[str, str], int] = {}
+    for seq in types.values():
+        for a, b in zip(seq, seq[1:]):
+            trans[(a, b)] = trans.get((a, b), 0) + 1
+    states = sorted({s for s, _ in trans})
+    rsum = {s: sum(c for (a, _), c in trans.items() if a == s) for s in states}
+    x = {s: 1000000 // len(states) for s in states}
+    for _ in range(2):
+        nx: dict[str, int] = {}
+        for (s, d), c in trans.items():
+            nx[d] = nx.get(d, 0) + (x.get(s, 0) * c) // rsum[s]
+        x = nx
+    expect = {
+        s: (ppm, r + 1)
+        for r, (s, ppm) in enumerate(
+            sorted(x.items(), key=lambda kv: (-kv[1], kv[0]))
+        )
+    }
+    got = {
+        r.state: (r.stationary_ppm, r.rnk)
+        for r in event_markov_stationary(spark, sf).collect()
+    }
+    assert got == expect
