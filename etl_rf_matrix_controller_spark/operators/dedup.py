@@ -1175,3 +1175,83 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.filter(hamming <= SIMHASH_MAX_HAMMING).select(
         "doc_a", "doc_b", hamming.alias("hamming")
     )
+
+
+def simhash_wide_sig_df(corpus: DataFrame, bits: int = 60) -> DataFrame:
+    """Production-width SimHash (default 60-bit): the scale knob the
+    32-bit declared query documents.  Same bit-vote construction as
+    `simhash_docs`, with the token fingerprint widened to bits/4 md5 hex
+    chars (60 bits stays clear of BIGINT sign issues; Manku et al. use
+    64).  Library path -- consumed by `simhash_wide_pairs_df`, the
+    losslessness pytest, and the stress probe."""
+    assert bits % 4 == 0 and bits <= 60
+    tok = _gram_df(corpus)
+    fp = tok.select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("gram")), 1, bits // 4), 16, 10)
+        .cast("bigint")
+        .alias("tokint"),
+    )
+    votes = fp.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(tokint >> {j}) & 1") == 1, 1).otherwise(-1)
+            ).alias(f"v{j}")
+            for j in range(bits)
+        ]
+    )
+    recombine = None
+    for j in range(bits):
+        term = F.when(F.col(f"v{j}") > 0, F.lit(1 << j).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        recombine = term if recombine is None else recombine + term
+    return votes.select("doc_id", recombine.cast("bigint").alias("simhash"))
+
+
+def simhash_wide_pairs_df(
+    sig: DataFrame,
+    bits: int = 60,
+    n_bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Banded Hamming-<=k blocking over an arbitrary-width signature
+    frame -- the generic form of `simhash_near_dup_pairs`'s join.
+    Lossless whenever max_hamming < n_bands (pigeonhole over disjoint
+    equal-width bands).  At 60/4 the band key is 15 bits -> 32768
+    buckets per band: expected bucket population n/32768 vs the 32-bit
+    query's n/256 -- the 128x candidate-pair reduction that holds the
+    join linear-ish at corpus scale (candidate pairs ~ n^2/2^band_bits).
+    """
+    assert max_hamming < n_bands and bits % n_bands == 0
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+    sig = sig.localCheckpoint(eager=False)
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.array(*[F.lit(j) for j in range(n_bands)])).alias("band"),
+    ).withColumn(
+        "bkey", F.expr(f"shiftright(simhash, {band_bits} * band) & {mask}")
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b.hint("shuffle_hash"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.expr("sig_a ^ sig_b")).cast("bigint")
+    return cand.filter(hamming <= max_hamming).select(
+        "doc_a", "doc_b", hamming.alias("hamming")
+    )

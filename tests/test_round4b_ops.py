@@ -144,3 +144,55 @@ def test_markov_stationary_fixed_point_mirror(spark, tmp_path):
         for r in event_markov_stationary(spark, sf).collect()
     }
     assert got == expect
+
+
+def test_simhash_wide_band_blocking_lossless_and_sparse(spark):
+    """The production-width (60-bit, 4x15-bit-band) simhash path: banded
+    join == brute force at Hamming <= 3 on the real sf0.001 corpus, and
+    the widened bands actually buy sparsity (per-(band,bkey) bucket
+    population collapses vs the 32-bit setting's n/256)."""
+    from pyspark.sql import functions as F
+
+    from etl_rf_matrix_controller_spark.operators.dedup import (
+        dup_corpus,
+        simhash_wide_pairs_df,
+        simhash_wide_sig_df,
+    )
+
+    sig_df = simhash_wide_sig_df(dup_corpus(spark, SF_DIR)).localCheckpoint()
+    sigs = {r.doc_id: r.simhash for r in sig_df.collect()}
+    ids = sorted(sigs)
+    brute = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            h = bin(sigs[a] ^ sigs[b]).count("1")
+            if h <= 3:
+                brute.add((a, b, h))
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_wide_pairs_df(sig_df).collect()
+    }
+    assert got == brute
+    assert len(got) > 0  # planted exact dups guarantee non-vacuity
+    # sparsity: the worst 15-bit band bucket holds little beyond the
+    # planted exact-dup groups; measure directly against the 8-bit
+    # bucketing of the SAME signatures (the 32-bit query's band width).
+    def worst_bucket(band_bits: int) -> int:
+        mask = (1 << band_bits) - 1
+        bands = sig_df.select(
+            "doc_id",
+            F.explode(F.array(*[F.lit(j) for j in range(4)])).alias("band"),
+            F.col("simhash"),
+        ).withColumn(
+            "bkey", F.expr(f"shiftright(simhash, {band_bits} * band) & {mask}")
+        )
+        return (
+            bands.groupBy("band", "bkey")
+            .count()
+            .agg(F.max("count"))
+            .collect()[0][0]
+        )
+
+    worst15, worst8 = worst_bucket(15), worst_bucket(8)
+    assert worst15 <= 10, worst15
+    assert worst15 < worst8, (worst15, worst8)

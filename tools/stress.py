@@ -118,6 +118,33 @@ def main() -> None:
             f"span_dedup x{mult}: {dt:.2f}s (~{grams/1e6:.1f}M grams, "
             f"{grams/dt/1e6:.1f}M grams/s)"
         )
+
+    # SimHash banded blocking: the band-width knob.  Candidate pairs per
+    # band grow ~n^2/2^band_bits, so the 32-bit query's 8-bit bands go
+    # quadratic-tailed as n grows while the production 60-bit/15-bit
+    # setting stays sparse (simhash_wide_pairs_df docstring).  Measure
+    # both on the same rotation-amplified corpus: the wide setting's
+    # candidate count should collapse vs the narrow one.
+    from etl_rf_matrix_controller_spark.operators.dedup import (
+        simhash_wide_pairs_df,
+        simhash_wide_sig_df,
+    )
+
+    for mult in (1, MULT):
+        corpus = amplify_docs(mult)
+        for bits, n_bands in ((32, 4), (60, 4)):
+            sig = simhash_wide_sig_df(corpus, bits=bits).localCheckpoint(
+                eager=True
+            )
+            t0 = time.perf_counter()
+            n_pairs = simhash_wide_pairs_df(
+                sig, bits=bits, n_bands=n_bands
+            ).count()
+            dt = time.perf_counter() - t0
+            print(
+                f"simhash_pairs x{mult} {bits}b/{bits // n_bands}b-bands: "
+                f"{dt:.2f}s, {n_pairs} pairs at ham<=3"
+            )
     spark.stop()
 
 
