@@ -1255,3 +1255,191 @@ def simhash_wide_pairs_df(
     return cand.filter(hamming <= max_hamming).select(
         "doc_a", "doc_b", hamming.alias("hamming")
     )
+
+
+@declared(
+    "span_excision_stats",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    pg AS (
+      SELECT doc_id, i.i AS pos,
+             substring(t, CAST(i.i AS INT), {SPAN_K}) AS gram
+      FROM (
+        SELECT doc_id, trim(text) AS t,
+               generate_series(1, greatest(length(trim(text)) - {SPAN_K - 1},
+                                           0)) AS idxs
+        FROM corpus
+      ) g, unnest(idxs) AS i(i)
+    ),
+    m AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.pos AS pos_a, a.pos - b.pos AS diag
+      FROM pg a JOIN pg b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    ),
+    isl AS (
+      SELECT doc_a, doc_b, diag, pos_a,
+             pos_a - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+                                        ORDER BY pos_a) AS island
+      FROM m
+    ),
+    spans AS (
+      SELECT doc_a, doc_b,
+             CAST(min(pos_a) - diag AS BIGINT) AS s,
+             CAST(min(pos_a) - diag + max(pos_a) - min(pos_a)
+                  + {SPAN_K} - 1 AS BIGINT) AS e
+      FROM isl
+      GROUP BY doc_a, doc_b, diag, island
+    ),
+    iv AS (SELECT DISTINCT doc_b AS doc_id, s, e FROM spans),
+    flagged AS (
+      SELECT doc_id, s, e,
+             CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) >= s
+                  THEN 0 ELSE 1 END AS new_grp
+      FROM iv
+    ),
+    grouped AS (
+      SELECT doc_id, s, e,
+             sum(new_grp) OVER (PARTITION BY doc_id ORDER BY s, e
+                                ROWS UNBOUNDED PRECEDING) AS grp
+      FROM flagged
+    ),
+    merged AS (
+      SELECT doc_id, CAST(max(e) - min(s) + 1 AS BIGINT) AS len
+      FROM grouped GROUP BY doc_id, grp
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_regions,
+             CAST(sum(len) AS BIGINT) AS excisable_chars
+      FROM merged GROUP BY doc_id
+    )
+    SELECT p.doc_id, p.n_regions, p.excisable_chars,
+           CAST(length(trim(c.text)) AS BIGINT) AS doc_chars,
+           {ratio4_sql('p.excisable_chars', 'length(trim(c.text))')}
+             AS excision_ratio
+    FROM per_doc p JOIN corpus c ON c.doc_id = p.doc_id
+    """,
+)
+def span_excision_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document excision report over the exact repeated spans: how
+    many characters of each KEPT-LOWER duplicate's later copy are
+    verbatim repeats of an earlier doc, as a merged interval UNION (no
+    double counting when spans from different source docs overlap) --
+    the actionable output of `substring_span_dups` (Lee et al. 2022
+    excise-the-span policy needs exactly this union per doc).
+
+    The pair spans project to [start_b, end_b] intervals on the
+    higher-id doc; overlapping intervals merge with the classic
+    running-max sweep (new region iff s > max(e) over all earlier
+    intervals -- a ROWS-framed window, one shuffle on doc_id).  All
+    integer arithmetic; the ratio is integer-space (ratio4).  Scale:
+    interval count is bounded by true copied spans (the K=40 gram join
+    property), so the per-doc sweep is tiny; the expensive stage remains
+    the shared positional-gram join, identical to substring_span_dups.
+    """
+    pairs = substring_span_pairs_df(dup_corpus(spark, sf_dir))
+    iv = pairs.select(
+        F.col("doc_b").alias("doc_id"),
+        F.col("start_b").alias("s"),
+        (F.col("start_b") + F.col("span_chars") - 1).alias("e"),
+    ).distinct()
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    grouped = iv.withColumn(
+        "new_grp",
+        F.when(F.max("e").over(w_prev) >= F.col("s"), 0).otherwise(1),
+    ).withColumn("grp", F.sum("new_grp").over(w_run))
+    merged = grouped.groupBy("doc_id", "grp").agg(
+        (F.max("e") - F.min("s") + 1).cast("bigint").alias("len")
+    )
+    per_doc = merged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_regions"),
+        F.sum("len").cast("bigint").alias("excisable_chars"),
+    )
+    chars = dup_corpus(spark, sf_dir).select(
+        "doc_id", F.length(F.trim("text")).cast("bigint").alias("doc_chars")
+    )
+    return per_doc.join(chars.hint("shuffle_hash"), "doc_id").select(
+        "doc_id",
+        "n_regions",
+        "excisable_chars",
+        "doc_chars",
+        ratio4(F.col("excisable_chars"), F.col("doc_chars")).alias(
+            "excision_ratio"
+        ),
+    )
+
+
+_WIDE_BITS = 60
+_WIDE_VOTE_COLS = ", ".join(
+    f"sum(CASE WHEN (tokint >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+    for j in range(_WIDE_BITS)
+)
+_WIDE_RECOMBINE = " + ".join(
+    f"CASE WHEN v{j} > 0 THEN ({1 << j}::BIGINT) ELSE 0::BIGINT END"
+    for j in range(_WIDE_BITS)
+)
+
+
+@declared(
+    "simhash_wide_near_dup_pairs",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    tok AS ({_GRAMS_SQL}),
+    fp AS (
+      SELECT doc_id,
+             ('0x' || substring(md5(gram), 1, {_WIDE_BITS // 4}))::BIGINT
+               AS tokint
+      FROM tok
+    ),
+    votes AS (
+      SELECT doc_id, {_WIDE_VOTE_COLS}
+      FROM fp
+      GROUP BY doc_id
+    ),
+    sig AS (
+      SELECT doc_id, CAST({_WIDE_RECOMBINE} AS BIGINT) AS simhash
+      FROM votes
+    ),
+    bands AS (
+      SELECT doc_id, simhash, band,
+             (simhash >> (15 * band)) & 32767 AS bkey
+      FROM sig, (SELECT unnest(generate_series(0, 3)) AS band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sig_a, b.simhash AS sig_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sig_a, sig_b)) <= 3
+    """,
+)
+def simhash_wide_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5d-wide: the PRODUCTION-width SimHash near-dup join (60-bit
+    signature, 4x15-bit bands, Hamming <= 3) as an oracle-checked
+    declared query -- same lossless pigeonhole blocking as
+    `simhash_near_dup_pairs`, with 32768 buckets per band instead of
+    256: candidate pairs ~ n^2/2^band_bits, the 128x sparsity that keeps
+    the self-join linear-ish at corpus scale (Manku et al., WWW 2007;
+    60 bits rather than 64 keeps the md5-prefix fingerprint clear of
+    BIGINT sign trouble on both engines).  The 32-bit sibling stays
+    declared for parity with `simhash_docs`; this one is the setting a
+    100 TB run ships with.  Plan identical: signature checkpointed once,
+    signatures ride the band rows (zero verify-joins), shuffle-hash
+    pinned self-join.
+    """
+    sig = simhash_wide_sig_df(dup_corpus(spark, sf_dir), bits=_WIDE_BITS)
+    return simhash_wide_pairs_df(sig, bits=_WIDE_BITS, n_bands=4, max_hamming=3)

@@ -196,3 +196,34 @@ def test_simhash_wide_band_blocking_lossless_and_sparse(spark):
     worst15, worst8 = worst_bucket(15), worst_bucket(8)
     assert worst15 <= 10, worst15
     assert worst15 < worst8, (worst15, worst8)
+
+
+def test_span_excision_merges_overlapping_regions(spark, tmp_path):
+    """Two source docs (3 and 4) cover OVERLAPPING regions of copier doc
+    9 ([1..50] and [31..80]); the excision union must be one 80-char
+    region, not 100 double-counted chars.  Doc ids avoid the dup_corpus
+    synthesis strides (doc_id % 10 not in {0, 1}); the 2-char-token
+    alphabet makes every 40-gram unique so no accidental matches."""
+    from etl_rf_matrix_controller_spark.operators.dedup import (
+        span_excision_stats,
+    )
+
+    p = "".join(f"{letter}{d}" for letter in "abcd" for d in "0123456789")
+    assert len(p) == 80
+    rows = [
+        (3, p[0:50], "en", "src1", 50),
+        (4, p[30:80], "en", "src1", 50),
+        (9, p, "en", "src2", 80),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = {
+        r.doc_id: (r.n_regions, r.excisable_chars, r.doc_chars)
+        for r in span_excision_stats(spark, str(tmp_path)).collect()
+    }
+    assert out == {9: (1, 80, 80)}, out
