@@ -200,3 +200,118 @@ def test_bpe_merge_loop_matches_reference_random(spark, words):
     assert merges == ref_merges, (words, merges, ref_merges)
     got = {r.token: list(r.syms) for r in vocab.collect()}
     assert got == ref_vocab, (words, got, ref_vocab)
+
+
+# ---- round-4 continuation properties ----------------------------------
+
+
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),    # event_type index
+            st.integers(min_value=0, max_value=9),    # day offset
+            st.integers(min_value=1, max_value=400),  # value in quarters
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@SETTINGS
+def test_holt_fold_matches_python_mirror(spark, tmp_path_factory, data):
+    """holt_linear_daily_value == a plain-Python Holt fold for arbitrary
+    multi-day series.  Values are quarters (k/4) so the 1e4 scaling is
+    float-exact and the daily totals are unambiguous integers."""
+    from datetime import datetime, timedelta
+
+    from etl_rf_matrix_controller_spark.operators.behavior import (
+        holt_linear_daily_value,
+    )
+    from tests.test_round4_ops import _write_events
+
+    t0 = datetime(2024, 1, 3, 8, 0, 0)
+    rows = [
+        (i, t0 + timedelta(days=d, minutes=i), 1, f"t{k}", q / 4.0, "{}")
+        for i, (k, d, q) in enumerate(data)
+    ]
+    tmp = tmp_path_factory.mktemp("holt")
+    sf = _write_events(spark, tmp, rows)
+
+    # python mirror: scaled-int daily totals, day-ordered (l, b) fold
+    daily: dict[tuple[str, int], int] = {}
+    for k, d, q in data:
+        key = (f"t{k}", d)
+        daily[key] = daily.get(key, 0) + q * 2500
+    series: dict[str, list[int]] = {}
+    for (et, d) in sorted(daily):
+        series.setdefault(et, []).append(daily[(et, d)])
+    expect = {}
+    for et, ys in series.items():
+        l, b = float(ys[0]), 0.0
+        for y in ys[1:]:
+            lp = 0.5 * float(y) + 0.5 * (l + b)
+            b = 0.3 * (lp - l) + 0.7 * b
+            l = lp
+        expect[et] = (len(ys), l / 10000.0, b / 10000.0, (l + b) / 10000.0)
+    got = {
+        r.event_type: (r.n_days, r.level, r.trend, r.forecast_next)
+        for r in holt_linear_daily_value(spark, sf).collect()
+    }
+    assert got == expect
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab", min_size=45, max_size=90),
+        min_size=2,
+        max_size=4,
+    )
+)
+@SETTINGS
+def test_span_excision_matches_position_coverage(spark, tmp_path_factory, texts):
+    """span_excision_stats == the DEFINITIONAL per-position coverage:
+    a char of a higher-id doc is excisable iff it lies inside some
+    40-gram shared with a lower-id doc.  The 2-letter alphabet forces
+    dense accidental matches, stressing the interval-union merge.  Doc
+    ids avoid the dup_corpus synthesis strides."""
+    from etl_rf_matrix_controller_spark.operators.dedup import (
+        SPAN_K,
+        span_excision_stats,
+    )
+
+    ids = [2, 3, 4, 5][: len(texts)]  # % 10 not in {0, 1}
+    rows = [
+        (i, t, "en", "s", len(t)) for i, t in zip(ids, texts)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint"
+    )
+    tmp = tmp_path_factory.mktemp("spans")
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp / "documents.parquet")
+    )
+    docs = {i: t.strip() for i, t in zip(ids, texts)}
+    expect = {}
+    for i_b, t_b in docs.items():
+        earlier_grams = {
+            t_a[p : p + SPAN_K]
+            for i_a, t_a in docs.items()
+            if i_a < i_b
+            for p in range(max(len(t_a) - SPAN_K + 1, 0))
+        }
+        covered: set[int] = set()
+        for p in range(max(len(t_b) - SPAN_K + 1, 0)):
+            if t_b[p : p + SPAN_K] in earlier_grams:
+                covered.update(range(p, p + SPAN_K))
+        if covered:
+            runs = 1 + sum(
+                1
+                for a, b in zip(sorted(covered), sorted(covered)[1:])
+                if b > a + 1
+            )
+            expect[i_b] = (runs, len(covered), len(t_b))
+    got = {
+        r.doc_id: (r.n_regions, r.excisable_chars, r.doc_chars)
+        for r in span_excision_stats(spark, str(tmp)).collect()
+    }
+    assert got == expect
