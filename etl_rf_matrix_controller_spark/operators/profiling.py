@@ -1680,3 +1680,73 @@ def winsorized_brand_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_clipped"),
         exact_avg(clamped).alias("winsorized_avg"),
     )
+
+
+_FD_CANDIDATES = (
+    ("p_brand", "p_type"),
+    ("p_type", "p_brand"),
+    ("p_brand", "p_size"),
+    ("p_partkey", "p_brand"),
+)
+_FD_SQL = " UNION ALL ".join(
+    f"""
+    SELECT '{lhs}' AS lhs, '{rhs}' AS rhs,
+           CAST(count(*) AS BIGINT) AS n_lhs_values,
+           CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating,
+           CAST(max(n_rhs) AS BIGINT) AS max_rhs_per_lhs
+    FROM (
+      SELECT {lhs}, count(DISTINCT {rhs}) AS n_rhs
+      FROM part GROUP BY {lhs}
+    )"""
+    for lhs, rhs in _FD_CANDIDATES
+)
+
+
+@declared("functional_dependency_profile", oracle=_FD_SQL)
+def functional_dependency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery over candidate column pairs of
+    `part`: does lhs determine rhs?  Reports, per candidate, how many
+    lhs values exist, how many violate (map to >1 distinct rhs), and
+    the worst fan-out -- the schema-profiling pass behind key discovery,
+    normalization advice, and dq rule synthesis (p_partkey -> p_brand
+    holds exactly; brand/type/size mutually violate, which is the
+    interesting finding).
+
+    One scan of the dim feeds every candidate (checkpointed narrow
+    projection; candidates derive from the cached frame, keeping the
+    suite's <=2-scans-per-table ceiling at ANY candidate count).  Each
+    candidate is a two-level partial agg (distinct-count per lhs, then
+    the violation rollup) -- map-side combinable, group cardinality
+    bounded by the lhs domain.  All-integer output.
+    """
+    cols = sorted({c for pair in _FD_CANDIDATES for c in pair})
+    part = (
+        load_table(spark, sf_dir, "part")
+        .select(*cols)
+        .localCheckpoint(eager=True)  # one scan serves all candidates
+    )
+    outs = []
+    for lhs, rhs in _FD_CANDIDATES:
+        per_lhs = part.groupBy(lhs).agg(
+            F.countDistinct(rhs).alias("n_rhs")
+        )
+        outs.append(
+            per_lhs.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_lhs_values"),
+                F.sum(F.when(F.col("n_rhs") > 1, 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_violating"),
+                F.max("n_rhs").cast("bigint").alias("max_rhs_per_lhs"),
+            ).select(
+                F.lit(lhs).alias("lhs"),
+                F.lit(rhs).alias("rhs"),
+                "n_lhs_values",
+                "n_violating",
+                "max_rhs_per_lhs",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
