@@ -2078,3 +2078,201 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         int_round_scaled(F.col("cum_s")).alias("cum_value"),
         ratio4(F.col("cum_s"), F.col("n_users") * 10000).alias("ltv_per_user"),
     )
+
+
+@declared(
+    "time_weighted_avg_value",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS t_s,
+             CAST(round(value * 10000) AS BIGINT) AS v_s,
+             lead(CAST(floor(epoch(ts)) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t_next
+      FROM events
+    ),
+    held AS (
+      SELECT user_id, v_s, t_next - t_s AS dur_s
+      FROM seq WHERE t_next IS NOT NULL
+    ),
+    agg AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_intervals,
+             CAST(sum(dur_s) AS BIGINT) AS total_s,
+             CAST(sum(CAST(v_s AS DECIMAL(38,0))
+                      * CAST(dur_s AS DECIMAL(38,0))) AS DECIMAL(38,0))
+               AS wsum
+      FROM held GROUP BY user_id
+    )
+    SELECT user_id, n_intervals, total_s,
+           CAST(wsum AS DOUBLE)
+             / (CAST(total_s AS DOUBLE) * 10000.0e0) AS twap
+    FROM agg WHERE total_s > 0
+    """,
+)
+def time_weighted_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (TWAP): each observation is
+    weighted by how long it was the CURRENT value (until the user's next
+    event) -- the step-function integral that plain AVG gets wrong on
+    irregular event series (a value held for an hour counts 3600x one
+    held for a second), the standard form for utilization, position, and
+    price averaging.
+
+    One user-timeline shuffle (lead window, ties broken on event_id);
+    the integral accumulates as DECIMAL(38,0) products of exact ints
+    (operand-cast rule -- v_s * dur_s can pass 2^63 for long gaps at
+    high values), and the final TWAP is one double division of identical
+    exact integers.  The last observation per user carries no duration
+    (no next event bounds it) and is excluded identically on both
+    engines; zero-duration users drop with total_s = 0.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.expr("unix_timestamp(ts)").alias("t_s"),
+        F.round(F.col("value") * 10000).cast("bigint").alias("v_s"),
+        "ts",
+        "event_id",
+    ).withColumn("t_next", F.lead("t_s").over(w))
+    held = seq.filter(F.col("t_next").isNotNull()).select(
+        "user_id", "v_s", (F.col("t_next") - F.col("t_s")).alias("dur_s")
+    )
+    agg = held.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+        F.sum("dur_s").cast("bigint").alias("total_s"),
+        F.sum(
+            F.expr(
+                "CAST(v_s AS DECIMAL(38,0)) * CAST(dur_s AS DECIMAL(38,0))"
+            )
+        ).cast("decimal(38,0)").alias("wsum"),
+    )
+    return agg.filter(F.col("total_s") > 0).select(
+        "user_id",
+        "n_intervals",
+        "total_s",
+        (
+            F.expr("CAST(wsum AS DOUBLE)")
+            / (F.expr("CAST(total_s AS DOUBLE)") * F.lit(10000.0))
+        ).alias("twap"),
+    )
+
+
+@declared(
+    "peak_concurrency_daily",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, sec,
+             CASE WHEN sec - lag(sec) OVER (
+               PARTITION BY user_id ORDER BY sec, event_id) > 1800
+               OR lag(sec) OVER (
+               PARTITION BY user_id ORDER BY sec, event_id) IS NULL
+             THEN 1 ELSE 0 END AS new_sess,
+             event_id
+      FROM ev
+    ),
+    sess AS (
+      SELECT user_id, sec,
+             sum(new_sess) OVER (
+               PARTITION BY user_id ORDER BY sec, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      FROM flagged
+    ),
+    bounds AS (
+      SELECT user_id, sess_id, min(sec) AS s, max(sec) + 1 AS e
+      FROM sess GROUP BY user_id, sess_id
+    ),
+    deltas AS (
+      SELECT s AS t, 1 AS d FROM bounds
+      UNION ALL
+      SELECT e AS t, -1 FROM bounds
+    ),
+    net AS (SELECT t, CAST(sum(d) AS BIGINT) AS nd FROM deltas GROUP BY t),
+    run AS (
+      SELECT t, CAST(sum(nd) OVER (ORDER BY t
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS conc
+      FROM net
+    )
+    SELECT t // 86400 AS day_idx,
+           CAST(DATE '1970-01-01' + CAST(t // 86400 AS INT) AS DATE) AS day,
+           CAST(max(conc) AS BIGINT) AS peak_concurrency,
+           CAST(count(*) AS BIGINT) AS n_boundaries
+    FROM run
+    GROUP BY t // 86400
+    """,
+)
+def peak_concurrency_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily peak concurrent sessions: sessionize (the
+    `user_session_stats` 30-min-gap convention), sweep-line the session
+    [start, end) boundaries (+1/-1 deltas, end-exclusive at last event
+    second + 1), and report each day's maximum of the running
+    concurrency -- the capacity-planning readout (how many users were
+    simultaneously active at the worst moment of each day).
+
+    The running sum orders the BOUNDARY stream, which is session-
+    bounded and collapses further by grouping same-second deltas first;
+    the peak of a day is taken over its boundary points (a carried-in
+    plateau was already counted on the day its opening boundary fired,
+    the standard sweep-line attribution).  At 100 TB the single ordered
+    window becomes a per-day partition with a carried prefix sum (two
+    passes, same integers); here the global ROWS window keeps it one
+    pass.  day derives from pure epoch-day integer arithmetic (the
+    portable-weekday rule), rendered as DATE identically on both
+    engines.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.col("ts").cast("long").alias("sec")
+    )
+    wo = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "sec",
+        F.when(
+            (F.col("sec") - F.lag("sec").over(wo) > 1800)
+            | F.lag("sec").over(wo).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+        "event_id",
+    )
+    sess = flagged.select(
+        "user_id",
+        "sec",
+        F.sum("new_sess")
+        .over(wo.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("sess_id"),
+    )
+    bounds = sess.groupBy("user_id", "sess_id").agg(
+        F.min("sec").alias("s"), (F.max("sec") + 1).alias("e")
+    )
+    deltas = bounds.select(F.col("s").alias("t"), F.lit(1).alias("d")).unionByName(
+        bounds.select(F.col("e").alias("t"), F.lit(-1).alias("d"))
+    )
+    net = deltas.groupBy("t").agg(F.sum("d").cast("bigint").alias("nd"))
+    run = net.select(
+        "t",
+        F.sum("nd")
+        .over(
+            Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .cast("bigint")
+        .alias("conc"),
+    )
+    day_idx = F.expr("t DIV 86400")
+    return run.groupBy(day_idx.alias("day_idx")).agg(
+        F.max("conc").cast("bigint").alias("peak_concurrency"),
+        F.count(F.lit(1)).cast("bigint").alias("n_boundaries"),
+    ).select(
+        "day_idx",
+        F.date_add(F.lit("1970-01-01").cast("date"), F.col("day_idx").cast("int"))
+        .alias("day"),
+        "peak_concurrency",
+        "n_boundaries",
+    )
