@@ -862,3 +862,21 @@ def test_holt_batch_eq_stream(spark):
         stream_holt_daily_value(spark, SF_DIR),
         "holt_linear_daily_value",
     )
+
+
+def test_transition_counts_batch_eq_stream(spark):
+    """Per-key last-value carry (applyInPandasWithState) == the batch
+    lag() window: partial pair counts chain across micro-batches through
+    the remembered last event, summing to the batch transition matrix."""
+    from etl_rf_matrix_controller_spark.operators.behavior import (
+        event_transition_counts,
+    )
+    from etl_rf_matrix_controller_spark.streaming.state import (
+        stream_event_transition_counts,
+    )
+
+    _assert_same(
+        event_transition_counts(spark, SF_DIR),
+        stream_event_transition_counts(spark, SF_DIR),
+        "event_transition_counts",
+    )
