@@ -2397,3 +2397,91 @@ def label_outlier_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
         )
     )
+
+
+@declared(
+    "incremental_ann_ingest_check",
+    oracle=f"""
+    WITH newb AS (
+      SELECT vec_id + 200000 AS new_id, embedding AS ne
+      FROM embeddings WHERE vec_id % 25 = 7
+    ),
+    scored AS (
+      SELECT n.new_id, v.vec_id AS match_id,
+             {_DOT_SQL.format(a='n.ne', b='v.embedding')} AS score
+      FROM newb n CROSS JOIN embeddings v
+    ),
+    ranked AS (
+      SELECT new_id, match_id, score,
+             row_number() OVER (PARTITION BY new_id
+                                ORDER BY score DESC, match_id) AS rnk
+      FROM scored
+    )
+    SELECT new_id, match_id, score FROM ranked WHERE rnk = 1
+    """,
+)
+def incremental_ann_ingest_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-side incremental ingest: a NEW embedding batch
+    (synthesized verbatim copies, +200000 ids) probes the EXISTING
+    corpus's IVF inverted lists for its nearest neighbor -- the
+    embedding twin of `incremental_near_dup_check` (text).  Cost scales
+    with the BATCH (each new vector scores one inverted list), never
+    corpus x corpus -- the property that makes continuous ingest dedup
+    affordable at 100 TB.
+
+    The oracle is the BRUTE-FORCE top-1 over the full corpus, and for
+    this batch the IVF probe equals it deterministically: a verbatim
+    copy assigns to the same centroid as its original (identical
+    distance fold, identical tiebreak), so the original is always in
+    the probed list and dominates the score ranking -- every gate run
+    therefore re-proves the probe finds the true neighbor, not a
+    proxy.  Plan: corpus checkpointed once (centroid sample + list
+    assignment + nothing else); centroids broadcast to BOTH the corpus
+    assignment and the new-batch assignment; the probe is an equi-join
+    on list id, shuffle-hash pinned.
+    """
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .localCheckpoint(eager=True)  # centroid sample + list assignment
+    )
+    cents = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce")
+    )
+    dist = _sq_dist(F.col("embedding"), F.col("ce"))
+    w = Window.partitionBy("vec_id").orderBy(dist.asc(), F.col("cent_id").asc())
+    assigned = (
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cent_id")
+    )
+    newb = emb.filter(F.col("vec_id") % 25 == 7).select(
+        (F.col("vec_id") + 200000).alias("new_id"),
+        F.col("embedding").alias("ne"),
+    )
+    wq = Window.partitionBy("new_id").orderBy(
+        _sq_dist(F.col("ne"), F.col("ce")).asc(), F.col("cent_id").asc()
+    )
+    q = (
+        newb.crossJoin(F.broadcast(cents))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") == 1)
+        .select("new_id", "ne", F.col("cent_id").alias("q_cent"))
+    )
+    scored = q.join(
+        assigned.hint("shuffle_hash"),
+        F.col("q_cent") == F.col("cent_id"),
+    ).select(
+        "new_id",
+        F.col("vec_id").alias("match_id"),
+        dot_double(F.col("ne"), F.col("embedding")).alias("score"),
+    )
+    wr = Window.partitionBy("new_id").orderBy(
+        F.desc("score"), F.asc("match_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") == 1)
+        .select("new_id", "match_id", "score")
+    )
