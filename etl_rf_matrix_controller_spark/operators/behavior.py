@@ -2276,3 +2276,306 @@ def peak_concurrency_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "peak_concurrency",
         "n_boundaries",
     )
+
+
+@declared(
+    "theil_sen_daily_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day_idx,
+             CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS v_s
+      FROM events
+      GROUP BY CAST(floor(epoch(ts)) AS BIGINT) // 86400
+    ),
+    pairs AS (
+      SELECT CAST(b.v_s - a.v_s AS DOUBLE)
+               / ((b.day_idx - a.day_idx) * 10000.0e0) AS slope
+      FROM daily a JOIN daily b ON b.day_idx > a.day_idx
+    ),
+    ranked AS (
+      SELECT slope,
+             row_number() OVER (ORDER BY slope) AS rn,
+             count(*) OVER () AS n_pairs
+      FROM pairs
+    )
+    SELECT CAST((SELECT count(*) FROM daily) AS BIGINT) AS n_days,
+           CAST(n_pairs AS BIGINT) AS n_pairs, slope AS sen_slope
+    FROM ranked WHERE rn = (n_pairs + 1) // 2
+    """,
+)
+def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of the daily value series: the median of
+    all pairwise slopes between daily totals -- insensitive to up to
+    ~29% outlier days, unlike the least-squares `value_trend_slope` it
+    complements (one anomalous day drags an OLS fit; the pairwise-slope
+    median shrugs it off; Sen 1968).
+
+    The pair fan-out is over the DAILY aggregate, so its size is
+    (calendar days)^2 -- bounded by the time range, independent of row
+    count (a year is ~66k pairs; the corpus scan stays one partial
+    aggregation).  Each slope is one double division of exact scaled
+    integers (identical operands -> identical IEEE result on both
+    engines), and the median is the discrete lower-middle element by
+    slope order, so the reported value is engine-exact even where pair
+    identity ties.  At 100 TB only the daily rollup touches the data;
+    the pairwise stage runs on a frame that fits in one partition.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.expr("unix_timestamp(ts) DIV 86400").alias("day_idx"))
+        .agg(F.sum(F.round(F.col("value") * 10000).cast("bigint")).alias("v_s"))
+        .localCheckpoint(eager=True)  # pair join (2 aliases) + n_days scalar
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    pairs = (
+        a.join(F.broadcast(b), F.col("b.day_idx") > F.col("a.day_idx"))
+        .select(
+            (
+                (F.col("b.v_s") - F.col("a.v_s")).cast("double")
+                / ((F.col("b.day_idx") - F.col("a.day_idx")) * F.lit(10000.0))
+            ).alias("slope")
+        )
+    )
+    w = Window.orderBy("slope")
+    ranked = pairs.select(
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n_pairs"),
+    )
+    n_days = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    return (
+        ranked.filter(F.col("rn") == F.expr("(n_pairs + 1) DIV 2"))
+        .crossJoin(F.broadcast(n_days))
+        .select("n_days", F.col("n_pairs").cast("bigint"), F.col("slope").alias("sen_slope"))
+    )
+
+
+@declared(
+    "interarrival_burstiness",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT)
+               - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id) AS gap
+      FROM events
+    ),
+    agg AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_gaps,
+             CAST(sum(gap) AS BIGINT) AS sg,
+             CAST(sum(gap * gap) AS BIGINT) AS sg2
+      FROM seq WHERE gap IS NOT NULL
+      GROUP BY event_type
+    )
+    SELECT event_type, n_gaps,
+           CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mean_gap,
+           sqrt(greatest(
+             CAST(sg2 AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+               - (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+                 * (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)),
+             0.0e0)) AS sd_gap,
+           (sqrt(greatest(
+              CAST(sg2 AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+                - (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+                  * (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)),
+              0.0e0))
+            - CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+           / (sqrt(greatest(
+                CAST(sg2 AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+                  - (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+                    * (CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)),
+                0.0e0))
+              + CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)) AS burstiness
+    FROM agg WHERE sg > 0
+    """,
+)
+def interarrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness of each event type's arrival process: Goh-Barabasi
+    B = (sigma - mu) / (sigma + mu) over inter-arrival gaps.  B -> -1
+    for a metronome, 0 for a Poisson process, -> +1 for extreme bursts
+    -- the one-number rhythm signature that separates organic traffic
+    from scripted streams (complements the per-user cadence stats in
+    `user_interevent_gap_stats` at the event-type level).
+
+    Gaps come from one lag window per event_type (whole floored epoch
+    seconds, the documented portable-epoch rule; ties break on
+    event_id).  Moments accumulate as exact integers: sum(gap) is
+    telescoping (bounded by the corpus time SPAN, not row count) and
+    sum(gap^2) <= span^2, under 2^53 for spans to ~3 years -- so
+    mean/sd/B are a fixed sequence of correctly-rounded double ops on
+    identical operands, bit-equal across engines (sqrt is IEEE
+    correctly rounded; greatest() clamps the -epsilon cancellation
+    case).  At 100 TB the per-type ordered window repartitions by
+    (type, day) with a carried boundary row -- same gaps, no hot
+    partition; metronome types (sg = 0) drop on both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.expr("unix_timestamp(ts)").alias("t_s"),
+        "ts",
+        "event_id",
+    ).withColumn("gap", F.col("t_s") - F.lag("t_s").over(w))
+    agg = (
+        seq.filter(F.col("gap").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+            F.sum("gap").cast("bigint").alias("sg"),
+            F.sum(F.col("gap") * F.col("gap")).cast("bigint").alias("sg2"),
+        )
+    )
+    mean = F.col("sg").cast("double") / F.col("n_gaps").cast("double")
+    var = F.greatest(
+        F.col("sg2").cast("double") / F.col("n_gaps").cast("double")
+        - mean * mean,
+        F.lit(0.0),
+    )
+    sd = F.sqrt(var)
+    return agg.filter(F.col("sg") > 0).select(
+        "event_type",
+        "n_gaps",
+        mean.alias("mean_gap"),
+        sd.alias("sd_gap"),
+        ((sd - mean) / (sd + mean)).alias("burstiness"),
+    )
+
+
+@declared(
+    "kaplan_meier_conversion",
+    oracle="""
+    WITH RECURSIVE evs AS (
+      SELECT user_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS fe
+      FROM events
+    ),
+    users AS (
+      SELECT user_id, min(fe) AS entry,
+             min(CASE WHEN event_type = 'purchase' THEN fe END) AS conv,
+             max(fe) AS censor
+      FROM evs GROUP BY user_id
+    ),
+    ud AS (
+      SELECT (coalesce(conv, censor) - entry) // 86400 AS dur,
+             CASE WHEN conv IS NOT NULL THEN 1 ELSE 0 END AS conv_f
+      FROM users
+    ),
+    per AS (
+      SELECT dur, CAST(count(*) AS BIGINT) AS u,
+             CAST(sum(conv_f) AS BIGINT) AS c
+      FROM ud GROUP BY dur
+    ),
+    risk AS (
+      SELECT dur, u, c,
+             (SELECT CAST(count(*) AS BIGINT) FROM ud)
+               - (CAST(sum(u) OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING)
+                       AS BIGINT) - u) AS n_at_risk
+      FROM per
+    ),
+    ev_days AS (
+      SELECT dur, n_at_risk, c,
+             CAST(row_number() OVER (ORDER BY dur) AS BIGINT) AS i
+      FROM risk WHERE c > 0
+    ),
+    series AS (
+      SELECT CAST(count(*) AS BIGINT) AS m,
+             list(CAST(n_at_risk - c AS DOUBLE) / CAST(n_at_risk AS DOUBLE)
+                  ORDER BY dur) AS fs
+      FROM ev_days
+    ),
+    fold(i, s) AS (
+      SELECT CAST(1 AS BIGINT), fs[1] FROM series
+      UNION ALL
+      SELECT f.i + 1, f.s * sr.fs[f.i + 1]
+      FROM fold f JOIN series sr ON TRUE
+      WHERE f.i < sr.m
+    )
+    SELECT e.dur AS dur_day, e.n_at_risk, e.c AS n_conv,
+           CAST((1000000 * e.c) // e.n_at_risk AS BIGINT) AS hazard_ppm,
+           f.s AS survival
+    FROM ev_days e JOIN fold f ON f.i = e.i
+    """,
+)
+def kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for time-to-first-purchase: each user
+    enters at their first event; users who never purchase are
+    right-censored at their last event.  Per conversion day (days since
+    entry): the at-risk count, conversions, the discrete hazard, and
+    the KM survival estimate S(d) = prod(1 - d_i/n_i) -- the
+    censoring-correct answer to "what fraction of users have converted
+    by day d", which a naive conversion-rate cut gets wrong whenever
+    observation windows differ (Kaplan & Meier 1958).
+
+    Shape: one per-user aggregation (entry / first purchase / censor),
+    one bounded per-duration rollup, then the survival fold runs over
+    the EVENT-DAY series (<= calendar span elements) exactly like the
+    Holt fold: a sequential array fold on the Spark side, mirrored by a
+    recursive CTE in the oracle (NOT list_reduce -- the documented
+    struct-accumulator trap).  Each factor is one double division of
+    exact integers; the running product multiplies identical doubles in
+    identical order, so the curve is bit-equal across engines.  The
+    convention at tied times is the standard one: conversions at d are
+    counted against the at-risk set INCLUDING users censored at d.
+    Hazard is integer-floored ppm.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.min(F.expr("unix_timestamp(ts)")).alias("entry"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.expr("unix_timestamp(ts)"))
+        ).alias("conv"),
+        F.max(F.expr("unix_timestamp(ts)")).alias("censor"),
+    )
+    ud = users.select(
+        F.expr("(coalesce(conv, censor) - entry) DIV 86400").alias("dur"),
+        F.when(F.col("conv").isNotNull(), 1).otherwise(0).alias("conv_f"),
+    )
+    per = ud.groupBy("dur").agg(
+        F.count(F.lit(1)).cast("bigint").alias("u"),
+        F.sum("conv_f").cast("bigint").alias("c"),
+    )
+    n_total = ud.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    w = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    risk = (
+        per.withColumn("cum_u", F.sum("u").over(w).cast("bigint"))
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "dur",
+            "u",
+            "c",
+            (F.col("n_total") - (F.col("cum_u") - F.col("u"))).alias("n_at_risk"),
+        )
+    )
+    ev_days = risk.filter(F.col("c") > 0)
+    series = ev_days.agg(
+        F.array_sort(
+            F.collect_list(F.struct("dur", "n_at_risk", "c"))
+        ).alias("days")
+    ).select(
+        "days",
+        F.transform(
+            "days",
+            lambda s: (s.getField("n_at_risk") - s.getField("c")).cast("double")
+            / s.getField("n_at_risk").cast("double"),
+        ).alias("fs"),
+    )
+    prefix = F.aggregate(
+        F.slice(F.col("fs"), 2, F.size("fs") - 1),
+        F.array(F.element_at(F.col("fs"), 1)),
+        lambda acc, x: F.concat(acc, F.array(F.element_at(acc, -1) * x)),
+    )
+    zipped = series.select(
+        F.explode(F.arrays_zip(F.col("days"), prefix.alias("s"))).alias("z")
+    )
+    return zipped.select(
+        F.col("z.days.dur").alias("dur_day"),
+        F.col("z.days.n_at_risk").alias("n_at_risk"),
+        F.col("z.days.c").alias("n_conv"),
+        F.expr("CAST((1000000 * z.days.c) DIV z.days.n_at_risk AS BIGINT)").alias(
+            "hazard_ppm"
+        ),
+        F.col("z.s").alias("survival"),
+    )

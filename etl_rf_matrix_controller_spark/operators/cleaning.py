@@ -236,3 +236,92 @@ def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sample_quota"
         ),
     )
+
+
+PAD_BUCKET_COUNTS = [1, 4, 16]
+
+
+def _pad_sql_one(k: int) -> str:
+    return f"""
+    SELECT {k} AS n_buckets, b,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS tok,
+           CAST(count(*) * max(n_tok) AS BIGINT) AS padded
+    FROM (
+      SELECT n_tok,
+             ntile({k}) OVER (ORDER BY n_tok, doc_id) AS b
+      FROM (
+        SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                 AS n_tok
+        FROM documents
+      ) t
+    ) u
+    GROUP BY b
+    """
+
+
+_PAD_SQL = (
+    "WITH per_bucket AS ("
+    + " UNION ALL ".join(_pad_sql_one(k) for k in PAD_BUCKET_COUNTS)
+    + """)
+    SELECT n_buckets,
+           CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           CAST(sum(tok) AS BIGINT) AS total_tokens,
+           CAST(sum(padded) AS BIGINT) AS padded_tokens,
+           CAST((1000000 * (sum(padded) - sum(tok))) // sum(padded)
+                AS BIGINT) AS waste_ppm
+    FROM per_bucket
+    GROUP BY n_buckets
+    """
+)
+
+
+@declared("length_bucket_padding_waste", oracle=_PAD_SQL)
+def length_bucket_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-padding economics of length bucketing: if documents are
+    batched after sorting into k equi-depth length buckets (k = 1, 4,
+    16) and every doc in a bucket pads to the bucket max, how many pad
+    tokens does each choice of k waste?  This is the knob study behind
+    bucketed batching in sequence-model training -- k=1 is the naive
+    pad-to-global-max cost, and the marginal waste reduction flattens
+    as k grows (diminishing returns against batch-shape variety).
+
+    Each k is one ntile window over the total (n_tok, doc_id) order --
+    a single global sort of the NARROW (doc_id, n_tok) projection,
+    shared across the three k values via one checkpointed token-count
+    frame (the corpus text is scanned once).  At 100 TB the global
+    ntile becomes a range-partitioned rank against sampled quantile
+    bounds (same integers, two passes); waste ratios are
+    integer-floored ppm -- engine-exact.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ntok = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias("n_tok"),
+    ).localCheckpoint(eager=True)  # three ntile windows share it
+    outs = []
+    for k in PAD_BUCKET_COUNTS:
+        w = Window.orderBy("n_tok", "doc_id")
+        per_bucket = (
+            ntok.select("n_tok", F.ntile(k).over(w).alias("b"))
+            .groupBy("b")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum("n_tok").cast("bigint").alias("tok"),
+                (F.count(F.lit(1)) * F.max("n_tok")).cast("bigint").alias("padded"),
+            )
+            .withColumn("n_buckets", F.lit(k))
+        )
+        outs.append(per_bucket)
+    all_b = outs[0]
+    for o in outs[1:]:
+        all_b = all_b.unionByName(o)
+    return all_b.groupBy("n_buckets").agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("tok").cast("bigint").alias("total_tokens"),
+        F.sum("padded").cast("bigint").alias("padded_tokens"),
+        F.expr(
+            "CAST((1000000 * (sum(padded) - sum(tok))) DIV sum(padded) AS BIGINT)"
+        ).alias("waste_ppm"),
+    )

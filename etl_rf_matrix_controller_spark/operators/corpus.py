@@ -572,3 +572,89 @@ def gram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ratio4(stale, F.count(F.lit(1))).alias("stale_ratio"),
         )
     )
+
+
+@declared(
+    "source_vocab_overlap",
+    oracle="""
+    WITH st AS (
+      SELECT DISTINCT source, token
+      FROM documents, unnest(string_split(trim(text), ' ')) AS t(token)
+    ),
+    sizes AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n FROM st GROUP BY source
+    ),
+    inter AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(count(*) AS BIGINT) AS n_common
+      FROM st a JOIN st b
+        ON a.token = b.token AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT i.source_a, i.source_b, sa.n AS n_a, sb.n AS n_b, i.n_common,
+           CAST((1000000 * i.n_common) // (sa.n + sb.n - i.n_common)
+                AS BIGINT) AS jaccard_ppm,
+           CAST((1000000 * i.n_common) // least(sa.n, sb.n)
+                AS BIGINT) AS overlap_ppm
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.source_a
+    JOIN sizes sb ON sb.source = i.source_b
+    """,
+)
+def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-vocabulary similarity: Jaccard and overlap
+    coefficient between each pair of sources' token-TYPE sets -- the
+    mixture-design readout that says which sources contribute redundant
+    vocabulary versus genuinely new surface forms (a high-overlap pair
+    is a candidate for down-weighting in `domain_mixture_weights`).
+
+    The pair enumeration is an inverted-index equi-join ON TOKEN over
+    the distinct (source, token) frame -- per token the fan-out is
+    (sources containing it)^2, bounded by |sources|^2, never corpus
+    rows; the same frame feeds sizes and both join aliases, so it is
+    localCheckpointed once (stat-less checkpoint -> explicit broadcast
+    of the bounded sizes dim).  All similarity values are
+    integer-floored ppm: engine-exact.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    st = (
+        docs.select(
+            "source", F.explode(F.split(F.trim("text"), " ")).alias("token")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # sizes + two join aliases
+    )
+    sizes = st.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a = st.alias("a")
+    b = st.alias("b").hint("shuffle_hash")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    sa = F.broadcast(sizes.select(F.col("source").alias("source_a"), F.col("n").alias("n_a")))
+    sb = F.broadcast(sizes.select(F.col("source").alias("source_b"), F.col("n").alias("n_b")))
+    return (
+        inter.join(sa, "source_a")
+        .join(sb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            F.expr(
+                "CAST((1000000 * n_common) DIV (n_a + n_b - n_common) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+            F.expr(
+                "CAST((1000000 * n_common) DIV least(n_a, n_b) AS BIGINT)"
+            ).alias("overlap_ppm"),
+        )
+    )

@@ -957,3 +957,55 @@ def k_anonymity_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("group_size"))
         .filter(F.col("group_size") < K_ANON)
     )
+
+
+L_DIV = 3  # minimum sensitive-attribute diversity per released cell
+
+
+@declared(
+    "l_diversity_report",
+    oracle=f"""
+    WITH cells AS (
+      SELECT lang, CAST(n_chars // 100 AS BIGINT) AS len_band,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(DISTINCT source) AS BIGINT) AS l_distinct
+      FROM documents
+      GROUP BY lang, n_chars // 100
+    )
+    SELECT lang, len_band, n_docs, l_distinct,
+           l_distinct < {L_DIV} AS at_risk
+    FROM cells
+    """,
+)
+def l_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit: for each quasi-identifier cell (lang x coarse
+    length band) how many DISTINCT sensitive-attribute values (source)
+    it contains.  A cell can satisfy k-anonymity (`k_anonymity_risk`)
+    yet still leak -- if all 50 documents in a cell share one source,
+    membership in the cell reveals the source exactly; l-diversity
+    requires every released cell to spread over >= l sensitive values
+    (Machanavajjhala et al. 2007).
+
+    One partial->final aggregation on the QI key with an exact distinct
+    on the sensitive attribute (Spark expands count(DISTINCT) into a
+    two-phase expand-agg -- both phases combinable); output is bounded
+    by |lang| x |bands|, never rows.  Banding stays in integer space
+    (n_chars DIV 100) so cell keys are engine-exact.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(
+            "lang", F.expr("CAST(n_chars DIV 100 AS BIGINT)").alias("len_band")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("source").cast("bigint").alias("l_distinct"),
+        )
+        .select(
+            "lang",
+            "len_band",
+            "n_docs",
+            "l_distinct",
+            (F.col("l_distinct") < L_DIV).alias("at_risk"),
+        )
+    )

@@ -466,3 +466,71 @@ def split_balance_tv_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         " 'test', ne, CAST((num_te * 1000000) DIV (2 * ne * nt) AS BIGINT)"
         ") AS (split, n_docs, tv_vs_train_ppm)"
     )
+
+
+@declared(
+    "srm_check",
+    oracle=f"""
+    WITH users AS (SELECT DISTINCT user_id FROM events),
+    tagged AS (
+      SELECT CASE WHEN {_bucket_sql('user_id', 2)} = 0 THEN 'A' ELSE 'B' END
+               AS variant
+      FROM users
+    ),
+    counts AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a,
+             CAST(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_b
+      FROM tagged
+    )
+    SELECT n_users, n_a, n_b, n_a - n_b AS delta,
+           CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+             / CAST(n_users AS DOUBLE) AS chi2,
+           CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+             / CAST(n_users AS DOUBLE) > 3.841e0 AS srm_flag
+    FROM counts
+    """,
+)
+def srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check for a 50/50 experiment assignment: users
+    are bucketed into variants A/B by the same engine-portable md5 hash
+    the split assigner uses, and the one-degree-of-freedom chi-square
+    statistic against the expected even split is reported with the
+    standard p<0.05 flag (chi2 > 3.841).  SRM is the first sanity gate of
+    any A/B readout -- a biased assignment invalidates every downstream
+    metric before it is computed (Kohavi et al. 2012).
+
+    For an even split the chi-square collapses algebraically to
+    (n_a - n_b)^2 / n -- a single double division of exact integers, so
+    the statistic is bit-identical across engines (no float expected-count
+    intermediates).  Cost: one distinct on user_id (map-side combinable)
+    and one conditional aggregation riding the same pass; output is one
+    row at any corpus size.
+    """
+    users = load_table(spark, sf_dir, "events").select("user_id").distinct()
+    tagged = users.select(
+        F.when(hash_bucket(F.col("user_id"), 2) == 0, "A")
+        .otherwise("B")
+        .alias("variant")
+    )
+    counts = tagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum(F.when(F.col("variant") == "A", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("variant") == "B", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+    )
+    d = F.col("n_a") - F.col("n_b")
+    chi2 = (d * d).cast("double") / F.col("n_users").cast("double")
+    return counts.select(
+        "n_users",
+        "n_a",
+        "n_b",
+        d.alias("delta"),
+        chi2.alias("chi2"),
+        (chi2 > F.lit(3.841)).alias("srm_flag"),
+    )

@@ -1750,3 +1750,105 @@ def functional_dependency_profile(spark: SparkSession, sf_dir: str) -> DataFrame
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+_IND_PAIRS = [
+    # (child_table, child_col, parent_table, parent_col, parent_is_small)
+    ("orders", "o_custkey", "customer", "c_custkey", True),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey", False),
+    ("lineitem", "l_partkey", "part", "p_partkey", True),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey", True),
+    ("customer", "c_nationkey", "nation", "n_nationkey", True),
+    ("events", "user_id", "customer", "c_custkey", True),
+]
+
+
+def _ind_pair_sql(ct: str, cc: str, pt: str, pc: str) -> str:
+    return f"""
+    SELECT '{ct}' AS child_table, '{cc}' AS child_col,
+           '{pt}' AS parent_table, '{pc}' AS parent_col,
+           CAST(count(*) AS BIGINT) AS n_child,
+           CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_contained
+    FROM (
+      SELECT EXISTS (SELECT 1 FROM {pt} p WHERE p.{pc} = c.v) AS hit
+      FROM (SELECT DISTINCT {cc} AS v FROM {ct}) c
+    ) t
+    """
+
+
+_IND_SQL = (
+    "WITH raw AS ("
+    + " UNION ALL ".join(_ind_pair_sql(*p[:4]) for p in _IND_PAIRS)
+    + """)
+    SELECT child_table, child_col, parent_table, parent_col,
+           n_child, n_contained,
+           CAST((1000000 * n_contained) // n_child AS BIGINT)
+             AS containment_ppm,
+           n_contained = n_child AS is_inclusion
+    FROM raw
+    """
+)
+
+
+@declared("inclusion_dependency_profile", oracle=_IND_SQL)
+def inclusion_dependency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inclusion-dependency (foreign-key candidate) discovery: for each
+    candidate (child.col -> parent.col) pair, what fraction of the
+    child's DISTINCT values appear in the parent key set.  Full
+    containment (ppm = 1e6) certifies a join-safe FK edge; partial
+    containment quantifies orphan mass -- the schema-discovery
+    complement of `functional_dependency_profile` (intra-table) and
+    `referential_orphans` (per-row orphan listing): this one profiles
+    the EDGE itself, the way SPIDER/SINDY-style profilers do.
+
+    Per pair: one distinct on the child column (map-side combinable,
+    narrow single-column scan) and one existence join against the
+    parent's key -- broadcast where the parent is a bounded dim, a
+    shuffle-hash equi-join on the large orders key where it is not.
+    The output is |pairs| rows; containment is integer-floored ppm, so
+    every value is engine-exact.  At 100 TB each pair stays a
+    distinct + semi-join, both shuffle-bounded on the child's distinct
+    set (<= key cardinality, not row count).
+    """
+    outs = []
+    for ct, cc, pt, pc, small in _IND_PAIRS:
+        child = load_table(spark, sf_dir, ct).select(F.col(cc).alias("v")).distinct()
+        parent = (
+            load_table(spark, sf_dir, pt)
+            .select(F.col(pc).alias("pv"))
+            .distinct()
+        )
+        parent = F.broadcast(parent) if small else parent.hint("shuffle_hash")
+        hits = child.join(parent, F.col("v") == F.col("pv"), "left").select(
+            F.col("pv").isNotNull().alias("hit")
+        )
+        outs.append(
+            hits.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_child"),
+                F.sum(F.when(F.col("hit"), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_contained"),
+            ).select(
+                F.lit(ct).alias("child_table"),
+                F.lit(cc).alias("child_col"),
+                F.lit(pt).alias("parent_table"),
+                F.lit(pc).alias("parent_col"),
+                "n_child",
+                "n_contained",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.select(
+        "child_table",
+        "child_col",
+        "parent_table",
+        "parent_col",
+        "n_child",
+        "n_contained",
+        F.expr("CAST((1000000 * n_contained) DIV n_child AS BIGINT)").alias(
+            "containment_ppm"
+        ),
+        (F.col("n_contained") == F.col("n_child")).alias("is_inclusion"),
+    )

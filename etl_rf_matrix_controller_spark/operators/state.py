@@ -377,3 +377,114 @@ def route_flap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_changes") >= 3)
     )
+
+
+@declared(
+    "nearest_event_join",
+    oracle="""
+    SELECT o_orderkey, user_id, nearest_event_id, gap_s
+    FROM (
+      SELECT o.o_orderkey, o.o_custkey AS user_id,
+             e.event_id AS nearest_event_id,
+             abs(CAST(floor(epoch(e.ts)) AS BIGINT)
+                 - CAST(floor(epoch(CAST(o.o_orderdate AS TIMESTAMP)))
+                        AS BIGINT)) AS gap_s,
+             row_number() OVER (
+               PARTITION BY o.o_orderkey
+               ORDER BY abs(CAST(floor(epoch(e.ts)) AS BIGINT)
+                            - CAST(floor(epoch(CAST(o.o_orderdate AS TIMESTAMP)))
+                                   AS BIGINT)),
+                        e.ts, e.event_id
+             ) AS rn
+      FROM orders o
+      JOIN events e ON e.user_id = o.o_custkey
+    ) t
+    WHERE rn = 1
+    """,
+)
+def nearest_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor 1-D temporal join: for each order, the SAME
+    user's event closest in time to the order date, in EITHER direction
+    -- the bidirectional completion of the as-of pair
+    (`asof_latest_order` looks only backward, `asof_next_order` only
+    forward; sensor/trade alignment wants whichever is closer).
+
+    Scalable shape: union-merge both streams once, per-user ordered
+    window carries the last event BACKWARD (last ignorenulls) and the
+    next event FORWARD (first ignorenulls over the mirrored frame) --
+    one shuffle on user_id, two sorts, never the per-user cross range
+    the oracle's theta-join builds.  The winner is pure integer CASE
+    logic on the two candidate gaps, mirroring the oracle's ORDER BY
+    (abs gap, ts, event_id): an exact-distance tie picks the EARLIER
+    (backward) event, and within an equal event timestamp both carries
+    keep the SMALLEST event_id (both windows order ev_id DESC, so the
+    last row carried at a timestamp is its minimum id).  Events at
+    exactly the probe timestamp are visible to both passes (event kind
+    sorts before probe kind at equal ts) and resolve to the backward
+    branch with gap 0.  Pinned by the crafted-frame pytest.
+    """
+    events = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+
+    ev = events.select(
+        "user_id",
+        F.expr("unix_timestamp(ts)").alias("t_s"),
+        "event_id",
+    )
+    probes = orders.select(
+        F.col("o_custkey").alias("user_id"),
+        F.expr("unix_timestamp(CAST(o_orderdate AS TIMESTAMP))").alias("t_s"),
+        F.col("o_orderkey"),
+    )
+    ev_rows = ev.select(
+        "user_id",
+        "t_s",
+        F.lit(None).cast("bigint").alias("o_orderkey"),
+        F.col("event_id").alias("ev_id"),
+        F.col("t_s").alias("ev_t"),
+    )
+    probe_rows = probes.select(
+        "user_id",
+        "t_s",
+        "o_orderkey",
+        F.lit(None).cast("bigint").alias("ev_id"),
+        F.lit(None).cast("bigint").alias("ev_t"),
+    )
+    merged = ev_rows.unionByName(probe_rows)
+    # Backward pass: events sort BEFORE probes at equal ts (kind asc with
+    # event kind 0), so an event at the probe's exact ts is visible to the
+    # backward carry; among equal-ts events the SMALLEST event_id must win
+    # the overall tie, so carry (t, -event_id) and order event_id DESC.
+    kind = F.when(F.col("ev_id").isNotNull(), 0).otherwise(1)
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("t_s").asc(), kind.asc(), F.col("ev_id").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("t_s").desc(), kind.asc(), F.col("ev_id").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = (
+        merged.withColumn("bwd_id", F.last("ev_id", ignorenulls=True).over(wb))
+        .withColumn("bwd_t", F.last("ev_t", ignorenulls=True).over(wb))
+        .withColumn("fwd_id", F.last("ev_id", ignorenulls=True).over(wf))
+        .withColumn("fwd_t", F.last("ev_t", ignorenulls=True).over(wf))
+    )
+    probe_only = carried.filter(F.col("o_orderkey").isNotNull())
+    bgap = F.col("t_s") - F.col("bwd_t")
+    fgap = F.col("fwd_t") - F.col("t_s")
+    pick_fwd = F.col("bwd_id").isNull() | (
+        F.col("fwd_id").isNotNull() & (fgap < bgap)
+    )
+    return probe_only.filter(
+        F.col("bwd_id").isNotNull() | F.col("fwd_id").isNotNull()
+    ).select(
+        "o_orderkey",
+        "user_id",
+        F.when(pick_fwd, F.col("fwd_id")).otherwise(F.col("bwd_id")).alias(
+            "nearest_event_id"
+        ),
+        F.when(pick_fwd, fgap).otherwise(bgap).cast("bigint").alias("gap_s"),
+    )

@@ -770,3 +770,63 @@ def doc_char_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gini_ppm"),
         )
     )
+
+
+@declared(
+    "token_gini_by_source",
+    oracle="""
+    WITH counts AS (
+      SELECT source, token, CAST(count(*) AS BIGINT) AS c
+      FROM documents, unnest(string_split(trim(text), ' ')) AS t(token)
+      GROUP BY source, token
+    ),
+    ranked AS (
+      SELECT source, c,
+             CAST(row_number() OVER (
+               PARTITION BY source ORDER BY c, token) AS BIGINT) AS rk
+      FROM counts
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(c) AS BIGINT) AS total_tokens,
+           CAST(2 * sum(rk * c) - (count(*) + 1) * sum(c) AS DOUBLE)
+             / CAST(count(*) * sum(c) AS DOUBLE) AS gini
+    FROM ranked
+    GROUP BY source
+    """,
+)
+def token_gini_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-frequency inequality per source: the Gini coefficient of
+    each source's token-type frequency distribution.  A source whose
+    mass concentrates on few types (template/boilerplate text) shows a
+    high Gini; diverse prose sits lower -- a corpus-mix diagnostic that
+    complements `doc_char_gini` (per-doc characters) at the
+    source-vocabulary level.
+
+    Gini = (2*sum(rank_i * c_i) - (m+1)*sum(c)) / (m*sum(c)) over counts
+    sorted ascending -- every term an exact integer, one final double
+    division, so the value is engine-exact (ties in c permute equal
+    values only; the token tie-break just fixes row identity).  Cost:
+    one token-count aggregation (map-side combinable), then a
+    per-source rank window over the VOCABULARY (types, not occurrences
+    -- bounded), then one more combinable agg.  The rank products stay
+    under 2^53 for vocabularies to ~10^8 types x typical counts; swap
+    the sum to DECIMAL(38,0) beyond.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.select(
+        "source", F.explode(F.split(F.trim("text"), " ")).alias("token")
+    ).groupBy("source", "token").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    w = Window.partitionBy("source").orderBy("c", "token")
+    ranked = counts.select(
+        "source", "c", F.row_number().over(w).cast("bigint").alias("rk")
+    )
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum("c").cast("bigint").alias("total_tokens"),
+        (
+            (2 * F.sum(F.col("rk") * F.col("c"))
+             - (F.count(F.lit(1)) + 1) * F.sum("c")).cast("double")
+            / (F.count(F.lit(1)) * F.sum("c")).cast("double")
+        ).alias("gini"),
+    )
