@@ -416,3 +416,106 @@ def widest_two_hop_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         relay_m.alias("best_relay_cap"),
         F.greatest(direct_m, relay_m).cast("bigint").alias("best_cap"),
     )
+
+
+@declared(
+    "graph_degree_assortativity",
+    oracle=f"""
+    WITH edges AS ({_EDGES_SQL}),
+    und AS (
+      SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+      FROM edges WHERE u <> v
+    ),
+    strength AS (
+      SELECT x, CAST(sum(w) AS BIGINT) AS s
+      FROM (
+        SELECT u AS x, w FROM edges WHERE u <> v
+        UNION ALL
+        SELECT v AS x, w FROM edges WHERE u <> v
+      ) t GROUP BY x
+    ),
+    dirx AS (
+      SELECT a AS x, b AS y FROM und
+      UNION ALL
+      SELECT b AS x, a AS y FROM und
+    ),
+    pairs AS (
+      SELECT ss.s AS dj, sd.s AS dk
+      FROM dirx e
+      JOIN strength ss ON ss.x = e.x
+      JOIN strength sd ON sd.x = e.y
+    ),
+    sums AS (
+      SELECT CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(dj) AS BIGINT) AS sj,
+             CAST(sum(dj * dk) AS BIGINT) AS sjk,
+             CAST(sum(dj * dj) AS BIGINT) AS sj2
+      FROM pairs
+    )
+    SELECT m // 2 AS n_edges,
+           CAST(sj AS DOUBLE) / CAST(m AS DOUBLE) AS mean_strength,
+           CAST(m * sjk - sj * sj AS DOUBLE)
+             / CAST(m * sj2 - sj * sj AS DOUBLE) AS assortativity
+    FROM sums
+    """,
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strength (weighted-degree) assortativity of the undirected nation
+    trade graph: the Pearson correlation of endpoint STRENGTHS (total
+    incident trade volume, self-loops excluded) across the distinct
+    edge list (Newman 2002, weighted form).  Positive = heavy traders
+    link to heavy traders; negative = hub-and-spoke.  Strength, not
+    plain degree, deliberately: a dense dimension graph saturates to
+    complete (every unweighted degree equal -- zero variance, the
+    statistic undefined) while trade VOLUMES still differentiate nodes.
+
+    Every moment is an exact integer over the directed edge list (each
+    undirected edge in both orientations makes the two marginals
+    identical), so the correlation collapses to
+    (m*Sjk - Sj^2) / (m*Sj2 - Sj^2) -- no sqrt, one double division of
+    exact integers, engine-exact (products stay under 2^53 for total
+    volumes to ~10^8 lineitems; swap the moment sums to DECIMAL(38,0)
+    beyond).  Edge derivation is the shared one-pass fact rollup;
+    strengths and pairs are dimension-bounded equi-joins (broadcast
+    here; plain shuffles on a web-scale graph -- the formula itself
+    never needs more than 4 global integers).
+    """
+    edges = _trade_edges(spark, sf_dir).filter(F.col("u") != F.col("v"))
+    edges = edges.localCheckpoint(eager=True)  # und + strength consumers
+    und = (
+        edges.select(F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)  # both orientations
+    )
+    strength = (
+        edges.select(F.col("u").alias("x"), "w")
+        .unionByName(edges.select(F.col("v").alias("x"), "w"))
+        .groupBy("x")
+        .agg(F.sum("w").cast("bigint").alias("s"))
+    )
+    dirx = und.select(F.col("a").alias("x"), F.col("b").alias("y")).unionByName(
+        und.select(F.col("b").alias("x"), F.col("a").alias("y"))
+    )
+    ss = F.broadcast(strength.select(F.col("x"), F.col("s").alias("dj")))
+    sd = F.broadcast(
+        strength.select(F.col("x").alias("y"), F.col("s").alias("dk"))
+    )
+    pairs = dirx.join(ss, "x").join(sd, "y")
+    sums = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("dj").cast("bigint").alias("sj"),
+        F.sum(F.col("dj") * F.col("dk")).cast("bigint").alias("sjk"),
+        F.sum(F.col("dj") * F.col("dj")).cast("bigint").alias("sj2"),
+    )
+    return sums.select(
+        F.expr("m DIV 2").alias("n_edges"),
+        (F.col("sj").cast("double") / F.col("m").cast("double")).alias(
+            "mean_strength"
+        ),
+        (
+            (F.col("m") * F.col("sjk") - F.col("sj") * F.col("sj")).cast("double")
+            / (F.col("m") * F.col("sj2") - F.col("sj") * F.col("sj")).cast(
+                "double"
+            )
+        ).alias("assortativity"),
+    )

@@ -534,3 +534,125 @@ def srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         chi2.alias("chi2"),
         (chi2 > F.lit(3.841)).alias("srm_flag"),
     )
+
+
+@declared(
+    "ab_conversion_ztest",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CASE WHEN {_bucket_sql('user_id', 2)} = 0 THEN 'A' ELSE 'B' END
+               AS variant,
+             max(CASE WHEN event_type = 'purchase' AND value > 90.0e0
+                 THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY user_id
+    ),
+    counts AS (
+      SELECT
+        CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        CAST(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        CAST(sum(CASE WHEN variant = 'A' THEN converted ELSE 0 END)
+             AS BIGINT) AS conv_a,
+        CAST(sum(CASE WHEN variant = 'B' THEN converted ELSE 0 END)
+             AS BIGINT) AS conv_b
+      FROM per_user
+    ),
+    stat AS (
+      SELECT n_a, n_b, conv_a, conv_b,
+             CASE WHEN conv_a + conv_b > 0
+                   AND conv_a + conv_b < n_a + n_b THEN
+               (CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+               / sqrt((CAST(conv_a + conv_b AS DOUBLE)
+                       / CAST(n_a + n_b AS DOUBLE))
+                      * (1.0e0 - CAST(conv_a + conv_b AS DOUBLE)
+                                 / CAST(n_a + n_b AS DOUBLE))
+                      * (1.0e0 / CAST(n_a AS DOUBLE)
+                         + 1.0e0 / CAST(n_b AS DOUBLE)))
+             END AS z_score
+      FROM counts
+    )
+    SELECT n_a, n_b, conv_a, conv_b,
+           CAST((1000000 * conv_a) // n_a AS BIGINT) AS rate_a_ppm,
+           CAST((1000000 * conv_b) // n_b AS BIGINT) AS rate_b_ppm,
+           z_score, abs(z_score) > 1.96e0 AS significant
+    FROM stat
+    """,
+)
+def ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on high-value conversion (any 'purchase'
+    event with value > 90) between the hash-assigned A/B variants of
+    `srm_check`: per-variant user and converter counts, integer-ppm
+    rates, the pooled-variance z statistic and the |z| > 1.96
+    significance call -- the canonical experiment readout, downstream
+    of the SRM sanity gate.  The value threshold keeps the outcome
+    non-saturated on this corpus (plain any-purchase converts every
+    user); a degenerate pooled rate (0 or 1) yields NULL z on both
+    engines instead of a divide-by-zero.
+
+    One per-user aggregation (variant is a pure hash of the key;
+    conversion a max() over the user's events) and one global
+    conditional rollup -- two combinable passes, output is a single row
+    at any scale.  The z-score is a fixed sequence of correctly-rounded
+    double ops (divisions of exact integers, one IEEE sqrt) written
+    identically on both engines, so even the float statistic
+    hash-matches; rates are integer-floored ppm.
+    """
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 90.0),
+                1,
+            ).otherwise(0)
+        ).alias("converted")
+    ).select(
+        F.when(hash_bucket(F.col("user_id"), 2) == 0, "A")
+        .otherwise("B")
+        .alias("variant"),
+        "converted",
+    )
+    counts = per_user.agg(
+        F.sum(F.when(F.col("variant") == "A", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("variant") == "B", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+        F.sum(F.when(F.col("variant") == "A", F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_a"),
+        F.sum(F.when(F.col("variant") == "B", F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_b"),
+    )
+    pa = F.col("conv_a").cast("double") / F.col("n_a").cast("double")
+    pb = F.col("conv_b").cast("double") / F.col("n_b").cast("double")
+    pp = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    conv_t = F.col("conv_a") + F.col("conv_b")
+    n_t = F.col("n_a") + F.col("n_b")
+    z = F.when(
+        (conv_t > 0) & (conv_t < n_t),
+        (pa - pb)
+        / F.sqrt(
+            pp
+            * (F.lit(1.0) - pp)
+            * (
+                F.lit(1.0) / F.col("n_a").cast("double")
+                + F.lit(1.0) / F.col("n_b").cast("double")
+            )
+        ),
+    )
+    return counts.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        F.expr("CAST((1000000 * conv_a) DIV n_a AS BIGINT)").alias("rate_a_ppm"),
+        F.expr("CAST((1000000 * conv_b) DIV n_b AS BIGINT)").alias("rate_b_ppm"),
+        z.alias("z_score"),
+        (F.abs(z) > F.lit(1.96)).alias("significant"),
+    )

@@ -1801,23 +1801,32 @@ def inclusion_dependency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     `referential_orphans` (per-row orphan listing): this one profiles
     the EDGE itself, the way SPIDER/SINDY-style profilers do.
 
-    Per pair: one distinct on the child column (map-side combinable,
-    narrow single-column scan) and one existence join against the
-    parent's key -- broadcast where the parent is a bounded dim, a
+    Tables referenced by several pairs are scanned ONCE as a narrow
+    checkpointed projection (suite scan ceiling); per pair: one distinct
+    on the child column (map-side combinable) and one existence join
+    against the parent's key -- broadcast where the parent is a bounded dim, a
     shuffle-hash equi-join on the large orders key where it is not.
     The output is |pairs| rows; containment is integer-floored ppm, so
     every value is engine-exact.  At 100 TB each pair stays a
     distinct + semi-join, both shuffle-bounded on the child's distinct
     set (<= key cardinality, not row count).
     """
+    # One scan per base table: tables referenced by several pairs load a
+    # single narrow projection, checkpointed (the suite-wide <=2-scan
+    # ceiling; stat-less checkpoints -> joins below hint explicitly).
+    uses: dict[str, set[str]] = {}
+    for ct, cc, pt, pc, _ in _IND_PAIRS:
+        uses.setdefault(ct, set()).add(cc)
+        uses.setdefault(pt, set()).add(pc)
+    frames: dict[str, DataFrame] = {}
+    for tbl, cols in uses.items():
+        proj = load_table(spark, sf_dir, tbl).select(*sorted(cols))
+        n_refs = sum((ct == tbl) + (pt == tbl) for ct, _, pt, _, _ in _IND_PAIRS)
+        frames[tbl] = proj.localCheckpoint(eager=True) if n_refs > 1 else proj
     outs = []
     for ct, cc, pt, pc, small in _IND_PAIRS:
-        child = load_table(spark, sf_dir, ct).select(F.col(cc).alias("v")).distinct()
-        parent = (
-            load_table(spark, sf_dir, pt)
-            .select(F.col(pc).alias("pv"))
-            .distinct()
-        )
+        child = frames[ct].select(F.col(cc).alias("v")).distinct()
+        parent = frames[pt].select(F.col(pc).alias("pv")).distinct()
         parent = F.broadcast(parent) if small else parent.hint("shuffle_hash")
         hits = child.join(parent, F.col("v") == F.col("pv"), "left").select(
             F.col("pv").isNotNull().alias("hit")

@@ -1671,15 +1671,16 @@ PQ_TRAIN_MOD = 20
 PQ_SHORTLIST = 10
 
 
-def ivfpq_topk_df(
+def pq_encode_df(
     emb: DataFrame,
     cent_mod: int = 100,
     cb_k: int = PQ_CBK,
-    n_queries: int = N_QUERIES,
-    top_k: int = TOP_K,
-) -> DataFrame:
-    """Core of ann_ivfpq_topk over an arbitrary (vec_id, embedding) frame
-    (exposed for the clustered-corpus recall gate).
+) -> tuple[DataFrame, DataFrame]:
+    """IVF-PQ index build shared by ann_ivfpq_topk and
+    pq_distortion_report: returns (assigned, encoded) where ``assigned``
+    carries (vec_id, embedding, cent_id, ce, res) after map-side coarse
+    assignment and ``encoded`` adds the PQ-reconstructed residual
+    ``rres``.
 
     Index build = coarse assignment + PQ encoding, both MAP-SIDE: the
     centroid table and the codebook each collapse to a single broadcast
@@ -1790,8 +1791,23 @@ def ivfpq_topk_df(
         f"  e.cw AS cw, e.sv AS sv))).sv))"
     )
     cand = assigned.crossJoin(F.broadcast(cb)).select(
-        "vec_id", "cent_id", "ce", rres.alias("rres")
+        "vec_id", "cent_id", "ce", "res", rres.alias("rres")
     )
+    return assigned, cand
+
+
+def ivfpq_topk_df(
+    emb: DataFrame,
+    cent_mod: int = 100,
+    cb_k: int = PQ_CBK,
+    n_queries: int = N_QUERIES,
+    top_k: int = TOP_K,
+) -> DataFrame:
+    """Core of ann_ivfpq_topk over an arbitrary (vec_id, embedding) frame
+    (exposed for the clustered-corpus recall gate); index build is the
+    shared pq_encode_df, scoring is asymmetric distance + exact refine.
+    """
+    assigned, cand = pq_encode_df(emb, cent_mod=cent_mod, cb_k=cb_k)
 
     q = assigned.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
@@ -2484,4 +2500,118 @@ def incremental_ann_ingest_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(wr))
         .filter(F.col("rnk") == 1)
         .select("new_id", "match_id", "score")
+    )
+
+
+_PQ_DIST_SQL = f"""
+    WITH cents AS (
+      SELECT vec_id AS cent_id, embedding AS ce
+      FROM embeddings WHERE vec_id % 100 = 0
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, cent_id, ce,
+             list_transform(generate_series(1, {DIM}),
+               i -> CAST(embedding[i] AS DOUBLE) - CAST(ce[i] AS DOUBLE))
+               AS res
+      FROM (
+        SELECT v.vec_id, v.embedding, c.cent_id, c.ce,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY {{dist}}, c.cent_id
+               ) AS rn
+        FROM embeddings v CROSS JOIN cents c
+      ) t WHERE rn = 1
+    ),
+    train AS (
+      SELECT res, row_number() OVER (ORDER BY vec_id) AS cw
+      FROM assigned WHERE vec_id % {PQ_TRAIN_MOD} = 1
+      QUALIFY cw <= {PQ_CBK}
+    ),
+    subv AS (
+      SELECT m.m AS m, t.cw,
+             t.res[(m.m * {PQ_SUBDIM} + 1):(m.m * {PQ_SUBDIM} + {PQ_SUBDIM})]
+               AS sv
+      FROM train t, unnest(generate_series(0, {PQ_M - 1})) AS m(m)
+    ),
+    vsub AS (
+      SELECT v.vec_id, m.m AS m,
+             v.res[(m.m * {PQ_SUBDIM} + 1):(m.m * {PQ_SUBDIM} + {PQ_SUBDIM})]
+               AS vv
+      FROM assigned v, unnest(generate_series(0, {PQ_M - 1})) AS m(m)
+    ),
+    best AS (
+      SELECT vec_id, m, vv, sv FROM (
+        SELECT v.vec_id, v.m, v.vv, s.sv,
+               row_number() OVER (
+                 PARTITION BY v.vec_id, v.m
+                 ORDER BY list_sum(list_transform(
+                   generate_series(1, {PQ_SUBDIM}),
+                   i -> (v.vv[i] - s.sv[i]) * (v.vv[i] - s.sv[i]))), s.cw
+               ) AS rn
+        FROM vsub v JOIN subv s ON s.m = v.m
+      ) t WHERE rn = 1
+    ),
+    errs AS (
+      SELECT m,
+             CAST(list_sum(list_transform(generate_series(1, {PQ_SUBDIM}),
+               i -> (CAST(round(vv[i] * 10000) AS BIGINT)
+                     - CAST(round(sv[i] * 10000) AS BIGINT))
+                    * (CAST(round(vv[i] * 10000) AS BIGINT)
+                       - CAST(round(sv[i] * 10000) AS BIGINT))))
+               AS BIGINT) AS err
+      FROM best
+    )
+    SELECT CAST(m AS BIGINT) AS subspace,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(err) AS BIGINT) AS sse_scaled,
+           CAST(sum(err) AS DOUBLE)
+             / (CAST(count(*) AS DOUBLE) * 100000000.0e0) AS mse
+    FROM errs
+    GROUP BY m
+    """
+
+
+@declared(
+    "pq_distortion_report",
+    oracle=_PQ_DIST_SQL.format(dist=_DIST_SQL.format(a="v.embedding", b="c.ce")),
+)
+def pq_distortion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-subspace product-quantization distortion: for each of the 16
+    PQ subspaces, the corpus-wide squared reconstruction error between
+    the residual and its chosen codeword -- the diagnostic that tells
+    you WHERE the 32x compression of `ann_ivfpq_topk` loses signal
+    (a subspace with outsized MSE wants more codewords or a rotation;
+    the FAISS tuning loop reads exactly this table).
+
+    Shares the index build with ann_ivfpq_topk (pq_encode_df: map-side
+    coarse assign + codeword argmin, zero corpus shuffles), then
+    measures error ON THE 1e-4 REPORTING GRID: each per-subvector error
+    term is an exact integer (round(res*1e4) - round(codeword*1e4))^2,
+    so the corpus-wide sum is order-independent and engine-exact, and
+    the final MSE is one double division of exact integers -- the same
+    convention `vector_quantize_i8` uses for its integer dots.  Output
+    is PQ_M rows at any corpus size; cost is one pass over the encoded
+    frame with an in-row per-subspace fold.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, encoded = pq_encode_df(emb)
+    err_structs = F.expr(
+        f"transform(sequence(0, {PQ_M - 1}), m -> struct(CAST(m AS BIGINT)"
+        f" AS subspace, aggregate(zip_with("
+        f"  slice(res, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM}),"
+        f"  slice(rres, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM}),"
+        f"  (x, y) -> (CAST(round(x * 10000) AS BIGINT)"
+        f"             - CAST(round(y * 10000) AS BIGINT))"
+        f"            * (CAST(round(x * 10000) AS BIGINT)"
+        f"               - CAST(round(y * 10000) AS BIGINT))),"
+        f"  CAST(0 AS BIGINT), (acc, v) -> acc + v) AS err))"
+    )
+    per_vec = encoded.select(F.explode(err_structs).alias("e"))
+    return per_vec.groupBy(F.col("e.subspace").alias("subspace")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.sum("e.err").cast("bigint").alias("sse_scaled"),
+        (
+            F.sum("e.err").cast("double")
+            / (F.count(F.lit(1)).cast("double") * F.lit(100000000.0))
+        ).alias("mse"),
     )
