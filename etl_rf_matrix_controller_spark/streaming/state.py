@@ -729,3 +729,106 @@ def stream_event_transition_counts(
         .groupBy("prev_type", "cur_type")
         .agg(F.sum("n").cast("bigint").alias("n_transitions"))
     )
+
+
+TWAP_STATE_SCHEMA = StructType(
+    [
+        StructField("last_t", LongType()),
+        StructField("last_v", LongType()),
+        StructField("wsum", LongType()),
+        StructField("total_s", LongType()),
+        StructField("n_intervals", LongType()),
+    ]
+)
+TWAP_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_intervals", LongType()),
+        StructField("total_s", LongType()),
+        StructField("twap", DoubleType()),
+    ]
+)
+
+
+def _update_twap(key, pdf_iter, state: GroupState):
+    """Per-user time-weighted-average state: carry (last_t, last_v) plus
+    the exact integer accumulators (wsum, total_s, n_intervals) -- O(1)
+    state per key.  Each arriving event closes the held interval
+    [last_t, t) at value last_v, exactly the lead() window the batch
+    operator uses.  wsum stays in int64: durations telescope to the
+    user's time SPAN, so wsum <= span * max_scaled_value (~3e13 for a
+    year at value 100) -- exact, and exactly representable when cast to
+    double for the final division."""
+    import pandas as pd
+
+    last_t, last_v, wsum, total_s, n_iv = (
+        state.get if state.exists else (None, None, 0, 0, 0)
+    )
+    seen = False
+    for pdf in pdf_iter:
+        if pdf.empty:
+            continue
+        seen = True
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for t, v in zip(pdf["t_s"].astype("int64"), pdf["v_s"].astype("int64")):
+            t, v = int(t), int(v)
+            if last_t is not None:
+                dur = t - last_t
+                wsum += last_v * dur
+                total_s += dur
+                n_iv += 1
+            last_t, last_v = t, v
+    if seen:
+        state.update((last_t, last_v, int(wsum), int(total_s), int(n_iv)))
+        if total_s > 0:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_intervals": [n_iv],
+                    "total_s": [total_s],
+                    "twap": [float(wsum) / (float(total_s) * 10000.0)],
+                }
+            )
+
+
+def stream_twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming op: per-user time-weighted average via
+    applyInPandasWithState (update mode, availableNow); the final
+    per-key emission is comparable bit-for-bit to
+    operators.behavior.time_weighted_avg_value -- epoch seconds and the
+    scaled integer value are computed JVM-side before the stream enters
+    Python, the accumulators are exact integers, and the one float
+    division happens once at emission with identical operands."""
+    from pyspark.sql import functions as F
+
+    events = _events_stream(spark, sf_dir).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.unix_timestamp("ts").alias("t_s"),
+        F.round(F.col("value") * 10000).cast("long").alias("v_s"),
+    )
+    updates = events.groupBy("user_id").applyInPandasWithState(
+        _update_twap,
+        outputStructType=TWAP_OUTPUT_SCHEMA,
+        stateStructType=TWAP_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        updates.writeStream.format("memory")
+        .queryName("twap_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    from pyspark.sql.window import Window
+
+    tbl = spark.table("twap_stream")
+    w = Window.partitionBy("user_id").orderBy(F.col("n_intervals").desc())
+    return (
+        tbl.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_intervals", "total_s", "twap")
+    )

@@ -880,3 +880,22 @@ def test_transition_counts_batch_eq_stream(spark):
         stream_event_transition_counts(spark, SF_DIR),
         "event_transition_counts",
     )
+
+
+def test_twap_batch_eq_stream(spark):
+    """Per-user time-weighted average (applyInPandasWithState) == the
+    batch lead()-window integral, bit-exact: epoch seconds and value
+    scaling happen JVM-side, the held-interval accumulators are exact
+    int64, and the single float division uses identical operands."""
+    from etl_rf_matrix_controller_spark.operators.behavior import (
+        time_weighted_avg_value,
+    )
+    from etl_rf_matrix_controller_spark.streaming.state import (
+        stream_twap_user_value,
+    )
+
+    _assert_same(
+        time_weighted_avg_value(spark, SF_DIR),
+        stream_twap_user_value(spark, SF_DIR),
+        "time_weighted_avg_value",
+    )
