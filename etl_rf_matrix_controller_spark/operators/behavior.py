@@ -2579,3 +2579,75 @@ def kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("z.s").alias("survival"),
     )
+
+
+_GAP_BAND_SQL = """CASE WHEN gap = 0 THEN '0s'
+               WHEN gap < 10 THEN '1-9s'
+               WHEN gap < 100 THEN '10-99s'
+               WHEN gap < 1000 THEN '100-999s'
+               WHEN gap < 10000 THEN '1000-9999s'
+               ELSE '10000s+' END"""
+
+
+@declared(
+    "interevent_gap_bands",
+    oracle=f"""
+    WITH seq AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT)
+               - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id) AS gap
+      FROM events
+    ),
+    banded AS (
+      SELECT event_type, {_GAP_BAND_SQL} AS band
+      FROM seq WHERE gap IS NOT NULL
+    ),
+    counts AS (
+      SELECT event_type, band, CAST(count(*) AS BIGINT) AS n
+      FROM banded GROUP BY event_type, band
+    ),
+    tot AS (
+      SELECT event_type, CAST(sum(n) AS BIGINT) AS t
+      FROM counts GROUP BY event_type
+    )
+    SELECT c.event_type, c.band, c.n,
+           CAST((1000000 * c.n) // t.t AS BIGINT) AS share_ppm
+    FROM counts c JOIN tot t ON t.event_type = c.event_type
+    """,
+)
+def interevent_gap_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decade-banded histogram of inter-arrival gaps per event type: the
+    distribution view behind the one-number `interarrival_burstiness`
+    (a bursty process shows mass at both tails; a metronome collapses
+    into one band).  Fixed integer band edges (powers of ten, seconds)
+    instead of floor(log10): float logs at exact boundaries round
+    differently across engines, integer compares never do.
+
+    One lag window per event_type (the burstiness pass shape), one
+    combinable band count, and a per-type total join over the
+    |types| x |bands| result -- bounded output, integer-ppm shares.
+    At 100 TB the ordered window repartitions by (type, day) with a
+    carried boundary row, same as its siblings.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.expr("unix_timestamp(ts)").alias("t_s"),
+        "ts",
+        "event_id",
+    ).withColumn("gap", F.col("t_s") - F.lag("t_s").over(w))
+    banded = seq.filter(F.col("gap").isNotNull()).select(
+        "event_type", F.expr(_GAP_BAND_SQL).alias("band")
+    )
+    counts = banded.groupBy("event_type", "band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = counts.groupBy("event_type").agg(F.sum("n").cast("bigint").alias("t"))
+    return counts.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "band",
+        "n",
+        F.expr("CAST((1000000 * n) DIV t AS BIGINT)").alias("share_ppm"),
+    )

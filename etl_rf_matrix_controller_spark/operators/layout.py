@@ -413,3 +413,104 @@ def delta_encoding_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
             "encoded_bytes"
         ),
     )
+
+
+_PLA_CANDS = [
+    # (candidate_name, SQL grouping expr over the narrow events projection)
+    ("event_type", "event_type"),
+    ("event_day", "CAST(floor(epoch(ts)) AS BIGINT) // 86400"),
+    ("user_bucket_256", "user_id % 256"),
+]
+# A partition wants enough rows to fill a decent file, and no partition
+# should dwarf the mean.  Thresholds are deliberately coarse integers.
+PLA_MIN_AVG_ROWS = 1000
+PLA_MAX_SKEW_X1000 = 10000  # max/avg > 10x -> skewed
+
+
+def _pla_cand_sql(name: str, expr: str) -> str:
+    return f"""
+    SELECT '{name}' AS candidate,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(c) AS BIGINT) AS total_rows,
+           CAST(sum(c) // count(*) AS BIGINT) AS avg_rows,
+           CAST(max(c) AS BIGINT) AS max_rows,
+           CAST((1000 * max(c)) // (sum(c) // count(*)) AS BIGINT)
+             AS skew_x1000
+    FROM (
+      SELECT {expr} AS pk, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY {expr}
+    ) t
+    """
+
+
+_PLA_SQL = (
+    "WITH per_cand AS ("
+    + " UNION ALL ".join(_pla_cand_sql(n, e) for n, e in _PLA_CANDS)
+    + f""")
+    SELECT candidate, n_parts, total_rows, avg_rows, max_rows, skew_x1000,
+           CASE WHEN avg_rows < {PLA_MIN_AVG_ROWS} THEN 'too_many_small_files'
+                WHEN skew_x1000 > {PLA_MAX_SKEW_X1000} THEN 'skewed'
+                ELSE 'ok' END AS verdict
+    FROM per_cand
+    """
+)
+
+
+@declared("partition_layout_advisor", oracle=_PLA_SQL)
+def partition_layout_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-column advisor: for each candidate partition key of the
+    events fact (low-cardinality type, calendar day, a 256-way key
+    bucket), the partition count, size distribution, and a coarse
+    verdict -- 'too_many_small_files' when the mean partition falls
+    under a file-worth of rows, 'skewed' when the largest partition
+    dwarfs the mean by >10x, else 'ok'.  This is the table-layout
+    decision every 100 TB ingest makes once and lives with; the advisor
+    quantifies it instead of guessing (the write-side sibling of the
+    read-side `zorder_key_events` / `column_encoding_advisor` family).
+
+    The fact is scanned ONCE into a checkpointed 3-column projection;
+    each candidate is then one map-side-combinable rollup over it, and
+    the advisor table is |candidates| rows.  All ratios are integer
+    arithmetic (floored x1000 skew), so the verdict thresholds are
+    engine-exact; day derives from pure epoch-day integer math (the
+    portable-weekday rule).
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr("unix_timestamp(ts) DIV 86400").alias("day_idx"),
+            F.expr("user_id % 256").alias("user_bucket"),
+        )
+        .localCheckpoint(eager=True)  # three candidate rollups share it
+    )
+    spark_exprs = {
+        "event_type": "event_type",
+        "event_day": "day_idx",
+        "user_bucket_256": "user_bucket",
+    }
+    outs = []
+    for name, _ in _PLA_CANDS:
+        per = ev.groupBy(F.expr(spark_exprs[name]).alias("pk")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("c")
+        )
+        outs.append(
+            per.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+                F.sum("c").cast("bigint").alias("total_rows"),
+                F.expr("CAST(sum(c) DIV count(*) AS BIGINT)").alias("avg_rows"),
+                F.max("c").cast("bigint").alias("max_rows"),
+                F.expr(
+                    "CAST((1000 * max(c)) DIV (sum(c) DIV count(*)) AS BIGINT)"
+                ).alias("skew_x1000"),
+            ).select(F.lit(name).alias("candidate"), "*")
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.withColumn(
+        "verdict",
+        F.when(F.col("avg_rows") < PLA_MIN_AVG_ROWS, "too_many_small_files")
+        .when(F.col("skew_x1000") > PLA_MAX_SKEW_X1000, "skewed")
+        .otherwise("ok"),
+    )

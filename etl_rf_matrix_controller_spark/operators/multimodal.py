@@ -26,6 +26,7 @@ from typing import TYPE_CHECKING
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_rf_matrix_controller_spark.operators.dedup import _CORPUS_SQL, dup_corpus
 from etl_rf_matrix_controller_spark.plans.registry import declared
 from etl_rf_matrix_controller_spark.sources.tables import load_table
 
@@ -296,4 +297,51 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = media_table(spark, sf_dir)
     return media.select("doc_id", "data").mapInPandas(
         _frame_sample_batches, schema=FRAME_SCHEMA
+    )
+
+
+@declared(
+    "multimodal_content_dedup",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    media AS (
+      SELECT doc_id, unhex(md5(text)) AS data FROM corpus
+    ),
+    groups AS (
+      SELECT md5(hex(data)) AS content_hash,
+             CAST(count(*) AS BIGINT) AS n_copies,
+             CAST(min(doc_id) AS BIGINT) AS keeper_doc_id
+      FROM media GROUP BY md5(hex(data))
+    )
+    SELECT content_hash, n_copies, keeper_doc_id
+    FROM groups WHERE n_copies >= 2
+    """,
+)
+def multimodal_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact media dedup by content hash: fingerprint the opaque binary
+    payload (md5 over its canonical hex rendering -- byte-identity that
+    is format- and metadata-blind; DuckDB's md5 takes strings only, and
+    hex() casing agrees across engines), group, and elect the lowest-id copy as
+    keeper -- the first pass every multimodal ingest runs before any
+    decode, since byte-identical assets are the bulk of media
+    duplication (re-uploads, mirrors) and deduping them costs one hash
+    per object instead of a decode.
+
+    One map-side hash + one combinable aggregation on the 16-byte
+    digest; the binary column itself never shuffles (only its hash
+    does) -- at 100 TB of media that difference IS the job.  Output is
+    bounded by duplicate groups.  The payload synthesis
+    (media_table: digest bytes standing in for image bytes) guarantees
+    the planted exact-dup documents collide, keeping the check
+    non-vacuous: it runs over the dup-planted corpus (dup_corpus), whose
+    +1M-id copies carry byte-identical payloads.
+    """
+    corpus = dup_corpus(spark, sf_dir)
+    media = corpus.select("doc_id", F.unhex(F.md5("text")).alias("data"))
+    groups = media.groupBy(F.md5(F.hex("data")).alias("content_hash")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+        F.min("doc_id").cast("bigint").alias("keeper_doc_id"),
+    )
+    return groups.filter(F.col("n_copies") >= 2).select(
+        "content_hash", "n_copies", "keeper_doc_id"
     )

@@ -1861,3 +1861,136 @@ def inclusion_dependency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("n_contained") == F.col("n_child")).alias("is_inclusion"),
     )
+
+
+HQ_BINS = 1000
+HQ_PCTS = [50, 90, 99]
+
+
+@declared(
+    "histogram_quantile_estimate",
+    oracle=f"""
+    WITH prices AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+             l_orderkey, l_linenumber
+      FROM lineitem
+    ),
+    mm AS (
+      SELECT CAST(min(pc) AS BIGINT) AS lo, CAST(max(pc) AS BIGINT) AS hi,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST((max(pc) - min(pc)) // {HQ_BINS} + 1 AS BIGINT) AS wid
+      FROM prices
+    ),
+    hist AS (
+      SELECT (p.pc - m.lo) // m.wid AS bin, CAST(count(*) AS BIGINT) AS c
+      FROM prices p CROSS JOIN mm m
+      GROUP BY (p.pc - m.lo) // m.wid
+    ),
+    cum AS (
+      SELECT bin, CAST(sum(c) OVER (ORDER BY bin
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cc
+      FROM hist
+    ),
+    targets AS (
+      SELECT pct, (m.n - 1) * pct // 100 + 1 AS tgt, m.lo, m.wid
+      FROM mm m, unnest([{", ".join(str(p) for p in HQ_PCTS)}]) AS u(pct)
+    ),
+    est AS (
+      SELECT t.pct, t.tgt, CAST(t.lo + min(c.bin) * t.wid AS BIGINT) AS est_c
+      FROM targets t JOIN cum c ON c.cc >= t.tgt
+      GROUP BY t.pct, t.tgt, t.lo, t.wid
+    ),
+    ranked AS (
+      SELECT pc, row_number() OVER (
+               ORDER BY pc, l_orderkey, l_linenumber) AS rn
+      FROM prices
+    )
+    SELECT CAST(e.pct AS BIGINT) AS pct,
+           e.est_c / 100.0e0 AS est_price,
+           r.pc / 100.0e0 AS exact_price,
+           abs(e.est_c - r.pc) AS abs_err_cents
+    FROM est e JOIN ranked r ON r.rn = e.tgt
+    """,
+)
+def histogram_quantile_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimation from a fixed 1000-bin equi-width histogram
+    (p50/p90/p99 of lineitem price, in exact cents) with the true
+    type-1 percentile and the absolute error alongside -- the
+    sketch-accuracy study behind `approx_percentile_prices`: a
+    mergeable histogram answers quantiles in one combinable pass with
+    bounded error (<= one bin width), where the exact answer needs a
+    TOTAL ORDER over the fact table.
+
+    The price projection is scanned once (checkpointed) and feeds three
+    bounded consumers: the min/max/count scalar, the 1000-row histogram
+    (+ its tiny cumulative window), and the exact-rank window the
+    report compares against (the one global sort -- at 100 TB you ship
+    ONLY the histogram and drop this column; here it is the measuring
+    stick).  Everything is integer arithmetic on cents -- bin ids,
+    ranks, estimates (bin LOWER edge), errors -- so the report is
+    engine-exact; the only doubles are final /100 renderings of exact
+    integers.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    prices = (
+        li.select(
+            F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("pc"),
+            "l_orderkey",
+            "l_linenumber",
+        )
+        .localCheckpoint(eager=True)  # scalar + histogram + exact rank
+    )
+    mm = prices.agg(
+        F.min("pc").cast("bigint").alias("lo"),
+        F.max("pc").cast("bigint").alias("hi"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr(f"CAST((max(pc) - min(pc)) DIV {HQ_BINS} + 1 AS BIGINT)").alias(
+            "wid"
+        ),
+    )
+    hist = (
+        prices.crossJoin(F.broadcast(mm))
+        .groupBy(F.expr("(pc - lo) DIV wid").alias("bin"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    wcum = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "bin", F.sum("c").over(wcum).cast("bigint").alias("cc")
+    ).localCheckpoint(eager=True)  # joined per percentile target
+    targets = (
+        mm.select(
+            "lo",
+            "wid",
+            "n",
+            F.explode(
+                F.array(*[F.lit(p) for p in HQ_PCTS])
+            ).alias("pct"),
+        )
+        .select(
+            "lo",
+            "wid",
+            "pct",
+            F.expr("(n - 1) * pct DIV 100 + 1").alias("tgt"),
+        )
+    )
+    est = (
+        F.broadcast(targets)
+        .join(cum, F.col("cc") >= F.col("tgt"))
+        .groupBy("pct", "tgt", "lo", "wid")
+        .agg((F.col("lo") + F.min("bin") * F.col("wid")).cast("bigint").alias("est_c"))
+    )
+    wr = Window.orderBy("pc", "l_orderkey", "l_linenumber")
+    ranked = prices.select("pc", F.row_number().over(wr).alias("rn"))
+    return (
+        F.broadcast(est)
+        .join(ranked, F.col("rn") == F.col("tgt"))
+        .select(
+            F.col("pct").cast("bigint").alias("pct"),
+            (F.col("est_c") / F.lit(100.0)).alias("est_price"),
+            (F.col("pc") / F.lit(100.0)).alias("exact_price"),
+            F.abs(F.col("est_c") - F.col("pc")).alias("abs_err_cents"),
+        )
+    )
