@@ -2651,3 +2651,182 @@ def interevent_gap_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.expr("CAST((1000000 * n) DIV t AS BIGINT)").alias("share_ppm"),
     )
+
+
+@declared(
+    "ewma_control_chart",
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day_idx,
+             CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS v
+      FROM events
+      GROUP BY event_type, CAST(floor(epoch(ts)) AS BIGINT) // 86400
+    ),
+    series AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(v) AS BIGINT) AS sv,
+             list(CAST(v AS DOUBLE) ORDER BY day_idx) AS ys,
+             list(day_idx ORDER BY day_idx) AS ds
+      FROM daily GROUP BY event_type
+    ),
+    mr AS (
+      SELECT a.event_type,
+             CAST(sum(abs(b.v - a.v)) AS BIGINT) AS smr,
+             CAST(count(*) AS BIGINT) AS nmr
+      FROM daily a JOIN daily b
+        ON b.event_type = a.event_type AND b.day_idx = (
+          SELECT min(c.day_idx) FROM daily c
+          WHERE c.event_type = a.event_type AND c.day_idx > a.day_idx)
+      GROUP BY a.event_type
+    ),
+    fold(event_type, i, e) AS (
+      SELECT event_type, 1, ys[1] FROM series
+      UNION ALL
+      SELECT f.event_type, f.i + 1,
+             0.2e0 * s.ys[f.i + 1] + 0.8e0 * f.e
+      FROM fold f JOIN series s ON s.event_type = f.event_type
+      WHERE f.i < s.n_days
+    ),
+    lim AS (
+      SELECT s.event_type,
+             CAST(s.sv AS DOUBLE) / CAST(s.n_days AS DOUBLE) AS mu,
+             3.0e0 * ((CAST(m.smr AS DOUBLE) / CAST(m.nmr AS DOUBLE))
+                      / 1.128e0)
+               * sqrt(0.2e0 / 1.8e0) AS halfwidth
+      FROM series s JOIN mr m ON m.event_type = s.event_type
+    )
+    SELECT f.event_type, s.ds[f.i] AS day_idx,
+           s.ys[f.i] / 10000.0e0 AS y,
+           f.e / 10000.0e0 AS ewma,
+           (l.mu + l.halfwidth) / 10000.0e0 AS ucl,
+           (l.mu - l.halfwidth) / 10000.0e0 AS lcl,
+           f.e > l.mu + l.halfwidth OR f.e < l.mu - l.halfwidth
+             AS out_of_control
+    FROM fold f
+    JOIN series s ON s.event_type = f.event_type
+    JOIN lim l ON l.event_type = f.event_type
+    """,
+)
+def ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart over each event type's daily value series
+    (lambda = 0.2, asymptotic 3-sigma limits): per day the smoothed
+    statistic, the control band around the series mean, and the
+    out-of-control flag -- the drift-sensitive sibling of the CUSUM
+    changepoint op (`value_changepoint_cusum`): EWMA charts catch
+    small persistent shifts that Shewhart-style per-point tests miss
+    (Roberts 1959; NIST/SEMATECH 6.3.2.4).
+
+    Process sigma comes from the moving range (MRbar / d2, d2 = 1.128
+    -- the standard individuals-chart estimator), with MRbar an exact
+    integer sum over consecutive-day absolute deltas; the asymptotic
+    limit factor sqrt(lambda/(2-lambda)) avoids the per-i pow() whose
+    cross-engine rounding is not guaranteed.  The EWMA itself is the
+    repo's sequential-fold pattern (array fold emitting every prefix on
+    the Spark side, recursive CTE in the oracle, identical '0.2e0'
+    literals) -- bit-identical doubles.  Cost: one map-side-combinable
+    daily rollup, then everything runs on calendar-bounded series.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("unix_timestamp(ts) DIV 86400").alias("day_idx"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 10000).cast("bigint"))
+        .cast("bigint")
+        .alias("v")
+    ).localCheckpoint(eager=True)  # series + moving-range consumers
+    series = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("v").cast("bigint").alias("sv"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day_idx", "v"))),
+            lambda s: s.getField("v").cast("double"),
+        ).alias("ys"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day_idx", "v"))),
+            lambda s: s.getField("day_idx"),
+        ).alias("ds"),
+    )
+    # Moving range over consecutive days: exact integer |delta| sums.
+    wd = Window.partitionBy("event_type").orderBy("day_idx")
+    mr = (
+        daily.withColumn("pv", F.lag("v").over(wd))
+        .filter(F.col("pv").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.abs(F.col("v") - F.col("pv"))).cast("bigint").alias("smr"),
+            F.count(F.lit(1)).cast("bigint").alias("nmr"),
+        )
+    )
+    # Prefix EWMA: seed with ys[1], then e' = 0.2*y + 0.8*e per element.
+    prefix = F.aggregate(
+        F.slice(F.col("ys"), 2, F.size("ys") - 1),
+        F.array(F.element_at(F.col("ys"), 1)),
+        lambda acc, y: F.concat(
+            acc, F.array(F.lit(0.2) * y + F.lit(0.8) * F.element_at(acc, -1))
+        ),
+    )
+    folded = series.select(
+        "event_type",
+        "sv",
+        "n_days",
+        F.explode(
+            F.arrays_zip(F.col("ds"), F.col("ys"), prefix.alias("e"))
+        ).alias("z"),
+    )
+    mu = F.col("sv").cast("double") / F.col("n_days").cast("double")
+    out = folded.join(F.broadcast(mr), "event_type").select(
+        "event_type",
+        F.col("z.ds").alias("day_idx"),
+        (F.col("z.ys") / F.lit(10000.0)).alias("y"),
+        (F.col("z.e") / F.lit(10000.0)).alias("ewma"),
+        (
+            (
+                mu
+                + F.lit(3.0)
+                * (
+                    (F.col("smr").cast("double") / F.col("nmr").cast("double"))
+                    / F.lit(1.128)
+                )
+                * F.sqrt(F.lit(0.2) / F.lit(1.8))
+            )
+            / F.lit(10000.0)
+        ).alias("ucl"),
+        (
+            (
+                mu
+                - F.lit(3.0)
+                * (
+                    (F.col("smr").cast("double") / F.col("nmr").cast("double"))
+                    / F.lit(1.128)
+                )
+                * F.sqrt(F.lit(0.2) / F.lit(1.8))
+            )
+            / F.lit(10000.0)
+        ).alias("lcl"),
+        (
+            (
+                F.col("z.e")
+                > mu
+                + F.lit(3.0)
+                * (
+                    (F.col("smr").cast("double") / F.col("nmr").cast("double"))
+                    / F.lit(1.128)
+                )
+                * F.sqrt(F.lit(0.2) / F.lit(1.8))
+            )
+            | (
+                F.col("z.e")
+                < mu
+                - F.lit(3.0)
+                * (
+                    (F.col("smr").cast("double") / F.col("nmr").cast("double"))
+                    / F.lit(1.128)
+                )
+                * F.sqrt(F.lit(0.2) / F.lit(1.8))
+            )
+        ).alias("out_of_control"),
+    )
+    return out

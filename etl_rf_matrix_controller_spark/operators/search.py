@@ -36,6 +36,17 @@ from etl_rf_matrix_controller_spark.sources.tables import load_table
 # Fixed probe query for the retrieval operator (terms present in the
 # testdata vocabulary at every SF).
 QUERY_TERMS = ("spark", "hash", "window")
+
+# BM25 per-term contribution, integer-exact (see bm25_retrieval_topk's
+# docstring for the rational-form derivation); shared with the ranking
+# evaluation op.
+_BM25_CONTRIB_EXPR = (
+    "(CAST((n_docs * 1000000) DIV df AS DECIMAL(38,0))"
+    " * (220 * CAST(t_tokens AS DECIMAL(38,0)) * tf))"
+    " DIV (100 * CAST(t_tokens AS DECIMAL(38,0)) * tf"
+    " + 30 * CAST(t_tokens AS DECIMAL(38,0))"
+    " + 90 * CAST(dl AS DECIMAL(38,0)) * n_docs)"
+)
 _QUERY_SQL = ", ".join(f"'{t}'" for t in QUERY_TERMS)
 
 _TOK_SQL = """
@@ -468,13 +479,7 @@ def bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("dl").cast("bigint").alias("t_tokens"),
     )
-    contrib = F.expr(
-        "(CAST((n_docs * 1000000) DIV df AS DECIMAL(38,0))"
-        " * (220 * CAST(t_tokens AS DECIMAL(38,0)) * tf))"
-        " DIV (100 * CAST(t_tokens AS DECIMAL(38,0)) * tf"
-        " + 30 * CAST(t_tokens AS DECIMAL(38,0))"
-        " + 90 * CAST(dl AS DECIMAL(38,0)) * n_docs)"
-    )
+    contrib = F.expr(_BM25_CONTRIB_EXPR)
     scored = (
         dl.join(F.broadcast(tf), "doc_id")
         .join(F.broadcast(df), "token")
@@ -631,4 +636,194 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("f").cast("bigint").alias("covered_tokens"),
             ratio4(F.sum("f"), F.max("total")).alias("coverage"),
         )
+    )
+
+
+# 1/log2(i+1) DCG discounts at ppm, i = 1..10, precomputed ONCE in exact
+# decimal form and injected as identical literals into both engines --
+# in-query log2() is not guaranteed correctly rounded cross-engine.
+DCG_DISC_PPM = [
+    1000000, 630930, 500000, 430677, 386853,
+    356207, 333333, 315465, 301030, 289065,
+]
+_DISC_SQL = "[" + ", ".join(str(d) for d in DCG_DISC_PPM) + "]"
+
+
+@declared(
+    "ranking_dcg_eval",
+    oracle=f"""
+    WITH tok AS ({_TOK_SQL}),
+    qtok AS (SELECT * FROM tok WHERE token IN ({_QUERY_SQL})),
+    tf AS (
+      SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      FROM qtok GROUP BY doc_id, token
+    ),
+    df AS (
+      SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      FROM qtok GROUP BY token
+    ),
+    rel AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS rel
+      FROM tf GROUP BY doc_id
+    ),
+    dl AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS dl
+      FROM documents
+    ),
+    scal AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS BIGINT) AS t_tokens
+      FROM dl
+    ),
+    tfidf AS (
+      SELECT doc_id, score_ppm,
+             CAST(row_number() OVER (ORDER BY score_ppm DESC, doc_id)
+                  AS BIGINT) AS rnk
+      FROM (
+        SELECT tf.doc_id,
+               CAST(sum(tf.tf * ((s.n_docs * 1000000) // df.df)) AS BIGINT)
+                 AS score_ppm
+        FROM tf JOIN df ON df.token = tf.token CROSS JOIN scal s
+        GROUP BY tf.doc_id
+      ) t QUALIFY rnk <= 10
+    ),
+    bm25 AS (
+      SELECT doc_id, score_ppm,
+             CAST(row_number() OVER (ORDER BY score_ppm DESC, doc_id)
+                  AS BIGINT) AS rnk
+      FROM (
+        SELECT tf.doc_id,
+               CAST(sum(
+                 (((CAST(s.n_docs AS HUGEINT) * 1000000) // df.df)
+                  * (220 * CAST(s.t_tokens AS HUGEINT) * tf.tf))
+                 // (100 * CAST(s.t_tokens AS HUGEINT) * tf.tf
+                     + 30 * CAST(s.t_tokens AS HUGEINT)
+                     + 90 * CAST(dl.dl AS HUGEINT) * s.n_docs)
+               ) AS BIGINT) AS score_ppm
+        FROM tf
+        JOIN df ON df.token = tf.token
+        JOIN dl ON dl.doc_id = tf.doc_id
+        CROSS JOIN scal s
+        GROUP BY tf.doc_id
+      ) t QUALIFY rnk <= 10
+    ),
+    both_r AS (
+      SELECT 'tfidf' AS ranker, doc_id, rnk FROM tfidf
+      UNION ALL
+      SELECT 'bm25' AS ranker, doc_id, rnk FROM bm25
+    ),
+    joined AS (
+      SELECT b.ranker, b.rnk, r.rel
+      FROM both_r b JOIN rel r ON r.doc_id = b.doc_id
+    ),
+    per AS (
+      SELECT ranker,
+             CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(rel * ({_DISC_SQL})[rnk]) AS BIGINT) AS dcg_ppm,
+             list(rel ORDER BY rel DESC, rnk) AS rel_sorted
+      FROM joined GROUP BY ranker
+    )
+    SELECT ranker, k, dcg_ppm,
+           CAST(list_sum(list_transform(
+             generate_series(1, CAST(k AS INT)),
+             i -> rel_sorted[i] * ({_DISC_SQL})[i])) AS BIGINT) AS idcg_ppm,
+           CAST(dcg_ppm AS DOUBLE)
+             / CAST(list_sum(list_transform(
+                 generate_series(1, CAST(k AS INT)),
+                 i -> rel_sorted[i] * ({_DISC_SQL})[i])) AS DOUBLE) AS ndcg
+    FROM per
+    """,
+)
+def ranking_dcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality evaluation: nDCG@10 of the tf-idf and BM25
+    rankers against a graded relevance label (number of distinct query
+    terms a document contains, 1..3) -- the offline-eval loop that sits
+    on top of any retrieval stack; with the ideal ordering computed
+    over the RETRIEVED set (the standard retrieved-set nDCG variant).
+
+    DCG discounts 1/log2(rank+1) enter as PRECOMPUTED ppm integer
+    literals identical on both engines (in-query log2 is not guaranteed
+    correctly rounded cross-engine), so both DCG and iDCG are exact
+    integer sums -- order-independent -- and nDCG is one double
+    division of exact integers.  The corpus is scanned twice total
+    (token stream, doc lengths), shared by BOTH rankers through
+    checkpointed query-selectivity-sized frames; everything downstream
+    of the two top-10 windows is <= 20 rows.
+    """
+    tok = _tok(spark, sf_dir)
+    qtok = tok.filter(F.col("token").isin(*QUERY_TERMS)).localCheckpoint(
+        eager=True
+    )
+    tf = qtok.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    ).localCheckpoint(eager=True)  # both rankers + the relevance label
+    df = tf.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    rel = tf.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("rel"))
+    docs = load_table(spark, sf_dir, "documents")
+    dl = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias("dl"),
+    ).localCheckpoint(eager=True)
+    scal = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("t_tokens"),
+    )
+    w = Window.orderBy(F.desc("score_ppm"), F.asc("doc_id"))
+
+    tfidf_scored = (
+        tf.join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(scal))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("tf") * F.expr("(n_docs * 1000000) DIV df"))
+            .cast("bigint")
+            .alias("score_ppm")
+        )
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 10)
+    )
+    bm25_scored = (
+        dl.join(F.broadcast(tf), "doc_id")
+        .join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(scal))
+        .groupBy("doc_id")
+        .agg(F.sum(F.expr(_BM25_CONTRIB_EXPR)).cast("bigint").alias("score_ppm"))
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 10)
+    )
+    both_r = (
+        tfidf_scored.select(F.lit("tfidf").alias("ranker"), "doc_id", "rnk")
+        .unionByName(
+            bm25_scored.select(F.lit("bm25").alias("ranker"), "doc_id", "rnk")
+        )
+    )
+    disc = F.array(*[F.lit(d) for d in DCG_DISC_PPM])
+    joined = both_r.join(F.broadcast(rel), "doc_id")
+    per = joined.groupBy("ranker").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(
+            F.col("rel") * F.element_at(disc, F.col("rnk").cast("int"))
+        )
+        .cast("bigint")
+        .alias("dcg_ppm"),
+        F.reverse(F.array_sort(F.collect_list("rel"))).alias("rel_sorted"),
+    )
+    idcg = F.aggregate(
+        F.zip_with(
+            F.col("rel_sorted"),
+            F.slice(disc, 1, F.size("rel_sorted")),
+            lambda r, d: r * d,
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return per.select(
+        "ranker",
+        "k",
+        "dcg_ppm",
+        idcg.cast("bigint").alias("idcg_ppm"),
+        (F.col("dcg_ppm").cast("double") / idcg.cast("double")).alias("ndcg"),
     )

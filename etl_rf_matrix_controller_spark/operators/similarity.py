@@ -2615,3 +2615,123 @@ def pq_distortion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.count(F.lit(1)).cast("double") * F.lit(100000000.0))
         ).alias("mse"),
     )
+
+
+TWONN_PROBE_MOD = 20  # deterministic probe sample: vec_id % 20 == 0
+
+
+@declared(
+    "twonn_intrinsic_dim",
+    oracle=f"""
+    WITH comps AS (
+      SELECT vec_id, m.i AS m,
+             CAST(round(CAST(embedding[m.i] AS DOUBLE) * 10000) AS BIGINT)
+               AS x
+      FROM embeddings, unnest(generate_series(1, {DIM})) AS m(i)
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, m, x AS qx
+      FROM comps WHERE vec_id % {TWONN_PROBE_MOD} = 0
+    ),
+    d2 AS (
+      SELECT p.query_id, c.vec_id AS cand_id,
+             CAST(sum((p.qx - c.x) * (p.qx - c.x)) AS BIGINT) AS d2
+      FROM probes p JOIN comps c ON c.m = p.m
+      WHERE c.vec_id <> p.query_id
+      GROUP BY p.query_id, c.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, d2,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY d2, cand_id) AS rn
+      FROM d2
+    ),
+    nn2 AS (
+      SELECT query_id,
+             max(CASE WHEN rn = 1 THEN d2 END) AS d1,
+             max(CASE WHEN rn = 2 THEN d2 END) AS d2
+      FROM ranked WHERE rn <= 2
+      GROUP BY query_id
+    ),
+    mu AS (
+      SELECT query_id, CAST(d2 AS DOUBLE) / CAST(d1 AS DOUBLE) AS mu2
+      FROM nn2 WHERE d1 > 0 AND d2 IS NOT NULL
+    ),
+    med AS (
+      SELECT mu2, row_number() OVER (ORDER BY mu2, query_id) AS rn,
+             count(*) OVER () AS n
+      FROM mu
+    )
+    SELECT CAST(n AS BIGINT) AS n_probes, mu2 AS mu2_median
+    FROM med WHERE rn = (n + 1) // 2
+    """,
+)
+def twonn_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TwoNN intrinsic-dimension statistic (Facco et al. 2017): for a
+    deterministic probe sample, the ratio of squared distances to the
+    2nd vs 1st nearest neighbor; the reported median mu2 determines the
+    intrinsic dimension as ID = 2*ln(2) / ln(mu2_median) -- a corpus
+    whose embeddings live on a low-dimensional manifold shows a large
+    ratio, a space-filling one drives mu2 toward 1.  The readout that
+    says whether `pca_projection_topk`'s target rank or the IVF list
+    count is even plausible for this corpus.
+
+    The final ln() stays OUT of the query (not correctly-rounded
+    cross-engine); everything emitted is either an exact integer or one
+    double division of exact integers: distances are order-independent
+    integer sums on the 1e-4 grid via a codegen'd posexplode join (the
+    doc_char_gini lesson -- no interpreted per-pair lambda folds), the
+    2-NN selection is an integer rank, and the median is the discrete
+    lower-middle element.  Cost: probes x corpus x dims joined rows
+    with map-side combine; probes are a fixed 1-in-{TWONN_PROBE_MOD}
+    hash stride, so the work scales linearly with the corpus, and at
+    100 TB the probe side stays broadcastable.  Zero-distance
+    duplicates (d1 = 0) drop identically on both engines.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    comps = emb.select(
+        "vec_id", F.posexplode("embedding").alias("m", "v")
+    ).select(
+        "vec_id",
+        F.col("m").cast("bigint").alias("m"),
+        F.round(F.col("v").cast("double") * 10000).cast("bigint").alias("x"),
+    ).localCheckpoint(eager=True)  # probe projection + candidate side
+    probes = comps.filter(F.col("vec_id") % TWONN_PROBE_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), "m", F.col("x").alias("qx")
+    )
+    d2 = (
+        comps.join(F.broadcast(probes), "m")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("cand_id"))
+        .agg(
+            F.sum((F.col("qx") - F.col("x")) * (F.col("qx") - F.col("x")))
+            .cast("bigint")
+            .alias("d2")
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy("d2", "cand_id")
+    nn2 = (
+        d2.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= 2)
+        .groupBy("query_id")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("d2"))).alias("d1"),
+            F.max(F.when(F.col("rn") == 2, F.col("d2"))).alias("d2"),
+        )
+    )
+    mu = nn2.filter(
+        (F.col("d1") > 0) & F.col("d2").isNotNull()
+    ).select(
+        "query_id",
+        (F.col("d2").cast("double") / F.col("d1").cast("double")).alias("mu2"),
+    )
+    wm = Window.orderBy("mu2", "query_id")
+    med = mu.select(
+        "mu2",
+        F.row_number().over(wm).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    return med.filter(F.col("rn") == F.expr("(n + 1) DIV 2")).select(
+        F.col("n").cast("bigint").alias("n_probes"),
+        F.col("mu2").alias("mu2_median"),
+    )
