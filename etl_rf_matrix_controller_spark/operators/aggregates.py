@@ -762,3 +762,126 @@ def kmv_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_union",
         )
     )
+
+
+@declared(
+    "kmv_intersection_estimate",
+    oracle="""
+    WITH hashed AS (
+      SELECT DISTINCT event_type AS tag,
+             ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+               AS h
+      FROM events WHERE event_type IN ('purchase', 'error')
+    ),
+    sketch AS (
+      SELECT tag, h
+      FROM (
+        SELECT tag, h,
+               row_number() OVER (PARTITION BY tag ORDER BY h) AS rn
+        FROM hashed
+      ) WHERE rn <= 8
+    ),
+    theta AS (
+      SELECT CAST(min(mx) AS BIGINT) AS theta
+      FROM (SELECT tag, max(h) AS mx FROM sketch GROUP BY tag) t
+    ),
+    common AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_common
+      FROM sketch a JOIN sketch b
+        ON b.h = a.h AND a.tag = 'purchase' AND b.tag = 'error'
+      CROSS JOIN theta th
+      WHERE a.h < th.theta
+    ),
+    exact AS (
+      SELECT CAST(count(*) AS BIGINT) AS exact_intersection
+      FROM (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+           p
+      WHERE EXISTS (
+        SELECT 1 FROM (SELECT DISTINCT user_id FROM events
+                       WHERE event_type = 'error') e
+        WHERE e.user_id = p.user_id)
+    )
+    SELECT CAST(8 AS BIGINT) AS k, th.theta, c.n_common,
+           CAST((c.n_common * 4294967296) // th.theta AS BIGINT)
+             AS est_intersection,
+           x.exact_intersection
+    FROM theta th CROSS JOIN common c CROSS JOIN exact x
+    """,
+)
+def kmv_intersection_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set intersection on top of the KMV machinery
+    (`kmv_distinct_estimate` / `kmv_union_distinct` complete the
+    union/intersect algebra): estimate how many users both purchased
+    AND errored from two k=8 sketches alone -- theta = the smaller of
+    the two k-th-minimum hashes, the common retained hashes below theta
+    are an unbiased sample at rate theta/2^32, so est = n_common *
+    2^32 DIV theta (Dasgupta et al., the DataSketches theta model).
+    Set EXPRESSIONS over sketches are what production monitoring runs
+    when the raw keys are long gone.
+
+    Fully deterministic (portable md5-derived 32-bit hashes, integer
+    rank selection, one integer floor division) and therefore
+    oracle-checked end-to-end, unlike engine-internal HLL.  The exact
+    intersection rides along as the self-audit column.  One events scan
+    feeds the tagged distinct (checkpointed: sketch build + both join
+    aliases); every downstream frame is <= k rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hashed = (
+        ev.filter(F.col("event_type").isin("purchase", "error"))
+        .select(
+            F.col("event_type").alias("tag"),
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                16,
+                10,
+            )
+            .cast("bigint")
+            .alias("h"),
+            "user_id",
+        )
+        .localCheckpoint(eager=True)  # sketch build + exact-audit consumers
+    )
+    sketch = (
+        hashed.select("tag", "h")
+        .distinct()
+        .withColumn(
+            "rn", F.row_number().over(Window.partitionBy("tag").orderBy("h"))
+        )
+        .filter(F.col("rn") <= 8)
+        .select("tag", "h")
+        .localCheckpoint(eager=True)  # theta + both intersection aliases
+    )
+    theta = (
+        sketch.groupBy("tag")
+        .agg(F.max("h").alias("mx"))
+        .agg(F.min("mx").cast("bigint").alias("theta"))
+    )
+    a = sketch.filter(F.col("tag") == "purchase").select(F.col("h").alias("ha"))
+    b = sketch.filter(F.col("tag") == "error").select(F.col("h").alias("hb"))
+    common = (
+        a.join(F.broadcast(b), F.col("ha") == F.col("hb"))
+        .crossJoin(F.broadcast(theta))
+        .filter(F.col("ha") < F.col("theta"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    pu = hashed.filter(F.col("tag") == "purchase").select("user_id").distinct()
+    er = hashed.filter(F.col("tag") == "error").select("user_id").distinct()
+    exact = (
+        pu.join(er.hint("shuffle_hash"), "user_id", "left_semi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_intersection"))
+    )
+    return (
+        F.broadcast(theta)
+        .crossJoin(F.broadcast(common))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            F.lit(8).cast("bigint").alias("k"),
+            "theta",
+            "n_common",
+            F.expr(
+                "CAST((n_common * 4294967296) DIV theta AS BIGINT)"
+            ).alias("est_intersection"),
+            "exact_intersection",
+        )
+    )

@@ -519,3 +519,116 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("assortativity"),
     )
+
+
+KCORE_K = 3
+KCORE_PEELS = 6  # fixed unroll; fixpoint reached earlier (pytest pins it)
+
+
+def _kcore_sql() -> str:
+    parts = [
+        f"""
+    WITH edges AS MATERIALIZED ({_EDGES_SQL}),
+    und0 AS MATERIALIZED (
+      SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+      FROM edges WHERE u <> v
+    )"""
+    ]
+    for i in range(KCORE_PEELS):
+        parts.append(f""",
+    deg{i} AS (
+      SELECT x, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT a AS x FROM und{i} UNION ALL SELECT b FROM und{i}) t
+      GROUP BY x
+    ),
+    keep{i} AS MATERIALIZED (SELECT x FROM deg{i} WHERE c >= {KCORE_K}),
+    und{i + 1} AS MATERIALIZED (
+      SELECT e.a, e.b FROM und{i} e
+      WHERE EXISTS (SELECT 1 FROM keep{i} k WHERE k.x = e.a)
+        AND EXISTS (SELECT 1 FROM keep{i} k WHERE k.x = e.b)
+    )""")
+    last = KCORE_PEELS
+    parts.append(f""",
+    fdeg AS (
+      SELECT x, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT a AS x FROM und{last} UNION ALL SELECT b FROM und{last}) t
+      GROUP BY x
+    ),
+    allnodes AS (
+      SELECT DISTINCT x
+      FROM (SELECT a AS x FROM und0 UNION ALL SELECT b FROM und0) t
+    )
+    SELECT n.x AS node,
+           coalesce(f.c, 0) AS core_degree,
+           coalesce(f.c, 0) >= {KCORE_K} AS in_{KCORE_K}core
+    FROM allnodes n LEFT JOIN fdeg f ON f.x = n.x
+    """)
+    return "".join(parts)
+
+
+@declared("kcore_membership", oracle=_kcore_sql())
+def kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core decomposition of the undirected nation trade graph by
+    iterative peeling: repeatedly delete nodes of degree < 3 until the
+    fixpoint; survivors form the 3-core, the standard dense-subgraph
+    backbone (Seidman 1983) that pagerank/triangle analyses restrict to
+    when the periphery is noise.
+
+    Peeling is non-monotone (a deletion lowers neighbors' degrees), so
+    no single recursive CTE expresses it; both engines instead unroll a
+    FIXED {KCORE_PEELS}-round peel -- more rounds than this graph ever
+    needs (the pytest pins that one extra peel is a no-op), and extra
+    rounds are exact no-ops at the fixpoint, so the unroll depth never
+    changes the answer.  Each round is a degree count + two semi-joins
+    (broadcast on the dimension-bounded node list; plain shuffles at
+    web scale), with the edge frame localCheckpointed per round to cut
+    the lineage -- the pagerank_loop discipline.  All-integer outputs.
+    """
+    edges = _trade_edges(spark, sf_dir)
+    und = (
+        edges.filter(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    all_nodes = (
+        und.select(F.col("a").alias("x"))
+        .unionByName(und.select(F.col("b").alias("x")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    cur = und
+    for _ in range(KCORE_PEELS):
+        deg = (
+            cur.select(F.col("a").alias("x"))
+            .unionByName(cur.select(F.col("b").alias("x")))
+            .groupBy("x")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        )
+        keep = deg.filter(F.col("c") >= KCORE_K).select("x")
+        cur = (
+            cur.join(
+                F.broadcast(keep.withColumnRenamed("x", "a")), "a", "left_semi"
+            )
+            .join(
+                F.broadcast(keep.withColumnRenamed("x", "b")), "b", "left_semi"
+            )
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+    fdeg = (
+        cur.select(F.col("a").alias("x"))
+        .unionByName(cur.select(F.col("b").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    return (
+        all_nodes.join(F.broadcast(fdeg), "x", "left")
+        .select(
+            F.col("x").alias("node"),
+            F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("core_degree"),
+            (F.coalesce(F.col("c"), F.lit(0)) >= KCORE_K).alias(
+                f"in_{KCORE_K}core"
+            ),
+        )
+    )

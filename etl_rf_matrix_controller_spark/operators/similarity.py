@@ -23,6 +23,7 @@ from pyspark.sql.window import Window
 from etl_rf_matrix_controller_spark.plans.registry import (
     ORACLES as _REGISTRY_ORACLES,
 )
+from etl_rf_matrix_controller_spark.operators.pipeline import hash_bucket
 from etl_rf_matrix_controller_spark.plans.registry import declared
 from etl_rf_matrix_controller_spark.sources.tables import load_table
 
@@ -2734,4 +2735,120 @@ def twonn_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return med.filter(F.col("rn") == F.expr("(n + 1) DIV 2")).select(
         F.col("n").cast("bigint").alias("n_probes"),
         F.col("mu2").alias("mu2_median"),
+    )
+
+
+@declared(
+    "split_embedding_centroid_shift",
+    oracle=f"""
+    WITH comps AS (
+      SELECT label, vec_id,
+             CASE WHEN ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+                       ::BIGINT % 100 < 80
+                  THEN 'train' ELSE 'test' END AS split,
+             m.i AS m,
+             CAST(round(CAST(embedding[m.i] AS DOUBLE) * 10000) AS BIGINT)
+               AS x
+      FROM embeddings, unnest(generate_series(1, {DIM})) AS m(i)
+    ),
+    sums AS (
+      SELECT label, split, m, CAST(sum(x) AS BIGINT) AS s
+      FROM comps GROUP BY label, split, m
+    ),
+    sizes AS (
+      SELECT label, split, CAST(count(DISTINCT vec_id) AS BIGINT) AS n
+      FROM comps GROUP BY label, split
+    ),
+    joined AS (
+      SELECT tr.label, tr.m,
+             tr.s AS s1, te.s AS s2, ntr.n AS n1, nte.n AS n2
+      FROM sums tr
+      JOIN sums te ON te.label = tr.label AND te.m = tr.m
+                   AND te.split = 'test' AND tr.split = 'train'
+      JOIN sizes ntr ON ntr.label = tr.label AND ntr.split = 'train'
+      JOIN sizes nte ON nte.label = tr.label AND nte.split = 'test'
+    )
+    SELECT label, max(n1) AS n_train, max(n2) AS n_test,
+           CAST(sum((CAST(n2 AS HUGEINT) * s1 - CAST(n1 AS HUGEINT) * s2)
+                    * (CAST(n2 AS HUGEINT) * s1
+                       - CAST(n1 AS HUGEINT) * s2)) AS DOUBLE)
+             / (CAST(max(n1) * max(n2) AS DOUBLE)
+                * CAST(max(n1) * max(n2) AS DOUBLE) * 100000000.0e0)
+             AS centroid_shift
+    FROM joined
+    GROUP BY label
+    """,
+)
+def split_embedding_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariate-shift audit for the hash train/test split, in embedding
+    space: per label, the squared L2 distance between the train-split
+    centroid and the test-split centroid (raw embedding units).  A
+    healthy random split shows small shifts; a large one means the
+    split leaks structure and offline eval will mislead -- the
+    embedding-space sibling of `split_balance_tv_distance` (which
+    audits categorical composition).
+
+    Exactness by clearing denominators: with per-component integer sums
+    s1, s2 and sizes n1, n2, (n1*n2)^2 * ||m1 - m2||^2 ==
+    sum_m (n2*s1_m - n1*s2_m)^2 -- pure integers (HUGEINT/DECIMAL(38,0)
+    products per the operand-cast rule), order-independent, codegen'd
+    (no in-row lambda folds).  The single final division renders the
+    shift on the 1e-4 grid's scale (the /1e8 undoes the component
+    scaling).  Split membership is the engine-portable md5 bucket the
+    split family shares.  Cost: one posexplode pass, two
+    dimension-bounded aggregations, a (label x dim)-sized join.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    comps = emb.select(
+        "label",
+        "vec_id",
+        F.when(hash_bucket(F.col("vec_id")) < 80, "train")
+        .otherwise("test")
+        .alias("split"),
+        F.posexplode("embedding").alias("m", "v"),
+    ).select(
+        "label",
+        "vec_id",
+        "split",
+        F.col("m").cast("bigint").alias("m"),
+        F.round(F.col("v").cast("double") * 10000).cast("bigint").alias("x"),
+    ).localCheckpoint(eager=True)  # sums + sizes consumers
+    sums = comps.groupBy("label", "split", "m").agg(
+        F.sum("x").cast("bigint").alias("s")
+    )
+    sizes = comps.groupBy("label", "split").agg(
+        F.countDistinct("vec_id").cast("bigint").alias("n")
+    )
+    tr = sums.filter(F.col("split") == "train").select(
+        "label", "m", F.col("s").alias("s1")
+    )
+    te = sums.filter(F.col("split") == "test").select(
+        "label", "m", F.col("s").alias("s2")
+    )
+    ntr = sizes.filter(F.col("split") == "train").select(
+        "label", F.col("n").alias("n1")
+    )
+    nte = sizes.filter(F.col("split") == "test").select(
+        "label", F.col("n").alias("n2")
+    )
+    joined = (
+        tr.join(te.hint("shuffle_hash"), ["label", "m"])
+        .join(F.broadcast(ntr), "label")
+        .join(F.broadcast(nte), "label")
+    )
+    term = F.expr(
+        "(CAST(n2 AS DECIMAL(38,0)) * s1 - CAST(n1 AS DECIMAL(38,0)) * s2)"
+        " * (CAST(n2 AS DECIMAL(38,0)) * s1 - CAST(n1 AS DECIMAL(38,0)) * s2)"
+    )
+    return joined.groupBy("label").agg(
+        F.max("n1").alias("n_train"),
+        F.max("n2").alias("n_test"),
+        (
+            F.sum(term).cast("double")
+            / (
+                (F.max("n1") * F.max("n2")).cast("double")
+                * (F.max("n1") * F.max("n2")).cast("double")
+                * F.lit(100000000.0)
+            )
+        ).alias("centroid_shift"),
     )

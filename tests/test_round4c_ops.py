@@ -166,3 +166,43 @@ def test_kaplan_meier_hand_example(spark, tmp_path):
         1: (4, 1, 250000, 0.75),
         2: (2, 1, 500000, 0.75 * 0.5),
     }
+
+
+def test_kcore_matches_python_peel_and_fixpoint(spark):
+    """The fixed 6-round unrolled peel equals a run-to-fixpoint Python
+    peel on the real sf0.001 trade graph (so the unroll depth is an
+    upper bound, not a semantic knob)."""
+    from tests.conftest import SF_DIR
+    from etl_rf_matrix_controller_spark.operators.graph import (
+        KCORE_K,
+        _trade_edges,
+        kcore_membership,
+    )
+
+    raw = _trade_edges(spark, SF_DIR).collect()
+    edges = {
+        (min(r.u, r.v), max(r.u, r.v)) for r in raw if r.u != r.v
+    }
+    nodes = {x for e in edges for x in e}
+    cur = set(edges)
+    while True:
+        deg: dict[int, int] = {}
+        for a, b in cur:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        keep = {x for x, c in deg.items() if c >= KCORE_K}
+        nxt = {(a, b) for a, b in cur if a in keep and b in keep}
+        if nxt == cur:
+            break
+        cur = nxt
+    fdeg: dict[int, int] = {}
+    for a, b in cur:
+        fdeg[a] = fdeg.get(a, 0) + 1
+        fdeg[b] = fdeg.get(b, 0) + 1
+    got = {
+        r.node: (r.core_degree, r[f"in_{KCORE_K}core"])
+        for r in kcore_membership(spark, SF_DIR).collect()
+    }
+    want = {x: (fdeg.get(x, 0), fdeg.get(x, 0) >= KCORE_K) for x in nodes}
+    assert got == want
+    assert any(f for _, f in got.values())  # non-vacuous core
