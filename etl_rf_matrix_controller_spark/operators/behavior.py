@@ -2830,3 +2830,122 @@ def ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("out_of_control"),
     )
     return out
+
+
+@declared(
+    "mann_kendall_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day_idx,
+             CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS v_s
+      FROM events
+      GROUP BY CAST(floor(epoch(ts)) AS BIGINT) // 86400
+    ),
+    s_stat AS (
+      SELECT CAST(sum(CASE WHEN b.v_s > a.v_s THEN 1
+                           WHEN b.v_s < a.v_s THEN -1 ELSE 0 END)
+                  AS BIGINT) AS s
+      FROM daily a JOIN daily b ON b.day_idx > a.day_idx
+    ),
+    ties AS (
+      SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+               AS tie_term
+      FROM (SELECT count(*) AS t FROM daily GROUP BY v_s) g
+      WHERE t > 1
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily)
+    SELECT n, s,
+           CAST(n * (n - 1) * (2 * n + 5) - tie_term AS BIGINT) AS var18,
+           z, abs(z) > 1.96e0 AS significant
+    FROM (
+      SELECT nn.n, st.s, ti.tie_term,
+             CASE WHEN st.s > 0 THEN
+               CAST(st.s - 1 AS DOUBLE)
+               / sqrt(CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5)
+                           - ti.tie_term AS DOUBLE) / 18.0e0)
+             WHEN st.s < 0 THEN
+               CAST(st.s + 1 AS DOUBLE)
+               / sqrt(CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5)
+                           - ti.tie_term AS DOUBLE) / 18.0e0)
+             ELSE 0.0e0 END AS z
+      FROM nn CROSS JOIN s_stat st CROSS JOIN ties ti
+    )
+    """,
+)
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotonic-trend test on the daily value series: S =
+    sum over day pairs of sign(later - earlier), the tie-corrected
+    variance n(n-1)(2n+5)/18 - sum t(t-1)(2t+5)/18, and the
+    continuity-corrected z -- the standard distribution-free "is this
+    metric drifting" detector (Mann 1945, Kendall 1975) that pairs with
+    `theil_sen_daily_trend` (MK decides IF there is a trend, Theil-Sen
+    sizes it).
+
+    S, the tie term, and var18 (the variance numerator, kept *18 so it
+    stays integer) are exact bigints; z is one fixed float expression
+    (a division by an IEEE sqrt of an exactly-represented integer / 18)
+    written identically in the oracle, so it hash-matches.  The day
+    pair join is quadratic in DISTINCT DAYS -- calendar-bounded, never
+    data-bounded (the `theil_sen` posture); the daily frame is
+    localCheckpointed once for its three consumers (pair join x2 sides,
+    tie count, n).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.expr("CAST(ts AS LONG) DIV 86400").alias("day_idx"),
+            F.round(F.col("value") * 10000).cast("bigint").alias("v_si"),
+        )
+        .groupBy("day_idx")
+        .agg(F.sum("v_si").cast("bigint").alias("v_s"))
+        .localCheckpoint(eager=True)  # pair join both sides + ties + n
+    )
+    a = daily.select(F.col("day_idx").alias("da"), F.col("v_s").alias("va"))
+    b = daily.select(F.col("day_idx").alias("db"), F.col("v_s").alias("vb"))
+    s_stat = (
+        a.join(b.hint("shuffle_hash"), F.col("db") > F.col("da"))
+        .agg(
+            F.sum(
+                F.when(F.col("vb") > F.col("va"), 1)
+                .when(F.col("vb") < F.col("va"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s")
+        )
+    )
+    ties = (
+        daily.groupBy("v_s")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("tie_term")
+        )
+    )
+    nn = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    joined = (
+        F.broadcast(nn)
+        .crossJoin(F.broadcast(s_stat))
+        .crossJoin(F.broadcast(ties))
+    )
+    var18 = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5) - F.col("tie_term")
+    )
+    sd = F.sqrt(var18.cast("double") / F.lit(18.0))
+    z = (
+        F.when(F.col("s") > 0, (F.col("s") - 1).cast("double") / sd)
+        .when(F.col("s") < 0, (F.col("s") + 1).cast("double") / sd)
+        .otherwise(F.lit(0.0))
+    )
+    return joined.select(
+        "n",
+        "s",
+        var18.cast("bigint").alias("var18"),
+        z.alias("z"),
+        (F.abs(z) > F.lit(1.96)).alias("significant"),
+    )

@@ -656,3 +656,116 @@ def ab_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("z_score"),
         (F.abs(z) > F.lit(1.96)).alias("significant"),
     )
+
+
+@declared(
+    "mann_whitney_value_test",
+    oracle="""
+    WITH rows_in AS (
+      SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g1,
+             CAST(round(value * 10000) AS BIGINT) AS x_s
+      FROM events WHERE event_type IN ('purchase', 'click')
+    ),
+    per_val AS (
+      SELECT x_s,
+             CAST(sum(g1) AS BIGINT) AS c1,
+             CAST(count(*) AS BIGINT) AS ct
+      FROM rows_in GROUP BY x_s
+    ),
+    ranked AS (
+      SELECT c1, ct,
+             CAST(coalesce(sum(ct) OVER (ORDER BY x_s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_less
+      FROM per_val
+    ),
+    stat AS (
+      SELECT CAST(sum(c1) AS BIGINT) AS n1,
+             CAST(sum(ct - c1) AS BIGINT) AS n2,
+             CAST(sum(c1 * (2 * cum_less + ct + 1)) AS BIGINT) AS r1_x2,
+             CAST(sum(ct * ct * ct - ct) AS BIGINT) AS tie_term
+      FROM ranked
+    )
+    SELECT n1, n2, r1_x2,
+           CAST(r1_x2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
+           z, abs(z) > 1.96e0 AS significant
+    FROM (
+      SELECT *,
+             CAST(r1_x2 - n1 * (n1 + 1) - n1 * n2 AS DOUBLE)
+             / (2.0e0 * sqrt(
+                 CAST(n1 * n2 AS DOUBLE)
+                 * CAST((n1 + n2 + 1) * (n1 + n2) * (n1 + n2 - 1)
+                        - tie_term AS DOUBLE)
+                 / CAST(12 * (n1 + n2) * (n1 + n2 - 1) AS DOUBLE)))
+               AS z
+      FROM stat
+    )
+    """,
+)
+def mann_whitney_value_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test comparing the `value` distributions
+    of purchase vs click events -- the nonparametric sibling of
+    `ab_conversion_ztest` (which tests a binary rate): does one event
+    type stochastically dominate the other, with no normality
+    assumption?  The workhorse A/B readout for skewed revenue-like
+    metrics (Mann & Whitney 1947).
+
+    Exactness under ties: average ranks are half-integers, so the engine
+    carries DOUBLED rank sums -- for a distinct value with ct total rows
+    and cum_less smaller rows, each row's doubled midrank is
+    2*cum_less + ct + 1, an integer; R1 and U1 stay doubled integers
+    end-to-end.  The tie-corrected variance assembles from the integer
+    moments n1, n2, sum(ct^3 - ct) in one fixed float expression
+    (divisions + one IEEE sqrt, written identically in the oracle), so
+    even z hash-matches.  Integer envelope: n^3 must stay below 2^53 --
+    fine to ~2e17 rows-per-test; past that, cast the variance operands
+    to DECIMAL(38,0) first.
+
+    Cost: one events scan -> per-distinct-value counts (map-combinable),
+    then a window over DISTINCT VALUES only (the value grid, not the
+    rows -- single-partition but grid-bounded, the `theil_sen` posture)
+    and a one-row rollup.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    rows_in = ev.filter(F.col("event_type").isin("purchase", "click")).select(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("g1"),
+        F.round(F.col("value") * 10000).cast("bigint").alias("x_s"),
+    )
+    per_val = rows_in.groupBy("x_s").agg(
+        F.sum("g1").cast("bigint").alias("c1"),
+        F.count(F.lit(1)).cast("bigint").alias("ct"),
+    )
+    w = Window.orderBy("x_s").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_val.select(
+        "c1",
+        "ct",
+        F.coalesce(F.sum("ct").over(w), F.lit(0)).cast("bigint").alias("cum_less"),
+    )
+    stat = ranked.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum(F.col("ct") - F.col("c1")).cast("bigint").alias("n2"),
+        F.sum(F.col("c1") * (2 * F.col("cum_less") + F.col("ct") + 1))
+        .cast("bigint")
+        .alias("r1_x2"),
+        F.sum(F.col("ct") * F.col("ct") * F.col("ct") - F.col("ct"))
+        .cast("bigint")
+        .alias("tie_term"),
+    )
+    n = F.col("n1") + F.col("n2")
+    u1_x2 = F.col("r1_x2") - F.col("n1") * (F.col("n1") + 1)
+    z = (u1_x2 - F.col("n1") * F.col("n2")).cast("double") / (
+        F.lit(2.0)
+        * F.sqrt(
+            (F.col("n1") * F.col("n2")).cast("double")
+            * ((n + 1) * n * (n - 1) - F.col("tie_term")).cast("double")
+            / (F.lit(12) * n * (n - 1)).cast("double")
+        )
+    )
+    return stat.select(
+        "n1",
+        "n2",
+        "r1_x2",
+        u1_x2.cast("bigint").alias("u1_x2"),
+        z.alias("z"),
+        (F.abs(z) > F.lit(1.96)).alias("significant"),
+    )

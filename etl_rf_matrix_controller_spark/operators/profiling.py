@@ -1994,3 +1994,112 @@ def histogram_quantile_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("est_c") - F.col("pc")).alias("abs_err_cents"),
         )
     )
+
+
+@declared(
+    "chi_square_type_weekday",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type,
+             (CAST(floor(epoch(ts)) AS BIGINT) // 86400 + 4) % 7 AS wd,
+             CAST(count(*) AS BIGINT) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    rt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS r FROM cells
+           GROUP BY event_type),
+    ct AS (SELECT wd, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY wd),
+    nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+    contrib AS (
+      SELECT CAST(
+               (1000000 * (CAST(ce.o AS HUGEINT) * nn.n
+                           - CAST(rt.r AS HUGEINT) * ct.c)
+                        * (CAST(ce.o AS HUGEINT) * nn.n
+                           - CAST(rt.r AS HUGEINT) * ct.c))
+               // (CAST(nn.n AS HUGEINT) * rt.r * ct.c) AS BIGINT) AS cm
+      FROM cells ce
+      JOIN rt ON rt.event_type = ce.event_type
+      JOIN ct ON ct.wd = ce.wd
+      CROSS JOIN nn
+    ),
+    dims AS (
+      SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+             CAST(count(DISTINCT wd) AS BIGINT) AS n_wd
+      FROM cells
+    )
+    SELECT nn.n, d.n_types, d.n_wd,
+           CAST((d.n_types - 1) * (d.n_wd - 1) AS BIGINT) AS df,
+           CAST(s.chi2_micro AS BIGINT) AS chi2_micro,
+           CASE WHEN (d.n_types - 1) * (d.n_wd - 1) = 24
+                THEN s.chi2_micro > 36415000 END AS significant
+    FROM nn CROSS JOIN dims d
+    CROSS JOIN (SELECT CAST(sum(cm) AS BIGINT) AS chi2_micro FROM contrib) s
+    """,
+)
+def chi_square_type_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between event type and weekday
+    (portable (days_since_epoch+4)%7 weekday): is the traffic mix the
+    same every day of the week, or does type composition shift?  The
+    contingency-table sibling of `value_ks_drift` (which compares
+    continuous distributions) and the general form of `srm_check`'s
+    collapsed 2-cell statistic.
+
+    Each cell's (O-E)^2/E is the exact rational
+    (o*N - r*c)^2 / (N*r*c); the engine floor-divides 1e6x that in
+    DECIMAL(38,0) integer space (HUGEINT in the oracle), so every
+    contribution -- and their sum, chi2 in micro units -- is an exact
+    integer on both engines, no float expected-count intermediates.
+    Envelope: (o*N)^2 * 1e6 < 1e38 holds to N ~ 1e8 rows; past that,
+    drop the 1e6 scale (or pre-divide by N) for headroom.  The 0.05
+    critical value is pinned for the expected df=24 table, NULL for any
+    other shape.  Cost: one events scan into a (types x 7)-cell frame
+    (checkpointed once for its four tiny consumers); everything after is
+    dimension-bounded.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            "event_type",
+            ((F.expr("CAST(ts AS LONG) DIV 86400") + 4) % 7).alias("wd"),
+        )
+        .groupBy("event_type", "wd")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+        .localCheckpoint(eager=True)  # rt + ct + nn + contrib consumers
+    )
+    rt = cells.groupBy("event_type").agg(F.sum("o").cast("bigint").alias("r"))
+    ct = cells.groupBy("wd").agg(F.sum("o").cast("bigint").alias("c"))
+    nn = cells.agg(F.sum("o").cast("bigint").alias("n"))
+    dims = cells.agg(
+        F.countDistinct("event_type").cast("bigint").alias("n_types"),
+        F.countDistinct("wd").cast("bigint").alias("n_wd"),
+    )
+    contrib = (
+        cells.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "wd")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            F.expr(
+                "CAST((1000000 * (CAST(o AS DECIMAL(38,0)) * n"
+                "                 - CAST(r AS DECIMAL(38,0)) * c)"
+                "              * (CAST(o AS DECIMAL(38,0)) * n"
+                "                 - CAST(r AS DECIMAL(38,0)) * c))"
+                " DIV (CAST(n AS DECIMAL(38,0)) * r * c) AS BIGINT)"
+            ).alias("cm")
+        )
+    )
+    chi2 = contrib.agg(F.sum("cm").cast("bigint").alias("chi2_micro"))
+    df = (F.col("n_types") - 1) * (F.col("n_wd") - 1)
+    return (
+        F.broadcast(nn)
+        .crossJoin(F.broadcast(dims))
+        .crossJoin(F.broadcast(chi2))
+        .select(
+            "n",
+            "n_types",
+            "n_wd",
+            df.cast("bigint").alias("df"),
+            "chi2_micro",
+            F.when(df == 24, F.col("chi2_micro") > 36415000).alias(
+                "significant"
+            ),
+        )
+    )
