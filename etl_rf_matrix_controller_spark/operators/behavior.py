@@ -2949,3 +2949,181 @@ def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("z"),
         (F.abs(z) > F.lit(1.96)).alias("significant"),
     )
+
+
+@declared(
+    "acf_daily_lags",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day_idx,
+             CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS v_s
+      FROM events
+      GROUP BY CAST(floor(epoch(ts)) AS BIGINT) // 86400
+    ),
+    mom AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(CAST(v_s AS HUGEINT)) AS HUGEINT) AS s,
+             CAST(sum(CAST(v_s AS HUGEINT) * v_s) AS HUGEINT) AS q
+      FROM daily
+    ),
+    pairs AS (
+      SELECT lg.lag AS lag,
+             CAST(count(*) AS HUGEINT) AS cnt,
+             CAST(sum(CAST(a.v_s AS HUGEINT) * b.v_s) AS HUGEINT) AS sab,
+             CAST(sum(CAST(a.v_s AS HUGEINT)) AS HUGEINT) AS sa,
+             CAST(sum(CAST(b.v_s AS HUGEINT)) AS HUGEINT) AS sb
+      FROM generate_series(1, 7) AS lg(lag)
+      JOIN daily a ON true
+      JOIN daily b ON b.day_idx = a.day_idx + lg.lag
+      GROUP BY lg.lag
+    )
+    SELECT CAST(p.lag AS INT) AS lag, CAST(p.cnt AS BIGINT) AS n_pairs,
+           CAST(m.n * m.n * p.sab - m.n * m.s * (p.sa + p.sb)
+                + p.cnt * m.s * m.s AS DOUBLE)
+           / CAST(m.n * m.n * m.q - m.n * m.s * m.s AS DOUBLE) AS acf
+    FROM pairs p CROSS JOIN mom m
+    WHERE m.n * m.n * m.q - m.n * m.s * m.s > 0
+    """,
+)
+def acf_daily_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the overall daily value series at lags
+    1..7 -- the full weekly ACF profile that generalizes the per-type
+    `daily_value_autocorr_lag1` spot check: a spike at lag 7 confirms
+    weekly seasonality (what `dow_seasonality_lift` asserts piecewise),
+    slow decay says trend (what `mann_kendall_trend` tests).
+
+    Exactness: the classic ACF r_k = sum_(t)(x_t-xbar)(x_(t+k)-xbar) /
+    sum(x-xbar)^2 is cleared of the rational mean by multiplying both
+    sides by n^2: numerator n^2*sab - n*S*(sa+sb) + cnt*S^2, denominator
+    n^2*Q - n*S^2 -- every term an exact integer (DECIMAL(38,0); daily
+    sums-of-squares exceed int64 at sf0.1 already), so acf is ONE float
+    division of two exact integers, identical in the oracle.  Envelope:
+    n^2*Q < 1e38 holds to ~1e9-day series with 1e14-scaled daily sums.
+
+    Cost: one events scan -> calendar-bounded daily frame
+    (localCheckpointed: moments + both pair-join sides), then
+    broadcast-joined lag pairs over <=365*7 rows.  Everything after the
+    first aggregation is calendar-bounded, never data-bounded.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.expr("CAST(ts AS LONG) DIV 86400").alias("day_idx"),
+            F.round(F.col("value") * 10000).cast("bigint").alias("v_si"),
+        )
+        .groupBy("day_idx")
+        .agg(F.sum("v_si").cast("bigint").alias("v_s"))
+        .localCheckpoint(eager=True)  # moments + pair-join a + b sides
+    )
+    dec = "decimal(38,0)"
+    mom = daily.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("v_s").cast(dec)).cast(dec).alias("s"),
+        F.sum(F.col("v_s").cast(dec) * F.col("v_s")).cast(dec).alias("q"),
+    )
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
+    a = daily.select(F.col("day_idx").alias("da"), F.col("v_s").alias("va"))
+    b = daily.select(F.col("day_idx").alias("db"), F.col("v_s").alias("vb"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(F.broadcast(b), F.col("db") == F.col("da") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast(dec).alias("cnt"),
+            F.sum(F.col("va").cast(dec) * F.col("vb")).cast(dec).alias("sab"),
+            F.sum(F.col("va").cast(dec)).cast(dec).alias("sa"),
+            F.sum(F.col("vb").cast(dec)).cast(dec).alias("sb"),
+        )
+    )
+    num = (
+        F.col("n") * F.col("n") * F.col("sab")
+        - F.col("n") * F.col("s") * (F.col("sa") + F.col("sb"))
+        + F.col("cnt") * F.col("s") * F.col("s")
+    )
+    den = F.col("n") * F.col("n") * F.col("q") - F.col("n") * F.col("s") * F.col("s")
+    return (
+        pairs.crossJoin(F.broadcast(mom))
+        .filter(den > 0)
+        .select(
+            F.col("lag").cast("int").alias("lag"),
+            F.col("cnt").cast("bigint").alias("n_pairs"),
+            (num.cast("double") / den.cast("double")).alias("acf"),
+        )
+    )
+
+
+@declared(
+    "pareto_revenue_share",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT rev_c,
+             CAST(row_number() OVER (ORDER BY rev_c DESC, o_custkey)
+                  AS BIGINT) AS rn,
+             CAST(sum(rev_c) OVER (ORDER BY rev_c DESC, o_custkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_c,
+             CAST(sum(rev_c) OVER () AS BIGINT) AS total_c
+      FROM rev
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(min(CASE WHEN 5 * cum_c >= 4 * total_c THEN rn END)
+                AS BIGINT) AS n_top80,
+           CAST((1000000 * min(CASE WHEN 5 * cum_c >= 4 * total_c
+                                    THEN rn END)) // count(*)
+                AS BIGINT) AS top80_ppm
+    FROM ranked
+    """,
+)
+def pareto_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto (80/20) revenue concentration: the smallest number of
+    customers -- ranked by lifetime order revenue -- whose cumulative
+    revenue reaches 80% of the total, and that count as ppm of the
+    customer base.  The single-number "how top-heavy is demand" readout
+    that complements `source_coverage_concentration`'s HHI (which has no
+    threshold semantics) and the RFM segmentations (which bucket, not
+    rank-accumulate).
+
+    Integer-exact throughout: revenue in cents, the 80% threshold as the
+    cross-multiplied 5*cum >= 4*total (no float share), ppm by integer
+    floor-division on positive counts.  Envelope: 5*total_cents < 2^63
+    to ~1.8e18 cents (~1e16 USD).
+
+    Cost: one orders scan -> per-customer partial+final agg, then an
+    ordered window over the AGGREGATED customer dimension.  The rank
+    window is single-partition over |customers| rows -- the accepted
+    concentration-family posture; at extreme scale swap the exact rank
+    for the `equidepth_value_bands` quantile grid and take the band
+    containing the 80% crossing.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    rev = (
+        orders.select(
+            "o_custkey",
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("r_c"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum("r_c").cast("bigint").alias("rev_c"))
+    )
+    w = Window.orderBy(F.col("rev_c").desc(), F.col("o_custkey"))
+    ranked = rev.select(
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.sum("rev_c").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("cum_c"),
+        F.sum("rev_c").over(Window.partitionBy()).cast("bigint").alias("total_c"),
+    )
+    hit = F.when(5 * F.col("cum_c") >= 4 * F.col("total_c"), F.col("rn"))
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.min(hit).cast("bigint").alias("n_top80"),
+        F.expr(
+            "CAST((1000000 * min(CASE WHEN 5 * cum_c >= 4 * total_c"
+            "                         THEN rn END)) DIV count(*) AS BIGINT)"
+        ).alias("top80_ppm"),
+    )

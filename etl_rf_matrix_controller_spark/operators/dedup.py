@@ -1443,3 +1443,94 @@ def simhash_wide_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     sig = simhash_wide_sig_df(dup_corpus(spark, sf_dir), bits=_WIDE_BITS)
     return simhash_wide_pairs_df(sig, bits=_WIDE_BITS, n_bands=4, max_hamming=3)
+
+
+@declared(
+    "fuzzy_levenshtein_join",
+    oracle="""
+    WITH cat AS (SELECT DISTINCT p_name AS name FROM part),
+    probes AS (
+      SELECT name AS src,
+             substring(name, 1, 5) || substring(name, 7) AS probe
+      FROM cat
+    ),
+    cand AS (
+      SELECT p.src, p.probe, c.name,
+             CAST(levenshtein(p.probe, c.name) AS INT) AS dist
+      FROM probes p
+      JOIN cat c ON substring(p.probe, 1, 3) = substring(c.name, 1, 3)
+      WHERE levenshtein(p.probe, c.name) <= 2
+    ),
+    best AS (
+      SELECT src, probe, name, dist,
+             row_number() OVER (PARTITION BY src
+                                ORDER BY dist, name) AS rk
+      FROM cand
+    )
+    SELECT src, probe, name AS best_match, dist,
+           name = src AS correct
+    FROM best WHERE rk = 1
+    """,
+)
+def fuzzy_levenshtein_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy record linkage: a deterministically corrupted probe
+    set (every distinct p_type with its 6th character deleted -- one
+    planted typo each) is matched back to the clean catalog by
+    Levenshtein distance <= 2, candidate pairs generated ONLY within
+    3-char-prefix blocks, best match per probe by (distance, name).
+    The scalable sibling of `token_edit_distance_pairs` (which runs
+    unblocked on a small vocab dim): blocking makes the candidate set
+    block-bounded instead of |probes| x |catalog|, the shape of a real
+    entity-resolution pass over 100 TB of dirty names.  Planted ground
+    truth makes every gate run a linkage-accuracy check (`correct` =
+    did the typo resolve to its source type) -- the
+    `minhash_estimator_calibration` discipline.
+
+    Levenshtein is definitionally identical in both engines; prefix
+    blocking is sound here because the deletion site (position 6) never
+    touches the first 3 characters.  Best-match selection is
+    total-ordered (dist, then name), so ties resolve identically.
+
+    Cost: one part scan -> distinct type dim (localCheckpointed: probe
+    derivation + catalog side), then a broadcast equi-join on the block
+    key with per-pair edit distance only inside blocks.  At scale the
+    block key stays an equi-join key (catalog side shuffles by prefix),
+    and per-block cost is |block|^2 -- the knob is prefix length.
+    """
+    part = load_table(spark, sf_dir, "part")
+    cat = (
+        part.select(F.col("p_name").alias("name"))
+        .distinct()
+        .localCheckpoint(eager=True)  # probe derivation + catalog join side
+    )
+    probes = cat.select(
+        F.col("name").alias("src"),
+        F.concat(
+            F.substring("name", 1, 5), F.expr("substring(name, 7)")
+        ).alias("probe"),
+    )
+    cand = (
+        probes.withColumn("blk", F.substring("probe", 1, 3))
+        .join(
+            F.broadcast(
+                cat.select(
+                    F.col("name"), F.substring("name", 1, 3).alias("blk")
+                )
+            ),
+            "blk",
+        )
+        .withColumn("dist", F.levenshtein("probe", "name").cast("int"))
+        .filter(F.col("dist") <= 2)
+    )
+    w = Window.partitionBy("src").orderBy("dist", "name")
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "src",
+            "probe",
+            F.col("name").alias("best_match"),
+            "dist",
+            (F.col("name") == F.col("src")).alias("correct"),
+        )
+    )

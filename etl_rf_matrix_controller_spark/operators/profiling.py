@@ -2103,3 +2103,114 @@ def chi_square_type_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@declared(
+    "spearman_quantity_price",
+    oracle="""
+    WITH rows_in AS (
+      SELECT CAST(round(l_quantity * 100) AS BIGINT) AS qx,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS px
+      FROM lineitem
+    ),
+    rxt AS (
+      SELECT qx,
+             2 * CAST(coalesce(sum(ct) OVER (ORDER BY qx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) + ct + 1 AS mrx
+      FROM (SELECT qx, CAST(count(*) AS BIGINT) AS ct
+            FROM rows_in GROUP BY qx)
+    ),
+    ryt AS (
+      SELECT px,
+             2 * CAST(coalesce(sum(ct) OVER (ORDER BY px
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) + ct + 1 AS mry
+      FROM (SELECT px, CAST(count(*) AS BIGINT) AS ct
+            FROM rows_in GROUP BY px)
+    ),
+    m AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(CAST(mrx AS HUGEINT)) AS HUGEINT) AS sx,
+             CAST(sum(CAST(mry AS HUGEINT)) AS HUGEINT) AS sy,
+             CAST(sum(CAST(mrx AS HUGEINT) * mrx) AS HUGEINT) AS sxx,
+             CAST(sum(CAST(mry AS HUGEINT) * mry) AS HUGEINT) AS syy,
+             CAST(sum(CAST(mrx AS HUGEINT) * mry) AS HUGEINT) AS sxy
+      FROM rows_in r JOIN rxt USING (qx) JOIN ryt USING (px)
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS rho
+    FROM m
+    WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    """,
+)
+def spearman_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between l_quantity and l_extendedprice
+    -- the outlier-robust, monotonicity-not-linearity sibling of the
+    Pearson `lineitem_corr_matrix` cell (and the correlational cousin of
+    `mann_whitney_value_test`, reusing its doubled-midrank machinery):
+    does price rise with quantity in RANK terms, immune to the heavy
+    right tail that inflates/deflates Pearson?
+
+    Exactness under ties: each distinct value's average rank is a
+    half-integer, so the engine carries DOUBLED midranks (2*cum_less +
+    ct + 1, an integer) and computes Pearson on those -- the doubling
+    cancels in the ratio.  The six moments accumulate as DECIMAL(38,0)
+    (operands cast BEFORE multiplying; doubled ranks reach 2n, so
+    n*sxx ~ 4n^4 needs decimal headroom past ~50k rows), and rho is the
+    `daily_value_autocorr_lag1` fixed float expression of three exact
+    integers.  Envelope: 4n^4 < 1e38 holds to n ~ 1e9 rows.
+
+    Cost: ONE lineitem scan into a narrow (qx, px) projection,
+    localCheckpointed for its three consumers (two rank grids + the
+    join-back).  Rank grids are windows over DISTINCT VALUES (the value
+    grid, not the rows -- single-partition but grid-bounded, the
+    `mann_whitney_value_test` posture).  Join-back: quantity grid (~50
+    rows) broadcast; price grid scales with distinct prices, so its
+    join is shuffle-hash pinned (checkpointed frames have no stats --
+    the CLAUDE.md rule -- and must never SMJ).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    rows_in = li.select(
+        F.round(F.col("l_quantity") * 100).cast("bigint").alias("qx"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("px"),
+    ).localCheckpoint(eager=True)  # rank grid x2 + join-back
+
+    def rank_grid(col: str, out: str) -> DataFrame:
+        per = rows_in.groupBy(col).agg(F.count(F.lit(1)).cast("bigint").alias("ct"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        return per.select(
+            col,
+            (
+                2 * F.coalesce(F.sum("ct").over(w), F.lit(0)).cast("bigint")
+                + F.col("ct")
+                + 1
+            ).alias(out),
+        )
+
+    rxt = rank_grid("qx", "mrx")
+    ryt = rank_grid("px", "mry")
+    dec = "decimal(38,0)"
+    joined = rows_in.join(F.broadcast(rxt), "qx").join(
+        ryt.hint("shuffle_hash"), "px"
+    )
+    m = joined.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("mrx").cast(dec)).cast(dec).alias("sx"),
+        F.sum(F.col("mry").cast(dec)).cast(dec).alias("sy"),
+        F.sum(F.col("mrx").cast(dec) * F.col("mrx")).cast(dec).alias("sxx"),
+        F.sum(F.col("mry").cast(dec) * F.col("mry")).cast(dec).alias("syy"),
+        F.sum(F.col("mrx").cast(dec) * F.col("mry")).cast(dec).alias("sxy"),
+    )
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return m.filter((varx > 0) & (vary > 0)).select(
+        F.col("n").cast("bigint").alias("n"),
+        (
+            cov.cast("double")
+            / (F.sqrt(varx.cast("double")) * F.sqrt(vary.cast("double")))
+        ).alias("rho"),
+    )
