@@ -3127,3 +3127,107 @@ def pareto_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "                         THEN rn END)) DIV count(*) AS BIGINT)"
         ).alias("top80_ppm"),
     )
+
+
+@declared(
+    "clamped_running_balance",
+    oracle="""
+    WITH RECURSIVE ev AS (
+      SELECT user_id,
+             CASE WHEN event_type = 'purchase'
+                  THEN CAST(round(value * 10000) AS BIGINT)
+                  ELSE -CAST(round(value * 10000) AS BIGINT) END AS d,
+             ts, event_id
+      FROM events WHERE event_type IN ('purchase', 'error')
+    ),
+    arr AS (
+      SELECT user_id, list(d ORDER BY ts, event_id) AS ds,
+             CAST(count(*) AS BIGINT) AS m
+      FROM ev GROUP BY user_id
+    ),
+    fold(user_id, i, bal, clamps) AS (
+      SELECT user_id, CAST(1 AS BIGINT),
+             CASE WHEN ds[1] < 0 THEN CAST(0 AS BIGINT) ELSE ds[1] END,
+             CASE WHEN ds[1] < 0 THEN CAST(1 AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END
+      FROM arr
+      UNION ALL
+      SELECT f.user_id, f.i + 1,
+             CASE WHEN f.bal + a.ds[f.i + 1] < 0 THEN 0
+                  ELSE f.bal + a.ds[f.i + 1] END,
+             f.clamps + CASE WHEN f.bal + a.ds[f.i + 1] < 0 THEN 1
+                             ELSE 0 END
+      FROM fold f JOIN arr a USING (user_id) WHERE f.i < a.m
+    )
+    SELECT f.user_id, f.bal AS balance_s, f.clamps AS n_clamps,
+           CAST(f.bal AS DOUBLE) / 10000.0e0 AS balance
+    FROM fold f JOIN arr a USING (user_id) WHERE f.i = a.m
+    """,
+)
+def clamped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user clamped running balance: purchases credit `value`,
+    errors debit it, and the balance CLAMPS AT ZERO after every step
+    (inventory / prepaid-credit semantics: you cannot go negative, and
+    lost debit is gone even if credit arrives later).  Emits each
+    user's final balance and how often the clamp fired.
+
+    This is the canonical NON-LINEAR fold that plain window functions
+    cannot express -- max(0, prev + delta) does not decompose into a
+    cumulative sum (the clamp erases history), so it needs a true
+    sequential fold: Spark runs F.aggregate over each user's
+    time-ordered delta array (the `ema_user_value` shape with a
+    two-component integer state), the oracle advances every user one
+    step per recursive-CTE iteration (NOT list_reduce -- the documented
+    struct-accumulator trap).  All-integer state on 1e4-scaled values,
+    so the fold is bit-exact cross-engine; the only float is the final
+    display division, identical on both sides.
+
+    Cost: one events scan, one shuffle on user_id into per-user sorted
+    arrays (array length = that user's purchase+error count -- bounded
+    by per-user activity, the `user_event_sequences` hot-key caveat
+    applies), then a map-side fold.  Recursion depth on the oracle side
+    is max per-user length, rows |users| per step.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    rows_in = ev.filter(F.col("event_type").isin("purchase", "error")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.col("event_type") == "purchase",
+            F.round(F.col("value") * 10000).cast("bigint"),
+        )
+        .otherwise(-F.round(F.col("value") * 10000).cast("bigint"))
+        .alias("d"),
+    )
+    arr = rows_in.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "d"))),
+            lambda s: s["d"],
+        ).alias("ds")
+    )
+    folded = arr.select(
+        "user_id",
+        F.aggregate(
+            "ds",
+            F.struct(
+                F.lit(0).cast("bigint").alias("bal"),
+                F.lit(0).cast("bigint").alias("clamps"),
+            ),
+            lambda acc, x: F.struct(
+                F.greatest(acc["bal"] + x, F.lit(0).cast("bigint")).alias(
+                    "bal"
+                ),
+                (
+                    acc["clamps"]
+                    + F.when(acc["bal"] + x < 0, 1).otherwise(0)
+                ).alias("clamps"),
+            ),
+        ).alias("st"),
+    )
+    return folded.select(
+        "user_id",
+        F.col("st.bal").alias("balance_s"),
+        F.col("st.clamps").alias("n_clamps"),
+        (F.col("st.bal").cast("double") / F.lit(10000.0)).alias("balance"),
+    )

@@ -769,3 +769,103 @@ def mann_whitney_value_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("z"),
         (F.abs(z) > F.lit(1.96)).alias("significant"),
     )
+
+
+@declared(
+    "welch_t_value_test",
+    oracle="""
+    WITH rows_in AS (
+      SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g1,
+             CAST(round(value * 10000) AS BIGINT) AS x_s
+      FROM events WHERE event_type IN ('purchase', 'click')
+    ),
+    m AS (
+      SELECT CAST(sum(g1) AS HUGEINT) AS n1,
+             CAST(sum(1 - g1) AS HUGEINT) AS n2,
+             CAST(sum(g1 * x_s) AS HUGEINT) AS s1,
+             CAST(sum((1 - g1) * x_s) AS HUGEINT) AS s2,
+             CAST(sum(g1 * CAST(x_s AS HUGEINT) * x_s) AS HUGEINT) AS q1,
+             CAST(sum((1 - g1) * CAST(x_s AS HUGEINT) * x_s) AS HUGEINT) AS q2
+      FROM rows_in
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           t_stat,
+           (u1 + u2) * (u1 + u2)
+             / (u1 * u1 / CAST(n1 - 1 AS DOUBLE)
+                + u2 * u2 / CAST(n2 - 1 AS DOUBLE)) AS df_welch,
+           abs(t_stat) > 1.96e0 AS significant
+    FROM (
+      SELECT n1, n2, u1, u2,
+             (CAST(s1 * n2 - s2 * n1 AS DOUBLE) / CAST(n1 * n2 AS DOUBLE))
+               / sqrt(u1 + u2) AS t_stat
+      FROM (
+        SELECT n1, n2, s1, s2,
+               CAST(n1 * q1 - s1 * s1 AS DOUBLE)
+                 / CAST(n1 * n1 * (n1 - 1) AS DOUBLE) AS u1,
+               CAST(n2 * q2 - s2 * s2 AS DOUBLE)
+                 / CAST(n2 * n2 * (n2 - 1) AS DOUBLE) AS u2
+        FROM m
+      )
+    )
+    WHERE u1 + u2 > 0
+    """,
+)
+def welch_t_value_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test on the `value` of purchase vs
+    click events -- the parametric counterpart of
+    `mann_whitney_value_test` (same contrast, mean-difference instead of
+    rank-dominance) with the Welch-Satterthwaite effective df, the
+    default two-sample test when variances differ (Welch 1947).
+
+    Exactness: the six moments (n, sum, sum-of-squares per group)
+    accumulate as exact integers on 1e4-scaled values -- one conditional
+    aggregation pass, no per-group split -- in DECIMAL(38,0) (operands
+    cast BEFORE the square so q never wraps int64).  u_i = var_i/n_i =
+    (n_i*q_i - s_i^2) / (n_i^2*(n_i-1)) and the mean difference
+    (s1*n2 - s2*n1)/(n1*n2) are each ONE float division of exact
+    integers; t and df assemble from those doubles in expressions
+    written identically in the oracle, so both hash-match.  The 1e4
+    scale cancels between numerator and sqrt(u1+u2).  Envelope:
+    n*q < 1e38 holds to ~1e15 rows at |value| <= 1e5.
+
+    Cost: one events scan, one partial+final aggregate to a single row.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    rows_in = ev.filter(F.col("event_type").isin("purchase", "click")).select(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("g1"),
+        F.round(F.col("value") * 10000).cast("bigint").alias("x_s"),
+    )
+    dec = "decimal(38,0)"
+    m = rows_in.agg(
+        F.sum("g1").cast(dec).alias("n1"),
+        F.sum(1 - F.col("g1")).cast(dec).alias("n2"),
+        F.sum(F.col("g1") * F.col("x_s")).cast(dec).alias("s1"),
+        F.sum((1 - F.col("g1")) * F.col("x_s")).cast(dec).alias("s2"),
+        F.sum(F.col("g1") * F.col("x_s").cast(dec) * F.col("x_s"))
+        .cast(dec)
+        .alias("q1"),
+        F.sum((1 - F.col("g1")) * F.col("x_s").cast(dec) * F.col("x_s"))
+        .cast(dec)
+        .alias("q2"),
+    )
+    u1 = (F.col("n1") * F.col("q1") - F.col("s1") * F.col("s1")).cast(
+        "double"
+    ) / (F.col("n1") * F.col("n1") * (F.col("n1") - 1)).cast("double")
+    u2 = (F.col("n2") * F.col("q2") - F.col("s2") * F.col("s2")).cast(
+        "double"
+    ) / (F.col("n2") * F.col("n2") * (F.col("n2") - 1)).cast("double")
+    t = (
+        (F.col("s1") * F.col("n2") - F.col("s2") * F.col("n1")).cast("double")
+        / (F.col("n1") * F.col("n2")).cast("double")
+    ) / F.sqrt(u1 + u2)
+    df_w = ((u1 + u2) * (u1 + u2)) / (
+        u1 * u1 / (F.col("n1") - 1).cast("double")
+        + u2 * u2 / (F.col("n2") - 1).cast("double")
+    )
+    return m.filter(u1 + u2 > 0).select(
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        t.alias("t_stat"),
+        df_w.alias("df_welch"),
+        (F.abs(t) > F.lit(1.96)).alias("significant"),
+    )

@@ -830,3 +830,121 @@ def token_gini_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.count(F.lit(1)) * F.sum("c")).cast("double")
         ).alias("gini"),
     )
+
+
+@declared(
+    "lang_score_calibration",
+    oracle=f"""
+    WITH {_LANG_ID_CTES},
+    perdoc AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN cand = 'en' THEN hits ELSE 0 END)
+                  AS BIGINT) AS he,
+             CAST(sum(hits) AS BIGINT) AS ha
+      FROM scores GROUP BY doc_id
+    ),
+    conf AS (
+      SELECT CAST((1000000 * p.he) // p.ha AS BIGINT) AS conf_ppm,
+             CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS pos
+      FROM perdoc p JOIN documents d USING (doc_id)
+      WHERE p.ha > 0
+    ),
+    binned AS (
+      SELECT least(conf_ppm // 100000, 9) AS bin,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(conf_ppm) AS BIGINT) AS sc,
+             CAST(sum(pos) AS BIGINT) AS np
+      FROM conf GROUP BY least(conf_ppm // 100000, 9)
+    )
+    SELECT CAST(bin AS INT) AS bin, n_docs,
+           CAST(sc // n_docs AS BIGINT) AS conf_ppm,
+           CAST((1000000 * np) // n_docs AS BIGINT) AS acc_ppm,
+           CAST(abs(sc // n_docs - (1000000 * np) // n_docs)
+                AS BIGINT) AS gap_ppm,
+           CAST(sum(n_docs * abs(sc // n_docs - (1000000 * np) // n_docs))
+                  OVER ()
+                // sum(n_docs) OVER () AS BIGINT) AS ece_ppm
+    FROM binned
+    """,
+)
+def lang_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + expected calibration error (ECE) for the
+    marker language-ID used as an is-English scorer: per doc, confidence
+    = share of marker hits that are English markers; binned into deciles
+    against the true is-English label.  The model-evaluation op a
+    quality-classifier pipeline needs before filtering on a score
+    threshold (Guo et al. 2017's ECE, computed exactly): per bin the
+    mean confidence, empirical accuracy, |gap|, and the corpus-weighted
+    ECE = sum n_b*|gap_b| / N repeated on every row.
+
+    All integer ppm: confidence is a floor-divided ratio of marker-hit
+    counts, bin = min(conf//1e5, 9), per-bin means and the ECE are
+    floor divisions of exact sums -- no floats anywhere.  Docs with
+    zero marker hits are excluded identically on both engines.
+
+    Cost: the corpus is scanned+exploded ONCE into the checkpointed
+    token stream (marker learning + scoring both read it -- the
+    lang_id_markers discipline); the label join-back is a second,
+    column-pruned documents scan (2-scan ceiling held).  Binned frame
+    is 10 rows; the ECE window is free.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(F.split(F.trim("text"), " ")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .localCheckpoint(eager=False)
+    )
+    freq = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("c"))
+    wm = Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("token"))
+    markers = (
+        freq.withColumn("rn", F.row_number().over(wm))
+        .filter(F.col("rn") <= 5)
+        .select(F.col("lang").alias("cand"), "token")
+    )
+    scores = (
+        tok.join(F.broadcast(markers), "token")
+        .groupBy("doc_id", "cand")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    perdoc = scores.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("cand") == "en", F.col("hits")).otherwise(0))
+        .cast("bigint")
+        .alias("he"),
+        F.sum("hits").cast("bigint").alias("ha"),
+    )
+    conf = (
+        perdoc.join(docs.select("doc_id", "lang"), "doc_id")
+        .filter(F.col("ha") > 0)
+        .select(
+            F.expr("CAST((1000000 * he) DIV ha AS BIGINT)").alias("conf_ppm"),
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+        )
+    )
+    binned = conf.groupBy(
+        F.least(F.expr("conf_ppm DIV 100000"), F.lit(9)).alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("conf_ppm").cast("bigint").alias("sc"),
+        F.sum("pos").cast("bigint").alias("np"),
+    )
+    conf_b = F.expr("sc DIV n_docs")
+    acc_b = F.expr("(1000000 * np) DIV n_docs")
+    gap = F.abs(conf_b - acc_b)
+    wall = Window.partitionBy()
+    return binned.select(
+        F.col("bin").cast("int").alias("bin"),
+        "n_docs",
+        conf_b.cast("bigint").alias("conf_ppm"),
+        acc_b.cast("bigint").alias("acc_ppm"),
+        gap.cast("bigint").alias("gap_ppm"),
+        F.expr(
+            "CAST(sum(n_docs * abs(sc DIV n_docs"
+            "          - (1000000 * np) DIV n_docs)) OVER ()"
+            "     DIV sum(n_docs) OVER () AS BIGINT)"
+        ).alias("ece_ppm"),
+    )
