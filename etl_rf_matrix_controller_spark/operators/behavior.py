@@ -3231,3 +3231,110 @@ def clamped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("st.clamps").alias("n_clamps"),
         (F.col("st.bal").cast("double") / F.lit(10000.0)).alias("balance"),
     )
+
+
+@declared(
+    "seasonal_decompose_additive",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day_idx,
+             CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS v_s
+      FROM events
+      GROUP BY CAST(floor(epoch(ts)) AS BIGINT) // 86400
+    ),
+    tr AS (
+      SELECT day_idx, v_s,
+             CAST(sum(v_s) OVER wnd AS BIGINT) AS trend7_s,
+             CAST(count(*) OVER wnd AS BIGINT) AS wcnt
+      FROM daily
+      WINDOW wnd AS (ORDER BY day_idx ROWS BETWEEN 3 PRECEDING
+                     AND 3 FOLLOWING)
+    ),
+    det AS (
+      SELECT day_idx, v_s, trend7_s,
+             (day_idx + 4) % 7 AS wd,
+             7 * v_s - trend7_s AS det7
+      FROM tr WHERE wcnt = 7
+    ),
+    seas AS (
+      SELECT wd, CAST(sum(det7) AS BIGINT) AS s7_num,
+             CAST(count(*) AS BIGINT) AS s7_cnt
+      FROM det GROUP BY wd
+    )
+    SELECT d.day_idx,
+           CAST(d.v_s AS DOUBLE) / 10000.0e0 AS value,
+           CAST(d.trend7_s AS DOUBLE) / 70000.0e0 AS trend,
+           CAST(s.s7_num AS DOUBLE)
+             / (70000.0e0 * CAST(s.s7_cnt AS DOUBLE)) AS seasonal,
+           CAST(d.det7 AS DOUBLE) / 70000.0e0
+             - CAST(s.s7_num AS DOUBLE)
+               / (70000.0e0 * CAST(s.s7_cnt AS DOUBLE)) AS residual
+    FROM det d JOIN seas s USING (wd)
+    """,
+)
+def seasonal_decompose_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the daily value
+    series: trend = 7-day centered moving average (interior days only --
+    the window must be full), seasonal = per-weekday mean of the
+    detrended series, residual = the rest.  The decomposition behind
+    every "is this dip seasonal or real" judgment; its pieces feed the
+    simpler declared ops (`dow_seasonality_lift` is the seasonal
+    component as a ratio; `seasonal_naive_forecast_error` assumes what
+    this measures).  Weekday is the portable (days+4)%7 formula.
+
+    Exactness: the mov-avg denominator is cleared by carrying 7x-scaled
+    integers (trend7_s = the 7-day sum; det7 = 7*v - trend7_s), and the
+    per-weekday mean stays a (sum, count) integer pair -- every stored
+    quantity is an exact bigint, and the three output doubles are fixed
+    float expressions of those integers (value/1e4, trend7/7e4,
+    s7_num/(7e4*cnt)), written identically in the oracle.  No integer
+    division anywhere, so no trunc-vs-floor hazard on the negative
+    detrended values.
+
+    Cost: one events scan -> calendar-bounded daily frame; the centered
+    window, weekday rollup, and join-back are all over <=|days| rows
+    (the weekday dim is broadcast).  Single-partition ordered window
+    over the day series -- calendar-bounded, never data-bounded.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.expr("CAST(ts AS LONG) DIV 86400").alias("day_idx"),
+            F.round(F.col("value") * 10000).cast("bigint").alias("v_si"),
+        )
+        .groupBy("day_idx")
+        .agg(F.sum("v_si").cast("bigint").alias("v_s"))
+    )
+    wnd = Window.orderBy("day_idx").rowsBetween(-3, 3)
+    tr = daily.select(
+        "day_idx",
+        "v_s",
+        F.sum("v_s").over(wnd).cast("bigint").alias("trend7_s"),
+        F.count(F.lit(1)).over(wnd).cast("bigint").alias("wcnt"),
+    )
+    det = tr.filter(F.col("wcnt") == 7).select(
+        "day_idx",
+        "v_s",
+        "trend7_s",
+        ((F.col("day_idx") + 4) % 7).alias("wd"),
+        (7 * F.col("v_s") - F.col("trend7_s")).alias("det7"),
+    )
+    # det feeds the weekday rollup and the final join -- checkpoint once;
+    # stat-less after checkpoint, so the tiny seasonal dim is broadcast.
+    det = det.localCheckpoint(eager=True)
+    seas = det.groupBy("wd").agg(
+        F.sum("det7").cast("bigint").alias("s7_num"),
+        F.count(F.lit(1)).cast("bigint").alias("s7_cnt"),
+    )
+    seasonal = F.col("s7_num").cast("double") / (
+        F.lit(70000.0) * F.col("s7_cnt").cast("double")
+    )
+    return det.join(F.broadcast(seas), "wd").select(
+        "day_idx",
+        (F.col("v_s").cast("double") / F.lit(10000.0)).alias("value"),
+        (F.col("trend7_s").cast("double") / F.lit(70000.0)).alias("trend"),
+        seasonal.alias("seasonal"),
+        (F.col("det7").cast("double") / F.lit(70000.0) - seasonal).alias(
+            "residual"
+        ),
+    )

@@ -730,3 +730,114 @@ def trade_graph_bfs_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(nation.select("n_nationkey", "n_name")),
         dist.node == F.col("n_nationkey"),
     ).select(F.col("n_name").alias("nation"), F.col("d").cast("int").alias("depth"))
+
+
+@declared(
+    "hits_hubs_authorities",
+    oracle=f"""
+    WITH edges AS ({_EDGES_SQL}),
+    a1 AS (
+      SELECT v AS node, CAST(sum(w) AS BIGINT) * 1000000 AS raw
+      FROM edges GROUP BY v
+    ),
+    a1n AS (
+      SELECT node,
+             CAST((1000000 * raw) // (SELECT sum(raw) FROM a1) AS BIGINT)
+               AS a FROM a1
+    ),
+    h1 AS (
+      SELECT e.u AS node, CAST(sum(e.w * a1n.a) AS BIGINT) AS raw
+      FROM edges e JOIN a1n ON a1n.node = e.v GROUP BY e.u
+    ),
+    h1n AS (
+      SELECT node,
+             CAST((1000000 * raw) // (SELECT sum(raw) FROM h1) AS BIGINT)
+               AS h FROM h1
+    ),
+    a2 AS (
+      SELECT e.v AS node, CAST(sum(e.w * h1n.h) AS BIGINT) AS raw
+      FROM edges e JOIN h1n ON h1n.node = e.u GROUP BY e.v
+    ),
+    a2n AS (
+      SELECT node,
+             CAST((1000000 * raw) // (SELECT sum(raw) FROM a2) AS BIGINT)
+               AS a FROM a2
+    ),
+    h2 AS (
+      SELECT e.u AS node, CAST(sum(e.w * a2n.a) AS BIGINT) AS raw
+      FROM edges e JOIN a2n ON a2n.node = e.v GROUP BY e.u
+    ),
+    h2n AS (
+      SELECT node,
+             CAST((1000000 * raw) // (SELECT sum(raw) FROM h2) AS BIGINT)
+               AS h FROM h2
+    )
+    SELECT n.n_name AS nation, h2n.h AS hub_ppm, a2n.a AS auth_ppm
+    FROM h2n JOIN a2n USING (node)
+    JOIN nation n ON n.n_nationkey = h2n.node
+    """,
+)
+def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg 1999), 2 unrolled mutual-reinforcement iterations
+    over the weighted nation trade graph: authority(v) = sum of hub
+    scores shipping INTO v, hub(u) = sum of authority scores u ships TO
+    -- the directed complement of `pagerank_nations` (which measures a
+    single stationary flow; HITS separates "big exporter to important
+    markets" from "big import market").
+
+    Sum-normalized in integer ppm each half-step ((1e6*raw) DIV
+    sum(raw), all positive, floor division) so every iteration is
+    bit-identical cross-engine -- the pagerank_nations discipline; a
+    float HITS diverges in ulps after one normalization.  Envelope:
+    1e6*raw with raw <= 1e6*sum(w) needs sum(w) < ~9e6 per node in
+    int64 -- true at any sf here; cast to DECIMAL(38,0) beyond.
+
+    Plan: the fact scan builds the dimension-bounded edge list once
+    (checkpointed, the declared unroll reuses it 4x); each half-step is
+    a broadcast join of the <=|nations|-row score vector onto the edge
+    list -- iteration cost is edge-bounded, never fact-bounded.
+    """
+    edges = _trade_edges(spark, sf_dir).localCheckpoint(eager=True)
+    nation = load_table(spark, sf_dir, "nation")
+
+    def _norm(scores: DataFrame, out: str) -> DataFrame:
+        tot = scores.agg(F.sum("raw").alias("t"))
+        return scores.crossJoin(F.broadcast(tot)).select(
+            "node",
+            F.expr(f"CAST((1000000 * raw) DIV t AS BIGINT)").alias(out),
+        )
+
+    a1 = edges.groupBy(F.col("v").alias("node")).agg(
+        (F.sum("w").cast("bigint") * 1000000).alias("raw")
+    )
+    a1n = _norm(a1, "a").localCheckpoint(eager=True)
+    h1 = (
+        edges.join(F.broadcast(a1n), edges.v == a1n.node)
+        .groupBy(F.col("u").alias("node"))
+        .agg(F.sum(F.col("w") * F.col("a")).cast("bigint").alias("raw"))
+    )
+    h1n = _norm(h1, "h").localCheckpoint(eager=True)
+    a2 = (
+        edges.join(F.broadcast(h1n), edges.u == h1n.node)
+        .groupBy(F.col("v").alias("node"))
+        .agg(F.sum(F.col("w") * F.col("h")).cast("bigint").alias("raw"))
+    )
+    a2n = _norm(a2, "a").localCheckpoint(eager=True)
+    h2 = (
+        edges.join(F.broadcast(a2n), edges.v == a2n.node)
+        .groupBy(F.col("u").alias("node"))
+        .agg(F.sum(F.col("w") * F.col("a")).cast("bigint").alias("raw"))
+    )
+    h2n = _norm(h2, "h")
+    return (
+        h2n.join(a2n, "node")
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("node") == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("h").alias("hub_ppm"),
+            F.col("a").alias("auth_ppm"),
+        )
+    )

@@ -2214,3 +2214,85 @@ def spearman_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sqrt(varx.cast("double")) * F.sqrt(vary.cast("double")))
         ).alias("rho"),
     )
+
+
+@declared(
+    "goodman_kruskal_lambda",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type,
+             (CAST(floor(epoch(ts)) AS BIGINT) // 86400 + 4) % 7 AS wd,
+             CAST(count(*) AS BIGINT) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    colmax AS (
+      SELECT CAST(sum(mx) AS BIGINT) AS sum_colmax
+      FROM (SELECT wd, max(o) AS mx FROM cells GROUP BY wd)
+    ),
+    base AS (
+      SELECT CAST(max(tot) AS BIGINT) AS base_max
+      FROM (SELECT event_type, sum(o) AS tot FROM cells GROUP BY event_type)
+    ),
+    nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells)
+    SELECT nn.n, b.base_max, c.sum_colmax,
+           CAST((1000000 * (c.sum_colmax - b.base_max))
+                // (nn.n - b.base_max) AS BIGINT) AS lambda_ppm
+    FROM nn CROSS JOIN base b CROSS JOIN colmax c
+    WHERE nn.n > b.base_max
+    """,
+)
+def goodman_kruskal_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goodman-Kruskal lambda: the proportional-reduction-in-error
+    association between weekday and event type -- "how much better do I
+    predict the event type knowing the weekday than always guessing the
+    modal type?"  The log-free categorical-association measure (mutual
+    information needs float ln sums, which are not order-stable
+    cross-engine; lambda is PURE INTEGER: counts, maxes, one ppm floor
+    division), making it the measure of choice for an oracle-exact
+    engine -- and it reads directly as error reduction (0 = weekday
+    tells you nothing, matching `chi_square_type_weekday`'s independence
+    null from the prediction side).
+
+    sum_colmax - base_max >= 0 always; the guard n > base_max excludes
+    only the degenerate single-type table, identically on both engines.
+
+    Cost: one events scan into the (type x 7)-cell frame
+    (localCheckpointed; per-weekday max, per-type totals, and n are
+    three dimension-bounded consumers of it).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            "event_type",
+            ((F.expr("CAST(ts AS LONG) DIV 86400") + 4) % 7).alias("wd"),
+        )
+        .groupBy("event_type", "wd")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+        .localCheckpoint(eager=True)  # colmax + base + n consumers
+    )
+    colmax = (
+        cells.groupBy("wd")
+        .agg(F.max("o").alias("mx"))
+        .agg(F.sum("mx").cast("bigint").alias("sum_colmax"))
+    )
+    base = (
+        cells.groupBy("event_type")
+        .agg(F.sum("o").alias("tot"))
+        .agg(F.max("tot").cast("bigint").alias("base_max"))
+    )
+    nn = cells.agg(F.sum("o").cast("bigint").alias("n"))
+    return (
+        F.broadcast(nn)
+        .crossJoin(F.broadcast(base))
+        .crossJoin(F.broadcast(colmax))
+        .filter(F.col("n") > F.col("base_max"))
+        .select(
+            "n",
+            "base_max",
+            "sum_colmax",
+            F.expr(
+                "CAST((1000000 * (sum_colmax - base_max))"
+                " DIV (n - base_max) AS BIGINT)"
+            ).alias("lambda_ppm"),
+        )
+    )

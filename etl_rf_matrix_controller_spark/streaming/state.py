@@ -832,3 +832,103 @@ def stream_twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "n_intervals", "total_s", "twap")
     )
+
+
+BALANCE_STATE_SCHEMA = StructType(
+    [
+        StructField("bal", LongType()),
+        StructField("clamps", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+BALANCE_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_rows", LongType()),
+        StructField("balance_s", LongType()),
+        StructField("n_clamps", LongType()),
+    ]
+)
+
+
+def _update_balance(key, pdf_iter, state: GroupState):
+    """Clamped-balance fold (max(0, bal + delta) per step, counting clamp
+    hits) over (ts, event_id)-ordered integer deltas; state is three
+    int64 scalars per key.  All-integer arithmetic, so the streaming fold
+    is bit-identical to the batch F.aggregate fold and the oracle's
+    recursive CTE regardless of how rows split across micro-batches --
+    the state carries everything the remaining fold needs."""
+    import pandas as pd
+
+    bal, clamps, n = state.get if state.exists else (0, 0, 0)
+    for pdf in pdf_iter:
+        if pdf.empty:
+            continue
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for d in pdf["d"].astype("int64"):
+            d = int(d)
+            if bal + d < 0:
+                bal, clamps = 0, clamps + 1
+            else:
+                bal += d
+            n += 1
+    if n:
+        state.update((int(bal), int(clamps), int(n)))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_rows": [n],
+                "balance_s": [bal],
+                "n_clamps": [clamps],
+            }
+        )
+
+
+def stream_clamped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of operators.behavior.clamped_running_balance: the
+    per-user zero-clamped credit balance as an O(1)-state streaming fold
+    (the shape that scales where the batch collect_list cannot -- a
+    year-long event stream never materializes per-user arrays here).
+    Returns the final per-key emission for the batch==stream contract
+    test."""
+    from pyspark.sql import functions as F
+
+    events = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type").isin("purchase", "error"))
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 10000).cast("long"),
+            )
+            .otherwise(-F.round(F.col("value") * 10000).cast("long"))
+            .alias("d"),
+        )
+    )
+    updates = events.groupBy("user_id").applyInPandasWithState(
+        _update_balance,
+        outputStructType=BALANCE_OUTPUT_SCHEMA,
+        stateStructType=BALANCE_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        updates.writeStream.format("memory")
+        .queryName("balance_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    from pyspark.sql.window import Window
+
+    tbl = spark.table("balance_stream")
+    w = Window.partitionBy("user_id").orderBy(F.col("n_rows").desc())
+    return (
+        tbl.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "balance_s", "n_clamps")
+    )

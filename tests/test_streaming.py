@@ -899,3 +899,24 @@ def test_twap_batch_eq_stream(spark):
         stream_twap_user_value(spark, SF_DIR),
         "time_weighted_avg_value",
     )
+
+
+def test_clamped_balance_batch_eq_stream(spark):
+    """Clamped-balance fold (all-integer state) == batch array fold,
+    exactly: the clamp is history-erasing, so this only holds if the
+    stream applies deltas in the same (ts, event_id) order and carries
+    complete (bal, clamps) state across micro-batches."""
+    from etl_rf_matrix_controller_spark.operators.behavior import (
+        clamped_running_balance,
+    )
+    from etl_rf_matrix_controller_spark.streaming.state import (
+        stream_clamped_balance,
+    )
+
+    _assert_same(
+        clamped_running_balance(spark, SF_DIR).select(
+            "user_id", "balance_s", "n_clamps"
+        ),
+        stream_clamped_balance(spark, SF_DIR),
+        "clamped_running_balance",
+    )
