@@ -830,7 +830,7 @@ def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     h2n = _norm(h2, "h")
     return (
-        h2n.join(a2n, "node")
+        h2n.join(F.broadcast(a2n), "node")
         .join(
             F.broadcast(nation.select("n_nationkey", "n_name")),
             F.col("node") == F.col("n_nationkey"),
