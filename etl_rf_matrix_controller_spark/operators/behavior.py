@@ -3338,3 +3338,95 @@ def seasonal_decompose_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
             "residual"
         ),
     )
+
+
+@declared(
+    "item_cooccurrence_similarity",
+    oracle="""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    cnt AS (SELECT pk, CAST(count(*) AS BIGINT) AS n FROM op GROUP BY pk),
+    pairs AS (
+      SELECT a.pk AS part_a, b.pk AS part_b,
+             CAST(count(*) AS BIGINT) AS cooc
+      FROM op a JOIN op b ON b.ok = a.ok AND b.pk > a.pk
+      GROUP BY a.pk, b.pk
+    ),
+    scored AS (
+      SELECT p.part_a, p.part_b, p.cooc, ca.n AS n_a, cb.n AS n_b,
+             CAST(p.cooc AS DOUBLE)
+               / sqrt(CAST(ca.n * cb.n AS DOUBLE)) AS cosine
+      FROM pairs p
+      JOIN cnt ca ON ca.pk = p.part_a
+      JOIN cnt cb ON cb.pk = p.part_b
+    )
+    SELECT part_a, part_b, cooc, n_a, n_b, cosine
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY cosine DESC, part_a, part_b)
+               AS rnk
+      FROM scored
+    ) WHERE rnk <= 20
+    """,
+)
+def item_cooccurrence_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative-filtering scores: cosine similarity on
+    order co-occurrence -- cooc(a,b)/sqrt(n_a*n_b) over the binary
+    part-x-order incidence -- reported as the global top-20 pairs.  The
+    "customers who bought X also bought Y" primitive (Linden et al.
+    2003), and the part-level refinement of `brand_affinity_lift`
+    (lift vs cosine, 25 brands vs the full part dim).
+
+    Pair fan-out is bounded by ORDER WIDTH (4-7 items), never by the
+    part count: the distinct incidence self-joins on l_orderkey, so each
+    order contributes ~width^2/2 pairs -- linear in orders at any scale.
+    Counts are exact integers; cosine is one float division of exact
+    integers (identical expression in the oracle) and the top-20 is
+    total-ordered by (cosine, part_a, part_b).
+
+    Plan: one lineitem scan -> distinct incidence (localCheckpointed:
+    self-join both sides + part counts), shuffle-hash self-join, then
+    two broadcast joins of the part-count dim.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    op = (
+        li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+        .localCheckpoint(eager=True)  # self-join sides + count dim
+    )
+    cnt = op.groupBy("pk").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a = op.select("ok", F.col("pk").alias("part_a"))
+    bb = op.select("ok", F.col("pk").alias("part_b"))
+    pairs = (
+        a.join(bb.hint("shuffle_hash"), "ok")
+        .filter(F.col("part_b") > F.col("part_a"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cooc"))
+    )
+    scored = (
+        pairs.join(
+            F.broadcast(cnt.select(F.col("pk").alias("part_a"), F.col("n").alias("n_a"))),
+            "part_a",
+        )
+        .join(
+            F.broadcast(cnt.select(F.col("pk").alias("part_b"), F.col("n").alias("n_b"))),
+            "part_b",
+        )
+        .select(
+            "part_a",
+            "part_b",
+            "cooc",
+            "n_a",
+            "n_b",
+            (
+                F.col("cooc").cast("double")
+                / F.sqrt((F.col("n_a") * F.col("n_b")).cast("double"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.orderBy(F.desc("cosine"), F.asc("part_a"), F.asc("part_b"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 20)
+        .select("part_a", "part_b", "cooc", "n_a", "n_b", "cosine")
+    )

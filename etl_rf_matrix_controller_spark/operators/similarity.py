@@ -2852,3 +2852,94 @@ def split_embedding_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFram
             )
         ).alias("centroid_shift"),
     )
+
+
+@declared(
+    "knn_label_noise",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, label, embedding,
+             {_BUCKET_DUCK.format(col='embedding')} AS bucket
+      FROM embeddings
+    ),
+    sc AS (
+      SELECT a.vec_id, a.label, c.label AS cl, c.vec_id AS cand,
+             {_DOT_SQL.format(a='a.embedding', b='c.embedding')} AS score
+      FROM b a JOIN b c ON c.bucket = a.bucket AND c.vec_id <> a.vec_id
+    ),
+    rk AS (
+      SELECT vec_id, label, cl,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY score DESC, cand) AS rnk
+      FROM sc
+    )
+    SELECT vec_id, label,
+           CAST(count(*) AS BIGINT) AS n_neighbors,
+           CAST(sum(CASE WHEN cl <> label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_disagree,
+           2 * sum(CASE WHEN cl <> label THEN 1 ELSE 0 END) > count(*)
+             AS suspect
+    FROM rk WHERE rnk <= {TOP_K}
+    GROUP BY vec_id, label
+    """,
+)
+def knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label-noise detection (confident-learning-lite, Northcutt et
+    al. 2021's neighborhood-consensus reduction): for EVERY vector, its
+    top-3 same-LSH-bucket neighbors by dot product vote on the label;
+    a majority of disagreeing neighbors flags the row as suspect.  The
+    labeled-data QA pass a training pipeline runs before trusting its
+    labels -- and the all-rows generalization of `hard_negative_mining`
+    (which only ranks cross-label near-misses for the 5 probes).
+
+    Scale: candidate pairs come ONLY from the 256-bucket LSH sign-code
+    equi-join (the cosine_near_dup_pairs blocking; expected bucket
+    population ~n/256, so pair volume ~n^2/256 spread uniformly --
+    shuffle-hash pinned, never all-pairs).  Vectors alone in their
+    bucket have no neighbors and drop out, identically on both engines
+    (multiprobe raises coverage at scale).  Dot products are the
+    deterministic sequential fold, ranking total-ordered by
+    (score desc, cand_id).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    b = emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.expr(_BUCKET_SPARK.format(col="embedding"))
+        .cast("bigint")
+        .alias("bucket"),
+    ).localCheckpoint(eager=True)  # both sides of the bucket self-join
+    a = b.select(
+        F.col("vec_id"),
+        F.col("label"),
+        F.col("embedding").alias("ae"),
+        "bucket",
+    )
+    c = b.select(
+        F.col("vec_id").alias("cand"),
+        F.col("label").alias("cl"),
+        F.col("embedding").alias("ce"),
+        "bucket",
+    )
+    sc = (
+        a.join(c.hint("shuffle_hash"), "bucket")
+        .filter(F.col("cand") != F.col("vec_id"))
+        .select(
+            "vec_id",
+            "label",
+            "cl",
+            "cand",
+            dot_double(F.col("ae"), F.col("ce")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("score"), F.asc("cand"))
+    top = sc.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= TOP_K
+    )
+    dis = F.sum(F.when(F.col("cl") != F.col("label"), 1).otherwise(0))
+    return top.groupBy("vec_id", "label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_neighbors"),
+        dis.cast("bigint").alias("n_disagree"),
+        (2 * dis > F.count(F.lit(1))).alias("suspect"),
+    )

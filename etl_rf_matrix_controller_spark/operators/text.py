@@ -948,3 +948,79 @@ def lang_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "     DIV sum(n_docs) OVER () AS BIGINT)"
         ).alias("ece_ppm"),
     )
+
+
+@declared(
+    "skipgram_pair_counts",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS arr,
+             generate_series(1, len(string_split(trim(text), ' '))) AS idx
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, t.i AS pos, arr[t.i] AS token
+      FROM base, unnest(idx) AS t(i)
+      WHERE arr[t.i] <> ''
+    ),
+    pairs AS (
+      SELECT a.token AS tok_a, b.token AS tok_b,
+             CAST(count(*) AS BIGINT) AS n_pairs
+      FROM tok a JOIN tok b
+        ON b.doc_id = a.doc_id
+       AND b.pos - a.pos BETWEEN 1 AND 3
+      GROUP BY a.token, b.token
+    )
+    SELECT tok_a, tok_b, n_pairs, rnk
+    FROM (
+      SELECT tok_a, tok_b, n_pairs,
+             CAST(row_number() OVER (ORDER BY n_pairs DESC, tok_a, tok_b)
+                  AS BIGINT) AS rnk
+      FROM pairs
+    ) WHERE rnk <= 30
+    """,
+)
+def skipgram_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram (window-3) co-occurrence counts: ordered token pairs
+    within 3 positions in the same document, top-30 -- the context
+    statistics under word2vec/GloVe embedding training (Mikolov 2013),
+    and the windowed generalization of `bigram_fluency` (distance
+    exactly 1) and `token_pmi_lift` (whole-doc co-occurrence).
+
+    Positions come from the SAME tokenization on both engines (split on
+    single space, empties filtered AFTER position assignment so offsets
+    agree; Spark posexplode is 0-based, ordinality 1-based -- the +1 is
+    applied Spark-side).  Pure integer counts, total-ordered top-30.
+
+    Scale: the position band join is an equi-join on doc_id with a
+    bounded band filter -- fan-out 3 pairs/token, linear in corpus
+    tokens, never quadratic (the `temporal_band_join` posture applied
+    to token positions).  The token stream is rebalanced BEFORE the
+    explode and localCheckpointed for its two join aliases;
+    shuffle-hash pinned (stat-less checkpoint rule).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "doc_id",
+            F.posexplode(F.split(F.trim("text"), " ")).alias("pos0", "token"),
+        )
+        .filter(F.col("token") != "")
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "token")
+        .localCheckpoint(eager=True)  # two band-join aliases
+    )
+    a = tok.select("doc_id", F.col("pos").alias("pa"), F.col("token").alias("tok_a"))
+    b = tok.select("doc_id", F.col("pos").alias("pb"), F.col("token").alias("tok_b"))
+    pairs = (
+        a.join(b.hint("shuffle_hash"), "doc_id")
+        .filter((F.col("pb") - F.col("pa")).between(1, 3))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )
+    w = Window.orderBy(F.desc("n_pairs"), F.asc("tok_a"), F.asc("tok_b"))
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 30)
+        .select("tok_a", "tok_b", "n_pairs", "rnk")
+    )
