@@ -3430,3 +3430,273 @@ def item_cooccurrence_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 20)
         .select("part_a", "part_b", "cooc", "n_a", "n_b", "cosine")
     )
+
+
+@declared(
+    "ljung_box_whiteness",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day_idx,
+             CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS v_s
+      FROM events
+      GROUP BY CAST(floor(epoch(ts)) AS BIGINT) // 86400
+    ),
+    mom AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(CAST(v_s AS HUGEINT)) AS HUGEINT) AS s,
+             CAST(sum(CAST(v_s AS HUGEINT) * v_s) AS HUGEINT) AS q
+      FROM daily
+    ),
+    pairs AS (
+      SELECT lg.lag AS lag,
+             CAST(count(*) AS HUGEINT) AS cnt,
+             CAST(sum(CAST(a.v_s AS HUGEINT) * b.v_s) AS HUGEINT) AS sab,
+             CAST(sum(CAST(a.v_s AS HUGEINT)) AS HUGEINT) AS sa,
+             CAST(sum(CAST(b.v_s AS HUGEINT)) AS HUGEINT) AS sb
+      FROM generate_series(1, 7) AS lg(lag)
+      JOIN daily a ON true
+      JOIN daily b ON b.day_idx = a.day_idx + lg.lag
+      GROUP BY lg.lag
+    ),
+    rs AS (
+      SELECT m.n,
+             max(CASE WHEN p.lag = 1 THEN r END) AS r1,
+             max(CASE WHEN p.lag = 2 THEN r END) AS r2,
+             max(CASE WHEN p.lag = 3 THEN r END) AS r3,
+             max(CASE WHEN p.lag = 4 THEN r END) AS r4,
+             max(CASE WHEN p.lag = 5 THEN r END) AS r5,
+             max(CASE WHEN p.lag = 6 THEN r END) AS r6,
+             max(CASE WHEN p.lag = 7 THEN r END) AS r7
+      FROM (
+        SELECT p.lag,
+               CAST(m.n * m.n * p.sab - m.n * m.s * (p.sa + p.sb)
+                    + p.cnt * m.s * m.s AS DOUBLE)
+               / CAST(m.n * m.n * m.q - m.n * m.s * m.s AS DOUBLE) AS r
+        FROM pairs p CROSS JOIN mom m
+        WHERE m.n * m.n * m.q - m.n * m.s * m.s > 0
+      ) p CROSS JOIN mom m
+      GROUP BY m.n
+    )
+    SELECT CAST(n AS BIGINT) AS n_days, q_stat,
+           q_stat > 14.067e0 AS reject_whiteness
+    FROM (
+      SELECT n,
+             CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0e0)
+             * (r1 * r1 / CAST(n - 1 AS DOUBLE)
+                + r2 * r2 / CAST(n - 2 AS DOUBLE)
+                + r3 * r3 / CAST(n - 3 AS DOUBLE)
+                + r4 * r4 / CAST(n - 4 AS DOUBLE)
+                + r5 * r5 / CAST(n - 5 AS DOUBLE)
+                + r6 * r6 / CAST(n - 6 AS DOUBLE)
+                + r7 * r7 / CAST(n - 7 AS DOUBLE)) AS q_stat
+      FROM rs
+      WHERE r1 IS NOT NULL AND r2 IS NOT NULL AND r3 IS NOT NULL
+        AND r4 IS NOT NULL AND r5 IS NOT NULL AND r6 IS NOT NULL
+        AND r7 IS NOT NULL
+    )
+    """,
+)
+def ljung_box_whiteness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test on the daily value series, lags 1-7:
+    Q = n(n+2) * sum r_k^2/(n-k), rejected against the chi-square(7)
+    95% critical value 14.067 -- the one-number "is there ANY serial
+    structure" gate that summarizes what `acf_daily_lags` shows per lag
+    (and the whiteness check to run before trusting
+    `seasonal_naive_forecast_error`'s baseline).
+
+    Exactness: each r_k is the `acf_daily_lags` single float division of
+    two exact integers; Q then assembles the seven r_k in one FIXED
+    left-to-right expression (conditional-aggregated into columns first
+    -- never a float SUM over rows, which is partial-agg
+    order-dependent).  The identical expression runs on both engines,
+    so Q hash-matches.  Series shorter than 8 days (any lag missing)
+    drop the row identically on both sides.
+
+    Cost: one events scan -> calendar-bounded daily frame
+    (localCheckpointed: moments + both pair-join sides), broadcast lag
+    pairs, then a 7-row pivot -- everything after the first aggregation
+    is calendar-bounded.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.expr("CAST(ts AS LONG) DIV 86400").alias("day_idx"),
+            F.round(F.col("value") * 10000).cast("bigint").alias("v_si"),
+        )
+        .groupBy("day_idx")
+        .agg(F.sum("v_si").cast("bigint").alias("v_s"))
+        .localCheckpoint(eager=True)  # moments + pair-join a + b sides
+    )
+    dec = "decimal(38,0)"
+    mom = daily.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("v_s").cast(dec)).cast(dec).alias("s"),
+        F.sum(F.col("v_s").cast(dec) * F.col("v_s")).cast(dec).alias("q"),
+    )
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
+    a = daily.select(F.col("day_idx").alias("da"), F.col("v_s").alias("va"))
+    b = daily.select(F.col("day_idx").alias("db"), F.col("v_s").alias("vb"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(F.broadcast(b), F.col("db") == F.col("da") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast(dec).alias("cnt"),
+            F.sum(F.col("va").cast(dec) * F.col("vb")).cast(dec).alias("sab"),
+            F.sum(F.col("va").cast(dec)).cast(dec).alias("sa"),
+            F.sum(F.col("vb").cast(dec)).cast(dec).alias("sb"),
+        )
+    )
+    num = (
+        F.col("n") * F.col("n") * F.col("sab")
+        - F.col("n") * F.col("s") * (F.col("sa") + F.col("sb"))
+        + F.col("cnt") * F.col("s") * F.col("s")
+    )
+    den = F.col("n") * F.col("n") * F.col("q") - F.col("n") * F.col("s") * F.col("s")
+    rlag = (
+        pairs.crossJoin(F.broadcast(mom))
+        .filter(den > 0)
+        .select("lag", "n", (num.cast("double") / den.cast("double")).alias("r"))
+    )
+    rs = rlag.groupBy("n").agg(
+        *[
+            F.max(F.when(F.col("lag") == k, F.col("r"))).alias(f"r{k}")
+            for k in range(1, 8)
+        ]
+    )
+    nd = F.col("n").cast("double")
+    qsum = None
+    for k in range(1, 8):
+        term = F.col(f"r{k}") * F.col(f"r{k}") / (F.col("n") - k).cast("double")
+        qsum = term if qsum is None else qsum + term
+    q_stat = nd * (nd + F.lit(2.0)) * qsum
+    cond = None
+    for k in range(1, 8):
+        c = F.col(f"r{k}").isNotNull()
+        cond = c if cond is None else (cond & c)
+    return rs.filter(cond).select(
+        F.col("n").cast("bigint").alias("n_days"),
+        q_stat.alias("q_stat"),
+        (q_stat > F.lit(14.067)).alias("reject_whiteness"),
+    )
+
+
+@declared(
+    "runs_test_daily_direction",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day_idx,
+             CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS v_s
+      FROM events
+      GROUP BY CAST(floor(epoch(ts)) AS BIGINT) // 86400
+    ),
+    diffs AS (
+      SELECT day_idx,
+             CASE WHEN v_s > lag(v_s) OVER (ORDER BY day_idx) THEN 1
+                  WHEN v_s < lag(v_s) OVER (ORDER BY day_idx) THEN -1
+             END AS sgn
+      FROM daily
+    ),
+    sgns AS (
+      SELECT day_idx, sgn,
+             lag(sgn) OVER (ORDER BY day_idx) AS prev_sgn
+      FROM diffs WHERE sgn IS NOT NULL
+    ),
+    agg AS (
+      SELECT CAST(sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(1 + sum(CASE WHEN prev_sgn IS NOT NULL
+                               AND sgn <> prev_sgn THEN 1 ELSE 0 END)
+                  AS BIGINT) AS runs
+      FROM sgns
+    )
+    SELECT n1, n2, runs, z, abs(z) > 1.96e0 AS significant
+    FROM (
+      SELECT n1, n2, runs,
+             (CAST(runs AS DOUBLE)
+              - (1.0e0 + 2.0e0 * CAST(n1 * n2 AS DOUBLE)
+                         / CAST(n1 + n2 AS DOUBLE)))
+             / sqrt(2.0e0 * CAST(n1 * n2 AS DOUBLE)
+                    * (2.0e0 * CAST(n1 * n2 AS DOUBLE)
+                       - CAST(n1 + n2 AS DOUBLE))
+                    / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE)
+                       * CAST(n1 + n2 - 1 AS DOUBLE))) AS z
+      FROM agg WHERE n1 > 0 AND n2 > 0 AND n1 + n2 > 1
+    )
+    """,
+)
+def runs_test_daily_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on the direction of day-over-day moves
+    of the daily value total: too FEW runs of consecutive ups/downs
+    means trending/sticky, too MANY means oscillating -- the
+    distribution-free randomness check that completes the
+    `mann_kendall_trend` / `ljung_box_whiteness` diagnostic trio (MK
+    asks "monotone?", LB "any serial correlation?", runs "random sign
+    sequence?").  Zero-change days are dropped, identically.
+
+    Counts (n1 ups, n2 downs, runs = 1 + sign changes) are exact
+    integers off two lag windows over the calendar-bounded day series;
+    z assembles E[R] = 1 + 2*n1*n2/n and Var[R] in ONE fixed float
+    expression of those integers, written identically in the oracle.
+
+    Cost: one events scan -> daily frame; everything after is a
+    single-partition window over <=|days| rows -- calendar-bounded.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.expr("CAST(ts AS LONG) DIV 86400").alias("day_idx"),
+            F.round(F.col("value") * 10000).cast("bigint").alias("v_si"),
+        )
+        .groupBy("day_idx")
+        .agg(F.sum("v_si").cast("bigint").alias("v_s"))
+    )
+    wd = Window.orderBy("day_idx")
+    diffs = daily.select(
+        "day_idx",
+        F.when(F.col("v_s") > F.lag("v_s").over(wd), 1)
+        .when(F.col("v_s") < F.lag("v_s").over(wd), -1)
+        .alias("sgn"),
+    )
+    sgns = diffs.filter(F.col("sgn").isNotNull()).select(
+        "day_idx", "sgn", F.lag("sgn").over(wd).alias("prev_sgn")
+    )
+    agg = sgns.agg(
+        F.sum(F.when(F.col("sgn") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(F.when(F.col("sgn") == -1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n2"),
+        (
+            1
+            + F.sum(
+                F.when(
+                    F.col("prev_sgn").isNotNull()
+                    & (F.col("sgn") != F.col("prev_sgn")),
+                    1,
+                ).otherwise(0)
+            )
+        )
+        .cast("bigint")
+        .alias("runs"),
+    )
+    nn = (F.col("n1") + F.col("n2")).cast("double")
+    n12 = (F.col("n1") * F.col("n2")).cast("double")
+    er = F.lit(1.0) + F.lit(2.0) * n12 / nn
+    varr = (
+        F.lit(2.0)
+        * n12
+        * (F.lit(2.0) * n12 - nn)
+        / (nn * nn * (F.col("n1") + F.col("n2") - 1).cast("double"))
+    )
+    z = (F.col("runs").cast("double") - er) / F.sqrt(varr)
+    return agg.filter(
+        (F.col("n1") > 0) & (F.col("n2") > 0) & (F.col("n1") + F.col("n2") > 1)
+    ).select(
+        "n1",
+        "n2",
+        "runs",
+        z.alias("z"),
+        (F.abs(z) > F.lit(1.96)).alias("significant"),
+    )

@@ -841,3 +841,130 @@ def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a").alias("auth_ppm"),
         )
     )
+
+
+@declared(
+    "clustering_coefficient_nations",
+    oracle="""
+    WITH edges AS (
+      SELECT s.s_nationkey AS u, c.c_nationkey AS v,
+             CAST(count(*) AS BIGINT) AS w
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      WHERE s.s_nationkey <> c.c_nationkey
+      GROUP BY s.s_nationkey, c.c_nationkey
+    ),
+    se AS (
+      SELECT u, v FROM (
+        SELECT u, v,
+               row_number() OVER (PARTITION BY u ORDER BY w DESC, v) AS r
+        FROM edges
+      ) WHERE r <= 3
+    ),
+    und AS (
+      SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM se
+    ),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM und e1
+      JOIN und e2 ON e2.a = e1.b
+      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    tric AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+      FROM (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri)
+      GROUP BY node
+    ),
+    deg AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS d
+      FROM (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+      GROUP BY node
+    )
+    SELECT n.n_name AS nation, deg.d AS degree,
+           CAST(coalesce(tric.n_tri, 0) AS BIGINT) AS n_triangles,
+           CAST((2000000 * coalesce(tric.n_tri, 0))
+                // (deg.d * (deg.d - 1)) AS BIGINT) AS cc_ppm
+    FROM deg
+    LEFT JOIN tric ON tric.node = deg.node
+    JOIN nation n ON n.n_nationkey = deg.node
+    WHERE deg.d >= 2
+    """,
+)
+def clustering_coefficient_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per nation over the undirected
+    TOP-3-PARTNER trade graph: cc(v) = 2*triangles(v) / (deg(v) choose
+    2) * 2 -- how much of each nation's trading neighborhood trades
+    among itself.  The per-node refinement of `triangle_count_nations`
+    (global count, near-complete raw graph) on the sparsified graph
+    where the statistic is informative; with `strength_assortativity`
+    it gives the two standard structure diagnostics.
+
+    Triangles enumerate once via the ordered-wedge join (a<b
+    orientation) and are credited to ALL THREE corners by a 3-way
+    union; degree comes from the same undirected edge list.  cc is
+    integer ppm with the binomial denominator cross-multiplied --
+    all-integer, isolated/degree-1 nodes excluded identically.
+
+    Cost: one fact scan into the dimension-bounded edge list
+    (checkpointed; top-k window + undirected dedup + wedge self-joins
+    and degree rollup all run on <=3|nations| rows).
+    """
+    edges = _trade_edges(spark, sf_dir).filter(F.col("u") != F.col("v"))
+    from pyspark.sql.window import Window as _W
+
+    rk = _W.partitionBy("u").orderBy(F.desc("w"), F.asc("v"))
+    und = (
+        edges.withColumn("r", F.row_number().over(rk))
+        .filter(F.col("r") <= 3)
+        .select(F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)  # wedge joins x3 + degree rollup
+    )
+    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
+    tri = (
+        e1.join(F.broadcast(e2), F.col("e2.a") == F.col("e1.b"))
+        .join(
+            F.broadcast(e3),
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("x"),
+            F.col("e1.b").alias("y"),
+            F.col("e2.b").alias("z"),
+        )
+        .localCheckpoint(eager=True)  # three corner projections
+    )
+    tric = (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_tri"))
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        deg.join(F.broadcast(tric), "node", "left")
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            deg.node == F.col("n_nationkey"),
+        )
+        .filter(F.col("d") >= 2)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("d").alias("degree"),
+            F.coalesce(F.col("n_tri"), F.lit(0)).cast("bigint").alias("n_triangles"),
+            F.expr(
+                "CAST((2000000 * coalesce(n_tri, 0)) DIV (d * (d - 1))"
+                " AS BIGINT)"
+            ).alias("cc_ppm"),
+        )
+    )

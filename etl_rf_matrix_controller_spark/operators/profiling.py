@@ -2296,3 +2296,108 @@ def goodman_kruskal_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lambda_ppm"),
         )
     )
+
+
+# Shared Cramer-solve expression for the 2-feature-plus-intercept OLS
+# normal equations: identical SQL text evaluated by BOTH engines over
+# identical exact-integer moment columns (cast to double), so every
+# coefficient is bit-identical cross-engine.  XtX = [[n,s1,s2],
+# [s1,s11,s12],[s2,s12,s22]], Xty = [sy,s1y,s2y].
+_OLS_DET = (
+    "(n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)"
+    " + s2 * (s1 * s12 - s11 * s2))"
+)
+_OLS_DET0 = (
+    "(sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)"
+    " + s2 * (s1y * s12 - s11 * s2y))"
+)
+_OLS_DET1 = (
+    "(n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)"
+    " + s2 * (s1 * s2y - s1y * s2))"
+)
+_OLS_DET2 = (
+    "(n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)"
+    " + sy * (s1 * s12 - s11 * s2))"
+)
+
+
+@declared(
+    "ols_normal_equations",
+    oracle=f"""
+    WITH rows_in AS (
+      SELECT CAST(round(l_quantity * 100) AS BIGINT) AS x1,
+             CAST(round(l_discount * 10000) AS BIGINT) AS x2,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    m AS (
+      SELECT CAST(CAST(count(*) AS HUGEINT) AS DOUBLE) AS n,
+             CAST(CAST(sum(CAST(x1 AS HUGEINT)) AS HUGEINT) AS DOUBLE) AS s1,
+             CAST(CAST(sum(CAST(x2 AS HUGEINT)) AS HUGEINT) AS DOUBLE) AS s2,
+             CAST(CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS DOUBLE) AS sy,
+             CAST(CAST(sum(CAST(x1 AS HUGEINT) * x1) AS HUGEINT) AS DOUBLE)
+               AS s11,
+             CAST(CAST(sum(CAST(x1 AS HUGEINT) * x2) AS HUGEINT) AS DOUBLE)
+               AS s12,
+             CAST(CAST(sum(CAST(x2 AS HUGEINT) * x2) AS HUGEINT) AS DOUBLE)
+               AS s22,
+             CAST(CAST(sum(CAST(x1 AS HUGEINT) * y) AS HUGEINT) AS DOUBLE)
+               AS s1y,
+             CAST(CAST(sum(CAST(x2 AS HUGEINT) * y) AS HUGEINT) AS DOUBLE)
+               AS s2y
+      FROM rows_in
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           {_OLS_DET0} / {_OLS_DET} AS beta0,
+           {_OLS_DET1} / {_OLS_DET} AS beta1,
+           {_OLS_DET2} / {_OLS_DET} AS beta2
+    FROM m WHERE {_OLS_DET} <> 0
+    """,
+)
+def ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form multiple linear regression by distributed normal
+    equations: extendedprice ~ intercept + quantity + discount, solved
+    exactly from ONE aggregation pass -- the canonical scalable OLS
+    (collect the 3x3 Gram moments map-side, Cramer-solve the tiny
+    system; no gradient iterations, no per-row residual passes).  The
+    multi-feature generalization of `value_trend_slope`'s simple slope.
+
+    Exactness: all nine moments accumulate as exact integers on scaled
+    inputs (HUGEINT / the operands-cast-first DECIMAL discipline), and
+    the Cramer determinants are evaluated over those integers cast to
+    double through the SAME expression strings on both engines
+    (`_OLS_DET*` literally interpolated into both the Spark F.expr and
+    the oracle SQL), so each coefficient is one identical sequence of
+    IEEE ops -- bit-equal, no tolerance needed.  Envelope: moment
+    magnitudes ~n*x*y <= 1e38 in exact space; the double-space
+    determinant products (~1e40s) round identically on both engines
+    because the operands and operation order are identical.
+
+    Cost: one lineitem scan -> one partial+final aggregate to a single
+    moment row; the solve is driver-free scalar math in the plan.
+    Adding features grows the moment vector O(p^2), never the scan.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    rows_in = li.select(
+        F.round(F.col("l_quantity") * 100).cast("bigint").alias("x1"),
+        F.round(F.col("l_discount") * 10000).cast("bigint").alias("x2"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("y"),
+    )
+    dec = "decimal(38,0)"
+    m = rows_in.agg(
+        F.count(F.lit(1)).cast(dec).cast("double").alias("n"),
+        F.sum(F.col("x1").cast(dec)).cast(dec).cast("double").alias("s1"),
+        F.sum(F.col("x2").cast(dec)).cast(dec).cast("double").alias("s2"),
+        F.sum(F.col("y").cast(dec)).cast(dec).cast("double").alias("sy"),
+        F.sum(F.col("x1").cast(dec) * F.col("x1")).cast(dec).cast("double").alias("s11"),
+        F.sum(F.col("x1").cast(dec) * F.col("x2")).cast(dec).cast("double").alias("s12"),
+        F.sum(F.col("x2").cast(dec) * F.col("x2")).cast(dec).cast("double").alias("s22"),
+        F.sum(F.col("x1").cast(dec) * F.col("y")).cast(dec).cast("double").alias("s1y"),
+        F.sum(F.col("x2").cast(dec) * F.col("y")).cast(dec).cast("double").alias("s2y"),
+    )
+    return m.filter(F.expr(f"{_OLS_DET} <> 0")).select(
+        F.col("n").cast("bigint").alias("n"),
+        F.expr(f"{_OLS_DET0} / {_OLS_DET}").alias("beta0"),
+        F.expr(f"{_OLS_DET1} / {_OLS_DET}").alias("beta1"),
+        F.expr(f"{_OLS_DET2} / {_OLS_DET}").alias("beta2"),
+    )
