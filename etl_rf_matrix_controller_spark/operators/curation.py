@@ -1009,3 +1009,146 @@ def l_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_distinct") < L_DIV).alias("at_risk"),
         )
     )
+
+
+T_CLOSE_PPM = 200_000  # t = 0.2 EMD threshold for release
+
+
+@declared(
+    "t_closeness_report",
+    oracle=f"""
+    WITH bands AS (
+      SELECT lang, source, CAST(n_chars // 100 AS BIGINT) AS band,
+             CAST(count(*) AS BIGINT) AS c
+      FROM documents GROUP BY lang, source, n_chars // 100
+    ),
+    gdist AS (
+      SELECT band, CAST(sum(c) AS BIGINT) AS cb FROM bands GROUP BY band
+    ),
+    gcum AS (
+      SELECT band,
+             CAST(sum(cb) OVER (ORDER BY band
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_c,
+             CAST(sum(cb) OVER () AS BIGINT) AS n_total,
+             CAST(count(*) OVER () AS BIGINT) AS m,
+             CAST(row_number() OVER (ORDER BY band) AS BIGINT) AS band_rk
+      FROM gdist
+    ),
+    grp AS (
+      SELECT lang, source, CAST(sum(c) AS BIGINT) AS n_g
+      FROM bands GROUP BY lang, source
+    ),
+    grid AS (
+      SELECT g.lang, g.source, g.n_g, gc.band, gc.cum_c, gc.n_total,
+             gc.m, gc.band_rk,
+             CAST(coalesce(b.c, 0) AS BIGINT) AS c
+      FROM grp g CROSS JOIN gcum gc
+      LEFT JOIN bands b ON b.lang = g.lang AND b.source = g.source
+                       AND b.band = gc.band
+    ),
+    cums AS (
+      SELECT lang, source, n_g, m, n_total, band_rk,
+             CAST(sum(c) OVER (PARTITION BY lang, source ORDER BY band
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_g,
+             cum_c
+      FROM grid
+    )
+    SELECT lang, source, n_g AS n_docs,
+           CAST((1000000 * sum(CASE WHEN band_rk < m
+                 THEN abs(cum_g * n_total - cum_c * n_g) ELSE 0 END))
+                // ((max(m) - 1) * max(n_g) * max(n_total))
+                AS BIGINT) AS emd_ppm,
+           CAST((1000000 * sum(CASE WHEN band_rk < m
+                 THEN abs(cum_g * n_total - cum_c * n_g) ELSE 0 END))
+                // ((max(m) - 1) * max(n_g) * max(n_total))
+                AS BIGINT) > {T_CLOSE_PPM} AS at_risk
+    FROM cums
+    GROUP BY lang, source, n_g
+    """,
+)
+def t_closeness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li et al. 2007), completing the release-privacy
+    trio with `k_anonymity_risk` (cell size) and `l_diversity_report`
+    (distinct sensitive values): for each quasi-identifier group
+    (lang, source), the ordered-category Earth Mover's Distance between
+    the group's length-band distribution and the corpus-wide one.  A
+    cell can be k-anonymous AND l-diverse yet still leak when its
+    sensitive distribution is skewed far from global; t-closeness bounds
+    that skew (EMD <= t, here t=0.2).
+
+    Ordinal EMD = sum_(i<m) |cumP_i - cumQ_i| / (m-1), cleared of both
+    rational denominators by cross-multiplying (|cum_g*N - cum_C*n_g|),
+    so the statistic is an exact-integer ppm floor division -- no float
+    distribution vectors.  Missing bands enter the cumulative walk as
+    explicit zeros via the dense group x band grid, identically on both
+    engines.
+
+    Cost: ONE documents scan into the (QI x band) cell frame
+    (localCheckpointed: global distribution, group totals, and the
+    grid's left-join all read it); everything downstream is bounded by
+    |QI cells| x |bands|, never rows.  The dense grid is a broadcast
+    cross join of two dimension-bounded frames.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bands = (
+        docs.groupBy(
+            "lang", "source", F.expr("CAST(n_chars DIV 100 AS BIGINT)").alias("band")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=True)  # gdist + grp + grid left-join
+    )
+    gdist = bands.groupBy("band").agg(F.sum("c").cast("bigint").alias("cb"))
+    wob = Window.orderBy("band")
+    gcum = gdist.select(
+        "band",
+        F.sum("cb").over(wob.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("cum_c"),
+        F.sum("cb").over(Window.partitionBy()).cast("bigint").alias("n_total"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint").alias("m"),
+        F.row_number().over(wob).cast("bigint").alias("band_rk"),
+    )
+    grp = bands.groupBy("lang", "source").agg(
+        F.sum("c").cast("bigint").alias("n_g")
+    )
+    grid = (
+        grp.crossJoin(F.broadcast(gcum))
+        .join(
+            F.broadcast(bands.select("lang", "source", "band", "c")),
+            ["lang", "source", "band"],
+            "left",
+        )
+        .select(
+            "lang",
+            "source",
+            "n_g",
+            "band",
+            "cum_c",
+            "n_total",
+            "m",
+            "band_rk",
+            F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("cc"),
+        )
+    )
+    wg = Window.partitionBy("lang", "source").orderBy("band").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cums = grid.select(
+        "lang",
+        "source",
+        "n_g",
+        "m",
+        "n_total",
+        "band_rk",
+        F.sum("cc").over(wg).cast("bigint").alias("cum_g"),
+        "cum_c",
+    )
+    emd = F.expr(
+        "CAST((1000000 * sum(CASE WHEN band_rk < m"
+        "       THEN abs(cum_g * n_total - cum_c * n_g) ELSE 0 END))"
+        " DIV ((max(m) - 1) * max(n_g) * max(n_total)) AS BIGINT)"
+    )
+    return cums.groupBy("lang", "source", F.col("n_g").alias("n_docs")).agg(
+        emd.alias("emd_ppm"),
+        (emd > F.lit(T_CLOSE_PPM)).alias("at_risk"),
+    )

@@ -869,3 +869,102 @@ def welch_t_value_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         df_w.alias("df_welch"),
         (F.abs(t) > F.lit(1.96)).alias("significant"),
     )
+
+
+@declared(
+    "neyman_allocation",
+    oracle="""
+    WITH per AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CAST(n_chars AS HUGEINT)) AS HUGEINT) AS s,
+             CAST(sum(CAST(n_chars AS HUGEINT) * n_chars) AS HUGEINT) AS q
+      FROM documents GROUP BY source
+    ),
+    sig AS (
+      SELECT source, n_docs,
+             sqrt(CAST(n_docs * q - s * s AS DOUBLE)
+                  / CAST(CAST(n_docs AS HUGEINT) * (n_docs - 1) AS DOUBLE))
+               AS sigma
+      FROM per WHERE n_docs >= 2
+    ),
+    ns AS (
+      SELECT source, n_docs, sigma,
+             CAST(n_docs AS DOUBLE) * sigma AS nsigma
+      FROM sig
+    ),
+    arr AS (SELECT list(nsigma ORDER BY source) AS ls FROM ns),
+    tot AS (
+      SELECT list_reduce(ls, (a, b) -> a + b) AS total FROM arr
+    )
+    SELECT ns.source, ns.n_docs, ns.sigma,
+           ns.nsigma / t.total AS neyman_share,
+           CAST(floor(1000.0e0 * (ns.nsigma / t.total)) AS BIGINT)
+             AS alloc_n
+    FROM ns CROSS JOIN tot t
+    """,
+)
+def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sample allocation over document sources:
+    stratum h of a 1000-doc sample gets n_h proportional to N_h*sigma_h
+    (size x within-stratum std-dev of n_chars) -- the variance-minimizing
+    design (Neyman 1934) that upgrades `stratified_sample_docs`'
+    proportional allocation: high-variance strata get oversampled,
+    near-constant strata barely sampled.
+
+    Exactness: per-stratum moments are exact integers; sigma is ONE
+    float expression of them (the Welch/`spearman` discipline).  The
+    total sum(N_h*sigma_h) is a float over strata, so it is NOT summed
+    by unordered aggregation -- the nsigma values are collected into a
+    source-ordered list and folded sequentially, seeded with the FIRST
+    element to mirror DuckDB's list_reduce exactly (the documented
+    fold convention).  Shares divide identical doubles; alloc uses
+    floor (safe on computed doubles where round() is not).
+
+    Cost: one documents scan -> per-source moments (checkpointed for
+    its two consumers); the fold and share math run on the |sources|
+    dim.  Single-row total is a broadcast cross join.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    dec = "decimal(38,0)"
+    per = (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.col("n_chars").cast(dec)).cast(dec).alias("s"),
+            F.sum(F.col("n_chars").cast(dec) * F.col("n_chars"))
+            .cast(dec)
+            .alias("q"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+    sigma = F.sqrt(
+        (F.col("n_docs") * F.col("q") - F.col("s") * F.col("s")).cast("double")
+        / (F.col("n_docs").cast(dec) * (F.col("n_docs") - 1)).cast("double")
+    )
+    ns = per.select(
+        "source",
+        "n_docs",
+        sigma.alias("sigma"),
+        (F.col("n_docs").cast("double") * sigma).alias("nsigma"),
+    ).localCheckpoint(eager=True)  # fold array build + final share join
+    arr = ns.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("source", "nsigma"))),
+            lambda x: x["nsigma"],
+        ).alias("ls")
+    )
+    tot = arr.select(
+        F.aggregate(
+            F.slice(F.col("ls"), 2, F.greatest(F.size("ls") - 1, F.lit(0))),
+            F.element_at(F.col("ls"), 1),
+            lambda a, x: a + x,
+        ).alias("total")
+    )
+    share = F.col("nsigma") / F.col("total")
+    return ns.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "sigma",
+        share.alias("neyman_share"),
+        F.floor(F.lit(1000.0) * share).cast("bigint").alias("alloc_n"),
+    )
