@@ -514,3 +514,114 @@ def partition_layout_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("skew_x1000") > PLA_MAX_SKEW_X1000, "skewed")
         .otherwise("ok"),
     )
+
+
+def _hilbert_level(s: int, xor_a: str, xor_b_open: str, xor_b_close: str):
+    """Per-level (x, y, d) update expressions for the iterative 2-D
+    Hilbert index (Warren, Hacker's Delight / Wikipedia d2xy inverse):
+    at level s, quadrant bits (rx, ry) append to d, then the quadrant
+    frame is flipped/swapped for the next level.  Pure integer CASE
+    arithmetic; the XOR spelling differs per engine (Spark `^`, DuckDB
+    `xor()`) but the integer VALUES are identical."""
+    rx = f"(CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END)"
+    ry = f"(CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END)"
+    d = f"(d + {s * s} * {xor_b_open}3 * {rx}{xor_a}{ry}{xor_b_close})"
+    xf = f"(CASE WHEN {ry} = 0 AND {rx} = 1 THEN {s - 1} - x ELSE x END)"
+    yf = f"(CASE WHEN {ry} = 0 AND {rx} = 1 THEN {s - 1} - y ELSE y END)"
+    xn = f"(CASE WHEN {ry} = 0 THEN {yf} ELSE {xf} END)"
+    yn = f"(CASE WHEN {ry} = 0 THEN {xf} ELSE {yf} END)"
+    return xn, yn, d
+
+
+def _hilbert_sql_spark():
+    """List of per-level (x, y, d) select triples for Spark (`a ^ b`)."""
+    return [
+        _hilbert_level(s, " ^ ", "((", "))") for s in (128, 64, 32, 16, 8, 4, 2, 1)
+    ]
+
+
+def _hilbert_sql_duck() -> str:
+    """Nested-subquery DuckDB expression computing hilbert d from (x, y)
+    columns of the innermost relation `d0` -- same per-level integer
+    updates as the Spark chain, xor() spelled as a function."""
+    inner = "SELECT event_id, ua, tb, x, y, 0 AS d FROM d0"
+    for s in (128, 64, 32, 16, 8, 4, 2, 1):
+        xn, yn, d = _hilbert_level(s, ", ", "xor(", ")")
+        inner = (
+            f"SELECT event_id, ua, tb, {xn} AS x, {yn} AS y, {d} AS d"
+            f" FROM ({inner})"
+        )
+    return inner
+
+
+@declared(
+    "hilbert_layout_blocks",
+    oracle=f"""
+    WITH d0 AS (
+      SELECT event_id,
+             CAST(user_id % 256 AS BIGINT) AS ua,
+             CAST(CAST(extract(hour FROM ts) AS BIGINT) * 8
+                  + CAST(extract(dow FROM ts) AS BIGINT) % 8 AS BIGINT) AS tb,
+             CAST(user_id % 256 AS BIGINT) AS x,
+             CAST(CAST(extract(hour FROM ts) AS BIGINT) * 8
+                  + CAST(extract(dow FROM ts) AS BIGINT) % 8 AS BIGINT) AS y
+      FROM events
+    ),
+    h AS ({_hilbert_sql_duck()})
+    SELECT CAST(d // 4096 AS BIGINT) AS h_block,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(ua) AS BIGINT) AS min_user_bucket,
+           CAST(max(ua) AS BIGINT) AS max_user_bucket,
+           CAST(min(tb) AS BIGINT) AS min_time_bucket,
+           CAST(max(tb) AS BIGINT) AS max_time_bucket
+    FROM h
+    GROUP BY d // 4096
+    """,
+)
+def hilbert_layout_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve clustering key over the same (user bucket,
+    time-of-week bucket) grid as `zorder_key_events`, with per-block
+    min/max skipping ranges -- the layout OPTIMIZE target engines are
+    moving to (Delta Lake 3 / Iceberg): unlike the Z-curve, the Hilbert
+    curve has no long diagonal jumps, so equal-width blocks cover
+    rectangles with strictly tighter max side lengths and skip better
+    on both predicates.  Comparing this output's (user-span x
+    time-span) areas against the z-order query's IS the layout
+    decision.
+
+    The 8-level quadrant walk (append quadrant code, flip+swap the
+    frame) runs as a chain of eight integer-CASE projections --
+    identical values on both engines (XOR spelled per dialect), no
+    floats, no UDF; Catalyst collapses the chain into one codegen'd
+    projection stage.  One shuffle on the block id.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    df = hilbert_chain(
+        ev.selectExpr(
+            "event_id",
+            "CAST(user_id % 256 AS BIGINT) AS ua",
+            "CAST(CAST(hour(ts) AS BIGINT) * 8"
+            " + (CAST(dayofweek(ts) AS BIGINT) - 1) % 8 AS BIGINT) AS tb",
+        )
+    )
+    return df.groupBy(F.expr("d DIV 4096").cast("bigint").alias("h_block")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.min("ua").cast("bigint").alias("min_user_bucket"),
+        F.max("ua").cast("bigint").alias("max_user_bucket"),
+        F.min("tb").cast("bigint").alias("min_time_bucket"),
+        F.max("tb").cast("bigint").alias("max_time_bucket"),
+    )
+
+
+def hilbert_chain(df: DataFrame) -> DataFrame:
+    """Append the 8-level Hilbert index d to an (event_id, ua, tb) frame
+    (ua, tb in [0, 256)); the per-level integer-CASE chain shared by the
+    declared query and the reference test."""
+    out = df.selectExpr(
+        "event_id", "ua", "tb", "ua AS x", "tb AS y", "CAST(0 AS BIGINT) AS d"
+    )
+    for xn, yn, d in _hilbert_sql_spark():
+        out = out.selectExpr(
+            "event_id", "ua", "tb", f"{xn} AS x", f"{yn} AS y", f"{d} AS d"
+        )
+    return out

@@ -97,3 +97,61 @@ def test_zorder_layout_skips_row_groups(spark, tmp_path):
         zdf._jdf.queryExecution(), "formatted"
     )
     assert "PushedFilters: [" in fmt and "ua" in fmt.split("PushedFilters")[1][:200]
+
+
+def _ref_hilbert_xy2d(n, x, y):
+    """Classic iterative xy->d (Wikipedia 'Hilbert curve' pseudocode)."""
+    d, s = 0, n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = s - 1 - x, s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_chain_matches_reference_and_is_bijective(spark):
+    from etl_rf_matrix_controller_spark.operators.layout import hilbert_chain
+
+    pts = [(i, x, y) for i, (x, y) in enumerate(
+        (x, y) for x in range(0, 256, 17) for y in range(0, 256, 13)
+    )]
+    df = spark.createDataFrame(pts, "event_id bigint, ua bigint, tb bigint")
+    got = {(r.ua, r.tb): r.d for r in hilbert_chain(df).collect()}
+    for _, x, y in pts:
+        assert got[(x, y)] == _ref_hilbert_xy2d(256, x, y), (x, y)
+    # distinct (x, y) -> distinct d (injective on the sample)
+    assert len(set(got.values())) == len(got)
+
+
+def test_hilbert_blocks_tighter_than_zorder(spark):
+    """The layout claim the operator's docstring makes, measured: over
+    equal-width blocks, the Hilbert curve's worst block bounding-box
+    AREA is no worse than the Z-curve's (Z's diagonal jumps inflate
+    block rectangles)."""
+    from etl_rf_matrix_controller_spark.operators.layout import (
+        hilbert_layout_blocks,
+        zorder_key_events,
+    )
+
+    def worst_area(df, a_min, a_max, b_min, b_max):
+        rows = df.collect()
+        return max(
+            (r[a_max] - r[a_min] + 1) * (r[b_max] - r[b_min] + 1) for r in rows
+        )
+
+    h = worst_area(
+        hilbert_layout_blocks(spark, SF_DIR),
+        "min_user_bucket", "max_user_bucket",
+        "min_time_bucket", "max_time_bucket",
+    )
+    z = worst_area(
+        zorder_key_events(spark, SF_DIR),
+        "min_user_bucket", "max_user_bucket",
+        "min_time_bucket", "max_time_bucket",
+    )
+    assert h <= z, (h, z)
