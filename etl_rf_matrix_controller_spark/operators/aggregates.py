@@ -885,3 +885,111 @@ def kmv_intersection_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_intersection",
         )
     )
+
+
+@declared(
+    "cms_error_profile",
+    oracle=f"""
+    WITH cells AS (
+      SELECT j.j AS row_id,
+             ('0x' || substring(md5(CAST(j.j AS VARCHAR) || '_' ||
+                                    CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+               % {CMS_CELLS} AS cell,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events, unnest(generate_series(0, {CMS_ROWS - 1})) AS j(j)
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS exact_count
+      FROM events GROUP BY user_id
+    ),
+    est AS (
+      SELECT e.user_id, e.exact_count,
+             CAST(min(cl.c) AS BIGINT) AS est_count
+      FROM exact e
+      JOIN cells cl
+        ON cl.cell = ('0x' || substring(md5(CAST(cl.row_id AS VARCHAR) || '_'
+                                        || CAST(e.user_id AS VARCHAR)), 1, 8))::BIGINT
+                     % {CMS_CELLS}
+      GROUP BY e.user_id, e.exact_count
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(max(est_count - exact_count) AS BIGINT) AS max_overestimate,
+           CAST((1000000 * sum(est_count - exact_count))
+                // sum(exact_count) AS BIGINT) AS rel_err_ppm,
+           CAST((1000000 * sum(CASE WHEN est_count = exact_count
+                                    THEN 1 ELSE 0 END))
+                // count(*) AS BIGINT) AS exact_share_ppm,
+           CAST(min(est_count - exact_count) AS BIGINT) >= 0
+             AS one_sided
+    FROM est
+    """,
+)
+def cms_error_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch accuracy certification over EVERY key (the
+    measurement discipline behind `cms_heavy_hitters`, which only
+    surfaces the heavy tail): total relative overestimate in ppm, the
+    worst per-key overestimate, the share of keys estimated exactly,
+    and the one-sided-error invariant (CMS never underestimates --
+    min(est - exact) >= 0 by construction, here PROVEN over the data
+    rather than asserted).  This is the number that decides whether
+    CMS_CELLS is sized right before trusting the sketch at 100 TB
+    (expected overestimate ~ total_count/CELLS per row, min over ROWS).
+
+    Same deterministic md5 sketch build as cms_heavy_hitters (one
+    mergeable pass into CMS_ROWS x CMS_CELLS cells), then the
+    estimate-vs-exact join rolled up to a single audit row --
+    all-integer floor-divided ppm.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    rows = spark.range(CMS_ROWS).select(F.col("id").cast("int").alias("row_id"))
+    keyed = ev.crossJoin(F.broadcast(rows))
+    cell = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "_",
+                        F.col("row_id").cast("string"),
+                        F.col("user_id").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % CMS_CELLS
+    )
+    cells = (
+        keyed.select("row_id", cell.alias("cell"))
+        .groupBy("row_id", "cell")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    exact = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_count")
+    )
+    probe = exact.crossJoin(F.broadcast(rows)).select(
+        "user_id", "exact_count", "row_id", cell.alias("cell")
+    )
+    est = (
+        probe.join(F.broadcast(cells), ["row_id", "cell"])
+        .groupBy("user_id", "exact_count")
+        .agg(F.min("c").cast("bigint").alias("est_count"))
+    )
+    err = F.col("est_count") - F.col("exact_count")
+    return est.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.max(err).cast("bigint").alias("max_overestimate"),
+        F.expr(
+            "CAST((1000000 * sum(est_count - exact_count))"
+            " DIV sum(exact_count) AS BIGINT)"
+        ).alias("rel_err_ppm"),
+        F.expr(
+            "CAST((1000000 * sum(CASE WHEN est_count = exact_count"
+            "                         THEN 1 ELSE 0 END))"
+            " DIV count(*) AS BIGINT)"
+        ).alias("exact_share_ppm"),
+        (F.min(err) >= 0).alias("one_sided"),
+    )

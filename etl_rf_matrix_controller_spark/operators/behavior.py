@@ -3700,3 +3700,157 @@ def runs_test_daily_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("z"),
         (F.abs(z) > F.lit(1.96)).alias("significant"),
     )
+
+
+@declared(
+    "hysteresis_alarm_days",
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day_idx,
+             CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS v_s
+      FROM events
+      GROUP BY CAST(floor(epoch(ts)) AS BIGINT) // 86400
+    ),
+    arr AS (
+      SELECT list(v_s ORDER BY day_idx) AS vs,
+             list(v_s ORDER BY v_s) AS sorted_vs,
+             CAST(count(*) AS BIGINT) AS m
+      FROM daily
+    ),
+    med AS (
+      SELECT vs, m, sorted_vs[CAST((m + 1) // 2 AS INT)] AS med_s FROM arr
+    ),
+    thr AS (
+      SELECT vs, m, med_s,
+             CAST((11 * med_s) // 10 AS BIGINT) AS hi_s,
+             CAST((9 * med_s) // 10 AS BIGINT) AS lo_s
+      FROM med
+    ),
+    fold(i, in_alarm, episodes, alarm_days) AS (
+      SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+             CAST(0 AS BIGINT)
+      UNION ALL
+      SELECT f.i + 1,
+             CASE WHEN f.in_alarm = 0 AND t.vs[CAST(f.i + 1 AS INT)] > t.hi_s
+                    THEN 1
+                  WHEN f.in_alarm = 1 AND t.vs[CAST(f.i + 1 AS INT)] < t.lo_s
+                    THEN 0
+                  ELSE f.in_alarm END,
+             f.episodes
+               + CASE WHEN f.in_alarm = 0
+                        AND t.vs[CAST(f.i + 1 AS INT)] > t.hi_s
+                      THEN 1 ELSE 0 END,
+             f.alarm_days
+               + CASE WHEN f.in_alarm = 0 AND t.vs[CAST(f.i + 1 AS INT)] > t.hi_s
+                      THEN 1
+                      WHEN f.in_alarm = 1 AND t.vs[CAST(f.i + 1 AS INT)] < t.lo_s
+                      THEN 0
+                      ELSE f.in_alarm END
+      FROM fold f JOIN thr t ON TRUE WHERE f.i < t.m
+    )
+    SELECT t.m AS n_days, t.med_s, t.hi_s, t.lo_s,
+           f.episodes, f.alarm_days
+    FROM fold f JOIN thr t ON f.i = t.m
+    """,
+)
+def hysteresis_alarm_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hysteresis alerting replay over the daily value series: the alarm
+    ENTERS when a day's total exceeds 110% of the series median and only
+    EXITS when it drops below 90% -- the two-threshold latch every
+    monitoring system uses to stop threshold-flapping (a single
+    threshold re-alerts on every boundary wiggle; compare
+    `ewma_control_chart`, which flags points, not episodes).  Emits the
+    episode count and total days in alarm.
+
+    Like `clamped_running_balance`, the latch is a history-erasing
+    NON-LINEAR fold no window function expresses: Spark folds the
+    day-ordered integer array with a (state, episodes, alarm_days)
+    accumulator; the oracle advances a recursive CTE one day per step
+    (multi-component state -- the documented reason list_reduce is
+    unusable here).  The median threshold is the exact lower-median
+    element of the value-sorted array; everything is integer, so the
+    replay is bit-identical cross-engine.
+
+    Cost: one events scan -> calendar-bounded daily frame; the fold
+    runs over <=|days| elements in one driver-free projection.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.expr("CAST(ts AS LONG) DIV 86400").alias("day_idx"),
+            F.round(F.col("value") * 10000).cast("bigint").alias("v_si"),
+        )
+        .groupBy("day_idx")
+        .agg(F.sum("v_si").cast("bigint").alias("v_s"))
+    )
+    arr = daily.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day_idx", "v_s"))),
+            lambda s: s["v_s"],
+        ).alias("vs"),
+        F.array_sort(F.collect_list("v_s")).alias("sorted_vs"),
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+    )
+    thr = arr.select(
+        "vs",
+        "m",
+        F.expr("element_at(sorted_vs, CAST((m + 1) DIV 2 AS INT))").alias(
+            "med_s"
+        ),
+    ).select(
+        "vs",
+        "m",
+        "med_s",
+        F.expr("CAST((11 * med_s) DIV 10 AS BIGINT)").alias("hi_s"),
+        F.expr("CAST((9 * med_s) DIV 10 AS BIGINT)").alias("lo_s"),
+    )
+    folded = thr.select(
+        "m",
+        "med_s",
+        "hi_s",
+        "lo_s",
+        F.aggregate(
+            "vs",
+            F.struct(
+                F.lit(0).cast("bigint").alias("in_alarm"),
+                F.lit(0).cast("bigint").alias("episodes"),
+                F.lit(0).cast("bigint").alias("alarm_days"),
+            ),
+            lambda acc, x: F.struct(
+                F.when(
+                    (acc["in_alarm"] == 0) & (x > F.col("hi_s")), F.lit(1).cast("bigint")
+                )
+                .when(
+                    (acc["in_alarm"] == 1) & (x < F.col("lo_s")), F.lit(0).cast("bigint")
+                )
+                .otherwise(acc["in_alarm"])
+                .alias("in_alarm"),
+                (
+                    acc["episodes"]
+                    + F.when(
+                        (acc["in_alarm"] == 0) & (x > F.col("hi_s")), 1
+                    ).otherwise(0)
+                ).alias("episodes"),
+                (
+                    acc["alarm_days"]
+                    + F.when(
+                        (acc["in_alarm"] == 0) & (x > F.col("hi_s")),
+                        F.lit(1).cast("bigint"),
+                    )
+                    .when(
+                        (acc["in_alarm"] == 1) & (x < F.col("lo_s")),
+                        F.lit(0).cast("bigint"),
+                    )
+                    .otherwise(acc["in_alarm"])
+                ).alias("alarm_days"),
+            ),
+        ).alias("st"),
+    )
+    return folded.select(
+        F.col("m").alias("n_days"),
+        "med_s",
+        "hi_s",
+        "lo_s",
+        F.col("st.episodes").alias("episodes"),
+        F.col("st.alarm_days").alias("alarm_days"),
+    )

@@ -968,3 +968,111 @@ def clustering_coefficient_nations(spark: SparkSession, sf_dir: str) -> DataFram
             ).alias("cc_ppm"),
         )
     )
+
+
+@declared(
+    "trade_edge_drift",
+    oracle="""
+    WITH thr AS (
+      SELECT CAST((min(CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400)
+                   + max(CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400)
+                   + 1) // 2 AS BIGINT) AS mid_day
+      FROM orders
+    ),
+    base AS (
+      SELECT s.s_nationkey AS u, c.c_nationkey AS v,
+             CAST(sum(CASE WHEN CAST(floor(epoch(o.o_orderdate)) AS BIGINT)
+                                // 86400 < t.mid_day
+                           THEN 1 ELSE 0 END) AS BIGINT) AS w1,
+             CAST(sum(CASE WHEN CAST(floor(epoch(o.o_orderdate)) AS BIGINT)
+                                // 86400 < t.mid_day
+                           THEN 0 ELSE 1 END) AS BIGINT) AS w2
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      CROSS JOIN thr t
+      GROUP BY s.s_nationkey, c.c_nationkey
+    ),
+    scored AS (
+      SELECT u, v, w1, w2,
+             CASE WHEN w2 > w1 THEN 1 WHEN w2 < w1 THEN -1 ELSE 0 END
+               AS direction,
+             CAST((1000000 * abs(w2 - w1)) // (w1 + w2) AS BIGINT)
+               AS drift_ppm
+      FROM base WHERE w1 + w2 >= 20
+    )
+    SELECT u, v, w1, w2, direction, drift_ppm
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY drift_ppm DESC, u, v) AS rnk
+      FROM scored
+    ) WHERE rnk <= 15
+    """,
+)
+def trade_edge_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-chain shift detection: for every nation trade edge, lineitem
+    volume in the first vs second half of the order-date range, ranked by
+    relative drift -- the edge-level generalization of
+    `value_drift_histogram` (which watches one value column) applied to
+    the graph: "which trade relationships grew or collapsed?"
+
+    The calendar split point is the integer midpoint of the global
+    order-day range (one tiny scalar broadcast onto the fact rows before
+    aggregation -- never a second pass to tag halves).  Drift is
+    integer ppm on abs(w2-w1) with a separate sign column (signed
+    integer division differs trunc-vs-floor across engines -- the
+    abs+direction split avoids the hazard); thin edges (<20 lineitems)
+    are excluded identically.  Top-15 total-ordered.
+
+    Cost: the standard edge derivation (one orderkey shuffle + two
+    broadcast dims) with the half-tag folded INTO the same aggregate as
+    two conditional sums -- same plan shape as `_trade_edges`, zero
+    extra passes; the rank window runs on the <=625-row edge dim.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    oday = F.expr("to_unix_timestamp(o_orderdate) DIV 86400")
+    thr = orders.agg(
+        ((F.min(oday) + F.max(oday) + 1) / 2).cast("bigint").alias("mid_day")
+    )
+    base = (
+        li.join(
+            orders.select("o_orderkey", "o_custkey", oday.alias("oday")),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .crossJoin(F.broadcast(thr))
+        .groupBy(F.col("s_nationkey").alias("u"), F.col("c_nationkey").alias("v"))
+        .agg(
+            F.sum(F.when(F.col("oday") < F.col("mid_day"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("w1"),
+            F.sum(F.when(F.col("oday") < F.col("mid_day"), 0).otherwise(1))
+            .cast("bigint")
+            .alias("w2"),
+        )
+    )
+    scored = base.filter(F.col("w1") + F.col("w2") >= 20).select(
+        "u",
+        "v",
+        "w1",
+        "w2",
+        F.when(F.col("w2") > F.col("w1"), 1)
+        .when(F.col("w2") < F.col("w1"), -1)
+        .otherwise(0)
+        .alias("direction"),
+        F.expr(
+            "CAST((1000000 * abs(w2 - w1)) DIV (w1 + w2) AS BIGINT)"
+        ).alias("drift_ppm"),
+    )
+    from pyspark.sql.window import Window as _W
+
+    w = _W.orderBy(F.desc("drift_ppm"), F.asc("u"), F.asc("v"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 15)
+        .select("u", "v", "w1", "w2", "direction", "drift_ppm")
+    )
