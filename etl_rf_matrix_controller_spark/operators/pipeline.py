@@ -968,3 +968,179 @@ def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         share.alias("neyman_share"),
         F.floor(F.lit(1000.0) * share).cast("bigint").alias("alloc_n"),
     )
+
+
+@declared(
+    "incremental_agg_maintenance",
+    oracle="""
+    WITH thr AS (
+      SELECT CAST((min(CAST(floor(epoch(ts)) AS BIGINT) // 86400)
+                   + max(CAST(floor(epoch(ts)) AS BIGINT) // 86400)
+                   + 1) // 2 AS BIGINT) AS mid_day
+      FROM events
+    ),
+    tagged AS (
+      SELECT event_type,
+             CAST(round(value * 10000) AS BIGINT) AS v_s,
+             CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) // 86400 < t.mid_day
+                  THEN 0 ELSE 1 END AS is_new
+      FROM events CROSS JOIN thr t
+    ),
+    parts AS (
+      SELECT event_type, is_new,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(v_s) AS BIGINT) AS s,
+             CAST(min(v_s) AS BIGINT) AS mn,
+             CAST(max(v_s) AS BIGINT) AS mx
+      FROM tagged GROUP BY event_type, is_new
+    ),
+    merged AS (
+      SELECT event_type,
+             CAST(sum(n) AS BIGINT) AS n_m,
+             CAST(sum(s) AS BIGINT) AS s_m,
+             CAST(min(mn) AS BIGINT) AS mn_m,
+             CAST(max(mx) AS BIGINT) AS mx_m
+      FROM parts GROUP BY event_type
+    ),
+    full_r AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_f,
+             CAST(sum(v_s) AS BIGINT) AS s_f,
+             CAST(min(v_s) AS BIGINT) AS mn_f,
+             CAST(max(v_s) AS BIGINT) AS mx_f
+      FROM tagged GROUP BY event_type
+    )
+    SELECT m.event_type, m.n_m AS n_events, m.s_m AS sum_s,
+           m.mn_m AS min_s, m.mx_m AS max_s,
+           CAST((2 * m.s_m + m.n_m) // (2 * m.n_m) AS BIGINT) AS avg_s,
+           (m.n_m = f.n_f AND m.s_m = f.s_f AND m.mn_m = f.mn_f
+            AND m.mx_m = f.mx_f) AS matches_recompute
+    FROM merged m JOIN full_r f USING (event_type)
+    """,
+)
+def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance certified: the event stream is split
+    into a 'base' and a 'new batch' half (calendar midpoint), each half
+    aggregated independently into MERGEABLE state (count, sum, min,
+    max), the states merged algebraically, and the merged result proven
+    equal to a from-scratch recompute per group -- the property that
+    lets a 100 TB daily pipeline update its aggregates by touching ONLY
+    the new partition (and the reason avg must ship as a (sum, count)
+    pair: the merge is on the pair, the division happens at read time,
+    here as the half-up integer-space rounding).
+
+    All-integer on scaled values, so merged == recomputed is exact
+    equality, not tolerance.  The `matches_recompute` column IS the
+    certification, re-proven on every gate run.
+
+    Cost: one tagging pass (midpoint scalar broadcast onto rows), one
+    partial+final agg per granularity -- the recompute branch exists
+    only to certify; production drops it and pays one partition's agg.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    eday = F.expr("CAST(ts AS LONG) DIV 86400")
+    thr = ev.agg(
+        ((F.min(eday) + F.max(eday) + 1) / 2).cast("bigint").alias("mid_day")
+    )
+    tagged = (
+        ev.select(
+            "event_type",
+            F.round(F.col("value") * 10000).cast("bigint").alias("v_s"),
+            eday.alias("eday"),
+        )
+        .crossJoin(F.broadcast(thr))
+        .select(
+            "event_type",
+            "v_s",
+            F.when(F.col("eday") < F.col("mid_day"), 0).otherwise(1).alias("is_new"),
+        )
+        .localCheckpoint(eager=True)  # parts + full recompute branches
+    )
+    parts = tagged.groupBy("event_type", "is_new").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("v_s").cast("bigint").alias("s"),
+        F.min("v_s").cast("bigint").alias("mn"),
+        F.max("v_s").cast("bigint").alias("mx"),
+    )
+    merged = parts.groupBy("event_type").agg(
+        F.sum("n").cast("bigint").alias("n_m"),
+        F.sum("s").cast("bigint").alias("s_m"),
+        F.min("mn").cast("bigint").alias("mn_m"),
+        F.max("mx").cast("bigint").alias("mx_m"),
+    )
+    full_r = tagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_f"),
+        F.sum("v_s").cast("bigint").alias("s_f"),
+        F.min("v_s").cast("bigint").alias("mn_f"),
+        F.max("v_s").cast("bigint").alias("mx_f"),
+    )
+    return merged.join(F.broadcast(full_r), "event_type").select(
+        "event_type",
+        F.col("n_m").alias("n_events"),
+        F.col("s_m").alias("sum_s"),
+        F.col("mn_m").alias("min_s"),
+        F.col("mx_m").alias("max_s"),
+        F.expr("CAST((2 * s_m + n_m) DIV (2 * n_m) AS BIGINT)").alias("avg_s"),
+        (
+            (F.col("n_m") == F.col("n_f"))
+            & (F.col("s_m") == F.col("s_f"))
+            & (F.col("mn_m") == F.col("mn_f"))
+            & (F.col("mx_m") == F.col("mx_f"))
+        ).alias("matches_recompute"),
+    )
+
+
+@declared(
+    "group_kfold_assign",
+    oracle=f"""
+    WITH folds AS (
+      SELECT doc_id, source,
+             {_bucket_sql('source', 5)} AS fold
+      FROM documents
+    ),
+    per_fold AS (
+      SELECT fold, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+      FROM folds GROUP BY fold
+    ),
+    leak AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_crossing
+      FROM (
+        SELECT source FROM folds GROUP BY source
+        HAVING count(DISTINCT fold) > 1
+      )
+    )
+    SELECT p.fold, p.n_docs, p.n_sources, l.n_crossing
+    FROM per_fold p CROSS JOIN leak l
+    """,
+)
+def group_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware 5-fold cross-validation assignment: the fold is a
+    deterministic md5 bucket of the SOURCE, not the document, so every
+    document from one source lands in one fold -- the split that
+    prevents near-duplicate leakage across train/test when documents
+    within a source correlate (the group-k-fold discipline;
+    `hash_split_assign` is the per-record form).  The emitted
+    `n_crossing` column is the leakage audit: sources spanning more
+    than one fold, provably 0 by construction, re-proven on every gate
+    run.
+
+    Engine-portable md5 bucketing (the `hash_bucket` convention), one
+    documents scan (localCheckpointed for the per-fold rollup and the
+    audit), dimension-bounded outputs.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    folds = docs.select(
+        "doc_id", "source", hash_bucket(F.col("source"), 5).alias("fold")
+    ).localCheckpoint(eager=True)  # per-fold rollup + leakage audit
+    per_fold = folds.groupBy("fold").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+    )
+    leak = (
+        folds.groupBy("source")
+        .agg(F.countDistinct("fold").alias("nf"))
+        .filter(F.col("nf") > 1)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_crossing"))
+    )
+    return per_fold.crossJoin(F.broadcast(leak))
