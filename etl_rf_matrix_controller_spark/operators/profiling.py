@@ -2401,3 +2401,145 @@ def ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"{_OLS_DET1} / {_OLS_DET}").alias("beta1"),
         F.expr(f"{_OLS_DET2} / {_OLS_DET}").alias("beta2"),
     )
+
+
+@declared(
+    "log2_gap_histogram",
+    oracle="""
+    WITH gaps AS (
+      SELECT CAST(floor(epoch(ts)) AS BIGINT)
+             - lag(CAST(floor(epoch(ts)) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+      FROM events
+    ),
+    pos AS (SELECT gap_s FROM gaps WHERE gap_s >= 1)
+    SELECT CAST(length(bin(gap_s)) AS INT) AS log2_bucket,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           CAST(min(gap_s) AS BIGINT) AS min_gap_s,
+           CAST(max(gap_s) AS BIGINT) AS max_gap_s
+    FROM pos
+    GROUP BY length(bin(gap_s))
+    """,
+)
+def log2_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HDR-style exponential histogram of per-user inter-event gaps:
+    power-of-two buckets via the BIT LENGTH of the gap in seconds --
+    the constant-relative-error latency histogram (HdrHistogram,
+    Prometheus le-buckets) that keeps equal resolution at 1 s and 1
+    week where `interevent_gap_bands`' linear bands saturate.  Bucket k
+    holds gaps in [2^(k-1), 2^k).
+
+    The bucket comes from length(bin(gap)) -- an integer string-length
+    computation identical on both engines (both render binary without
+    leading zeros) -- NOT floor(log2(x)), whose float rounding can
+    misplace exact powers of two (the `benford_first_digit` digit-count
+    discipline applied to base 2).  Zero gaps (same-second events) are
+    excluded identically.
+
+    Cost: one events scan, one user-partitioned lag window (the
+    interevent shuffle every gap op shares), then a <=40-bucket rollup
+    -- map-side combinable, output bounded by the bit width.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        (
+            F.expr("CAST(ts AS LONG)")
+            - F.lag(F.expr("CAST(ts AS LONG)")).over(w)
+        ).alias("gap_s")
+    )
+    pos = gaps.filter(F.col("gap_s") >= 1)
+    return pos.groupBy(
+        F.length(F.expr("bin(gap_s)")).cast("int").alias("log2_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.min("gap_s").cast("bigint").alias("min_gap_s"),
+        F.max("gap_s").cast("bigint").alias("max_gap_s"),
+    )
+
+
+@declared(
+    "join_cardinality_check",
+    oracle="""
+    WITH a AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_a,
+             CAST(count(DISTINCT o_custkey) AS BIGINT) AS d_a
+      FROM orders
+    ),
+    b AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_b,
+             CAST(count(DISTINCT c_custkey) AS BIGINT) AS d_b
+      FROM customer
+    ),
+    act AS (
+      SELECT CAST(count(*) AS BIGINT) AS actual
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    )
+    SELECT a.n_a, a.d_a, b.n_b, b.d_b, act.actual,
+           CAST((CAST(a.n_a AS HUGEINT) * b.n_b)
+                // greatest(a.d_a, b.d_b) AS BIGINT) AS estimated,
+           CAST((1000000 * abs(CAST((CAST(a.n_a AS HUGEINT) * b.n_b)
+                                    // greatest(a.d_a, b.d_b) AS BIGINT)
+                               - act.actual))
+                // act.actual AS BIGINT) AS rel_err_ppm
+    FROM a CROSS JOIN b CROSS JOIN act
+    WHERE act.actual > 0
+    """,
+)
+def join_cardinality_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Textbook join-cardinality estimate vs ground truth: |A join B| ~
+    n_a*n_b / max(d_a, d_b) (the uniform-frequency, containment
+    assumption every cost-based optimizer starts from -- Selinger 1979)
+    for orders-x-customer on custkey, with the actual join count and the
+    relative error in ppm.  The CBO-calibration diagnostic that tells
+    you how far uniformity is from the truth on YOUR keys -- feeding the
+    same decision surface as `broadcast_threshold_advisor` and
+    `join_skew_report` (skew is exactly what breaks this estimate).
+
+    All-integer: the estimate is one HUGEINT/DECIMAL floor division of
+    exact counts, the error a ppm floor division.  Three scans total
+    (two stat passes + the certifying join -- production reads the
+    stats from the catalog and pays zero).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    a = orders.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_a"),
+        F.countDistinct("o_custkey").cast("bigint").alias("d_a"),
+    )
+    b = cust.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_b"),
+        F.countDistinct("c_custkey").cast("bigint").alias("d_b"),
+    )
+    act = (
+        orders.select("o_custkey")
+        .join(
+            F.broadcast(cust.select("c_custkey")),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("actual"))
+    )
+    est = F.expr(
+        "CAST((CAST(n_a AS DECIMAL(38,0)) * n_b)"
+        " DIV greatest(d_a, d_b) AS BIGINT)"
+    )
+    return (
+        F.broadcast(a)
+        .crossJoin(F.broadcast(b))
+        .crossJoin(F.broadcast(act))
+        .filter(F.col("actual") > 0)
+        .select(
+            "n_a",
+            "d_a",
+            "n_b",
+            "d_b",
+            "actual",
+            est.alias("estimated"),
+            F.expr(
+                "CAST((1000000 * abs(CAST((CAST(n_a AS DECIMAL(38,0)) * n_b)"
+                "                         DIV greatest(d_a, d_b) AS BIGINT)"
+                "                    - actual))"
+                " DIV actual AS BIGINT)"
+            ).alias("rel_err_ppm"),
+        )
+    )
