@@ -932,3 +932,101 @@ def stream_clamped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "balance_s", "n_clamps")
     )
+
+
+def _cms_schemas():
+    from pyspark.sql.types import ArrayType
+
+    state = StructType(
+        [
+            StructField("counts", ArrayType(LongType())),
+            StructField("n_seen", LongType()),
+        ]
+    )
+    output = StructType(
+        [
+            StructField("row_id", LongType()),
+            StructField("n_seen", LongType()),
+            StructField("counts", ArrayType(LongType())),
+        ]
+    )
+    return state, output
+
+
+def _update_cms(key, pdf_iter, state: GroupState):
+    """Count-min-sketch row as streaming state: one int64 cell array per
+    sketch row, incremented per event -- the mergeable-sketch property
+    demonstrated IN the state store (cell-wise addition commutes with
+    micro-batching, so the final cells are bit-equal to the batch
+    build no matter how rows split across batches)."""
+    import hashlib
+
+    import pandas as pd
+
+    from etl_rf_matrix_controller_spark.operators.aggregates import CMS_CELLS
+
+    row_id = int(key[0])
+    counts, n_seen = (
+        state.get if state.exists else ([0] * CMS_CELLS, 0)
+    )
+    counts = list(counts)
+    for pdf in pdf_iter:
+        for uid in pdf["user_id"]:
+            h = hashlib.md5(f"{row_id}_{int(uid)}".encode()).hexdigest()[:8]
+            counts[int(h, 16) % CMS_CELLS] += 1
+            n_seen += 1
+    if n_seen:
+        state.update((counts, int(n_seen)))
+        yield pd.DataFrame(
+            {"row_id": [row_id], "n_seen": [n_seen], "counts": [counts]}
+        )
+
+
+def stream_cms_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the cms_heavy_hitters sketch BUILD: each sketch
+    row's cell array lives in the keyed state store and grows by
+    cell-wise increments per micro-batch -- O(CMS_CELLS) state per key,
+    constant per event, the sketch-in-state pattern that replaces a
+    full keyed shuffle at 100 TB.  Returns the final (row_id, cell, c)
+    frame for non-zero cells, directly comparable to the batch build
+    (tests/test_streaming.py pins cells bit-equal)."""
+    from pyspark.sql import functions as F
+
+    from etl_rf_matrix_controller_spark.operators.aggregates import CMS_ROWS
+
+    state_schema, output_schema = _cms_schemas()
+    events = _events_stream(spark, sf_dir).select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(CMS_ROWS - 1))).alias("rid"),
+    ).select("user_id", F.col("rid").cast("long").alias("row_id"))
+    updates = events.groupBy("row_id").applyInPandasWithState(
+        _update_cms,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        updates.writeStream.format("memory")
+        .queryName("cms_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    from pyspark.sql.window import Window
+
+    tbl = spark.table("cms_stream")
+    w = Window.partitionBy("row_id").orderBy(F.col("n_seen").desc())
+    final = (
+        tbl.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("row_id", F.posexplode("counts").alias("cell", "c"))
+        .filter(F.col("c") > 0)
+        .select(
+            "row_id",
+            F.col("cell").cast("bigint").alias("cell"),
+            F.col("c").cast("bigint").alias("c"),
+        )
+    )
+    return final

@@ -315,3 +315,64 @@ def test_span_excision_matches_position_coverage(spark, tmp_path_factory, texts)
         for r in span_excision_stats(spark, str(tmp)).collect()
     }
     assert got == expect
+
+
+deltas_lists = st.lists(
+    st.integers(min_value=-500, max_value=500), min_size=1, max_size=40
+)
+
+
+@given(ds=deltas_lists)
+@SETTINGS
+def test_clamped_fold_matches_python_reference(spark, ds):
+    """The F.aggregate clamp fold == the plain-Python fold for any delta
+    sequence (the declared query's kernel, isolated from table I/O)."""
+    df = spark.createDataFrame([(ds,)], "ds array<bigint>")
+    out = df.select(
+        F.aggregate(
+            "ds",
+            F.struct(
+                F.lit(0).cast("bigint").alias("bal"),
+                F.lit(0).cast("bigint").alias("clamps"),
+            ),
+            lambda acc, x: F.struct(
+                F.greatest(acc["bal"] + x, F.lit(0).cast("bigint")).alias("bal"),
+                (
+                    acc["clamps"] + F.when(acc["bal"] + x < 0, 1).otherwise(0)
+                ).alias("clamps"),
+            ),
+        ).alias("st")
+    ).collect()[0]["st"]
+    bal, clamps = 0, 0
+    for d in ds:
+        if bal + d < 0:
+            bal, clamps = 0, clamps + 1
+        else:
+            bal += d
+    assert (out["bal"], out["clamps"]) == (bal, clamps)
+
+
+grid_points = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=255),
+        st.integers(min_value=0, max_value=255),
+    ),
+    min_size=1,
+    max_size=30,
+    unique=True,
+)
+
+
+@given(pts=grid_points)
+@SETTINGS
+def test_hilbert_chain_matches_reference_anywhere(spark, pts):
+    """The 8-level Hilbert projection chain == the classic xy2d walk at
+    arbitrary grid points (not just the fixed-stride sample)."""
+    from etl_rf_matrix_controller_spark.operators.layout import hilbert_chain
+    from tests.test_zorder_skipping import _ref_hilbert_xy2d
+
+    rows = [(i, x, y) for i, (x, y) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "event_id bigint, ua bigint, tb bigint")
+    got = {(r.ua, r.tb): r.d for r in hilbert_chain(df).collect()}
+    for _, (x, y) in enumerate(pts):
+        assert got[(x, y)] == _ref_hilbert_xy2d(256, x, y), (x, y)

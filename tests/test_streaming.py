@@ -920,3 +920,49 @@ def test_clamped_balance_batch_eq_stream(spark):
         stream_clamped_balance(spark, SF_DIR),
         "clamped_running_balance",
     )
+
+
+def test_cms_cells_batch_eq_stream(spark):
+    """The count-min sketch built as streaming keyed state (cell-wise
+    increments per micro-batch) is bit-equal to the batch one-pass
+    build -- the mergeability property that makes sketches the right
+    streaming state at scale."""
+    from pyspark.sql import functions as F
+
+    from etl_rf_matrix_controller_spark.operators.aggregates import (
+        CMS_CELLS,
+        CMS_ROWS,
+    )
+    from etl_rf_matrix_controller_spark.sources.tables import load_table
+    from etl_rf_matrix_controller_spark.streaming.state import stream_cms_cells
+
+    ev = load_table(spark, SF_DIR, "events").select("user_id")
+    cell = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "_",
+                        F.col("row_id").cast("string"),
+                        F.col("user_id").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % CMS_CELLS
+    )
+    batch = (
+        ev.select(
+            "user_id",
+            F.explode(F.sequence(F.lit(0), F.lit(CMS_ROWS - 1))).alias("rid"),
+        )
+        .select("user_id", F.col("rid").cast("long").alias("row_id"))
+        .select("row_id", cell.alias("cell"))
+        .groupBy("row_id", "cell")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    _assert_same(batch, stream_cms_cells(spark, SF_DIR), "cms_cells")
