@@ -1144,3 +1144,86 @@ def group_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_crossing"))
     )
     return per_fold.crossJoin(F.broadcast(leak))
+
+
+@declared(
+    "pipeline_lineage_manifest",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, text,
+             ('0x' || substring(md5(text), 1, 15))::BIGINT AS h,
+             md5(lower(trim(text))) AS content_hash
+      FROM documents
+    ),
+    filtered AS (SELECT * FROM base WHERE length(text) >= 100),
+    deduped AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY content_hash
+                                     ORDER BY doc_id) AS rn
+        FROM filtered
+      ) WHERE rn = 1
+    ),
+    train AS (
+      SELECT * FROM deduped WHERE {_bucket_sql('doc_id')} < 80
+    )
+    SELECT 'a_raw' AS stage, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(bit_xor(h) AS BIGINT) AS content_checksum FROM base
+    UNION ALL
+    SELECT 'b_filtered', CAST(count(*) AS BIGINT),
+           CAST(bit_xor(h) AS BIGINT) FROM filtered
+    UNION ALL
+    SELECT 'c_deduped', CAST(count(*) AS BIGINT),
+           CAST(bit_xor(h) AS BIGINT) FROM deduped
+    UNION ALL
+    SELECT 'd_train', CAST(count(*) AS BIGINT),
+           CAST(bit_xor(h) AS BIGINT) FROM train
+    """,
+)
+def pipeline_lineage_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage lineage manifest for the curation pipeline
+    (`pipeline_end_to_end`'s flow): after each stage -- raw, length
+    filter, exact dedup, train split -- the row count AND an
+    order-independent content checksum (bit_xor of a 60-bit md5 prefix
+    of each doc's text).  This is the audit trail a regulated training
+    pipeline ships with its data: any replay (on any engine, any
+    partitioning, any row order) must reproduce the same four
+    (count, checksum) pairs, or the lineage is broken -- the corpus-wide
+    generalization of the reference's per-frame XOR checksum
+    (`checksum_xor`, etl_controller.py:387-418).
+
+    XOR is associative+commutative, so the checksum is partial-agg-safe
+    and order-independent BY CONSTRUCTION -- the only aggregate with
+    that property over content hashes (sums overflow, concat orders).
+    All stages derive from ONE checkpointed projection; each stage is
+    one aggregate over the previous frame's rows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "text",
+        F.conv(F.substring(F.md5("text"), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+        F.md5(F.lower(F.trim("text"))).alias("content_hash"),
+    ).localCheckpoint(eager=True)  # four stage rollups share the scan
+    filtered = base.filter(F.length("text") >= 100)
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    deduped = (
+        filtered.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .localCheckpoint(eager=True)  # deduped + train rollups
+    )
+    train = deduped.filter(hash_bucket(F.col("doc_id")) < 80)
+
+    def stage(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.expr("CAST(bit_xor(h) AS BIGINT)").alias("content_checksum"),
+        ).select(F.lit(name).alias("stage"), "n_rows", "content_checksum")
+
+    return (
+        stage(base, "a_raw")
+        .unionByName(stage(filtered, "b_filtered"))
+        .unionByName(stage(deduped, "c_deduped"))
+        .unionByName(stage(train, "d_train"))
+    )
