@@ -3854,3 +3854,175 @@ def hysteresis_alarm_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("st.episodes").alias("episodes"),
         F.col("st.alarm_days").alias("alarm_days"),
     )
+
+
+@declared(
+    "shapley_attribution",
+    oracle="""
+    WITH firstp AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS p_ts
+      FROM events GROUP BY 1, 2
+    ),
+    touched AS (
+      SELECT f.user_id, f.day,
+             CASE WHEN f.p_ts IS NOT NULL THEN 1 ELSE 0 END AS conv,
+             CAST(coalesce(sum(DISTINCT
+               CASE e.event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+                                 WHEN 'signup' THEN 4 WHEN 'view' THEN 8
+               END), 0) AS BIGINT) AS mask
+      FROM firstp f
+      LEFT JOIN events e ON e.user_id = f.user_id
+                        AND CAST(floor(epoch(e.ts)) AS BIGINT) // 86400
+                            = f.day
+                        AND e.event_type <> 'purchase'
+                        AND (f.p_ts IS NULL OR e.ts < f.p_ts)
+      GROUP BY 1, 2, 3
+    ),
+    stats AS (
+      SELECT mask, CAST(count(*) AS BIGINT) AS users,
+             CAST(sum(conv) AS BIGINT) AS convs
+      FROM touched GROUP BY mask
+    ),
+    grid AS (
+      SELECT g.m AS mask,
+             coalesce(s.users, 0) AS users, coalesce(s.convs, 0) AS convs,
+             CASE WHEN coalesce(s.users, 0) > 0
+                  THEN CAST(s.convs AS DOUBLE) / CAST(s.users AS DOUBLE)
+                  ELSE 0.0e0 END AS v
+      FROM generate_series(0, 15) AS g(m)
+      LEFT JOIN stats s ON s.mask = g.m
+    ),
+    channels AS (
+      SELECT * FROM (VALUES (1, 'click'), (2, 'error'),
+                            (4, 'signup'), (8, 'view')) c(bit, channel)
+    ),
+    terms AS (
+      SELECT c.channel, g0.mask,
+             (CASE bit_count(g0.mask)
+                WHEN 0 THEN 6.0e0 / 24.0e0
+                WHEN 1 THEN 2.0e0 / 24.0e0
+                WHEN 2 THEN 2.0e0 / 24.0e0
+                ELSE 6.0e0 / 24.0e0 END) * (g1.v - g0.v) AS term
+      FROM channels c
+      JOIN grid g0 ON (g0.mask & c.bit) = 0
+      JOIN grid g1 ON g1.mask = (g0.mask | c.bit)
+    ),
+    folded AS (
+      SELECT channel, CAST(count(*) AS BIGINT) AS n_terms,
+             list_reduce(list(term ORDER BY mask), (a, b) -> a + b) AS phi
+      FROM terms GROUP BY channel
+    )
+    SELECT channel, n_terms, phi FROM folded
+    """,
+)
+def shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shapley-value conversion attribution over the four non-purchase
+    channels: each user's PRE-FIRST-PURCHASE touchset is a 4-bit
+    coalition, v(S) = observed conversion rate of users with exactly
+    that touchset (unobserved coalitions contribute v=0, the standard
+    simplified-Shapley convention in marketing attribution), and each
+    channel's credit is the exact Shapley sum phi_i = sum_(S not
+    containing i) |S|!(n-1-|S|)!/n! * (v(S+i) - v(S)) -- the
+    axiomatically fair split of conversion credit that first/last-touch
+    (`conversion_attribution`) provably distorts (Shapley 1953; Zhao et
+    al. 2018).
+
+    The coalition lattice is 2^4 = 16 masks -- DIMENSION-bounded, so
+    the whole Shapley computation after the one per-user pass is free
+    at any corpus scale (channels would cap ~20 before 2^n bites; then
+    you sample permutations).  v and the factorial weights are
+    identical fixed float expressions; each channel's 8 marginal terms
+    are summed by an ORDERED list fold (never an unordered float sum
+    -- the `neyman_allocation` discipline), seeded with the first
+    element to mirror DuckDB's list_reduce.
+
+    Cost: one events scan -> per-user-day (conv, touchset bitmask)
+    aggregate (the DISTINCT-sum builds the mask without a second
+    explode), one 16-row rollup, then broadcast lattice joins.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    firstp = ev.groupBy(
+        "user_id", F.expr("CAST(ts AS LONG) DIV 86400").alias("day")
+    ).agg(
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("p_ts")
+    )
+    bit = (
+        F.when(F.col("event_type") == "click", 1)
+        .when(F.col("event_type") == "error", 2)
+        .when(F.col("event_type") == "signup", 4)
+        .when(F.col("event_type") == "view", 8)
+    )
+    touched = (
+        firstp.join(
+            ev.filter(F.col("event_type") != "purchase").select(
+                F.col("user_id").alias("e_uid"),
+                F.expr("CAST(ts AS LONG) DIV 86400").alias("e_day"),
+                "event_type",
+                "ts",
+            ),
+            (F.col("e_uid") == F.col("user_id"))
+            & (F.col("e_day") == F.col("day"))
+            & (F.col("p_ts").isNull() | (F.col("ts") < F.col("p_ts"))),
+            "left",
+        )
+        .groupBy("user_id", "day", "p_ts")
+        .agg(
+            F.coalesce(F.sum_distinct(bit), F.lit(0)).cast("bigint").alias("mask")
+        )
+        .select(
+            F.when(F.col("p_ts").isNotNull(), 1).otherwise(0).alias("conv"),
+            "mask",
+        )
+    )
+    stats = touched.groupBy("mask").agg(
+        F.count(F.lit(1)).cast("bigint").alias("users"),
+        F.sum("conv").cast("bigint").alias("convs"),
+    )
+    grid = (
+        spark.range(16)
+        .select(F.col("id").cast("bigint").alias("mask"))
+        .join(F.broadcast(stats), "mask", "left")
+        .select(
+            "mask",
+            F.when(
+                F.coalesce(F.col("users"), F.lit(0)) > 0,
+                F.col("convs").cast("double") / F.col("users").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("v"),
+        )
+        .localCheckpoint(eager=True)  # joined as g0 and g1
+    )
+    channels = spark.createDataFrame(
+        [(1, "click"), (2, "error"), (4, "signup"), (8, "view")],
+        "bit int, channel string",
+    )
+    g0 = grid.select(F.col("mask"), F.col("v").alias("v0"))
+    g1 = grid.select(F.col("mask").alias("mask1"), F.col("v").alias("v1"))
+    w_s = F.expr(
+        "CASE bit_count(mask) WHEN 0 THEN 6.0D / 24.0D"
+        " WHEN 1 THEN 2.0D / 24.0D WHEN 2 THEN 2.0D / 24.0D"
+        " ELSE 6.0D / 24.0D END"
+    )
+    terms = (
+        g0.crossJoin(F.broadcast(channels))
+        .filter(F.expr("(mask & bit) = 0"))
+        .join(F.broadcast(g1), F.expr("mask1 = (mask | bit)"))
+        .select(
+            "channel", "mask", (w_s * (F.col("v1") - F.col("v0"))).alias("term")
+        )
+    )
+    folded = terms.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("mask", "term"))),
+            lambda s: s["term"],
+        ).alias("ts_arr"),
+    )
+    phi = F.aggregate(
+        F.slice(F.col("ts_arr"), 2, F.greatest(F.size("ts_arr") - 1, F.lit(0))),
+        F.element_at(F.col("ts_arr"), 1),
+        lambda a, x: a + x,
+    )
+    return folded.select("channel", "n_terms", phi.alias("phi"))
