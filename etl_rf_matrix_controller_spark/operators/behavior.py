@@ -4026,3 +4026,128 @@ def shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda a, x: a + x,
     )
     return folded.select("channel", "n_terms", phi.alias("phi"))
+
+
+@declared(
+    "cooc_recommender_hitrate",
+    oracle="""
+    WITH thr AS (
+      SELECT CAST((min(CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400)
+                   + max(CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400)
+                   + 1) // 2 AS BIGINT) AS mid_day
+      FROM orders
+    ),
+    op AS (
+      SELECT DISTINCT l.l_orderkey AS ok, l.l_partkey AS pk,
+             CASE WHEN CAST(floor(epoch(o.o_orderdate)) AS BIGINT) // 86400
+                       < t.mid_day
+                  THEN 0 ELSE 1 END AS is_test
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      CROSS JOIN thr t
+    ),
+    train_pairs AS (
+      SELECT a.pk AS part_a, b.pk AS part_b,
+             CAST(count(*) AS BIGINT) AS cooc
+      FROM op a JOIN op b ON b.ok = a.ok AND b.pk <> a.pk
+      WHERE a.is_test = 0 AND b.is_test = 0
+      GROUP BY a.pk, b.pk
+    ),
+    model AS (
+      SELECT part_a, part_b AS predicted
+      FROM (
+        SELECT part_a, part_b,
+               row_number() OVER (PARTITION BY part_a
+                                  ORDER BY cooc DESC, part_b) AS rk
+        FROM train_pairs
+      ) WHERE rk = 1
+    ),
+    preds AS (
+      SELECT t.ok, t.pk, m.predicted,
+             CASE WHEN EXISTS (
+               SELECT 1 FROM op x
+               WHERE x.ok = t.ok AND x.pk = m.predicted
+             ) THEN 1 ELSE 0 END AS hit
+      FROM op t JOIN model m ON m.part_a = t.pk
+      WHERE t.is_test = 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_predictions,
+           CAST(sum(hit) AS BIGINT) AS n_hits,
+           CAST((1000000 * sum(hit)) // count(*) AS BIGINT) AS hitrate_ppm
+    FROM preds
+    """,
+)
+def cooc_recommender_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline evaluation of the co-occurrence recommender with a
+    TEMPORAL train/test split: the top-1 'also bought' partner per part
+    is learned on first-half orders only, then scored on second-half
+    baskets (hit = the predicted partner appears in the same test
+    basket) -- the leakage-free replay protocol every recommender eval
+    needs (training on the full corpus inflates hit-rate via the very
+    co-occurrences being predicted; `item_cooccurrence_similarity` is
+    the model, this is its honest scorecard).
+
+    The calendar split is the same integer-midpoint scalar as
+    `trade_edge_drift`, broadcast onto the incidence rows, so train
+    membership is a column, not a second scan.  All-integer counts and
+    a ppm floor division.
+
+    Cost: one lineitem+orders pass -> the tagged (order, part)
+    incidence (localCheckpointed: train self-join sides + test probe +
+    the hit anti-probe), order-width-bounded pair fan-out, then a
+    broadcast of the <=|parts|-row model; the hit check is one more
+    incidence equi-join.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    oday = F.expr("to_unix_timestamp(o_orderdate) DIV 86400")
+    thr = orders.agg(
+        ((F.min(oday) + F.max(oday) + 1) / 2).cast("bigint").alias("mid_day")
+    )
+    op = (
+        li.join(
+            orders.select("o_orderkey", oday.alias("oday")),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .crossJoin(F.broadcast(thr))
+        .select(
+            F.col("l_orderkey").alias("ok"),
+            F.col("l_partkey").alias("pk"),
+            F.when(F.col("oday") < F.col("mid_day"), 0).otherwise(1).alias("is_test"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # train pair sides + test + hit probe
+    )
+    tr = op.filter(F.col("is_test") == 0)
+    a = tr.select("ok", F.col("pk").alias("part_a"))
+    b = tr.select("ok", F.col("pk").alias("part_b"))
+    train_pairs = (
+        a.join(b.hint("shuffle_hash"), "ok")
+        .filter(F.col("part_b") != F.col("part_a"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cooc"))
+    )
+    wm = Window.partitionBy("part_a").orderBy(F.desc("cooc"), F.asc("part_b"))
+    model = (
+        train_pairs.withColumn("rk", F.row_number().over(wm))
+        .filter(F.col("rk") == 1)
+        .select("part_a", F.col("part_b").alias("predicted"))
+    )
+    test = op.filter(F.col("is_test") == 1).select("ok", "pk")
+    preds = test.join(F.broadcast(model), test.pk == model.part_a).select(
+        "ok", "pk", "predicted"
+    )
+    hits = preds.join(
+        op.select(F.col("ok").alias("h_ok"), F.col("pk").alias("h_pk")).hint(
+            "shuffle_hash"
+        ),
+        (F.col("h_ok") == F.col("ok")) & (F.col("h_pk") == F.col("predicted")),
+        "left",
+    ).select(F.when(F.col("h_pk").isNotNull(), 1).otherwise(0).alias("hit"))
+    return hits.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_predictions"),
+        F.sum("hit").cast("bigint").alias("n_hits"),
+        F.expr("CAST((1000000 * sum(hit)) DIV count(*) AS BIGINT)").alias(
+            "hitrate_ppm"
+        ),
+    )
