@@ -2543,3 +2543,116 @@ def join_cardinality_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rel_err_ppm"),
         )
     )
+
+
+@declared(
+    "selectivity_estimate_check",
+    oracle="""
+    WITH vals AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS v FROM events
+    ),
+    bounds AS (
+      SELECT CAST(min(v) AS BIGINT) AS mn, CAST(max(v) AS BIGINT) AS mx,
+             CAST(count(*) AS BIGINT) AS n
+      FROM vals
+    ),
+    hist AS (
+      SELECT CAST(((v - b.mn) * 10) // (b.mx - b.mn + 1) AS BIGINT)
+               AS bucket,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM vals CROSS JOIN bounds b
+      GROUP BY ((v - b.mn) * 10) // (b.mx - b.mn + 1)
+    ),
+    est AS (
+      SELECT CAST(sum(
+               (h.cnt * greatest(0,
+                  least(6000, b.mn + ((h.bucket + 1)
+                                      * (b.mx - b.mn + 1)) // 10 - 1)
+                  - greatest(2000, b.mn + (h.bucket
+                                           * (b.mx - b.mn + 1)) // 10)
+                  + 1))
+               // (((h.bucket + 1) * (b.mx - b.mn + 1)) // 10
+                   - (h.bucket * (b.mx - b.mn + 1)) // 10)
+             ) AS BIGINT) AS est_rows
+      FROM hist h CROSS JOIN bounds b
+    ),
+    act AS (
+      SELECT CAST(count(*) AS BIGINT) AS actual_rows
+      FROM vals WHERE v BETWEEN 2000 AND 6000
+    )
+    SELECT b.n AS n_rows, e.est_rows, a.actual_rows,
+           CAST((1000000 * abs(e.est_rows - a.actual_rows))
+                // a.actual_rows AS BIGINT) AS rel_err_ppm
+    FROM bounds b CROSS JOIN est e CROSS JOIN act a
+    WHERE a.actual_rows > 0
+    """,
+)
+def selectivity_estimate_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram selectivity estimate vs ground truth for the range
+    predicate value BETWEEN 20 AND 60: a 10-bucket equi-width histogram
+    with uniform-within-bucket interpolation (exactly what a CBO keeps
+    in its column stats) predicts the matching row count; the actual
+    count and ppm error certify how far uniformity is from this data --
+    the single-table sibling of `join_cardinality_check`, and the
+    reason `equidepth_value_bands` exists (equi-DEPTH bounds the error
+    where equi-width cannot).
+
+    All-integer: bucket edges are floor divisions of the scaled-cents
+    range, per-bucket overlap length is clamped integer arithmetic,
+    and the interpolated estimate floor-divides per bucket before
+    summing -- identical on both engines.
+
+    Cost: one stats pass (min/max/count), one histogram aggregation,
+    one certifying count -- production reads the histogram from the
+    catalog and pays zero.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    vals = ev.select(F.round(F.col("value") * 100).cast("bigint").alias("v"))
+    vals = vals.localCheckpoint(eager=True)  # bounds + hist + actual
+    bounds = vals.agg(
+        F.min("v").cast("bigint").alias("mn"),
+        F.max("v").cast("bigint").alias("mx"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    hist = (
+        vals.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            F.expr("((v - mn) * 10) DIV (mx - mn + 1)").cast("bigint").alias(
+                "bucket"
+            )
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    est = (
+        hist.crossJoin(F.broadcast(bounds))
+        .agg(
+            F.expr(
+                "CAST(sum("
+                " (cnt * greatest(0,"
+                "    least(6000, mn + ((bucket + 1) * (mx - mn + 1)) DIV 10 - 1)"
+                "    - greatest(2000, mn + (bucket * (mx - mn + 1)) DIV 10)"
+                "    + 1))"
+                " DIV (((bucket + 1) * (mx - mn + 1)) DIV 10"
+                "      - (bucket * (mx - mn + 1)) DIV 10)"
+                ") AS BIGINT)"
+            ).alias("est_rows")
+        )
+    )
+    act = vals.filter(F.col("v").between(2000, 6000)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("actual_rows")
+    )
+    return (
+        F.broadcast(bounds)
+        .crossJoin(F.broadcast(est))
+        .crossJoin(F.broadcast(act))
+        .filter(F.col("actual_rows") > 0)
+        .select(
+            F.col("n").alias("n_rows"),
+            "est_rows",
+            "actual_rows",
+            F.expr(
+                "CAST((1000000 * abs(est_rows - actual_rows))"
+                " DIV actual_rows AS BIGINT)"
+            ).alias("rel_err_ppm"),
+        )
+    )

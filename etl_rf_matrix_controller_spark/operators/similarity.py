@@ -2943,3 +2943,152 @@ def knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
         dis.cast("bigint").alias("n_disagree"),
         (2 * dis > F.count(F.lit(1))).alias("suspect"),
     )
+
+
+# Deterministic +-1 Johnson-Lindenstrauss projection entries from the
+# same Knuth-multiplicative stream as the LSH planes: entry (j, i) is
+# +1 iff hash(16*64-offset j*64+i) lands in the lower half of the ring.
+_JL_DIM = 16
+_JL_OFFSET = 1_000_000  # disjoint from the LSH plane index space
+
+_JL_PROJ_SPARK = f"""
+transform(sequence(0, {_JL_DIM - 1}), j ->
+  aggregate(sequence(1, {DIM}), CAST(0.0 AS DOUBLE), (a, i) ->
+    a + CAST(element_at({{col}}, i) AS DOUBLE) *
+        (CASE WHEN CAST((CAST({_JL_OFFSET} + j * {DIM} + i - 1 AS BIGINT)
+                         * {LSH_MULT}) % {LSH_MOD} AS BIGINT)
+                   < {LSH_MOD // 2} THEN 1.0 ELSE -1.0 END)
+  ) / 4.0)
+"""
+
+_JL_PROJ_DUCK = f"""
+list_transform(generate_series(0, {_JL_DIM - 1}), j ->
+  list_sum(list_transform(generate_series(1, {DIM}), i ->
+    CAST({{col}}[i] AS DOUBLE) *
+    (CASE WHEN CAST((CAST({_JL_OFFSET} + j * {DIM} + i - 1 AS BIGINT)
+                     * {LSH_MULT}) % {LSH_MOD} AS BIGINT)
+               < {LSH_MOD // 2} THEN 1.0 ELSE -1.0 END)
+  )) / 4.0)
+"""
+
+
+@declared(
+    "jl_projection_distortion",
+    oracle=f"""
+    WITH proj AS (
+      SELECT vec_id, embedding,
+             {_JL_PROJ_DUCK.format(col='embedding')} AS p
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, embedding AS qe, p AS qp
+          FROM proj WHERE vec_id < {N_QUERIES}),
+    pairs AS (
+      SELECT q.qid, c.vec_id AS cid,
+             sqrt(list_sum(list_transform(generate_series(1, {DIM}), i ->
+               (CAST(q.qe[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))
+               * (CAST(q.qe[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))
+             ))) AS d_full,
+             sqrt(list_sum(list_transform(generate_series(1, {_JL_DIM}), j ->
+               (q.qp[j] - c.p[j]) * (q.qp[j] - c.p[j])
+             ))) AS d_proj
+      FROM q JOIN proj c ON c.vec_id <> q.qid
+    ),
+    ratios AS (
+      SELECT qid, cid, d_proj / d_full AS ratio
+      FROM pairs WHERE d_full > 0
+    ),
+    ranked AS (
+      SELECT ratio,
+             CAST(row_number() OVER (ORDER BY ratio, qid, cid) AS BIGINT)
+               AS rk,
+             CAST(count(*) OVER () AS BIGINT) AS n
+      FROM ratios
+    )
+    SELECT n AS n_pairs,
+           max(CASE WHEN rk = 1 THEN ratio END) AS min_ratio,
+           max(CASE WHEN rk = (n + 1) // 2 THEN ratio END) AS median_ratio,
+           max(CASE WHEN rk = n THEN ratio END) AS max_ratio
+    FROM ranked GROUP BY n
+    """,
+)
+def jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss distance preservation, measured: embeddings
+    are projected 64 -> 16 dims through a deterministic +-1/sqrt(16)
+    matrix (same Knuth-multiplicative hash stream as the LSH planes,
+    disjoint index range), and the probe-pair L2 distance ratio
+    d_proj/d_full is summarized as (min, median, max) -- the JL lemma
+    says the ratio concentrates near 1, and THIS query is the check
+    that the cheap 4x-smaller vectors are safe for coarse filtering
+    (the dimension-reduction sibling of `pq_distortion_report`'s
+    quantization study; at 100 TB you project once and run every
+    downstream distance 4x cheaper).
+
+    Projection and distances are deterministic sequential folds (the
+    `dot_double` discipline); the order statistics come from a
+    total-ordered rank window (ratio, then pair id), never a float
+    aggregate.  sqrt(16)=4 keeps the scale factor exact.
+
+    Cost: one embeddings scan computes all projections in-row (no
+    shuffle); pair distances are the bounded probe set x corpus (the
+    `knn_brute_force` posture); the rank window runs on ~5n rows.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    proj = emb.select(
+        "vec_id",
+        "embedding",
+        F.expr(_JL_PROJ_SPARK.format(col="embedding")).alias("p"),
+    ).localCheckpoint(eager=True)  # probe side + candidate side
+    q = proj.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("p").alias("qp"),
+    )
+    c = proj.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        F.col("p").alias("cp"),
+    )
+    d_full = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col("qe"),
+                F.col("ce"),
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    d_proj = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col("qp"), F.col("cp"), lambda x, y: (x - y) * (x - y)
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    pairs = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cid") != F.col("qid"))
+        .select("qid", "cid", d_full.alias("d_full"), d_proj.alias("d_proj"))
+    )
+    ratios = pairs.filter(F.col("d_full") > 0).select(
+        "qid", "cid", (F.col("d_proj") / F.col("d_full")).alias("ratio")
+    )
+    w = Window.orderBy("ratio", "qid", "cid")
+    ranked = ratios.select(
+        "ratio",
+        F.row_number().over(w).cast("bigint").alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    return ranked.groupBy("n").agg(
+        F.max(F.when(F.col("rk") == 1, F.col("ratio"))).alias("min_ratio"),
+        F.max(
+            F.when(F.col("rk") == F.expr("(n + 1) DIV 2"), F.col("ratio"))
+        ).alias("median_ratio"),
+        F.max(F.when(F.col("rk") == F.col("n"), F.col("ratio"))).alias("max_ratio"),
+    ).select(
+        F.col("n").alias("n_pairs"), "min_ratio", "median_ratio", "max_ratio"
+    )
