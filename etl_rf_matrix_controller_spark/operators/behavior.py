@@ -4151,3 +4151,186 @@ def cooc_recommender_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hitrate_ppm"
         ),
     )
+
+
+@declared(
+    "max_drawdown_daily_value",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day_idx,
+             CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS v_s
+      FROM events
+      GROUP BY CAST(floor(epoch(ts)) AS BIGINT) // 86400
+    ),
+    cum AS (
+      SELECT day_idx,
+             CAST(sum(v_s) OVER (ORDER BY day_idx
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c
+      FROM daily
+    ),
+    dd AS (
+      SELECT day_idx, c,
+             CAST(max(c) OVER (ORDER BY day_idx
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS peak
+      FROM cum
+    ),
+    scored AS (
+      SELECT day_idx, c, peak, peak - c AS drawdown_s,
+             CAST((1000000 * (peak - c)) // peak AS BIGINT) AS drawdown_ppm
+      FROM dd WHERE peak > 0
+    )
+    SELECT day_idx AS worst_day, c AS cum_value_s, peak AS peak_s,
+           drawdown_s, drawdown_ppm
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY drawdown_s DESC, day_idx) AS rk
+      FROM scored
+    ) WHERE rk = 1
+    """,
+)
+def max_drawdown_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the cumulative daily value series: running
+    peak minus current cumulative, maximized -- the risk statistic that
+    says how bad the worst peak-to-trough slide was (finance's
+    canonical path-dependent metric; here "how far did cumulative
+    revenue fall behind its best run-rate").  Two stacked running
+    windows (cumsum, then running max) and one total-ordered argmax --
+    a shape plain aggregation cannot express but windows do in one
+    pass; the path-dependence is why it pairs with
+    `value_changepoint_cusum` (same cumulative machinery, different
+    question).
+
+    All-integer (scaled cents, ppm floor division against the peak);
+    first-crossing tiebreak by day.  With non-negative daily values
+    the series is monotone and drawdown is 0 -- still a valid,
+    oracle-equal answer; the statistic bites when refunds/corrections
+    make days net-negative (late_data_corrections' world).
+
+    Cost: one events scan -> calendar-bounded day series; both windows
+    and the argmax run single-partition over <=|days| rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.expr("CAST(ts AS LONG) DIV 86400").alias("day_idx"),
+            F.round(F.col("value") * 10000).cast("bigint").alias("v_si"),
+        )
+        .groupBy("day_idx")
+        .agg(F.sum("v_si").cast("bigint").alias("v_s"))
+    )
+    wc = Window.orderBy("day_idx").rowsBetween(Window.unboundedPreceding, 0)
+    dd = daily.select(
+        "day_idx",
+        F.sum("v_s").over(wc).cast("bigint").alias("c"),
+    ).select(
+        "day_idx",
+        "c",
+        F.max("c").over(wc).cast("bigint").alias("peak"),
+    )
+    scored = dd.filter(F.col("peak") > 0).select(
+        "day_idx",
+        "c",
+        "peak",
+        (F.col("peak") - F.col("c")).alias("drawdown_s"),
+        F.expr("CAST((1000000 * (peak - c)) DIV peak AS BIGINT)").alias(
+            "drawdown_ppm"
+        ),
+    )
+    wr = Window.orderBy(F.desc("drawdown_s"), F.asc("day_idx"))
+    return (
+        scored.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("day_idx").alias("worst_day"),
+            F.col("c").alias("cum_value_s"),
+            F.col("peak").alias("peak_s"),
+            "drawdown_s",
+            "drawdown_ppm",
+        )
+    )
+
+
+@declared(
+    "bollinger_band_days",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day_idx,
+             CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS v_s
+      FROM events
+      GROUP BY CAST(floor(epoch(ts)) AS BIGINT) // 86400
+    ),
+    roll AS (
+      SELECT day_idx, v_s,
+             CAST(count(*) OVER wnd AS BIGINT) AS k,
+             CAST(sum(CAST(v_s AS HUGEINT)) OVER wnd AS HUGEINT) AS s,
+             CAST(sum(CAST(v_s AS HUGEINT) * v_s) OVER wnd AS HUGEINT) AS q
+      FROM daily
+      WINDOW wnd AS (ORDER BY day_idx ROWS BETWEEN 6 PRECEDING
+                     AND CURRENT ROW)
+    ),
+    bands AS (
+      SELECT day_idx, v_s, k,
+             CAST(s AS DOUBLE) / CAST(k AS DOUBLE) AS mid,
+             2.0e0 * sqrt(CAST(k * q - s * s AS DOUBLE)
+                          / CAST(k * k AS DOUBLE)) AS width
+      FROM roll WHERE k = 7
+    )
+    SELECT day_idx,
+           CAST(v_s AS DOUBLE) / 10000.0e0 AS value,
+           mid / 10000.0e0 AS band_mid,
+           (mid - width) / 10000.0e0 AS band_lo,
+           (mid + width) / 10000.0e0 AS band_hi,
+           CAST(v_s AS DOUBLE) > mid + width
+             OR CAST(v_s AS DOUBLE) < mid - width AS outside
+    FROM bands
+    """,
+)
+def bollinger_band_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands on the daily value series: trailing-7-day mean
+    +- 2 population standard deviations, with the outside-band flag per
+    day -- the rolling-volatility envelope that complements
+    `ewma_control_chart` (exponential memory, fixed sigma) with a
+    finite-window, locally-estimated sigma: a spike after a calm week
+    flags here even when the long-run EWMA chart stays quiet.
+
+    The rolling moments (count, sum, sum-of-squares) are exact integer
+    window sums (HUGEINT/DECIMAL operand-cast discipline -- daily
+    sums-of-squares exceed int64); mean and 2*sigma = 2*sqrt((kQ-S^2)/
+    k^2) are fixed float expressions of those integers, identical in
+    the oracle, so even the band edges hash-match.  Warm-up days
+    (window < 7) are excluded identically on both engines.
+
+    Cost: one events scan -> calendar-bounded day series; one ordered
+    window pass carries all three moments at once.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.expr("CAST(ts AS LONG) DIV 86400").alias("day_idx"),
+            F.round(F.col("value") * 10000).cast("bigint").alias("v_si"),
+        )
+        .groupBy("day_idx")
+        .agg(F.sum("v_si").cast("bigint").alias("v_s"))
+    )
+    dec = "decimal(38,0)"
+    wnd = Window.orderBy("day_idx").rowsBetween(-6, 0)
+    roll = daily.select(
+        "day_idx",
+        "v_s",
+        F.count(F.lit(1)).over(wnd).cast("bigint").alias("k"),
+        F.sum(F.col("v_s").cast(dec)).over(wnd).cast(dec).alias("s"),
+        F.sum(F.col("v_s").cast(dec) * F.col("v_s")).over(wnd).cast(dec).alias("q"),
+    ).filter(F.col("k") == 7)
+    mid = F.col("s").cast("double") / F.col("k").cast("double")
+    width = F.lit(2.0) * F.sqrt(
+        (F.col("k") * F.col("q") - F.col("s") * F.col("s")).cast("double")
+        / (F.col("k") * F.col("k")).cast("double")
+    )
+    vd = F.col("v_s").cast("double")
+    return roll.select(
+        "day_idx",
+        (vd / F.lit(10000.0)).alias("value"),
+        (mid / F.lit(10000.0)).alias("band_mid"),
+        ((mid - width) / F.lit(10000.0)).alias("band_lo"),
+        ((mid + width) / F.lit(10000.0)).alias("band_hi"),
+        ((vd > mid + width) | (vd < mid - width)).alias("outside"),
+    )

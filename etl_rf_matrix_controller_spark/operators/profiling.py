@@ -2656,3 +2656,91 @@ def selectivity_estimate_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rel_err_ppm"),
         )
     )
+
+
+@declared(
+    "capture_recapture_users",
+    oracle="""
+    WITH thr AS (
+      SELECT CAST((min(CAST(floor(epoch(ts)) AS BIGINT) // 86400)
+                   + max(CAST(floor(epoch(ts)) AS BIGINT) // 86400)
+                   + 1) // 2 AS BIGINT) AS mid_day
+      FROM events
+    ),
+    seen AS (
+      SELECT user_id,
+             max(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) // 86400
+                           < t.mid_day THEN 1 ELSE 0 END) AS s1,
+             max(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) // 86400
+                           < t.mid_day THEN 0 ELSE 1 END) AS s2
+      FROM events CROSS JOIN thr t
+      GROUP BY user_id
+    ),
+    agg AS (
+      SELECT CAST(sum(s1) AS BIGINT) AS n1,
+             CAST(sum(s2) AS BIGINT) AS n2,
+             CAST(sum(s1 * s2) AS BIGINT) AS m,
+             CAST(count(*) AS BIGINT) AS actual
+      FROM seen
+    )
+    SELECT n1, n2, m, actual,
+           CAST((n1 + 1) * (n2 + 1) // (m + 1) - 1 AS BIGINT) AS chapman_est,
+           CAST((1000000 * abs((n1 + 1) * (n2 + 1) // (m + 1) - 1 - actual))
+                // actual AS BIGINT) AS rel_err_ppm
+    FROM agg WHERE actual > 0
+    """,
+)
+def capture_recapture_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chapman capture-recapture estimate of the user population: treat
+    the first and second calendar halves as two independent capture
+    samples (n1, n2 users seen, m seen in both) and estimate the total
+    as (n1+1)(n2+1)/(m+1) - 1 -- the ecology estimator (Chapman 1951)
+    that data teams reuse to size populations they can only sample
+    (how many TOTAL users exist when each observation window sees a
+    subset), certified here against the directly-countable truth.
+    Complements the sketch estimators (`kmv_distinct_estimate`
+    approximates a countable set; Chapman extrapolates BEYOND what any
+    window saw -- the error certifies the independence assumption).
+
+    All-integer: both capture flags come from one conditional pass
+    (midpoint scalar broadcast), the estimator is a single floor
+    division, error in ppm.
+
+    Cost: one events scan -> per-user flags -> one-row rollup.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    eday = F.expr("CAST(ts AS LONG) DIV 86400")
+    thr = ev.agg(
+        ((F.min(eday) + F.max(eday) + 1) / 2).cast("bigint").alias("mid_day")
+    )
+    seen = (
+        ev.select("user_id", eday.alias("eday"))
+        .crossJoin(F.broadcast(thr))
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(F.col("eday") < F.col("mid_day"), 1).otherwise(0)).alias(
+                "s1"
+            ),
+            F.max(F.when(F.col("eday") < F.col("mid_day"), 0).otherwise(1)).alias(
+                "s2"
+            ),
+        )
+    )
+    agg = seen.agg(
+        F.sum("s1").cast("bigint").alias("n1"),
+        F.sum("s2").cast("bigint").alias("n2"),
+        F.sum(F.col("s1") * F.col("s2")).cast("bigint").alias("m"),
+        F.count(F.lit(1)).cast("bigint").alias("actual"),
+    )
+    est = F.expr("(n1 + 1) * (n2 + 1) DIV (m + 1) - 1")
+    return agg.filter(F.col("actual") > 0).select(
+        "n1",
+        "n2",
+        "m",
+        "actual",
+        est.cast("bigint").alias("chapman_est"),
+        F.expr(
+            "CAST((1000000 * abs((n1 + 1) * (n2 + 1) DIV (m + 1) - 1 - actual))"
+            " DIV actual AS BIGINT)"
+        ).alias("rel_err_ppm"),
+    )
