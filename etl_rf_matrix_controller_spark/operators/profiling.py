@@ -2744,3 +2744,279 @@ def capture_recapture_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV actual AS BIGINT)"
         ).alias("rel_err_ppm"),
     )
+
+
+@declared(
+    "event_rate_c_test",
+    oracle="""
+    WITH thr AS (
+      SELECT CAST((min(CAST(floor(epoch(ts)) AS BIGINT) // 86400)
+                   + max(CAST(floor(epoch(ts)) AS BIGINT) // 86400)
+                   + 1) // 2 AS BIGINT) AS mid_day
+      FROM events
+    ),
+    agg AS (
+      SELECT event_type,
+             CAST(sum(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) // 86400
+                                < t.mid_day THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x1,
+             CAST(sum(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) // 86400
+                                < t.mid_day THEN 0 ELSE 1 END)
+                  AS BIGINT) AS x2
+      FROM events CROSS JOIN thr t
+      GROUP BY event_type
+    )
+    SELECT event_type, x1, x2, z, abs(z) > 1.96e0 AS significant
+    FROM (
+      SELECT event_type, x1, x2,
+             CAST(x1 - x2 AS DOUBLE) / sqrt(CAST(x1 + x2 AS DOUBLE)) AS z
+      FROM agg WHERE x1 + x2 > 0
+    )
+    """,
+)
+def event_rate_c_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional Poisson rate test (the C-test) per event type: under
+    equal first-half/second-half rates, X1 | X1+X2 ~ Binomial(n, 1/2),
+    so z = (X1-X2)/sqrt(X1+X2) flags types whose event RATE shifted
+    between halves -- the count-data member of the two-sample family
+    (`welch_t_value_test` compares means, `mann_whitney_value_test`
+    distributions, this compares arrival intensities; Przyborowski &
+    Wilenski 1940).  Equal-length halves via the integer calendar
+    midpoint make the exposure ratio exactly 1.
+
+    Counts are one conditional pass (midpoint scalar broadcast onto
+    rows); z is one fixed float expression of two exact integers.
+
+    Cost: one events scan -> per-type conditional sums -> |types| rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    eday = F.expr("CAST(ts AS LONG) DIV 86400")
+    thr = ev.agg(
+        ((F.min(eday) + F.max(eday) + 1) / 2).cast("bigint").alias("mid_day")
+    )
+    agg = (
+        ev.select("event_type", eday.alias("eday"))
+        .crossJoin(F.broadcast(thr))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("eday") < F.col("mid_day"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("x1"),
+            F.sum(F.when(F.col("eday") < F.col("mid_day"), 0).otherwise(1))
+            .cast("bigint")
+            .alias("x2"),
+        )
+    )
+    z = (F.col("x1") - F.col("x2")).cast("double") / F.sqrt(
+        (F.col("x1") + F.col("x2")).cast("double")
+    )
+    return agg.filter(F.col("x1") + F.col("x2") > 0).select(
+        "event_type",
+        "x1",
+        "x2",
+        z.alias("z"),
+        (F.abs(z) > F.lit(1.96)).alias("significant"),
+    )
+
+
+@declared(
+    "kendall_tau_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day_idx,
+             CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS v_s,
+             CAST(count(*) AS BIGINT) AS n_ev
+      FROM events
+      GROUP BY CAST(floor(epoch(ts)) AS BIGINT) // 86400
+    ),
+    pairs AS (
+      SELECT CAST(sum(CASE WHEN (b.v_s - a.v_s) * (b.n_ev - a.n_ev) > 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS conc,
+             CAST(sum(CASE WHEN (b.v_s - a.v_s) * (b.n_ev - a.n_ev) < 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS disc,
+             CAST(sum(CASE WHEN b.v_s = a.v_s AND b.n_ev <> a.n_ev
+                           THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+             CAST(sum(CASE WHEN b.n_ev = a.n_ev AND b.v_s <> a.v_s
+                           THEN 1 ELSE 0 END) AS BIGINT) AS ty
+      FROM daily a JOIN daily b ON b.day_idx > a.day_idx
+    )
+    SELECT conc, disc, tx, ty,
+           CAST(conc - disc AS DOUBLE)
+           / (sqrt(CAST(conc + disc + tx AS DOUBLE))
+              * sqrt(CAST(conc + disc + ty AS DOUBLE))) AS tau_b
+    FROM pairs
+    WHERE conc + disc + tx > 0 AND conc + disc + ty > 0
+    """,
+)
+def kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b between daily TOTAL VALUE and daily EVENT COUNT:
+    concordant minus discordant day pairs over the tie-corrected
+    geometric denominator -- completing the correlation trio
+    (`lineitem_corr_matrix` Pearson, `spearman_quantity_price`
+    doubled-midrank Spearman, this pairwise-concordance Kendall) on the
+    question "do busier days move more money, monotonically?".
+
+    The pair join is quadratic in DISTINCT DAYS -- calendar-bounded,
+    never data-bounded (the `mann_kendall_trend` posture; MK is
+    exactly this machinery with time as the second variable).  The
+    four pair classes are exact integers from one join-aggregate;
+    tau_b is one fixed float expression of them.
+
+    Cost: one events scan -> daily frame (localCheckpointed for both
+    pair-join sides), one <=|days|^2/2 broadcast pair join.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.expr("CAST(ts AS LONG) DIV 86400").alias("day_idx"),
+            F.round(F.col("value") * 10000).cast("bigint").alias("v_si"),
+        )
+        .groupBy("day_idx")
+        .agg(
+            F.sum("v_si").cast("bigint").alias("v_s"),
+            F.count(F.lit(1)).cast("bigint").alias("n_ev"),
+        )
+        .localCheckpoint(eager=True)  # both pair-join sides
+    )
+    a = daily.select(
+        F.col("day_idx").alias("da"), F.col("v_s").alias("va"), F.col("n_ev").alias("na")
+    )
+    b = daily.select(
+        F.col("day_idx").alias("db"), F.col("v_s").alias("vb"), F.col("n_ev").alias("nb")
+    )
+    dv = F.col("vb") - F.col("va")
+    dn = F.col("nb") - F.col("na")
+    pairs = a.join(F.broadcast(b), F.col("db") > F.col("da")).agg(
+        F.sum(F.when(dv * dn > 0, 1).otherwise(0)).cast("bigint").alias("conc"),
+        F.sum(F.when(dv * dn < 0, 1).otherwise(0)).cast("bigint").alias("disc"),
+        F.sum(F.when((dv == 0) & (dn != 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("tx"),
+        F.sum(F.when((dn == 0) & (dv != 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("ty"),
+    )
+    tau = (F.col("conc") - F.col("disc")).cast("double") / (
+        F.sqrt((F.col("conc") + F.col("disc") + F.col("tx")).cast("double"))
+        * F.sqrt((F.col("conc") + F.col("disc") + F.col("ty")).cast("double"))
+    )
+    return pairs.filter(
+        (F.col("conc") + F.col("disc") + F.col("tx") > 0)
+        & (F.col("conc") + F.col("disc") + F.col("ty") > 0)
+    ).select("conc", "disc", "tx", "ty", tau.alias("tau_b"))
+
+
+@declared(
+    "partial_correlation_lineitem",
+    oracle="""
+    WITH rows_in AS (
+      SELECT CAST(round(l_quantity * 100) AS BIGINT) AS x,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS y,
+             CAST(round(l_discount * 10000) AS BIGINT) AS z
+      FROM lineitem
+    ),
+    m AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+             CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+             CAST(sum(CAST(z AS HUGEINT)) AS HUGEINT) AS sz,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+             CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+             CAST(sum(CAST(z AS HUGEINT) * z) AS HUGEINT) AS szz,
+             CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+             CAST(sum(CAST(x AS HUGEINT) * z) AS HUGEINT) AS sxz,
+             CAST(sum(CAST(y AS HUGEINT) * z) AS HUGEINT) AS syz
+      FROM rows_in
+    ),
+    r AS (
+      SELECT CAST(n AS BIGINT) AS n,
+             CAST(n * sxy - sx * sy AS DOUBLE)
+               / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                  * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS rxy,
+             CAST(n * sxz - sx * sz AS DOUBLE)
+               / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                  * sqrt(CAST(n * szz - sz * sz AS DOUBLE))) AS rxz,
+             CAST(n * syz - sy * sz AS DOUBLE)
+               / (sqrt(CAST(n * syy - sy * sy AS DOUBLE))
+                  * sqrt(CAST(n * szz - sz * sz AS DOUBLE))) AS ryz
+      FROM m
+      WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+        AND n * szz - sz * sz > 0
+    )
+    SELECT n, rxy, rxz, ryz,
+           (rxy - rxz * ryz)
+           / (sqrt(1.0e0 - rxz * rxz) * sqrt(1.0e0 - ryz * ryz))
+             AS partial_rxy_given_z
+    FROM r
+    WHERE 1.0e0 - rxz * rxz > 0 AND 1.0e0 - ryz * ryz > 0
+    """,
+)
+def partial_correlation_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order partial correlation: corr(quantity, extendedprice)
+    CONTROLLING for discount -- r_xy.z = (r_xy - r_xz*r_yz) /
+    sqrt((1-r_xz^2)(1-r_yz^2)), the multivariate-statistics step past
+    `lineitem_corr_matrix`'s marginal cells: is the quantity-price
+    relationship real, or a mutual-discount artifact?  (With
+    `ols_normal_equations` this completes the regression toolbox: OLS
+    gives the conditional slope, this the conditional correlation.)
+
+    All ten moments accumulate as exact integers in one pass
+    (operand-cast-first discipline); the three marginal r's and the
+    partial r are fixed float expressions of them, written identically
+    in the oracle -- bit-equal, no tolerance.  Degenerate variances
+    and |r|=1 controls are excluded identically on both engines.
+
+    Cost: one lineitem scan -> one partial+final moment row.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    rows_in = li.select(
+        F.round(F.col("l_quantity") * 100).cast("bigint").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("y"),
+        F.round(F.col("l_discount") * 10000).cast("bigint").alias("z"),
+    )
+    dec = "decimal(38,0)"
+    m = rows_in.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("x").cast(dec)).cast(dec).alias("sx"),
+        F.sum(F.col("y").cast(dec)).cast(dec).alias("sy"),
+        F.sum(F.col("z").cast(dec)).cast(dec).alias("sz"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).cast(dec).alias("sxx"),
+        F.sum(F.col("y").cast(dec) * F.col("y")).cast(dec).alias("syy"),
+        F.sum(F.col("z").cast(dec) * F.col("z")).cast(dec).alias("szz"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).cast(dec).alias("sxy"),
+        F.sum(F.col("x").cast(dec) * F.col("z")).cast(dec).alias("sxz"),
+        F.sum(F.col("y").cast(dec) * F.col("z")).cast(dec).alias("syz"),
+    )
+
+    def corr(sab, sa, sb, saa, sbb):
+        return (F.col("n") * F.col(sab) - F.col(sa) * F.col(sb)).cast(
+            "double"
+        ) / (
+            F.sqrt(
+                (F.col("n") * F.col(saa) - F.col(sa) * F.col(sa)).cast("double")
+            )
+            * F.sqrt(
+                (F.col("n") * F.col(sbb) - F.col(sb) * F.col(sb)).cast("double")
+            )
+        )
+
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    varz = F.col("n") * F.col("szz") - F.col("sz") * F.col("sz")
+    r = (
+        m.filter((varx > 0) & (vary > 0) & (varz > 0))
+        .select(
+            F.col("n").cast("bigint").alias("n"),
+            corr("sxy", "sx", "sy", "sxx", "syy").alias("rxy"),
+            corr("sxz", "sx", "sz", "sxx", "szz").alias("rxz"),
+            corr("syz", "sy", "sz", "syy", "szz").alias("ryz"),
+        )
+    )
+    pr = (F.col("rxy") - F.col("rxz") * F.col("ryz")) / (
+        F.sqrt(F.lit(1.0) - F.col("rxz") * F.col("rxz"))
+        * F.sqrt(F.lit(1.0) - F.col("ryz") * F.col("ryz"))
+    )
+    return r.filter(
+        (F.lit(1.0) - F.col("rxz") * F.col("rxz") > 0)
+        & (F.lit(1.0) - F.col("ryz") * F.col("ryz") > 0)
+    ).select("n", "rxy", "rxz", "ryz", pr.alias("partial_rxy_given_z"))
