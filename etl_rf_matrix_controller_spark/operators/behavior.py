@@ -4334,3 +4334,80 @@ def bollinger_band_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((mid + width) / F.lit(10000.0)).alias("band_hi"),
         ((vd > mid + width) | (vd < mid - width)).alias("outside"),
     )
+
+
+@declared(
+    "gini_customer_revenue",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT rev_c,
+             CAST(row_number() OVER (ORDER BY rev_c, o_custkey) AS BIGINT)
+               AS rk,
+             CAST(count(*) OVER () AS BIGINT) AS n,
+             CAST(sum(CAST(rev_c AS HUGEINT)) OVER () AS HUGEINT) AS total
+      FROM rev
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_customers,
+           CAST(max(total) AS BIGINT) AS total_cents,
+           CAST((1000000 * (2 * sum(CAST(rk AS HUGEINT) * rev_c)
+                            - (max(n) + 1) * max(total)))
+                // (max(n) * max(total)) AS BIGINT) AS gini_ppm
+    FROM ranked
+    """,
+)
+def gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer lifetime revenue -- the Lorenz-curve
+    summary of demand concentration, exactly: with revenues sorted
+    ascending and ranked 1..n, G = (2*sum(i*x_i) - (n+1)*sum(x)) /
+    (n*sum(x)).  The single-number companion to
+    `pareto_revenue_share`'s threshold cut (Pareto answers "how many
+    cover 80%", Gini integrates the whole curve) and the revenue-side
+    twin of `token_gini_by_source`.
+
+    All-integer: cents, an exact rank-weighted sum (HUGEINT /
+    DECIMAL(38,0) operand-cast -- rank*revenue products overflow int64
+    past ~1e7 customers), one ppm floor division.  Rank ties broken by
+    custkey identically on both engines (ties on the SAME revenue
+    contribute the same total rank mass either way, so the tiebreak
+    cannot change G -- it only pins row identity).
+
+    Cost: one orders scan -> per-customer agg, then the
+    concentration-family single-ordered-window posture over the
+    aggregated customer dim (swap in the equidepth grid at extreme
+    scale, as pareto_revenue_share documents).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    rev = (
+        orders.select(
+            "o_custkey",
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("r_c"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum("r_c").cast("bigint").alias("rev_c"))
+    )
+    dec = "decimal(38,0)"
+    w = Window.orderBy(F.asc("rev_c"), F.asc("o_custkey"))
+    ranked = rev.select(
+        "rev_c",
+        F.row_number().over(w).cast("bigint").alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint").alias("n"),
+        F.sum(F.col("rev_c").cast(dec))
+        .over(Window.partitionBy())
+        .cast(dec)
+        .alias("total"),
+    )
+    return ranked.agg(
+        F.max("n").cast("bigint").alias("n_customers"),
+        F.max("total").cast("bigint").alias("total_cents"),
+        F.expr(
+            "CAST((1000000 * (2 * sum(CAST(rk AS DECIMAL(38,0)) * rev_c)"
+            "                 - (max(n) + 1) * max(total)))"
+            " DIV (max(n) * max(total)) AS BIGINT)"
+        ).alias("gini_ppm"),
+    )
