@@ -1138,3 +1138,71 @@ def pareto_front_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p_partkey", "price_c", "size")
     )
+
+
+@declared(
+    "nation_share_within_region",
+    oracle="""
+    WITH rev AS (
+      SELECT n.n_name AS nation, r.r_name AS region,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_c
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY n.n_name, r.r_name
+    )
+    SELECT region, nation, rev_c,
+           CAST((1000000 * rev_c)
+                // sum(rev_c) OVER (PARTITION BY region) AS BIGINT)
+             AS share_of_region_ppm,
+           CAST((1000000 * rev_c) // sum(rev_c) OVER () AS BIGINT)
+             AS share_of_total_ppm
+    FROM rev
+    """,
+)
+def nation_share_within_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent rollup: each nation's order revenue as a share
+    of its REGION and of the GRAND TOTAL, in one pass -- the
+    hierarchical BI staple (drill-down reports live on it) expressed
+    as two stacked window totals over the aggregated dim instead of
+    two extra aggregation queries; the windowed complement of
+    `grouping_sets_rollup` (which emits parent rows, not parent
+    shares).
+
+    Revenue in exact cents; both shares are integer ppm floor
+    divisions.  Plan: one orders scan + three broadcast dims, then the
+    windows run over the <=|nations|-row aggregate -- free.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    rev = (
+        orders.select(
+            "o_custkey",
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("r_c"),
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(F.sum("r_c").cast("bigint").alias("rev_c"))
+    )
+    wr = Window.partitionBy("region")
+    wall = Window.partitionBy()
+    return rev.select(
+        "region",
+        "nation",
+        "rev_c",
+        F.expr(
+            "CAST((1000000 * rev_c)"
+            " DIV sum(rev_c) OVER (PARTITION BY region) AS BIGINT)"
+        ).alias("share_of_region_ppm"),
+        F.expr(
+            "CAST((1000000 * rev_c) DIV sum(rev_c) OVER () AS BIGINT)"
+        ).alias("share_of_total_ppm"),
+    )

@@ -4411,3 +4411,109 @@ def gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV (max(n) * max(total)) AS BIGINT)"
         ).alias("gini_ppm"),
     )
+
+
+@declared(
+    "rescaled_range_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day_idx,
+             CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS v_s
+      FROM events
+      GROUP BY CAST(floor(epoch(ts)) AS BIGINT) // 86400
+    ),
+    mom AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(CAST(v_s AS HUGEINT)) AS HUGEINT) AS s,
+             CAST(sum(CAST(v_s AS HUGEINT) * v_s) AS HUGEINT) AS q
+      FROM daily
+    ),
+    dev AS (
+      SELECT d.day_idx,
+             CAST(sum(CAST(d2.v_s AS HUGEINT)) AS HUGEINT) AS cum,
+             CAST(count(*) AS HUGEINT) AS t
+      FROM daily d JOIN daily d2 ON d2.day_idx <= d.day_idx
+      CROSS JOIN mom m
+      GROUP BY d.day_idx
+    ),
+    rng AS (
+      SELECT CAST(max(m.n * dv.cum - dv.t * m.s) AS HUGEINT) AS mx,
+             CAST(min(m.n * dv.cum - dv.t * m.s) AS HUGEINT) AS mn
+      FROM dev dv CROSS JOIN mom m
+    )
+    SELECT CAST(m.n AS BIGINT) AS n_days,
+           (CAST(r.mx - r.mn AS DOUBLE) / CAST(m.n AS DOUBLE))
+           / sqrt(CAST(m.n * m.q - m.s * m.s AS DOUBLE)
+                  / CAST(m.n * m.n AS DOUBLE)) AS rs_ratio
+    FROM rng r CROSS JOIN mom m
+    WHERE m.n * m.q - m.s * m.s > 0
+    """,
+)
+def rescaled_range_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rescaled range (R/S) statistic of the daily value series -- the
+    Hurst-analysis kernel (Hurst 1951; Mandelbrot's long-memory
+    diagnostic): R = range of the mean-adjusted cumulative deviations,
+    S = population std; R/S well above sqrt(n/2) suggests persistent
+    long-memory, well below suggests mean-reversion -- complementing
+    `ljung_box_whiteness` (short-lag correlation) with a whole-path
+    statistic.  (The full Hurst exponent needs a log-log fit across
+    window sizes -- log sums are not order-stable cross-engine, so the
+    engine ships the exact single-window statistic instead.)
+
+    Exactness: cumulative deviations are cleared of the rational mean
+    by scaling with n (n*cum_t - t*S, exact integers in DECIMAL /
+    HUGEINT); R/n and S = sqrt((nQ-S^2)/n^2) convert to doubles in one
+    fixed expression each, so rs_ratio hash-matches.  The cumulative
+    sums come from a day-pair join (quadratic in DISTINCT DAYS --
+    calendar-bounded, the `mann_kendall_trend` posture) to keep both
+    engines on identical integer paths.
+
+    Cost: one events scan -> calendar-bounded daily frame
+    (localCheckpointed: moments + both pair sides), then <=|days|^2/2
+    broadcast pair rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.expr("CAST(ts AS LONG) DIV 86400").alias("day_idx"),
+            F.round(F.col("value") * 10000).cast("bigint").alias("v_si"),
+        )
+        .groupBy("day_idx")
+        .agg(F.sum("v_si").cast("bigint").alias("v_s"))
+        .localCheckpoint(eager=True)  # moments + pair-join sides
+    )
+    dec = "decimal(38,0)"
+    mom = daily.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("v_s").cast(dec)).cast(dec).alias("s"),
+        F.sum(F.col("v_s").cast(dec) * F.col("v_s")).cast(dec).alias("q"),
+    )
+    d = daily.select(F.col("day_idx").alias("di"))
+    d2 = daily.select(F.col("day_idx").alias("dj"), F.col("v_s").alias("vj"))
+    dev = (
+        d.join(F.broadcast(d2), F.col("dj") <= F.col("di"))
+        .groupBy("di")
+        .agg(
+            F.sum(F.col("vj").cast(dec)).cast(dec).alias("cum"),
+            F.count(F.lit(1)).cast(dec).alias("t"),
+        )
+    )
+    rng = dev.crossJoin(F.broadcast(mom)).agg(
+        F.max(F.col("n") * F.col("cum") - F.col("t") * F.col("s"))
+        .cast(dec)
+        .alias("mx"),
+        F.min(F.col("n") * F.col("cum") - F.col("t") * F.col("s"))
+        .cast(dec)
+        .alias("mn"),
+    )
+    den = F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    rs = (
+        (F.col("mx") - F.col("mn")).cast("double") / F.col("n").cast("double")
+    ) / F.sqrt(
+        den.cast("double") / (F.col("n") * F.col("n")).cast("double")
+    )
+    return (
+        rng.crossJoin(F.broadcast(mom))
+        .filter(den > 0)
+        .select(F.col("n").cast("bigint").alias("n_days"), rs.alias("rs_ratio"))
+    )

@@ -1024,3 +1024,61 @@ def skipgram_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 30)
         .select("tok_a", "tok_b", "n_pairs", "rnk")
     )
+
+
+@declared(
+    "hapax_rate_by_source",
+    oracle="""
+    WITH tok AS (
+      SELECT source, t.token
+      FROM documents, unnest(string_split(trim(text), ' ')) AS t(token)
+      WHERE t.token <> ''
+    ),
+    tf AS (
+      SELECT source, token, CAST(count(*) AS BIGINT) AS c
+      FROM tok GROUP BY source, token
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS vocab_size,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST((1000000 * sum(CASE WHEN c = 1 THEN 1 ELSE 0 END))
+                // count(*) AS BIGINT) AS hapax_share_ppm
+    FROM tf GROUP BY source
+    """,
+)
+def hapax_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax legomena rate per source: the share of each source's
+    vocabulary appearing exactly once -- the lexical-richness /
+    OCR-noise dial corpus curators watch (clean prose ~40-60% hapax;
+    far above suggests tokenizer junk or OCR garbage, far below
+    boilerplate repetition), complementing `vocab_coverage_curve`
+    (coverage of the head) with the mass of the tail, and feeding the
+    same decision as `boilerplate_gram_ratio` from the opposite end.
+
+    One explode -> per-(source, token) counts (map-side combinable) ->
+    per-source rollup; all-integer ppm.  The token stream is rebalanced
+    before the explode (the fan-out discipline).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "source", F.explode(F.split(F.trim("text"), " ")).alias("token")
+        )
+        .filter(F.col("token") != "")
+    )
+    tf = tok.groupBy("source", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    return tf.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hapax"),
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.expr(
+            "CAST((1000000 * sum(CASE WHEN c = 1 THEN 1 ELSE 0 END))"
+            " DIV count(*) AS BIGINT)"
+        ).alias("hapax_share_ppm"),
+    )
