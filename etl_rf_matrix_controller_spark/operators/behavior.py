@@ -4517,3 +4517,137 @@ def rescaled_range_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(den > 0)
         .select(F.col("n").cast("bigint").alias("n_days"), rs.alias("rs_ratio"))
     )
+
+
+@declared(
+    "mcnemar_activity_shift",
+    oracle="""
+    WITH ud AS (
+      SELECT user_id, event_id,
+             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+             CAST(round(value * 100) AS BIGINT) AS v
+      FROM events
+    ),
+    ranked AS (
+      SELECT v, row_number() OVER (ORDER BY v, event_id) AS rn,
+             CAST(count(*) OVER () AS BIGINT) AS n
+      FROM ud
+    ),
+    thr AS (SELECT v AS q FROM ranked WHERE rn = (99 * n + 99) // 100),
+    bounds AS (
+      SELECT CAST(min(day) AS BIGINT) AS lo, CAST(max(day) AS BIGINT) AS hi
+      FROM ud
+    ),
+    mid AS (SELECT CAST((lo + hi + 1) // 2 AS BIGINT) AS m FROM bounds),
+    per_user AS (
+      SELECT user_id,
+             CAST(max(CASE WHEN day < m AND v >= q THEN 1 ELSE 0 END)
+               AS BIGINT) AS h1,
+             CAST(max(CASE WHEN day >= m AND v >= q THEN 1 ELSE 0 END)
+               AS BIGINT) AS h2
+      FROM ud CROSS JOIN mid CROSS JOIN thr
+      GROUP BY user_id
+    )
+    SELECT CAST(sum(h1 * h2) AS BIGINT) AS n_both,
+           CAST(sum(h1 * (1 - h2)) AS BIGINT) AS b_lost,
+           CAST(sum((1 - h1) * h2) AS BIGINT) AS c_gained,
+           CAST(1000000
+                * (sum(h1 * (1 - h2)) - sum((1 - h1) * h2))
+                * (sum(h1 * (1 - h2)) - sum((1 - h1) * h2))
+                // NULLIF(sum(h1 * (1 - h2)) + sum((1 - h1) * h2), 0)
+             AS BIGINT) AS mcnemar_ppm,
+           CAST(1000000
+                * greatest(abs(sum(h1 * (1 - h2)) - sum((1 - h1) * h2)) - 1, 0)
+                * greatest(abs(sum(h1 * (1 - h2)) - sum((1 - h1) * h2)) - 1, 0)
+                // NULLIF(sum(h1 * (1 - h2)) + sum((1 - h1) * h2), 0)
+             AS BIGINT) AS mcnemar_cc_ppm
+    FROM per_user
+    """,
+)
+def mcnemar_activity_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test on paired user outcomes across the two halves of
+    the observation window: each user is a matched pair (hit a top-1%%
+    value event in H1?, in H2?); the statistic (b-c)^2/(b+c) over the
+    DISCORDANT cells asks whether losing the high-value behavior (b) and
+    gaining it (c) are symmetric -- the right paired test where a
+    two-proportion z-test (`ab_conversion_ztest`) would wrongly treat
+    the halves as independent samples.  Also emits the
+    continuity-corrected (|b-c|-1)^2/(b+c) variant.  All thresholds and
+    statistics are integer-exact: the top-1%% cut is the value at
+    ascending rank ceil(99n/100) computed as (99n+99) DIV 100 (no float
+    percentile), cents domain, ppm output via cross-multiplied floor
+    division; NULL if no discordant pairs (degenerate on both engines
+    identically).  The half boundary is the integer midpoint of the
+    observed day range -- data-derived but deterministic.
+
+    Plan: one events scan -> narrow (user, day, v) projection
+    (checkpointed: consumed by the threshold rank, the bounds scalar,
+    AND the per-user rollup), per-user flags via max-of-indicator
+    partial agg, single-row final agg.  The global rank for the p99
+    scalar is the one sort -- at 100 TB swap it for a two-pass
+    histogram-refine selection (equidepth_value_bands machinery); the
+    rest scales with distinct users.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id",
+        "event_id",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01"))
+        .cast("bigint")
+        .alias("day"),
+        F.round(F.col("value") * 100).cast("bigint").alias("v"),
+    ).localCheckpoint(eager=False)
+    w_rank = Window.orderBy("v", "event_id")
+    w_all = Window.partitionBy()
+    thr = (
+        ud.select(
+            "v",
+            F.row_number().over(w_rank).alias("rn"),
+            F.count(F.lit(1)).over(w_all).cast("bigint").alias("n"),
+        )
+        .filter(F.col("rn") == F.expr("(99 * n + 99) DIV 100"))
+        .select(F.col("v").alias("q"))
+    )
+    bounds = ud.agg(
+        F.min("day").cast("bigint").alias("lo"),
+        F.max("day").cast("bigint").alias("hi"),
+    )
+    mid = bounds.select(F.expr("CAST((lo + hi + 1) DIV 2 AS BIGINT)").alias("m"))
+    per_user = (
+        ud.crossJoin(F.broadcast(mid))
+        .crossJoin(F.broadcast(thr))
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when((F.col("day") < F.col("m")) & (F.col("v") >= F.col("q")), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("h1"),
+            F.max(
+                F.when((F.col("day") >= F.col("m")) & (F.col("v") >= F.col("q")), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("h2"),
+        )
+    )
+    return per_user.agg(
+        F.sum(F.col("h1") * F.col("h2")).cast("bigint").alias("n_both"),
+        F.sum(F.col("h1") * (1 - F.col("h2"))).cast("bigint").alias("b_lost"),
+        F.sum((1 - F.col("h1")) * F.col("h2")).cast("bigint").alias("c_gained"),
+        F.expr(
+            "CAST(1000000"
+            " * (sum(h1 * (1 - h2)) - sum((1 - h1) * h2))"
+            " * (sum(h1 * (1 - h2)) - sum((1 - h1) * h2))"
+            " DIV NULLIF(sum(h1 * (1 - h2)) + sum((1 - h1) * h2), 0)"
+            " AS BIGINT)"
+        ).alias("mcnemar_ppm"),
+        F.expr(
+            "CAST(1000000"
+            " * greatest(abs(sum(h1 * (1 - h2)) - sum((1 - h1) * h2)) - 1, 0)"
+            " * greatest(abs(sum(h1 * (1 - h2)) - sum((1 - h1) * h2)) - 1, 0)"
+            " DIV NULLIF(sum(h1 * (1 - h2)) + sum((1 - h1) * h2), 0)"
+            " AS BIGINT)"
+        ).alias("mcnemar_cc_ppm"),
+    )

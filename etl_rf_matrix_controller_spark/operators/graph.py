@@ -1076,3 +1076,366 @@ def trade_edge_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 15)
         .select("u", "v", "w1", "w2", "direction", "drift_ppm")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sparse top-2-partner undirected graph, shared by the link-prediction and
+# community queries below (same sparsification as trade_graph_bfs_depths:
+# the raw trade graph is near-complete, so "non-adjacent pair" and
+# "community" are only meaningful on the preferred-partner subgraph).
+
+_SPARSE_UND_SQL = """
+    edges AS (
+      SELECT s.s_nationkey AS u, c.c_nationkey AS v,
+             CAST(count(*) AS BIGINT) AS w
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      WHERE s.s_nationkey <> c.c_nationkey
+      GROUP BY s.s_nationkey, c.c_nationkey
+    ),
+    se AS (
+      SELECT u, v, w FROM (
+        SELECT u, v, w,
+               row_number() OVER (PARTITION BY u ORDER BY w DESC, v) AS r
+        FROM edges
+      ) WHERE r <= 2
+    ),
+    und AS (
+      SELECT a, b, CAST(max(w) AS BIGINT) AS w FROM (
+        SELECT u AS a, v AS b, w FROM se
+        UNION ALL
+        SELECT v AS a, u AS b, w FROM se
+      ) GROUP BY a, b
+    )
+"""
+
+
+def _sparse_und(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetrized top-2-partner trade graph as (a, b, w) with both
+    directions present; w = max of the two directional weights.
+    Checkpointed eagerly: every caller feeds it to 2+ join aliases (the
+    CLAUDE.md shared-consumer rule), and it is dimension-bounded
+    (<= 4*|nations| rows) so materialization is O(dims)."""
+    from pyspark.sql.window import Window as _W
+
+    edges = _trade_edges(spark, sf_dir).filter(F.col("u") != F.col("v"))
+    rk = _W.partitionBy("u").orderBy(F.desc("w"), F.asc("v"))
+    se = (
+        edges.withColumn("r", F.row_number().over(rk))
+        .filter(F.col("r") <= 2)
+        .select("u", "v", "w")
+    )
+    return (
+        se.select(F.col("u").alias("a"), F.col("v").alias("b"), "w")
+        .unionByName(se.select(F.col("v").alias("a"), F.col("u").alias("b"), "w"))
+        .groupBy("a", "b")
+        .agg(F.max("w").cast("bigint").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+
+
+def link_prediction(und: DataFrame) -> DataFrame:
+    """Link-prediction scores for NON-adjacent node pairs of an undirected
+    graph given as (a, b, w) with both directions present: common-neighbor
+    count, Jaccard overlap of neighbor sets (ppm), and the Resource
+    Allocation index sum(1/deg(z)) over common neighbors z, in exact
+    integer ppm (1000000 DIV deg -- no float, so bit-identical on any
+    engine and order-independent under Spark's parallel sum).
+
+    Shape: neighbor-list self-join on the shared endpoint (the same
+    wedge join as triangle counting), minus the adjacency via left-anti.
+    Cost is sum of deg(z)^2 -- bounded by the top-k sparsification, the
+    same reason production link prediction runs on pruned graphs.
+    """
+    deg = und.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
+    )
+    x = und.select(F.col("a").alias("xa"), F.col("b").alias("z"))
+    y = und.select(F.col("a").alias("ya"), F.col("b").alias("z2"))
+    zdeg = deg.select(F.col("node").alias("zn"), F.col("deg").alias("zdeg"))
+    cand = (
+        x.join(
+            F.broadcast(y),
+            (F.col("z") == F.col("z2")) & (F.col("xa") < F.col("ya")),
+        )
+        .join(F.broadcast(zdeg), F.col("z") == F.col("zn"))
+        .groupBy(F.col("xa").alias("a"), F.col("ya").alias("b"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("common_neighbors"),
+            F.sum(F.expr("1000000 DIV zdeg")).cast("bigint").alias("ra_ppm"),
+        )
+    )
+    nonadj = cand.join(F.broadcast(und.select("a", "b")), ["a", "b"], "left_anti")
+    da = deg.select(F.col("node").alias("na_"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("nb_"), F.col("deg").alias("deg_b"))
+    return (
+        nonadj.join(F.broadcast(da), F.col("a") == F.col("na_"))
+        .join(F.broadcast(db), F.col("b") == F.col("nb_"))
+        .select(
+            "a",
+            "b",
+            "common_neighbors",
+            F.expr(
+                "CAST(1000000 * common_neighbors"
+                " DIV (deg_a + deg_b - common_neighbors) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+            "ra_ppm",
+        )
+    )
+
+
+@declared(
+    "link_prediction_scores",
+    oracle=f"""
+    WITH {_SPARSE_UND_SQL},
+    deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS deg
+            FROM und GROUP BY a),
+    cand AS (
+      SELECT x.a AS a, y.a AS b, CAST(count(*) AS BIGINT) AS common_neighbors,
+             CAST(sum(1000000 // dz.deg) AS BIGINT) AS ra_ppm
+      FROM und x JOIN und y ON x.b = y.b AND x.a < y.a
+      JOIN deg dz ON dz.node = x.b
+      GROUP BY x.a, y.a
+    ),
+    nonadj AS (
+      SELECT c.a, c.b, c.common_neighbors, c.ra_ppm
+      FROM cand c LEFT JOIN und e ON e.a = c.a AND e.b = c.b
+      WHERE e.a IS NULL
+    )
+    SELECT na.n_name AS nation_a, nb.n_name AS nation_b,
+           q.common_neighbors,
+           CAST(1000000 * q.common_neighbors
+                // (da.deg + db.deg - q.common_neighbors) AS BIGINT)
+             AS jaccard_ppm,
+           q.ra_ppm
+    FROM nonadj q
+    JOIN deg da ON da.node = q.a
+    JOIN deg db ON db.node = q.b
+    JOIN nation na ON na.n_nationkey = q.a
+    JOIN nation nb ON nb.n_nationkey = q.b
+    """,
+)
+def link_prediction_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the top-2-partner trade graph: for every
+    non-adjacent nation pair sharing >= 1 preferred partner, the
+    common-neighbor count, neighbor-set Jaccard (ppm), and Resource
+    Allocation index (sum of 1000000 DIV deg(z) over shared partners) --
+    the classic "which trade link forms next" triple (Liben-Nowell &
+    Kleinberg).  All-integer scoring; graph family member alongside
+    `trade_graph_bfs_depths` (same sparsification) and
+    `triangle_count_nations` (same wedge join).
+
+    Plan: one fact scan builds the dimension-bounded edge list
+    (checkpointed once, consumed by four aliases); every downstream join
+    is a broadcast over <= 4|nations| rows.
+    """
+    und = _sparse_und(spark, sf_dir)
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    scored = link_prediction(und)
+    na = nation.select(
+        F.col("n_nationkey").alias("ka"), F.col("n_name").alias("nation_a")
+    )
+    nb = nation.select(
+        F.col("n_nationkey").alias("kb"), F.col("n_name").alias("nation_b")
+    )
+    return (
+        scored.join(F.broadcast(na), F.col("a") == F.col("ka"))
+        .join(F.broadcast(nb), F.col("b") == F.col("kb"))
+        .select(
+            "nation_a", "nation_b", "common_neighbors", "jaccard_ppm", "ra_ppm"
+        )
+    )
+
+
+def sssp_fixed(dist0: DataFrame, edges_cost: DataFrame, iters: int) -> DataFrame:
+    """Bellman-Ford single-source shortest paths, ``iters`` synchronous
+    relaxation rounds: dist_k(v) = min(dist_{k-1}(v), min over in-edges
+    (dist_{k-1}(u) + cost)).  ``dist0`` is (node, dist); ``edges_cost``
+    is (u, v, cost), integer costs.  Returns only REACHED nodes (the
+    BFS convention).  Each round localCheckpoints (lineage truncation)
+    and broadcasts the edge list; iteration cost is graph-bounded."""
+    ec = edges_cost.localCheckpoint(eager=True)
+    dist = dist0.localCheckpoint(eager=True)
+    for _ in range(iters):
+        nxt = dist.join(F.broadcast(ec), dist.node == ec.u).select(
+            F.col("v").alias("node"),
+            (F.col("dist") + F.col("cost")).cast("bigint").alias("dist"),
+        )
+        dist = (
+            dist.unionByName(nxt)
+            .groupBy("node")
+            .agg(F.min("dist").cast("bigint").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist
+
+
+def _sssp_sql(iters: int) -> str:
+    steps = []
+    prev = "d0"
+    for i in range(1, iters + 1):
+        cur = f"d{i}"
+        steps.append(
+            f"""
+    {cur} AS (
+      SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+        SELECT node, dist FROM {prev}
+        UNION ALL
+        SELECT e.v AS node, p.dist + e.cost AS dist
+        FROM {prev} p JOIN ec e ON e.u = p.node
+      ) GROUP BY node
+    )"""
+        )
+        prev = cur
+    return f"""
+    WITH edges AS (
+      SELECT s.s_nationkey AS u, c.c_nationkey AS v,
+             CAST(count(*) AS BIGINT) AS w
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      WHERE s.s_nationkey <> c.c_nationkey
+      GROUP BY s.s_nationkey, c.c_nationkey
+    ),
+    ec AS (
+      SELECT u, v, CAST(1 + 1000000 // w AS BIGINT) AS cost FROM edges
+    ),
+    d0 AS (
+      SELECT CAST(n_nationkey AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist
+      FROM nation WHERE n_nationkey = 0
+    ),{",".join(steps)}
+    SELECT n.n_name AS nation, {prev}.dist AS min_cost
+    FROM {prev} JOIN nation n ON n.n_nationkey = {prev}.node
+    """
+
+
+@declared("sssp_min_cost_trade", oracle=_sssp_sql(3))
+def sssp_min_cost_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest path over the full directed trade
+    graph: edge cost 1 + 1000000 DIV w (rarely-used links are expensive,
+    heavy corridors cheap), 3 fixed Bellman-Ford rounds from nation 0 --
+    the weighted complement of `trade_graph_bfs_depths` (hops) and
+    `widest_two_hop_trade` (bottleneck): min-PLUS instead of min-hop or
+    max-min.  Fixed iteration count keeps the oracle an unrolled CTE
+    chain; the library `sssp_fixed` loop is the to-convergence form.
+    All-integer costs, so every round is bit-identical cross-engine.
+
+    Plan: one fact scan builds the dimension-bounded edge list; each
+    round is a broadcast join of the <=|nations|-row dist vector against
+    <=|nations|^2 edges, localCheckpointed -- graph-bounded, never
+    fact-bounded.
+    """
+    edges = _trade_edges(spark, sf_dir).filter(F.col("u") != F.col("v"))
+    ec = edges.select(
+        "u", "v", F.expr("CAST(1 + 1000000 DIV w AS BIGINT)").alias("cost")
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    d0 = nation.filter(F.col("n_nationkey") == 0).select(
+        F.col("n_nationkey").cast("bigint").alias("node"),
+        F.lit(0).cast("bigint").alias("dist"),
+    )
+    dist = sssp_fixed(d0, ec, 3)
+    return dist.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        dist.node == F.col("n_nationkey"),
+    ).select(F.col("n_name").alias("nation"), F.col("dist").alias("min_cost"))
+
+
+def lpa_step(labels: DataFrame, undw: DataFrame) -> DataFrame:
+    """One synchronous label-propagation round: each node adopts the label
+    with the highest total incident edge weight among its neighbors'
+    CURRENT labels (tie-break: smaller label).  ``labels`` is (node,
+    label); ``undw`` is (a, b, w) with both directions present.  Isolated
+    nodes keep their label.  Deterministic: weighted argmax with a total
+    tie-break order, integer weights."""
+    from pyspark.sql.window import Window as _W
+
+    nb = labels.select(F.col("node").alias("nbn"), F.col("label").alias("nbl"))
+    scored = (
+        undw.join(F.broadcast(nb), F.col("b") == F.col("nbn"))
+        .groupBy(F.col("a").alias("node"), F.col("nbl").alias("label"))
+        .agg(F.sum("w").cast("bigint").alias("s"))
+    )
+    rk = _W.partitionBy("node").orderBy(F.desc("s"), F.asc("label"))
+    upd = (
+        scored.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") == 1)
+        .select("node", F.col("label").alias("new_label"))
+    )
+    return labels.join(F.broadcast(upd), "node", "left").select(
+        "node", F.coalesce("new_label", "label").cast("bigint").alias("label")
+    )
+
+
+_LPA_STEP_SQL = """
+    s{i} AS (
+      SELECT e.a AS node, l.label, CAST(sum(e.w) AS BIGINT) AS s
+      FROM und e JOIN l{p} l ON l.node = e.b
+      GROUP BY e.a, l.label
+    ),
+    u{i} AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node ORDER BY s DESC, label) AS rk
+        FROM s{i}
+      ) WHERE rk = 1
+    ),
+    l{i} AS (
+      SELECT l{p}.node, CAST(coalesce(u{i}.label, l{p}.label) AS BIGINT) AS label
+      FROM l{p} LEFT JOIN u{i} ON u{i}.node = l{p}.node
+    )"""
+
+
+@declared(
+    "community_lpa_two_step",
+    oracle=f"""
+    WITH {_SPARSE_UND_SQL},
+    l0 AS (
+      SELECT n_nationkey AS node, CAST(n_nationkey AS BIGINT) AS label
+      FROM nation
+    ),{_LPA_STEP_SQL.format(i=1, p=0)},{_LPA_STEP_SQL.format(i=2, p=1)}
+    SELECT n.n_name AS nation, l2.label AS community,
+           CAST(count(*) OVER (PARTITION BY l2.label) AS BIGINT)
+             AS community_size
+    FROM l2 JOIN nation n ON n.n_nationkey = l2.node
+    """,
+)
+def community_lpa_two_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan et
+    al. 2007), 2 fixed rounds over the top-2-partner undirected trade
+    graph: every nation starts in its own community, then twice adopts
+    the weighted-majority label of its preferred partners (tie-break:
+    min label).  The declared fixed unroll mirrors `pagerank_nations` /
+    `kmeans_lloyd_two_step`; the library `lpa_step` is the loop body for
+    to-convergence runs.  Deterministic: integer weights + total
+    tie-break order (float-scored LPA is not reproducible).
+
+    Plan: one fact scan -> checkpointed dimension-bounded graph; each
+    round is two broadcast joins plus a window over <= |nations| * deg
+    rows.
+    """
+    und = _sparse_und(spark, sf_dir)
+    nation = load_table(spark, sf_dir, "nation")
+    labels = nation.select(
+        F.col("n_nationkey").alias("node"),
+        F.col("n_nationkey").cast("bigint").alias("label"),
+    )
+    for _ in range(2):
+        labels = lpa_step(labels, und)
+    from pyspark.sql.window import Window as _W
+
+    cs = _W.partitionBy("label")
+    return (
+        labels.join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            labels.node == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("label").alias("community"),
+            F.count(F.lit(1)).over(cs).cast("bigint").alias("community_size"),
+        )
+    )

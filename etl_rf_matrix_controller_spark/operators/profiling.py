@@ -3020,3 +3020,66 @@ def partial_correlation_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(1.0) - F.col("rxz") * F.col("rxz") > 0)
         & (F.lit(1.0) - F.col("ryz") * F.col("ryz") > 0)
     ).select("n", "rxy", "rxz", "ryz", pr.alias("partial_rxy_given_z"))
+
+
+@declared(
+    "page_hinkley_drift",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+      FROM events GROUP BY 1
+    ),
+    cum AS (
+      SELECT day,
+             CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+             CAST(sum(v) OVER (ORDER BY day) AS BIGINT) AS cumv,
+             CAST(count(*) OVER () AS BIGINT) AS n,
+             CAST(sum(v) OVER () AS BIGINT) AS s
+      FROM daily
+    ),
+    m AS (SELECT day, t, n * cumv - t * s AS mt FROM cum)
+    SELECT day, t, CAST(mt AS BIGINT) AS mt_n_c,
+           CAST(mt - min(mt) OVER (ORDER BY day) AS BIGINT) AS ph_n_c
+    FROM m
+    """,
+)
+def page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley upward-drift statistic over the daily value series
+    (offline form, delta=0): M_t = sum_{i<=t}(x_i - xbar) and
+    PH_t = M_t - min_{s<=t} M_s; a sustained mean INCREASE makes PH_t
+    climb while isolated spikes reset.  Completes the drift-detection
+    family -- CUSUM (`value_changepoint_cusum`) localizes ONE global
+    change-point via an argmax; PH is the sequential-monitoring view
+    whose running excursion you would threshold online.  The mean
+    division is cleared by multiplying through by n (mt = n*cumsum_t -
+    t*S, all-integer cents x day-count), so both engines agree
+    bit-for-bit.  Envelope: n_days * total_cents must stay < 2^63 --
+    ~4e17 at a 100 TB year, 20x headroom.
+
+    Plan: one events scan -> daily partial agg (map-side combine), then
+    every window runs over the <=|days|-row series -- the unpartitioned
+    ORDER BY day windows are bounded by calendar length, never by event
+    count (at 100 TB the daily rollup IS the reduction; the sequential
+    prefix pass costs |days| rows).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("ts").cast("date").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("bigint").alias("v"))
+    w_ord = Window.orderBy("day")
+    w_all = Window.partitionBy()
+    cum = daily.select(
+        "day",
+        F.row_number().over(w_ord).cast("bigint").alias("t"),
+        F.sum("v").over(w_ord).cast("bigint").alias("cumv"),
+        F.count(F.lit(1)).over(w_all).cast("bigint").alias("n"),
+        F.sum("v").over(w_all).cast("bigint").alias("s"),
+    )
+    mt = F.col("n") * F.col("cumv") - F.col("t") * F.col("s")
+    return cum.withColumn("mt", mt).select(
+        "day",
+        "t",
+        F.col("mt").cast("bigint").alias("mt_n_c"),
+        (F.col("mt") - F.min("mt").over(w_ord)).cast("bigint").alias("ph_n_c"),
+    )

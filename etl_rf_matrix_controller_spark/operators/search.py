@@ -827,3 +827,109 @@ def ranking_dcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         idcg.cast("bigint").alias("idcg_ppm"),
         (F.col("dcg_ppm").cast("double") / idcg.cast("double")).alias("ndcg"),
     )
+
+
+def _rrf_oracle() -> str:
+    """Compose the fusion oracle from the two REGISTERED retrieval
+    oracles verbatim (nested CTEs), so the fused ground truth can never
+    drift from the per-system declared queries."""
+    from etl_rf_matrix_controller_spark.plans import registry as _reg
+
+    ta = _reg.ORACLES["tfidf_retrieval_topk"]
+    tb = _reg.ORACLES["bm25_retrieval_topk"]
+    return f"""
+    WITH ta AS ({ta}),
+    tb AS ({tb}),
+    u AS (
+      SELECT doc_id, rnk FROM ta
+      UNION ALL
+      SELECT doc_id, rnk FROM tb
+    ),
+    fused AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_systems,
+             CAST(sum(1000000 // (60 + rnk)) AS BIGINT) AS rrf_ppm
+      FROM u GROUP BY doc_id
+    )
+    SELECT doc_id, n_systems, rrf_ppm, fused_rnk
+    FROM (
+      SELECT doc_id, n_systems, rrf_ppm,
+             CAST(row_number() OVER (ORDER BY rrf_ppm DESC, doc_id)
+               AS BIGINT) AS fused_rnk
+      FROM fused
+    ) WHERE fused_rnk <= 10
+    """
+
+
+@declared("rrf_fusion_topk", oracle=_rrf_oracle())
+def rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of the tf-idf and
+    BM25 top-10 lists for the fixed probe query: each system contributes
+    1000000 DIV (60 + rank) ppm per doc (k=60, the canonical constant),
+    summed across systems -- the standard score-free way to merge
+    heterogeneous rankers (lexical + semantic) in a retrieval pipeline.
+    Integer ppm end to end, so fusion is bit-stable cross-engine; ties
+    break on doc_id for a total order.
+
+    Plan: ONE tokenize+explode and ONE doc-length pass feed both
+    scorers (tf/df/dl/scal all checkpointed, query-selectivity- or
+    dim-sized), unlike running the two declared queries back to back
+    (which would double the corpus scans); the per-system rankings are
+    10-row frames, so the fusion itself is free.  The oracle nests the
+    two REGISTERED oracles verbatim.
+    """
+    tok = _tok(spark, sf_dir)
+    qtok = tok.filter(F.col("token").isin(*QUERY_TERMS)).localCheckpoint(
+        eager=False
+    )
+    tf = qtok.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    ).localCheckpoint(eager=False)
+    df = qtok.groupBy("token").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("df")
+    ).localCheckpoint(eager=False)
+    docs = load_table(spark, sf_dir, "documents")
+    dl = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias("dl"),
+    ).localCheckpoint(eager=True)
+    scal = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("t_tokens"),
+    )
+    scored_a = (
+        tf.join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(scal))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("tf") * F.expr("(n_docs * 1000000) DIV df"))
+            .cast("bigint")
+            .alias("score_ppm")
+        )
+    )
+    scored_b = (
+        dl.join(F.broadcast(tf), "doc_id")
+        .join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(scal))
+        .groupBy("doc_id")
+        .agg(F.sum(F.expr(_BM25_CONTRIB_EXPR)).cast("bigint").alias("score_ppm"))
+    )
+    w = Window.orderBy(F.desc("score_ppm"), F.asc("doc_id"))
+
+    def _rank10(scored: DataFrame) -> DataFrame:
+        return (
+            scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rnk") <= 10)
+            .select("doc_id", "rnk")
+        )
+
+    u = _rank10(scored_a).unionByName(_rank10(scored_b))
+    fused = u.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_systems"),
+        F.sum(F.expr("1000000 DIV (60 + rnk)")).cast("bigint").alias("rrf_ppm"),
+    )
+    wf = Window.orderBy(F.desc("rrf_ppm"), F.asc("doc_id"))
+    return (
+        fused.withColumn("fused_rnk", F.row_number().over(wf).cast("bigint"))
+        .filter(F.col("fused_rnk") <= 10)
+        .select("doc_id", "n_systems", "rrf_ppm", "fused_rnk")
+    )

@@ -69,3 +69,85 @@ def test_pagerank_loop_matches_unrolled_two_steps_when_capped(spark):
     got = {(row.node, row.r) for row in capped.collect()}
     want = {(row.node, row.r) for row in unrolled.collect()}
     assert got == want
+
+
+def _und(spark, pairs, w=1):
+    """Undirected edge list (both directions) from (a, b[, w]) tuples."""
+    rows = []
+    for t in pairs:
+        a, b, ww = (t if len(t) == 3 else (t[0], t[1], w))
+        rows += [(a, b, ww), (b, a, ww)]
+    return spark.createDataFrame(rows, "a long, b long, w long")
+
+
+def test_link_prediction_path_graph(spark):
+    """Path 0-1-2-3: the only non-adjacent pairs sharing a neighbor are
+    (0,2) via 1 and (1,3) via 2; both score cn=1, Jaccard 1/2, RA 1/2
+    (shared neighbor has degree 2) -- hand-checked exact ppm values."""
+    from etl_rf_matrix_controller_spark.operators.graph import link_prediction
+
+    und = _und(spark, [(0, 1), (1, 2), (2, 3)])
+    got = {
+        (r.a, r.b): (r.common_neighbors, r.jaccard_ppm, r.ra_ppm)
+        for r in link_prediction(und).collect()
+    }
+    assert got == {(0, 2): (1, 500000, 500000), (1, 3): (1, 500000, 500000)}
+
+
+def test_link_prediction_excludes_adjacent_pairs(spark):
+    """Triangle 0-1-2: every pair is adjacent, so no candidate survives
+    the anti-join even though every pair has a common neighbor."""
+    from etl_rf_matrix_controller_spark.operators.graph import link_prediction
+
+    und = _und(spark, [(0, 1), (1, 2), (0, 2)])
+    assert link_prediction(und).count() == 0
+
+
+def test_sssp_fixed_relaxation_rounds(spark):
+    """0->1->2 (cost 10+10) vs direct 0->2 (cost 100): round 1 can only
+    see the direct edge (dist 100); round 2 relaxes through node 1 to the
+    true shortest 20 -- pins Bellman-Ford synchronous-round semantics."""
+    from etl_rf_matrix_controller_spark.operators.graph import sssp_fixed
+
+    ec = spark.createDataFrame(
+        [(0, 1, 10), (1, 2, 10), (0, 2, 100)], "u long, v long, cost long"
+    )
+    d0 = spark.createDataFrame([(0, 0)], "node long, dist long")
+    one = {r.node: r.dist for r in sssp_fixed(d0, ec, 1).collect()}
+    two = {r.node: r.dist for r in sssp_fixed(d0, ec, 2).collect()}
+    assert one == {0: 0, 1: 10, 2: 100}
+    assert two == {0: 0, 1: 10, 2: 20}
+
+
+def test_lpa_two_triangles_weak_bridge(spark):
+    """Two w=10 triangles {0,1,2} and {3,4,5} joined by a w=1 bridge
+    (2-3): after two synchronous rounds each triangle converges to its
+    min member's label and the bridge does not merge them -- hand-traced
+    including the tie-breaks (weighted argmax, min-label ties)."""
+    from etl_rf_matrix_controller_spark.operators.graph import lpa_step
+
+    und = _und(
+        spark,
+        [(0, 1, 10), (1, 2, 10), (0, 2, 10),
+         (3, 4, 10), (4, 5, 10), (3, 5, 10), (2, 3, 1)],
+    )
+    labels = spark.createDataFrame(
+        [(i, i) for i in range(6)], "node long, label long"
+    )
+    for _ in range(2):
+        labels = lpa_step(labels, und)
+    got = {r.node: r.label for r in labels.collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 3}
+
+
+def test_lpa_isolated_node_keeps_label(spark):
+    """A node with no edges must keep its own label through a round (the
+    left-join coalesce path)."""
+    from etl_rf_matrix_controller_spark.operators.graph import lpa_step
+
+    und = _und(spark, [(0, 1)])
+    labels = spark.createDataFrame(
+        [(0, 0), (1, 1), (9, 9)], "node long, label long"
+    )
+    got = {r.node: r.label for r in lpa_step(labels, und).collect()}
+    assert got[9] == 9 and got[0] == 1 and got[1] == 0
