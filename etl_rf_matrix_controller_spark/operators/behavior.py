@@ -4651,3 +4651,147 @@ def mcnemar_activity_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("mcnemar_cc_ppm"),
     )
+
+
+# Holt-Winters init expressions, shared verbatim by level/trend/seasonal
+# (IEEE doubles: textually identical expression trees are bit-identical).
+_HW_L0 = "(ys[1]+ys[2]+ys[3]+ys[4]+ys[5]+ys[6]+ys[7]) / 7.0e0"
+_HW_B0 = (
+    "((ys[8]+ys[9]+ys[10]+ys[11]+ys[12]+ys[13]+ys[14])"
+    " - (ys[1]+ys[2]+ys[3]+ys[4]+ys[5]+ys[6]+ys[7])) / 49.0e0"
+)
+# one fold step, l' spelled out verbatim wherever referenced
+_HW_LP = "0.3e0 * (s.ys[f.i + 1] - f.s[(f.i % 7) + 1]) + 0.7e0 * (f.l + f.b)"
+
+
+@declared(
+    "holt_winters_daily_value",
+    oracle=f"""
+    WITH RECURSIVE daily AS (
+      SELECT event_type,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS v
+      FROM events
+      GROUP BY event_type, date_trunc('day', ts)
+    ),
+    series AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_days,
+             list(CAST(v AS DOUBLE) ORDER BY day) AS ys
+      FROM daily GROUP BY event_type
+      HAVING count(*) >= 15
+    ),
+    fold(event_type, n_days, i, l, b, s) AS (
+      SELECT event_type, n_days, 7,
+             {_HW_L0},
+             {_HW_B0},
+             list_transform(generate_series(1, 7), j -> ys[j] - ({_HW_L0}))
+      FROM series
+      UNION ALL
+      SELECT f.event_type, f.n_days, f.i + 1,
+             {_HW_LP},
+             0.1e0 * (({_HW_LP}) - f.l) + 0.9e0 * f.b,
+             list_transform(generate_series(1, 7), j ->
+               CASE WHEN j = (f.i % 7) + 1
+                    THEN 0.2e0 * (s.ys[f.i + 1] - ({_HW_LP}))
+                         + 0.8e0 * f.s[(f.i % 7) + 1]
+                    ELSE f.s[j] END)
+      FROM fold f JOIN series s ON s.event_type = f.event_type
+      WHERE f.i < f.n_days
+    )
+    SELECT event_type, n_days,
+           l / 10000.0e0 AS level,
+           b / 10000.0e0 AS trend,
+           (l + b + s[(CAST(n_days AS INT) % 7) + 1]) / 10000.0e0
+             AS forecast_next
+    FROM fold WHERE i = n_days
+    """,
+)
+def holt_winters_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters ADDITIVE triple-exponential smoothing (alpha=0.3,
+    beta=0.1, gamma=0.2, period 7) over each event type's daily value
+    series: final level, trend, and the seasonal one-step forecast
+    l + b + s_{{next slot}} -- the weekly-seasonality upgrade of
+    `holt_linear_daily_value` and the model-based complement of
+    `seasonal_naive_forecast_error` / `seasonal_decompose_additive`.
+    Series shorter than 15 days are dropped (the init needs two full
+    seasons).
+
+    Classic init: l0 = mean of season 1, b0 = (mean season 2 - mean
+    season 1)/7 averaged per step, s_j = y_j - l0; the fold then runs
+    t = 8..n with l' = a*(y_t - s_{{t-7}}) + (1-a)(l+b), b' =
+    B*(l'-l) + (1-B)b, s'_{{slot}} = g*(y_t - l') + (1-g)*s_{{slot}}.
+    Three-component state (l, b, 7-slot seasonal ARRAY) rides a STRUCT
+    accumulator on the Spark side; the oracle is a recursive CTE
+    carrying the list -- NOT list_reduce, whose struct-accumulator
+    cross-field references are broken (the holt_linear finding).  Both
+    engines evaluate textually identical double expression trees
+    ('0.3e0' literals, l' repeated verbatim), so the result is
+    bit-identical with no rounding step.  Scale: the fold is per
+    (event_type) series of |days| elements after a map-side-combinable
+    daily rollup -- calendar-bounded state, never per-event.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 10000).cast("bigint"))
+        .cast("bigint")
+        .alias("v")
+    )
+    series = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "v"))),
+            lambda s: s.getField("v").cast("double"),
+        ).alias("ys"),
+    ).filter(F.col("n_days") >= 15)
+
+    ys = F.col("ys")
+
+    def el(j):
+        return F.element_at(ys, j)
+
+    l0 = (el(1) + el(2) + el(3) + el(4) + el(5) + el(6) + el(7)) / F.lit(7.0)
+    b0 = (
+        (el(8) + el(9) + el(10) + el(11) + el(12) + el(13) + el(14))
+        - (el(1) + el(2) + el(3) + el(4) + el(5) + el(6) + el(7))
+    ) / F.lit(49.0)
+    s0 = F.transform(F.slice(ys, 1, 7), lambda y: y - l0)
+    init = F.struct(l0.alias("l"), b0.alias("b"), s0.alias("s"))
+    # elements t = 8..n with their 1-based seasonal slot
+    elems = F.transform(
+        F.slice(ys, 8, F.size(ys) - 7),
+        lambda y, i: F.struct(y.alias("y"), ((i % 7) + 1).alias("idx")),
+    )
+
+    def merge(acc, e):
+        y, idx = e.getField("y"), e.getField("idx")
+        sprev = F.element_at(acc.getField("s"), idx)
+        lp = F.lit(0.3) * (y - sprev) + F.lit(0.7) * (
+            acc.getField("l") + acc.getField("b")
+        )
+        snew = F.lit(0.2) * (y - lp) + F.lit(0.8) * sprev
+        return F.struct(
+            lp.alias("l"),
+            (F.lit(0.1) * (lp - acc.getField("l"))
+             + F.lit(0.9) * acc.getField("b")).alias("b"),
+            F.transform(
+                acc.getField("s"),
+                lambda v, j: F.when(j + 1 == idx, snew).otherwise(v),
+            ).alias("s"),
+        )
+
+    st = F.aggregate(elems, init, merge)
+    nxt = F.element_at(
+        st.getField("s"), (F.col("n_days").cast("int") % 7) + 1
+    )
+    return series.select(
+        "event_type",
+        "n_days",
+        (st.getField("l") / 10000.0).alias("level"),
+        (st.getField("b") / 10000.0).alias("trend"),
+        ((st.getField("l") + st.getField("b") + nxt) / 10000.0).alias(
+            "forecast_next"
+        ),
+    )

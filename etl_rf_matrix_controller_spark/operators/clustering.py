@@ -521,3 +521,154 @@ def kmeans_lloyd_two_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("n_moved"),
         )
     )
+
+
+_KCENTER_K = 4
+
+
+def _kcenter_sql(k: int = _KCENTER_K) -> str:
+    """Unrolled greedy k-center CTE chain: c{s} = centers after s picks;
+    each pick is the argmax of min-distance-to-chosen (ties: min id)."""
+    d = _IQDIST_SQL.format(a="v.qv", b="s.c")
+    parts = [
+        """
+    q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    c1 AS (
+      SELECT CAST(1 AS BIGINT) AS ord, vec_id AS cid, qv AS c
+      FROM q WHERE vec_id = 0
+    )"""
+    ]
+    for s in range(2, k + 1):
+        parts.append(
+            f"""
+    d{s} AS (
+      SELECT v.vec_id, CAST(min({d}) AS BIGINT) AS dmin
+      FROM q v CROSS JOIN c{s - 1} s
+      GROUP BY v.vec_id
+    ),
+    p{s} AS (
+      SELECT vec_id FROM (
+        SELECT vec_id,
+               row_number() OVER (ORDER BY dmin DESC, vec_id) AS rk
+        FROM d{s}
+      ) WHERE rk = 1
+    ),
+    c{s} AS (
+      SELECT * FROM c{s - 1}
+      UNION ALL
+      SELECT CAST({s} AS BIGINT) AS ord, q.vec_id AS cid, q.qv AS c
+      FROM q JOIN p{s} USING (vec_id)
+    )"""
+        )
+    return f"""
+    WITH {",".join(parts)},
+    da AS (
+      SELECT v.vec_id, s.ord, s.cid, CAST({d} AS BIGINT) AS dd
+      FROM q v CROSS JOIN c{k} s
+    ),
+    a AS (
+      SELECT vec_id, ord, cid, dd FROM (
+        SELECT vec_id, ord, cid, dd,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dd, cid) AS rk
+        FROM da
+      ) WHERE rk = 1
+    )
+    SELECT ord AS pick_order, cid AS center_id,
+           CAST(count(*) AS BIGINT) AS n_assigned,
+           CAST(max(dd) AS BIGINT) AS radius_q
+    FROM a GROUP BY ord, cid
+    """
+
+
+@declared("kcenter_coreset_select", oracle=_kcenter_sql())
+def kcenter_coreset_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez 1985, the 2-approx
+    farthest-first traversal) over the embedding corpus, k=4: start from
+    vec_id 0, then repeatedly admit the point FARTHEST from the chosen
+    set (max-min distance, ties to the smaller id).  The canonical
+    diversity-maximizing subset selector for training-data curation --
+    where `stratified_sample_docs` balances marginals and
+    `semantic_dedup_keeper` removes redundancy, k-center picks the
+    boundary-covering exemplars (active learning / SVP-style selection).
+    Emits each pick with its assignment mass and covering radius; the
+    max radius_q row IS the k-center objective value.
+
+    Oracle-exact iteration: components quantize to the 1e4 integer grid
+    and distances are associative integer folds (the
+    `kmeans_lloyd_two_step` convention), so the greedy trajectory is
+    bit-identical cross-engine -- a float k-center diverges at the first
+    near-tie argmax.  Plan: the quantized frame checkpoints once; each
+    of the k-1 picks is a broadcast of the <=k chosen centers against it
+    (never a pairwise explosion), a global top-1 window over n rows, and
+    a lineage-truncating checkpoint of the <=k-row center set.  Greedy
+    k-center is inherently k sequential passes; at 100 TB you keep k
+    passes but replace the exact argmax with a per-partition max + tiny
+    final reduce (same result, no global sort) -- the window here IS
+    that reduce at local scale.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = (
+        emb.select(
+            "vec_id",
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double") * 10000).cast("bigint"),
+            ).alias("qv"),
+        )
+        # consumed by every pick round + the final assignment
+        .localCheckpoint(eager=True)
+    )
+
+    def idist(a: str, b: str):
+        return F.aggregate(
+            F.zip_with(F.col(a), F.col(b), lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    centers = (
+        q.filter(F.col("vec_id") == 0)
+        .select(
+            F.lit(1).cast("bigint").alias("ord"),
+            F.col("vec_id").alias("cid"),
+            F.col("qv").alias("c"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    w_pick = Window.orderBy(F.desc("dmin"), F.asc("vec_id"))
+    for s in range(2, _KCENTER_K + 1):
+        dmin = (
+            q.crossJoin(F.broadcast(centers))
+            .select("vec_id", idist("qv", "c").alias("d"))
+            .groupBy("vec_id")
+            .agg(F.min("d").cast("bigint").alias("dmin"))
+        )
+        pick = (
+            dmin.withColumn("rk", F.row_number().over(w_pick))
+            .filter(F.col("rk") == 1)
+            .select("vec_id")
+        )
+        newc = q.join(F.broadcast(pick), "vec_id").select(
+            F.lit(s).cast("bigint").alias("ord"),
+            F.col("vec_id").alias("cid"),
+            F.col("qv").alias("c"),
+        )
+        centers = centers.unionByName(newc).localCheckpoint(eager=True)
+    wa = Window.partitionBy("vec_id").orderBy(F.asc("dd"), F.asc("cid"))
+    assigned = (
+        q.crossJoin(F.broadcast(centers))
+        .select("vec_id", "ord", "cid", idist("qv", "c").cast("bigint").alias("dd"))
+        .withColumn("rk", F.row_number().over(wa))
+        .filter(F.col("rk") == 1)
+    )
+    return assigned.groupBy(
+        F.col("ord").alias("pick_order"), F.col("cid").alias("center_id")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_assigned"),
+        F.max("dd").cast("bigint").alias("radius_q"),
+    )

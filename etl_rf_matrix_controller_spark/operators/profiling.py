@@ -3083,3 +3083,163 @@ def page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mt").cast("bigint").alias("mt_n_c"),
         (F.col("mt") - F.min("mt").over(w_ord)).cast("bigint").alias("ph_n_c"),
     )
+
+
+@declared(
+    "cramers_v_profile",
+    oracle="""
+    WITH pairs AS (
+      SELECT 'returnflag_linestatus' AS pr, l_returnflag AS a,
+             l_linestatus AS b
+      FROM lineitem
+      UNION ALL
+      SELECT 'returnflag_shipweekday' AS pr, l_returnflag AS a,
+             CAST((CAST(l_shipdate AS DATE) - DATE '1970-01-01' + 4) % 7 AS VARCHAR) AS b
+      FROM lineitem
+      UNION ALL
+      SELECT 'linestatus_shipweekday' AS pr, l_linestatus AS a,
+             CAST((CAST(l_shipdate AS DATE) - DATE '1970-01-01' + 4) % 7 AS VARCHAR) AS b
+      FROM lineitem
+    ),
+    cells AS (
+      SELECT pr, a, b, CAST(count(*) AS BIGINT) AS o
+      FROM pairs GROUP BY pr, a, b
+    ),
+    rt AS (SELECT pr, a, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY pr, a),
+    ct AS (SELECT pr, b, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY pr, b),
+    nn AS (SELECT pr, CAST(sum(o) AS BIGINT) AS n FROM cells GROUP BY pr),
+    dims AS (
+      SELECT pr, CAST(count(DISTINCT a) AS BIGINT) AS ra,
+             CAST(count(DISTINCT b) AS BIGINT) AS cb
+      FROM cells GROUP BY pr
+    ),
+    grid AS (
+      SELECT rt.pr, rt.a, ct.b, rt.r, ct.c,
+             CAST(coalesce(ce.o, 0) AS BIGINT) AS o
+      FROM rt JOIN ct ON ct.pr = rt.pr
+      LEFT JOIN cells ce ON ce.pr = rt.pr AND ce.a = rt.a AND ce.b = ct.b
+    ),
+    chi AS (
+      SELECT g.pr,
+             CAST(sum(
+               (1000000 * (CAST(g.o AS HUGEINT) * nn.n
+                           - CAST(g.r AS HUGEINT) * g.c)
+                        * (CAST(g.o AS HUGEINT) * nn.n
+                           - CAST(g.r AS HUGEINT) * g.c))
+               // (CAST(nn.n AS HUGEINT) * g.r * g.c)
+             ) AS BIGINT) AS chi2_micro
+      FROM grid g
+      JOIN nn ON nn.pr = g.pr
+      GROUP BY g.pr
+    )
+    SELECT chi.pr AS pair, nn.n,
+           CAST((d.ra - 1) * (d.cb - 1) AS BIGINT) AS df,
+           chi.chi2_micro,
+           CASE WHEN least(d.ra - 1, d.cb - 1) = 0 THEN NULL
+                ELSE sqrt(CAST(chi.chi2_micro AS DOUBLE)
+                          / (1000000.0 * nn.n * least(d.ra - 1, d.cb - 1)))
+           END AS cramers_v
+    FROM chi JOIN nn ON nn.pr = chi.pr JOIN dims d ON d.pr = chi.pr
+    """,
+)
+def cramers_v_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramer's V association profile across three categorical column
+    pairs of lineitem (returnflag x linestatus, each x portable ship
+    weekday): the normalized [0,1] effect size that makes chi-square
+    comparable ACROSS tables of different shape -- the dependency-
+    discovery profiler (which columns co-vary?) complementing
+    `functional_dependency_profile` (exact determinism) and
+    `chi_square_type_weekday` (one pair, significance).
+
+    chi2 is the exact integer micro-units sum of (o*N - r*c)^2 * 1e6
+    DIV (N*r*c) per cell (DECIMAL(38,0) / HUGEINT products, the
+    chi_square_type_weekday convention); V = sqrt(chi2 / (n*min(r-1,
+    c-1))) -- sqrt is IEEE-correctly-rounded on exact-integer-derived
+    doubles, so even the float column is bit-identical cross-engine.
+    Weekday is (days_since_epoch+4)%7, the portable derivation.
+
+    Plan: ONE lineitem scan fans out to the three melted pairs in-row
+    (explode of a 3-struct array -- row fan-out x3, no re-scan), then
+    everything aggregates to cells (<= |levels|^2 per pair) and the
+    margin/total joins are dimension-bounded broadcasts.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    wd = F.concat(
+        (F.datediff(F.col("l_shipdate"), F.lit("1970-01-01")) + 4) % 7
+    ).cast("string")
+    melted = li.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("returnflag_linestatus").alias("pr"),
+                    F.col("l_returnflag").alias("a"),
+                    F.col("l_linestatus").alias("b"),
+                ),
+                F.struct(
+                    F.lit("returnflag_shipweekday").alias("pr"),
+                    F.col("l_returnflag").alias("a"),
+                    wd.alias("b"),
+                ),
+                F.struct(
+                    F.lit("linestatus_shipweekday").alias("pr"),
+                    F.col("l_linestatus").alias("a"),
+                    wd.alias("b"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.pr", "e.a", "e.b")
+    cells = (
+        melted.groupBy("pr", "a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+        .localCheckpoint(eager=True)  # rt/ct/nn/dims/contrib consumers
+    )
+    rt = cells.groupBy("pr", "a").agg(F.sum("o").cast("bigint").alias("r"))
+    ct = cells.groupBy("pr", "b").agg(F.sum("o").cast("bigint").alias("c"))
+    nn = cells.groupBy("pr").agg(F.sum("o").cast("bigint").alias("n"))
+    dims = cells.groupBy("pr").agg(
+        F.countDistinct("a").cast("bigint").alias("ra"),
+        F.countDistinct("b").cast("bigint").alias("cb"),
+    )
+    dev = (
+        "(CAST(o AS DECIMAL(38,0)) * n - CAST(r AS DECIMAL(38,0)) * c)"
+    )
+    grid = (
+        rt.join(ct, "pr")
+        .join(F.broadcast(cells.select("pr", "a", "b", "o")), ["pr", "a", "b"], "left")
+        .select("pr", "a", "b", "r", "c", F.coalesce("o", F.lit(0)).cast("bigint").alias("o"))
+    )
+    chi = (
+        grid.join(F.broadcast(nn), ["pr"])
+        .groupBy("pr")
+        .agg(
+            F.sum(
+                F.expr(
+                    f"(1000000 * {dev} * {dev})"
+                    " DIV (CAST(n AS DECIMAL(38,0)) * r * c)"
+                )
+            )
+            .cast("bigint")
+            .alias("chi2_micro")
+        )
+    )
+    return (
+        chi.join(F.broadcast(nn), "pr")
+        .join(F.broadcast(dims), "pr")
+        .select(
+            F.col("pr").alias("pair"),
+            "n",
+            F.expr("CAST((ra - 1) * (cb - 1) AS BIGINT)").alias("df"),
+            "chi2_micro",
+            F.when(
+                F.least(F.col("ra") - 1, F.col("cb") - 1) > 0,
+                F.sqrt(
+                    F.col("chi2_micro").cast("double")
+                    / (
+                        F.lit(1000000.0)
+                        * F.col("n")
+                        * F.least(F.col("ra") - 1, F.col("cb") - 1)
+                    )
+                ),
+            ).alias("cramers_v"),
+        )
+    )

@@ -101,3 +101,146 @@ def test_rrf_fusion_matches_per_system_rankings(spark):
     assert [r.doc_id for r in sorted(got, key=lambda r: r.fused_rnk)] == order
     for r in got:
         assert (r.n_systems, r.rrf_ppm) == expected[r.doc_id]
+
+
+def _write_embeddings(spark, tmp_path, vecs):
+    rows = [(i, v, i % 3) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_kcenter_greedy_trajectory(spark, tmp_path):
+    """1-D layout 0, 1, 10, 11, 30, 31 (ids 0..5): greedy from vec 0
+    picks 31 (farthest, d=961), then 11 (min-dist 121 beats 10's 100),
+    then the three-way dmin=1 tie among {1, 10, 30} breaks to the
+    smallest vec_id, 1 -- pins both the max-min argmax and its
+    tie-break."""
+    from etl_rf_matrix_controller_spark.operators.clustering import (
+        kcenter_coreset_select,
+    )
+
+    comp0 = [0.0, 1.0, 10.0, 11.0, 30.0, 31.0]
+    sf = _write_embeddings(spark, tmp_path, [[c] + [0.0] * 63 for c in comp0])
+    got = {
+        r.pick_order: (r.center_id, r.n_assigned, r.radius_q)
+        for r in kcenter_coreset_select(spark, sf).collect()
+    }
+    # centers: vec0(0.0), vec5(31.0), vec3(11.0), vec1(1.0)
+    assert [got[k][0] for k in sorted(got)] == [0, 5, 3, 1]
+    # assignment (nearest, ties to smaller center id); grid 1e4 ->
+    # unit sq dist quantizes to 1e8
+    assert got[1] == (0, 1, 0)                     # vec0 alone, radius 0
+    assert got[2] == (5, 2, 100000000)             # 30, 31
+    assert got[3] == (3, 2, 100000000)             # 10, 11
+    assert got[4] == (1, 1, 0)                     # vec1 exact
+
+
+def test_cramers_v_perfect_and_independent(spark, tmp_path):
+    """Perfect 2x2 association (returnflag determines linestatus) must
+    yield V = 1.0 exactly -- this requires the ZERO cells of the
+    contingency grid to contribute (o=0 terms are r*c*1e6/N each);
+    dropping unobserved cells would give sqrt(0.5).  All rows share one
+    shipdate, so the two weekday pairs are degenerate (min(r-1,c-1)=0)
+    and must emit NULL V rather than raise ANSI DIVIDE_BY_ZERO."""
+    import datetime as dt
+
+    from etl_rf_matrix_controller_spark.operators.profiling import (
+        cramers_v_profile,
+    )
+
+    rows = [("A", "X", dt.datetime(2024, 1, 1))] * 20 + [
+        ("B", "Y", dt.datetime(2024, 1, 1))
+    ] * 20
+    df = spark.createDataFrame(
+        rows, "l_returnflag string, l_linestatus string, l_shipdate timestamp"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    got = {
+        r.pair: r for r in cramers_v_profile(spark, str(tmp_path)).collect()
+    }
+    r = got["returnflag_linestatus"]
+    assert (r.n, r.df) == (40, 1)
+    assert r.chi2_micro == 40_000_000  # chi2 == n for perfect 2x2
+    assert r.cramers_v == 1.0
+
+
+def _ref_holt_winters(ys):
+    """Plain-Python mirror of the declared fold (identical double ops)."""
+    l = (ys[0] + ys[1] + ys[2] + ys[3] + ys[4] + ys[5] + ys[6]) / 7.0
+    b = (
+        (ys[7] + ys[8] + ys[9] + ys[10] + ys[11] + ys[12] + ys[13])
+        - (ys[0] + ys[1] + ys[2] + ys[3] + ys[4] + ys[5] + ys[6])
+    ) / 49.0
+    s = [ys[j] - l for j in range(7)]
+    for t in range(7, len(ys)):
+        idx = t % 7
+        lp = 0.3 * (ys[t] - s[idx]) + 0.7 * (l + b)
+        bn = 0.1 * (lp - l) + 0.9 * b
+        s[idx] = 0.2 * (ys[t] - lp) + 0.8 * s[idx]
+        l, b = lp, bn
+    fc = l + b + s[len(ys) % 7]
+    return l / 10000.0, b / 10000.0, fc / 10000.0
+
+
+def test_holt_winters_matches_python_reference(spark, tmp_path):
+    """21-day series with trend + weekly shape, one event per day: the
+    engine's struct-fold must equal the plain-Python reference
+    bit-for-bit (identical IEEE operation sequence)."""
+    from etl_rf_matrix_controller_spark.operators.behavior import (
+        holt_winters_daily_value,
+    )
+
+    season = [0.0, 10.0, 20.0, 5.0, 0.0, 30.0, 50.0]
+    vals = [100.0 + 5 * t + season[t % 7] for t in range(21)]
+    rows = [
+        (t, dt.datetime(2024, 3, 1) + dt.timedelta(days=t), 1, "click", v, "{}")
+        for t, v in enumerate(vals)
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    [r] = holt_winters_daily_value(spark, sf).collect()
+    level, trend, fc = _ref_holt_winters([v * 10000 for v in vals])
+    assert r.n_days == 21
+    assert (r.level, r.trend, r.forecast_next) == (level, trend, fc)
+
+
+def test_holt_winters_drops_short_series(spark, tmp_path):
+    """A 14-day series (one day short of two seasons + 1) is excluded."""
+    from etl_rf_matrix_controller_spark.operators.behavior import (
+        holt_winters_daily_value,
+    )
+
+    rows = [
+        (t, dt.datetime(2024, 3, 1) + dt.timedelta(days=t), 1, "click", 1.0, "{}")
+        for t in range(14)
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    assert holt_winters_daily_value(spark, sf).count() == 0
+
+
+def test_cramers_v_degenerate_pairs_null(spark, tmp_path):
+    """Single-weekday corpus: the two weekday pairs have df=0 and NULL V."""
+    import datetime as dt
+
+    from etl_rf_matrix_controller_spark.operators.profiling import (
+        cramers_v_profile,
+    )
+
+    rows = [("A", "X", dt.datetime(2024, 1, 1))] * 5 + [
+        ("B", "Y", dt.datetime(2024, 1, 1))
+    ] * 5
+    df = spark.createDataFrame(
+        rows, "l_returnflag string, l_linestatus string, l_shipdate timestamp"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    got = {r.pair: r for r in cramers_v_profile(spark, str(tmp_path)).collect()}
+    for pr in ("returnflag_shipweekday", "linestatus_shipweekday"):
+        assert got[pr].df == 0 and got[pr].cramers_v is None
