@@ -4596,7 +4596,7 @@ def mcnemar_activity_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("day"),
         F.round(F.col("value") * 100).cast("bigint").alias("v"),
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)  # 3 consumers: thr rank, bounds, rollup
     w_rank = Window.orderBy("v", "event_id")
     w_all = Window.partitionBy()
     thr = (
@@ -4794,4 +4794,234 @@ def holt_winters_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((st.getField("l") + st.getField("b") + nxt) / 10000.0).alias(
             "forecast_next"
         ),
+    )
+
+
+@declared(
+    "nelson_aalen_hazard",
+    oracle="""
+    WITH evs AS (
+      SELECT user_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS fe
+      FROM events
+    ),
+    users AS (
+      SELECT user_id, min(fe) AS entry,
+             min(CASE WHEN event_type = 'purchase' THEN fe END) AS conv,
+             max(fe) AS censor
+      FROM evs GROUP BY user_id
+    ),
+    ud AS (
+      SELECT (coalesce(conv, censor) - entry) // 86400 AS dur,
+             CASE WHEN conv IS NOT NULL THEN 1 ELSE 0 END AS conv_f
+      FROM users
+    ),
+    per AS (
+      SELECT dur, CAST(count(*) AS BIGINT) AS u,
+             CAST(sum(conv_f) AS BIGINT) AS c
+      FROM ud GROUP BY dur
+    ),
+    risk AS (
+      SELECT dur, u, c,
+             (SELECT CAST(count(*) AS BIGINT) FROM ud)
+               - (CAST(sum(u) OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING)
+                       AS BIGINT) - u) AS n_at_risk
+      FROM per
+    ),
+    hz AS (
+      SELECT dur, n_at_risk, c,
+             CAST((1000000 * c) // n_at_risk AS BIGINT) AS hazard_ppm,
+             CAST((1000000 * c * c)
+                  // (n_at_risk * n_at_risk) AS BIGINT) AS var_term_ppm
+      FROM risk WHERE c > 0
+    )
+    SELECT dur AS dur_day, n_at_risk, c AS n_conv, hazard_ppm,
+           CAST(sum(hazard_ppm) OVER (ORDER BY dur
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cumhaz_ppm,
+           CAST(sum(var_term_ppm) OVER (ORDER BY dur
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cumvar_ppm
+    FROM hz
+    """,
+)
+def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator for time-to-first-
+    purchase: H(d) = sum_{d_i <= d} c_i/n_i over the same entry/censor
+    construction as `kaplan_meier_conversion`, plus the running
+    Poisson-type variance sum c_i/n_i^2 -- the hazard-scale counterpart
+    of KM's survival product (and the better-behaved estimator at small
+    at-risk counts; Aalen 1978).  KM answers "what fraction survive";
+    N-A answers "how much cumulative risk has accrued" -- the quantity
+    regression models (Cox) calibrate against.
+
+    Every term is an integer ppm floor division and the cumulative sums
+    are integer windows -- no float anywhere, unlike KM's double
+    product, so the whole curve is trivially bit-exact.  Shape: one
+    events scan -> per-user rollup -> per-duration rollup; windows run
+    over the <=|calendar|-row event-day series.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.min(F.expr("unix_timestamp(ts)")).alias("entry"),
+        F.min(
+            F.when(
+                F.col("event_type") == "purchase", F.expr("unix_timestamp(ts)")
+            )
+        ).alias("conv"),
+        F.max(F.expr("unix_timestamp(ts)")).alias("censor"),
+    )
+    ud = users.select(
+        F.expr("(coalesce(conv, censor) - entry) DIV 86400").alias("dur"),
+        F.when(F.col("conv").isNotNull(), 1).otherwise(0).alias("conv_f"),
+    ).localCheckpoint(eager=True)  # per + n_total consumers
+    per = ud.groupBy("dur").agg(
+        F.count(F.lit(1)).cast("bigint").alias("u"),
+        F.sum("conv_f").cast("bigint").alias("c"),
+    )
+    n_total = ud.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    w = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = (
+        per.withColumn("cum_u", F.sum("u").over(w).cast("bigint"))
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "dur",
+            "u",
+            "c",
+            (F.col("n_total") - (F.col("cum_u") - F.col("u"))).alias(
+                "n_at_risk"
+            ),
+        )
+    )
+    hz = risk.filter(F.col("c") > 0).select(
+        "dur",
+        "n_at_risk",
+        "c",
+        F.expr("CAST((1000000 * c) DIV n_at_risk AS BIGINT)").alias(
+            "hazard_ppm"
+        ),
+        F.expr(
+            "CAST((1000000 * c * c) DIV (n_at_risk * n_at_risk) AS BIGINT)"
+        ).alias("var_term_ppm"),
+    )
+    return hz.select(
+        F.col("dur").alias("dur_day"),
+        "n_at_risk",
+        F.col("c").alias("n_conv"),
+        "hazard_ppm",
+        F.sum("hazard_ppm").over(w.orderBy("dur")).cast("bigint").alias(
+            "cumhaz_ppm"
+        ),
+        F.sum("var_term_ppm").over(w.orderBy("dur")).cast("bigint").alias(
+            "cumvar_ppm"
+        ),
+    )
+
+
+@declared(
+    "als_user_factors_exact",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY user_id, event_type
+    ),
+    items AS (
+      SELECT event_type,
+             CAST(row_number() OVER (ORDER BY event_type) AS BIGINT) AS idx
+      FROM (SELECT DISTINCT event_type FROM events)
+    ),
+    fi AS (
+      SELECT event_type, CAST(1 + (idx % 3) AS BIGINT) AS f1,
+             CAST(1 + ((2 * idx) % 5) AS BIGINT) AS f2
+      FROM items
+    ),
+    sys AS (
+      SELECT r.user_id,
+             CAST(count(*) AS BIGINT) AS n_items,
+             CAST(10 + sum(f.f1 * f.f1) AS BIGINT) AS a11,
+             CAST(sum(f.f1 * f.f2) AS BIGINT) AS a12,
+             CAST(10 + sum(f.f2 * f.f2) AS BIGINT) AS a22,
+             CAST(sum(r.cnt * f.f1) AS BIGINT) AS b1,
+             CAST(sum(r.cnt * f.f2) AS BIGINT) AS b2
+      FROM r JOIN fi f ON f.event_type = r.event_type
+      GROUP BY r.user_id
+    )
+    SELECT user_id, n_items,
+           CAST(a11 * a22 - a12 * a12 AS BIGINT) AS det,
+           CAST(a22 * b1 - a12 * b2 AS BIGINT) AS x1_num,
+           CAST(a11 * b2 - a12 * b1 AS BIGINT) AS x2_num,
+           CAST(a22 * b1 - a12 * b2 AS DOUBLE)
+             / (a11 * a22 - a12 * a12) AS x1,
+           CAST(a11 * b2 - a12 * b1 AS DOUBLE)
+             / (a11 * a22 - a12 * a12) AS x2
+    FROM sys
+    """,
+)
+def als_user_factors_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact ALS half-step for a 2-factor implicit recommender: with
+    the item (event_type) factor matrix F FIXED at a deterministic
+    integer init (f = (1 + idx%3, 1 + 2*idx%5) over the rank-ordered
+    item index), each user's factors solve the d=2 ridge system
+    (F_u'F_u + lambda*I) x = F_u'r_u (lambda=10) IN CLOSED FORM via the
+    2x2 adjugate -- so the solution is an exact RATIONAL (x1_num/det,
+    x2_num/det), emitted as integers plus their one IEEE double
+    division.  This is the real alternating-least-squares iteration
+    body (Hu/Koren/Volinsky shape, observed-entries variant): per-user
+    independent solves, which is exactly why ALS distributes -- and the
+    integer closed form is what makes it oracle-checkable where a
+    float Cholesky would drift.
+
+    Plan: one events scan -> (user, item) counts (map-side combine);
+    the item-factor table is |items| rows broadcast; the per-user solve
+    is a 5-term aggregation -- no shuffle beyond the user rollup.
+    Envelope: a22*b1 ~ (10+2*25)*(cnt*2) stays far below 2^63 up to
+    ~1e17 interactions/user.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    r = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    items = (
+        ev.select("event_type")
+        .distinct()
+        .withColumn(
+            "idx",
+            F.row_number().over(Window.orderBy("event_type")).cast("bigint"),
+        )
+    )
+    fi = items.select(
+        "event_type",
+        (1 + (F.col("idx") % 3)).cast("bigint").alias("f1"),
+        (1 + ((2 * F.col("idx")) % 5)).cast("bigint").alias("f2"),
+    )
+    sys_ = (
+        r.join(F.broadcast(fi), "event_type")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            (F.lit(10) + F.sum(F.col("f1") * F.col("f1")))
+            .cast("bigint")
+            .alias("a11"),
+            F.sum(F.col("f1") * F.col("f2")).cast("bigint").alias("a12"),
+            (F.lit(10) + F.sum(F.col("f2") * F.col("f2")))
+            .cast("bigint")
+            .alias("a22"),
+            F.sum(F.col("cnt") * F.col("f1")).cast("bigint").alias("b1"),
+            F.sum(F.col("cnt") * F.col("f2")).cast("bigint").alias("b2"),
+        )
+    )
+    return sys_.select(
+        "user_id",
+        "n_items",
+        F.expr("CAST(a11 * a22 - a12 * a12 AS BIGINT)").alias("det"),
+        F.expr("CAST(a22 * b1 - a12 * b2 AS BIGINT)").alias("x1_num"),
+        F.expr("CAST(a11 * b2 - a12 * b1 AS BIGINT)").alias("x2_num"),
+        F.expr(
+            "CAST(a22 * b1 - a12 * b2 AS DOUBLE) / (a11 * a22 - a12 * a12)"
+        ).alias("x1"),
+        F.expr(
+            "CAST(a11 * b2 - a12 * b1 AS DOUBLE) / (a11 * a22 - a12 * a12)"
+        ).alias("x2"),
     )

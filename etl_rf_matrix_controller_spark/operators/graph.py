@@ -1422,9 +1422,12 @@ def community_lpa_two_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = nation.select(
         F.col("n_nationkey").alias("node"),
         F.col("n_nationkey").cast("bigint").alias("label"),
-    )
+    ).localCheckpoint(eager=True)
     for _ in range(2):
-        labels = lpa_step(labels, und)
+        # checkpoint per round (pagerank_loop discipline): without it the
+        # label subtree -- including its nation scan -- replays once per
+        # consumer in the final plan (the suite scan ceiling counts it).
+        labels = lpa_step(labels, und).localCheckpoint(eager=True)
     from pyspark.sql.window import Window as _W
 
     cs = _W.partitionBy("label")

@@ -878,15 +878,18 @@ def rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     two REGISTERED oracles verbatim.
     """
     tok = _tok(spark, sf_dir)
+    # Eager: tf and df each feed BOTH scorers (4 consumer branches); a
+    # lazy checkpoint would leave 4 copies of the tokenize subtree in the
+    # constructed plan (the suite-wide scan ceiling counts them).
     qtok = tok.filter(F.col("token").isin(*QUERY_TERMS)).localCheckpoint(
-        eager=False
+        eager=True
     )
     tf = qtok.groupBy("doc_id", "token").agg(
         F.count(F.lit(1)).cast("bigint").alias("tf")
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     df = qtok.groupBy("token").agg(
         F.countDistinct("doc_id").cast("bigint").alias("df")
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     docs = load_table(spark, sf_dir, "documents")
     dl = docs.select(
         "doc_id",

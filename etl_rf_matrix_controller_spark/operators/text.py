@@ -1082,3 +1082,98 @@ def hapax_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV count(*) AS BIGINT)"
         ).alias("hapax_share_ppm"),
     )
+
+
+@declared(
+    "cohens_kappa_lang",
+    oracle=f"""
+    WITH {_LANG_ID_CTES},
+    conf AS (
+      SELECT d.lang AS actual_lang, b.pred_lang,
+             CAST(count(*) AS BIGINT) AS n_docs
+      FROM best b JOIN documents d ON d.doc_id = b.doc_id
+      WHERE b.rn = 1
+      GROUP BY d.lang, b.pred_lang
+    ),
+    rm AS (SELECT actual_lang AS lab, CAST(sum(n_docs) AS BIGINT) AS r
+           FROM conf GROUP BY actual_lang),
+    cm AS (SELECT pred_lang AS lab, CAST(sum(n_docs) AS BIGINT) AS c
+           FROM conf GROUP BY pred_lang),
+    sc AS (
+      SELECT CAST(sum(n_docs) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN actual_lang = pred_lang
+                           THEN n_docs ELSE 0 END) AS BIGINT) AS diag
+      FROM conf
+    ),
+    pe AS (
+      SELECT CAST(coalesce(sum(rm.r * cm.c), 0) AS BIGINT) AS pe_num
+      FROM rm JOIN cm ON cm.lab = rm.lab
+    )
+    SELECT sc.n, sc.diag, pe.pe_num,
+           CAST(sc.n * sc.diag - pe.pe_num AS BIGINT) AS kappa_num,
+           CAST(sc.n * sc.n - pe.pe_num AS BIGINT) AS kappa_den,
+           CASE WHEN sc.n * sc.n - pe.pe_num = 0 THEN NULL
+                ELSE CAST(sc.n * sc.diag - pe.pe_num AS DOUBLE)
+                     / CAST(sc.n * sc.n - pe.pe_num AS DOUBLE)
+           END AS kappa
+    FROM sc CROSS JOIN pe
+    """,
+)
+def cohens_kappa_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa for the marker language-ID against the labeled
+    lang column: chance-corrected agreement (po - pe)/(1 - pe),
+    cross-multiplied to the exact integer ratio (n*diag - sum r_i*c_i)
+    / (n^2 - sum r_i*c_i) -- the single-number answer to "is the
+    classifier better than marginal-frequency guessing", where raw
+    accuracy (the confusion matrix's diagonal share) is inflated by
+    class imbalance.  Emits the exact integer numerator/denominator and
+    kappa as their one IEEE double division (bit-identical cross-engine;
+    NULL when pe=1, the degenerate single-class case).
+
+    Pure composition over `lang_confusion_matrix`'s rollup: the
+    confusion frame is |langs|^2 rows, checkpointed once for its four
+    tiny consumers (diagonal, both marginals, total) -- everything after
+    the per-doc argmax is dimension-bounded.
+    """
+    conf = lang_confusion_matrix(spark, sf_dir).localCheckpoint(eager=True)
+    rm = conf.groupBy(F.col("actual_lang").alias("lab")).agg(
+        F.sum("n_docs").cast("bigint").alias("r")
+    )
+    cm = conf.groupBy(F.col("pred_lang").alias("lab")).agg(
+        F.sum("n_docs").cast("bigint").alias("c")
+    )
+    sc = conf.agg(
+        F.sum("n_docs").cast("bigint").alias("n"),
+        F.sum(
+            F.when(
+                F.col("actual_lang") == F.col("pred_lang"), F.col("n_docs")
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("diag"),
+    )
+    pe = (
+        rm.join(F.broadcast(cm), "lab")
+        .agg(
+            F.coalesce(F.sum(F.col("r") * F.col("c")), F.lit(0))
+            .cast("bigint")
+            .alias("pe_num")
+        )
+    )
+    return (
+        sc.crossJoin(F.broadcast(pe))
+        .select(
+            "n",
+            "diag",
+            "pe_num",
+            F.expr("CAST(n * diag - pe_num AS BIGINT)").alias("kappa_num"),
+            F.expr("CAST(n * n - pe_num AS BIGINT)").alias("kappa_den"),
+            F.when(
+                F.expr("n * n - pe_num") != 0,
+                F.expr(
+                    "CAST(n * diag - pe_num AS DOUBLE)"
+                    " / CAST(n * n - pe_num AS DOUBLE)"
+                ),
+            ).alias("kappa"),
+        )
+    )

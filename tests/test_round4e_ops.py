@@ -244,3 +244,73 @@ def test_cramers_v_degenerate_pairs_null(spark, tmp_path):
     got = {r.pair: r for r in cramers_v_profile(spark, str(tmp_path)).collect()}
     for pr in ("returnflag_shipweekday", "linestatus_shipweekday"):
         assert got[pr].df == 0 and got[pr].cramers_v is None
+
+
+def test_nelson_aalen_hand_computed(spark, tmp_path):
+    """3 users: conversions at dur 2 and 5, one censored at 5 -- at-risk
+    3 then 2, hazard 1/3 then 1/2 ppm-floored, cumulative sums pinned."""
+    from etl_rf_matrix_controller_spark.operators.behavior import (
+        nelson_aalen_hazard,
+    )
+
+    d0 = dt.datetime(2024, 3, 1)
+    rows = [
+        (0, d0, 1, "click", 1.0, "{}"),
+        (1, d0 + dt.timedelta(days=2), 1, "purchase", 1.0, "{}"),
+        (2, d0, 2, "click", 1.0, "{}"),
+        (3, d0 + dt.timedelta(days=5), 2, "purchase", 1.0, "{}"),
+        (4, d0, 3, "click", 1.0, "{}"),
+        (5, d0 + dt.timedelta(days=5), 3, "click", 1.0, "{}"),
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    got = {
+        r.dur_day: (r.n_at_risk, r.n_conv, r.hazard_ppm, r.cumhaz_ppm,
+                    r.cumvar_ppm)
+        for r in nelson_aalen_hazard(spark, sf).collect()
+    }
+    assert got == {
+        2: (3, 1, 333333, 333333, 111111),
+        5: (2, 1, 500000, 833333, 361111),
+    }
+
+
+def test_cohens_kappa_consistent_with_confusion(spark):
+    """kappa must equal the exact integer recomputation from the declared
+    confusion matrix: (n*diag - sum r_i*c_i) / (n^2 - sum r_i*c_i)."""
+    from etl_rf_matrix_controller_spark.operators.text import (
+        cohens_kappa_lang,
+        lang_confusion_matrix,
+    )
+
+    conf = lang_confusion_matrix(spark, SF_DIR).collect()
+    n = sum(r.n_docs for r in conf)
+    diag = sum(r.n_docs for r in conf if r.actual_lang == r.pred_lang)
+    rm, cm = {}, {}
+    for r in conf:
+        rm[r.actual_lang] = rm.get(r.actual_lang, 0) + r.n_docs
+        cm[r.pred_lang] = cm.get(r.pred_lang, 0) + r.n_docs
+    pe = sum(rm[k] * cm.get(k, 0) for k in rm)
+    [k] = cohens_kappa_lang(spark, SF_DIR).collect()
+    assert (k.n, k.diag, k.pe_num) == (n, diag, pe)
+    assert (k.kappa_num, k.kappa_den) == (n * diag - pe, n * n - pe)
+    assert k.kappa == (n * diag - pe) / (n * n - pe)
+
+
+def test_als_factors_closed_form(spark, tmp_path):
+    """One user, 3 clicks + 2 purchases; item factors f(click)=(2,3),
+    f(purchase)=(3,5) from the rank init -- hand-solved 2x2 ridge
+    system (lambda=10): det=571, x=(129/571, 185/571)."""
+    from etl_rf_matrix_controller_spark.operators.behavior import (
+        als_user_factors_exact,
+    )
+
+    d0 = dt.datetime(2024, 3, 1)
+    rows = [(i, d0 + dt.timedelta(minutes=i), 1, "click", 1.0, "{}")
+            for i in range(3)]
+    rows += [(3 + i, d0 + dt.timedelta(minutes=30 + i), 1, "purchase", 1.0,
+              "{}") for i in range(2)]
+    sf = _write_events(spark, tmp_path, rows)
+    [r] = als_user_factors_exact(spark, sf).collect()
+    assert (r.n_items, r.det) == (2, 571)
+    assert (r.x1_num, r.x2_num) == (129, 185)
+    assert (r.x1, r.x2) == (129 / 571, 185 / 571)
