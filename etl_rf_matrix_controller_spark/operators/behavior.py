@@ -5025,3 +5025,136 @@ def als_user_factors_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(a11 * b2 - a12 * b1 AS DOUBLE) / (a11 * a22 - a12 * a12)"
         ).alias("x2"),
     )
+
+
+@declared(
+    "isotonic_purchase_rate_fit",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS ne,
+             CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS BIGINT) AS pos
+      FROM events GROUP BY user_id
+    ),
+    dec AS (
+      SELECT ntile(10) OVER (ORDER BY ne, user_id) AS dk, pos FROM per_user
+    ),
+    b AS (
+      SELECT dk, CAST(count(*) AS BIGINT) AS n, CAST(sum(pos) AS BIGINT) AS np
+      FROM dec GROUP BY dk
+    ),
+    cum AS (
+      SELECT dk, n, np,
+             CAST(sum(n) OVER (ORDER BY dk ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS cn,
+             CAST(sum(np) OVER (ORDER BY dk ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS cp
+      FROM b
+    ),
+    pairs AS (
+      SELECT i.dk AS i, j.dk AS j,
+             CAST(j.cp - (i.cp - i.np) AS DOUBLE)
+               / (j.cn - (i.cn - i.n)) AS avg_ij
+      FROM cum i JOIN cum j ON j.dk >= i.dk
+    ),
+    m AS (
+      SELECT i, j AS k,
+             min(avg_ij) OVER (PARTITION BY i ORDER BY j DESC
+                               ROWS UNBOUNDED PRECEDING) AS m_ik
+      FROM pairs
+    ),
+    fit AS (SELECT k, max(m_ik) AS iso_rate FROM m GROUP BY k)
+    SELECT b.dk AS decile, b.n AS n_users, b.np AS n_purchasers,
+           CAST((1000000 * b.np) // b.n AS BIGINT) AS raw_rate_ppm,
+           f.iso_rate
+    FROM b JOIN fit f ON f.k = b.dk
+    """,
+)
+def isotonic_purchase_rate_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic regression of purchase rate on activity decile: users
+    are binned into 10 deciles by event count (ntile over the total
+    order (n_events, user_id)), and the per-decile empirical purchase
+    rate is replaced by its best MONOTONE non-decreasing fit -- the
+    minimax (prefix-max of suffix-min of interval averages) form of the
+    pool-adjacent-violators solution, y_k = max_{i<=k} min_{j>=k}
+    avg(y_i..y_j) (Robertson/Wright/Dykstra).  The calibration step a
+    score-based sampler needs before trusting "more active => more
+    likely to buy" monotonically; the model-based sibling of
+    `lang_score_calibration`'s ECE diagnosis and
+    `curriculum_quality_bins`' monotone assumption.
+
+    Determinism: every interval average is ONE IEEE division of exact
+    integer prefix-sum differences (bit-identical cross-engine), and
+    min/max over identical doubles is order-free.  The b^2 interval
+    pairs live on the 10-row decile frame -- the quadratic minimax form
+    is chosen over sequential PAV precisely because it is pure
+    window/join algebra at O(bins^2), never touching row scale.
+
+    Plan: one events scan -> per-user rollup -> 10-row decile frame
+    (checkpointed for its self-join aliases); everything after is
+    constant-size.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ne"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("pos"),
+    )
+    dec = per_user.select(
+        F.ntile(10).over(Window.orderBy("ne", "user_id")).alias("dk"), "pos"
+    )
+    b = (
+        dec.groupBy("dk")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("pos").cast("bigint").alias("np"),
+        )
+        .localCheckpoint(eager=True)  # cum + final join consumers
+    )
+    wc = Window.orderBy("dk").rowsBetween(Window.unboundedPreceding, 0)
+    cum = b.select(
+        "dk",
+        "n",
+        "np",
+        F.sum("n").over(wc).cast("bigint").alias("cn"),
+        F.sum("np").over(wc).cast("bigint").alias("cp"),
+    ).localCheckpoint(eager=True)  # two self-join aliases
+    ci = cum.select(
+        F.col("dk").alias("i"),
+        F.col("n").alias("ni"),
+        F.col("np").alias("npi"),
+        F.col("cn").alias("cni"),
+        F.col("cp").alias("cpi"),
+    )
+    cj = cum.select(
+        F.col("dk").alias("j"),
+        F.col("cn").alias("cnj"),
+        F.col("cp").alias("cpj"),
+    )
+    pairs = ci.join(F.broadcast(cj), F.col("j") >= F.col("i")).select(
+        "i",
+        "j",
+        (
+            (F.col("cpj") - (F.col("cpi") - F.col("npi"))).cast("double")
+            / (F.col("cnj") - (F.col("cni") - F.col("ni")))
+        ).alias("avg_ij"),
+    )
+    wm = (
+        Window.partitionBy("i")
+        .orderBy(F.desc("j"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    m = pairs.select(
+        "i", F.col("j").alias("k"), F.min("avg_ij").over(wm).alias("m_ik")
+    )
+    fit = m.groupBy("k").agg(F.max("m_ik").alias("iso_rate"))
+    return b.join(F.broadcast(fit), b.dk == fit.k).select(
+        F.col("dk").alias("decile"),
+        F.col("n").alias("n_users"),
+        F.col("np").alias("n_purchasers"),
+        F.expr("CAST((1000000 * np) DIV n AS BIGINT)").alias("raw_rate_ppm"),
+        "iso_rate",
+    )

@@ -3243,3 +3243,110 @@ def cramers_v_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cramers_v"),
         )
     )
+
+
+@declared(
+    "two_pass_exact_median",
+    oracle="""
+    WITH vals AS (
+      SELECT event_id, CAST(round(value * 100) AS BIGINT) AS v
+      FROM events
+    ),
+    stats AS (
+      SELECT CAST(min(v) AS BIGINT) AS lo, CAST(max(v) AS BIGINT) AS hi,
+             CAST(count(*) AS BIGINT) AS n
+      FROM vals
+    ),
+    binned AS (
+      SELECT ((v.v - s.lo) * 256) // (s.hi - s.lo + 1) AS bin,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM vals v CROSS JOIN stats s
+      GROUP BY 1
+    ),
+    cumb AS (
+      SELECT bin, cnt,
+             CAST(sum(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS cum
+      FROM binned
+    ),
+    pick AS (
+      SELECT bin, cum - cnt AS below FROM (
+        SELECT bin, cnt, cum,
+               row_number() OVER (ORDER BY bin) AS rk
+        FROM cumb CROSS JOIN stats s
+        WHERE cum >= (s.n + 1) // 2
+      ) WHERE rk = 1
+    )
+    SELECT s.n, s.lo AS lo_c, s.hi AS hi_c,
+           CAST((s.n + 1) // 2 AS BIGINT) AS target_rank,
+           CAST(p.bin AS BIGINT) AS bin_id,
+           CAST(r.v AS BIGINT) AS median_c
+    FROM stats s CROSS JOIN pick p
+    JOIN (
+      SELECT v.v, p2.bin,
+             row_number() OVER (ORDER BY v.v, v.event_id) AS rn
+      FROM vals v CROSS JOIN stats s2 CROSS JOIN pick p2
+      WHERE ((v.v - s2.lo) * 256) // (s2.hi - s2.lo + 1) = p2.bin
+    ) r ON r.rn = (SELECT (s3.n + 1) // 2 - p3.below
+                   FROM stats s3 CROSS JOIN pick p3)
+    """,
+)
+def two_pass_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT median of the event value without a global sort: pass 1
+    histograms the cents domain into 256 equi-width bins and locates the
+    bin containing rank ceil(n/2); pass 2 ranks only THAT bin's rows
+    (expected n/256 of the data) and reads off the value -- the
+    distributed selection algorithm `percentile_disc_prices`' docstring
+    promises at 100 TB, here as a first-class operator (the two-pass
+    histogram-refine of Blum-style selection; iterate the refine for
+    pathological skew).  All-integer bin math (floor divisions over the
+    cents range), so both passes are bit-identical cross-engine; ties
+    rank by (v, event_id) but the selected VALUE is tie-free by
+    construction.
+
+    Plan: the narrow (event_id, v) projection checkpoints once -- pass
+    1's bounds/histogram and pass 2's bin filter all read the
+    materialized frame, so events is scanned ONCE; every other frame is
+    <=256 rows.  The in-bin rank window orders ~n/256 rows -- the whole
+    point vs the global-sort spelling.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    vals = ev.select(
+        "event_id", F.round(F.col("value") * 100).cast("bigint").alias("v")
+    ).localCheckpoint(eager=True)  # stats + histogram + pass-2 consumers
+    stats = vals.agg(
+        F.min("v").cast("bigint").alias("lo"),
+        F.max("v").cast("bigint").alias("hi"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    binexpr = "((v - lo) * 256) DIV (hi - lo + 1)"
+    binned = (
+        vals.crossJoin(F.broadcast(stats))
+        .groupBy(F.expr(binexpr).alias("bin"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    wc = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cumb = binned.withColumn("cum", F.sum("cnt").over(wc).cast("bigint"))
+    pick = (
+        cumb.crossJoin(F.broadcast(stats))
+        .filter(F.col("cum") >= F.expr("(n + 1) DIV 2"))
+        .withColumn("rk", F.row_number().over(Window.orderBy("bin")))
+        .filter(F.col("rk") == 1)
+        .select("bin", (F.col("cum") - F.col("cnt")).alias("below"))
+    )
+    wr = Window.orderBy("v", "event_id")
+    in_bin = (
+        vals.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(pick))
+        .filter(F.expr(binexpr) == F.col("bin"))
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == F.expr("(n + 1) DIV 2 - below"))
+    )
+    return in_bin.select(
+        "n",
+        F.col("lo").alias("lo_c"),
+        F.col("hi").alias("hi_c"),
+        F.expr("CAST((n + 1) DIV 2 AS BIGINT)").alias("target_rank"),
+        F.col("bin").cast("bigint").alias("bin_id"),
+        F.col("v").cast("bigint").alias("median_c"),
+    )

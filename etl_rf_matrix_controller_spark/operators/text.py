@@ -1177,3 +1177,67 @@ def cohens_kappa_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kappa"),
         )
     )
+
+
+@declared(
+    "simpson_token_diversity",
+    oracle="""
+    WITH tok AS (
+      SELECT d.source, t.token
+      FROM documents d, unnest(string_split(trim(d.text), ' ')) AS t(token)
+      WHERE t.token <> ''
+    ),
+    tf AS (
+      SELECT source, token, CAST(count(*) AS BIGINT) AS c
+      FROM tok GROUP BY source, token
+    )
+    SELECT source,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS vocab,
+           CAST(1000000 * sum(c * (c - 1))
+                // NULLIF(sum(c) * (sum(c) - 1), 0) AS BIGINT)
+             AS simpson_ppm,
+           CAST(sum(c) * (sum(c) - 1) AS DOUBLE)
+             / NULLIF(CAST(sum(c * (c - 1)) AS DOUBLE), 0)
+             AS inv_simpson
+    FROM tf GROUP BY source
+    """,
+)
+def simpson_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson diversity of each source's token distribution: the
+    unbiased concentration index lambda = sum n_i(n_i-1) / (T(T-1))
+    (the probability two tokens drawn without replacement are the same
+    type) in exact integer ppm, plus its inverse -- the "effective
+    vocabulary size" that, unlike the raw `vocab` count, discounts
+    hapax noise, and unlike Shannon entropy needs NO logarithm (which
+    is why it is the cross-engine-exact diversity measure; ln is not
+    bit-portable).  Extends the corpus-mix family: `token_gini_by_source`
+    ranks inequality, `hapax_rate_by_source` the tail mass, Simpson the
+    repeat-concentration -- together the profile that flags template/
+    boilerplate-heavy sources before they flood a training mix.
+
+    Determinism: integer products and floor division for lambda; the
+    inverse is one IEEE division of exact integers (NULL when all
+    tokens are singletons or T<2, identically on both engines).
+    Plan: one tokenize+explode -> (source, token) partial agg
+    (map-side combine) -> |sources| output rows; no joins at all.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(F.split(F.trim("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    tf = tok.groupBy("source", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    return tf.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        F.expr(
+            "CAST(1000000 * sum(c * (c - 1))"
+            " DIV NULLIF(sum(c) * (sum(c) - 1), 0) AS BIGINT)"
+        ).alias("simpson_ppm"),
+        F.expr(
+            "CAST(sum(c) * (sum(c) - 1) AS DOUBLE)"
+            " / NULLIF(CAST(sum(c * (c - 1)) AS DOUBLE), 0.0e0)"
+        ).alias("inv_simpson"),
+    )

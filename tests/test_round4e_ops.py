@@ -314,3 +314,100 @@ def test_als_factors_closed_form(spark, tmp_path):
     assert (r.n_items, r.det) == (2, 571)
     assert (r.x1_num, r.x2_num) == (129, 185)
     assert (r.x1, r.x2) == (129 / 571, 185 / 571)
+
+
+def test_isotonic_pools_decreasing_prefix(spark, tmp_path):
+    """10 users with 1..10 events; only the LEAST active user purchases
+    -> raw decile rates [1,0,...,0], whose monotone non-decreasing fit
+    pools everything to the global mean 0.1.  A monotone case (only the
+    MOST active purchases) must pass through unchanged."""
+    from etl_rf_matrix_controller_spark.operators.behavior import (
+        isotonic_purchase_rate_fit,
+    )
+
+    def mk(purchaser):
+        rows, eid = [], 0
+        for uid in range(1, 11):
+            for k in range(uid):
+                etype = "purchase" if (uid == purchaser and k == 0) else "click"
+                rows.append(
+                    (eid, dt.datetime(2024, 3, 1) + dt.timedelta(minutes=eid),
+                     uid, etype, 1.0, "{}")
+                )
+                eid += 1
+        return rows
+
+    sf = _write_events(spark, tmp_path, mk(purchaser=1))
+    got = {r.decile: r for r in isotonic_purchase_rate_fit(spark, sf).collect()}
+    assert got[1].raw_rate_ppm == 1_000_000
+    assert all(got[k].raw_rate_ppm == 0 for k in range(2, 11))
+    for k in range(1, 11):
+        assert got[k].iso_rate == 0.1
+
+    sf2 = _write_events(spark, tmp_path / "b", mk(purchaser=10))
+    got2 = {r.decile: r for r in isotonic_purchase_rate_fit(spark, sf2).collect()}
+    for k in range(1, 10):
+        assert got2[k].iso_rate == 0.0
+    assert got2[10].iso_rate == 1.0
+
+
+def test_two_pass_median_matches_direct_selection(spark, tmp_path):
+    """Skewed 5-value set: the histogram pass must pick the right bin
+    and the in-bin rank must land on the true rank-3 value (0.30)."""
+    from etl_rf_matrix_controller_spark.operators.profiling import (
+        two_pass_exact_median,
+    )
+
+    vals = [0.10, 0.20, 0.30, 0.40, 10.00]
+    rows = [
+        (i, dt.datetime(2024, 3, 1) + dt.timedelta(minutes=i), 1, "click", v,
+         "{}")
+        for i, v in enumerate(vals)
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    [r] = two_pass_exact_median(spark, sf).collect()
+    assert (r.n, r.target_rank, r.median_c) == (5, 3, 30)
+    assert (r.lo_c, r.hi_c) == (10, 1000)
+
+
+def test_two_pass_median_degenerate_constant(spark, tmp_path):
+    """All-equal values: lo == hi, single bin 0, median is that value."""
+    from etl_rf_matrix_controller_spark.operators.profiling import (
+        two_pass_exact_median,
+    )
+
+    rows = [
+        (i, dt.datetime(2024, 3, 1) + dt.timedelta(minutes=i), 1, "click", 7.0,
+         "{}")
+        for i in range(4)
+    ]
+    sf = _write_events(spark, tmp_path, rows)
+    [r] = two_pass_exact_median(spark, sf).collect()
+    assert (r.bin_id, r.median_c, r.lo_c, r.hi_c) == (0, 700, 700, 700)
+
+
+def test_simpson_diversity_hand_counts(spark, tmp_path):
+    """'a a b' -> lambda = 2/6 ppm-floored, inverse Simpson 3.0; an
+    all-singleton source -> NULLs (no repeat mass)."""
+    from etl_rf_matrix_controller_spark.operators.text import (
+        simpson_token_diversity,
+    )
+
+    rows = [
+        (1, "a a b", "en", "s1", 5),
+        (2, "x y z", "en", "s2", 5),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string,"
+        " n_chars int"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {r.source: r for r in
+           simpson_token_diversity(spark, str(tmp_path)).collect()}
+    assert (got["s1"].n_tokens, got["s1"].vocab) == (3, 2)
+    assert got["s1"].simpson_ppm == 333333
+    assert got["s1"].inv_simpson == 3.0
+    assert got["s2"].simpson_ppm == 0
+    assert got["s2"].inv_simpson is None
