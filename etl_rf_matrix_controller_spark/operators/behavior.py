@@ -5158,3 +5158,283 @@ def isotonic_purchase_rate_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST((1000000 * np) DIV n AS BIGINT)").alias("raw_rate_ppm"),
         "iso_rate",
     )
+
+
+@declared(
+    "bandit_replay_policy_eval",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT d.day, t.event_type, CAST(coalesce(da.c, 0) AS BIGINT) AS c
+      FROM (SELECT DISTINCT day FROM daily) d
+      CROSS JOIN (SELECT DISTINCT event_type FROM daily) t
+      LEFT JOIN daily da ON da.day = d.day AND da.event_type = t.event_type
+    ),
+    hist AS (
+      SELECT day, event_type, c,
+             CAST(coalesce(sum(c) OVER (PARTITION BY event_type ORDER BY day
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING), 0) AS BIGINT)
+               AS cum_before
+      FROM grid
+    ),
+    pol AS (
+      SELECT day, event_type AS policy_type FROM (
+        SELECT day, event_type,
+               row_number() OVER (PARTITION BY day
+                                  ORDER BY cum_before DESC, event_type) AS rk
+        FROM hist
+      ) WHERE rk = 1
+    ),
+    per_day AS (
+      SELECT h.day, p.policy_type,
+             CAST(sum(h.c) AS BIGINT) AS n_events,
+             CAST(sum(CASE WHEN h.event_type = p.policy_type
+                           THEN h.c ELSE 0 END) AS BIGINT) AS n_match
+      FROM hist h JOIN pol p ON p.day = h.day
+      GROUP BY h.day, p.policy_type
+    )
+    SELECT day, policy_type, n_events, n_match,
+           CAST((1000000 * n_match) // n_events AS BIGINT) AS match_ppm,
+           CAST((1000000 * sum(n_match) OVER ())
+                // sum(n_events) OVER () AS BIGINT) AS overall_ppm
+    FROM per_day
+    """,
+)
+def bandit_replay_policy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline replay evaluation (Li et al. 2011) of the greedy
+    most-popular policy over the event stream: each day the policy
+    recommends the event type with the highest CUMULATIVE count over
+    strictly earlier days (ties: lexicographic; day 1 has an empty
+    history, so it degenerates to the tie-break -- kept, deterministic),
+    and is scored by replay matching against that day's logged events:
+    match share per day plus the overall replay CTR.  The
+    counterfactual-evaluation primitive a recommender pipeline needs
+    before an online A/B (`ab_conversion_ztest` is the online half;
+    `cooc_recommender_hitrate` evaluates a different policy the same
+    offline way).
+
+    Exactness: the history cumsum runs over the DENSE day x type grid
+    (types absent on a day carry 0 -- both engines build the same
+    grid), the policy argmax has a total tie-break order, and all
+    scores are integer ppm floor divisions.
+
+    Plan: one events scan -> (day, type) partial agg; the grid, windows,
+    and argmax all run on the |days| x |types| frame -- calendar x
+    dimension bounded, never event-bounded.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            F.col("ts").cast("date").alias("day"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=True)  # days dim, types dim, grid join
+    )
+    days = daily.select("day").distinct()
+    types = daily.select("event_type").distinct()
+    grid = (
+        days.crossJoin(F.broadcast(types))
+        .join(F.broadcast(daily), ["day", "event_type"], "left")
+        .select(
+            "day",
+            "event_type",
+            F.coalesce("c", F.lit(0)).cast("bigint").alias("c"),
+        )
+    )
+    wh = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    hist = grid.select(
+        "day",
+        "event_type",
+        "c",
+        F.coalesce(F.sum("c").over(wh), F.lit(0))
+        .cast("bigint")
+        .alias("cum_before"),
+    ).localCheckpoint(eager=True)  # policy argmax + replay join
+    wp = Window.partitionBy("day").orderBy(
+        F.desc("cum_before"), F.asc("event_type")
+    )
+    pol = (
+        hist.withColumn("rk", F.row_number().over(wp))
+        .filter(F.col("rk") == 1)
+        .select("day", F.col("event_type").alias("policy_type"))
+    )
+    per_day = (
+        hist.join(F.broadcast(pol), "day")
+        .groupBy("day", "policy_type")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_events"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == F.col("policy_type"), F.col("c")
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_match"),
+        )
+    )
+    return per_day.select(
+        "day",
+        "policy_type",
+        "n_events",
+        "n_match",
+        F.expr("CAST((1000000 * n_match) DIV n_events AS BIGINT)").alias(
+            "match_ppm"
+        ),
+        F.expr(
+            "CAST((1000000 * sum(n_match) OVER ())"
+            " DIV sum(n_events) OVER () AS BIGINT)"
+        ).alias("overall_ppm"),
+    )
+
+
+@declared(
+    "diff_in_diff_value",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id,
+             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+             CAST(round(value * 100) AS BIGINT) AS v
+      FROM events
+    ),
+    bounds AS (
+      SELECT CAST(min(day) AS BIGINT) AS lo, CAST(max(day) AS BIGINT) AS hi
+      FROM ev
+    ),
+    mid AS (SELECT CAST((lo + hi + 1) // 2 AS BIGINT) AS m FROM bounds),
+    treated AS (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    ),
+    cells AS (
+      SELECT CASE WHEN t.user_id IS NOT NULL THEN 1 ELSE 0 END AS treat,
+             CASE WHEN e.day >= mi.m THEN 1 ELSE 0 END AS post,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(e.v) AS BIGINT) AS s
+      FROM ev e
+      LEFT JOIN treated t ON t.user_id = e.user_id
+      CROSS JOIN mid mi
+      GROUP BY 1, 2
+    ),
+    wide AS (
+      SELECT
+        CAST(sum(CASE WHEN treat = 1 AND post = 0 THEN n END) AS BIGINT)
+          AS n_t_pre,
+        CAST(sum(CASE WHEN treat = 1 AND post = 0 THEN s END) AS BIGINT)
+          AS s_t_pre,
+        CAST(sum(CASE WHEN treat = 1 AND post = 1 THEN n END) AS BIGINT)
+          AS n_t_post,
+        CAST(sum(CASE WHEN treat = 1 AND post = 1 THEN s END) AS BIGINT)
+          AS s_t_post,
+        CAST(sum(CASE WHEN treat = 0 AND post = 0 THEN n END) AS BIGINT)
+          AS n_c_pre,
+        CAST(sum(CASE WHEN treat = 0 AND post = 0 THEN s END) AS BIGINT)
+          AS s_c_pre,
+        CAST(sum(CASE WHEN treat = 0 AND post = 1 THEN n END) AS BIGINT)
+          AS n_c_post,
+        CAST(sum(CASE WHEN treat = 0 AND post = 1 THEN s END) AS BIGINT)
+          AS s_c_post
+      FROM cells
+    )
+    SELECT n_t_pre, n_t_post, n_c_pre, n_c_post,
+           CAST(s_t_pre AS DOUBLE) / n_t_pre AS mean_t_pre_c,
+           CAST(s_t_post AS DOUBLE) / n_t_post AS mean_t_post_c,
+           CAST(s_c_pre AS DOUBLE) / n_c_pre AS mean_c_pre_c,
+           CAST(s_c_post AS DOUBLE) / n_c_post AS mean_c_post_c,
+           (CAST(s_t_post AS DOUBLE) / n_t_post
+              - CAST(s_t_pre AS DOUBLE) / n_t_pre)
+             - (CAST(s_c_post AS DOUBLE) / n_c_post
+                - CAST(s_c_pre AS DOUBLE) / n_c_pre) AS did_c
+    FROM wide
+    """,
+)
+def diff_in_diff_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimate of the purchase-cohort effect
+    on mean event value: treated = users who ever purchase, periods =
+    halves of the observed day range (the `mcnemar_activity_shift`
+    midpoint convention); DiD = (post - pre change for treated) minus
+    (post - pre change for controls) in cents -- the parallel-trends
+    causal estimator that closes the experimentation family
+    (`ab_conversion_ztest` randomized compare, `cuped_variance_reduction`
+    variance control, this the observational fallback).
+
+    Each of the four cell means is ONE IEEE division of an exact
+    integer (sum-of-cents, count); the estimate chains those identical
+    doubles, so it is bit-equal cross-engine with no rounding
+    convention.  NULL cells (an empty quadrant) propagate to a NULL
+    estimate on both engines -- the honest degenerate answer.
+
+    Plan: one events scan into (user, day, cents) plus one treated-user
+    semi-dim (broadcast left join marks treatment); the 2x2 rollup is a
+    4-group partial agg -- no window, no sort, user-scale bounded.
+    """
+    ev_raw = load_table(spark, sf_dir, "events")
+    ev = ev_raw.select(
+        "user_id",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01"))
+        .cast("bigint")
+        .alias("day"),
+        F.round(F.col("value") * 100).cast("bigint").alias("v"),
+        F.col("event_type"),
+    ).localCheckpoint(eager=True)  # bounds + treated + cells consumers
+    bounds = ev.agg(
+        F.min("day").cast("bigint").alias("lo"),
+        F.max("day").cast("bigint").alias("hi"),
+    )
+    mid = bounds.select(F.expr("CAST((lo + hi + 1) DIV 2 AS BIGINT)").alias("m"))
+    treated = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .withColumn("is_t", F.lit(1))
+    )
+    cells = (
+        ev.join(F.broadcast(treated), "user_id", "left")
+        .crossJoin(F.broadcast(mid))
+        .groupBy(
+            F.coalesce("is_t", F.lit(0)).alias("treat"),
+            F.when(F.col("day") >= F.col("m"), 1).otherwise(0).alias("post"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("v").cast("bigint").alias("s"),
+        )
+    )
+
+    def cell(t, p, col):
+        return F.sum(
+            F.when((F.col("treat") == t) & (F.col("post") == p), F.col(col))
+        ).cast("bigint")
+
+    wide = cells.agg(
+        cell(1, 0, "n").alias("n_t_pre"),
+        cell(1, 0, "s").alias("s_t_pre"),
+        cell(1, 1, "n").alias("n_t_post"),
+        cell(1, 1, "s").alias("s_t_post"),
+        cell(0, 0, "n").alias("n_c_pre"),
+        cell(0, 0, "s").alias("s_c_pre"),
+        cell(0, 1, "n").alias("n_c_post"),
+        cell(0, 1, "s").alias("s_c_post"),
+    )
+    m = lambda s, n: F.col(s).cast("double") / F.col(n)  # noqa: E731
+    return wide.select(
+        "n_t_pre",
+        "n_t_post",
+        "n_c_pre",
+        "n_c_post",
+        m("s_t_pre", "n_t_pre").alias("mean_t_pre_c"),
+        m("s_t_post", "n_t_post").alias("mean_t_post_c"),
+        m("s_c_pre", "n_c_pre").alias("mean_c_pre_c"),
+        m("s_c_post", "n_c_post").alias("mean_c_post_c"),
+        (
+            (m("s_t_post", "n_t_post") - m("s_t_pre", "n_t_pre"))
+            - (m("s_c_post", "n_c_post") - m("s_c_pre", "n_c_pre"))
+        ).alias("did_c"),
+    )
