@@ -1,13 +1,12 @@
 """Benchmark harness: run every declared query at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
 compact JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec for the slowest queries}, "sf": ..., "n_queries": N,
-"median_query_sec": ..., "max_query_sec": ...}.
+"sf": ..., "n_queries": N, "n_errors": E, "median_query_sec": ...,
+"max_query_sec": ..., "detail_file": "BENCH_DETAIL.json"}.
 
 The driver captures only a bounded tail of stdout, so the final line MUST
-stay small: the full 200+-entry per-query map goes to the sidecar file
-BENCH_DETAIL.json (next to this script); the stdout line carries summary
-stats plus the slowest-query subset and stays well under 2000 characters.
+stay small (headline fields only, <300 chars): the full per-query map goes
+to the sidecar file BENCH_DETAIL.json (next to this script).
 
 Each query is forced end-to-end with the JVM-side noop sink (count() would
 let Catalyst prune the whole projection; noop executes the full plan but
@@ -73,9 +72,10 @@ def main() -> None:
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
 
-    # Final stdout line: compact summary + slowest-query subset. The driver
-    # tails ~2000 chars of stdout, so this line must stay safely inside that.
-    slow_items = sorted(timings.items(), key=lambda kv: -kv[1])[:25]
+    # Final stdout line: headline fields only (<300 chars). The driver tails
+    # ~2000 chars of stdout and stores the parsed line verbatim; embedding any
+    # per-query subset makes that stored copy look truncated, so the full map
+    # lives exclusively in BENCH_DETAIL.json.
     out = {
         "metric": "declared_queries_total_wall",
         "value": total,
@@ -86,16 +86,8 @@ def main() -> None:
         "median_query_sec": median,
         "max_query_sec": max(ordered) if ordered else 0.0,
         "detail_file": "BENCH_DETAIL.json",
-        "queries": dict(sorted(slow_items)),
     }
-    line = json.dumps(out)
-    while len(line) > 1800 and slow_items:
-        # Belt-and-braces: shed the fastest remaining entries until the
-        # line fits the driver's tail capture.
-        slow_items = slow_items[:-1]
-        out["queries"] = dict(sorted(slow_items))
-        line = json.dumps(out)
-    print(line)
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -993,3 +993,283 @@ def cms_error_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("exact_share_ppm"),
         (F.min(err) >= 0).alias("one_sided"),
     )
+
+
+HDR_SUBS = 16  # linear sub-buckets per power-of-2 octave (rel err <= 1/16)
+HDR_QS = [500000, 900000, 990000]  # target quantiles, ppm
+
+
+def hdr_bucket_expr(v: str = "v") -> str:
+    """Spark-SQL expr for the log-linear bucket id of a POSITIVE bigint
+    column ``v``: octave = bitlen-1, then 16 linear sub-buckets -- the
+    deterministic grid hdr_quantile_sketch and its merge-identity test
+    (tests/test_round5_ops.py) share."""
+    p = f"(CAST(1 AS BIGINT) << (length(bin({v})) - 1))"
+    return (
+        f"(length(bin({v})) - 1) * {HDR_SUBS}"
+        f" + (({v} - {p}) * {HDR_SUBS}) DIV {p}"
+    )
+
+
+@declared(
+    "hdr_quantile_sketch",
+    oracle=f"""
+    WITH vals AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+             l_orderkey, l_linenumber
+      FROM lineitem
+    ),
+    bk AS (
+      SELECT v, l_orderkey, l_linenumber,
+             (length(bin(v)) - 1) * {HDR_SUBS}
+             + ((v - (CAST(1 AS BIGINT) << (length(bin(v)) - 1)))
+                * {HDR_SUBS}) // (CAST(1 AS BIGINT) << (length(bin(v)) - 1))
+               AS bucket
+      FROM vals
+    ),
+    hist AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS cnt
+      FROM bk GROUP BY bucket
+    ),
+    cum AS (
+      SELECT bucket, cnt,
+             CAST(sum(cnt) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS cum
+      FROM hist
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM vals),
+    qs AS (SELECT unnest([{", ".join(str(q) for q in HDR_QS)}]) AS q_ppm),
+    tgt AS (
+      SELECT q_ppm, (q_ppm * n.n + 999999) // 1000000 AS target, n.n
+      FROM qs CROSS JOIN n
+    ),
+    pick AS (
+      SELECT q_ppm, target, n, bucket, cum - cnt AS below FROM (
+        SELECT t.q_ppm, t.target, t.n, c.bucket, c.cnt, c.cum,
+               row_number() OVER (PARTITION BY t.q_ppm ORDER BY c.bucket)
+                 AS rk
+        FROM tgt t JOIN cum c ON c.cum >= t.target
+      ) WHERE rk = 1
+    ),
+    est AS (
+      SELECT q_ppm, target, n, bucket, below,
+             (CAST(1 AS BIGINT) << (bucket // {HDR_SUBS}))
+             + ((bucket % {HDR_SUBS})
+                * (CAST(1 AS BIGINT) << (bucket // {HDR_SUBS})))
+               // {HDR_SUBS} AS est_lo_c
+      FROM pick
+    ),
+    refined AS (
+      SELECT e.q_ppm, r.v AS exact_c
+      FROM est e
+      JOIN (
+        SELECT p.q_ppm, b.v,
+               row_number() OVER (PARTITION BY p.q_ppm
+                                  ORDER BY b.v, b.l_orderkey, b.l_linenumber)
+                 AS rn
+        FROM bk b JOIN pick p ON b.bucket = p.bucket
+      ) r ON r.q_ppm = e.q_ppm AND r.rn = e.target - e.below
+    )
+    SELECT e.q_ppm, e.n AS n_total, e.target AS target_rank,
+           e.bucket AS bucket_id, e.est_lo_c, f.exact_c
+    FROM est e JOIN refined f ON f.q_ppm = e.q_ppm
+    ORDER BY e.q_ppm
+    """,
+)
+def hdr_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mergeable quantile sketch: an HDR-histogram-style
+    log-linear bucket summary (powers of 2 split into 16 linear
+    sub-buckets -- bounded ~6.25% relative error) over extended price
+    cents, read out at p50/p90/p99, with the EXACT value recovered by a
+    rank-refine inside the picked bucket (the two_pass_exact_median
+    machinery, profiling.py:3249, with data-adaptive equi-width bins
+    swapped for the fixed log-linear grid).
+
+    THE oracle-checkable scale path for the percentile family (VERDICT
+    round-4 task: GK/KLL-style): unlike approx_percentile (rows-only --
+    engine sketch internals differ), every piece here is a pure integer
+    function of the data -- bucket = (bitlen-1)*16 + ((v - 2^(bitlen-1))
+    *16 DIV 2^(bitlen-1)) -- so Spark and DuckDB hash-match bit-for-bit.
+    Mergeability is count addition per FIXED bucket id (no data-dependent
+    boundaries to reconcile, the flaw that makes GK merges order-
+    sensitive): shard sketches union by summing counts, pinned by
+    tests/test_round5_ops.py's merge-identity test.  At 100 TB the
+    histogram is one map-side-combinable groupBy over ~1.5k possible
+    buckets; the refine pass touches only the ~n/128 rows of the picked
+    buckets (exactness audit -- production reads est_lo_c and skips
+    pass 2).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    vals = li.select(
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("v"),
+        "l_orderkey",
+        "l_linenumber",
+    ).localCheckpoint(eager=True)  # histogram + refine share one scan
+    bk = vals.select(
+        "v",
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(hdr_bucket_expr("v")).alias("bucket"),
+    )
+    hist = bk.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    wc = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cum", F.sum("cnt").over(wc).cast("bigint"))
+    n = vals.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    qs = spark.range(1).select(
+        F.explode(F.array(*[F.lit(q) for q in HDR_QS])).alias("q_ppm")
+    )
+    tgt = qs.crossJoin(F.broadcast(n)).select(
+        "q_ppm", F.expr("(q_ppm * n + 999999) DIV 1000000").alias("target"), "n"
+    )
+    wp = Window.partitionBy("q_ppm").orderBy("bucket")
+    pick = (
+        F.broadcast(tgt)
+        .join(cum, F.col("cum") >= F.col("target"))
+        .withColumn("rk", F.row_number().over(wp))
+        .filter(F.col("rk") == 1)
+        .select(
+            "q_ppm", "target", "n", "bucket",
+            (F.col("cum") - F.col("cnt")).alias("below"),
+        )
+        .localCheckpoint(eager=True)  # feeds est AND the refine join
+    )
+    est = pick.select(
+        "q_ppm",
+        "target",
+        "n",
+        "bucket",
+        "below",
+        F.expr(
+            f"(CAST(1 AS BIGINT) << (bucket DIV {HDR_SUBS}))"
+            f" + ((bucket % {HDR_SUBS})"
+            f" * (CAST(1 AS BIGINT) << (bucket DIV {HDR_SUBS})))"
+            f" DIV {HDR_SUBS}"
+        ).alias("est_lo_c"),
+    )
+    wr = Window.partitionBy("q_ppm").orderBy("v", "l_orderkey", "l_linenumber")
+    refined = (
+        bk.join(
+            F.broadcast(pick.select("q_ppm", "bucket", "target", "below")),
+            "bucket",
+        )
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == F.col("target") - F.col("below"))
+        .select("q_ppm", F.col("v").alias("exact_c"))
+    )
+    return (
+        est.join(F.broadcast(refined), "q_ppm")
+        .select(
+            "q_ppm",
+            F.col("n").alias("n_total"),
+            F.col("target").alias("target_rank"),
+            F.col("bucket").alias("bucket_id"),
+            "est_lo_c",
+            "exact_c",
+        )
+    )
+
+
+@declared(
+    "hdr_group_quantiles",
+    oracle=f"""
+    WITH vals AS (
+      SELECT l_returnflag AS grp,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+      FROM lineitem
+    ),
+    hist AS (
+      SELECT grp,
+             (length(bin(v)) - 1) * {HDR_SUBS}
+             + ((v - (CAST(1 AS BIGINT) << (length(bin(v)) - 1)))
+                * {HDR_SUBS}) // (CAST(1 AS BIGINT) << (length(bin(v)) - 1))
+               AS bucket,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM vals GROUP BY grp, bucket
+    ),
+    cum AS (
+      SELECT grp, bucket, cnt,
+             CAST(sum(cnt) OVER (PARTITION BY grp ORDER BY bucket
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+             CAST(sum(cnt) OVER (PARTITION BY grp) AS BIGINT) AS n
+      FROM hist
+    ),
+    qs AS (SELECT CAST(unnest([500000, 950000]) AS BIGINT) AS q_ppm),
+    pick AS (
+      SELECT grp, q_ppm, n, target, bucket FROM (
+        SELECT c.grp, q.q_ppm, c.n,
+               (q.q_ppm * c.n + 999999) // 1000000 AS target,
+               c.bucket,
+               row_number() OVER (PARTITION BY c.grp, q.q_ppm
+                                  ORDER BY c.bucket) AS rk
+        FROM cum c CROSS JOIN qs q
+        WHERE c.cum >= (q.q_ppm * c.n + 999999) // 1000000
+      ) WHERE rk = 1
+    )
+    SELECT grp, q_ppm, n AS n_group, target AS target_rank,
+           bucket AS bucket_id,
+           (CAST(1 AS BIGINT) << (bucket // {HDR_SUBS}))
+           + ((bucket % {HDR_SUBS})
+              * (CAST(1 AS BIGINT) << (bucket // {HDR_SUBS})))
+             // {HDR_SUBS} AS est_c
+    FROM pick
+    """,
+)
+def hdr_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group quantiles (p50/p95 of extended price per return flag)
+    read straight off the log-linear sketch grid -- the GROUPED
+    deployment of hdr_quantile_sketch: one map-side-combinable
+    groupBy(grp, bucket) histogram is the only pass over the data, then
+    all quantiles for all groups come from the tiny (groups x ~120
+    buckets) summary.  This is the shape that replaces a per-group sort
+    at 100 TB: percentile_cont over a window re-sorts every group;
+    this shuffles counts only.  Estimates carry the grid's <= 1/16
+    relative error (bucket lower bound, exactly as the ungrouped
+    sketch); the refine pass is deliberately omitted -- the grouped
+    read IS the production fast path.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    vals = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("v"),
+    )
+    hist = vals.groupBy(
+        "grp", F.expr(hdr_bucket_expr("v")).alias("bucket")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    wg = Window.partitionBy("grp").orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = hist.select(
+        "grp",
+        "bucket",
+        "cnt",
+        F.sum("cnt").over(wg).cast("bigint").alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("grp")).cast("bigint").alias("n"),
+    )
+    qs = spark.range(1).select(
+        F.explode(
+            F.array(F.lit(500000).cast("bigint"), F.lit(950000).cast("bigint"))
+        ).alias("q_ppm")
+    )
+    wp = Window.partitionBy("grp", "q_ppm").orderBy("bucket")
+    return (
+        cum.crossJoin(F.broadcast(qs))
+        .withColumn("target", F.expr("(q_ppm * n + 999999) DIV 1000000"))
+        .filter(F.col("cum") >= F.col("target"))
+        .withColumn("rk", F.row_number().over(wp))
+        .filter(F.col("rk") == 1)
+        .select(
+            "grp",
+            "q_ppm",
+            F.col("n").alias("n_group"),
+            F.col("target").alias("target_rank"),
+            F.col("bucket").alias("bucket_id"),
+            F.expr(
+                f"(CAST(1 AS BIGINT) << (bucket DIV {HDR_SUBS}))"
+                f" + ((bucket % {HDR_SUBS})"
+                f" * (CAST(1 AS BIGINT) << (bucket DIV {HDR_SUBS})))"
+                f" DIV {HDR_SUBS}"
+            ).alias("est_c"),
+        )
+    )

@@ -672,3 +672,251 @@ def kcenter_coreset_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_assigned"),
         F.max("dd").cast("bigint").alias("radius_q"),
     )
+
+
+# DBSCAN-lite knobs: grid spacing for the planted label clusters, the
+# eps-ball radius (= the blocking cell size), and the core threshold.
+DBSCAN_GRID, DBSCAN_EPS, DBSCAN_MINPTS = 4000, 250, 4
+_DB_OFF = 100000  # shift coords non-negative before integer cell division
+
+_DB_PTS_SQL = f"""
+      SELECT vec_id,
+             (label % 4) * {DBSCAN_GRID}
+             + CASE WHEN vec_id % 23 = 0 THEN {DBSCAN_GRID // 2} ELSE 0 END
+             + ((CAST(round(CAST(embedding[1] AS DOUBLE) * 10000) AS BIGINT)
+                 + 40000) // 4 - 10000) AS px,
+             (label // 4) * {DBSCAN_GRID}
+             + CASE WHEN vec_id % 23 = 0 THEN {DBSCAN_GRID // 2} ELSE 0 END
+             + ((CAST(round(CAST(embedding[2] AS DOUBLE) * 10000) AS BIGINT)
+                 + 40000) // 4 - 10000) AS py
+      FROM embeddings
+"""
+
+
+@declared(
+    "dbscan_clusters",
+    oracle=f"""
+    WITH RECURSIVE
+    pts AS ({_DB_PTS_SQL}),
+    pairs AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib
+      FROM pts a JOIN pts b
+        ON (a.px - b.px) * (a.px - b.px)
+           + (a.py - b.py) * (a.py - b.py) <= {DBSCAN_EPS * DBSCAN_EPS}
+    ),
+    cores AS (
+      SELECT ia AS vec_id FROM pairs GROUP BY ia
+      HAVING count(*) >= {DBSCAN_MINPTS}
+    ),
+    edges AS (
+      SELECT p.ia AS src, p.ib AS dst
+      FROM pairs p
+      JOIN cores c1 ON c1.vec_id = p.ia
+      JOIN cores c2 ON c2.vec_id = p.ib
+      WHERE p.ia <> p.ib
+    ),
+    reach(node, lbl) AS (
+      SELECT vec_id, vec_id FROM cores
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (
+      SELECT node AS vec_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+      FROM reach GROUP BY node
+    ),
+    border AS (
+      SELECT p.ia AS vec_id, CAST(min(c.cluster_id) AS BIGINT) AS cluster_id
+      FROM pairs p
+      JOIN comp c ON c.vec_id = p.ib
+      WHERE p.ia <> p.ib
+        AND p.ia NOT IN (SELECT vec_id FROM cores)
+      GROUP BY p.ia
+    )
+    SELECT pts.vec_id,
+           CAST(coalesce(c.cluster_id, b.cluster_id, -1) AS BIGINT)
+             AS cluster_id,
+           CASE WHEN c.vec_id IS NOT NULL THEN 'core'
+                WHEN b.vec_id IS NOT NULL THEN 'border'
+                ELSE 'noise' END AS role
+    FROM pts
+    LEFT JOIN comp c ON c.vec_id = pts.vec_id
+    LEFT JOIN border b ON b.vec_id = pts.vec_id
+    """,
+)
+def dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density clustering (DBSCAN, Ester et al. 1996) with grid-cell
+    blocking -- the density member of the clustering family (k-means
+    partitions everything; DBSCAN also yields BORDER and NOISE roles,
+    the outlier-aware grouping a curation pipeline wants).
+
+    Input is a planted 2-D corpus derived deterministically from the
+    embeddings table (labels spread on a {DBSCAN_GRID}-unit grid,
+    coordinates compressed 4x, every 23rd vector displaced into the
+    inter-cluster gap -- the same planted-structure technique as
+    dup_corpus / semantic_dup_threshold_sweep, because the raw 64-d
+    embeddings have no density-separable projection).  All-integer
+    coordinates and distances, so the full pipeline hash-matches the
+    recursive-CTE oracle.
+
+    Scale shape: candidate pairs come from a 9-cell grid join with cell
+    size = eps (a pair inside the eps-ball differs by <= 1 cell per
+    axis, so blocking is LOSSLESS -- per-axis distance bounds full
+    distance); the oracle skips the blocking and joins all-pairs, which
+    is the semantic definition.  Core election is one count over the
+    pair stream; core-core components run the pointer-doubling
+    min-label loop (near_dup_components machinery, O(log diameter)
+    rounds); border points attach to the min in-range core cluster.
+    At 100 TB the grid join shuffles on uniform cell keys (density
+    skew -> AQE skew split), and the component loop touches only core
+    points.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    xq = (
+        (F.round(F.col("embedding").getItem(0).cast("double") * 10000)
+         .cast("bigint") + 40000)
+    )
+    yq = (
+        (F.round(F.col("embedding").getItem(1).cast("double") * 10000)
+         .cast("bigint") + 40000)
+    )
+    straggle = F.when(
+        F.col("vec_id") % 23 == 0, F.lit(DBSCAN_GRID // 2)
+    ).otherwise(F.lit(0))
+    pts = emb.select(
+        "vec_id",
+        (
+            (F.col("label") % 4) * DBSCAN_GRID + straggle
+            + (((xq - xq % 4) / 4).cast("bigint") - 10000)
+        ).alias("px"),
+        (
+            (F.expr("label DIV 4")) * DBSCAN_GRID + straggle
+            + (((yq - yq % 4) / 4).cast("bigint") - 10000)
+        ).alias("py"),
+    ).localCheckpoint(eager=True)  # feeds home, probe, and the final roles
+    return dbscan_df(pts, DBSCAN_EPS, DBSCAN_MINPTS)
+
+
+def dbscan_df(
+    pts: DataFrame, eps: int = DBSCAN_EPS, minpts: int = DBSCAN_MINPTS
+) -> DataFrame:
+    """Core DBSCAN over an arbitrary pre-checkpointed (vec_id, px, py)
+    integer-coordinate frame (exposed for the planted two-moons edge
+    test); |coords| must stay under _DB_OFF.  Returns (vec_id,
+    cluster_id, role) with cluster_id = min core vec_id, -1 for noise."""
+    cx = ((F.col("px") + _DB_OFF) - (F.col("px") + _DB_OFF) % eps) / eps
+    cy = ((F.col("py") + _DB_OFF) - (F.col("py") + _DB_OFF) % eps) / eps
+    home = pts.select(
+        F.col("vec_id").alias("ia"),
+        F.col("px").alias("xa"),
+        F.col("py").alias("ya"),
+        cx.cast("bigint").alias("cx"),
+        cy.cast("bigint").alias("cy"),
+    )
+    offs = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    probe = pts.select(
+        F.col("vec_id").alias("ib"),
+        F.col("px").alias("xb"),
+        F.col("py").alias("yb"),
+        (cx.cast("bigint")).alias("cxb"),
+        (cy.cast("bigint")).alias("cyb"),
+        F.explode(offs).alias("o"),
+    ).select(
+        "ib",
+        "xb",
+        "yb",
+        (F.col("cxb") + F.col("o.dx")).alias("cxp"),
+        (F.col("cyb") + F.col("o.dy")).alias("cyp"),
+    )
+    d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    pairs = (
+        home.join(
+            probe.hint("shuffle_hash"),
+            (F.col("cx") == F.col("cxp")) & (F.col("cy") == F.col("cyp")),
+        )
+        .filter(d2 <= eps * eps)
+        .select("ia", "ib")
+        .localCheckpoint(eager=True)  # feeds core count, edges, border
+    )
+    cores = (
+        pairs.groupBy("ia")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= minpts)
+        .select(F.col("ia").alias("vec_id"))
+        .localCheckpoint(eager=True)  # feeds edges (x2), labels, roles
+    )
+    edges = (
+        pairs.filter(F.col("ia") != F.col("ib"))
+        .join(F.broadcast(cores.select(F.col("vec_id").alias("ia"))), "ia")
+        .join(F.broadcast(cores.select(F.col("vec_id").alias("ib"))), "ib")
+        .select(F.col("ia").alias("src"), F.col("ib").alias("dst"))
+        .localCheckpoint(eager=True)
+    )
+    labels = cores.select(
+        F.col("vec_id").alias("node"), F.col("vec_id").alias("lbl")
+    ).localCheckpoint(eager=True)
+    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+    for _ in range(MAX_CC_ROUNDS):
+        msgs = edges.join(labels, edges.src == labels.node).select(
+            F.col("dst").alias("node"), "lbl"
+        )
+        relaxed = (
+            labels.unionByName(msgs)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+        )
+        jl, jp = relaxed.alias("l"), relaxed.alias("p")
+        labels = (
+            jl.join(jp, F.col("l.lbl") == F.col("p.node"), "left")
+            .select(
+                F.col("l.node").alias("node"),
+                F.least(
+                    F.col("l.lbl"), F.coalesce(F.col("p.lbl"), F.col("l.lbl"))
+                ).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    comp = labels.select(
+        F.col("node").alias("vec_id"),
+        F.col("lbl").cast("bigint").alias("cluster_id"),
+    ).localCheckpoint(eager=True)  # feeds border join + final roles
+    border = (
+        pairs.filter(F.col("ia") != F.col("ib"))
+        .join(
+            F.broadcast(cores.select(F.col("vec_id").alias("ia"))),
+            "ia",
+            "left_anti",
+        )
+        .join(
+            F.broadcast(comp.select(F.col("vec_id").alias("ib"), "cluster_id")),
+            "ib",
+        )
+        .groupBy(F.col("ia").alias("vec_id"))
+        .agg(F.min("cluster_id").cast("bigint").alias("cluster_id"))
+    )
+    return (
+        pts.select("vec_id")
+        .join(F.broadcast(comp.withColumnRenamed("cluster_id", "c_core")), "vec_id", "left")
+        .join(F.broadcast(border.withColumnRenamed("cluster_id", "c_border")), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("c_core", "c_border", F.lit(-1))
+            .cast("bigint")
+            .alias("cluster_id"),
+            F.when(F.col("c_core").isNotNull(), F.lit("core"))
+            .when(F.col("c_border").isNotNull(), F.lit("border"))
+            .otherwise(F.lit("noise"))
+            .alias("role"),
+        )
+    )

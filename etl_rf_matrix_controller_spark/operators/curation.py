@@ -1152,3 +1152,122 @@ def t_closeness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         emd.alias("emd_ppm"),
         (emd > F.lit(T_CLOSE_PPM)).alias("at_risk"),
     )
+
+
+K_COVER = 4  # greedy max-coverage picks
+
+
+def _cover_round_sql(r: int) -> str:
+    """One unrolled greedy round: marginal gains vs cov{r-1}, pick the
+    (gain DESC, doc_id) winner, extend the covered-gram set."""
+    prev_cov = f"cov{r - 1}"
+    prev_picks = f"picks{r - 1}"
+    return f"""
+    cand{r} AS (
+      SELECT g.doc_id, CAST(count(*) AS BIGINT) AS gain
+      FROM grams g
+      WHERE g.doc_id NOT IN (SELECT doc_id FROM {prev_picks})
+        AND NOT EXISTS (SELECT 1 FROM {prev_cov} c WHERE c.gram = g.gram)
+      GROUP BY g.doc_id
+    ),
+    pick{r} AS (
+      SELECT CAST({r} AS BIGINT) AS pick_order, doc_id, gain
+      FROM cand{r} ORDER BY gain DESC, doc_id LIMIT 1
+    ),
+    cov{r} AS (
+      SELECT gram FROM {prev_cov}
+      UNION
+      SELECT g.gram FROM grams g JOIN pick{r} p ON p.doc_id = g.doc_id
+    ),
+    picks{r} AS (
+      SELECT doc_id FROM {prev_picks}
+      UNION ALL SELECT doc_id FROM pick{r}
+    )"""
+
+
+@declared(
+    "max_coverage_greedy",
+    oracle=f"""
+    WITH corpus AS (SELECT doc_id, text FROM documents),
+    grams AS (
+      SELECT doc_id, g.gram
+      FROM (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                 generate_series(1, greatest(length(trim(text)) - 7, 1)),
+                 i -> substring(trim(text), CAST(i AS INT), 8))) AS grams
+        FROM corpus
+      ) grammed, unnest(grams) AS g(gram)
+    ),
+    cov0 AS (SELECT NULL AS gram WHERE FALSE),
+    picks0 AS (SELECT NULL::BIGINT AS doc_id WHERE FALSE),
+    {", ".join(_cover_round_sql(r) for r in range(1, K_COVER + 1))}
+    SELECT pick_order, doc_id, gain,
+           CAST(sum(gain) OVER (ORDER BY pick_order
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS covered_total
+    FROM (
+      {" UNION ALL ".join(f"SELECT * FROM pick{r}"
+                          for r in range(1, K_COVER + 1))}
+    )
+    """,
+)
+def max_coverage_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy maximum-coverage corpus selection (the 1-1/e submodular
+    baseline, Nemhauser et al. 1978): pick K_COVER documents one at a
+    time, each maximizing the count of char-8-grams NOT yet covered by
+    earlier picks -- the data-selection primitive behind diverse-subset
+    curation (choose the docs that together span the most distinct
+    content, the coverage cousin of kcenter_coreset_select's geometric
+    spread).  Ties break to the lower doc_id.
+
+    Each round is: anti-join the gram index against the covered set,
+    one map-side-combinable count per doc, one global argmax (a 1-row
+    collect, the bpe_merge_loop discipline -- bounded by K_COVER).  The
+    gram index builds once (checkpointed, in-row distinct); the covered
+    set grows by one doc's grams per round and stays broadcastable
+    (<= K_COVER x grams-per-doc rows).  At 100 TB the argmax becomes a
+    TakeOrderedAndProject (no global sort) and rounds are the only
+    sequential dependency -- the standard lazy-greedy accelerations
+    (priority queues on stale gains) trade exactness for fewer passes.
+    """
+    from etl_rf_matrix_controller_spark.operators.dedup import _gram_df
+
+    corpus = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    grams = _gram_df(corpus).localCheckpoint(eager=True)
+
+    picks: list[tuple[int, int, int]] = []  # (order, doc_id, gain)
+    covered = None
+    for r in range(1, K_COVER + 1):
+        cand = grams
+        if picks:
+            picked_ids = [p[1] for p in picks]
+            cand = cand.filter(~F.col("doc_id").isin(picked_ids))
+            cand = cand.join(
+                F.broadcast(covered), "gram", "left_anti"
+            )
+        top = (
+            cand.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("gain"))
+            .orderBy(F.desc("gain"), F.asc("doc_id"))
+            .limit(1)
+            .collect()[0]
+        )
+        picks.append((r, top.doc_id, top.gain))
+        new_cov = grams.filter(F.col("doc_id") == top.doc_id).select("gram")
+        covered = (
+            new_cov
+            if covered is None
+            else covered.unionByName(new_cov).distinct()
+        ).localCheckpoint(eager=True)
+
+    out = spark.createDataFrame(
+        picks, "pick_order bigint, doc_id bigint, gain bigint"
+    )
+    w = Window.orderBy("pick_order").rowsBetween(Window.unboundedPreceding, 0)
+    return out.select(
+        "pick_order",
+        "doc_id",
+        "gain",
+        F.sum("gain").over(w).cast("bigint").alias("covered_total"),
+    )

@@ -1045,6 +1045,22 @@ def substring_span_pairs_df(docs: DataFrame, k: int = SPAN_K) -> DataFrame:
         .select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram")
         .localCheckpoint(eager=False)
     )
+    return positional_span_pairs(pg, k, span_col="span_chars")
+
+
+def positional_span_pairs(
+    pg: DataFrame, k: int, span_col: str = "span_chars"
+) -> DataFrame:
+    """Shared span-dedup core: positional gram index (doc_id, pos, gram)
+    -> maximal repeated spans via gram equi-join + diagonal
+    gaps-and-islands merge.  Unit-agnostic (char positions for
+    substring_span_dups, token positions for token_span_dups -- the
+    shared-machinery requirement of VERDICT round-4 task 5); ``pg`` must
+    already be checkpointed by the caller so both join sides reuse one
+    materialization, and the self-join pins shuffle_hash because
+    checkpointed frames carry no stats (an SMJ would sort the full gram
+    stream).
+    """
     a, b = pg.alias("a"), pg.alias("b")
     m = a.join(
         b.hint("shuffle_hash"),
@@ -1071,9 +1087,9 @@ def substring_span_pairs_df(docs: DataFrame, k: int = SPAN_K) -> DataFrame:
             (F.min("pos_a") - F.first("diag")).cast("bigint").alias("start_b"),
             (F.max("pos_a") - F.min("pos_a") + k)
             .cast("bigint")
-            .alias("span_chars"),
+            .alias(span_col),
         )
-        .select("doc_a", "doc_b", "start_a", "start_b", "span_chars")
+        .select("doc_a", "doc_b", "start_a", "start_b", span_col)
     )
 
 
@@ -1533,4 +1549,418 @@ def fuzzy_levenshtein_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dist",
             (F.col("name") == F.col("src")).alias("correct"),
         )
+    )
+
+
+TOK_SPAN_K = 8  # token-gram width: >= 8-token verbatim runs are spans
+_TOK_LEADS = ", ".join(
+    f"lead(tok,{j}) OVER w" for j in range(1, TOK_SPAN_K)
+)
+
+
+@declared(
+    "token_span_dups",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    tok AS (
+      SELECT doc_id,
+             unnest(generate_series(
+               1, len(regexp_split_to_array(trim(text), '\\s+')))) AS pos,
+             unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+      FROM corpus
+    ),
+    grams AS (
+      SELECT doc_id, pos,
+             concat_ws(' ', tok, {_TOK_LEADS}) AS gram,
+             lead(tok, {TOK_SPAN_K - 1}) OVER w AS t_last
+      FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    pg AS (
+      SELECT doc_id, pos, gram FROM grams WHERE t_last IS NOT NULL
+    ),
+    m AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.pos AS pos_a, a.pos - b.pos AS diag
+      FROM pg a JOIN pg b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    ),
+    isl AS (
+      SELECT doc_a, doc_b, diag, pos_a,
+             pos_a - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+                                        ORDER BY pos_a) AS island
+      FROM m
+    )
+    SELECT doc_a, doc_b,
+           CAST(min(pos_a) AS BIGINT) AS start_a,
+           CAST(min(pos_a) - diag AS BIGINT) AS start_b,
+           CAST(max(pos_a) - min(pos_a) + {TOK_SPAN_K} AS BIGINT)
+             AS span_tokens
+    FROM isl
+    GROUP BY doc_a, doc_b, diag, island
+    """,
+)
+def token_span_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9b: TOKEN-level exact substring-span dedup -- maximal verbatim
+    runs of >= TOK_SPAN_K whitespace tokens repeated across documents,
+    the production spelling of Lee et al. 2022's ExactSubstr (which
+    operates on tokenizer ids with ~50-token spans; char-level
+    substring_span_dups is the byte-exact sibling).  Span positions and
+    lengths are reported in TOKENS.
+
+    Same positional-index + diagonal-islands machinery
+    (positional_span_pairs -- shared with the char version, pinned by the
+    shared-machinery test in tests/test_round5_ops.py); only the gram
+    unit changes: token k-grams are built with ONE window of k-1 leads
+    over the exploded token stream (no per-row array slicing -- the
+    window shuffles on doc_id once and the gram never re-touches the
+    text).  At 100 TB, join on a 128-bit gram hash and substitute the
+    real tokenizer's ids for whitespace tokens; cost stays bounded by
+    true matches exactly as in the char version.
+    """
+    return token_span_pairs_df(dup_corpus(spark, sf_dir))
+
+
+def token_span_pairs_df(docs: DataFrame, k: int = TOK_SPAN_K) -> DataFrame:
+    """Core of token_span_dups over an arbitrary (doc_id, text) frame
+    (exposed for the shared-machinery edge tests)."""
+    spark_para = docs.sparkSession.sparkContext.defaultParallelism
+    tok = (
+        docs.repartition(spark_para)  # rebalance BEFORE the ~56x fan-out
+        .select(
+            "doc_id",
+            F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos0", "tok"),
+        )
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, k)]
+    pg = (
+        tok.select(
+            "doc_id",
+            "pos",
+            F.concat_ws(" ", *leads).alias("gram"),
+            F.lead("tok", k - 1).over(w).alias("t_last"),
+        )
+        .filter(F.col("t_last").isNotNull())
+        .select("doc_id", "pos", "gram")
+        .localCheckpoint(eager=False)
+    )
+    return positional_span_pairs(pg, k, span_col="span_tokens")
+
+
+WINNOW_K, WINNOW_W = 8, 4  # k-gram width, winnowing window (guarantee t=11)
+_WIN_ENC = 1024  # pos-tiebreak encoding: doc gram streams stay < 1024 long
+
+
+@declared(
+    "winnowing_fingerprints",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    pg AS (
+      SELECT doc_id, i.i AS pos,
+             ('0x' || substring(md5(substring(t, CAST(i.i AS INT),
+                                              {WINNOW_K})), 1, 8))::BIGINT
+               AS h
+      FROM (
+        SELECT doc_id, trim(text) AS t,
+               generate_series(1, greatest(length(trim(text))
+                                           - {WINNOW_K - 1}, 0)) AS idxs
+        FROM corpus
+      ) g, unnest(idxs) AS i(i)
+    ),
+    enc AS (
+      SELECT doc_id, pos,
+             h * {_WIN_ENC} + ({_WIN_ENC - 1} - pos) AS e,
+             count(*) OVER (PARTITION BY doc_id) AS n_grams
+      FROM pg
+    ),
+    sel AS (
+      SELECT doc_id,
+             min(e) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW
+                          AND {WINNOW_W - 1} FOLLOWING) AS enc_min,
+             pos, n_grams
+      FROM enc
+    ),
+    fps AS (
+      SELECT DISTINCT doc_id,
+             enc_min // {_WIN_ENC} AS fp,
+             {_WIN_ENC - 1} - (enc_min % {_WIN_ENC}) AS fp_pos
+      FROM sel
+      WHERE pos <= n_grams - {WINNOW_W - 1}
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_fps,
+           CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct_fps,
+           CAST(min(fp_pos) AS BIGINT) AS first_pos,
+           CAST(max(fp_pos) AS BIGINT) AS last_pos
+    FROM fps GROUP BY doc_id
+    """,
+)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer et al., SIGMOD 2003 --
+    the MOSS algorithm): per document, hash every char k-gram, slide a
+    w-wide window over the hash stream, keep each window's minimum
+    (ties -> rightmost) -- a ~2/(w+1)-density fingerprint sample with
+    the guarantee that any shared substring of length >= k + w - 1
+    shares at least one selected fingerprint.  Reported per doc as a
+    fingerprint-census summary (count / distinct / span); the pair
+    detector is winnow_overlap_pairs.
+
+    The rightmost-min tiebreak is ENCODED, not argmax'd: minimizing
+    h * 1024 + (1023 - pos) picks the smallest hash and, on ties, the
+    largest position -- one integer MIN over a row frame, identical on
+    both engines (no argmin/arg_max cross-engine tie hazards).  Scale:
+    the gram fan-out is the only volume (same posture as
+    substring_span_dups); selection is a frame window inside the
+    per-doc partition, and everything after operates on the ~25%
+    surviving fingerprints.
+    """
+    docs = dup_corpus(spark, sf_dir)
+    spark_para = spark.sparkContext.defaultParallelism
+    t = F.trim("text")
+    grams = F.when(
+        F.length(t) >= WINNOW_K,
+        F.transform(
+            F.sequence(F.lit(1), F.length(t) - (WINNOW_K - 1)),
+            lambda i: t.substr(i, F.lit(WINNOW_K)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pg = (
+        docs.repartition(spark_para)
+        .select("doc_id", F.posexplode(grams).alias("pos0", "gram"))
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).alias("pos"),
+            F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10)
+            .cast("bigint")
+            .alias("h"),
+        )
+    )
+    wd = Window.partitionBy("doc_id")
+    enc = pg.select(
+        "doc_id",
+        "pos",
+        (F.col("h") * _WIN_ENC + (_WIN_ENC - 1 - F.col("pos"))).alias("e"),
+        F.count(F.lit(1)).over(wd).alias("n_grams"),
+    )
+    wf = wd.orderBy("pos").rowsBetween(0, WINNOW_W - 1)
+    sel = enc.select(
+        "doc_id",
+        F.min("e").over(wf).alias("enc_min"),
+        "pos",
+        "n_grams",
+    ).filter(F.col("pos") <= F.col("n_grams") - (WINNOW_W - 1))
+    fps = sel.select(
+        "doc_id",
+        F.expr(f"enc_min DIV {_WIN_ENC}").alias("fp"),
+        (F.lit(_WIN_ENC - 1) - F.col("enc_min") % _WIN_ENC).alias("fp_pos"),
+    ).distinct()
+    return fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_fps"),
+        F.countDistinct("fp").cast("bigint").alias("n_distinct_fps"),
+        F.min("fp_pos").cast("bigint").alias("first_pos"),
+        F.max("fp_pos").cast("bigint").alias("last_pos"),
+    )
+
+
+WINNOW_PAIR_MIN = 3  # pairs must share >= 3 selected fingerprints
+
+
+@declared(
+    "winnow_overlap_pairs",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    pg AS (
+      SELECT doc_id, i.i AS pos,
+             ('0x' || substring(md5(substring(t, CAST(i.i AS INT),
+                                              {WINNOW_K})), 1, 8))::BIGINT
+               AS h
+      FROM (
+        SELECT doc_id, trim(text) AS t,
+               generate_series(1, greatest(length(trim(text))
+                                           - {WINNOW_K - 1}, 0)) AS idxs
+        FROM corpus
+      ) g, unnest(idxs) AS i(i)
+    ),
+    enc AS (
+      SELECT doc_id, pos,
+             h * {_WIN_ENC} + ({_WIN_ENC - 1} - pos) AS e,
+             count(*) OVER (PARTITION BY doc_id) AS n_grams
+      FROM pg
+    ),
+    fps AS (
+      SELECT DISTINCT doc_id, enc_min // {_WIN_ENC} AS fp
+      FROM (
+        SELECT doc_id, pos, n_grams,
+               min(e) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW
+                            AND {WINNOW_W - 1} FOLLOWING) AS enc_min
+        FROM enc
+      ) WHERE pos <= n_grams - {WINNOW_W - 1}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS shared_fps
+    FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= {WINNOW_PAIR_MIN}
+    """,
+)
+def winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style overlap detection: document pairs sharing >=
+    WINNOW_PAIR_MIN winnowing fingerprints -- the detector stage over
+    winnowing_fingerprints' selection (any shared substring of length
+    >= k + w - 1 = 11 chars is guaranteed to share a fingerprint, so
+    the threshold counts guaranteed-distinct shared regions).
+
+    Scale: this is the PAYOFF of winnowing vs the raw gram index --
+    the pair join runs over the ~2/(w+1) selected sample instead of
+    every gram (4x less join input at w=4, tunable), with identical
+    blocking shape to ngram_jaccard_pairs (inverted index on the
+    fingerprint, count per pair, threshold).  The fingerprint frame
+    feeds both join sides: checkpointed once, shuffle-hash pinned.
+    """
+    docs = dup_corpus(spark, sf_dir)
+    spark_para = spark.sparkContext.defaultParallelism
+    t = F.trim("text")
+    grams = F.when(
+        F.length(t) >= WINNOW_K,
+        F.transform(
+            F.sequence(F.lit(1), F.length(t) - (WINNOW_K - 1)),
+            lambda i: t.substr(i, F.lit(WINNOW_K)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pg = (
+        docs.repartition(spark_para)
+        .select("doc_id", F.posexplode(grams).alias("pos0", "gram"))
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).alias("pos"),
+            F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10)
+            .cast("bigint")
+            .alias("h"),
+        )
+    )
+    wd = Window.partitionBy("doc_id")
+    enc = pg.select(
+        "doc_id",
+        "pos",
+        (F.col("h") * _WIN_ENC + (_WIN_ENC - 1 - F.col("pos"))).alias("e"),
+        F.count(F.lit(1)).over(wd).alias("n_grams"),
+    )
+    wf = wd.orderBy("pos").rowsBetween(0, WINNOW_W - 1)
+    fps = (
+        enc.select(
+            "doc_id",
+            "pos",
+            "n_grams",
+            F.min("e").over(wf).alias("enc_min"),
+        )
+        .filter(F.col("pos") <= F.col("n_grams") - (WINNOW_W - 1))
+        .select("doc_id", F.expr(f"enc_min DIV {_WIN_ENC}").alias("fp"))
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds both sides of the pair join
+    )
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(
+            b.hint("shuffle_hash"),
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= WINNOW_PAIR_MIN)
+    )
+
+
+SNM_WINDOW = 2  # neighbors compared per sorted position
+SNM_PREFIX = 24  # normalized-prefix length that makes a candidate pair
+
+
+@declared(
+    "sorted_neighborhood_pairs",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    keyed AS (
+      SELECT doc_id, lang,
+             lower(trim(text)) AS norm,
+             substring(lower(trim(text)), 1, 2) AS blk
+      FROM corpus
+    ),
+    nbrs AS (
+      SELECT doc_id, lang, norm, blk,
+             lead(doc_id, 1) OVER w AS n1_id, lead(norm, 1) OVER w AS n1,
+             lead(doc_id, 2) OVER w AS n2_id, lead(norm, 2) OVER w AS n2
+      FROM keyed
+      WINDOW w AS (PARTITION BY lang, blk ORDER BY norm, doc_id)
+    ),
+    cand AS (
+      SELECT doc_id AS ia, n1_id AS ib, norm, n1 AS nb FROM nbrs
+      WHERE n1_id IS NOT NULL
+      UNION ALL
+      SELECT doc_id AS ia, n2_id AS ib, norm, n2 AS nb FROM nbrs
+      WHERE n2_id IS NOT NULL
+    )
+    SELECT least(ia, ib) AS doc_a, greatest(ia, ib) AS doc_b,
+           (norm = nb) AS is_exact
+    FROM cand
+    WHERE substring(norm, 1, {SNM_PREFIX}) = substring(nb, 1, {SNM_PREFIX})
+    """,
+)
+def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood dedup (Hernandez & Stolfo 1995): sort records
+    by a normalized key inside coarse blocks, compare each record only
+    to its next SNM_WINDOW sort neighbors, emit candidate pairs that
+    share a {SNM_PREFIX}-char normalized prefix (flagging full-text
+    equality) -- the third classical blocking family next to LSH
+    banding (minhash/simhash) and inverted gram indexes: ZERO fan-out,
+    one sort, window-bounded comparisons.
+
+    Scale: the block key (lang, 2-char prefix) keeps every window
+    partition a small slice of the corpus, so the sort is a partitioned
+    shuffle, never global; at 100 TB you range-partition on the sort
+    key with per-boundary overlap of SNM_WINDOW rows instead (same
+    semantics, no block-key skew) and run several passes with rotated
+    keys to catch prefix-divergent dups (the multi-pass SNM of the
+    original paper; verbatim copies are caught in any pass).
+    """
+    corpus = dup_corpus(spark, sf_dir)
+    norm = F.lower(F.trim("text"))
+    keyed = corpus.select(
+        "doc_id",
+        "lang",
+        norm.alias("norm"),
+        F.substring(norm, 1, 2).alias("blk"),
+    )
+    w = Window.partitionBy("lang", "blk").orderBy("norm", "doc_id")
+    nbrs = keyed.select(
+        "doc_id",
+        "norm",
+        F.lead("doc_id", 1).over(w).alias("n1_id"),
+        F.lead("norm", 1).over(w).alias("n1"),
+        F.lead("doc_id", 2).over(w).alias("n2_id"),
+        F.lead("norm", 2).over(w).alias("n2"),
+    )
+    cand = nbrs.filter(F.col("n1_id").isNotNull()).select(
+        F.col("doc_id").alias("ia"),
+        F.col("n1_id").alias("ib"),
+        "norm",
+        F.col("n1").alias("nb"),
+    ).unionByName(
+        nbrs.filter(F.col("n2_id").isNotNull()).select(
+            F.col("doc_id").alias("ia"),
+            F.col("n2_id").alias("ib"),
+            "norm",
+            F.col("n2").alias("nb"),
+        )
+    )
+    return cand.filter(
+        F.substring("norm", 1, SNM_PREFIX) == F.substring("nb", 1, SNM_PREFIX)
+    ).select(
+        F.least("ia", "ib").alias("doc_a"),
+        F.greatest("ia", "ib").alias("doc_b"),
+        (F.col("norm") == F.col("nb")).alias("is_exact"),
     )

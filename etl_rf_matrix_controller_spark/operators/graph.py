@@ -1557,3 +1557,151 @@ def harmonic_centrality_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.expr("1000000 DIV d")).cast("bigint").alias("harmonic_ppm"),
         )
     )
+
+
+K_TRUSS = 5  # every surviving edge sits in >= K_TRUSS - 2 = 3 triangles
+
+_UND_ABOVE_MEAN_SQL = f"""
+      SELECT a, b FROM (
+        SELECT least(u, v) AS a, greatest(u, v) AS b,
+               CAST(sum(w) AS BIGINT) AS wu
+        FROM edges WHERE u <> v GROUP BY 1, 2
+      ) e
+      CROSS JOIN (
+        SELECT CAST(count(*) AS BIGINT) AS m, CAST(sum(wu) AS BIGINT) AS tot
+        FROM (
+          SELECT least(u, v) AS a, greatest(u, v) AS b,
+                 CAST(sum(w) AS BIGINT) AS wu
+          FROM edges WHERE u <> v GROUP BY 1, 2
+        )
+      ) s
+      WHERE e.wu * s.m >= s.tot
+"""
+
+_TRUSS_SUP_SQL = """
+      SELECT a, b, CAST(count(*) AS BIGINT) AS sup FROM (
+        SELECT t.x AS a, t.y AS b FROM {tri} t
+        UNION ALL SELECT t.y AS a, t.z AS b FROM {tri} t
+        UNION ALL SELECT t.x AS a, t.z AS b FROM {tri} t
+      ) GROUP BY a, b
+"""
+
+_TRI_SQL = """
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM {und} e1
+      JOIN {und} e2 ON e2.a = e1.b
+      JOIN {und} e3 ON e3.a = e1.a AND e3.b = e2.b
+"""
+
+
+@declared(
+    "ktruss_peel_two_step",
+    oracle=f"""
+    WITH edges AS ({_EDGES_SQL}),
+    und0 AS ({_UND_ABOVE_MEAN_SQL}),
+    tri1 AS ({_TRI_SQL.format(und='und0')}),
+    sup1 AS ({_TRUSS_SUP_SQL.format(tri='tri1')}),
+    und1 AS (
+      SELECT u.a, u.b FROM und0 u JOIN sup1 s ON s.a = u.a AND s.b = u.b
+      WHERE s.sup >= {K_TRUSS - 2}
+    ),
+    tri2 AS ({_TRI_SQL.format(und='und1')}),
+    sup2 AS ({_TRUSS_SUP_SQL.format(tri='tri2')}),
+    und2 AS (
+      SELECT u.a, u.b, s.sup FROM und1 u
+      JOIN sup2 s ON s.a = u.a AND s.b = u.b
+      WHERE s.sup >= {K_TRUSS - 2}
+    )
+    SELECT na.n_name AS nation_a, nb.n_name AS nation_b,
+           e.sup AS support
+    FROM und2 e
+    JOIN nation na ON na.n_nationkey = e.a
+    JOIN nation nb ON nb.n_nationkey = e.b
+    """,
+)
+def ktruss_peel_two_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-truss backbone (Cohen 2008) of the above-mean-weight trade
+    graph, k = 5: iteratively peel every edge supported by
+    fewer than k-2 triangles; what survives is the cohesive core where
+    every tie is embedded in multiple closed triads -- the edge-level
+    strengthening of kcore_membership (degree can be faked by one hub,
+    triangle support cannot).  Two peel rounds unrolled, the fixpoint
+    on this graph at every test SF (same two-step discipline as
+    community_lpa_two_step / kmeans_lloyd_two_step; production loops
+    until no edge drops, ~O(log) rounds with the same per-round plan).
+
+    Per round: triangles from the ordered wedge join (each counted
+    once, triangle_count_nations machinery), support = the 3 edge
+    projections of the triangle list union-all'd and counted -- one
+    map-side-combinable agg -- then a support filter.  Edge derivation
+    is ONE fact pass; every graph frame after that is nation-bounded
+    (checkpointed, broadcast-hinted exactly as pagerank_nations).
+    Support counts change as edges peel, which is why support is
+    RECOMPUTED per round rather than decremented (decrementing needs
+    ordered cascades; recompute is two shuffles and embarrassingly
+    parallel).
+    """
+    edges = _trade_edges(spark, sf_dir).localCheckpoint(eager=True)
+    undw = (
+        edges.filter(F.col("u") != F.col("v"))
+        .groupBy(
+            F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+        )
+        .agg(F.sum("w").cast("bigint").alias("wu"))
+        .localCheckpoint(eager=True)
+    )
+    stats = undw.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("wu").cast("bigint").alias("tot"),
+    )
+    und = (
+        undw.crossJoin(F.broadcast(stats))
+        .filter(F.col("wu") * F.col("m") >= F.col("tot"))
+        .select("a", "b")
+        .localCheckpoint(eager=True)
+    )
+
+    def _peel(cur: DataFrame) -> DataFrame:
+        e1, e2, e3 = cur.alias("e1"), cur.alias("e2"), cur.alias("e3")
+        tri = (
+            e1.join(F.broadcast(e2), F.col("e2.a") == F.col("e1.b"))
+            .join(
+                F.broadcast(e3),
+                (F.col("e3.a") == F.col("e1.a"))
+                & (F.col("e3.b") == F.col("e2.b")),
+            )
+            .select(
+                F.col("e1.a").alias("x"),
+                F.col("e1.b").alias("y"),
+                F.col("e2.b").alias("z"),
+            )
+        )
+        sup = (
+            tri.select(F.col("x").alias("a"), F.col("y").alias("b"))
+            .unionByName(tri.select(F.col("y").alias("a"), F.col("z").alias("b")))
+            .unionByName(tri.select(F.col("x").alias("a"), F.col("z").alias("b")))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("sup"))
+        )
+        return (
+            cur.join(F.broadcast(sup), ["a", "b"])
+            .filter(F.col("sup") >= K_TRUSS - 2)
+            .localCheckpoint(eager=True)
+        )
+
+    und1 = _peel(und).select("a", "b")
+    und2 = _peel(und1)
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        und2.join(
+            F.broadcast(nat.select(F.col("n_nationkey").alias("a"),
+                                   F.col("n_name").alias("nation_a"))),
+            "a",
+        )
+        .join(
+            F.broadcast(nat.select(F.col("n_nationkey").alias("b"),
+                                   F.col("n_name").alias("nation_b"))),
+            "b",
+        )
+        .select("nation_a", "nation_b", F.col("sup").alias("support"))
+    )

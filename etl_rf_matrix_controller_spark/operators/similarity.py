@@ -3092,3 +3092,144 @@ def jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("n").alias("n_pairs"), "min_ratio", "median_ratio", "max_ratio"
     )
+
+
+CKA_SPLIT = 32  # representation A = dims 1..32, representation B = 33..64
+
+
+@declared(
+    "cka_embedding_halves",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id,
+             unnest(generate_series(1, 64)) AS m,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 100) AS BIGINT)
+               AS x
+      FROM embeddings
+    ),
+    s AS (SELECT m, CAST(sum(x) AS BIGINT) AS sm FROM q GROUP BY m),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+    c AS (
+      SELECT q.vec_id, q.m, nn.n * q.x - s.sm AS c
+      FROM q JOIN s USING (m) CROSS JOIN nn
+    ),
+    g AS (
+      SELECT a.m AS i, b.m AS j, CAST(sum(a.c * b.c) AS BIGINT) AS g
+      FROM c a JOIN c b ON a.vec_id = b.vec_id
+      GROUP BY 1, 2
+    ),
+    blocks AS (
+      SELECT
+        CAST(sum(CASE WHEN i <= {CKA_SPLIT} AND j <= {CKA_SPLIT}
+                      THEN CAST(g AS HUGEINT) * g END) AS DOUBLE) AS hsic_xx,
+        CAST(sum(CASE WHEN i > {CKA_SPLIT} AND j > {CKA_SPLIT}
+                      THEN CAST(g AS HUGEINT) * g END) AS DOUBLE) AS hsic_yy,
+        CAST(sum(CASE WHEN i <= {CKA_SPLIT} AND j > {CKA_SPLIT}
+                      THEN CAST(g AS HUGEINT) * g END) AS DOUBLE) AS hsic_xy
+      FROM g
+    )
+    SELECT nn.n AS n_vectors, b.hsic_xy, b.hsic_xx, b.hsic_yy,
+           b.hsic_xy / sqrt(b.hsic_xx * b.hsic_yy) AS cka
+    FROM blocks b CROSS JOIN nn
+    """,
+)
+def cka_embedding_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear CKA (centered kernel alignment, Kornblith et al. ICML
+    2019) between the two 32-dim halves of the embedding space --
+    the standard representation-similarity readout (are two feature
+    blocks / two model layers encoding the same structure?), here
+    instrumenting whether the embedding's front and back halves are
+    redundant (CKA ~ 1) or complementary (~ 0); the same query with
+    a second table is the cross-model comparison.
+
+    CKA = ||Xc'Yc||_F^2 / (||Xc'Xc||_F ||Yc'Yc||_F) is scale-invariant,
+    so centering uses the INTEGER n-scaling trick (c = n*x - colsum,
+    the label_silhouette_lite convention): every Gram cell is an exact
+    bigint, cell squares accumulate in DECIMAL(38,0)/HUGEINT, and only
+    the final three block sums convert to double (identical nearest
+    rounding both engines) for one sqrt/divide.  Plan: column sums
+    collapse to a 64-long broadcast array, centering + the 64x64 cell
+    fan-out happen IN-ROW (embedding_gram_matrix shape -- no self-join
+    shuffle, unlike the oracle's join spelling), cells partial-agg
+    map-side to 4096 rows, blocks to 1.  Corpus-size-independent
+    output; at 100 TB cells tree-reduce and the envelope needs
+    DECIMAL(38,0) from the first product (n*|x| here stays < 2^18).
+    """
+    # embeddings feeds three consumers (column sums, the row count, the
+    # centering pass): checkpoint the narrow projection once -- one scan.
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=True)
+    )
+    q = emb.select(
+        "vec_id",
+        F.posexplode("embedding").alias("m0", "v"),
+    ).select(
+        "vec_id",
+        (F.col("m0") + 1).alias("m"),
+        F.round(F.col("v").cast("double") * 100).cast("bigint").alias("x"),
+    )
+    sums = q.groupBy("m").agg(F.sum("x").cast("bigint").alias("sm"))
+    sarr = sums.agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("m", "sm"))), lambda s: s.sm
+        ).alias("sv")
+    )
+    nn = emb.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    centered = (
+        emb.crossJoin(F.broadcast(sarr))
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "vec_id",
+            "n",
+            F.zip_with(
+                "embedding",
+                "sv",
+                lambda v, s: F.col("n")
+                * F.round(v.cast("double") * 100).cast("bigint")
+                - s,
+            ).alias("cv"),
+        )
+    )
+    pairs = centered.select(
+        "n",
+        F.explode(
+            F.expr(
+                """flatten(transform(sequence(1, 64), i ->
+                     transform(sequence(1, 64), j ->
+                       struct(CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+                              element_at(cv, i) * element_at(cv, j)
+                                AS prod))))"""
+            )
+        ).alias("p"),
+    ).select("n", "p.i", "p.j", "p.prod")
+    cells = pairs.groupBy("i", "j").agg(
+        F.sum("prod").cast("bigint").alias("g"), F.max("n").alias("n")
+    )
+    g2 = "CAST(g AS DECIMAL(38,0)) * g"
+    blocks = cells.agg(
+        F.max("n").alias("n_vectors"),
+        F.expr(
+            f"CAST(sum(CASE WHEN i <= {CKA_SPLIT} AND j > {CKA_SPLIT}"
+            f" THEN {g2} END) AS DOUBLE)"
+        ).alias("hsic_xy"),
+        F.expr(
+            f"CAST(sum(CASE WHEN i <= {CKA_SPLIT} AND j <= {CKA_SPLIT}"
+            f" THEN {g2} END) AS DOUBLE)"
+        ).alias("hsic_xx"),
+        F.expr(
+            f"CAST(sum(CASE WHEN i > {CKA_SPLIT} AND j > {CKA_SPLIT}"
+            f" THEN {g2} END) AS DOUBLE)"
+        ).alias("hsic_yy"),
+    )
+    return blocks.select(
+        "n_vectors",
+        "hsic_xy",
+        "hsic_xx",
+        "hsic_yy",
+        (F.col("hsic_xy") / F.sqrt(F.col("hsic_xx") * F.col("hsic_yy"))).alias(
+            "cka"
+        ),
+    )

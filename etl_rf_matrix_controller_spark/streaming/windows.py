@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from etl_rf_matrix_controller_spark.plans.conventions import int_round_scaled
 from etl_rf_matrix_controller_spark.plans.registry import declared
@@ -450,3 +451,105 @@ def interval_join_full(errors: DataFrame, clicks: DataFrame) -> DataFrame:
         & (F.col("c_ts") > F.col("error_ts") - F.expr("INTERVAL 1 HOUR")),
         "full_outer",
     ).select("error_id", "user_id", "error_ts", "c_user", "c_ts", "c_id")
+
+
+@declared(
+    "stream_hdr_value_quantiles",
+    oracle="""
+    WITH vals AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS v FROM events
+    ),
+    hist AS (
+      SELECT (length(bin(v)) - 1) * 16
+             + ((v - (CAST(1 AS BIGINT) << (length(bin(v)) - 1)))
+                * 16) // (CAST(1 AS BIGINT) << (length(bin(v)) - 1))
+               AS bucket,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM vals GROUP BY 1
+    ),
+    cum AS (
+      SELECT bucket, cnt,
+             CAST(sum(cnt) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS cum,
+             CAST(sum(cnt) OVER () AS BIGINT) AS n
+      FROM hist
+    ),
+    qs AS (SELECT CAST(unnest([500000, 900000, 990000]) AS BIGINT) AS q_ppm)
+    SELECT q_ppm, n AS n_total, target AS target_rank, bucket AS bucket_id,
+           (CAST(1 AS BIGINT) << (bucket // 16))
+           + ((bucket % 16) * (CAST(1 AS BIGINT) << (bucket // 16))) // 16
+             AS est_c
+    FROM (
+      SELECT c.bucket, c.n, q.q_ppm,
+             (q.q_ppm * c.n + 999999) // 1000000 AS target,
+             row_number() OVER (PARTITION BY q.q_ppm ORDER BY c.bucket) AS rk
+      FROM cum c CROSS JOIN qs q
+      WHERE c.cum >= (q.q_ppm * c.n + 999999) // 1000000
+    ) WHERE rk = 1
+    """,
+)
+def stream_hdr_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of hdr_quantile_sketch over the event value stream:
+    the log-linear bucket histogram maintained BY Structured Streaming
+    (a streaming groupBy(bucket).count -- legal in complete mode
+    precisely because bucket counts are additive, the sketch's
+    mergeability doing the work), then the p50/p90/p99 read-off on the
+    final counts.  batch == stream by construction: incremental count
+    merge is the same operation as the batch partial->final agg, so the
+    oracle is simply the batch spelling (the stream_holt_daily_value
+    discipline).  At 100 TB-scale streams the state store holds <= ~1.5k
+    bucket rows regardless of throughput -- THE argument for fixed-grid
+    sketches in continuous pipelines (a sorted-sample quantile state
+    would grow with the stream).
+    """
+    from etl_rf_matrix_controller_spark.operators.aggregates import (
+        HDR_SUBS,
+        hdr_bucket_expr,
+    )
+
+    ev = _events_stream(spark, sf_dir).select(
+        F.round(F.col("value") * 100).cast("bigint").alias("v")
+    )
+    hist = ev.select(F.expr(hdr_bucket_expr("v")).alias("bucket")).groupBy(
+        "bucket"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    histb = run_stream_to_memory(hist, "hdr_value_stream", spark)
+
+    wc = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = histb.select(
+        "bucket",
+        "cnt",
+        F.sum("cnt").over(wc).cast("bigint").alias("cum"),
+        F.sum("cnt").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).cast("bigint").alias("n"),
+    )
+    qs = spark.range(1).select(
+        F.explode(
+            F.array(
+                *[F.lit(q).cast("bigint") for q in (500000, 900000, 990000)]
+            )
+        ).alias("q_ppm")
+    )
+    wp = Window.partitionBy("q_ppm").orderBy("bucket")
+    return (
+        cum.crossJoin(F.broadcast(qs))
+        .withColumn("target", F.expr("(q_ppm * n + 999999) DIV 1000000"))
+        .filter(F.col("cum") >= F.col("target"))
+        .withColumn("rk", F.row_number().over(wp))
+        .filter(F.col("rk") == 1)
+        .select(
+            "q_ppm",
+            F.col("n").alias("n_total"),
+            F.col("target").alias("target_rank"),
+            F.col("bucket").alias("bucket_id"),
+            F.expr(
+                f"(CAST(1 AS BIGINT) << (bucket DIV {HDR_SUBS}))"
+                f" + ((bucket % {HDR_SUBS})"
+                f" * (CAST(1 AS BIGINT) << (bucket DIV {HDR_SUBS})))"
+                f" DIV {HDR_SUBS}"
+            ).alias("est_c"),
+        )
+    )

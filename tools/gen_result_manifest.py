@@ -11,7 +11,11 @@ The two no-oracle sketch queries (HLL, approx-percentile) are excluded:
 their outputs depend on engine-internal sketch merge order, which is not
 part of the repo's determinism contract.
 
-Usage: python tools/gen_result_manifest.py [sf_dir]
+Usage: python tools/gen_result_manifest.py [sf_dir] [--only q1,q2]
+  --only recomputes just the named queries and merges them into the
+  existing manifest (stale entries for de-registered queries are always
+  dropped) -- the cheap path when ADDING queries; a full run is still
+  required after intentional cross-cutting semantics changes.
 """
 
 from __future__ import annotations
@@ -27,19 +31,34 @@ from conftest import result_hash  # noqa: E402
 from etl_rf_matrix_controller_spark.plans import registry  # noqa: E402
 from etl_rf_matrix_controller_spark.session import get_spark  # noqa: E402
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 MANIFEST = "tests/result_manifest.json"
 
 
 def main() -> None:
+    args = sys.argv[1:]
+    only: set[str] | None = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = {s.strip() for s in args[i + 1].split(",") if s.strip()}
+        args = args[:i] + args[i + 2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+
     registry.load_all()
     spark = get_spark(app_name="result-manifest")
     spark.sparkContext.setLogLevel("ERROR")
     manifest = {}
-    for name in sorted(registry.QUERIES):
+    if only is not None:
+        with open(MANIFEST) as f:
+            manifest = {
+                k: v for k, v in json.load(f).items() if k in registry.ORACLES
+            }
+        unknown = only - set(registry.ORACLES)
+        if unknown:
+            raise SystemExit(f"not oracle-bearing queries: {sorted(unknown)}")
+    for name in sorted(only if only is not None else registry.QUERIES):
         if name not in registry.ORACLES:
             continue  # sketch internals: rows-only by design
-        manifest[name] = result_hash(registry.QUERIES[name](spark, SF_DIR))
+        manifest[name] = result_hash(registry.QUERIES[name](spark, sf_dir))
         print(name, manifest[name][:16])
     with open(MANIFEST, "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)

@@ -1,9 +1,13 @@
-"""Stress probe: run the headline operators on 10x-unioned inputs
-(~6M lineitem rows / ~1M events) to check the scale slope -- a linear-ish
-slope confirms no hidden quadratic or driver-side bottleneck.
+"""Stress probe: run the headline operators on 10x/100x-unioned inputs
+(x100: ~60M lineitem rows / ~10M events) to check the scale slope -- a
+linear-ish slope confirms no hidden quadratic or driver-side bottleneck.
 
-Usage: python tools/stress.py [multiplier]
-"""
+Usage: python tools/stress.py [multiplier]   # default 10; 100 = x100 run
+The headline shapes (grouped agg, window dedup, top-k, span-dedup gram
+join) run at every decade up to the multiplier; the SimHash band-width
+comparison stays capped at x10 because the NARROW 32-bit setting is
+intentionally quadratic-tailed (that is what the probe demonstrates) and
+x100 would make its candidate join the probe's own bottleneck."""
 
 from __future__ import annotations
 
@@ -20,6 +24,10 @@ from etl_rf_matrix_controller_spark.sources.tables import load_table  # noqa: E4
 
 SF_DIR = "/root/testdata/sf0.1"
 MULT = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+# every decade up to MULT: 10 -> (1, 10); 100 -> (1, 10, 100)
+MULTS = [m for m in (1, 10, 100) if m <= max(MULT, 1)]
+if MULT not in MULTS:
+    MULTS.append(MULT)
 
 
 def amplify(df, mult: int):
@@ -65,7 +73,7 @@ def main() -> None:
     }
     for name, fn in cases.items():
         src = li if name == "q1_agg" else ev
-        for mult in (1, MULT):
+        for mult in MULTS:
             data = amplify(src, mult)
             t0 = time.perf_counter()
             fn(data).write.format("noop").mode("overwrite").save()
@@ -95,7 +103,16 @@ def main() -> None:
     def amplify_docs(mult: int):
         parts = []
         for i in range(mult):
-            rot = alpha[i:] + alpha[:i]
+            # Distinct substitution per copy even past 26: rotate by
+            # i %% 26, then reverse the first (i // 26 + 1) letters of the
+            # rotated alphabet for higher blocks -- 104 distinct
+            # permutations, so cross-copy gram overlap stays zero at x100
+            # (two copies sharing a permutation would be verbatim clones
+            # and the TRUE-match output would go quadratic by design).
+            rot = alpha[i % 26:] + alpha[:i % 26]
+            b = i // 26
+            if b:
+                rot = rot[:b + 1][::-1] + rot[b + 1:]
             parts.append(
                 docs.select(
                     (F.col("doc_id") + i * 10_000_000).alias("doc_id"),
@@ -107,7 +124,7 @@ def main() -> None:
             out = out.unionByName(p)
         return out
 
-    for mult in (1, MULT):
+    for mult in MULTS:
         t0 = time.perf_counter()
         substring_span_pairs_df(amplify_docs(mult)).write.format("noop").mode(
             "overwrite"
@@ -130,7 +147,7 @@ def main() -> None:
         simhash_wide_sig_df,
     )
 
-    for mult in (1, MULT):
+    for mult in (1, min(MULT, 10)):
         corpus = amplify_docs(mult)
         for bits, n_bands in ((32, 4), (60, 4)):
             sig = simhash_wide_sig_df(corpus, bits=bits).localCheckpoint(
