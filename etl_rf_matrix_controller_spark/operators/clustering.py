@@ -784,13 +784,17 @@ def dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.lit(0))
     pts = emb.select(
         "vec_id",
+        # floor(xq/4) == DuckDB's xq // 4 for ALL signs (the previous
+        # (xq - xq % 4)/4 spelling diverged for negative xq: Spark % is
+        # sign-of-dividend, DuckDB // floors); xq is offset to >= 0 for
+        # |component| <= 4 but the spelling no longer depends on that.
         (
             (F.col("label") % 4) * DBSCAN_GRID + straggle
-            + (((xq - xq % 4) / 4).cast("bigint") - 10000)
+            + (F.floor(xq / 4).cast("bigint") - 10000)
         ).alias("px"),
         (
             (F.expr("label DIV 4")) * DBSCAN_GRID + straggle
-            + (((yq - yq % 4) / 4).cast("bigint") - 10000)
+            + (F.floor(yq / 4).cast("bigint") - 10000)
         ).alias("py"),
     ).localCheckpoint(eager=True)  # feeds home, probe, and the final roles
     return dbscan_df(pts, DBSCAN_EPS, DBSCAN_MINPTS)
@@ -852,10 +856,14 @@ def dbscan_df(
         .select(F.col("ia").alias("vec_id"))
         .localCheckpoint(eager=True)  # feeds edges (x2), labels, roles
     )
+    # cores/comp/border all grow with the corpus -- broadcasting them is
+    # a driver/executor memory hazard at 100x; shuffle_hash keeps the
+    # stat-less checkpointed frames off SMJ without materializing them
+    # on every executor (same convention as the winnow/dbscan pair joins).
     edges = (
         pairs.filter(F.col("ia") != F.col("ib"))
-        .join(F.broadcast(cores.select(F.col("vec_id").alias("ia"))), "ia")
-        .join(F.broadcast(cores.select(F.col("vec_id").alias("ib"))), "ib")
+        .join(cores.select(F.col("vec_id").alias("ia")).hint("shuffle_hash"), "ia")
+        .join(cores.select(F.col("vec_id").alias("ib")).hint("shuffle_hash"), "ib")
         .select(F.col("ia").alias("src"), F.col("ib").alias("dst"))
         .localCheckpoint(eager=True)
     )
@@ -894,12 +902,13 @@ def dbscan_df(
     border = (
         pairs.filter(F.col("ia") != F.col("ib"))
         .join(
-            F.broadcast(cores.select(F.col("vec_id").alias("ia"))),
+            cores.select(F.col("vec_id").alias("ia")).hint("shuffle_hash"),
             "ia",
             "left_anti",
         )
         .join(
-            F.broadcast(comp.select(F.col("vec_id").alias("ib"), "cluster_id")),
+            comp.select(F.col("vec_id").alias("ib"), "cluster_id")
+            .hint("shuffle_hash"),
             "ib",
         )
         .groupBy(F.col("ia").alias("vec_id"))
@@ -907,8 +916,18 @@ def dbscan_df(
     )
     return (
         pts.select("vec_id")
-        .join(F.broadcast(comp.withColumnRenamed("cluster_id", "c_core")), "vec_id", "left")
-        .join(F.broadcast(border.withColumnRenamed("cluster_id", "c_border")), "vec_id", "left")
+        .join(
+            comp.withColumnRenamed("cluster_id", "c_core")
+            .hint("shuffle_hash"),
+            "vec_id",
+            "left",
+        )
+        .join(
+            border.withColumnRenamed("cluster_id", "c_border")
+            .hint("shuffle_hash"),
+            "vec_id",
+            "left",
+        )
         .select(
             "vec_id",
             F.coalesce("c_core", "c_border", F.lit(-1))

@@ -1246,13 +1246,18 @@ def max_coverage_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
             cand = cand.join(
                 F.broadcast(covered), "gram", "left_anti"
             )
-        top = (
+        top_rows = (
             cand.groupBy("doc_id")
             .agg(F.count(F.lit(1)).cast("bigint").alias("gain"))
             .orderBy(F.desc("gain"), F.asc("doc_id"))
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not top_rows:
+            # All remaining docs fully covered (or corpus < K_COVER):
+            # stop early and emit fewer picks, mirroring the oracle.
+            break
+        top = top_rows[0]
         picks.append((r, top.doc_id, top.gain))
         new_cov = grams.filter(F.col("doc_id") == top.doc_id).select("gram")
         covered = (

@@ -1651,6 +1651,29 @@ WINNOW_K, WINNOW_W = 8, 4  # k-gram width, winnowing window (guarantee t=11)
 _WIN_ENC = 1024  # pos-tiebreak encoding: doc gram streams stay < 1024 long
 
 
+def _winnow_enc() -> F.Column:
+    """Encoded rightmost-min key: h * _WIN_ENC + (_WIN_ENC - 1 - pos).
+
+    The decode (fp = e DIV _WIN_ENC, fp_pos from e % _WIN_ENC) is only
+    valid while pos < _WIN_ENC; a longer gram stream would silently
+    decode fp as h-1 -- and because Spark and the DuckDB oracle corrupt
+    IDENTICALLY, the gate could never catch it.  Guard loudly: any doc
+    with >= _WIN_ENC grams raises at execution instead of mis-decoding
+    (raise _WIN_ENC or pre-shard long documents to lift the limit).
+    """
+    return F.when(
+        F.col("pos") < _WIN_ENC,
+        F.col("h") * _WIN_ENC + (_WIN_ENC - 1 - F.col("pos")),
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                f"winnowing: gram position >= _WIN_ENC ({_WIN_ENC}); "
+                "position encoding would corrupt fingerprints"
+            )
+        )
+    )
+
+
 @declared(
     "winnowing_fingerprints",
     oracle=f"""
@@ -1740,7 +1763,7 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     enc = pg.select(
         "doc_id",
         "pos",
-        (F.col("h") * _WIN_ENC + (_WIN_ENC - 1 - F.col("pos"))).alias("e"),
+        _winnow_enc().alias("e"),
         F.count(F.lit(1)).over(wd).alias("n_grams"),
     )
     wf = wd.orderBy("pos").rowsBetween(0, WINNOW_W - 1)
@@ -1764,6 +1787,7 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 WINNOW_PAIR_MIN = 3  # pairs must share >= 3 selected fingerprints
+WINNOW_FP_DF_CAP = 50  # drop fingerprints appearing in > 50 docs pre-join
 
 
 @declared(
@@ -1788,7 +1812,7 @@ WINNOW_PAIR_MIN = 3  # pairs must share >= 3 selected fingerprints
              count(*) OVER (PARTITION BY doc_id) AS n_grams
       FROM pg
     ),
-    fps AS (
+    fps AS MATERIALIZED (
       SELECT DISTINCT doc_id, enc_min // {_WIN_ENC} AS fp
       FROM (
         SELECT doc_id, pos, n_grams,
@@ -1797,10 +1821,18 @@ WINNOW_PAIR_MIN = 3  # pairs must share >= 3 selected fingerprints
                             AND {WINNOW_W - 1} FOLLOWING) AS enc_min
         FROM enc
       ) WHERE pos <= n_grams - {WINNOW_W - 1}
+    ),
+    fpd AS MATERIALIZED (
+      SELECT doc_id, fp,
+             count(*) OVER (PARTITION BY fp) AS df
+      FROM fps
+    ),
+    rare AS MATERIALIZED (
+      SELECT doc_id, fp FROM fpd WHERE df <= {WINNOW_FP_DF_CAP}
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(count(*) AS BIGINT) AS shared_fps
-    FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id
     HAVING count(*) >= {WINNOW_PAIR_MIN}
     """,
@@ -1818,6 +1850,17 @@ def winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocking shape to ngram_jaccard_pairs (inverted index on the
     fingerprint, count per pair, threshold).  The fingerprint frame
     feeds both join sides: checkpointed once, shuffle-hash pinned.
+
+    Hot-key protection: a fingerprint shared by d docs emits d^2 pair
+    rows, and boilerplate-common fingerprints grow d linearly with the
+    corpus -- the one O(df^2) scale-killer in the suite's gram joins.
+    Fingerprints with document frequency > WINNOW_FP_DF_CAP are dropped
+    BEFORE the join (one window count over the same fp shuffle the join
+    needs anyway); high-df fingerprints carry no discriminative signal
+    for the shared_fps >= {WINNOW_PAIR_MIN} threshold, and the cap
+    bounds any single fingerprint's pair fan-out at CAP^2 regardless of
+    corpus size.  Mirrored in the oracle (fpd/rare CTEs, materialized
+    so DuckDB does not re-inline the document-scale chain per leg).
     """
     docs = dup_corpus(spark, sf_dir)
     spark_para = spark.sparkContext.defaultParallelism
@@ -1844,7 +1887,7 @@ def winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     enc = pg.select(
         "doc_id",
         "pos",
-        (F.col("h") * _WIN_ENC + (_WIN_ENC - 1 - F.col("pos"))).alias("e"),
+        _winnow_enc().alias("e"),
         F.count(F.lit(1)).over(wd).alias("n_grams"),
     )
     wf = wd.orderBy("pos").rowsBetween(0, WINNOW_W - 1)
@@ -1858,6 +1901,15 @@ def winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pos") <= F.col("n_grams") - (WINNOW_W - 1))
         .select("doc_id", F.expr(f"enc_min DIV {_WIN_ENC}").alias("fp"))
         .distinct()
+    )
+    # Hot-fingerprint cap: window df count rides the fp-hash shuffle the
+    # self-join needs anyway; > CAP fingerprints never reach the join.
+    fps = (
+        fps.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+        )
+        .filter(F.col("df") <= WINNOW_FP_DF_CAP)
+        .select("doc_id", "fp")
         .localCheckpoint(eager=False)  # feeds both sides of the pair join
     )
     a, b = fps.alias("a"), fps.alias("b")

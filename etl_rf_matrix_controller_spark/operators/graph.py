@@ -1561,19 +1561,23 @@ def harmonic_centrality_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 K_TRUSS = 5  # every surviving edge sits in >= K_TRUSS - 2 = 3 triangles
 
-_UND_ABOVE_MEAN_SQL = f"""
-      SELECT a, b FROM (
-        SELECT least(u, v) AS a, greatest(u, v) AS b,
-               CAST(sum(w) AS BIGINT) AS wu
-        FROM edges WHERE u <> v GROUP BY 1, 2
-      ) e
+# DuckDB-oracle trap: DuckDB INLINES multiply-referenced CTEs, so any CTE
+# chain that touches the lineitem-scale edge join >= 2 levels deep
+# re-evaluates it exponentially many times (observed: >80 GB spill at
+# sf0.1).  Every CTE below is therefore AS MATERIALIZED, and the grouped
+# undirected-edge subquery is hoisted into ONE materialized `undw` leg
+# instead of being inlined twice.
+_UNDW_SQL = """
+      SELECT least(u, v) AS a, greatest(u, v) AS b,
+             CAST(sum(w) AS BIGINT) AS wu
+      FROM edges WHERE u <> v GROUP BY 1, 2
+"""
+
+_UND_ABOVE_MEAN_SQL = """
+      SELECT e.a, e.b FROM undw e
       CROSS JOIN (
         SELECT CAST(count(*) AS BIGINT) AS m, CAST(sum(wu) AS BIGINT) AS tot
-        FROM (
-          SELECT least(u, v) AS a, greatest(u, v) AS b,
-                 CAST(sum(w) AS BIGINT) AS wu
-          FROM edges WHERE u <> v GROUP BY 1, 2
-        )
+        FROM undw
       ) s
       WHERE e.wu * s.m >= s.tot
 """
@@ -1597,17 +1601,18 @@ _TRI_SQL = """
 @declared(
     "ktruss_peel_two_step",
     oracle=f"""
-    WITH edges AS ({_EDGES_SQL}),
-    und0 AS ({_UND_ABOVE_MEAN_SQL}),
-    tri1 AS ({_TRI_SQL.format(und='und0')}),
-    sup1 AS ({_TRUSS_SUP_SQL.format(tri='tri1')}),
-    und1 AS (
+    WITH edges AS MATERIALIZED ({_EDGES_SQL}),
+    undw AS MATERIALIZED ({_UNDW_SQL}),
+    und0 AS MATERIALIZED ({_UND_ABOVE_MEAN_SQL}),
+    tri1 AS MATERIALIZED ({_TRI_SQL.format(und='und0')}),
+    sup1 AS MATERIALIZED ({_TRUSS_SUP_SQL.format(tri='tri1')}),
+    und1 AS MATERIALIZED (
       SELECT u.a, u.b FROM und0 u JOIN sup1 s ON s.a = u.a AND s.b = u.b
       WHERE s.sup >= {K_TRUSS - 2}
     ),
-    tri2 AS ({_TRI_SQL.format(und='und1')}),
-    sup2 AS ({_TRUSS_SUP_SQL.format(tri='tri2')}),
-    und2 AS (
+    tri2 AS MATERIALIZED ({_TRI_SQL.format(und='und1')}),
+    sup2 AS MATERIALIZED ({_TRUSS_SUP_SQL.format(tri='tri2')}),
+    und2 AS MATERIALIZED (
       SELECT u.a, u.b, s.sup FROM und1 u
       JOIN sup2 s ON s.a = u.a AND s.b = u.b
       WHERE s.sup >= {K_TRUSS - 2}

@@ -457,7 +457,8 @@ def interval_join_full(errors: DataFrame, clicks: DataFrame) -> DataFrame:
     "stream_hdr_value_quantiles",
     oracle="""
     WITH vals AS (
-      SELECT CAST(round(value * 100) AS BIGINT) AS v FROM events
+      SELECT greatest(CAST(round(value * 100) AS BIGINT), 1) AS v
+      FROM events
     ),
     hist AS (
       SELECT (length(bin(v)) - 1) * 16
@@ -507,8 +508,15 @@ def stream_hdr_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         hdr_bucket_expr,
     )
 
+    # hdr_bucket_expr is defined for POSITIVE v only (bin() of a negative
+    # bigint differs cross-engine: Spark two's-complement vs DuckDB
+    # sign-prefixed); clamp to >= 1 identically on both sides so the
+    # precondition holds by construction.
     ev = _events_stream(spark, sf_dir).select(
-        F.round(F.col("value") * 100).cast("bigint").alias("v")
+        F.greatest(
+            F.round(F.col("value") * 100).cast("bigint"),
+            F.lit(1).cast("bigint"),
+        ).alias("v")
     )
     hist = ev.select(F.expr(hdr_bucket_expr("v")).alias("bucket")).groupBy(
         "bucket"

@@ -16,7 +16,9 @@ it is one command instead of a heredoc.
 
 from __future__ import annotations
 
+import os
 import sys
+import threading
 import traceback
 
 sys.path.insert(0, ".")
@@ -56,6 +58,18 @@ def main() -> int:
         names = sorted(subset)
 
     con = duckdb.connect()
+    # Pathological-oracle guard rails (a runaway oracle once spilled
+    # >80 GB of DuckDB temp into the repo tree): spill OUTSIDE the repo,
+    # cap memory so DuckDB spills instead of OOMing the host, and
+    # interrupt any oracle that exceeds a wall-clock budget so the gate
+    # fails fast instead of filling the disk.
+    tmp = os.environ.get("GATE_DUCKDB_TMP", "/tmp/duckdb_gate_tmp")
+    os.makedirs(tmp, exist_ok=True)
+    con.execute(f"SET temp_directory = '{tmp}'")
+    con.execute(
+        f"SET memory_limit = '{os.environ.get('GATE_DUCKDB_MEM', '24GB')}'"
+    )
+    budget = float(os.environ.get("GATE_ORACLE_BUDGET_SEC", "300"))
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
@@ -67,7 +81,12 @@ def main() -> int:
         try:
             sdf = qs[name](spark, sf_dir)
             if name in osql:
-                assert_oracle_match(sdf, con, osql[name], name=name)
+                watchdog = threading.Timer(budget, con.interrupt)
+                watchdog.start()
+                try:
+                    assert_oracle_match(sdf, con, osql[name], name=name)
+                finally:
+                    watchdog.cancel()
                 print(name, "MATCH", flush=True)
             else:
                 n = sdf.count()
