@@ -274,6 +274,134 @@ def topk_event_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic HLL shape: m=64 registers over a 48-bit md5-derived hash
+# (6 bucket bits + 42 rank bits).  Register scale 2^43 keeps the harmonic
+# sum Z = sum(2^(43-M_j)) an exact bigint (max 64 * 2^43 = 2^49); the
+# numerator m^2 * 2^43 = 2^55 also fits.  alpha_64 = 0.7213/(1+1.079/64)
+# as the fixed ppm literal 709366 on both engines.
+HLL_M, HLL_RANK_W = 64, 42
+HLL_ALPHA_PPM = 709366
+
+
+def _hll_rank_sql(rest: str) -> str:
+    """Leading-zero rank of a {HLL_RANK_W}-bit value: position of the
+    leftmost 1-bit counting from 1, = W+1 when the field is all zeros.
+    Identical SQL on both engines (bin() of a POSITIVE bigint is the
+    minimal-length binary string on both -- same contract hdr_bucket_expr
+    relies on)."""
+    return (
+        f"CASE WHEN {rest} = 0 THEN {HLL_RANK_W + 1} "
+        f"ELSE {HLL_RANK_W + 1} - length(bin({rest})) END"
+    )
+
+
+@declared(
+    "hll_custom_distinct_daily",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT
+               AS h
+      FROM events
+    ),
+    regs AS (
+      SELECT day, h % {HLL_M} AS bucket,
+             CAST(max({_hll_rank_sql(f'(h // {HLL_M})')}) AS BIGINT) AS mx
+      FROM hashed GROUP BY 1, 2
+    ),
+    zsum AS (
+      SELECT day,
+             CAST(sum(CAST(1 AS BIGINT) << ({HLL_RANK_W + 1} - mx))
+                  AS BIGINT)
+             + ({HLL_M} - count(*))
+               * (CAST(1 AS BIGINT) << {HLL_RANK_W + 1}) AS z,
+             CAST(count(*) AS BIGINT) AS used
+      FROM regs GROUP BY day
+    ),
+    exact AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS exact_dau
+      FROM events GROUP BY 1
+    )
+    SELECT z.day, z.used AS n_buckets_used,
+           CAST(floor({HLL_ALPHA_PPM}e0
+                 * ((CAST(1 AS BIGINT) << {12 + HLL_RANK_W + 1}) // z.z)
+                 / 1000000e0) AS BIGINT) AS est_dau,
+           e.exact_dau
+    FROM zsum z JOIN exact e ON e.day = z.day
+    """,
+)
+def hll_custom_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog built from first principles (Flajolet et al. 2007) so
+    the estimator is DETERMINISTIC and oracle-checked -- the missing
+    oracle of approx_distinct_users_daily (rows-only because Spark's
+    engine-internal HLL bytes differ from DuckDB's): per day, hash every
+    user to 48 portable md5 bits, split 6 bucket bits + 42 rank bits,
+    keep max leading-zero rank per bucket, and read the estimate off the
+    integer-scaled harmonic sum Z = sum(2^(43 - M_j)) (empty buckets
+    contribute 2^43 = 2^0 at unit scale).  est = alpha_64 * m^2 * 2^43
+    DIV Z, final alpha multiply in doubles under floor (exact while
+    est < 2^33 -- 8 billion DAU; products of integers < 2^53 are
+    IEEE-exact, both engines compute the identical double).
+
+    Mergeability -- THE 100 TB property -- is per-bucket integer MAX:
+    shard sketches combine by max(M_j), associative and idempotent, so
+    1000 executors reduce 64-row states in a tree and a month rollup
+    merges 30 daily sketches without rescanning (pinned bit-equal to
+    the direct build by tests/test_round6_ops.py).  Register state is
+    64 rows per group at ~1.04/sqrt(64) = 13% relative error;
+    production widens m, the plan shape is unchanged.  The exact DAU
+    rides along as the self-audit column (observed per-day error at
+    sf0.01: 3-16%, inside the m=64 envelope).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hashed = ev.select(
+        F.date_trunc("day", "ts").alias("day"),
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10
+        )
+        .cast("bigint")
+        .alias("h"),
+    ).distinct().localCheckpoint(eager=True)  # register build + exact audit
+    regs = (
+        hashed.select(
+            "day",
+            (F.col("h") % HLL_M).alias("bucket"),
+            F.expr(_hll_rank_sql(f"(h DIV {HLL_M})")).alias("rank"),
+        )
+        .groupBy("day", "bucket")
+        .agg(F.max("rank").cast("bigint").alias("mx"))
+    )
+    zsum = regs.groupBy("day").agg(
+        (
+            F.sum(F.expr(f"CAST(1 AS BIGINT) << ({HLL_RANK_W + 1} - mx)"))
+            .cast("bigint")
+            + (HLL_M - F.count(F.lit(1)))
+            * F.expr(f"CAST(1 AS BIGINT) << {HLL_RANK_W + 1}")
+        ).alias("z"),
+        F.count(F.lit(1)).cast("bigint").alias("used"),
+    )
+    # True user-level exact (not hash-level: a 48-bit collision would
+    # silently undercount the hashed frame) -- second fact scan, within
+    # the suite's <=2 scan ceiling.
+    exact = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count_distinct("user_id").cast("bigint").alias("exact_dau")
+    )
+    return (
+        zsum.join(exact, "day")
+        .select(
+            "day",
+            F.col("used").alias("n_buckets_used"),
+            F.expr(
+                f"CAST(floor({HLL_ALPHA_PPM}e0 * "
+                f"((CAST(1 AS BIGINT) << {12 + HLL_RANK_W + 1}) DIV z) "
+                f"/ 1000000e0) AS BIGINT)"
+            ).alias("est_dau"),
+            "exact_dau",
+        )
+    )
+
+
 # Count-min sketch shape: 4 hash rows x 2048 cells, md5-derived hashes --
 # fully deterministic, so unlike HLL this sketch gets an exact oracle.
 CMS_ROWS, CMS_CELLS = 4, 2048
@@ -883,6 +1011,130 @@ def kmv_intersection_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "CAST((n_common * 4294967296) DIV theta AS BIGINT)"
             ).alias("est_intersection"),
             "exact_intersection",
+        )
+    )
+
+
+@declared(
+    "kmv_difference_estimate",
+    oracle="""
+    WITH hashed AS (
+      SELECT DISTINCT event_type AS tag,
+             ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+               AS h
+      FROM events WHERE event_type IN ('purchase', 'error')
+    ),
+    sketch AS (
+      SELECT tag, h
+      FROM (
+        SELECT tag, h,
+               row_number() OVER (PARTITION BY tag ORDER BY h) AS rn
+        FROM hashed
+      ) WHERE rn <= 8
+    ),
+    theta AS (
+      SELECT CAST(min(mx) AS BIGINT) AS theta
+      FROM (SELECT tag, max(h) AS mx FROM sketch GROUP BY tag) t
+    ),
+    only_a AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_only
+      FROM sketch a CROSS JOIN theta th
+      WHERE a.tag = 'purchase' AND a.h < th.theta
+        AND NOT EXISTS (
+          SELECT 1 FROM sketch b WHERE b.tag = 'error' AND b.h = a.h
+        )
+    ),
+    exact AS (
+      SELECT CAST(count(*) AS BIGINT) AS exact_difference
+      FROM (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+           p
+      WHERE NOT EXISTS (
+        SELECT 1 FROM (SELECT DISTINCT user_id FROM events
+                       WHERE event_type = 'error') e
+        WHERE e.user_id = p.user_id)
+    )
+    SELECT CAST(8 AS BIGINT) AS k, th.theta, o.n_only,
+           CAST((o.n_only * 4294967296) // th.theta AS BIGINT)
+             AS est_difference,
+           x.exact_difference
+    FROM theta th CROSS JOIN only_a o CROSS JOIN exact x
+    """,
+)
+def kmv_difference_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set DIFFERENCE (A \\ B), completing the sketch set
+    algebra next to kmv_union_distinct / kmv_intersection_estimate:
+    how many users purchased but never errored, estimated from the two
+    k=8 sketches alone.  Below theta (the smaller of the two k-th
+    minima) both sketches retain EVERY hash they ever saw, so the
+    purchase-side retained hashes absent from the error sketch are an
+    unbiased theta/2^32-rate sample of the true difference: est =
+    n_only * 2^32 DIV theta (the DataSketches a-not-b operation).
+    Difference is the sketch op dedup pipelines run for "how many docs
+    are in crawl A but not crawl B" without touching raw keys.
+
+    Deterministic end-to-end (portable md5 hashes, integer ranks, one
+    floor division) and oracle-checked; exact difference rides along as
+    the self-audit column.  One events scan feeds the tagged distinct
+    (checkpointed); every frame past the sketch build is <= k rows, the
+    anti lookup is a broadcast against an 8-row side.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hashed = (
+        ev.filter(F.col("event_type").isin("purchase", "error"))
+        .select(
+            F.col("event_type").alias("tag"),
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                16,
+                10,
+            )
+            .cast("bigint")
+            .alias("h"),
+            "user_id",
+        )
+        .localCheckpoint(eager=True)  # sketch build + exact-audit consumers
+    )
+    sketch = (
+        hashed.select("tag", "h")
+        .distinct()
+        .withColumn(
+            "rn", F.row_number().over(Window.partitionBy("tag").orderBy("h"))
+        )
+        .filter(F.col("rn") <= 8)
+        .select("tag", "h")
+        .localCheckpoint(eager=True)  # theta + both difference legs
+    )
+    theta = (
+        sketch.groupBy("tag")
+        .agg(F.max("h").alias("mx"))
+        .agg(F.min("mx").cast("bigint").alias("theta"))
+    )
+    a = sketch.filter(F.col("tag") == "purchase").select(F.col("h").alias("ha"))
+    b = sketch.filter(F.col("tag") == "error").select(F.col("h").alias("hb"))
+    only_a = (
+        a.join(F.broadcast(b), F.col("ha") == F.col("hb"), "left_anti")
+        .crossJoin(F.broadcast(theta))
+        .filter(F.col("ha") < F.col("theta"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_only"))
+    )
+    pu = hashed.filter(F.col("tag") == "purchase").select("user_id").distinct()
+    er = hashed.filter(F.col("tag") == "error").select("user_id").distinct()
+    exact = (
+        pu.join(er.hint("shuffle_hash"), "user_id", "left_anti")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_difference"))
+    )
+    return (
+        F.broadcast(theta)
+        .crossJoin(F.broadcast(only_a))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            F.lit(8).cast("bigint").alias("k"),
+            "theta",
+            "n_only",
+            F.expr(
+                "CAST((n_only * 4294967296) DIV theta AS BIGINT)"
+            ).alias("est_difference"),
+            "exact_difference",
         )
     )
 

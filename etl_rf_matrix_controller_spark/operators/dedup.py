@@ -1028,8 +1028,21 @@ def substring_span_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def substring_span_pairs_df(docs: DataFrame, k: int = SPAN_K) -> DataFrame:
     """Core of substring_span_dups over an arbitrary (doc_id, text) frame
-    (exposed for the overlapping-span edge tests)."""
-    spark_para = docs.sparkSession.sparkContext.defaultParallelism
+    (exposed for the overlapping-span edge tests).
+
+    The pre-fan-out repartition is sized from spark.sql.shuffle.partitions,
+    not defaultParallelism: the ~650x gram explode lands in these
+    partitions and is then checkpointed, so a fixed core-count width
+    puts (total_grams / n_cores) rows in every block -- at the x100
+    stress decade that was 10M grams/partition and the probe fell off
+    the memory cliff (spill-bound, 4x throughput drop).  Sizing by the
+    shuffle conf keeps the post-explode block volume matched to what
+    the operator's own joins are already sized for.
+    """
+    spark_para = max(
+        docs.sparkSession.sparkContext.defaultParallelism,
+        int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+    )
     t = F.trim("text")
     grams = F.when(
         F.length(t) >= k,
@@ -1759,6 +1772,16 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("h"),
         )
     )
+    return _winnow_census(winnow_select_fps_df(pg))
+
+
+def winnow_select_fps_df(pg: DataFrame) -> DataFrame:
+    """Winnowing selection over an arbitrary positional hash stream
+    (doc_id, pos, h) with contiguous pos 1..n: encoded rightmost-min
+    over a WINNOW_W-wide row frame, decoded to distinct
+    (doc_id, fp, fp_pos).  Shared by the char and token units
+    (winnowing_fingerprints / token_winnow_fingerprints) -- the
+    machinery-sharing is pinned by tests/test_round6_ops.py."""
     wd = Window.partitionBy("doc_id")
     enc = pg.select(
         "doc_id",
@@ -1773,11 +1796,15 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pos",
         "n_grams",
     ).filter(F.col("pos") <= F.col("n_grams") - (WINNOW_W - 1))
-    fps = sel.select(
+    return sel.select(
         "doc_id",
         F.expr(f"enc_min DIV {_WIN_ENC}").alias("fp"),
         (F.lit(_WIN_ENC - 1) - F.col("enc_min") % _WIN_ENC).alias("fp_pos"),
     ).distinct()
+
+
+def _winnow_census(fps: DataFrame) -> DataFrame:
+    """Per-doc fingerprint census (count / distinct / position span)."""
     return fps.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_fps"),
         F.countDistinct("fp").cast("bigint").alias("n_distinct_fps"),
@@ -1928,6 +1955,125 @@ def winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TOK_WINNOW_K = 5  # token-gram width for token-space winnowing
+_TOKW_LEADS = ", ".join(
+    f"lead(tok, {j}) OVER w" for j in range(1, TOK_WINNOW_K)
+)
+
+
+@declared(
+    "token_winnow_fingerprints",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    tok AS (
+      SELECT doc_id,
+             unnest(generate_series(
+               1, len(regexp_split_to_array(trim(text), '\\s+')))) AS pos,
+             unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+      FROM corpus
+    ),
+    grams AS (
+      SELECT doc_id, pos,
+             concat_ws(' ', tok, {_TOKW_LEADS}) AS gram,
+             lead(tok, {TOK_WINNOW_K - 1}) OVER w AS t_last
+      FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    pg AS (
+      SELECT doc_id, pos,
+             ('0x' || substring(md5(gram), 1, 8))::BIGINT AS h
+      FROM grams WHERE t_last IS NOT NULL
+    ),
+    enc AS (
+      SELECT doc_id, pos,
+             h * {_WIN_ENC} + ({_WIN_ENC - 1} - pos) AS e,
+             count(*) OVER (PARTITION BY doc_id) AS n_grams
+      FROM pg
+    ),
+    sel AS (
+      SELECT doc_id,
+             min(e) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW
+                          AND {WINNOW_W - 1} FOLLOWING) AS enc_min,
+             pos, n_grams
+      FROM enc
+    ),
+    fps AS (
+      SELECT DISTINCT doc_id,
+             enc_min // {_WIN_ENC} AS fp,
+             {_WIN_ENC - 1} - (enc_min % {_WIN_ENC}) AS fp_pos
+      FROM sel
+      WHERE pos <= n_grams - {WINNOW_W - 1}
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_fps,
+           CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct_fps,
+           CAST(min(fp_pos) AS BIGINT) AS first_pos,
+           CAST(max(fp_pos) AS BIGINT) AS last_pos
+    FROM fps GROUP BY doc_id
+    """,
+)
+def token_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-space winnowing -- the production unit of MOSS-style
+    fingerprinting for LLM corpus dedup (Lee et al. 2022 operate on
+    tokenizer ids, not characters): hash every TOK_WINNOW_K-token
+    gram, slide the WINNOW_W window over the per-doc hash stream,
+    keep each window's encoded rightmost minimum.  Guarantee in token
+    units: any shared verbatim run of >= k + w - 1 = {TOK_WINNOW_K}
+    + {WINNOW_W} - 1 = 8 tokens shares a selected fingerprint -- the
+    same threshold token_span_dups detects exactly, so the sampled
+    detector and the exact detector certify each other at the span
+    boundary.  Positions are TOKEN positions.
+
+    Composition, not duplication: the token-gram stream is the one
+    window-of-leads build token_span_pairs_df uses (one doc_id shuffle,
+    no array slicing), and the selection is the identical
+    winnow_select_fps_df machinery behind winnowing_fingerprints --
+    only the gram unit differs (shared-machinery pinned by
+    tests/test_round6_ops.py).  Scale: token fan-out is ~8x smaller
+    than char fan-out per doc; selection is a frame window inside the
+    per-doc partition; output is the ~2/(w+1) sample.  At 100 TB,
+    substitute real tokenizer ids for whitespace tokens and join
+    downstream on the fingerprint exactly as winnow_overlap_pairs.
+    """
+    return _winnow_census(token_winnow_fps_df(dup_corpus(spark, sf_dir)))
+
+
+def token_winnow_fps_df(docs: DataFrame, k: int = TOK_WINNOW_K) -> DataFrame:
+    """Core of token_winnow_fingerprints over an arbitrary
+    (doc_id, text) frame: token-gram hash stream (the
+    token_span_pairs_df window-of-leads build) -> winnow_select_fps_df
+    selection.  Returns distinct (doc_id, fp, fp_pos) in token space
+    (exposed for the span-boundary guarantee test)."""
+    spark_para = docs.sparkSession.sparkContext.defaultParallelism
+    tok = (
+        docs.repartition(spark_para)  # rebalance BEFORE the token fan-out
+        .select(
+            "doc_id",
+            F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos0", "tok"),
+        )
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, k)]
+    pg = (
+        tok.select(
+            "doc_id",
+            "pos",
+            F.concat_ws(" ", *leads).alias("gram"),
+            F.lead("tok", k - 1).over(w).alias("t_last"),
+        )
+        .filter(F.col("t_last").isNotNull())
+        .select(
+            "doc_id",
+            "pos",
+            F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10)
+            .cast("bigint")
+            .alias("h"),
+        )
+    )
+    return winnow_select_fps_df(pg)
+
+
 SNM_WINDOW = 2  # neighbors compared per sorted position
 SNM_PREFIX = 24  # normalized-prefix length that makes a candidate pair
 
@@ -2015,4 +2161,129 @@ def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least("ia", "ib").alias("doc_a"),
         F.greatest("ia", "ib").alias("doc_b"),
         (F.col("norm") == F.col("nb")).alias("is_exact"),
+    )
+
+
+def _snm_pass_sql(key: str, tag: str) -> str:
+    """One sorted-neighborhood pass over `keyed` (doc_id, lang, norm)
+    with sort key expression ``key``: window-bounded neighbor compares,
+    {SNM_PREFIX}-char key-prefix agreement makes a candidate pair."""
+    return f"""
+      SELECT '{tag}' AS pass, least(ia, ib) AS doc_a,
+             greatest(ia, ib) AS doc_b, (ka = kb) AS is_exact
+      FROM (
+        SELECT doc_id AS ia, n1_id AS ib, k AS ka, n1 AS kb FROM (
+          SELECT doc_id, k,
+                 lead(doc_id, 1) OVER w AS n1_id, lead(k, 1) OVER w AS n1,
+                 lead(doc_id, 2) OVER w AS n2_id, lead(k, 2) OVER w AS n2
+          FROM (SELECT doc_id, lang, {key} AS k FROM keyed)
+          WINDOW w AS (PARTITION BY lang, substring(k, 1, 2)
+                       ORDER BY k, doc_id)
+        ) WHERE n1_id IS NOT NULL
+        UNION ALL
+        SELECT doc_id AS ia, n2_id AS ib, k AS ka, n2 AS kb FROM (
+          SELECT doc_id, k,
+                 lead(doc_id, 1) OVER w AS n1_id, lead(k, 1) OVER w AS n1,
+                 lead(doc_id, 2) OVER w AS n2_id, lead(k, 2) OVER w AS n2
+          FROM (SELECT doc_id, lang, {key} AS k FROM keyed)
+          WINDOW w AS (PARTITION BY lang, substring(k, 1, 2)
+                       ORDER BY k, doc_id)
+        ) WHERE n2_id IS NOT NULL
+      )
+      WHERE substring(ka, 1, {SNM_PREFIX}) = substring(kb, 1, {SNM_PREFIX})
+"""
+
+
+@declared(
+    "sorted_neighborhood_multipass",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    keyed AS MATERIALIZED (
+      SELECT doc_id, lang, lower(trim(text)) AS norm FROM corpus
+    ),
+    p1 AS ({_snm_pass_sql('norm', 'fwd')}),
+    p2 AS ({_snm_pass_sql('reverse(norm)', 'rev')})
+    SELECT doc_a, doc_b,
+           CAST(count(DISTINCT pass) AS BIGINT) AS n_passes,
+           bool_or(is_exact) AS is_exact
+    FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+    GROUP BY doc_a, doc_b
+    """,
+)
+def sorted_neighborhood_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-pass sorted-neighborhood dedup -- the rotated-key passes the
+    original method (Hernandez & Stolfo 1995) prescribes and
+    sorted_neighborhood_pairs only documents: pass 1 sorts on the
+    normalized text (catches prefix-agreeing near-dups), pass 2 sorts
+    on the REVERSED key (suffix agreement -- the prefix-divergent dups
+    pass 1 is structurally blind to), and a pair's evidence is the
+    number of passes that surfaced it.  Verbatim copies surface in
+    every pass; a pair found by both is as strong as SNM evidence gets.
+
+    Each pass is the identical zero-fan-out shape: one partitioned sort
+    per (lang, 2-char block of that pass's key), SNM_WINDOW lead
+    compares, {SNM_PREFIX}-char key-prefix filter.  The passes are
+    independent shuffles over the same corpus frame (checkpointed once,
+    scanned per pass -- P sorts for P passes, never a pair join), and
+    the final merge groups the tiny candidate stream.  reverse() is
+    portable here because the corpus is ASCII; a unicode corpus would
+    rotate on a codepoint-safe key instead (DuckDB reverses grapheme
+    clusters, Spark reverses code units).  At 100 TB: range-partition
+    each pass on its own key with SNM_WINDOW-row boundary overlap, same
+    semantics, no block-key skew.
+    """
+    return snm_multipass_pairs_df(dup_corpus(spark, sf_dir))
+
+
+def snm_multipass_pairs_df(docs: DataFrame) -> DataFrame:
+    """Core of sorted_neighborhood_multipass over an arbitrary
+    (doc_id, lang, text) frame (exposed for the planted
+    prefix-divergent-pair edge test in tests/test_round6_ops.py)."""
+    norm = F.lower(F.trim("text"))
+    keyed = docs.select(
+        "doc_id", "lang", norm.alias("norm")
+    ).localCheckpoint(eager=False)  # one synthesis, P pass scans
+
+    def one_pass(key: F.Column, tag: str) -> DataFrame:
+        kd = keyed.select("doc_id", "lang", key.alias("k"))
+        w = Window.partitionBy("lang", F.substring("k", 1, 2)).orderBy(
+            "k", "doc_id"
+        )
+        nbrs = kd.select(
+            "doc_id",
+            "k",
+            F.lead("doc_id", 1).over(w).alias("n1_id"),
+            F.lead("k", 1).over(w).alias("n1"),
+            F.lead("doc_id", 2).over(w).alias("n2_id"),
+            F.lead("k", 2).over(w).alias("n2"),
+        )
+        cand = nbrs.filter(F.col("n1_id").isNotNull()).select(
+            F.col("doc_id").alias("ia"),
+            F.col("n1_id").alias("ib"),
+            F.col("k").alias("ka"),
+            F.col("n1").alias("kb"),
+        ).unionByName(
+            nbrs.filter(F.col("n2_id").isNotNull()).select(
+                F.col("doc_id").alias("ia"),
+                F.col("n2_id").alias("ib"),
+                F.col("k").alias("ka"),
+                F.col("n2").alias("kb"),
+            )
+        )
+        return cand.filter(
+            F.substring("ka", 1, SNM_PREFIX)
+            == F.substring("kb", 1, SNM_PREFIX)
+        ).select(
+            F.lit(tag).alias("pass"),
+            F.least("ia", "ib").alias("doc_a"),
+            F.greatest("ia", "ib").alias("doc_b"),
+            (F.col("ka") == F.col("kb")).alias("is_exact"),
+        )
+
+    both = one_pass(F.col("norm"), "fwd").unionByName(
+        one_pass(F.reverse(F.col("norm")), "rev")
+    )
+    return both.groupBy("doc_a", "doc_b").agg(
+        F.count_distinct("pass").cast("bigint").alias("n_passes"),
+        F.expr("bool_or(is_exact)").alias("is_exact"),
     )

@@ -68,6 +68,28 @@ def test_plans_md_rows_match_registry() -> None:
     )
 
 
+def test_benchnotes_header_is_current_round() -> None:
+    """BENCHNOTES.md was the one artifact class round 5 let go stale (its
+    header still said "round 4" at round close).  The current round is
+    always 1 + the newest driver-recorded BENCH_r{N}.json (the driver
+    commits BENCH_r{N} after round N's snapshot, so during round N+1's
+    session the newest bench file is r{N})."""
+    rounds = [
+        int(m.group(1))
+        for p in REPO.glob("BENCH_r*.json")
+        if (m := re.match(r"BENCH_r(\d+)\.json", p.name))
+    ]
+    assert rounds, "no BENCH_r*.json driver artifacts found"
+    current = max(rounds) + 1
+    header = (REPO / "BENCHNOTES.md").read_text().splitlines()[0]
+    m = re.search(r"round (\d+)", header)
+    assert m, f"BENCHNOTES.md header has no round marker: {header!r}"
+    assert int(m.group(1)) == current, (
+        f"BENCHNOTES.md header says round {m.group(1)} but this is round "
+        f"{current} — add the round-{current} section and bump the header"
+    )
+
+
 def test_survey_status_counts_match_registry() -> None:
     text = (REPO / "SURVEY.md").read_text()
     m = re.search(r"\((\d+) queries registered,\n(\d+) with DuckDB oracles", text)

