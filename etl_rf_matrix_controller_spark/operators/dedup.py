@@ -1961,10 +1961,13 @@ _TOKW_LEADS = ", ".join(
 )
 
 
-@declared(
-    "token_winnow_fingerprints",
-    oracle=f"""
-    WITH corpus AS ({_CORPUS_SQL}),
+# Token-space winnowing selection as a reusable oracle CTE chain
+# (corpus -> token stream -> k-token grams -> encoded rightmost-min
+# selection -> distinct fps).  MATERIALIZED on the selection leg: the
+# pair query below references it through two join legs, and DuckDB
+# re-inlines (and re-evaluates) multiply-referenced fact-scale CTE
+# chains otherwise (the ktruss trap pinned in CLAUDE.md).
+_TOK_FPS_SQL = f"""
     tok AS (
       SELECT doc_id,
              unnest(generate_series(
@@ -1997,13 +2000,21 @@ _TOKW_LEADS = ", ".join(
              pos, n_grams
       FROM enc
     ),
-    fps AS (
+    fps AS MATERIALIZED (
       SELECT DISTINCT doc_id,
              enc_min // {_WIN_ENC} AS fp,
              {_WIN_ENC - 1} - (enc_min % {_WIN_ENC}) AS fp_pos
       FROM sel
       WHERE pos <= n_grams - {WINNOW_W - 1}
     )
+"""
+
+
+@declared(
+    "token_winnow_fingerprints",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    {_TOK_FPS_SQL}
     SELECT doc_id,
            CAST(count(*) AS BIGINT) AS n_fps,
            CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct_fps,
@@ -2072,6 +2083,75 @@ def token_winnow_fps_df(docs: DataFrame, k: int = TOK_WINNOW_K) -> DataFrame:
         )
     )
     return winnow_select_fps_df(pg)
+
+
+@declared(
+    "token_winnow_overlap_pairs",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    {_TOK_FPS_SQL},
+    fpd AS MATERIALIZED (
+      SELECT doc_id, fp,
+             count(*) OVER (PARTITION BY fp) AS df
+      FROM (SELECT DISTINCT doc_id, fp FROM fps)
+    ),
+    rare AS MATERIALIZED (
+      SELECT doc_id, fp FROM fpd WHERE df <= {WINNOW_FP_DF_CAP}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS shared_fps
+    FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= {WINNOW_PAIR_MIN}
+    """,
+)
+def token_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS overlap detection in TOKEN space -- the detector stage over
+    token_winnow_fingerprints, closing the token unit's fingerprint ->
+    pairs pipeline exactly as winnow_overlap_pairs closes the char
+    unit's: document pairs sharing >= {WINNOW_PAIR_MIN} selected token
+    fingerprints, each a guaranteed-distinct shared run of >= k + w - 1
+    = 8 tokens.  This is the shape production near-dup sweeps run on
+    tokenizer ids (Lee et al. 2022): the pair join consumes the
+    ~2/(w+1) winnowed sample, never the raw gram stream.
+
+    Scale discipline carried over verbatim from the char detector
+    (dedup.py winnow_overlap_pairs -- the round-5 weak item): the
+    fingerprint frame is df-capped at {WINNOW_FP_DF_CAP} docs BEFORE
+    the self-join (one window count riding the fp shuffle the join
+    needs anyway), bounding any fingerprint's pair fan-out at CAP^2
+    regardless of corpus size; checkpointed once to feed both join
+    sides, shuffle-hash pinned (no SMJ on the stat-less frame).  The
+    oracle materializes the selection chain and both postings legs so
+    DuckDB cannot re-inline the corpus-scale subquery per leg.
+    """
+    fps = (
+        token_winnow_fps_df(dup_corpus(spark, sf_dir))
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    fps = (
+        fps.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+        )
+        .filter(F.col("df") <= WINNOW_FP_DF_CAP)
+        .select("doc_id", "fp")
+        .localCheckpoint(eager=False)  # feeds both sides of the pair join
+    )
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(
+            b.hint("shuffle_hash"),
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= WINNOW_PAIR_MIN)
+    )
 
 
 SNM_WINDOW = 2  # neighbors compared per sorted position

@@ -561,3 +561,93 @@ def stream_hdr_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("est_c"),
         )
     )
+
+
+@declared(
+    "stream_hll_distinct_daily",
+    oracle="""
+    WITH hashed AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT
+               AS h
+      FROM events
+    ),
+    regs AS (
+      SELECT day, h % 64 AS bucket,
+             CAST(max(CASE WHEN (h // 64) = 0 THEN 43
+                      ELSE 43 - length(bin((h // 64))) END)
+                  AS BIGINT) AS mx
+      FROM hashed GROUP BY 1, 2
+    )
+    SELECT day,
+           CAST(count(*) AS BIGINT) AS n_buckets_used,
+           CAST(floor(709366e0
+                 * ((CAST(1 AS BIGINT) << 55)
+                    // (CAST(sum(CAST(1 AS BIGINT) << (43 - mx))
+                             AS BIGINT)
+                        + (64 - count(*))
+                          * (CAST(1 AS BIGINT) << 43)))
+                 / 1000000e0) AS BIGINT) AS est_dau
+    FROM regs GROUP BY day
+    """,
+)
+def stream_hll_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of hll_custom_distinct_daily: the per-(day, bucket)
+    HLL register state maintained BY Structured Streaming -- a streaming
+    groupBy(day, bucket).max(rank), legal in complete mode precisely
+    because per-bucket MAX is associative AND idempotent, so the stream
+    needs NO distinct-user state at all (a duplicate user re-inserts the
+    same rank and MAX absorbs it; the batch side's DISTINCT pre-pass is
+    an optimization, not a semantic requirement).  The estimator
+    read-off (integer-scaled harmonic sum, alpha in ppm under floor)
+    runs batch-side on the final <= 64-rows-per-day register table.
+
+    THE 100 TB streaming property: state is bounded at m = 64 rows per
+    day regardless of throughput -- an exact streaming count-distinct
+    would hold every user id in the state store (unbounded), which is
+    why production pipelines stream sketches and merge them (same
+    argument as stream_hdr_value_quantiles, with idempotent-MAX in
+    place of additive counts).  batch == stream by construction:
+    incremental MAX merge is the batch partial->final agg, so the
+    oracle is the batch spelling minus the exact-audit column (which
+    would need the unbounded state this sketch exists to avoid).
+    """
+    from etl_rf_matrix_controller_spark.operators.aggregates import (
+        HLL_ALPHA_PPM,
+        HLL_M,
+        HLL_RANK_W,
+        _hll_rank_sql,
+    )
+
+    ev = _events_stream(spark, sf_dir)
+    regs = (
+        ev.select(
+            F.date_trunc("day", "ts").alias("day"),
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 12),
+                16,
+                10,
+            )
+            .cast("bigint")
+            .alias("h"),
+        )
+        .select(
+            "day",
+            (F.col("h") % HLL_M).alias("bucket"),
+            F.expr(_hll_rank_sql(f"(h DIV 64)")).alias("rank"),
+        )
+        .groupBy("day", "bucket")
+        .agg(F.max("rank").cast("bigint").alias("mx"))
+    )
+    regsb = run_stream_to_memory(regs, "hll_regs_stream", spark)
+    return regsb.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets_used"),
+        F.expr(
+            f"CAST(floor({HLL_ALPHA_PPM}e0 * "
+            f"((CAST(1 AS BIGINT) << {12 + HLL_RANK_W + 1}) DIV "
+            f"(CAST(sum(CAST(1 AS BIGINT) << ({HLL_RANK_W + 1} - mx)) "
+            f"AS BIGINT) + (64 - count(*)) "
+            f"* (CAST(1 AS BIGINT) << {HLL_RANK_W + 1}))) "
+            f"/ 1000000e0) AS BIGINT)"
+        ).alias("est_dau"),
+    )

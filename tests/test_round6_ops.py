@@ -181,3 +181,55 @@ def test_kmv_difference_exact_on_small_domain(spark):
     assert 0 <= row.n_only <= row.k
     assert row.theta > 0
     assert row.est_difference == (row.n_only * 4294967296) // row.theta
+
+
+def test_stream_hll_matches_batch_registers(spark):
+    """The streaming HLL twin must read off the SAME estimate as the
+    batch build: stream groupBy(day,bucket).max(rank) state == the
+    batch register table, so (day, n_buckets_used, est_dau) agree
+    row-for-row -- the batch==stream discipline for idempotent-MAX
+    sketch state."""
+    from etl_rf_matrix_controller_spark.operators.aggregates import (
+        hll_custom_distinct_daily,
+    )
+    from etl_rf_matrix_controller_spark.streaming.windows import (
+        stream_hll_distinct_daily,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    batch = {
+        r.day: (r.n_buckets_used, r.est_dau)
+        for r in hll_custom_distinct_daily(spark, sf).collect()
+    }
+    stream = {
+        r.day: (r.n_buckets_used, r.est_dau)
+        for r in stream_hll_distinct_daily(spark, sf).collect()
+    }
+    assert stream == batch
+
+
+def test_token_winnow_pairs_df_cap_and_threshold(spark):
+    """Detector-stage semantics on a crafted corpus: two docs sharing a
+    long verbatim token run pair up (>= WINNOW_PAIR_MIN shared
+    fingerprints); unrelated docs never do."""
+    from etl_rf_matrix_controller_spark.operators.dedup import (
+        WINNOW_PAIR_MIN,
+        token_winnow_fps_df,
+    )
+
+    shared = " ".join(f"w{i}" for i in range(30))
+    rows = [
+        (1, f"a1 b1 c1 {shared} d1 e1", "en"),
+        (2, f"a2 b2 c2 {shared} d2 e2", "en"),
+        (3, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 x11 x12", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    fps = token_winnow_fps_df(docs).select("doc_id", "fp").distinct()
+    by_doc = {
+        r.doc_id: set(r.fps)
+        for r in fps.groupBy("doc_id")
+        .agg(F.collect_set("fp").alias("fps"))
+        .collect()
+    }
+    assert len(by_doc[1] & by_doc[2]) >= WINNOW_PAIR_MIN
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
