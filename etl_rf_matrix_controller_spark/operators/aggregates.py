@@ -402,6 +402,125 @@ def hll_custom_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@declared(
+    "hll_weekly_rollup",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT DISTINCT
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7
+               AS week_id,
+             ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT
+               AS h
+      FROM events
+    ),
+    regs AS (
+      SELECT week_id, h % {HLL_M} AS bucket,
+             CAST(max({_hll_rank_sql(f'(h // {HLL_M})')}) AS BIGINT) AS mx
+      FROM hashed GROUP BY 1, 2
+    ),
+    zsum AS (
+      SELECT week_id,
+             CAST(sum(CAST(1 AS BIGINT) << ({HLL_RANK_W + 1} - mx))
+                  AS BIGINT)
+             + ({HLL_M} - count(*))
+               * (CAST(1 AS BIGINT) << {HLL_RANK_W + 1}) AS z,
+             CAST(count(*) AS BIGINT) AS used
+      FROM regs GROUP BY week_id
+    ),
+    exact AS (
+      SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7
+               AS week_id,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS exact_wau
+      FROM events GROUP BY 1
+    )
+    SELECT CAST(z.week_id AS BIGINT) AS week_id, z.used AS n_buckets_used,
+           CAST(floor({HLL_ALPHA_PPM}e0
+                 * ((CAST(1 AS BIGINT) << {12 + HLL_RANK_W + 1}) // z.z)
+                 / 1000000e0) AS BIGINT) AS est_wau,
+           e.exact_wau
+    FROM zsum z JOIN exact e ON e.week_id = z.week_id
+    """,
+)
+def hll_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch ROLLUP as a declared query: weekly distinct users read off
+    DAILY HLL register states merged by per-bucket MAX -- the Spark side
+    deliberately builds the 30 daily sketches first and merges 7 at a
+    time, while the oracle builds each weekly sketch directly from the
+    raw stream; the cross-engine MATCH is therefore a per-row proof of
+    the merge identity (merge(daily sketches) == direct(weekly build))
+    on real data, promoting tests/test_round6_ops.py's shard-merge
+    pytest into the oracle gate itself.
+
+    This is THE production pattern at 100 TB: persist tiny per-partition
+    sketch states (64 rows per day here) and answer any coarser-grain
+    distinct question by bucket-wise MAX over the states -- never
+    rescanning the fact table per grain.  Week key is the portable
+    integer days-since-epoch DIV 7 (date_trunc('week')/dayofweek
+    conventions differ cross-engine; integer day arithmetic does not).
+    The exact WAU rides along as the self-audit column (one extra fact
+    scan, within the suite's ceiling).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    week = F.expr(
+        "CAST(datediff(to_date(ts), DATE '1970-01-01') AS BIGINT) DIV 7"
+    )
+    daily = (
+        ev.select(
+            F.date_trunc("day", "ts").alias("day"),
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 12),
+                16,
+                10,
+            )
+            .cast("bigint")
+            .alias("h"),
+        )
+        .distinct()
+        .select(
+            "day",
+            (F.col("h") % HLL_M).alias("bucket"),
+            F.expr(_hll_rank_sql(f"(h DIV {HLL_M})")).alias("rank"),
+        )
+        .groupBy("day", "bucket")
+        .agg(F.max("rank").cast("bigint").alias("mx"))
+    )
+    # THE merge: weekly registers from daily registers, bucket-wise MAX.
+    weekly = (
+        daily.select(
+            F.expr(
+                "CAST(datediff(to_date(day), DATE '1970-01-01') AS BIGINT)"
+                " DIV 7"
+            ).alias("week_id"),
+            "bucket",
+            "mx",
+        )
+        .groupBy("week_id", "bucket")
+        .agg(F.max("mx").alias("mx"))
+    )
+    zsum = weekly.groupBy("week_id").agg(
+        (
+            F.sum(F.expr(f"CAST(1 AS BIGINT) << ({HLL_RANK_W + 1} - mx)"))
+            .cast("bigint")
+            + (HLL_M - F.count(F.lit(1)))
+            * F.expr(f"CAST(1 AS BIGINT) << {HLL_RANK_W + 1}")
+        ).alias("z"),
+        F.count(F.lit(1)).cast("bigint").alias("used"),
+    )
+    exact = ev.groupBy(week.alias("week_id")).agg(
+        F.count_distinct("user_id").cast("bigint").alias("exact_wau")
+    )
+    return zsum.join(exact, "week_id").select(
+        F.col("week_id").cast("bigint").alias("week_id"),
+        F.col("used").alias("n_buckets_used"),
+        F.expr(
+            f"CAST(floor({HLL_ALPHA_PPM}e0 * "
+            f"((CAST(1 AS BIGINT) << {12 + HLL_RANK_W + 1}) DIV z) "
+            f"/ 1000000e0) AS BIGINT)"
+        ).alias("est_wau"),
+        "exact_wau",
+    )
+
+
 # Count-min sketch shape: 4 hash rows x 2048 cells, md5-derived hashes --
 # fully deterministic, so unlike HLL this sketch gets an exact oracle.
 CMS_ROWS, CMS_CELLS = 4, 2048

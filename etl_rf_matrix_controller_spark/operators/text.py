@@ -506,6 +506,159 @@ def bpe_merge_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_fold_sql(a: str, b: str, m: str, acc: str = "acc", x: str = "x") -> str:
+    """Greedy left-to-right BPE merge of pair (a, b) -> m as a string
+    fold over a '|'-delimited symbol accumulator -- the SAME expression
+    text works as a Spark ``aggregate`` lambda body and a DuckDB
+    ``list_reduce`` lambda body (both engines' CASE/left/length/concat
+    agree; symbols never contain '|').  The trailing symbol of ``acc``
+    equals ``a`` iff acc == a (single symbol) or acc ends with '|' || a
+    (symbols are '|'-free); replacing it appends m after stripping a.
+    Greedy non-overlap falls out: once merged, the trailing symbol is m,
+    which no longer equals a for the next element.  Suffix test spelled
+    with right() -- Spark names the predicate endswith, DuckDB
+    ends_with, but right(s, n) is identical on both."""
+    return (
+        f"CASE WHEN {x} = '{b}' AND ({acc} = '{a}' OR "
+        f"right({acc}, {len(a) + 1}) = '|{a}') "
+        f"THEN concat(left({acc}, length({acc}) - {len(a)}), '{m}') "
+        f"ELSE concat({acc}, '|', {x}) END"
+    )
+
+
+_BPE_WORDS_SQL = """
+      SELECT w, CAST(count(*) AS BIGINT) AS freq,
+             list_transform(generate_series(1, length(w)),
+                            i -> substring(w, i, 1)) AS syms
+      FROM (
+        SELECT t.w
+        FROM documents, unnest(string_split(trim(text), ' ')) AS t(w)
+        WHERE t.w <> ''
+      ) GROUP BY w
+"""
+
+_BPE_PAIRS_SQL = """
+      SELECT syms[i] AS a, syms[i + 1] AS b,
+             CAST(sum(freq) AS BIGINT) AS cnt
+      FROM {src}, unnest(generate_series(1, len(syms) - 1)) AS t(i)
+      GROUP BY 1, 2
+"""
+
+
+@declared(
+    "bpe_two_merge_train",
+    oracle=f"""
+    WITH words AS MATERIALIZED ({_BPE_WORDS_SQL}),
+    p1 AS ({_BPE_PAIRS_SQL.format(src="words")}),
+    top1 AS (
+      SELECT a, b, a || b AS m, cnt
+      FROM p1 ORDER BY cnt DESC, a, b LIMIT 1
+    ),
+    words2 AS MATERIALIZED (
+      SELECT freq,
+             string_split(list_reduce(w.syms, (acc, x) -> CASE
+               WHEN x = t.b AND (acc = t.a
+                                 OR right(acc, length(t.a) + 1) = '|' || t.a)
+               THEN left(acc, length(acc) - length(t.a)) || t.m
+               ELSE acc || '|' || x END), '|') AS syms
+      FROM words w CROSS JOIN top1 t
+    ),
+    p2 AS ({_BPE_PAIRS_SQL.format(src="words2")}),
+    top2 AS (
+      SELECT a, b, a || b AS m, cnt
+      FROM p2 ORDER BY cnt DESC, a, b LIMIT 1
+    )
+    SELECT CAST(1 AS BIGINT) AS step, a AS sym_a, b AS sym_b,
+           m AS merged, cnt AS pair_count
+    FROM top1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), a, b, m, cnt FROM top2
+    """,
+)
+def bpe_two_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO ITERATIONS of actual BPE tokenizer training (Sennrich et al.
+    2016), not just the candidate count bpe_merge_pair_counts stops at:
+    round 1 counts corpus-weighted adjacent symbol pairs over the
+    word-frequency table, merges the argmax pair (greedy left-to-right,
+    the reference algorithm's semantics) into every word's symbol
+    sequence, and round 2 recounts over the POST-MERGE sequences -- so
+    step 2's winner can itself contain step 1's merged symbol, which is
+    the property that makes BPE build multi-char vocab units.  Ties
+    break deterministically by (count DESC, pair lexicographic) on both
+    engines.
+
+    Scale: identical posture to bpe_merge_pair_counts -- every round is
+    O(vocab * word_len) over the DISTINCT-word table (corpus-size
+    independent after the one tokenize+count shuffle), exactly why real
+    BPE trainers operate on word counts.  The merge itself is a
+    per-word string fold (aggregate() in Spark, list_reduce in DuckDB,
+    SAME lambda body via _bpe_fold_sql); the argmax pair is a 1-row
+    bounded collect per round (the max_coverage_greedy convention).
+    Single-char words carry no pairs: the pair transform guards
+    size >= 2 (Spark sequence(1, 0) is DESCENDING, DuckDB
+    generate_series(1, 0) is empty -- the pinned cross-engine trap).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split(F.trim("text"), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .select(
+            "freq",
+            F.expr(
+                "transform(sequence(1, length(w)),"
+                " i -> substring(w, i, 1))"
+            ).alias("syms"),
+        )
+        .localCheckpoint(eager=True)  # vocab-sized; feeds both rounds
+    )
+
+    def pair_counts(wdf: DataFrame) -> DataFrame:
+        return (
+            wdf.filter(F.size("syms") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1),"
+                        " i -> struct(element_at(syms, i) AS a,"
+                        " element_at(syms, i + 1) AS b))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").cast("bigint").alias("cnt"))
+        )
+
+    def top_pair(wdf: DataFrame):
+        row = (
+            pair_counts(wdf)
+            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()[0]
+        )
+        return row.a, row.b, row.a + row.b, row.cnt
+
+    def merge(wdf: DataFrame, a: str, b: str, m: str) -> DataFrame:
+        fold = _bpe_fold_sql(a, b, m)
+        return wdf.select(
+            "freq",
+            F.expr(
+                f"split(aggregate(slice(syms, 2, size(syms) - 1),"
+                f" element_at(syms, 1), (acc, x) -> {fold}), '[|]')"
+            ).alias("syms"),
+        ).localCheckpoint(eager=True)
+
+    a1, b1, m1, c1 = top_pair(words)
+    a2, b2, m2, c2 = top_pair(merge(words, a1, b1, m1))
+    return spark.createDataFrame(
+        [(1, a1, b1, m1, c1), (2, a2, b2, m2, c2)],
+        "step bigint, sym_a string, sym_b string, merged string,"
+        " pair_count bigint",
+    )
+
+
 _WS_SQL = "sum(len(string_split_regex(trim(text), '\\s+')))"
 _BPE_SQL = f"sum(len(regexp_extract_all(text, '{BPE_RE}')))"
 
@@ -1240,4 +1393,102 @@ def simpson_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(sum(c) * (sum(c) - 1) AS DOUBLE)"
             " / NULLIF(CAST(sum(c * (c - 1)) AS DOUBLE), 0.0e0)"
         ).alias("inv_simpson"),
+    )
+
+
+@declared(
+    "doc_chi2_divergence",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, t.tok
+      FROM documents, unnest(string_split(trim(text), ' ')) AS t(tok)
+      WHERE t.tok <> ''
+    ),
+    o AS MATERIALIZED (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS o
+      FROM tok GROUP BY 1, 2
+    ),
+    nd AS MATERIALIZED (
+      SELECT doc_id, CAST(sum(o) AS BIGINT) AS nd FROM o GROUP BY 1
+    ),
+    c AS MATERIALIZED (
+      SELECT tok, CAST(sum(o) AS BIGINT) AS c FROM o GROUP BY 1
+    ),
+    n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM o),
+    terms AS (
+      SELECT o.doc_id,
+             CAST(CAST(o.o * n.n - nd.nd * c.c AS HUGEINT)
+                  * (o.o * n.n - nd.nd * c.c) * 1000000
+                  // (CAST(n.n AS HUGEINT) * nd.nd * c.c) AS BIGINT) AS term
+      FROM o JOIN nd USING (doc_id) JOIN c USING (tok) CROSS JOIN n
+    )
+    SELECT s.doc_id, d.nd AS n_tokens, s.chi2_ppm
+    FROM (
+      SELECT doc_id, CAST(sum(term) AS BIGINT) AS chi2_ppm
+      FROM terms GROUP BY doc_id
+    ) s JOIN nd d ON d.doc_id = s.doc_id
+    ORDER BY s.chi2_ppm DESC, s.doc_id
+    LIMIT 20
+    """,
+)
+def doc_chi2_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributional quality outliers: the 20 documents whose unigram
+    distribution diverges most from the corpus background, by the
+    chi-square goodness-of-fit statistic over each doc's observed
+    tokens -- sum_t (o_t - e_t)^2 / e_t with e_t = nd * c_t / N.  Docs
+    that score high are boilerplate, keyword-stuffed, or off-domain --
+    the statistical cousin of gopher_quality_rules' hand rules and the
+    corpus-side dual of dsir_importance_weights (which reweights toward
+    a target; this flags what sits far from the background).
+
+    Exactness discipline (plans/conventions.py): the term is computed
+    ENTIRELY in integer space -- (o*N - nd*c)^2 * 1e6 // (N*nd*c),
+    HUGEINT in DuckDB, DECIMAL(38,0) in Spark (verified bit-equal), o/c
+    exact counts -- with one deterministic floor per term, so the sum
+    is reproducible to the last digit on both engines (no double
+    arithmetic anywhere).  Total-ordered LIMIT.
+
+    Scale: one tokenize shuffle builds the (doc, token) count frame
+    (checkpointed; feeds totals, background, and terms).  The term join
+    is (doc,token)-grain against two grouped side tables -- at 100 TB
+    both joins shuffle on their natural keys (doc_id / token), no
+    broadcast of corpus-scaled frames (shuffle_hash pinned, the dbscan
+    round-6 lesson); the background token table is vocab-sized but
+    joined at token grain, piggybacking the same shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    o = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.trim("text"), " ")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+        .localCheckpoint(eager=True)  # feeds nd / c / n / terms
+    )
+    nd = o.groupBy("doc_id").agg(F.sum("o").cast("bigint").alias("nd"))
+    nd = nd.localCheckpoint(eager=True)  # term join + final readout
+    c = o.groupBy("tok").agg(F.sum("o").cast("bigint").alias("c"))
+    n = o.agg(F.sum("o").cast("bigint").alias("n"))
+    terms = (
+        o.join(nd.hint("shuffle_hash"), "doc_id")
+        .join(c.hint("shuffle_hash"), "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            F.expr(
+                "CAST(CAST(o * n - nd * c AS DECIMAL(38,0))"
+                " * (o * n - nd * c) * 1000000"
+                " DIV (CAST(n AS DECIMAL(38,0)) * nd * c) AS BIGINT)"
+            ).alias("term"),
+        )
+    )
+    stat = terms.groupBy("doc_id").agg(
+        F.sum("term").cast("bigint").alias("chi2_ppm")
+    )
+    return (
+        stat.join(nd.hint("shuffle_hash"), "doc_id")
+        .select("doc_id", F.col("nd").alias("n_tokens"), "chi2_ppm")
+        .orderBy(F.desc("chi2_ppm"), F.asc("doc_id"))
+        .limit(20)
     )

@@ -233,3 +233,43 @@ def test_token_winnow_pairs_df_cap_and_threshold(spark):
     }
     assert len(by_doc[1] & by_doc[2]) >= WINNOW_PAIR_MIN
     assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
+
+
+def test_bpe_fold_greedy_semantics(spark):
+    """The shared merge-fold expression implements greedy left-to-right
+    BPE: overlapping runs merge leftmost-first ('aaa' -> aa, a), merged
+    symbols do not re-trigger on their raw suffix, and a round-2 merge
+    can consume a round-1 merged symbol (the multi-char vocab-building
+    property).  Same expression text runs as DuckDB's list_reduce body
+    -- asserted equal on every case."""
+    import duckdb
+
+    from etl_rf_matrix_controller_spark.operators.text import _bpe_fold_sql
+
+    cases = [
+        (["a", "a", "a"], ("a", "a", "aa"), "aa|a"),
+        (["a", "b", "c", "a", "b"], ("a", "b", "ab"), "ab|c|ab"),
+        (["x"], ("a", "b", "ab"), "x"),
+        (["ab", "c"], ("ab", "c", "abc"), "abc"),  # round-2 reuse
+        (["b", "ab", "a", "b"], ("a", "b", "ab"), "b|ab|ab"),
+    ]
+    con = duckdb.connect()
+    for syms, (a, b, m), want in cases:
+        fold = _bpe_fold_sql(a, b, m)
+        got = (
+            spark.createDataFrame([(syms,)], "syms array<string>")
+            .select(
+                F.expr(
+                    f"aggregate(slice(syms, 2, size(syms) - 1),"
+                    f" element_at(syms, 1), (acc, x) -> {fold})"
+                ).alias("r")
+            )
+            .collect()[0]
+            .r
+        )
+        assert got == want, (syms, a, b, got, want)
+        lst = "[" + ", ".join(f"'{s}'" for s in syms) + "]"
+        duck = con.execute(
+            f"SELECT list_reduce({lst}, (acc, x) -> {fold})"
+        ).fetchone()[0]
+        assert duck == want, (syms, a, b, duck, want)
