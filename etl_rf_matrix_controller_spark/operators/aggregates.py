@@ -526,9 +526,10 @@ def hll_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 CMS_ROWS, CMS_CELLS = 4, 2048
 
 
-@declared(
-    "cms_heavy_hitters",
-    oracle=f"""
+# The CMS heavy-hitter contract (shared verbatim by the batch query and
+# its streaming twin -- additive cell counts make the sketch the same
+# object either way, so one oracle certifies both).
+CMS_HH_ORACLE_SQL = f"""
     WITH cells AS (
       SELECT j.j AS row_id,
              ('0x' || substring(md5(CAST(j.j AS VARCHAR) || '_' ||
@@ -561,8 +562,81 @@ CMS_ROWS, CMS_CELLS = 4, 2048
            est_count >= exact_count AS never_underestimates
     FROM est, tot
     WHERE est_count * 5 * n_keys >= 6 * total_events
-    """,
-)
+    """
+
+
+def cms_rows_col():
+    """The CMS_ROWS-way row fan-out column (one copy of each key per
+    sketch hash row)."""
+    return F.explode(F.sequence(F.lit(0), F.lit(CMS_ROWS - 1))).alias(
+        "row_id"
+    )
+
+
+def cms_cell_col():
+    """Portable md5 cell index for (row_id, user_id) -- the single
+    hashing convention of the CMS family on both engines."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "_",
+                        F.col("row_id").cast("string"),
+                        F.col("user_id").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % CMS_CELLS
+    )
+
+
+def cms_hh_readoff(cells: DataFrame, ev: DataFrame) -> DataFrame:
+    """Heavy-hitter read-off over a built (row_id, cell, c) sketch:
+    probe every key's CMS_ROWS cells, estimate = min cell count, report
+    keys whose estimate crosses 1.2x the mean per-key count (exact
+    integer form).  Shared by cms_heavy_hitters (batch-built cells) and
+    stream_cms_heavy_hitters (streaming-built cells)."""
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_count"))
+        .localCheckpoint(eager=False)
+    )
+    probes = exact.select("user_id", "exact_count", cms_rows_col()).select(
+        "user_id", "exact_count", "row_id", cms_cell_col().alias("cell")
+    )
+    est = (
+        probes.join(F.broadcast(cells), ["row_id", "cell"])
+        .groupBy("user_id", "exact_count")
+        .agg(F.min("c").cast("bigint").alias("est_count"))
+    )
+    tot = exact.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("exact_count").cast("bigint").alias("total_events"),
+    )
+    return (
+        est.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("est_count") * 5 * F.col("n_keys")
+            >= 6 * F.col("total_events")
+        )
+        .select(
+            "user_id",
+            "est_count",
+            "exact_count",
+            (F.col("est_count") >= F.col("exact_count")).alias(
+                "never_underestimates"
+            ),
+        )
+    )
+
+
+@declared("cms_heavy_hitters", oracle=CMS_HH_ORACLE_SQL)
 def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min-sketch heavy hitters over the event stream: CMS_ROWS x
     CMS_CELLS md5-derived hash rows (the constants above are the single
@@ -583,66 +657,18 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-specific.
     """
     ev = load_table(spark, sf_dir, "events").select("user_id")
-    rows = F.explode(F.sequence(F.lit(0), F.lit(CMS_ROWS - 1))).alias("row_id")
-    cell = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        "_",
-                        F.col("row_id").cast("string"),
-                        F.col("user_id").cast("string"),
-                    )
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % CMS_CELLS
-    )
     cells = (
-        ev.select("user_id", rows)
-        .select("row_id", cell.alias("cell"))
+        ev.select("user_id", cms_rows_col())
+        .select("row_id", cms_cell_col().alias("cell"))
         .groupBy("row_id", "cell")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     )
-    # exact feeds both the probe join and the totals row; checkpoint the
-    # per-key aggregate once so the events scan runs twice total (sketch
-    # build + exact counts), not three times.
-    exact = (
-        ev.groupBy("user_id")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_count"))
-        .localCheckpoint(eager=False)
-    )
-    probes = exact.select("user_id", "exact_count", rows).select(
-        "user_id", "exact_count", "row_id", cell.alias("cell")
-    )
-    est = (
-        probes.join(F.broadcast(cells), ["row_id", "cell"])
-        .groupBy("user_id", "exact_count")
-        .agg(F.min("c").cast("bigint").alias("est_count"))
-    )
-    tot = exact.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
-        F.sum("exact_count").cast("bigint").alias("total_events"),
-    )
     # Heavy = estimate >= 1.2x the mean per-key count, in exact integer
     # form (est * 5 * n_keys >= 6 * total) -- scale-relative, so the same
-    # query is non-vacuous at every sf.
-    return (
-        est.crossJoin(F.broadcast(tot))
-        .filter(F.col("est_count") * 5 * F.col("n_keys") >= 6 * F.col("total_events"))
-        .select(
-            "user_id",
-            "est_count",
-            "exact_count",
-            (F.col("est_count") >= F.col("exact_count")).alias(
-                "never_underestimates"
-            ),
-        )
-    )
+    # query is non-vacuous at every sf.  The exact side inside the
+    # read-off is checkpointed once (probe join + totals row), so the
+    # events scan runs twice total.
+    return cms_hh_readoff(cells, ev)
 
 
 @declared(

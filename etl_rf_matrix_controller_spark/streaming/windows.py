@@ -651,3 +651,45 @@ def stream_hll_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"/ 1000000e0) AS BIGINT)"
         ).alias("est_dau"),
     )
+
+
+from etl_rf_matrix_controller_spark.operators.aggregates import (  # noqa: E402
+    CMS_HH_ORACLE_SQL,
+)
+
+
+@declared("stream_cms_heavy_hitters", oracle=CMS_HH_ORACLE_SQL)
+def stream_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of cms_heavy_hitters, completing the streamable
+    sketch trio (HDR quantiles = additive bucket counts, HLL distinct =
+    idempotent register MAX, CMS frequency = additive cell counts): the
+    CMS_ROWS x CMS_CELLS cell table maintained BY Structured Streaming
+    as a groupBy(row_id, cell).count -- legal in complete mode because
+    cell counts are additive, which is also exactly the CMS merge
+    operation, so incremental micro-batch accumulation IS sketch merge.
+    The heavy-hitter read-off (probe, min-over-rows estimate, 1.2x-mean
+    threshold) runs batch-side over the final <= CMS_ROWS * CMS_CELLS =
+    8192-row state via the SAME cms_hh_readoff the batch query uses.
+
+    State is bounded at 8192 rows at ANY throughput -- an exact
+    streaming per-key count holds every key in the state store.  batch
+    == stream by construction (count merge == partial->final agg), and
+    the oracle is the identical CMS_HH_ORACLE_SQL contract the batch
+    query is certified against.
+    """
+    from etl_rf_matrix_controller_spark.operators.aggregates import (
+        cms_cell_col,
+        cms_hh_readoff,
+        cms_rows_col,
+    )
+
+    ev = _events_stream(spark, sf_dir).select("user_id")
+    cells_stream = (
+        ev.select("user_id", cms_rows_col())
+        .select("row_id", cms_cell_col().alias("cell"))
+        .groupBy("row_id", "cell")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    cells = run_stream_to_memory(cells_stream, "cms_cells_stream", spark)
+    ev_batch = load_table(spark, sf_dir, "events").select("user_id")
+    return cms_hh_readoff(cells, ev_batch)

@@ -273,3 +273,27 @@ def test_bpe_fold_greedy_semantics(spark):
             f"SELECT list_reduce({lst}, (acc, x) -> {fold})"
         ).fetchone()[0]
         assert duck == want, (syms, a, b, duck, want)
+
+
+def test_stream_cms_matches_batch(spark):
+    """The streaming CMS twin must report the identical heavy-hitter
+    rows as the batch build: additive cell-count accumulation across
+    micro-batches IS the CMS merge, so the final sketch (and hence the
+    min-over-rows estimates) is the same object."""
+    from etl_rf_matrix_controller_spark.operators.aggregates import (
+        cms_heavy_hitters,
+    )
+    from etl_rf_matrix_controller_spark.streaming.windows import (
+        stream_cms_heavy_hitters,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    batch = {
+        r.user_id: (r.est_count, r.exact_count, r.never_underestimates)
+        for r in cms_heavy_hitters(spark, sf).collect()
+    }
+    stream = {
+        r.user_id: (r.est_count, r.exact_count, r.never_underestimates)
+        for r in stream_cms_heavy_hitters(spark, sf).collect()
+    }
+    assert stream == batch and batch
