@@ -846,7 +846,7 @@ def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
 @declared(
     "clustering_coefficient_nations",
     oracle="""
-    WITH edges AS (
+    WITH edges AS MATERIALIZED (
       SELECT s.s_nationkey AS u, c.c_nationkey AS v,
              CAST(count(*) AS BIGINT) AS w
       FROM lineitem l
@@ -856,29 +856,29 @@ def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE s.s_nationkey <> c.c_nationkey
       GROUP BY s.s_nationkey, c.c_nationkey
     ),
-    se AS (
+    se AS MATERIALIZED (
       SELECT u, v FROM (
         SELECT u, v,
                row_number() OVER (PARTITION BY u ORDER BY w DESC, v) AS r
         FROM edges
       ) WHERE r <= 3
     ),
-    und AS (
+    und AS MATERIALIZED (
       SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM se
     ),
-    tri AS (
+    tri AS MATERIALIZED (
       SELECT e1.a AS x, e1.b AS y, e2.b AS z
       FROM und e1
       JOIN und e2 ON e2.a = e1.b
       JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
     ),
-    tric AS (
+    tric AS MATERIALIZED (
       SELECT node, CAST(count(*) AS BIGINT) AS n_tri
       FROM (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
             UNION ALL SELECT z FROM tri)
       GROUP BY node
     ),
-    deg AS (
+    deg AS MATERIALIZED (
       SELECT node, CAST(count(*) AS BIGINT) AS d
       FROM (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
       GROUP BY node
@@ -1085,7 +1085,7 @@ def trade_edge_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # "community" are only meaningful on the preferred-partner subgraph).
 
 _SPARSE_UND_SQL = """
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT s.s_nationkey AS u, c.c_nationkey AS v,
              CAST(count(*) AS BIGINT) AS w
       FROM lineitem l
@@ -1095,14 +1095,14 @@ _SPARSE_UND_SQL = """
       WHERE s.s_nationkey <> c.c_nationkey
       GROUP BY s.s_nationkey, c.c_nationkey
     ),
-    se AS (
+    se AS MATERIALIZED (
       SELECT u, v, w FROM (
         SELECT u, v, w,
                row_number() OVER (PARTITION BY u ORDER BY w DESC, v) AS r
         FROM edges
       ) WHERE r <= 2
     ),
-    und AS (
+    und AS MATERIALIZED (
       SELECT a, b, CAST(max(w) AS BIGINT) AS w FROM (
         SELECT u AS a, v AS b, w FROM se
         UNION ALL
@@ -1190,16 +1190,16 @@ def link_prediction(und: DataFrame) -> DataFrame:
     "link_prediction_scores",
     oracle=f"""
     WITH {_SPARSE_UND_SQL},
-    deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS deg
+    deg AS MATERIALIZED (SELECT a AS node, CAST(count(*) AS BIGINT) AS deg
             FROM und GROUP BY a),
-    cand AS (
+    cand AS MATERIALIZED (
       SELECT x.a AS a, y.a AS b, CAST(count(*) AS BIGINT) AS common_neighbors,
              CAST(sum(1000000 // dz.deg) AS BIGINT) AS ra_ppm
       FROM und x JOIN und y ON x.b = y.b AND x.a < y.a
       JOIN deg dz ON dz.node = x.b
       GROUP BY x.a, y.a
     ),
-    nonadj AS (
+    nonadj AS MATERIALIZED (
       SELECT c.a, c.b, c.common_neighbors, c.ra_ppm
       FROM cand c LEFT JOIN und e ON e.a = c.a AND e.b = c.b
       WHERE e.a IS NULL
@@ -1371,19 +1371,19 @@ def lpa_step(labels: DataFrame, undw: DataFrame) -> DataFrame:
 
 
 _LPA_STEP_SQL = """
-    s{i} AS (
+    s{i} AS MATERIALIZED (
       SELECT e.a AS node, l.label, CAST(sum(e.w) AS BIGINT) AS s
       FROM und e JOIN l{p} l ON l.node = e.b
       GROUP BY e.a, l.label
     ),
-    u{i} AS (
+    u{i} AS MATERIALIZED (
       SELECT node, label FROM (
         SELECT node, label,
                row_number() OVER (PARTITION BY node ORDER BY s DESC, label) AS rk
         FROM s{i}
       ) WHERE rk = 1
     ),
-    l{i} AS (
+    l{i} AS MATERIALIZED (
       SELECT l{p}.node, CAST(coalesce(u{i}.label, l{p}.label) AS BIGINT) AS label
       FROM l{p} LEFT JOIN u{i} ON u{i}.node = l{p}.node
     )"""
@@ -1393,7 +1393,7 @@ _LPA_STEP_SQL = """
     "community_lpa_two_step",
     oracle=f"""
     WITH {_SPARSE_UND_SQL},
-    l0 AS (
+    l0 AS MATERIALIZED (
       SELECT n_nationkey AS node, CAST(n_nationkey AS BIGINT) AS label
       FROM nation
     ),{_LPA_STEP_SQL.format(i=1, p=0)},{_LPA_STEP_SQL.format(i=2, p=1)}
@@ -1453,7 +1453,7 @@ def _harmonic_sql(iters: int) -> str:
         cur = f"d{i}"
         steps.append(
             f"""
-    {cur} AS (
+    {cur} AS MATERIALIZED (
       SELECT src, node, CAST(min(d) AS BIGINT) AS d FROM (
         SELECT src, node, d FROM {prev}
         UNION ALL
@@ -1464,7 +1464,7 @@ def _harmonic_sql(iters: int) -> str:
         )
         prev = cur
     return f"""
-    WITH edges AS (
+    WITH edges AS MATERIALIZED (
       SELECT s.s_nationkey AS u, c.c_nationkey AS v,
              CAST(count(*) AS BIGINT) AS w
       FROM lineitem l
@@ -1474,14 +1474,14 @@ def _harmonic_sql(iters: int) -> str:
       WHERE s.s_nationkey <> c.c_nationkey
       GROUP BY s.s_nationkey, c.c_nationkey
     ),
-    se AS (
+    se AS MATERIALIZED (
       SELECT u, v FROM (
         SELECT u, v,
                row_number() OVER (PARTITION BY u ORDER BY w DESC, v) AS r
         FROM edges
       ) WHERE r <= 2
     ),
-    d0 AS (
+    d0 AS MATERIALIZED (
       SELECT CAST(n_nationkey AS BIGINT) AS src,
              CAST(n_nationkey AS BIGINT) AS node, CAST(0 AS BIGINT) AS d
       FROM nation
