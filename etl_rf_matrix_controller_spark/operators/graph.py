@@ -55,31 +55,31 @@ def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 @declared(
     "pagerank_nations",
     oracle=f"""
-    WITH edges AS ({_EDGES_SQL}),
-    outd AS (SELECT u, CAST(sum(w) AS BIGINT) AS outw FROM edges GROUP BY u),
-    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nation),
-    r0 AS (
+    WITH edges AS MATERIALIZED ({_EDGES_SQL}),
+    outd AS MATERIALIZED (SELECT u, CAST(sum(w) AS BIGINT) AS outw FROM edges GROUP BY u),
+    nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM nation),
+    r0 AS MATERIALIZED (
       SELECT n_nationkey AS node, CAST(1000000 // nn.n AS BIGINT) AS r
       FROM nation CROSS JOIN nn
     ),
-    c1 AS (
+    c1 AS MATERIALIZED (
       SELECT e.v AS node,
              CAST(sum((r0.r * e.w * 85) // (outd.outw * 100)) AS BIGINT) AS m
       FROM edges e JOIN outd ON outd.u = e.u JOIN r0 ON r0.node = e.u
       GROUP BY e.v
     ),
-    r1 AS (
+    r1 AS MATERIALIZED (
       SELECT r0.node,
              CAST(150000 // nn.n + coalesce(c1.m, 0) AS BIGINT) AS r
       FROM r0 LEFT JOIN c1 ON c1.node = r0.node CROSS JOIN nn
     ),
-    c2 AS (
+    c2 AS MATERIALIZED (
       SELECT e.v AS node,
              CAST(sum((r1.r * e.w * 85) // (outd.outw * 100)) AS BIGINT) AS m
       FROM edges e JOIN outd ON outd.u = e.u JOIN r1 ON r1.node = e.u
       GROUP BY e.v
     ),
-    r2 AS (
+    r2 AS MATERIALIZED (
       SELECT r1.node,
              CAST(150000 // nn.n + coalesce(c2.m, 0) AS BIGINT) AS r
       FROM r1 LEFT JOIN c2 ON c2.node = r1.node CROSS JOIN nn
@@ -223,12 +223,12 @@ def pagerank_loop(
 @declared(
     "triangle_count_nations",
     oracle=f"""
-    WITH edges AS ({_EDGES_SQL}),
-    und AS (
+    WITH edges AS MATERIALIZED ({_EDGES_SQL}),
+    und AS MATERIALIZED (
       SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
       FROM edges WHERE u <> v
     ),
-    tri AS (
+    tri AS MATERIALIZED (
       SELECT e1.a AS x, e1.b AS y, e2.b AS z
       FROM und e1
       JOIN und e2 ON e2.a = e1.b
@@ -311,14 +311,14 @@ _EDGE_SQL = """
     "widest_two_hop_trade",
     oracle=f"""
     WITH edges AS ({_EDGE_SQL}),
-    relay AS (
+    relay AS MATERIALIZED (
       SELECT e1.src, e2.dst,
              CAST(max(least(e1.cap, e2.cap)) AS BIGINT) AS relay_cap
       FROM edges e1 JOIN edges e2
         ON e2.src = e1.dst AND e2.dst <> e1.src
       GROUP BY e1.src, e2.dst
     ),
-    unioned AS (
+    unioned AS MATERIALIZED (
       SELECT src, dst, cap AS direct_cap, NULL::BIGINT AS relay_cap
       FROM edges
       UNION ALL
@@ -421,12 +421,12 @@ def widest_two_hop_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
 @declared(
     "graph_degree_assortativity",
     oracle=f"""
-    WITH edges AS ({_EDGES_SQL}),
-    und AS (
+    WITH edges AS MATERIALIZED ({_EDGES_SQL}),
+    und AS MATERIALIZED (
       SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
       FROM edges WHERE u <> v
     ),
-    strength AS (
+    strength AS MATERIALIZED (
       SELECT x, CAST(sum(w) AS BIGINT) AS s
       FROM (
         SELECT u AS x, w FROM edges WHERE u <> v
@@ -434,18 +434,18 @@ def widest_two_hop_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT v AS x, w FROM edges WHERE u <> v
       ) t GROUP BY x
     ),
-    dirx AS (
+    dirx AS MATERIALIZED (
       SELECT a AS x, b AS y FROM und
       UNION ALL
       SELECT b AS x, a AS y FROM und
     ),
-    pairs AS (
+    pairs AS MATERIALIZED (
       SELECT ss.s AS dj, sd.s AS dk
       FROM dirx e
       JOIN strength ss ON ss.x = e.x
       JOIN strength sd ON sd.x = e.y
     ),
-    sums AS (
+    sums AS MATERIALIZED (
       SELECT CAST(count(*) AS BIGINT) AS m,
              CAST(sum(dj) AS BIGINT) AS sj,
              CAST(sum(dj * dk) AS BIGINT) AS sjk,
@@ -735,39 +735,39 @@ def trade_graph_bfs_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
 @declared(
     "hits_hubs_authorities",
     oracle=f"""
-    WITH edges AS ({_EDGES_SQL}),
-    a1 AS (
+    WITH edges AS MATERIALIZED ({_EDGES_SQL}),
+    a1 AS MATERIALIZED (
       SELECT v AS node, CAST(sum(w) AS BIGINT) * 1000000 AS raw
       FROM edges GROUP BY v
     ),
-    a1n AS (
+    a1n AS MATERIALIZED (
       SELECT node,
              CAST((1000000 * raw) // (SELECT sum(raw) FROM a1) AS BIGINT)
                AS a FROM a1
     ),
-    h1 AS (
+    h1 AS MATERIALIZED (
       SELECT e.u AS node, CAST(sum(e.w * a1n.a) AS BIGINT) AS raw
       FROM edges e JOIN a1n ON a1n.node = e.v GROUP BY e.u
     ),
-    h1n AS (
+    h1n AS MATERIALIZED (
       SELECT node,
              CAST((1000000 * raw) // (SELECT sum(raw) FROM h1) AS BIGINT)
                AS h FROM h1
     ),
-    a2 AS (
+    a2 AS MATERIALIZED (
       SELECT e.v AS node, CAST(sum(e.w * h1n.h) AS BIGINT) AS raw
       FROM edges e JOIN h1n ON h1n.node = e.u GROUP BY e.v
     ),
-    a2n AS (
+    a2n AS MATERIALIZED (
       SELECT node,
              CAST((1000000 * raw) // (SELECT sum(raw) FROM a2) AS BIGINT)
                AS a FROM a2
     ),
-    h2 AS (
+    h2 AS MATERIALIZED (
       SELECT e.u AS node, CAST(sum(e.w * a2n.a) AS BIGINT) AS raw
       FROM edges e JOIN a2n ON a2n.node = e.v GROUP BY e.u
     ),
-    h2n AS (
+    h2n AS MATERIALIZED (
       SELECT node,
              CAST((1000000 * raw) // (SELECT sum(raw) FROM h2) AS BIGINT)
                AS h FROM h2
@@ -1279,7 +1279,7 @@ def _sssp_sql(iters: int) -> str:
         cur = f"d{i}"
         steps.append(
             f"""
-    {cur} AS (
+    {cur} AS MATERIALIZED (
       SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
         SELECT node, dist FROM {prev}
         UNION ALL
@@ -1290,7 +1290,7 @@ def _sssp_sql(iters: int) -> str:
         )
         prev = cur
     return f"""
-    WITH edges AS (
+    WITH edges AS MATERIALIZED (
       SELECT s.s_nationkey AS u, c.c_nationkey AS v,
              CAST(count(*) AS BIGINT) AS w
       FROM lineitem l
@@ -1300,10 +1300,10 @@ def _sssp_sql(iters: int) -> str:
       WHERE s.s_nationkey <> c.c_nationkey
       GROUP BY s.s_nationkey, c.c_nationkey
     ),
-    ec AS (
+    ec AS MATERIALIZED (
       SELECT u, v, CAST(1 + 1000000 // w AS BIGINT) AS cost FROM edges
     ),
-    d0 AS (
+    d0 AS MATERIALIZED (
       SELECT CAST(n_nationkey AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist
       FROM nation WHERE n_nationkey = 0
     ),{",".join(steps)}
