@@ -31,6 +31,7 @@ from pyspark.sql.window import Window
 
 from etl_rf_matrix_controller_spark.operators.dedup import _gram_df
 from etl_rf_matrix_controller_spark.plans.conventions import ratio4, ratio4_sql
+from etl_rf_matrix_controller_spark.plans.gram_index import ensure_bucketed_index
 from etl_rf_matrix_controller_spark.plans.registry import declared
 from etl_rf_matrix_controller_spark.sources.tables import load_table
 
@@ -548,13 +549,25 @@ def gram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup-before-epoch-planning).
 
     first-seen is min(doc_id) per gram -- one partial-agg pass over the
-    gram index -- joined back to the SAME checkpointed gram frame
-    (shared-consumer rule; shuffle-hash pinned since checkpointed inputs
-    carry no stats and both sides scale with the corpus at 100 TB).  The
-    stale ratio is integer-space (ratio4).
+    gram index -- joined back to the SAME gram frame.  Round 7: the gram
+    frame is the PERSISTENT bucketBy(N, gram) table (plans/gram_index.py),
+    so BOTH the first-seen aggregation AND the join back run entirely
+    within buckets: zero Exchange until the final per-doc rollup (the
+    per-query gram rebuild+shuffle was the round-6 x100 scale bill).
+    shuffle_hash stays pinned: both sides scale with the corpus at 100 TB,
+    so a broadcast is never right here.  The stale ratio is integer-space
+    (ratio4).
     """
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    grams = _gram_df(docs).localCheckpoint(eager=True)
+    grams = ensure_bucketed_index(
+        spark,
+        sf_dir,
+        "nov8",
+        lambda s, d: _gram_df(
+            load_table(s, d, "documents").select("doc_id", "text")
+        ),
+        ["gram"],
+        version="v1",
+    )
     first_seen = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
     stale = F.sum(
         F.when(F.col("first_doc") < F.col("doc_id"), 1).otherwise(0)

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from etl_rf_matrix_controller_spark.plans.conventions import ratio4, ratio4_sql
+from etl_rf_matrix_controller_spark.plans.gram_index import ensure_bucketed_index
 from etl_rf_matrix_controller_spark.plans.registry import declared
 from etl_rf_matrix_controller_spark.sources.tables import load_table
 
@@ -472,24 +473,20 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     skew (a gram shared by all docs) is the hot-key risk: AQE skew-join
     splits it, and production would drop top-percentile grams first.
     """
-    corpus = dup_corpus(spark, sf_dir)
     # The gram index feeds FOUR consumers (both self-join aliases + both
-    # size lookups); without truncation each alias re-runs corpus synthesis
-    # + shingling + explode -- PLANS.md showed `documents` scanned 12x.  At
-    # 100 TB re-shingling the corpus a dozen times is the scale-killer;
-    # localCheckpoint materializes it once (same pattern as the LSH `bands`
-    # above) and is GC-cleaned when the DataFrame drops.
-    grams = _gram_df(corpus, "source").localCheckpoint(eager=False)
-    sizes = (
-        grams.groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=False)
-    )
+    # size lookups).  Round 7: it is a PERSISTENT bucketBy(N, gram, source)
+    # parquet table (plans/gram_index.py) -- written once per corpus, so
+    # every consumer is a cheap columnar re-scan and the self-join runs
+    # bucket-to-bucket with ZERO Exchange.  (Rounds 3-6 localCheckpointed
+    # the gram frame per run: one materialization per QUERY; the x100
+    # decade showed that per-query rebuild+shuffle is the scale bill.)
+    grams = jac8_gram_index(spark, sf_dir)
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = grams.alias("a")
     b = grams.alias("b")
     shared = (
         a.join(
-            b,
+            b.hint("shuffle_hash"),
             (F.col("a.gram") == F.col("b.gram"))
             & (F.col("a.source") == F.col("b.source"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
@@ -507,6 +504,19 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
         .filter(jacc >= 0.6)
         .select("doc_a", "doc_b", jacc.alias("jaccard"))
+    )
+
+
+def jac8_gram_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persistent bucketBy(N, gram, source) distinct char-8-gram postings
+    over the dup corpus."""
+    return ensure_bucketed_index(
+        spark,
+        sf_dir,
+        "jac8src",
+        lambda s, d: _gram_df(dup_corpus(s, d), "source"),
+        ["gram", "source"],
+        version="v1",
     )
 
 
@@ -563,6 +573,12 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     set size; the containment ratio is a single float division of two
     exact integers (bit-identical cross-engine).
     """
+    return _containment_pairs_impl(spark, sf_dir)
+
+
+def containment_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dup corpus + half-prefix truncations (+3M ids) of each doc_id%10==2
+    -- the embedded-document case containment catches and Jaccard misses."""
     corpus = dup_corpus(spark, sf_dir).select("doc_id", "text", "source")
     t = F.trim("text")
     trunc = corpus.filter(F.col("doc_id") % 10 == 2).select(
@@ -573,21 +589,28 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
         "source",
     )
-    ccorp = corpus.unionByName(trunc)
-    # Checkpointed for the same reason as ngram_jaccard_pairs: four
-    # consumers of the gram index (PLANS.md showed 24 document scans
-    # without it -- the corpus here is synthesized twice per alias).
-    grams = _gram_df(ccorp, "source").localCheckpoint(eager=False)
-    sizes = (
-        grams.groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=False)
+    return corpus.unionByName(trunc)
+
+
+def _containment_pairs_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Same persistent-index shape as ngram_jaccard_pairs, over the
+    # containment corpus (dup corpus + half-prefix truncations): written
+    # once per corpus, every consumer re-scans the bucketed table and the
+    # self-join is a zero-Exchange bucket-to-bucket join.
+    grams = ensure_bucketed_index(
+        spark,
+        sf_dir,
+        "cont8src",
+        lambda s, d: _gram_df(containment_corpus(s, d), "source"),
+        ["gram", "source"],
+        version="v1",
     )
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = grams.alias("a")
     b = grams.alias("b")
     shared = (
         a.join(
-            b,
+            b.hint("shuffle_hash"),
             (F.col("a.gram") == F.col("b.gram"))
             & (F.col("a.source") == F.col("b.source"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
@@ -1022,22 +1045,45 @@ def substring_span_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram stream).  At 100 TB, join on a 128-bit gram hash instead of
     the string to shrink the shuffle; here the string keeps the oracle
     byte-identical.
+
+    Round 7: the positional gram index is no longer rebuilt + shuffled
+    per query -- it is a PERSISTENT bucketBy(N, gram) parquet table
+    (plans/gram_index.py), written once per corpus, so this query's
+    self-join runs bucket-to-bucket with ZERO Exchange (the round-6 x100
+    decade showed the per-query ~20 GB gram shuffle was the suite's one
+    sub-linear scale shape; the index turns it into a one-time cost).
     """
-    return substring_span_pairs_df(dup_corpus(spark, sf_dir))
+    return positional_span_pairs(
+        span_char_gram_index(spark, sf_dir), SPAN_K, span_col="span_chars"
+    )
 
 
-def substring_span_pairs_df(docs: DataFrame, k: int = SPAN_K) -> DataFrame:
-    """Core of substring_span_dups over an arbitrary (doc_id, text) frame
-    (exposed for the overlapping-span edge tests).
+def span_char_gram_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persistent bucketBy(N, gram) positional char-40-gram postings over
+    the dup corpus (write once; every span query joins bucket-locally)."""
+    return ensure_bucketed_index(
+        spark,
+        sf_dir,
+        "spanchar",
+        lambda s, d: positional_gram_df(dup_corpus(s, d), SPAN_K),
+        ["gram"],
+        version="v1",
+    )
+
+
+def positional_gram_df(docs: DataFrame, k: int) -> DataFrame:
+    """Positional k-char gram fan-out: (doc_id, pos, gram), one row per
+    character position.  Shared by the ad-hoc span path (checkpointed
+    per-run) and the persistent bucketed index builder.
 
     The pre-fan-out repartition is sized from spark.sql.shuffle.partitions,
     not defaultParallelism: the ~650x gram explode lands in these
-    partitions and is then checkpointed, so a fixed core-count width
-    puts (total_grams / n_cores) rows in every block -- at the x100
-    stress decade that was 10M grams/partition and the probe fell off
-    the memory cliff (spill-bound, 4x throughput drop).  Sizing by the
-    shuffle conf keeps the post-explode block volume matched to what
-    the operator's own joins are already sized for.
+    partitions, so a fixed core-count width puts (total_grams / n_cores)
+    rows in every block -- at the x100 stress decade that was 10M
+    grams/partition and the probe fell off the memory cliff (spill-bound,
+    4x throughput drop).  Sizing by the shuffle conf keeps the
+    post-explode block volume matched to what the consumer's joins are
+    already sized for.
     """
     spark_para = max(
         docs.sparkSession.sparkContext.defaultParallelism,
@@ -1051,13 +1097,21 @@ def substring_span_pairs_df(docs: DataFrame, k: int = SPAN_K) -> DataFrame:
             lambda i: t.substr(i, F.lit(k)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    pg = (
+    return (
         docs
         .repartition(spark_para)  # rebalance BEFORE the ~650x fan-out
         .select("doc_id", F.posexplode(grams).alias("pos0", "gram"))
         .select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram")
-        .localCheckpoint(eager=False)
     )
+
+
+def substring_span_pairs_df(docs: DataFrame, k: int = SPAN_K) -> DataFrame:
+    """Core of substring_span_dups over an arbitrary (doc_id, text) frame
+    (exposed for the overlapping-span edge tests and the stress probe's
+    no-index baseline).  The gram frame feeds both join sides, so it is
+    localCheckpointed once; the persistent-index path in
+    substring_span_dups replaces this with the bucketed table."""
+    pg = positional_gram_df(docs, k).localCheckpoint(eager=False)
     return positional_span_pairs(pg, k, span_col="span_chars")
 
 
@@ -1365,9 +1419,11 @@ def span_excision_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer arithmetic; the ratio is integer-space (ratio4).  Scale:
     interval count is bounded by true copied spans (the K=40 gram join
     property), so the per-doc sweep is tiny; the expensive stage remains
-    the shared positional-gram join, identical to substring_span_dups.
+    the shared positional-gram join -- served from the SAME persistent
+    bucketed index as substring_span_dups (round 7: the whole span family
+    shares one write-once gram table).
     """
-    pairs = substring_span_pairs_df(dup_corpus(spark, sf_dir))
+    pairs = substring_span_dups(spark, sf_dir)
     iv = pairs.select(
         F.col("doc_b").alias("doc_id"),
         F.col("start_b").alias("s"),
@@ -1628,13 +1684,35 @@ def token_span_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     text).  At 100 TB, join on a 128-bit gram hash and substitute the
     real tokenizer's ids for whitespace tokens; cost stays bounded by
     true matches exactly as in the char version.
+
+    Round 7: like the char sibling, the token-gram postings live in the
+    PERSISTENT bucketBy(N, gram) index (plans/gram_index.py) -- written
+    once, joined bucket-to-bucket with zero Exchange per query.
     """
-    return token_span_pairs_df(dup_corpus(spark, sf_dir))
+    return positional_span_pairs(
+        span_token_gram_index(spark, sf_dir),
+        TOK_SPAN_K,
+        span_col="span_tokens",
+    )
 
 
-def token_span_pairs_df(docs: DataFrame, k: int = TOK_SPAN_K) -> DataFrame:
-    """Core of token_span_dups over an arbitrary (doc_id, text) frame
-    (exposed for the shared-machinery edge tests)."""
+def span_token_gram_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persistent bucketBy(N, gram) positional token-8-gram postings over
+    the dup corpus."""
+    return ensure_bucketed_index(
+        spark,
+        sf_dir,
+        "spantok",
+        lambda s, d: token_positional_gram_df(dup_corpus(s, d), TOK_SPAN_K),
+        ["gram"],
+        version="v1",
+    )
+
+
+def token_positional_gram_df(docs: DataFrame, k: int) -> DataFrame:
+    """Positional token k-gram postings: (doc_id, pos, gram), one row per
+    token position with a full k-token window.  Shared by the ad-hoc path
+    and the persistent bucketed index builder."""
     spark_para = docs.sparkSession.sparkContext.defaultParallelism
     tok = (
         docs.repartition(spark_para)  # rebalance BEFORE the ~56x fan-out
@@ -1646,7 +1724,7 @@ def token_span_pairs_df(docs: DataFrame, k: int = TOK_SPAN_K) -> DataFrame:
     )
     w = Window.partitionBy("doc_id").orderBy("pos")
     leads = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, k)]
-    pg = (
+    return (
         tok.select(
             "doc_id",
             "pos",
@@ -1655,8 +1733,13 @@ def token_span_pairs_df(docs: DataFrame, k: int = TOK_SPAN_K) -> DataFrame:
         )
         .filter(F.col("t_last").isNotNull())
         .select("doc_id", "pos", "gram")
-        .localCheckpoint(eager=False)
     )
+
+
+def token_span_pairs_df(docs: DataFrame, k: int = TOK_SPAN_K) -> DataFrame:
+    """Core of token_span_dups over an arbitrary (doc_id, text) frame
+    (exposed for the shared-machinery edge tests)."""
+    pg = token_positional_gram_df(docs, k).localCheckpoint(eager=False)
     return positional_span_pairs(pg, k, span_col="span_tokens")
 
 
