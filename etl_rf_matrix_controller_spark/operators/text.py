@@ -517,11 +517,20 @@ def _bpe_fold_sql(a: str, b: str, m: str, acc: str = "acc", x: str = "x") -> str
     Greedy non-overlap falls out: once merged, the trailing symbol is m,
     which no longer equals a for the next element.  Suffix test spelled
     with right() -- Spark names the predicate endswith, DuckDB
-    ends_with, but right(s, n) is identical on both."""
+    ends_with, but right(s, n) is identical on both.
+
+    The merged-pair symbols are interpolated as SQL string LITERALS, so
+    quotes are escaped ('' on both engines); the '|' delimiter itself is
+    load-bearing and cannot be escaped -- tokens containing '|' are
+    rejected loudly upstream (the raise_error guard in
+    bpe_two_merge_train, mirroring _winnow_enc), because a '|' inside a
+    token would corrupt the fold IDENTICALLY on both engines and the
+    oracle gate could never catch it."""
+    aq, bq, mq = (s.replace("'", "''") for s in (a, b, m))
     return (
-        f"CASE WHEN {x} = '{b}' AND ({acc} = '{a}' OR "
-        f"right({acc}, {len(a) + 1}) = '|{a}') "
-        f"THEN concat(left({acc}, length({acc}) - {len(a)}), '{m}') "
+        f"CASE WHEN {x} = '{bq}' AND ({acc} = '{aq}' OR "
+        f"right({acc}, {len(a) + 1}) = '|{aq}') "
+        f"THEN concat(left({acc}, length({acc}) - {len(a)}), '{mq}') "
         f"ELSE concat({acc}, '|', {x}) END"
     )
 
@@ -599,11 +608,29 @@ def bpe_two_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     generate_series(1, 0) is empty -- the pinned cross-engine trap).
     """
     docs = load_table(spark, sf_dir, "documents")
+    # Loud guard (the _winnow_enc pattern): a token containing the '|'
+    # fold delimiter would corrupt the merge IDENTICALLY on both engines
+    # (oracle-undetectable), and a quote would break the generated SQL
+    # literal -- raise at execution instead of silently mis-merging.
+    # The guard is LOAD-BEARING (syms derives from the guarded value, so
+    # column pruning cannot elide it) and runs over the vocab-sized
+    # distinct-word table, not the raw stream.
+    w_guarded = F.when(
+        F.col("w").contains("|") | F.col("w").contains("'"),
+        F.raise_error(
+            F.lit(
+                "bpe_two_merge_train: token contains '|' or a quote; "
+                "the '|'-delimited fold would corrupt identically on "
+                "both engines (swap the delimiter or pre-clean tokens)"
+            )
+        ),
+    ).otherwise(F.col("w"))
     words = (
         docs.select(F.explode(F.split(F.trim("text"), " ")).alias("w"))
         .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .select("freq", w_guarded.alias("w"))
         .select(
             "freq",
             F.expr(

@@ -20,6 +20,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from etl_rf_matrix_controller_spark.operators.aggregates import (
+    HLL_ALPHA_PPM as _HLL_ALPHA_PPM,
+    HLL_M as _HLL_M,
+    HLL_RANK_W as _HLL_RANK_W,
+    _hll_rank_sql,
+)
 from etl_rf_matrix_controller_spark.plans.conventions import int_round_scaled
 from etl_rf_matrix_controller_spark.plans.registry import declared
 from etl_rf_matrix_controller_spark.sources.tables import (
@@ -565,7 +571,11 @@ def stream_hdr_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @declared(
     "stream_hll_distinct_daily",
-    oracle="""
+    # f-string over the SAME HLL constants the batch twin derives from
+    # (aggregates.HLL_M/HLL_RANK_W/HLL_ALPHA_PPM) -- a constant change
+    # re-derives the streaming query AND its oracle together instead of
+    # silently desyncing them (ADVICE round 6).
+    oracle=f"""
     WITH hashed AS (
       SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
              ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT
@@ -573,20 +583,19 @@ def stream_hdr_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ),
     regs AS (
-      SELECT day, h % 64 AS bucket,
-             CAST(max(CASE WHEN (h // 64) = 0 THEN 43
-                      ELSE 43 - length(bin((h // 64))) END)
+      SELECT day, h % {_HLL_M} AS bucket,
+             CAST(max({_hll_rank_sql(f'(h // {_HLL_M})')})
                   AS BIGINT) AS mx
       FROM hashed GROUP BY 1, 2
     )
     SELECT day,
            CAST(count(*) AS BIGINT) AS n_buckets_used,
-           CAST(floor(709366e0
-                 * ((CAST(1 AS BIGINT) << 55)
-                    // (CAST(sum(CAST(1 AS BIGINT) << (43 - mx))
+           CAST(floor({_HLL_ALPHA_PPM}e0
+                 * ((CAST(1 AS BIGINT) << {12 + _HLL_RANK_W + 1})
+                    // (CAST(sum(CAST(1 AS BIGINT) << ({_HLL_RANK_W + 1} - mx))
                              AS BIGINT)
-                        + (64 - count(*))
-                          * (CAST(1 AS BIGINT) << 43)))
+                        + ({_HLL_M} - count(*))
+                          * (CAST(1 AS BIGINT) << {_HLL_RANK_W + 1})))
                  / 1000000e0) AS BIGINT) AS est_dau
     FROM regs GROUP BY day
     """,
@@ -612,13 +621,6 @@ def stream_hll_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle is the batch spelling minus the exact-audit column (which
     would need the unbounded state this sketch exists to avoid).
     """
-    from etl_rf_matrix_controller_spark.operators.aggregates import (
-        HLL_ALPHA_PPM,
-        HLL_M,
-        HLL_RANK_W,
-        _hll_rank_sql,
-    )
-
     ev = _events_stream(spark, sf_dir)
     regs = (
         ev.select(
@@ -633,8 +635,8 @@ def stream_hll_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "day",
-            (F.col("h") % HLL_M).alias("bucket"),
-            F.expr(_hll_rank_sql(f"(h DIV 64)")).alias("rank"),
+            (F.col("h") % _HLL_M).alias("bucket"),
+            F.expr(_hll_rank_sql(f"(h DIV {_HLL_M})")).alias("rank"),
         )
         .groupBy("day", "bucket")
         .agg(F.max("rank").cast("bigint").alias("mx"))
@@ -643,11 +645,11 @@ def stream_hll_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return regsb.groupBy("day").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_buckets_used"),
         F.expr(
-            f"CAST(floor({HLL_ALPHA_PPM}e0 * "
-            f"((CAST(1 AS BIGINT) << {12 + HLL_RANK_W + 1}) DIV "
-            f"(CAST(sum(CAST(1 AS BIGINT) << ({HLL_RANK_W + 1} - mx)) "
-            f"AS BIGINT) + (64 - count(*)) "
-            f"* (CAST(1 AS BIGINT) << {HLL_RANK_W + 1}))) "
+            f"CAST(floor({_HLL_ALPHA_PPM}e0 * "
+            f"((CAST(1 AS BIGINT) << {12 + _HLL_RANK_W + 1}) DIV "
+            f"(CAST(sum(CAST(1 AS BIGINT) << ({_HLL_RANK_W + 1} - mx)) "
+            f"AS BIGINT) + ({_HLL_M} - count(*)) "
+            f"* (CAST(1 AS BIGINT) << {_HLL_RANK_W + 1}))) "
             f"/ 1000000e0) AS BIGINT)"
         ).alias("est_dau"),
     )

@@ -100,10 +100,17 @@ def result_hash(df) -> str:
     return h.hexdigest()
 
 
-def assert_oracle_match(spark_df, duck_con, oracle_sql, name=""):
-    """Mirror of the driver's correctness gate."""
+def assert_oracle_match(spark_df, duck_con, oracle_sql, name="", duck_ctx=None):
+    """Mirror of the driver's correctness gate.  ``duck_ctx`` (optional
+    context-manager factory) wraps ONLY the DuckDB execution -- tools/
+    gate.py passes its wall-clock watchdog here so a slow SPARK query can
+    never be misattributed as a DuckDB oracle timeout."""
     s_cols, s_rows = spark_rows(spark_df)
-    d_cols, d_rows = duck_rows(duck_con, oracle_sql)
+    if duck_ctx is None:
+        d_cols, d_rows = duck_rows(duck_con, oracle_sql)
+    else:
+        with duck_ctx():
+            d_cols, d_rows = duck_rows(duck_con, oracle_sql)
     assert s_cols == d_cols, f"{name}: column mismatch {s_cols} != {d_cols}"
     assert len(s_rows) == len(d_rows), (
         f"{name}: row count {len(s_rows)} != {len(d_rows)}"

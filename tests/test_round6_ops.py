@@ -165,11 +165,18 @@ def test_token_winnow_guarantee_at_span_boundary(spark):
     assert spans.get((1, 2)) == 8, spans
 
 
-def test_kmv_difference_exact_on_small_domain(spark):
-    """With k >= |domain| the theta sketch degenerates to exact:
-    est_difference must equal the true |A \\ B| when every hash is
-    retained (theta = max hash of the smaller sketch).  Checked through
-    the declared query's own algebra on a crafted two-set frame."""
+def test_kmv_difference_estimator_algebra(spark, tmp_path):
+    """Pins the a-not-b estimator's ALGEBRA (not exactness: this sketch
+    takes theta = min of the two max retained hashes even when
+    unsaturated, so est_difference is the n_only sample scaled by
+    2^32/theta -- deliberately NOT equal to exact_difference on small
+    domains).  Two checks: (1) structural invariants at sf0.001;
+    (2) on a crafted degenerate corpus (every hash retained, k >= |tag
+    domain|), n_only equals the true count of purchase-only user hashes
+    below theta, recomputed independently here."""
+    import hashlib
+    from datetime import datetime, timezone
+
     from etl_rf_matrix_controller_spark.operators.aggregates import (
         kmv_difference_estimate,
     )
@@ -181,6 +188,31 @@ def test_kmv_difference_exact_on_small_domain(spark):
     assert 0 <= row.n_only <= row.k
     assert row.theta > 0
     assert row.est_difference == (row.n_only * 4294967296) // row.theta
+
+    # crafted degenerate corpus: purchase users {1..5}, error users
+    # {3..6}; all <= k=8 distinct hashes retained per tag.
+    sf = str(tmp_path)
+    ts = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    rows = [(u, "purchase", ts, 1.0, f"e{u}p") for u in range(1, 6)] + [
+        (u, "error", ts, 1.0, f"e{u}e") for u in range(3, 7)
+    ]
+    spark.createDataFrame(
+        rows, "user_id bigint, event_type string, ts timestamp,"
+        " value double, event_id string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/events.parquet")
+    crafted = kmv_difference_estimate(spark, sf).collect()[0]
+
+    def h32(u: int) -> int:
+        return int(hashlib.md5(str(u).encode()).hexdigest()[:8], 16)
+
+    ha = {h32(u) for u in range(1, 6)}
+    hb = {h32(u) for u in range(3, 7)}
+    theta = min(max(ha), max(hb))
+    n_only = sum(1 for h in ha - hb if h < theta)
+    assert crafted.exact_difference == 2  # users {1, 2}
+    assert crafted.theta == theta
+    assert crafted.n_only == n_only
+    assert crafted.est_difference == (n_only * 4294967296) // theta
 
 
 def test_stream_hll_matches_batch_registers(spark):
@@ -297,3 +329,40 @@ def test_stream_cms_matches_batch(spark):
         for r in stream_cms_heavy_hitters(spark, sf).collect()
     }
     assert stream == batch and batch
+
+
+def test_bpe_guard_rejects_delimiter_and_quote_tokens(spark, tmp_path):
+    """The '|'-delimited BPE fold corrupts IDENTICALLY on both engines if
+    a token contains '|' (oracle-undetectable), and a quote would break
+    the generated SQL literal -- bpe_two_merge_train must raise loudly at
+    execution instead (the _winnow_enc guard pattern).  Clean corpora are
+    unaffected: the query still trains two merges."""
+    import pytest
+
+    from etl_rf_matrix_controller_spark.operators.text import (
+        bpe_two_merge_train,
+    )
+
+    def write_docs(name, texts):
+        sf = str(tmp_path / name)
+        spark.createDataFrame(
+            [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+            "doc_id bigint, text string, lang string, source string,"
+            " n_chars bigint",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{sf}/documents.parquet"
+        )
+        return sf
+
+    bad_pipe = write_docs("pipe", ["aa bb", "a|b aa"])
+    with pytest.raises(Exception, match="corrupt identically|BPE|bpe"):
+        bpe_two_merge_train(spark, bad_pipe).collect()
+
+    bad_quote = write_docs("quote", ["aa bb", "don't aa"])
+    with pytest.raises(Exception, match="corrupt identically|BPE|bpe"):
+        bpe_two_merge_train(spark, bad_quote).collect()
+
+    clean = write_docs("clean", ["aa bb aa", "aa bb cc"])
+    out = {r.step: r for r in bpe_two_merge_train(spark, clean).collect()}
+    assert set(out) == {1, 2}
+    assert out[1].merged == out[1].sym_a + out[1].sym_b

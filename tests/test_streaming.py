@@ -966,3 +966,42 @@ def test_cms_cells_batch_eq_stream(spark):
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     )
     _assert_same(batch, stream_cms_cells(spark, SF_DIR), "cms_cells")
+
+
+def test_stream_hdr_clamp_folds_nonpositive_into_v1(spark, tmp_path):
+    """stream_hdr_value_quantiles clamps every value rounding to <= 0
+    into the v=1 bucket (hdr_bucket_expr is defined for positive v only;
+    bin() of a negative bigint differs cross-engine).  Planted corpus:
+    4 non-positive/near-zero values + 4 large ones -- the clamped rows
+    must COUNT toward the quantiles (p50 lands on the v=1 bucket), not
+    be dropped (n_total covers all 8 rows), and the upper tail is
+    untouched (p99 lands in the 10000-centi bucket)."""
+    import shutil
+    from datetime import datetime, timezone
+
+    from etl_rf_matrix_controller_spark.streaming.windows import (
+        stream_hdr_value_quantiles,
+    )
+
+    ts = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    vals = [-5.0, 0.0, 0.004, -0.2, 100.0, 100.0, 100.0, 100.0]
+    rows = [
+        (i, "click", ts, v, f"e{i}") for i, v in enumerate(vals, start=1)
+    ]
+    staging = str(tmp_path / "staging")
+    spark.createDataFrame(
+        rows,
+        "user_id bigint, event_type string, ts timestamp,"
+        " value double, event_id string",
+    ).coalesce(1).write.parquet(staging)
+    part = next(
+        f for f in __import__("os").listdir(staging) if f.endswith(".parquet")
+    )
+    sf = str(tmp_path)
+    shutil.copy(f"{staging}/{part}", f"{sf}/events.parquet")
+
+    out = {r.q_ppm: r for r in stream_hdr_value_quantiles(spark, sf).collect()}
+    assert set(out) == {500000, 900000, 990000}
+    assert all(r.n_total == 8 for r in out.values()), out
+    assert out[500000].est_c == 1, out  # clamped rows fill the v=1 bucket
+    assert out[990000].est_c >= 8192, out  # 100.0 -> 10000 centi-units

@@ -76,17 +76,44 @@ def main() -> int:
             f"read_parquet('{sf_dir}/{t}.parquet')"
         )
 
+    class OracleWatchdog:
+        """Interrupt DuckDB if ONE oracle exceeds the wall-clock budget.
+        The timer callback re-checks an 'armed' flag under a lock before
+        interrupting, so a timer that fires in the window between the
+        oracle finishing and cancel() can never deliver a stray
+        interrupt to the NEXT oracle; it wraps only the DuckDB execution
+        (via assert_oracle_match's duck_ctx), so Spark-side time is
+        never misattributed as an oracle timeout."""
+
+        def __init__(self) -> None:
+            self._lock = threading.Lock()
+            self._armed = False
+            self._timer: threading.Timer | None = None
+
+        def _fire(self) -> None:
+            with self._lock:
+                if self._armed:
+                    con.interrupt()
+
+        def __enter__(self) -> "OracleWatchdog":
+            self._armed = True
+            self._timer = threading.Timer(budget, self._fire)
+            self._timer.start()
+            return self
+
+        def __exit__(self, *exc) -> None:
+            with self._lock:
+                self._armed = False
+            self._timer.cancel()
+
     failures: list[str] = []
     for name in names:
         try:
             sdf = qs[name](spark, sf_dir)
             if name in osql:
-                watchdog = threading.Timer(budget, con.interrupt)
-                watchdog.start()
-                try:
-                    assert_oracle_match(sdf, con, osql[name], name=name)
-                finally:
-                    watchdog.cancel()
+                assert_oracle_match(
+                    sdf, con, osql[name], name=name, duck_ctx=OracleWatchdog
+                )
                 print(name, "MATCH", flush=True)
             else:
                 n = sdf.count()
