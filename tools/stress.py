@@ -4,10 +4,12 @@ linear-ish slope confirms no hidden quadratic or driver-side bottleneck.
 
 Usage: python tools/stress.py [multiplier]   # default 10; 100 = x100 run
 The headline shapes (grouped agg, window dedup, top-k, span-dedup gram
-join) run at every decade up to the multiplier; the SimHash band-width
-comparison stays capped at x10 because the NARROW 32-bit setting is
-intentionally quadratic-tailed (that is what the probe demonstrates) and
-x100 would make its candidate join the probe's own bottleneck."""
+join on the persistent bucketed index, banded MinHash LSH dedup,
+streaming bounded-state HLL accumulation) run at every decade up to the
+multiplier; the SimHash band-width comparison stays capped at x10 because
+the NARROW 32-bit setting is intentionally quadratic-tailed (that is what
+the probe demonstrates) and x100 would make its candidate join the
+probe's own bottleneck."""
 
 from __future__ import annotations
 
@@ -105,8 +107,21 @@ def main() -> None:
     # output-size property, not a cost bug), while rotation keeps the
     # cross-copy gram overlap at zero so the probe isolates the
     # index-build volume slope (gram explode + bucket join).
+    #
+    # Round 7: measured on the PERSISTENT bucketed gram index path the
+    # declared query now uses (plans/gram_index.py) -- the one-time index
+    # WRITE and the per-query bucket-local CONSUME join are timed
+    # separately, because that split is the whole point: round 6's 207 s
+    # x100 decade paid a full gram rebuild + ~20 GB shuffle inside every
+    # query; now only the write pays it, once.
     from etl_rf_matrix_controller_spark.operators.dedup import (
-        substring_span_pairs_df,
+        SPAN_K,
+        positional_gram_df,
+        positional_span_pairs,
+    )
+    from etl_rf_matrix_controller_spark.plans.gram_index import (
+        ensure_bucketed_index,
+        index_root,
     )
 
     docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
@@ -137,17 +152,187 @@ def main() -> None:
             out = out.unionByName(p)
         return out
 
+    import shutil
+
+    for mult in MULTS:
+        grams = n_docs * mult * 650  # ~len-39 grams per doc
+        n_buckets = max(32, 4 * mult)
+        t0 = time.perf_counter()
+        pg = ensure_bucketed_index(
+            spark,
+            SF_DIR,
+            "stressspan",
+            lambda s, d, m=mult: positional_gram_df(amplify_docs(m), SPAN_K),
+            ["gram"],
+            version=f"m{mult}",
+            n_buckets=n_buckets,
+        )
+        t_build = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        positional_span_pairs(pg, SPAN_K, span_col="span_chars").write.format(
+            "noop"
+        ).mode("overwrite").save()
+        t_join = time.perf_counter() - t0
+        print(
+            f"span_dedup x{mult}: index write {t_build:.2f}s "
+            f"({grams/t_build/1e6:.1f}M grams/s, once per corpus), "
+            f"consume join {t_join:.2f}s ({grams/t_join/1e6:.1f}M grams/s "
+            f"per query)"
+        )
+        # x100 stress tables are ~20 GB -- drop catalog entry + files so
+        # the probe leaves no residue.
+        tbl = [
+            t.name
+            for t in spark.catalog.listTables()
+            if t.name.startswith(f"gram_idx_stressspan_m{mult}_")
+        ]
+        for t in tbl:
+            spark.sql(f"DROP TABLE {t}")
+            shutil.rmtree(
+                __import__("os").path.join(index_root(), t),
+                ignore_errors=True,
+            )
+
+    # Banded MinHash LSH dedup slope (round-7 verdict task: the banding /
+    # df-cap value proposition IS at scale -- measure it).  Same
+    # rotation-amplified corpus: signatures differ across copies, so
+    # candidates stay collision-level while the input scales; the probe
+    # isolates the shingle->signature aggregation + band self-join volume
+    # slope.  Mirrors minhash_near_dup_pairs' exact shape/constants.
+    from etl_rf_matrix_controller_spark.operators.dedup import (
+        BAND_ROWS,
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_PRIME,
+        N_BANDS,
+        token_fingerprint,
+    )
+
+    def minhash_band_candidates(corpus):
+        t = F.trim("text")
+        fp = corpus.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(
+                            F.lit(1), F.greatest(F.length(t) - 7, F.lit(1))
+                        ),
+                        lambda i: t.substr(i, F.lit(8)),
+                    )
+                )
+            ).alias("gram"),
+        ).select("doc_id", token_fingerprint(F.col("gram")).alias("tokint"))
+        sig = fp.groupBy("doc_id").agg(
+            *[
+                F.min(
+                    (F.lit(a) * F.col("tokint") + F.lit(b)) % MINHASH_PRIME
+                )
+                .cast("bigint")
+                .alias(f"mh{j}")
+                for j, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+            ]
+        )
+        bands = None
+        for band in range(N_BANDS):
+            lo = BAND_ROWS * band
+            bdf = sig.select(
+                "doc_id",
+                F.lit(band).alias("band"),
+                F.concat_ws(
+                    "_",
+                    *[
+                        F.col(f"mh{j}").cast("string")
+                        for j in range(lo, lo + BAND_ROWS)
+                    ],
+                ).alias("bkey"),
+            )
+            bands = bdf if bands is None else bands.unionByName(bdf)
+        bands = bands.localCheckpoint(eager=False)
+        a, b = bands.alias("a"), bands.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bkey") == F.col("b.bkey"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+
     for mult in MULTS:
         t0 = time.perf_counter()
-        substring_span_pairs_df(amplify_docs(mult)).write.format("noop").mode(
-            "overwrite"
-        ).save()
+        n_cand = minhash_band_candidates(amplify_docs(mult)).count()
         dt = time.perf_counter() - t0
-        grams = n_docs * mult * 650  # ~len-39 grams per doc
+        docs_n = n_docs * mult
         print(
-            f"span_dedup x{mult}: {dt:.2f}s (~{grams/1e6:.1f}M grams, "
-            f"{grams/dt/1e6:.1f}M grams/s)"
+            f"minhash_bands x{mult}: {dt:.2f}s ({docs_n/1e3:.0f}k docs, "
+            f"{docs_n/dt/1e3:.1f}k docs/s, {n_cand} candidates)"
         )
+
+    # Streaming bounded-state slope (stream_hll_distinct_daily shape):
+    # groupBy(day, bucket).max(rank) under real Structured Streaming --
+    # state stays at <= days x 64 register rows at ANY input volume, so
+    # the slope measures pure hash+partial-agg throughput.  The amplified
+    # events are staged as plain-parquet micro-batch files (the
+    # normalized ts survives the round trip; maxFilesPerTrigger slices
+    # availableNow into several real micro-batches so incremental state
+    # merge actually exercises).
+    import os as _os
+
+    from etl_rf_matrix_controller_spark.operators.aggregates import (
+        HLL_M,
+        _hll_rank_sql,
+    )
+    from etl_rf_matrix_controller_spark.streaming.windows import (
+        run_stream_to_memory,
+    )
+
+    ev_rows = ev.count()
+    for mult in MULTS:
+        path = f"/tmp/spark_graft_stress_events_x{mult}"
+        if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+            amplify(ev, mult).repartition(max(16, 4 * mult)).write.mode(
+                "overwrite"
+            ).parquet(path)
+        stream = (
+            spark.readStream.schema(spark.read.parquet(path).schema)
+            .option("maxFilesPerTrigger", max(4, mult))
+            .parquet(path)
+        )
+        regs = (
+            stream.select(
+                F.date_trunc("day", "ts").alias("day"),
+                F.conv(
+                    F.substring(F.md5(F.col("user_id").cast("string")), 1, 12),
+                    16,
+                    10,
+                )
+                .cast("bigint")
+                .alias("h"),
+            )
+            .select(
+                "day",
+                (F.col("h") % HLL_M).alias("bucket"),
+                F.expr(_hll_rank_sql("(h DIV 64)")).alias("rank"),
+            )
+            .groupBy("day", "bucket")
+            .agg(F.max("rank").cast("bigint").alias("mx"))
+        )
+        t0 = time.perf_counter()
+        out = run_stream_to_memory(regs, f"stress_hll_x{mult}", spark)
+        n_state = out.count()
+        dt = time.perf_counter() - t0
+        rows = ev_rows * mult
+        print(
+            f"stream_hll x{mult}: {dt:.2f}s ({rows/1e6:.1f}M rows, "
+            f"{rows/dt/1e6:.1f}M rows/s, state {n_state} register rows)"
+        )
+        shutil.rmtree(path, ignore_errors=True)
 
     # SimHash banded blocking: the band-width knob.  Candidate pairs per
     # band grow ~n^2/2^band_bits, so the 32-bit query's 8-bit bands go
