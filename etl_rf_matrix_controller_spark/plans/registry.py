@@ -77,4 +77,7 @@ def load_all() -> None:
         window_frames,
         windows,
     )
-    from etl_rf_matrix_controller_spark.streaming import windows as _sw  # noqa: F401
+    from etl_rf_matrix_controller_spark.streaming import (  # noqa: F401
+        neardup as _snd,
+        windows as _sw,
+    )

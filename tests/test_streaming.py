@@ -1005,3 +1005,84 @@ def test_stream_hdr_clamp_folds_nonpositive_into_v1(spark, tmp_path):
     assert all(r.n_total == 8 for r in out.values()), out
     assert out[500000].est_c == 1, out  # clamped rows fill the v=1 bucket
     assert out[990000].est_c >= 8192, out  # 100.0 -> 10000 centi-units
+
+
+def test_near_dup_admission_stream_eq_batch_multibatch(spark, tmp_path):
+    """Streaming near-dup admission == batch twin across THREE real
+    micro-batches, with planted dups in every placement the state op
+    must handle: within one batch, across batches, and past a hot
+    bucket's df-cap.  Also pins the state bound: total state rows ==
+    number of distinct (band, bkey) bucket keys (each holding <= cap
+    retained ids)."""
+    import os
+
+    from etl_rf_matrix_controller_spark.streaming.neardup import (
+        batch_band_candidates,
+        per_row_band_rows,
+        stream_band_candidates,
+    )
+
+    cap = 3
+    hot = "the same viral boilerplate text repeated everywhere " * 3
+    tail = "quick brown fox jumps over the lazy dog again and again " * 2
+    batches = [
+        # batch 1: within-batch near-dup pair (1, 2) + hot docs 3, 4
+        [(1, "alpha " + tail), (2, "alpha " + tail + " zz"), (3, hot), (4, hot)],
+        # batch 2: cross-batch near-dup of doc 1 + hot docs 5, 6 (cap=3
+        # fills here: retained {3,4,5}; 6 probes but is not retained)
+        [(5, hot), (6, hot), (7, "alpha " + tail + " yy")],
+        # batch 3: hot doc 8 past the cap (must still flag vs {3,4,5})
+        # and an unrelated singleton
+        [(8, hot), (9, "completely different content about spark plans")],
+    ]
+    src = str(tmp_path / "docs_stream")
+    os.makedirs(src)
+    now = 1700000000
+    for i, rows in enumerate(batches):
+        staging = str(tmp_path / f"b{i}")
+        spark.createDataFrame(
+            rows, "doc_id bigint, text string"
+        ).coalesce(1).write.parquet(staging)
+        part = next(f for f in os.listdir(staging) if f.endswith(".parquet"))
+        dst = os.path.join(src, f"batch_{i}.parquet")
+        os.rename(os.path.join(staging, part), dst)
+        os.utime(dst, (now + i * 100, now + i * 100))  # arrival order
+
+    docs_batch = spark.read.parquet(src)
+    stream = (
+        spark.readStream.schema(docs_batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    progress: list = []
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in stream_band_candidates(
+            stream, spark, cap, "near_dup_mb_stream", progress_holder=progress
+        ).collect()
+    }
+    want = {
+        (r.doc_a, r.doc_b)
+        for r in batch_band_candidates(docs_batch, cap).collect()
+    }
+    assert got == want and got, (got, want)
+    # planted placements all present
+    assert (1, 2) in got  # within-batch
+    assert (1, 7) in got and (2, 7) in got  # cross-batch
+    # hot bucket: 8 arrives past the cap -> flagged vs the first 3 only
+    hot_b = {(a, b) for (a, b) in got if b == 8}
+    assert hot_b == {(3, 8), (4, 8), (5, 8)}, hot_b
+    # 6 probed the capped bucket but was NOT retained: nobody pairs a=6
+    assert not [(a, b) for (a, b) in got if a == 6]
+    assert not [(a, b) for (a, b) in got if 9 in (a, b)]
+    # state bound: one state row per distinct bucket key (each array
+    # holds <= cap retained ids), read from the query's own metrics
+    n_keys = per_row_band_rows(docs_batch).select("band", "bkey").distinct().count()
+    state_rows = [
+        op["numRowsTotal"]
+        for pr in progress
+        for op in pr.get("stateOperators", [])
+        if "numRowsTotal" in op
+    ]
+    assert state_rows, progress
+    assert max(state_rows) <= n_keys, (max(state_rows), n_keys)
