@@ -479,6 +479,13 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
+    return gopher_flags_df(docs)
+
+
+def gopher_flags_df(docs: DataFrame) -> DataFrame:
+    """Gopher rule flags over an arbitrary (doc_id, text) frame -- the
+    reusable core of gopher_quality_rules (the end-to-end curation
+    pipeline applies it to its ingest corpus)."""
     t = F.trim("text")
     words = F.split(t, " ")
     sw = F.array([F.lit(s) for s in STOPWORDS_GOPHER])

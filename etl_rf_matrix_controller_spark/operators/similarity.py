@@ -1803,18 +1803,41 @@ def ivfpq_topk_df(
     cb_k: int = PQ_CBK,
     n_queries: int = N_QUERIES,
     top_k: int = TOP_K,
+    nprobe: int = 1,
 ) -> DataFrame:
     """Core of ann_ivfpq_topk over an arbitrary (vec_id, embedding) frame
-    (exposed for the clustered-corpus recall gate); index build is the
-    shared pq_encode_df, scoring is asymmetric distance + exact refine.
+    (exposed for the clustered-corpus recall gate and the
+    tools/ann_recall.py nprobe sweep); index build is the shared
+    pq_encode_df, scoring is asymmetric distance + exact refine.
+    ``nprobe`` > 1 probes the query's nprobe nearest coarse lists (same
+    recall knob as ivf_topk_df; nprobe=1 is the declared-query shape and
+    reuses the build's own map-side assignment).
     """
     assigned, cand = pq_encode_df(emb, cent_mod=cent_mod, cb_k=cb_k)
 
-    q = assigned.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qe"),
-        F.col("cent_id").alias("q_cent"),
-    )
+    if nprobe == 1:
+        q = assigned.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.col("cent_id").alias("q_cent"),
+        )
+    else:
+        cents = assigned.filter(F.col("vec_id") % cent_mod == 0).select(
+            F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_e")
+        )
+        qd = _sq_dist(F.col("embedding"), F.col("c_e"))
+        wq = Window.partitionBy("vec_id").orderBy(qd.asc(), F.col("c_id").asc())
+        q = (
+            assigned.filter(F.col("vec_id") < n_queries)
+            .crossJoin(F.broadcast(cents))
+            .withColumn("rn", F.row_number().over(wq))
+            .filter(F.col("rn") <= nprobe)
+            .select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("qe"),
+                F.col("c_id").alias("q_cent"),
+            )
+        )
     # Candidate reconstruction = centroid + quantized residual, built
     # in-row; the score is the usual fixed-order double fold against it.
     rv = F.zip_with("ce", "rres", lambda c, r: c.cast("double") + r)
@@ -1827,14 +1850,27 @@ def ivfpq_topk_df(
         F.col("vec_id").alias("cand_id"),
         dot_double(F.col("qe"), rv).alias("score"),
     )
-    # Refine: the ADC shortlist (tiny: n_queries x PQ_SHORTLIST rows) is
-    # re-ranked exactly on the raw vectors -- only shortlist members pay
-    # a full-precision fetch, the memory story PQ exists for.
-    shortlist = _topk(scored, PQ_SHORTLIST).select("query_id", "cand_id")
+    # Refine: the ADC shortlist (tiny: n_queries x PQ_SHORTLIST x nprobe
+    # rows) is re-ranked exactly on the raw vectors -- only shortlist
+    # members pay a full-precision fetch, the memory story PQ exists
+    # for.  The shortlist SCALES with nprobe: probing more lists
+    # multiplies ADC candidates, and a fixed-size shortlist floods with
+    # quantization-noise scores that evict true neighbors BEFORE refine
+    # (measured on the clustered gate corpus: recall 0.8 -> 0.33 as
+    # nprobe went 1 -> 4 with a fixed 10-slot shortlist; monotone again
+    # once the shortlist grows with the candidate pool).
+    shortlist = _topk(scored, PQ_SHORTLIST * nprobe).select(
+        "query_id", "cand_id"
+    )
+    # q carries one row per (query, probed list): project to one row per
+    # query for the refine join, or every shortlist member scores nprobe
+    # duplicate rows and the final top-k fills with copies of the best
+    # candidate (measured: recall FELL 0.8 -> 0.33 as nprobe grew).
+    q_one = q.select("query_id", "qe").dropDuplicates(["query_id"])
     refined = (
         assigned.select(F.col("vec_id").alias("cand_id"), "embedding")
         .join(F.broadcast(shortlist), "cand_id")
-        .join(F.broadcast(q.select("query_id", "qe")), "query_id")
+        .join(F.broadcast(q_one), "query_id")
         .select(
             "query_id",
             "cand_id",

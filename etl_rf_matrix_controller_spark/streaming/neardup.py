@@ -37,6 +37,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -52,12 +53,23 @@ from etl_rf_matrix_controller_spark.plans.registry import declared
 
 # First-`cap` docs retained per (band, bkey): the near-dup ingest df-cap.
 NEARDUP_DF_CAP = 50
+# State keys are SHARDED: hash(band, bkey) % NEARDUP_STATE_SHARDS is the
+# applyInPandasWithState group key, each shard's state holding a map of
+# its bucket keys -> retained ids.  Keying state by raw bkey made one
+# Python/pandas group per bucket: ~140k singleton groups at sf0.1 cost
+# ~0.2 ms of per-group overhead each (30.8 s measured, vs 2 s sharded).
+# Sharding bounds group count at any corpus size; per-bucket semantics
+# are untouched (buckets are processed independently inside the shard).
+NEARDUP_STATE_SHARDS = 1024
 
 _PAIR_SCHEMA = StructType(
     [StructField("doc_a", LongType()), StructField("doc_b", LongType())]
 )
 _BUCKET_STATE_SCHEMA = StructType(
-    [StructField("retained", ArrayType(LongType()))]
+    [
+        StructField("bkeys", ArrayType(StringType())),
+        StructField("retained", ArrayType(ArrayType(LongType()))),
+    ]
 )
 
 
@@ -87,16 +99,25 @@ def per_row_band_rows(docs: DataFrame) -> DataFrame:
         # closure factory: PySpark infers the higher-order-function arity
         # from the lambda's OWN parameter count, so default-arg capture
         # (lambda g, a=a, b=b) mis-parses as a 3-arg lambda
-        return lambda g: (F.lit(a) * fp(g) + F.lit(b)) % MINHASH_PRIME
+        return lambda x: (F.lit(a) * x + F.lit(b)) % MINHASH_PRIME
 
-    toks = _toks_col()
+    # md5+conv is ~8x the cost of the integer permutations: fingerprint
+    # each gram ONCE into an fps array, then run the 8 cheap (a*x+b)%P
+    # min-folds over it (putting fp(g) inside each permutation's lambda
+    # measured 13 s vs ~3 s for the whole signature pass at sf0.1).
+    # Rebalance BEFORE the ~250x gram fan-out (the _gram_df rule): a
+    # single-file micro-batch otherwise runs the whole fold on one task
+    # (measured 9 s single-task vs <2 s rebalanced at sf0.1).
+    fps = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism
+    ).select("doc_id", F.transform(_toks_col(), fp).alias("fps"))
     mh = [
-        F.array_min(F.transform(toks, perm(a, b)))
+        F.array_min(F.transform("fps", perm(a, b)))
         .cast("bigint")
         .alias(f"mh{j}")
         for j, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
     ]
-    sig = docs.select("doc_id", *mh)
+    sig = fps.select("doc_id", *mh)
     band_structs = []
     for band in range(N_BANDS):
         lo = BAND_ROWS * band
@@ -119,22 +140,32 @@ def per_row_band_rows(docs: DataFrame) -> DataFrame:
 
 def _make_band_admitter(cap: int):
     def _admit(key, pdf_iter, state: GroupState):
+        """One SHARD of the band index: state is (bkeys, retained-lists)
+        parallel arrays -- a map of this shard's bucket keys to their
+        first-``cap`` arrival doc_ids.  Buckets are independent; rows are
+        processed in doc_id order per bucket (the batch twin's ORDER BY
+        doc_id contract)."""
         import pandas as pd
 
-        retained = list(state.get[0]) if state.exists else []
+        if state.exists:
+            bkeys, lists = state.get
+            index = {k: list(v) for k, v in zip(bkeys, lists)}
+        else:
+            index = {}
         out_a: list[int] = []
         out_b: list[int] = []
         batch = [pdf for pdf in pdf_iter if not pdf.empty]
         if batch:
-            rows = pd.concat(batch)
-            # within-batch arrival order = doc_id (the contract the batch
-            # twin's ORDER BY doc_id mirrors)
-            for doc in sorted(int(d) for d in rows["doc_id"]):
-                out_a.extend(retained)
-                out_b.extend([doc] * len(retained))
-                if len(retained) < cap:
-                    retained.append(doc)
-        state.update((retained,))
+            rows = pd.concat(batch).sort_values("doc_id")
+            for bk, grp in rows.groupby("skey", sort=False):
+                retained = index.setdefault(bk, [])
+                for doc in grp["doc_id"].astype("int64"):
+                    doc = int(doc)
+                    out_a.extend(retained)
+                    out_b.extend([doc] * len(retained))
+                    if len(retained) < cap:
+                        retained.append(doc)
+        state.update((list(index.keys()), list(index.values())))
         yield pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
 
     return _admit
@@ -156,7 +187,17 @@ def stream_band_candidates(
     dicts (the state-bound assertion reads numRowsTotal from them)."""
     pairs = (
         per_row_band_rows(docs_stream)
-        .groupBy("band", "bkey")
+        .select(
+            "doc_id",
+            F.concat_ws("|", F.col("band").cast("string"), "bkey").alias(
+                "skey"
+            ),
+        )
+        .withColumn(
+            "shard",
+            F.pmod(F.xxhash64("skey"), F.lit(NEARDUP_STATE_SHARDS)),
+        )
+        .groupBy("shard")
         .applyInPandasWithState(
             _make_band_admitter(cap),
             outputStructType=_PAIR_SCHEMA,
@@ -327,8 +368,10 @@ def stream_near_dup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, spark, NEARDUP_DF_CAP, "near_dup_admission_stream"
     )
     # batch-side verification over the candidate-scaled pair set
+    # (rebalanced before the shingling fan-out, same rule as the stream)
     toksets = (
         fan_out(batch_docs)
+        .repartition(spark.sparkContext.defaultParallelism)
         .select("doc_id", _toks_col().alias("toks"))
         .localCheckpoint(eager=False)
     )

@@ -122,3 +122,20 @@ def test_cosine_bucket_blocking_recall(spark):
     # bucket blocking may only ever *verify fewer* candidates, never emit
     # a pair the label+cosine verify stage would reject.
     assert bucketed <= truth, sorted(bucketed - truth)[:5]
+
+
+def test_ivfpq_recall_monotone_in_nprobe(spark):
+    """The tools/ann_recall.py sweep's contract: widening the probed
+    coarse-list set can only ADD candidates, so IVF-PQ (+ exact refine)
+    recall is monotone non-decreasing in nprobe on the clustered corpus,
+    and multi-list probing must beat the single-list floor."""
+    emb = _clustered_emb(spark).localCheckpoint(eager=True)
+    truth = _pairs(knn_topk_df(emb))
+    recalls = [
+        _recall(
+            _pairs(ivfpq_topk_df(emb, cent_mod=37, nprobe=p)), truth
+        )
+        for p in (1, 2, 4)
+    ]
+    assert recalls == sorted(recalls), recalls
+    assert recalls[-1] >= 0.8, recalls

@@ -99,3 +99,21 @@ def test_survey_status_counts_match_registry() -> None:
         f"{len(registry.QUERIES)} (run tools/gen_operators_md.py)"
     )
     assert int(m.group(2)) == len(registry.ORACLES)
+
+
+def test_bench_base_covers_registry() -> None:
+    """BENCH_BASE.json (the regression-diff baseline) must cover the FULL
+    registry: round 6 shipped with a 223-query base, leaving the 140
+    queries added since round 3 invisible to tools/bench_diff.py.  Rebase
+    (archive the old file, copy an idle-run BENCH_DETAIL.json) whenever
+    queries are added."""
+    base = json.loads((REPO / "BENCH_BASE.json").read_text())["queries"]
+    missing = sorted(set(registry.QUERIES) - set(base))
+    extra = sorted(set(base) - set(registry.QUERIES))
+    assert not missing, (
+        f"BENCH_BASE.json missing {len(missing)} queries (rebase from an "
+        f"idle-run BENCH_DETAIL.json): {missing[:10]}"
+    )
+    assert not extra, (
+        f"BENCH_BASE.json has {len(extra)} stale queries: {extra[:10]}"
+    )
