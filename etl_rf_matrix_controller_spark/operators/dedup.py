@@ -1833,9 +1833,24 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     substring_span_dups); selection is a frame window inside the
     per-doc partition, and everything after operates on the ~25%
     surviving fingerprints.
+
+    Round 7: the positional hash stream is a PERSISTENT
+    bucketBy(N, doc_id).sortBy(doc_id, pos) table (plans/gram_index.py)
+    -- the selection window's required distribution AND ordering come
+    straight off the bucketed sorted scan, so the whole selection runs
+    with zero Exchange and zero Sort, and the fan-out + md5 is paid
+    once per corpus instead of per query.
     """
-    docs = dup_corpus(spark, sf_dir)
-    spark_para = spark.sparkContext.defaultParallelism
+    return _winnow_census(
+        winnow_select_fps_df(winnow_gram_index(spark, sf_dir))
+    )
+
+
+def winnow_gram_hash_df(docs: DataFrame) -> DataFrame:
+    """Positional char-WINNOW_K-gram hash stream (doc_id, pos, h) --
+    the winnow selection's input, shared by the ad-hoc path and the
+    persistent index builder."""
+    spark_para = docs.sparkSession.sparkContext.defaultParallelism
     t = F.trim("text")
     grams = F.when(
         F.length(t) >= WINNOW_K,
@@ -1844,7 +1859,7 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: t.substr(i, F.lit(WINNOW_K)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    pg = (
+    return (
         docs.repartition(spark_para)
         .select("doc_id", F.posexplode(grams).alias("pos0", "gram"))
         .select(
@@ -1855,7 +1870,21 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("h"),
         )
     )
-    return _winnow_census(winnow_select_fps_df(pg))
+
+
+def winnow_gram_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persistent bucketBy(N, doc_id).sortBy(doc_id, pos) char winnow
+    hash postings over the dup corpus: the per-doc selection windows
+    read their distribution and ordering straight off the scan."""
+    return ensure_bucketed_index(
+        spark,
+        sf_dir,
+        "win8",
+        lambda s, d: winnow_gram_hash_df(dup_corpus(s, d)),
+        ["doc_id"],
+        version="v1",
+        sort_cols=["doc_id", "pos"],
+    )
 
 
 def winnow_select_fps_df(pg: DataFrame) -> DataFrame:
@@ -1972,27 +2001,7 @@ def winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus size.  Mirrored in the oracle (fpd/rare CTEs, materialized
     so DuckDB does not re-inline the document-scale chain per leg).
     """
-    docs = dup_corpus(spark, sf_dir)
-    spark_para = spark.sparkContext.defaultParallelism
-    t = F.trim("text")
-    grams = F.when(
-        F.length(t) >= WINNOW_K,
-        F.transform(
-            F.sequence(F.lit(1), F.length(t) - (WINNOW_K - 1)),
-            lambda i: t.substr(i, F.lit(WINNOW_K)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    pg = (
-        docs.repartition(spark_para)
-        .select("doc_id", F.posexplode(grams).alias("pos0", "gram"))
-        .select(
-            "doc_id",
-            (F.col("pos0") + 1).alias("pos"),
-            F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10)
-            .cast("bigint")
-            .alias("h"),
-        )
-    )
+    pg = winnow_gram_index(spark, sf_dir)
     wd = Window.partitionBy("doc_id")
     enc = pg.select(
         "doc_id",
@@ -2128,16 +2137,23 @@ def token_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc partition; output is the ~2/(w+1) sample.  At 100 TB,
     substitute real tokenizer ids for whitespace tokens and join
     downstream on the fingerprint exactly as winnow_overlap_pairs.
+
+    Round 7: the token hash stream is a persistent
+    bucketBy(N, doc_id).sortBy(doc_id, pos) table like the char unit's
+    -- selection runs with zero Exchange / zero Sort off the scan.
     """
-    return _winnow_census(token_winnow_fps_df(dup_corpus(spark, sf_dir)))
+    return _winnow_census(
+        winnow_select_fps_df(token_winnow_gram_index(spark, sf_dir))
+    )
 
 
-def token_winnow_fps_df(docs: DataFrame, k: int = TOK_WINNOW_K) -> DataFrame:
-    """Core of token_winnow_fingerprints over an arbitrary
-    (doc_id, text) frame: token-gram hash stream (the
-    token_span_pairs_df window-of-leads build) -> winnow_select_fps_df
-    selection.  Returns distinct (doc_id, fp, fp_pos) in token space
-    (exposed for the span-boundary guarantee test)."""
+def token_winnow_gram_hash_df(
+    docs: DataFrame, k: int = TOK_WINNOW_K
+) -> DataFrame:
+    """Positional token k-gram hash stream (doc_id, pos, h) -- the
+    token winnow selection's input (the token_span_pairs_df
+    window-of-leads build), shared by the ad-hoc path and the
+    persistent index builder."""
     spark_para = docs.sparkSession.sparkContext.defaultParallelism
     tok = (
         docs.repartition(spark_para)  # rebalance BEFORE the token fan-out
@@ -2149,7 +2165,7 @@ def token_winnow_fps_df(docs: DataFrame, k: int = TOK_WINNOW_K) -> DataFrame:
     )
     w = Window.partitionBy("doc_id").orderBy("pos")
     leads = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, k)]
-    pg = (
+    return (
         tok.select(
             "doc_id",
             "pos",
@@ -2165,7 +2181,29 @@ def token_winnow_fps_df(docs: DataFrame, k: int = TOK_WINNOW_K) -> DataFrame:
             .alias("h"),
         )
     )
-    return winnow_select_fps_df(pg)
+
+
+def token_winnow_gram_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persistent bucketBy(N, doc_id).sortBy(doc_id, pos) token winnow
+    hash postings over the dup corpus."""
+    return ensure_bucketed_index(
+        spark,
+        sf_dir,
+        "wintok",
+        lambda s, d: token_winnow_gram_hash_df(dup_corpus(s, d)),
+        ["doc_id"],
+        version="v1",
+        sort_cols=["doc_id", "pos"],
+    )
+
+
+def token_winnow_fps_df(docs: DataFrame, k: int = TOK_WINNOW_K) -> DataFrame:
+    """Core of token_winnow_fingerprints over an arbitrary
+    (doc_id, text) frame: token-gram hash stream (the
+    token_span_pairs_df window-of-leads build) -> winnow_select_fps_df
+    selection.  Returns distinct (doc_id, fp, fp_pos) in token space
+    (exposed for the span-boundary guarantee test)."""
+    return winnow_select_fps_df(token_winnow_gram_hash_df(docs, k))
 
 
 @declared(
@@ -2209,7 +2247,7 @@ def token_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB cannot re-inline the corpus-scale subquery per leg.
     """
     fps = (
-        token_winnow_fps_df(dup_corpus(spark, sf_dir))
+        winnow_select_fps_df(token_winnow_gram_index(spark, sf_dir))
         .select("doc_id", "fp")
         .distinct()
     )

@@ -41,6 +41,12 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Bucketed+sorted index tables (plans/gram_index.py) are written
+        # one-file-per-bucket so their scans can expose the sortBy order;
+        # Spark disables that by default since 3.0 (SPARK-28595).  With
+        # this on, the winnow selection windows read distribution AND
+        # ordering straight off the scan: zero Exchange, zero Sort.
+        .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
         # testdata events.parquet carries TIMESTAMP(NANOS); Spark reads it
         # as long-nanos, normalized to microsecond timestamps in load_table
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

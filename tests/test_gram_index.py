@@ -137,3 +137,25 @@ def test_indexed_results_equal_adhoc_path(spark):
         got = {tuple(r) for r in indexed.collect()}
         want = {tuple(r) for r in adhoc.collect()}
         assert got == want
+
+
+def test_winnow_selection_zero_exchange_zero_sort(spark):
+    """The winnow family's selection windows read their distribution AND
+    ordering straight off the bucketBy(doc_id).sortBy(doc_id, pos) index
+    (one file per bucket + spark.sql.legacy.bucketedTableScan.
+    outputOrdering): the whole selection plans NO Exchange and NO Sort."""
+    from etl_rf_matrix_controller_spark.operators.dedup import (
+        token_winnow_gram_index,
+        winnow_gram_index,
+        winnow_select_fps_df,
+    )
+
+    for idx in (
+        winnow_gram_index(spark, SF_DIR),
+        token_winnow_gram_index(spark, SF_DIR),
+    ):
+        plan = plan_of(winnow_select_fps_df(idx))
+        assert "Exchange" not in plan, plan
+        assert "Sort " not in plan, plan
+        assert "Bucketed: true" in plan, plan
+        assert plan.count("Window") == 2, plan
