@@ -45,6 +45,8 @@ MINHASH_B = [1409, 2861, 4409, 6199, 8123, 9733, 11003, 12889]
 # candidates at sf0.1 vs the old 4x2 banding, while true near-dups
 # (J~0.98) still collide with prob 1-(1-J^4)^2 ~ 99.4%.
 N_BANDS, BAND_ROWS = 2, 4
+WINNOW_PAIR_MIN = 3  # pairs must share >= 3 selected fingerprints
+WINNOW_FP_DF_CAP = 50  # drop fingerprints appearing in > 50 docs pre-join
 
 _CORPUS_SQL = """
       SELECT doc_id, text, lang, source FROM documents
@@ -517,6 +519,64 @@ def jac8_gram_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda s, d: _gram_df(dup_corpus(s, d), "source"),
         ["gram", "source"],
         version="v1",
+    )
+
+
+@declared(
+    "gram_index_df_profile",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    grams AS (
+      SELECT doc_id, source, g.gram
+      FROM (
+        SELECT doc_id, source,
+               list_distinct(list_transform(
+                 generate_series(1, greatest(length(trim(text)) - 7, 1)),
+                 i -> substring(trim(text), CAST(i AS INT), 8))) AS grams
+        FROM corpus
+      ) grammed, unnest(grams) AS g(gram)
+    ),
+    df AS (
+      SELECT source, gram, count(*) AS df
+      FROM grams GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(sum(df) AS BIGINT) AS n_postings,
+           CAST(count(*) AS BIGINT) AS n_distinct_grams,
+           CAST(max(df) AS BIGINT) AS max_df,
+           CAST(sum(CASE WHEN df > {WINNOW_FP_DF_CAP} THEN 1 ELSE 0 END)
+                AS BIGINT) AS hot_grams,
+           {ratio4_sql('sum(df)', 'count(*)')} AS avg_df
+    FROM df GROUP BY source
+    """,
+)
+def gram_index_df_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-frequency audit of the persistent gram index, per source:
+    postings volume, distinct grams, max/avg df, and the count of HOT
+    grams past the df-cap (WINNOW_FP_DF_CAP) -- the health check an
+    operator consults before trusting any gram self-join's fan-out bound
+    (a viral boilerplate gram's df grows linearly with the corpus; this
+    is the table that says when the cap starts biting).
+
+    Plan: the first-level groupBy(gram, source) runs with ZERO Exchange
+    -- it groups on exactly the index's bucket keys, so the partial and
+    final aggregates fuse over the bucketed scan; only the tiny
+    per-source rollup shuffles.  Cost at 100 TB: one columnar index
+    scan, no corpus re-shingling, no full-width exchange.
+    """
+    df = (
+        jac8_gram_index(spark, sf_dir)
+        .groupBy("gram", "source")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    return df.groupBy("source").agg(
+        F.sum("df").cast("bigint").alias("n_postings"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_grams"),
+        F.max("df").cast("bigint").alias("max_df"),
+        F.sum(F.when(F.col("df") > WINNOW_FP_DF_CAP, 1).otherwise(0))
+        .cast("bigint")
+        .alias("hot_grams"),
+        ratio4(F.sum("df"), F.count(F.lit(1))).alias("avg_df"),
     )
 
 
@@ -1925,8 +1985,9 @@ def _winnow_census(fps: DataFrame) -> DataFrame:
     )
 
 
-WINNOW_PAIR_MIN = 3  # pairs must share >= 3 selected fingerprints
-WINNOW_FP_DF_CAP = 50  # drop fingerprints appearing in > 50 docs pre-join
+# (WINNOW_PAIR_MIN / WINNOW_FP_DF_CAP live with the top-of-module LSH
+# constants: gram_index_df_profile's oracle references the cap at module
+# load, before this point in the file.)
 
 
 @declared(
