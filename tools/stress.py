@@ -193,6 +193,54 @@ def main() -> None:
                 ignore_errors=True,
             )
 
+    # Winnow-selection slope over the persistent doc-bucketed sorted
+    # index: the selection windows read distribution AND ordering off
+    # the scan (zero Exchange, zero Sort), so the decade should track
+    # pure scan+window throughput.  Build (fan-out + md5 + bucket write)
+    # timed separately, same split as the span shape.
+    from etl_rf_matrix_controller_spark.operators.dedup import (
+        winnow_gram_hash_df,
+        winnow_select_fps_df,
+    )
+
+    for mult in MULTS:
+        grams = n_docs * mult * 650
+        n_buckets = max(32, 4 * mult)
+        t0 = time.perf_counter()
+        idx = ensure_bucketed_index(
+            spark,
+            SF_DIR,
+            "stresswin",
+            lambda s, d, m=mult: winnow_gram_hash_df(amplify_docs(m)),
+            ["doc_id"],
+            version=f"m{mult}",
+            n_buckets=n_buckets,
+            sort_cols=["doc_id", "pos"],
+        )
+        t_build = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        winnow_select_fps_df(idx).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        t_sel = time.perf_counter() - t0
+        print(
+            f"winnow_select x{mult}: index write {t_build:.2f}s "
+            f"({grams/t_build/1e6:.1f}M grams/s, once per corpus), "
+            f"selection {t_sel:.2f}s ({grams/t_sel/1e6:.1f}M grams/s "
+            f"per query)"
+        )
+        tbl = [
+            t.name
+            for t in spark.catalog.listTables()
+            if t.name.startswith(f"gram_idx_stresswin_m{mult}_")
+        ]
+        for t in tbl:
+            spark.sql(f"DROP TABLE {t}")
+            shutil.rmtree(
+                __import__("os").path.join(index_root(), t),
+                ignore_errors=True,
+            )
+
     # Banded MinHash LSH dedup slope (round-7 verdict task: the banding /
     # df-cap value proposition IS at scale -- measure it).  Same
     # rotation-amplified corpus: signatures differ across copies, so
