@@ -93,6 +93,8 @@ def ensure_bucketed_index(
     over the existing location) -> full build (one shuffle on the bucket
     keys, paid once per corpus per builder version).
     """
+    import shutil
+
     n_buckets = n_buckets or default_n_buckets()
     sort_cols = sort_cols or bucket_cols
     tag = corpus_fingerprint(sf_dir, source_table)
@@ -101,11 +103,9 @@ def ensure_bucketed_index(
         return spark.table(table)
 
     loc = os.path.join(index_root(), table)
-    meta_path = os.path.join(loc, "_graft_meta.json")
-    if os.path.exists(os.path.join(loc, "_SUCCESS")) and os.path.exists(
-        meta_path
-    ):
-        with open(meta_path) as fh:
+
+    def _register() -> DataFrame:
+        with open(os.path.join(loc, "_graft_meta.json")) as fh:
             meta = json.load(fh)
         spark.sql(
             f"CREATE TABLE {table} ({meta['ddl']}) USING PARQUET "
@@ -116,21 +116,38 @@ def ensure_bucketed_index(
         )
         return spark.table(table)
 
+    def _published() -> bool:
+        return os.path.exists(
+            os.path.join(loc, "_SUCCESS")
+        ) and os.path.exists(os.path.join(loc, "_graft_meta.json"))
+
+    if _published():
+        return _register()
+
+    # Build into a process-unique staging dir, then PUBLISH with one
+    # atomic rename: two processes racing to build the same index (the
+    # background test suite vs a gate run) each write their own staging
+    # dir and exactly one rename wins -- no reader ever sees a
+    # half-written location.
     df = build(spark, sf_dir)
+    stage_loc = f"{loc}.build-{os.getpid()}"
+    stage_table = f"{table}_build_{os.getpid()}"
     # One repartition on the bucket keys with numPartitions == numBuckets:
     # HashPartitioning and the bucket hash are both Murmur3 pmod N, so each
     # write task holds exactly one bucket -> one file per bucket -> the
-    # read side keeps sortBy order and the consuming SMJ elides its Sort.
+    # read side keeps sortBy order and the consuming join/window elides
+    # its Sort.
     (
         df.repartition(n_buckets, *[F.col(c) for c in bucket_cols])
         .write.mode("overwrite")
-        .option("path", loc)
+        .option("path", stage_loc)
         .bucketBy(n_buckets, *bucket_cols)
         .sortBy(*sort_cols)
         .format("parquet")
-        .saveAsTable(table)
+        .saveAsTable(stage_table)
     )
-    with open(meta_path, "w") as fh:
+    spark.sql(f"DROP TABLE {stage_table}")  # external: files stay put
+    with open(os.path.join(stage_loc, "_graft_meta.json"), "w") as fh:
         json.dump(
             {
                 "ddl": _ddl_of(df),
@@ -140,4 +157,11 @@ def ensure_bucketed_index(
             },
             fh,
         )
-    return spark.table(table)
+    try:
+        os.rename(stage_loc, loc)
+    except OSError:
+        # a concurrent builder published first; theirs is equivalent
+        shutil.rmtree(stage_loc, ignore_errors=True)
+        if not _published():
+            raise
+    return _register()
