@@ -105,6 +105,73 @@ def token_fingerprint(token: Column) -> Column:
     return F.conv(F.substring(F.md5(token), 1, 8), 16, 10).cast("bigint")
 
 
+def doc_tokset_col() -> Column:
+    """Distinct char-8-gram array of the (trimmed) text column -- the
+    shingle set every MinHash/Jaccard operator is defined over."""
+    t = F.trim("text")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(t) - 7, F.lit(1))),
+            lambda i: t.substr(i, F.lit(8)),
+        )
+    )
+
+
+def per_row_band_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, bkey) rows computed STATELESS per document: the
+    MinHash signature is an array fold over the doc's own distinct
+    char-8-grams (same md5-prefix fingerprints and (a*x+b) mod P
+    permutations as minhash_signatures, so values are identical to the
+    batch groupBy.min spelling), banded rows x bands exactly like
+    minhash_near_dup_pairs.  No shuffle, no streaming agg -- works
+    unchanged on a batch OR streaming frame (streaming/neardup.py runs
+    it inside micro-batches; the persistent incremental band index
+    builds from it)."""
+
+    def fp(g: Column) -> Column:
+        return F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("bigint")
+
+    def perm(a: int, b: int):
+        # closure factory: PySpark infers the higher-order-function arity
+        # from the lambda's OWN parameter count, so default-arg capture
+        # (lambda g, a=a, b=b) mis-parses as a 3-arg lambda
+        return lambda x: (F.lit(a) * x + F.lit(b)) % MINHASH_PRIME
+
+    # md5+conv is ~8x the cost of the integer permutations: fingerprint
+    # each gram ONCE into an fps array, then run the 8 cheap (a*x+b)%P
+    # min-folds over it.  Rebalance BEFORE the ~250x gram fan-out (the
+    # _gram_df rule): a single-file input otherwise runs the whole fold
+    # on one task.
+    fps = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism
+    ).select("doc_id", F.transform(doc_tokset_col(), fp).alias("fps"))
+    mh = [
+        F.array_min(F.transform("fps", perm(a, b)))
+        .cast("bigint")
+        .alias(f"mh{j}")
+        for j, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    ]
+    sig = fps.select("doc_id", *mh)
+    band_structs = []
+    for band in range(N_BANDS):
+        lo = BAND_ROWS * band
+        band_structs.append(
+            F.struct(
+                F.lit(band).alias("band"),
+                F.concat_ws(
+                    "_",
+                    *[
+                        F.col(f"mh{j}").cast("string")
+                        for j in range(lo, lo + BAND_ROWS)
+                    ],
+                ).alias("bkey"),
+            )
+        )
+    return sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", "bb.band", "bb.bkey")
+
+
 @declared(
     "dedup_exact_docs",
     oracle=f"""
@@ -786,85 +853,31 @@ def incremental_near_dup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs (the self-join form, minhash_near_dup_pairs, is the one-off
     backfill): the band index is a write-once artifact, tonight's batch
     shuffles only ITS bands against it, and cost scales with the batch
-    size times collision rate -- never corpus x corpus.  At 100 TB the
-    index side is bucketed on (band, bkey) so the probe is a co-located
-    join.  Same toksets-once materialization as the self-join form; the
-    scrambled decoys (reversed text) exercise the no-match path.
+    size times collision rate -- never corpus x corpus.
+
+    Round 7: the index side is a PERSISTENT bucketBy(N, band, bkey)
+    table (plans/gram_index.py, kind "bandidx"), so the probe plans
+    exactly ONE exchange -- on the BATCH's bands, shuffled into the
+    index's bucketing; the corpus-scaled side never moves (pinned in
+    tests/test_gram_index.py).  Per-row signatures (per_row_band_rows)
+    replace the old explode+groupBy spelling -- identical values (same
+    distinct-gram fingerprints and permutations), zero shuffle to
+    compute.  The scrambled decoys (reversed text) exercise the
+    no-match path.
     """
+    idx = incremental_band_index(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    variants = F.filter(
-        F.array(
-            F.struct(
-                F.col("doc_id"), F.col("text"), F.lit("idx").alias("tag")
-            ),
-            F.when(
-                F.col("doc_id") % 10 == 3,
-                F.struct(
-                    (F.col("doc_id") + 4000000).alias("doc_id"),
-                    F.concat(F.col("text"), F.lit(" zznew")).alias("text"),
-                    F.lit("new").alias("tag"),
-                ),
-            ),
-            F.when(
-                F.col("doc_id") % 10 == 4,
-                F.struct(
-                    (F.col("doc_id") + 5000000).alias("doc_id"),
-                    F.reverse(F.trim("text")).alias("text"),
-                    F.lit("new").alias("tag"),
-                ),
-            ),
-        ),
-        lambda x: x.isNotNull(),
-    )
-    corpus = (
-        docs.repartition(spark.sparkContext.defaultParallelism)
-        .select(F.explode(variants).alias("r"))
-        .select("r.*")
-    )
-    t = F.trim("text")
-    toksets = corpus.select(
-        "doc_id",
-        "tag",
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(F.length(t) - 7, F.lit(1))),
-                lambda i: t.substr(i, F.lit(8)),
-            )
-        ).alias("toks"),
-    ).localCheckpoint(eager=False)
-    fp = toksets.select(
-        "doc_id", "tag", F.explode("toks").alias("gram")
-    ).select("doc_id", "tag", token_fingerprint(F.col("gram")).alias("tokint"))
-    sig = fp.groupBy("doc_id", "tag").agg(
-        *[
-            F.min((F.lit(a) * F.col("tokint") + F.lit(b)) % MINHASH_PRIME)
-            .cast("bigint")
-            .alias(f"mh{j}")
-            for j, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
-        ]
-    )
-    bands = None
-    for band in range(N_BANDS):
-        lo = BAND_ROWS * band
-        b = sig.select(
-            "doc_id",
-            "tag",
-            F.lit(band).alias("band"),
-            F.concat_ws(
-                "_",
-                *[
-                    F.col(f"mh{j}").cast("string")
-                    for j in range(lo, lo + BAND_ROWS)
-                ],
-            ).alias("bkey"),
-        )
-        bands = b if bands is None else bands.unionByName(b)
-    bands = bands.localCheckpoint(eager=False)
-    n = bands.filter(F.col("tag") == "new").alias("n")
-    i = bands.filter(F.col("tag") == "idx").alias("i")
+    new_docs = new_batch_docs(docs)
+    new_bands = per_row_band_rows(new_docs)
+    # shuffle_hash with the BATCH as build side: at test scale Catalyst
+    # would happily broadcast the index (it is tiny here), but the index
+    # is corpus-scaled -- the honest 100 TB plan shuffles only the batch
+    # bands into the index's bucketing and streams the bucketed scan.
     cand = (
-        n.join(
-            i,
+        new_bands.alias("n")
+        .hint("shuffle_hash")
+        .join(
+            idx.alias("i"),
             (F.col("n.band") == F.col("i.band"))
             & (F.col("n.bkey") == F.col("i.bkey")),
         )
@@ -873,6 +886,14 @@ def incremental_near_dup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("i.doc_id").alias("matched_doc_id"),
         )
         .distinct()
+    )
+    # Verification toksets: index docs + the new batch (candidate-scaled
+    # join consumers; one corpus scan + one batch scan).
+    toksets = (
+        docs.unionByName(new_docs)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", doc_tokset_col().alias("toks"))
+        .localCheckpoint(eager=False)
     )
     tn = toksets.alias("tn")
     ti = toksets.alias("ti")
@@ -884,6 +905,37 @@ def incremental_near_dup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(ti, F.col("ti.doc_id") == F.col("matched_doc_id"))
         .filter(jacc >= 0.6)
         .select("new_doc_id", "matched_doc_id", jacc.alias("jaccard"))
+    )
+
+
+def new_batch_docs(docs: DataFrame) -> DataFrame:
+    """The synthesized ingest batch: one near-dup (+4M, ' zznew') per
+    doc_id%10==3 and one scrambled decoy (+5M, reversed) per %10==4."""
+    near = docs.filter(F.col("doc_id") % 10 == 3).select(
+        (F.col("doc_id") + 4000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zznew")).alias("text"),
+    )
+    decoy = docs.filter(F.col("doc_id") % 10 == 4).select(
+        (F.col("doc_id") + 5000000).alias("doc_id"),
+        F.reverse(F.trim("text")).alias("text"),
+    )
+    return near.unionByName(decoy)
+
+
+def incremental_band_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persistent bucketBy(N, band, bkey) MinHash band postings of the
+    EXISTING corpus -- the write-once artifact nightly ingest batches
+    probe (incremental_near_dup_check); only the batch's bands ever
+    shuffle."""
+    return ensure_bucketed_index(
+        spark,
+        sf_dir,
+        "bandidx",
+        lambda s, d: per_row_band_rows(
+            load_table(s, d, "documents").select("doc_id", "text")
+        ),
+        ["band", "bkey"],
+        version="v1",
     )
 
 

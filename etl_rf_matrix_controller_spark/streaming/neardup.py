@@ -31,7 +31,7 @@ order).  Pinned across >= 3 real micro-batches in tests/test_streaming.py.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
@@ -48,6 +48,8 @@ from etl_rf_matrix_controller_spark.operators.dedup import (
     MINHASH_B,
     MINHASH_PRIME,
     N_BANDS,
+    doc_tokset_col,
+    per_row_band_rows,
 )
 from etl_rf_matrix_controller_spark.plans.registry import declared
 
@@ -73,69 +75,10 @@ _BUCKET_STATE_SCHEMA = StructType(
 )
 
 
-def _toks_col() -> Column:
-    t = F.trim("text")
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.length(t) - 7, F.lit(1))),
-            lambda i: t.substr(i, F.lit(8)),
-        )
-    )
-
-
-def per_row_band_rows(docs: DataFrame) -> DataFrame:
-    """(doc_id, band, bkey) rows computed STATELESS per document: the
-    MinHash signature is an array fold over the doc's own distinct
-    char-8-grams (same md5-prefix fingerprints and (a*x+b) mod P
-    permutations as minhash_signatures, so values are identical to the
-    batch groupBy.min spelling), banded rows x bands exactly like
-    minhash_near_dup_pairs.  No shuffle, no streaming agg -- works
-    unchanged on a batch OR streaming frame."""
-
-    def fp(g: Column) -> Column:
-        return F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("bigint")
-
-    def perm(a: int, b: int):
-        # closure factory: PySpark infers the higher-order-function arity
-        # from the lambda's OWN parameter count, so default-arg capture
-        # (lambda g, a=a, b=b) mis-parses as a 3-arg lambda
-        return lambda x: (F.lit(a) * x + F.lit(b)) % MINHASH_PRIME
-
-    # md5+conv is ~8x the cost of the integer permutations: fingerprint
-    # each gram ONCE into an fps array, then run the 8 cheap (a*x+b)%P
-    # min-folds over it (putting fp(g) inside each permutation's lambda
-    # measured 13 s vs ~3 s for the whole signature pass at sf0.1).
-    # Rebalance BEFORE the ~250x gram fan-out (the _gram_df rule): a
-    # single-file micro-batch otherwise runs the whole fold on one task
-    # (measured 9 s single-task vs <2 s rebalanced at sf0.1).
-    fps = docs.repartition(
-        docs.sparkSession.sparkContext.defaultParallelism
-    ).select("doc_id", F.transform(_toks_col(), fp).alias("fps"))
-    mh = [
-        F.array_min(F.transform("fps", perm(a, b)))
-        .cast("bigint")
-        .alias(f"mh{j}")
-        for j, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
-    ]
-    sig = fps.select("doc_id", *mh)
-    band_structs = []
-    for band in range(N_BANDS):
-        lo = BAND_ROWS * band
-        band_structs.append(
-            F.struct(
-                F.lit(band).alias("band"),
-                F.concat_ws(
-                    "_",
-                    *[
-                        F.col(f"mh{j}").cast("string")
-                        for j in range(lo, lo + BAND_ROWS)
-                    ],
-                ).alias("bkey"),
-            )
-        )
-    return sig.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
-    ).select("doc_id", "bb.band", "bb.bkey")
+# _toks_col / per_row_band_rows moved to operators/dedup.py in round 7
+# (the persistent incremental band index builds from the same machinery);
+# re-exported here for the streaming twin's callers.
+_toks_col = doc_tokset_col
 
 
 def _make_band_admitter(cap: int):

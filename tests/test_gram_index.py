@@ -159,3 +159,35 @@ def test_winnow_selection_zero_exchange_zero_sort(spark):
         assert "Sort " not in plan, plan
         assert "Bucketed: true" in plan, plan
         assert plan.count("Window") == 2, plan
+
+
+def test_incremental_probe_shuffles_only_the_batch(spark):
+    """incremental_near_dup_check's probe join: the corpus-scaled band
+    index is a bucketed scan with NO exchange; the only exchange feeding
+    the join is the batch's own bands (batch-scaled).  This is the
+    structural 100 TB posture -- shuffle the batch, never the corpus."""
+    from etl_rf_matrix_controller_spark.operators.dedup import (
+        incremental_band_index,
+        new_batch_docs,
+        per_row_band_rows,
+    )
+    from etl_rf_matrix_controller_spark.sources.tables import load_table
+
+    idx = incremental_band_index(spark, SF_DIR)
+    nb = per_row_band_rows(
+        new_batch_docs(
+            load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+        )
+    )
+    j = nb.alias("n").hint("shuffle_hash").join(
+        idx.alias("i"),
+        (F.col("n.band") == F.col("i.band"))
+        & (F.col("n.bkey") == F.col("i.bkey")),
+    )
+    plan = plan_of(j)
+    assert "ShuffledHashJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    assert plan.count("Bucketed: true") == 1, plan
+    # exactly one hash exchange: the batch side being shuffled into the
+    # index's bucketing
+    assert plan.count("Exchange hashpartitioning") == 1, plan
