@@ -867,7 +867,10 @@ def incremental_near_dup_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     idx = incremental_band_index(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    new_docs = new_batch_docs(docs)
+    # The batch feeds both its band computation and the verification
+    # toksets: checkpoint it once (batch-scaled, tiny next to the
+    # corpus) so documents is scanned once, not three times.
+    new_docs = new_batch_docs(docs).localCheckpoint(eager=True)
     new_bands = per_row_band_rows(new_docs)
     # shuffle_hash with the BATCH as build side: at test scale Catalyst
     # would happily broadcast the index (it is tiny here), but the index
