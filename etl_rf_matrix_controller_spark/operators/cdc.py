@@ -231,3 +231,83 @@ def survivorship_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("bal", prio("bal")).alias("bal"),
         F.max("src_priority").cast("bigint").alias("n_sources_seen"),
     ).select("c_custkey", "name", "segment", "bal", "n_sources_seen")
+
+
+# ---------------------------------------------------------------------------
+# CDC log apply with delete tombstones (round 7b)
+# ---------------------------------------------------------------------------
+
+@declared(
+    "cdc_apply_tombstones",
+    oracle="""
+    WITH log AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             event_type, value
+      FROM events
+    ),
+    ordered AS (
+      SELECT user_id, op, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT)
+               AS n_changes,
+             CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id) AS BIGINT) AS n_tombstones
+      FROM log
+    )
+    SELECT user_id, event_type AS last_type, value AS last_value,
+           n_changes, n_tombstones
+    FROM ordered
+    WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def cdc_apply_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a change-data-capture log WITH delete tombstones to produce
+    the final keyed state: the events stream is read as a change feed
+    (op = D for 'error' events -- the tombstone marker -- else U), and a
+    key survives only if its LAST change by (ts, event_id) is an upsert;
+    a key whose latest op is a tombstone is absent from the final state
+    even though older upserts exist (and a key deleted mid-stream then
+    re-upserted RESURRECTS -- the semantics `route_latest_state` /
+    `survivorship_merge` lack, completing the CDC family alongside SCD2
+    history and point-in-time reads).  Per-key change and tombstone
+    counts ride along for the audit trail.
+
+    One window over the log keyed by user (single shuffle; rank,
+    count and tombstone-count share the partition), filter rn = 1 AND
+    op <> 'D' -- the standard compact-the-changelog plan, identical in
+    shape to a log-compaction job at 100 TB (shuffle by key once, no
+    joins).  Raw column passthrough for last_value (no computed floats).
+    """
+    log = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        "event_type",
+        "value",
+    )
+    from pyspark.sql.window import Window
+
+    wk = Window.partitionBy("user_id")
+    wo = wk.orderBy(F.desc("ts"), F.desc("event_id"))
+    ordered = log.select(
+        "user_id",
+        "op",
+        "event_type",
+        "value",
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1)).over(wk).cast("bigint").alias("n_changes"),
+        F.sum(F.when(F.col("op") == "D", 1).otherwise(0))
+        .over(wk)
+        .cast("bigint")
+        .alias("n_tombstones"),
+    )
+    return ordered.filter((F.col("rn") == 1) & (F.col("op") != "D")).select(
+        "user_id",
+        F.col("event_type").alias("last_type"),
+        F.col("value").alias("last_value"),
+        "n_changes",
+        "n_tombstones",
+    )

@@ -1283,3 +1283,116 @@ def max_coverage_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gain",
         F.sum("gain").over(w).cast("bigint").alias("covered_total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe temporal split (round 7b)
+# ---------------------------------------------------------------------------
+
+# Embargo gap between the train cutoff and the first admissible test
+# event: 3 days in epoch microseconds.
+EMBARGO_US = 3 * 86400 * 1000000
+
+
+@declared(
+    "temporal_embargo_split",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT CAST(min(epoch_us(ts)) AS BIGINT) AS mn,
+             CAST(max(epoch_us(ts)) AS BIGINT) AS mx
+      FROM events
+    ),
+    cut AS (
+      SELECT mn + ((mx - mn) * 8) // 10 AS cutoff_us
+      FROM bounds
+    ),
+    tagged AS (
+      SELECT user_id, epoch_us(ts) AS ts_us,
+             CASE WHEN epoch_us(ts) <= cutoff_us THEN 'train'
+                  WHEN epoch_us(ts) <= cutoff_us + {EMBARGO_US}
+                    THEN 'embargo'
+                  ELSE 'test' END AS split
+      FROM events CROSS JOIN cut
+    ),
+    leak AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_straddle_users
+      FROM (
+        SELECT user_id FROM tagged
+        GROUP BY user_id
+        HAVING sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) > 0
+           AND sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) > 0
+      )
+    )
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(min(ts_us) AS BIGINT) AS min_ts_us,
+           CAST(max(ts_us) AS BIGINT) AS max_ts_us,
+           (SELECT n_straddle_users FROM leak) AS n_straddle_users
+    FROM tagged
+    GROUP BY split
+    """,
+)
+def temporal_embargo_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe temporal train/test split with an embargo gap: events
+    up to the 80%-of-timespan cutoff train, events inside the following
+    {EMBARGO_US // 86400000000}-day embargo are QUARANTINED (neither
+    split -- the forecasting-evaluation discipline that stops
+    label-horizon leakage across the boundary), and the remainder tests.
+    Complements the key-hash splits (`hash_split_assign`,
+    `group_kfold_assign`): time-ordered data must split on TIME or the
+    model trains on the future.  Also reports n_straddle_users (users
+    with events in BOTH train and test) -- the entity-leakage dial that
+    tells an operator whether a user-level embargo is ALSO needed.
+
+    Exactness: the cutoff is min + ((max-min)*8 DIV 10) in epoch
+    microseconds -- pure integer arithmetic, identical cross-engine
+    (DuckDB's fractional epoch() avoided via epoch_us).  The bounds scan
+    aggregates to one broadcast row; tagging is a map-side CASE, so the
+    whole split costs one agg + one pass at any scale.  Output: one row
+    per split with event/user counts, span, and the shared straddle
+    count."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    bounds = ev.agg(
+        F.min("ts_us").alias("mn"), F.max("ts_us").alias("mx")
+    )
+    cut = bounds.select(
+        F.expr("mn + ((mx - mn) * 8) DIV 10").alias("cutoff_us")
+    )
+    tagged = (
+        ev.crossJoin(F.broadcast(cut))
+        .select(
+            "user_id",
+            "ts_us",
+            F.when(F.col("ts_us") <= F.col("cutoff_us"), "train")
+            .when(F.col("ts_us") <= F.col("cutoff_us") + EMBARGO_US, "embargo")
+            .otherwise("test")
+            .alias("split"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    leak = (
+        tagged.groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias("tr"),
+            F.sum(F.when(F.col("split") == "test", 1).otherwise(0)).alias("te"),
+        )
+        .filter((F.col("tr") > 0) & (F.col("te") > 0))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_straddle_users"))
+    )
+    return (
+        tagged.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.min("ts_us").cast("bigint").alias("min_ts_us"),
+            F.max("ts_us").cast("bigint").alias("max_ts_us"),
+        )
+        .crossJoin(F.broadcast(leak))
+        .select(
+            "split", "n_events", "n_users", "min_ts_us", "max_ts_us",
+            "n_straddle_users",
+        )
+    )

@@ -2604,3 +2604,149 @@ def snm_multipass_pairs_df(docs: DataFrame) -> DataFrame:
         F.count_distinct("pass").cast("bigint").alias("n_passes"),
         F.expr("bool_or(is_exact)").alias("is_exact"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered set-similarity join (PPJoin-style, round 7b)
+# ---------------------------------------------------------------------------
+
+# Jaccard threshold for the prefix-filtered join, as an exact rational
+# (tau = PF_TAU_NUM / PF_TAU_DEN = 0.8): the threshold compare is integer
+# (PF_TAU_DEN * inter >= PF_TAU_NUM * union), never a float boundary.
+PF_TAU_NUM, PF_TAU_DEN = 4, 5
+
+
+@declared(
+    "prefix_filter_jaccard_pairs",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    toksets AS MATERIALIZED (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, len(t) - 2),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS toks
+      FROM (SELECT doc_id, string_split(trim(text), ' ') AS t FROM corpus)
+      WHERE len(t) >= 3
+    ),
+    exploded AS MATERIALIZED (
+      SELECT doc_id, s.sh FROM toksets, unnest(toks) AS s(sh)
+    ),
+    dfc AS MATERIALIZED (
+      SELECT sh, CAST(count(*) AS BIGINT) AS df FROM exploded GROUP BY sh
+    ),
+    ranked AS MATERIALIZED (
+      SELECT e.doc_id, e.sh,
+             row_number() OVER (PARTITION BY e.doc_id
+                                ORDER BY d.df, e.sh) AS rn,
+             len(t.toks) AS n
+      FROM exploded e
+      JOIN dfc d ON d.sh = e.sh
+      JOIN toksets t ON t.doc_id = e.doc_id
+    ),
+    prefix AS MATERIALIZED (
+      SELECT doc_id, sh FROM ranked
+      WHERE rn <= n - ((8 * n + 9) // 10) + 1
+    ),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM prefix a JOIN prefix b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, n_inter, n_union,
+           n_inter * 1.0 / n_union AS jaccard
+    FROM (
+      SELECT c.doc_a, c.doc_b,
+             CAST(len(list_intersect(ta.toks, tb.toks)) AS BIGINT)
+               AS n_inter,
+             CAST(len(ta.toks) + len(tb.toks)
+                  - len(list_intersect(ta.toks, tb.toks)) AS BIGINT)
+               AS n_union
+      FROM cand c
+      JOIN toksets ta ON ta.doc_id = c.doc_a
+      JOIN toksets tb ON tb.doc_id = c.doc_b
+    )
+    WHERE {PF_TAU_DEN} * n_inter >= {PF_TAU_NUM} * n_union
+    """,
+)
+def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-similarity join with LOSSLESS prefix filtering (the
+    PPJoin/AllPairs candidate rule, Xiao et al. 2008 / Bayardo et al.
+    2007): order each doc's distinct token-3-gram shingles by ascending
+    global document frequency (rarest first, ties lexicographic) and
+    join only the first |T| - ceil(tau*|T|) + 1 of them -- any pair with
+    Jaccard >= tau MUST share a prefix shingle under a common total
+    order, so unlike MinHash banding (`minhash_near_dup_pairs`,
+    probabilistic) or the df-cap (`winnow_overlap_pairs`, truncating)
+    this prune is exact: candidates then verify with exact Jaccard and
+    the result equals the all-pairs answer at a fraction of the join
+    volume.  The third candidate-generation paradigm the dedup family
+    lacked (banding, inverted-index + df-cap, and now prefix filtering).
+
+    Scale: the prefix join's volume is sum(df_prefix^2) over RARE
+    shingles only -- the frequent-shingle quadratic blowup that kills a
+    naive inverted-index join is excluded by construction, which is why
+    production set-similarity joins at corpus scale use exactly this
+    rule.  df is shingle-vocabulary-bounded (broadcast); the verify join
+    touches candidates only.  tau = {PF_TAU_NUM}/{PF_TAU_DEN} held as an
+    integer cross-multiply, jaccard emitted as one bigint/bigint IEEE
+    division.  Corpus: documents + planted exact (+1M) and near (+2M,
+    ' zzextra') dups, the `dup_corpus` fixture every dedup op shares.
+    """
+    corpus = dup_corpus(spark, sf_dir)
+    t = F.split(F.trim("text"), " ")
+    sh_arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(t, i),
+                F.element_at(t, i + 1),
+                F.element_at(t, i + 2),
+            ),
+        )
+    )
+    toksets = (
+        corpus.repartition(spark.sparkContext.defaultParallelism)
+        .filter(F.size(t) >= 3)
+        .select("doc_id", sh_arr.alias("toks"))
+        .localCheckpoint(eager=True)
+    )
+    exploded = toksets.select(
+        "doc_id", F.size("toks").alias("n"), F.explode("toks").alias("sh")
+    ).localCheckpoint(eager=True)
+    dfc = exploded.groupBy("sh").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("sh"))
+    prefix = (
+        exploded.join(F.broadcast(dfc), "sh")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= F.expr("n - ((8 * n + 9) DIV 10) + 1"))
+        .select("doc_id", "sh")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b.hint("shuffle_hash"),
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    ta = toksets.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
+    tb = toksets.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
+    inter = F.size(F.array_intersect("ta", "tb")).cast("bigint")
+    union = (F.size("ta") + F.size("tb")).cast("bigint") - inter
+    return (
+        cand.hint("shuffle_hash")
+        .join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.alias("n_inter"),
+            union.alias("n_union"),
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+        .filter(PF_TAU_DEN * F.col("n_inter") >= PF_TAU_NUM * F.col("n_union"))
+    )

@@ -936,3 +936,220 @@ def rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("fused_rnk") <= 10)
         .select("doc_id", "n_systems", "rrf_ppm", "fused_rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Positional phrase search (round 7b)
+# ---------------------------------------------------------------------------
+
+@declared(
+    "phrase_query_match",
+    oracle="""
+    WITH tg AS MATERIALIZED (
+      SELECT doc_id,
+             list_transform(
+               generate_series(1, len(t) - 2),
+               i -> struct_pack(ph := t[i] || ' ' || t[i+1] || ' ' || t[i+2],
+                                pos := i)) AS tgs
+      FROM (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents)
+      WHERE len(t) >= 3
+    ),
+    occ AS MATERIALIZED (
+      SELECT doc_id, u.ph AS ph, u.pos AS pos
+      FROM tg, unnest(tgs) AS r(u)
+    ),
+    top AS (
+      SELECT ph AS phrase
+      FROM occ GROUP BY ph
+      ORDER BY count(*) DESC, ph ASC
+      LIMIT 1
+    )
+    SELECT o.doc_id, t.phrase,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(min(o.pos) AS BIGINT) AS first_pos
+    FROM occ o JOIN top t ON o.ph = t.phrase
+    GROUP BY o.doc_id, t.phrase
+    """,
+)
+def phrase_query_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search over a positional index: find the corpus's
+    most frequent token trigram (ties lexicographic) and return every
+    document containing it with occurrence count and first position --
+    the classic IR phrase-query operator (positional postings +
+    adjacency), the piece `inverted_postings` (doc-level postings) and
+    `doc_token_match` (regex scan) both lack.  Nearest reference
+    behavior: the exact-substring probes in etl_controller.py:3293-3298.
+
+    Plan: trigram occurrences are built PER ROW with one array transform
+    (positions 1-based on both engines; sequence guarded to len >= 3 --
+    Spark's sequence(1, 0) is descending, DuckDB's empty) and exploded
+    ONCE into a checkpointed (doc_id, ph, pos) frame consumed by both
+    the global argmax and the per-doc rollup.  The argmax is a 1-row
+    broadcast, so the match is a selectivity-sized semi filter, never a
+    corpus re-shuffle.  At 100 TB the occ frame IS the positional index
+    you'd persist bucketed by phrase hash (plans/gram_index.py holds
+    that machinery for the gram family)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split(F.trim("text"), " ")
+    tgs = F.transform(
+        F.sequence(F.lit(1), F.size(t) - 2),
+        lambda i: F.struct(
+            F.concat_ws(
+                " ",
+                F.element_at(t, i),
+                F.element_at(t, i + 1),
+                F.element_at(t, i + 2),
+            ).alias("ph"),
+            i.alias("pos"),
+        ),
+    )
+    occ = (
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        .filter(F.size(t) >= 3)
+        .select("doc_id", F.explode(tgs).alias("r"))
+        .select("doc_id", F.col("r.ph").alias("ph"), F.col("r.pos").alias("pos"))
+        .localCheckpoint(eager=True)
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("ph"))
+    top = (
+        occ.groupBy("ph")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("ph").alias("phrase"))
+    )
+    return (
+        occ.join(F.broadcast(top), occ["ph"] == top["phrase"])
+        .groupBy("doc_id", "phrase")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.min("pos").cast("bigint").alias("first_pos"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rank-biased overlap between the two retrieval rankings (round 7b)
+# ---------------------------------------------------------------------------
+
+# Truncated RBO at k=10 with persistence p = 1/2, held EXACTLY in integer
+# space: RBO = (1-p) * sum_{d=1..k} p^(d-1) * |A_:d ^ B_:d| / d.  Each doc
+# present in both top-10 lists contributes w_d for every depth d >=
+# max(rank_a, rank_b), so its total contribution is the suffix sum
+# W(m) = sum_{d=m..10} w_d with w_d = 2520 * 2^(10-d) / d scaled by the
+# common denominator 2520 * 2^10 (lcm(1..10) = 2520) -- every weight is an
+# exact integer, and the final rbo double is ONE division of two bigints.
+_RBO_W_SUFFIX = (
+    1788440, 498200, 175640, 68120, 27800, 11672, 4952, 2072, 812, 252,
+)
+_RBO_DEN = 2580480  # 2520 * 2^10
+
+
+def _rbo_oracle() -> str:
+    """Compose the agreement oracle from the two REGISTERED retrieval
+    oracles verbatim (the _rrf_oracle discipline): the ground truth can
+    never drift from the per-system declared queries."""
+    from etl_rf_matrix_controller_spark.plans import registry as _reg
+
+    ta = _reg.ORACLES["tfidf_retrieval_topk"]
+    tb = _reg.ORACLES["bm25_retrieval_topk"]
+    w_sql = ", ".join(str(w) for w in _RBO_W_SUFFIX)
+    return f"""
+    WITH ta AS ({ta}),
+    tb AS ({tb}),
+    common AS (
+      SELECT greatest(ta.rnk, tb.rnk) AS m
+      FROM ta JOIN tb ON tb.doc_id = ta.doc_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_common,
+           CAST(coalesce(sum(([{w_sql}])[CAST(m AS INT)]), 0) AS BIGINT)
+             AS rbo_num,
+           CAST({_RBO_DEN} AS BIGINT) AS rbo_den,
+           CAST(coalesce(sum(([{w_sql}])[CAST(m AS INT)]), 0) AS DOUBLE)
+             / {_RBO_DEN} AS rbo
+    FROM common
+    """
+
+
+@declared("rbo_rankings_compare", oracle=_rbo_oracle())
+def rbo_rankings_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (Webber et al. 2010) between the tf-idf and
+    BM25 top-10 rankings for the fixed probe query: the standard
+    top-weighted agreement measure between two rankers (Kendall/Spearman
+    treat all depths equally; RBO discounts geometrically, matching how
+    users -- and downstream fusion -- consume rankings).  Complements
+    `rrf_fusion_topk` (which MERGES the lists) with the metric that says
+    how much they already agree.  Truncated RBO, p = 1/2, k = 10, exact
+    integer arithmetic: each common doc contributes the suffix-sum weight
+    W(max(rank_a, rank_b)) over the lcm-scaled weights; `rbo` is one
+    bigint/bigint IEEE division, bit-identical cross-engine.
+
+    Plan: ONE tokenize pass feeds both scorers (the rrf_fusion_topk
+    checkpoint discipline); the rank frames are 10 rows each, so the
+    agreement join is free.  Output is a single summary row."""
+    tok = _tok(spark, sf_dir)
+    qtok = tok.filter(F.col("token").isin(*QUERY_TERMS)).localCheckpoint(
+        eager=True
+    )
+    tf = qtok.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    ).localCheckpoint(eager=True)
+    df = qtok.groupBy("token").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("df")
+    ).localCheckpoint(eager=True)
+    docs = load_table(spark, sf_dir, "documents")
+    dl = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias("dl"),
+    ).localCheckpoint(eager=True)
+    scal = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("t_tokens"),
+    )
+    scored_a = (
+        tf.join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(scal))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("tf") * F.expr("(n_docs * 1000000) DIV df"))
+            .cast("bigint")
+            .alias("score_ppm")
+        )
+    )
+    scored_b = (
+        dl.join(F.broadcast(tf), "doc_id")
+        .join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(scal))
+        .groupBy("doc_id")
+        .agg(F.sum(F.expr(_BM25_CONTRIB_EXPR)).cast("bigint").alias("score_ppm"))
+    )
+    w = Window.orderBy(F.desc("score_ppm"), F.asc("doc_id"))
+
+    def _rank10(scored: DataFrame, col: str) -> DataFrame:
+        return (
+            scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rnk") <= 10)
+            .select("doc_id", F.col("rnk").alias(col))
+        )
+
+    wt = F.array(*[F.lit(v) for v in _RBO_W_SUFFIX])
+    common = (
+        _rank10(scored_a, "rnk_a")
+        .join(F.broadcast(_rank10(scored_b, "rnk_b")), "doc_id")
+        .select(F.greatest("rnk_a", "rnk_b").alias("m"))
+    )
+    return common.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_common"),
+        F.coalesce(
+            F.sum(F.element_at(wt, F.col("m").cast("int"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("rbo_num"),
+        F.lit(_RBO_DEN).cast("bigint").alias("rbo_den"),
+        (
+            F.coalesce(
+                F.sum(F.element_at(wt, F.col("m").cast("int"))), F.lit(0)
+            ).cast("double")
+            / F.lit(_RBO_DEN)
+        ).alias("rbo"),
+    )

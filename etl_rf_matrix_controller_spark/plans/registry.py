@@ -79,5 +79,6 @@ def load_all() -> None:
     )
     from etl_rf_matrix_controller_spark.streaming import (  # noqa: F401
         neardup as _snd,
+        transitions as _str,
         windows as _sw,
     )

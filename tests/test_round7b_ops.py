@@ -1,0 +1,271 @@
+"""Round-7b operator semantics: prefix-filter losslessness against the
+brute-force all-pairs answer, positional phrase-search argmax, RBO
+weight-table re-derivation + python recompute, temporal-embargo split
+invariants, CDC tombstone apply semantics, and the streaming transition
+tracker's stream == batch contract across real micro-batches (including
+the cross-batch transition a per-batch lag window would drop).
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+from pyspark.sql import functions as F
+
+from etl_rf_matrix_controller_spark.operators.cdc import cdc_apply_tombstones
+from etl_rf_matrix_controller_spark.operators.curation import (
+    EMBARGO_US,
+    temporal_embargo_split,
+)
+from etl_rf_matrix_controller_spark.operators.dedup import (
+    PF_TAU_DEN,
+    PF_TAU_NUM,
+    dup_corpus,
+    prefix_filter_jaccard_pairs,
+)
+from etl_rf_matrix_controller_spark.operators.search import (
+    _RBO_DEN,
+    _RBO_W_SUFFIX,
+    phrase_query_match,
+    rbo_rankings_compare,
+    tfidf_retrieval_topk,
+)
+from tests.conftest import SF_DIR
+
+
+def _shingles(text: str) -> frozenset[str]:
+    t = text.strip().split(" ")
+    return frozenset(
+        " ".join(t[i : i + 3]) for i in range(len(t) - 2)
+    )
+
+
+def test_prefix_filter_is_lossless(spark):
+    """The prefix-filter candidate rule must be EXACT: the declared
+    query's pair set equals the brute-force all-pairs Jaccard >= tau
+    answer (the property that separates it from banding, which is
+    probabilistic, and the df-cap, which truncates)."""
+    docs = {
+        r.doc_id: r.text for r in dup_corpus(spark, SF_DIR).collect()
+    }
+    sets = {d: _shingles(t) for d, t in docs.items() if len(t.strip().split(" ")) >= 3}
+    ids = sorted(sets)
+    want = set()
+    for i, a in enumerate(ids):
+        sa = sets[a]
+        for b in ids[i + 1 :]:
+            sb = sets[b]
+            inter = len(sa & sb)
+            union = len(sa) + len(sb) - inter
+            if PF_TAU_DEN * inter >= PF_TAU_NUM * union:
+                want.add((a, b))
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in prefix_filter_jaccard_pairs(spark, SF_DIR).collect()
+    }
+    assert got == want
+    assert got, "planted dup_corpus pairs must make the result non-vacuous"
+
+
+def test_prefix_filter_planted_pairs(spark):
+    """Both planted dup classes survive the prune: exact (+1M, J = 1)
+    and near (+2M, one appended token)."""
+    rows = {
+        (r.doc_a, r.doc_b): (r.n_inter, r.n_union, r.jaccard)
+        for r in prefix_filter_jaccard_pairs(spark, SF_DIR).collect()
+    }
+    exact = [(a, b) for (a, b) in rows if b == a + 1000000]
+    near = [(a, b) for (a, b) in rows if b == a + 2000000]
+    assert exact and near
+    for p in exact:
+        ni, nu, j = rows[p]
+        assert ni == nu and j == 1.0, (p, rows[p])
+    for p in near:
+        ni, nu, j = rows[p]
+        assert ni < nu and j >= PF_TAU_NUM / PF_TAU_DEN, (p, rows[p])
+
+
+def test_phrase_query_is_global_argmax(spark):
+    """The returned phrase is the corpus's most frequent trigram (ties
+    lexicographic) and the per-doc counts/positions are exact."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    counts: dict[str, int] = {}
+    per_doc: dict[tuple[int, str], list[int]] = {}
+    for r in docs:
+        t = r.text.strip().split(" ")
+        for i in range(len(t) - 2):
+            ph = " ".join(t[i : i + 3])
+            counts[ph] = counts.get(ph, 0) + 1
+            per_doc.setdefault((r.doc_id, ph), []).append(i + 1)
+    top = min(counts, key=lambda p: (-counts[p], p))
+    got = phrase_query_match(spark, SF_DIR).collect()
+    assert got
+    for r in got:
+        assert r.phrase == top
+        poss = per_doc[(r.doc_id, top)]
+        assert r.n_occurrences == len(poss)
+        assert r.first_pos == min(poss)
+    assert {r.doc_id for r in got} == {
+        d for (d, p) in per_doc if p == top
+    }
+
+
+def test_rbo_weight_table_is_exact():
+    """Re-derive the lcm-scaled suffix-sum weight table from first
+    principles (p = 1/2, k = 10): W(m) = sum_{d=m..10} (1-p) p^(d-1)/d
+    scaled by 2520 * 2^10 must be integral and equal the constants."""
+    p = Fraction(1, 2)
+    den = 2520 * 2**10
+    for m in range(1, 11):
+        w = sum((1 - p) * p ** (d - 1) / d for d in range(m, 11)) * den
+        assert w.denominator == 1
+        assert int(w) == _RBO_W_SUFFIX[m - 1], (m, w)
+    assert _RBO_DEN == den
+
+
+def test_rbo_matches_python_recompute(spark):
+    """rbo_num == the Fraction-space RBO recomputed from the two
+    declared rankings' collected rows; identical lists would score
+    sum(w_d * d)/den, disjoint lists 0."""
+    from etl_rf_matrix_controller_spark.operators.search import (
+        bm25_retrieval_topk,
+    )
+
+    a = {r.doc_id: r.rnk for r in tfidf_retrieval_topk(spark, SF_DIR).collect()}
+    b = {r.doc_id: r.rnk for r in bm25_retrieval_topk(spark, SF_DIR).collect()}
+    num = sum(
+        _RBO_W_SUFFIX[max(a[d], b[d]) - 1] for d in set(a) & set(b)
+    )
+    row = rbo_rankings_compare(spark, SF_DIR).collect()[0]
+    assert row.rbo_num == num
+    assert row.n_common == len(set(a) & set(b))
+    assert row.rbo == num / _RBO_DEN
+    assert 0.0 <= row.rbo <= 1.0
+
+
+def test_temporal_embargo_split_invariants(spark):
+    """Splits partition the events exactly; the embargo quarantines the
+    full gap (train max <= cutoff < embargo rows <= cutoff + gap < test
+    min); straddle count is shared across rows."""
+    from etl_rf_matrix_controller_spark.sources.tables import load_table
+
+    rows = {r.split: r for r in temporal_embargo_split(spark, SF_DIR).collect()}
+    ev = load_table(spark, SF_DIR, "events")
+    n_total = ev.count()
+    assert "train" in rows and "test" in rows
+    assert sum(r.n_events for r in rows.values()) == n_total
+    mn, mx = ev.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).collect()[0]
+    cutoff = mn + ((mx - mn) * 8) // 10
+    assert rows["train"].max_ts_us <= cutoff < rows["test"].min_ts_us
+    assert rows["test"].min_ts_us > cutoff + EMBARGO_US
+    if "embargo" in rows:
+        assert rows["embargo"].min_ts_us > cutoff
+        assert rows["embargo"].max_ts_us <= cutoff + EMBARGO_US
+    straddles = {r.n_straddle_users for r in rows.values()}
+    assert len(straddles) == 1
+
+
+def test_cdc_tombstone_semantics(spark):
+    """Python recompute of the changelog compaction: a user whose LAST
+    change is a tombstone is absent; resurrections (D then later U)
+    survive; counts are per-user exact."""
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    last: dict[int, tuple] = {}
+    n_changes: dict[int, int] = {}
+    n_tomb: dict[int, int] = {}
+    for r in ev:
+        op = "D" if r.event_type == "error" else "U"
+        n_changes[r.user_id] = n_changes.get(r.user_id, 0) + 1
+        n_tomb[r.user_id] = n_tomb.get(r.user_id, 0) + (op == "D")
+        key = (r.ts, r.event_id)
+        if r.user_id not in last or key > last[r.user_id][0]:
+            last[r.user_id] = (key, op, r.event_type, r.value)
+    want = {
+        u: (v[2], v[3], n_changes[u], n_tomb[u])
+        for u, v in last.items()
+        if v[1] != "D"
+    }
+    got = {
+        r.user_id: (r.last_type, r.last_value, r.n_changes, r.n_tombstones)
+        for r in cdc_apply_tombstones(spark, SF_DIR).collect()
+    }
+    assert got == want
+    deleted = set(last) - set(want)
+    assert deleted, "fixture must exercise the tombstone path"
+    assert deleted.isdisjoint(got)
+
+
+def test_event_transitions_stream_eq_batch_multibatch(spark, tmp_path):
+    """Streaming transition tracker == batch lag window across THREE
+    time-split micro-batches, with a planted CROSS-BATCH transition (the
+    row class a per-batch lag window structurally drops) and the state
+    bound pinned from the query's own metrics."""
+    import os
+
+    from etl_rf_matrix_controller_spark.streaming.transitions import (
+        stream_transitions,
+    )
+
+    batches = [
+        [(1, "2024-01-01 10:00:00", 101, "view"),
+         (1, "2024-01-01 10:05:00", 102, "click"),
+         (2, "2024-01-01 10:07:00", 103, "view")],
+        # user 1's 'click' -> 'purchase' and user 2's 'view' -> 'error'
+        # straddle the batch boundary
+        [(1, "2024-01-02 09:00:00", 201, "purchase"),
+         (2, "2024-01-02 09:30:00", 202, "error")],
+        [(2, "2024-01-03 08:00:00", 301, "signup"),
+         (3, "2024-01-03 08:01:00", 302, "view")],
+    ]
+    src = str(tmp_path / "ev_stream")
+    os.makedirs(src)
+    now = 1700000000
+    for i, rows in enumerate(batches):
+        staging = str(tmp_path / f"b{i}")
+        spark.createDataFrame(
+            [(u, f"{ts}", e, t) for (u, ts, e, t) in rows],
+            "user_id bigint, ts_s string, event_id bigint, event_type string",
+        ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s").coalesce(
+            1
+        ).write.parquet(staging)
+        part = next(f for f in os.listdir(staging) if f.endswith(".parquet"))
+        dst = os.path.join(src, f"batch_{i}.parquet")
+        os.rename(os.path.join(staging, part), dst)
+        os.utime(dst, (now + i * 100, now + i * 100))
+
+    ev_batch = spark.read.parquet(src)
+    stream = (
+        spark.readStream.schema(ev_batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    progress: list = []
+    raw = stream_transitions(stream, spark, "transitions_mb", progress)
+    got = sorted((r.prev_type, r.cur_type) for r in raw.collect())
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    want = sorted(
+        (r.prev_type, r.cur_type)
+        for r in ev_batch.select(
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("cur_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .collect()
+    )
+    assert got == want
+    # the planted cross-batch transitions are present
+    assert ("click", "purchase") in got
+    assert ("view", "error") in got and ("error", "signup") in got
+    # state bound: <= one state row per distinct user (shard rows can
+    # only merge users, never split them)
+    state_rows = [
+        op["numRowsTotal"]
+        for pr in progress
+        for op in pr.get("stateOperators", [])
+        if "numRowsTotal" in op
+    ]
+    assert state_rows and max(state_rows) <= 3, (state_rows, progress)
