@@ -5438,3 +5438,113 @@ def diff_in_diff_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (m("s_c_post", "n_c_post") - m("s_c_pre", "n_c_pre"))
         ).alias("did_c"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Median-of-means robust estimator (round 7b)
+# ---------------------------------------------------------------------------
+
+# Bucket count for the median-of-means estimator: 32 buckets gives the
+# standard sub-Gaussian deviation bound at ~3% bucket-failure tolerance.
+MOM_BUCKETS = 32
+
+from etl_rf_matrix_controller_spark.plans.conventions import (  # noqa: E402
+    exact_avg_sql as _exact_avg_sql,
+)
+
+
+@declared(
+    "median_of_means_value",
+    oracle=f"""
+    WITH bucketed AS (
+      SELECT ('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+               % {MOM_BUCKETS} AS b,
+             value
+      FROM events
+    ),
+    per_bucket AS (
+      SELECT b,
+             CAST(count(*) AS BIGINT) AS n,
+             (2 * sum(CAST(round(value * {SCALE}) AS BIGINT)) + count(*))
+               AS x
+      FROM bucketed GROUP BY b
+    ),
+    means AS (
+      SELECT b, n,
+             CAST((x - x % (2 * n)) // (2 * n) AS BIGINT) AS mean_s
+      FROM per_bucket
+    ),
+    ranked AS (
+      SELECT mean_s,
+             row_number() OVER (ORDER BY mean_s, b) AS rn,
+             count(*) OVER () AS k
+      FROM means
+    ),
+    mom AS (
+      SELECT CAST(mean_s AS BIGINT) AS mom_s FROM ranked
+      WHERE rn = (k + 1) // 2
+    )
+    SELECT CAST({MOM_BUCKETS} AS BIGINT) AS k_buckets,
+           CAST(count(*) AS BIGINT) AS n_events,
+           (SELECT mom_s FROM mom) / {SCALE}.0 AS mom_value,
+           {_exact_avg_sql('value', 4)} AS mean_value
+    FROM events
+    """,
+)
+def median_of_means_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-of-means robust estimate of the mean event value: hash
+    events into {MOM_BUCKETS} deterministic buckets (portable md5
+    buckets -- the `hash_mod_sample` discipline, so bucket membership
+    survives an engine migration), take each bucket's exact integer-space
+    mean, and report the MEDIAN of the bucket means -- the estimator
+    with sub-Gaussian deviation bounds under heavy-tailed or
+    adversarially-corrupted data where the plain mean is dominated by a
+    single outlier (the standard robust-statistics building block next
+    to `value_mad_outliers` / `trimmed_mean_brand_price`, which trim by
+    VALUE; MoM is robust by PARTITION and never discards clean mass).
+
+    Exactness: bucket means are the conventions.py exact-avg integer
+    fold (scaled 4-dec, half-up); the median picks the lower-middle
+    scaled INTEGER by (mean, bucket) total order, so the only float is
+    the final /10000 division.  Plan: one map-side-combinable agg to
+    {MOM_BUCKETS} rows, a {MOM_BUCKETS}-row window, and a scalar cross
+    join -- the corpus is touched twice (MoM pass + plain-mean contrast
+    pass), both full-scan aggs with no shuffle beyond the bucket key."""
+    ev = load_table(spark, sf_dir, "events")
+    from etl_rf_matrix_controller_spark.operators.pipeline import hash_bucket
+
+    per_bucket = (
+        ev.select(hash_bucket(F.col("event_id"), MOM_BUCKETS).alias("b"), "value")
+        .groupBy("b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            (
+                2 * F.sum(F.round(F.col("value") * SCALE).cast("bigint"))
+                + F.count(F.lit(1))
+            ).alias("x"),
+        )
+    )
+    means = per_bucket.select(
+        "b",
+        F.expr("CAST((x - x % (2 * n)) DIV (2 * n) AS BIGINT)").alias("mean_s"),
+    )
+    w = Window.orderBy(F.asc("mean_s"), F.asc("b"))
+    mom = (
+        means.withColumn("rn", F.row_number().over(w))
+        .withColumn("k", F.count(F.lit(1)).over(Window.partitionBy()))
+        .filter(F.expr("rn = (k + 1) DIV 2"))
+        .select(F.col("mean_s").cast("bigint").alias("mom_s"))
+    )
+    from etl_rf_matrix_controller_spark.plans.conventions import exact_avg
+
+    summary = ev.agg(
+        F.lit(MOM_BUCKETS).cast("bigint").alias("k_buckets"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        exact_avg(F.col("value"), 4).alias("mean_value"),
+    )
+    return summary.crossJoin(F.broadcast(mom)).select(
+        "k_buckets",
+        "n_events",
+        (F.col("mom_s") / float(SCALE)).alias("mom_value"),
+        "mean_value",
+    )

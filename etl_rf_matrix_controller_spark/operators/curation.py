@@ -1396,3 +1396,119 @@ def temporal_embargo_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_straddle_users",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Right-to-erasure cascade audit (round 7b)
+# ---------------------------------------------------------------------------
+
+@declared(
+    "pii_delete_cascade",
+    oracle="""
+    WITH erased AS MATERIALIZED (
+      SELECT c_custkey FROM customer WHERE c_acctbal < 0
+    ),
+    ord AS MATERIALIZED (
+      SELECT o_orderkey,
+             CASE WHEN o_custkey IN (SELECT c_custkey FROM erased)
+                  THEN 1 ELSE 0 END AS del
+      FROM orders
+    ),
+    li AS (
+      SELECT CASE WHEN l_orderkey IN
+                    (SELECT o_orderkey FROM ord WHERE del = 1)
+                  THEN 1 ELSE 0 END AS del
+      FROM lineitem
+    ),
+    per AS (
+      SELECT 'customer' AS table_name,
+             CAST((SELECT count(*) FROM erased) AS BIGINT) AS n_deleted,
+             CAST(count(*) - (SELECT count(*) FROM erased) AS BIGINT)
+               AS n_retained
+      FROM customer
+      UNION ALL
+      SELECT 'orders', CAST(sum(del) AS BIGINT),
+             CAST(count(*) - sum(del) AS BIGINT) FROM ord
+      UNION ALL
+      SELECT 'lineitem', CAST(sum(del) AS BIGINT),
+             CAST(count(*) - sum(del) AS BIGINT) FROM li
+    )
+    SELECT table_name, n_deleted, n_retained,
+           CAST((n_deleted * 1000000)
+                // (n_deleted + n_retained) AS BIGINT) AS deleted_ppm
+    FROM per
+    """,
+)
+def pii_delete_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure cascade audit: given an erasure set (customers
+    with negative account balance -- the deterministic stand-in for a
+    GDPR delete queue), report how many rows each downstream table loses
+    when the deletion CASCADES through the foreign-key chain customer ->
+    orders -> lineitem, plus the retained counts and the deleted share
+    in ppm.  The audit a privacy officer signs before a delete job runs,
+    complementing `k_anonymity_risk` / `l_diversity_report` (disclosure
+    risk) with deletion blast-radius; `referential_orphans` checks the
+    same chain's integrity from the opposite direction.
+
+    Plan: the erasure keys aggregate to an eager checkpoint consumed by
+    both branches; orders tag via a semi-join-shaped broadcast IN (the
+    erasure set is request-queue-sized -- small by nature -- so
+    broadcast is the honest 100 TB plan), and the order-key set that
+    cascades to lineitem is fact-scaled, so THAT join is shuffle-hash,
+    never a broadcast.  Per-table rollups are 1-row aggs unioned."""
+    cust = load_table(spark, sf_dir, "customer")
+    erased = (
+        cust.filter(F.col("c_acctbal") < 0)
+        .select("c_custkey")
+        .localCheckpoint(eager=True)
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    ord_tag = orders.join(
+        F.broadcast(erased.withColumnRenamed("c_custkey", "o_custkey")).withColumn(
+            "hit", F.lit(1)
+        ),
+        "o_custkey",
+        "left",
+    ).select("o_orderkey", F.coalesce(F.col("hit"), F.lit(0)).alias("del"))
+    ord_tag = ord_tag.localCheckpoint(eager=True)
+    del_orders = ord_tag.filter(F.col("del") == 1).select("o_orderkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey")
+    )
+    li_tag = li.join(
+        del_orders.withColumn("hit", F.lit(1)).hint("shuffle_hash"),
+        "o_orderkey",
+        "left",
+    ).select(F.coalesce(F.col("hit"), F.lit(0)).alias("del"))
+    # 1-row per-table rollups (the scalar-union shape).
+    c_total = cust.agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+    c_del = erased.agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    cust_row = (
+        c_total.crossJoin(F.broadcast(c_del))
+        .select(
+            F.lit("customer").alias("table_name"),
+            F.col("d").alias("n_deleted"),
+            (F.col("t") - F.col("d")).cast("bigint").alias("n_retained"),
+        )
+    )
+    ord_row = ord_tag.agg(
+        F.lit("orders").alias("table_name"),
+        F.sum("del").cast("bigint").alias("n_deleted"),
+        (F.count(F.lit(1)) - F.sum("del")).cast("bigint").alias("n_retained"),
+    )
+    li_row = li_tag.agg(
+        F.lit("lineitem").alias("table_name"),
+        F.sum("del").cast("bigint").alias("n_deleted"),
+        (F.count(F.lit(1)) - F.sum("del")).cast("bigint").alias("n_retained"),
+    )
+    per = cust_row.unionByName(ord_row).unionByName(li_row)
+    return per.select(
+        "table_name",
+        "n_deleted",
+        "n_retained",
+        F.expr(
+            "CAST((n_deleted * 1000000) DIV (n_deleted + n_retained) AS BIGINT)"
+        ).alias("deleted_ppm"),
+    )

@@ -1519,3 +1519,104 @@ def doc_chi2_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("chi2_ppm"), F.asc("doc_id"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney continuation counts (round 7b)
+# ---------------------------------------------------------------------------
+
+@declared(
+    "kn_continuation_counts",
+    oracle="""
+    WITH bg AS MATERIALIZED (
+      SELECT doc_id, u.prev AS prev, u.cur AS cur
+      FROM (
+        SELECT doc_id,
+               list_transform(
+                 generate_series(1, len(t) - 1),
+                 i -> struct_pack(prev := t[i], cur := t[i+1])) AS bgs
+        FROM (SELECT doc_id, string_split(trim(text), ' ') AS t
+              FROM documents)
+        WHERE len(t) >= 2
+      ), unnest(bgs) AS r(u)
+    ),
+    types AS MATERIALIZED (
+      SELECT prev, cur, CAST(count(*) AS BIGINT) AS c
+      FROM bg GROUP BY prev, cur
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_bigram_types FROM types),
+    uni AS (
+      SELECT cur AS token, CAST(sum(c) AS BIGINT) AS c_token,
+             CAST(count(*) AS BIGINT) AS n_left
+      FROM types GROUP BY cur
+    ),
+    rgt AS (
+      SELECT prev AS token, CAST(count(*) AS BIGINT) AS n_right
+      FROM types GROUP BY prev
+    )
+    SELECT u.token, u.c_token, u.n_left,
+           coalesce(r.n_right, 0) AS n_right,
+           CAST((u.n_left * 1000000) // t.n_bigram_types AS BIGINT)
+             AS p_cont_ppm
+    FROM uni u
+    LEFT JOIN rgt r ON r.token = u.token
+    CROSS JOIN tot t
+    """,
+)
+def kn_continuation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney continuation counts over the corpus bigram stream: for
+    each token, its raw bigram-position count c(w), the LEFT continuation
+    count N1+(.w) (distinct predecessors -- the KN insight that 'Francisco'
+    is frequent but follows almost nothing, so its smoothed unigram mass
+    should be tiny), the RIGHT continuation N1+(w.), and the lower-order
+    KN probability as integer ppm N1+(.w) * 1e6 DIV |distinct bigram
+    types|.  The smoothing-infrastructure artifact an n-gram LM (or an
+    LM-based quality filter a la CCNet) trains from -- `bigram_fluency`
+    consumes such counts; this op EMITS them.
+
+    All integer counts, no logs or discount floats (the correctly-rounded
+    hazard stays out per the repo convention -- a trainer applies the
+    discount downstream).  Plan: per-row bigram array -> one explode ->
+    (prev, cur) type counts (map-side combinable), then two
+    vocabulary-bounded rollups and a scalar cross join; the corpus is
+    scanned once, everything after the first agg is vocab-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split(F.trim("text"), " ")
+    bgs = F.transform(
+        F.sequence(F.lit(1), F.size(t) - 1),
+        lambda i: F.struct(
+            F.element_at(t, i).alias("prev"),
+            F.element_at(t, i + 1).alias("cur"),
+        ),
+    )
+    types = (
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        .filter(F.size(t) >= 2)
+        .select(F.explode(bgs).alias("r"))
+        .select("r.prev", "r.cur")
+        .groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    tot = types.agg(F.count(F.lit(1)).cast("bigint").alias("n_bigram_types"))
+    uni = types.groupBy(F.col("cur").alias("token")).agg(
+        F.sum("c").cast("bigint").alias("c_token"),
+        F.count(F.lit(1)).cast("bigint").alias("n_left"),
+    )
+    rgt = types.groupBy(F.col("prev").alias("token")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_right")
+    )
+    return (
+        uni.join(F.broadcast(rgt), "token", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "token",
+            "c_token",
+            "n_left",
+            F.coalesce(F.col("n_right"), F.lit(0)).cast("bigint").alias(
+                "n_right"
+            ),
+            F.expr("CAST((n_left * 1000000) DIV n_bigram_types AS BIGINT)")
+            .alias("p_cont_ppm"),
+        )
+    )

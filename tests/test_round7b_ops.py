@@ -269,3 +269,165 @@ def test_event_transitions_stream_eq_batch_multibatch(spark, tmp_path):
         if "numRowsTotal" in op
     ]
     assert state_rows and max(state_rows) <= 3, (state_rows, progress)
+
+
+def test_median_of_means_python_recompute(spark):
+    """MoM recomputed in exact integer space from the collected events;
+    the estimator must sit inside the bucket-mean envelope."""
+    from etl_rf_matrix_controller_spark.operators.behavior import (
+        MOM_BUCKETS,
+        median_of_means_value,
+    )
+    from etl_rf_matrix_controller_spark.sources.tables import load_table
+    import hashlib
+
+    ev = load_table(spark, SF_DIR, "events").select("event_id", "value").collect()
+    buckets: dict[int, list[float]] = {}
+    for r in ev:
+        b = int(hashlib.md5(str(r.event_id).encode()).hexdigest()[:8], 16) % MOM_BUCKETS
+        buckets.setdefault(b, []).append(r.value)
+    means = []
+    for b, vals in buckets.items():
+        s = sum(round(v * 10000) for v in vals)
+        n = len(vals)
+        x = 2 * s + n
+        means.append(((x - x % (2 * n)) // (2 * n), b))
+    means.sort()
+    mom_s = means[(len(means) + 1) // 2 - 1][0]
+    row = median_of_means_value(spark, SF_DIR).collect()[0]
+    assert row.k_buckets == MOM_BUCKETS
+    assert row.n_events == len(ev)
+    assert row.mom_value == mom_s / 10000.0
+    lo = min(m for m, _ in means) / 10000.0
+    hi = max(m for m, _ in means) / 10000.0
+    assert lo <= row.mom_value <= hi
+
+
+def test_kn_continuation_python_recompute(spark):
+    """Continuation counts recomputed from the raw corpus: N1+(.w) is
+    the number of distinct predecessors, NOT the raw bigram count -- the
+    distinction KN smoothing is built on."""
+    from etl_rf_matrix_controller_spark.operators.text import (
+        kn_continuation_counts,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    types: set[tuple[str, str]] = set()
+    c_tok: dict[str, int] = {}
+    for r in docs:
+        t = r.text.strip().split(" ")
+        for i in range(len(t) - 1):
+            types.add((t[i], t[i + 1]))
+            c_tok[t[i + 1]] = c_tok.get(t[i + 1], 0) + 1
+    n_left: dict[str, int] = {}
+    n_right: dict[str, int] = {}
+    for p, c in types:
+        n_left[c] = n_left.get(c, 0) + 1
+        n_right[p] = n_right.get(p, 0) + 1
+    got = {r.token: r for r in kn_continuation_counts(spark, SF_DIR).collect()}
+    assert set(got) == set(c_tok)
+    for tok, r in got.items():
+        assert r.c_token == c_tok[tok]
+        assert r.n_left == n_left[tok]
+        assert r.n_right == n_right.get(tok, 0)
+        assert r.p_cont_ppm == (n_left[tok] * 1000000) // len(types)
+        assert r.n_left <= r.c_token
+
+
+def test_pii_delete_cascade_python_recompute(spark):
+    """Cascade blast radius recomputed from the three raw tables."""
+    from etl_rf_matrix_controller_spark.operators.curation import (
+        pii_delete_cascade,
+    )
+
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet").collect()
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect()
+    erased = {r.c_custkey for r in cust if r.c_acctbal < 0}
+    del_orders = {r.o_orderkey for r in orders if r.o_custkey in erased}
+    del_li = sum(1 for r in li if r.l_orderkey in del_orders)
+    got = {r.table_name: r for r in pii_delete_cascade(spark, SF_DIR).collect()}
+    assert got["customer"].n_deleted == len(erased)
+    assert got["customer"].n_retained == len(cust) - len(erased)
+    assert got["orders"].n_deleted == len(del_orders)
+    assert got["lineitem"].n_deleted == del_li
+    assert got["lineitem"].n_retained == len(li) - del_li
+    assert erased, "fixture must exercise the erasure path"
+    for r in got.values():
+        total = r.n_deleted + r.n_retained
+        assert r.deleted_ppm == (r.n_deleted * 1000000) // total
+
+
+def test_stratified_sample_stream_eq_batch_multibatch(spark, tmp_path):
+    """First-K-per-stratum admission == batch row_number twin across
+    THREE time-split micro-batches, with stratum 'a' FILLING mid-batch-1
+    (so batches 2-3 must admit nothing for it) and stratum 'b' filling
+    across the boundary.  State bound: one counter row per stratum."""
+    import os
+
+    from etl_rf_matrix_controller_spark.streaming.sampling import (
+        stream_stratified_rows,
+    )
+
+    k = 3
+    batches = [
+        [("a", "2024-01-01 10:00:00", 1, 11), ("a", "2024-01-01 10:01:00", 2, 12),
+         ("a", "2024-01-01 10:02:00", 3, 13), ("a", "2024-01-01 10:03:00", 4, 14),
+         ("b", "2024-01-01 10:04:00", 5, 15)],
+        [("a", "2024-01-02 09:00:00", 6, 16), ("b", "2024-01-02 09:01:00", 7, 17),
+         ("b", "2024-01-02 09:02:00", 8, 18), ("b", "2024-01-02 09:03:00", 9, 19)],
+        [("a", "2024-01-03 08:00:00", 10, 20), ("b", "2024-01-03 08:01:00", 11, 21),
+         ("c", "2024-01-03 08:02:00", 12, 22)],
+    ]
+    src = str(tmp_path / "ev_stream")
+    os.makedirs(src)
+    now = 1700000000
+    for i, rows in enumerate(batches):
+        staging = str(tmp_path / f"b{i}")
+        spark.createDataFrame(
+            rows,
+            "event_type string, ts_s string, event_id bigint, user_id bigint",
+        ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s").coalesce(
+            1
+        ).write.parquet(staging)
+        part = next(f for f in os.listdir(staging) if f.endswith(".parquet"))
+        dst = os.path.join(src, f"batch_{i}.parquet")
+        os.rename(os.path.join(staging, part), dst)
+        os.utime(dst, (now + i * 100, now + i * 100))
+
+    ev_batch = spark.read.parquet(src)
+    stream = (
+        spark.readStream.schema(ev_batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    progress: list = []
+    got = sorted(
+        (r.event_type, r.event_id)
+        for r in stream_stratified_rows(
+            stream, spark, k, "strat_sample_mb", progress
+        ).collect()
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    want = sorted(
+        (r.event_type, r.event_id)
+        for r in ev_batch.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .collect()
+    )
+    assert got == want
+    # stratum 'a' filled in batch 1: events 4, 6, 10 must be rejected
+    a_ids = [e for (t, e) in got if t == "a"]
+    assert a_ids == [1, 2, 3]
+    # stratum 'b' filled across the batch boundary: 5 (b1), 7, 8 (b2)
+    assert [e for (t, e) in got if t == "b"] == [5, 7, 8]
+    assert [e for (t, e) in got if t == "c"] == [12]
+    state_rows = [
+        op["numRowsTotal"]
+        for pr in progress
+        for op in pr.get("stateOperators", [])
+        if "numRowsTotal" in op
+    ]
+    assert state_rows and max(state_rows) <= 3, state_rows
