@@ -2750,3 +2750,155 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(PF_TAU_DEN * F.col("n_inter") >= PF_TAU_NUM * F.col("n_union"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking dedup estimator (round 7b)
+# ---------------------------------------------------------------------------
+
+# A chunk boundary triggers after position p when the 8-gram ENDING at p
+# fingerprints to 0 mod CDC_DIVISOR: expected chunk length ~64 chars, the
+# rsync/LBFS content-defined-chunking rule (boundaries move WITH content,
+# so an insertion only reshapes its local chunk, never the whole file).
+CDC_DIVISOR = 64
+
+
+@declared(
+    "chunk_dedup_stats",
+    oracle=f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    pre AS (
+      SELECT doc_id, trim(text) AS t, length(trim(text)) AS n
+      FROM corpus WHERE length(trim(text)) >= 1
+    ),
+    bpos AS (
+      SELECT doc_id, t, n,
+             list_filter(
+               generate_series(8, greatest(n, 8)),
+               p -> p < n AND ('0x' || substring(
+                      md5(substring(t, CAST(p - 7 AS INT), 8)), 1, 8))::BIGINT
+                      % {CDC_DIVISOR} = 0) AS bs
+      FROM pre
+    ),
+    spans AS (
+      SELECT doc_id, t,
+             list_prepend(1, list_transform(bs, p -> p + 1)) AS starts,
+             list_append(bs, n) AS ends
+      FROM bpos
+    ),
+    chunks AS MATERIALIZED (
+      SELECT doc_id, r.ch AS ch
+      FROM (
+        SELECT doc_id,
+               list_transform(
+                 generate_series(1, len(starts)),
+                 i -> substring(t, CAST(starts[i] AS INT),
+                                CAST(ends[i] - starts[i] + 1 AS INT))) AS cs
+        FROM spans
+      ), unnest(cs) AS r(ch)
+    ),
+    per_chunk AS (
+      SELECT md5(ch) AS h, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(min(length(ch)) AS BIGINT) AS clen
+      FROM chunks GROUP BY md5(ch)
+    )
+    SELECT CAST((SELECT count(*) FROM pre) AS BIGINT) AS n_docs,
+           CAST(sum(cnt) AS BIGINT) AS n_chunks,
+           CAST(count(*) AS BIGINT) AS n_distinct_chunks,
+           CAST(sum(cnt * clen) AS BIGINT) AS total_bytes,
+           CAST(sum(clen) AS BIGINT) AS unique_bytes,
+           CAST(((sum(cnt * clen) - sum(clen)) * 1000000)
+                // sum(cnt * clen) AS BIGINT) AS dedup_ppm,
+           CAST(sum(cnt * clen) // sum(cnt) AS BIGINT) AS avg_chunk_len
+    FROM per_chunk
+    """,
+)
+def chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (the rsync/LBFS/backup-dedup rule) over
+    the corpus, with the storage-dedup estimate: cut each document where
+    the rolling 8-gram fingerprint hits 0 mod {CDC_DIVISOR} (expected
+    ~{CDC_DIVISOR}-char chunks whose boundaries move WITH the content --
+    an edit reshapes only its local chunk, unlike fixed-width blocks
+    where one insertion shifts every later block), hash every chunk, and
+    report how many bytes chunk-level dedup would reclaim.  The
+    CHUNK-granular tier of the dedup family: `dedup_exact_docs` is
+    whole-doc, `substring_span_dups` is span-level match-finding; this
+    is the storage estimator a lakehouse capacity plan reads.
+
+    Plan: boundaries and chunk substrings are pure per-row array
+    transforms (zero shuffle), the only aggregation is the chunk-hash
+    groupBy (map-side combinable, chunk-cardinality-bounded) and a 1-row
+    rollup; identical md5-prefix trigger and full-md5 chunk identity on
+    both engines.  Corpus: `dup_corpus` (planted exact dups guarantee
+    reclaimable mass; CDC finds the shared-prefix chunks of the near
+    dups too)."""
+    corpus = dup_corpus(spark, sf_dir)
+    t = F.trim("text")
+    n = F.length(t)
+    bs = F.filter(
+        F.sequence(F.lit(8), F.greatest(n, F.lit(8))),
+        lambda p: (p < n)
+        & (token_fingerprint(t.substr(p - 7, F.lit(8))) % CDC_DIVISOR == 0),
+    )
+    pre = (
+        # ~200 md5 evaluations per row: repartition the narrow scan FIRST
+        # so the boundary hunt runs corpus-wide parallel (the CLAUDE.md
+        # fan-out discipline; 7.8 -> ~2 s at sf0.1).
+        corpus.repartition(spark.sparkContext.defaultParallelism)
+        .filter(n >= 1)
+        .select("doc_id", t.alias("t"), n.alias("n"), bs.alias("bs"))
+    )
+    spans = pre.select(
+        "doc_id",
+        "t",
+        F.concat(F.array(F.lit(1)), F.transform("bs", lambda p: p + 1)).alias(
+            "starts"
+        ),
+        F.concat(F.col("bs"), F.array(F.col("n"))).alias("ends"),
+    )
+    chunks = spans.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("starts")),
+                lambda i: F.expr("t").substr(
+                    F.element_at(F.col("starts"), i),
+                    F.element_at(F.col("ends"), i)
+                    - F.element_at(F.col("starts"), i)
+                    + 1,
+                ),
+            )
+        ).alias("ch"),
+    )
+    per_chunk = chunks.groupBy(F.md5(F.col("ch").cast("binary")).alias("h")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.min(F.length("ch")).cast("bigint").alias("clen"),
+    )
+    n_docs = corpus.filter(n >= 1).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    return (
+        per_chunk.agg(
+            F.sum("cnt").cast("bigint").alias("n_chunks"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct_chunks"),
+            F.sum(F.col("cnt") * F.col("clen")).cast("bigint").alias(
+                "total_bytes"
+            ),
+            F.sum("clen").cast("bigint").alias("unique_bytes"),
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "n_docs",
+            "n_chunks",
+            "n_distinct_chunks",
+            "total_bytes",
+            "unique_bytes",
+            F.expr(
+                "CAST(((total_bytes - unique_bytes) * 1000000)"
+                " DIV total_bytes AS BIGINT)"
+            ).alias("dedup_ppm"),
+            F.expr("CAST(total_bytes DIV n_chunks AS BIGINT)").alias(
+                "avg_chunk_len"
+            ),
+        )
+    )

@@ -3350,3 +3350,191 @@ def two_pass_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bin").cast("bigint").alias("bin_id"),
         F.col("v").cast("bigint").alias("median_c"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sketch-based join-size estimation (round 7b)
+# ---------------------------------------------------------------------------
+
+# KMV sketch size for the join-size estimator (vs k=8 in the sketch-
+# algebra demos: estimation error ~ 1/sqrt(k), and a CBO wants < 15%).
+JSE_K = 64
+
+
+@declared(
+    "join_size_kmv_estimate",
+    oracle=f"""
+    WITH ka AS MATERIALIZED (
+      SELECT DISTINCT ('0x' || substring(md5(CAST(o_custkey AS VARCHAR)),
+                       1, 8))::BIGINT AS h, o_custkey AS key
+      FROM orders
+    ),
+    kb AS MATERIALIZED (
+      SELECT DISTINCT ('0x' || substring(md5(CAST(user_id AS VARCHAR)),
+                       1, 8))::BIGINT AS h, user_id AS key
+      FROM events
+    ),
+    ska AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn
+                           FROM ka) WHERE rn <= {JSE_K}),
+    skb AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn
+                           FROM kb) WHERE rn <= {JSE_K}),
+    kth AS (
+      SELECT (SELECT max(h) FROM ska) AS kth_a,
+             (SELECT max(h) FROM skb) AS kth_b,
+             least((SELECT max(h) FROM ska),
+                   (SELECT max(h) FROM skb)) AS theta
+    ),
+    common AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_common
+      FROM ska a JOIN skb b ON b.h = a.h CROSS JOIN kth
+      WHERE a.h < kth.theta
+    ),
+    counts AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_a,
+             (SELECT CAST(count(*) AS BIGINT) FROM events) AS n_b
+    ),
+    est AS (
+      SELECT
+        CAST((common.n_common * 4294967296) // kth.theta AS BIGINT)
+          AS est_overlap_keys,
+        CAST(({JSE_K - 1} * 4294967296) // kth.kth_a AS BIGINT) AS est_d_a,
+        CAST(({JSE_K - 1} * 4294967296) // kth.kth_b AS BIGINT) AS est_d_b,
+        counts.n_a, counts.n_b
+      FROM kth CROSS JOIN common CROSS JOIN counts
+    ),
+    exact AS (
+      SELECT CAST(count(*) AS BIGINT) AS exact_overlap_keys,
+             CAST(coalesce(sum(ca * cb), 0) AS BIGINT) AS exact_join_size
+      FROM (SELECT o_custkey AS key, count(*) AS ca FROM orders
+            GROUP BY o_custkey) a
+      JOIN (SELECT user_id AS key, count(*) AS cb FROM events
+            GROUP BY user_id) b ON b.key = a.key
+    )
+    SELECT CAST({JSE_K} AS BIGINT) AS k,
+           est.est_overlap_keys, exact.exact_overlap_keys,
+           CAST(((est.est_overlap_keys
+                  * ((est.n_a * 1000000) // est.est_d_a) // 1000000)
+                 * ((est.n_b * 1000000) // est.est_d_b)) // 1000000
+             AS BIGINT) AS est_join_size,
+           exact.exact_join_size,
+           CAST((1000000 * abs(((est.est_overlap_keys
+                  * ((est.n_a * 1000000) // est.est_d_a) // 1000000)
+                 * ((est.n_b * 1000000) // est.est_d_b)) // 1000000
+                 - exact.exact_join_size))
+                // exact.exact_join_size AS BIGINT) AS rel_err_ppm
+    FROM est CROSS JOIN exact
+    WHERE exact.exact_join_size > 0
+    """,
+)
+def join_size_kmv_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based join-size estimation: estimate |orders JOIN events ON
+    o_custkey = user_id| (a PARTIAL-overlap join -- only low custkeys
+    have event traffic, exactly where `join_cardinality_check`'s
+    containment assumption breaks) from two k={JSE_K} KMV sketches and
+    the two row counts ALONE: overlap keys via the theta-intersection
+    estimator, per-side distinct counts via the k-th-minimum estimator,
+    multiplicities as rows/distinct, est = overlap * mult_a * mult_b.
+    The sketch tier of the CBO family: `join_cardinality_check` needs
+    exact NDVs; this needs only two {JSE_K}-row sketches an ingest job
+    maintains incrementally -- with the exact overlap/join-size audit
+    columns and the ppm error a calibration dashboard tracks.
+
+    All-integer (staged DIVs at ppm scale); the only corpus-scale work
+    is the two distinct-key passes and the exact-audit count join (a
+    production estimator reads the sketches from the catalog and pays
+    ZERO scans).  Sketches/scalars all broadcast."""
+    orders = load_table(spark, sf_dir, "orders")
+    events = load_table(spark, sf_dir, "events")
+
+    def kmv(df: DataFrame, key: str):
+        hashed = (
+            df.select(
+                F.conv(F.substring(F.md5(F.col(key).cast("string")), 1, 8), 16, 10)
+                .cast("bigint")
+                .alias("h")
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        sk = (
+            hashed.withColumn("rn", F.row_number().over(Window.orderBy("h")))
+            .filter(F.col("rn") <= JSE_K)
+            .select("h")
+            .localCheckpoint(eager=True)
+        )
+        return sk
+
+    ska = kmv(orders, "o_custkey")
+    skb = kmv(events, "user_id")
+    kth = (
+        ska.agg(F.max("h").alias("kth_a"))
+        .crossJoin(F.broadcast(skb.agg(F.max("h").alias("kth_b"))))
+        .select("kth_a", "kth_b", F.least("kth_a", "kth_b").alias("theta"))
+    )
+    common = (
+        ska.join(F.broadcast(skb), "h")
+        .crossJoin(F.broadcast(kth.select("theta")))
+        .filter(F.col("h") < F.col("theta"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    counts = (
+        orders.agg(F.count(F.lit(1)).cast("bigint").alias("n_a"))
+        .crossJoin(
+            F.broadcast(
+                events.agg(F.count(F.lit(1)).cast("bigint").alias("n_b"))
+            )
+        )
+    )
+    ca = orders.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("ca")
+    )
+    cb = events.groupBy(F.col("user_id").alias("key")).agg(
+        F.count(F.lit(1)).alias("cb")
+    )
+    exact = (
+        ca.join(cb.hint("shuffle_hash"), "key")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("exact_overlap_keys"),
+            F.coalesce(F.sum(F.col("ca") * F.col("cb")), F.lit(0))
+            .cast("bigint")
+            .alias("exact_join_size"),
+        )
+    )
+    est = (
+        kth.crossJoin(F.broadcast(common))
+        .crossJoin(F.broadcast(counts))
+        .select(
+            F.expr("CAST((n_common * 4294967296) DIV theta AS BIGINT)").alias(
+                "est_overlap_keys"
+            ),
+            F.expr(
+                f"CAST(({JSE_K - 1} * 4294967296) DIV kth_a AS BIGINT)"
+            ).alias("est_d_a"),
+            F.expr(
+                f"CAST(({JSE_K - 1} * 4294967296) DIV kth_b AS BIGINT)"
+            ).alias("est_d_b"),
+            "n_a",
+            "n_b",
+        )
+    )
+    return (
+        est.crossJoin(F.broadcast(exact))
+        .filter(F.col("exact_join_size") > 0)
+        .select(
+            F.lit(JSE_K).cast("bigint").alias("k"),
+            "est_overlap_keys",
+            "exact_overlap_keys",
+            F.expr(
+                "CAST(((est_overlap_keys * ((n_a * 1000000) DIV est_d_a)"
+                " DIV 1000000) * ((n_b * 1000000) DIV est_d_b)) DIV 1000000"
+                " AS BIGINT)"
+            ).alias("est_join_size"),
+            "exact_join_size",
+            F.expr(
+                "CAST((1000000 * abs(((est_overlap_keys"
+                " * ((n_a * 1000000) DIV est_d_a) DIV 1000000)"
+                " * ((n_b * 1000000) DIV est_d_b)) DIV 1000000"
+                " - exact_join_size)) DIV exact_join_size AS BIGINT)"
+            ).alias("rel_err_ppm"),
+        )
+    )

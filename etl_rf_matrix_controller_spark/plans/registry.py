@@ -78,6 +78,7 @@ def load_all() -> None:
         windows,
     )
     from etl_rf_matrix_controller_spark.streaming import (  # noqa: F401
+        anomaly as _san,
         neardup as _snd,
         sampling as _ssa,
         transitions as _str,

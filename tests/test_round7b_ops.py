@@ -431,3 +431,200 @@ def test_stratified_sample_stream_eq_batch_multibatch(spark, tmp_path):
         if "numRowsTotal" in op
     ]
     assert state_rows and max(state_rows) <= 3, state_rows
+
+
+def test_chunk_dedup_python_recompute(spark):
+    """Content-defined chunking recomputed in python: identical boundary
+    rule, identical chunk identities, identical reclaim accounting; the
+    planted exact dups guarantee nonzero dedup mass."""
+    import hashlib
+
+    from etl_rf_matrix_controller_spark.operators.dedup import (
+        CDC_DIVISOR,
+        chunk_dedup_stats,
+    )
+
+    docs = [r.text for r in dup_corpus(spark, SF_DIR).collect()]
+
+    def fp(g: str) -> int:
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16)
+
+    chunk_counts: dict[str, int] = {}
+    chunk_len: dict[str, int] = {}
+    n_chunks = 0
+    for text in docs:
+        t = text.strip()
+        if not t:
+            continue
+        bs = [
+            p
+            for p in range(8, len(t))
+            if fp(t[p - 8 : p]) % CDC_DIVISOR == 0
+        ]
+        starts = [1] + [p + 1 for p in bs]
+        ends = bs + [len(t)]
+        for s, e in zip(starts, ends):
+            ch = t[s - 1 : e]
+            h = hashlib.md5(ch.encode()).hexdigest()
+            chunk_counts[h] = chunk_counts.get(h, 0) + 1
+            chunk_len[h] = len(ch)
+            n_chunks += 1
+    total = sum(chunk_counts[h] * chunk_len[h] for h in chunk_counts)
+    unique = sum(chunk_len.values())
+    row = chunk_dedup_stats(spark, SF_DIR).collect()[0]
+    assert row.n_chunks == n_chunks
+    assert row.n_distinct_chunks == len(chunk_counts)
+    assert row.total_bytes == total
+    assert row.unique_bytes == unique
+    assert row.dedup_ppm == ((total - unique) * 1000000) // total
+    assert row.dedup_ppm > 0, "planted dups must yield reclaimable bytes"
+
+
+def test_chunk_boundaries_are_content_defined(spark):
+    """The CDC property: appending a suffix to a doc leaves every
+    interior boundary (and hence every interior chunk) unchanged --
+    the reason CDC beats fixed-width blocks for dedup."""
+    import hashlib
+
+    from etl_rf_matrix_controller_spark.operators.dedup import CDC_DIVISOR
+
+    def fp(g: str) -> int:
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16)
+
+    def chunks(t: str) -> list[str]:
+        bs = [
+            p for p in range(8, len(t)) if fp(t[p - 8 : p]) % CDC_DIVISOR == 0
+        ]
+        starts = [1] + [p + 1 for p in bs]
+        ends = bs + [len(t)]
+        return [t[s - 1 : e] for s, e in zip(starts, ends)]
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    grown = base + " and then some entirely new trailing content"
+    ca, cb = chunks(base.strip()), chunks(grown.strip())
+    assert len(ca) > 2, "fixture must produce multiple chunks"
+    # all interior chunks of the original survive verbatim in the grown doc
+    assert ca[:-1] == cb[: len(ca) - 1]
+
+
+def test_join_size_kmv_python_recompute(spark):
+    """Sketch math recomputed from the raw keys: same md5-prefix hashes,
+    same k-minimums, same staged integer divisions."""
+    from etl_rf_matrix_controller_spark.operators.profiling import (
+        JSE_K,
+        join_size_kmv_estimate,
+    )
+    import hashlib
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+
+    def h(k) -> int:
+        return int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16)
+
+    ha = sorted({h(r.o_custkey) for r in orders})
+    hb = sorted({h(r.user_id) for r in events})
+    ska, skb = set(ha[:JSE_K]), set(hb[:JSE_K])
+    kth_a, kth_b = max(ska), max(skb)
+    theta = min(kth_a, kth_b)
+    n_common = len({x for x in ska & skb if x < theta})
+    est_overlap = (n_common * 4294967296) // theta
+    est_d_a = ((JSE_K - 1) * 4294967296) // kth_a
+    est_d_b = ((JSE_K - 1) * 4294967296) // kth_b
+    n_a, n_b = len(orders), len(events)
+    est_join = (
+        (est_overlap * ((n_a * 1000000) // est_d_a) // 1000000)
+        * ((n_b * 1000000) // est_d_b)
+    ) // 1000000
+    ca: dict[int, int] = {}
+    for r in orders:
+        ca[r.o_custkey] = ca.get(r.o_custkey, 0) + 1
+    cb: dict[int, int] = {}
+    for r in events:
+        cb[r.user_id] = cb.get(r.user_id, 0) + 1
+    exact_join = sum(ca[k] * cb[k] for k in set(ca) & set(cb))
+    row = join_size_kmv_estimate(spark, SF_DIR).collect()[0]
+    assert row.est_overlap_keys == est_overlap
+    assert row.est_join_size == est_join
+    assert row.exact_join_size == exact_join
+    assert row.exact_overlap_keys == len(set(ca) & set(cb))
+    assert exact_join > 0
+
+
+def test_zscore_anomalies_stream_eq_batch_multibatch(spark, tmp_path):
+    """Streaming Welford scorer == batch running-window twin across
+    THREE micro-batches, with an anomaly whose prior window STRADDLES
+    the batch boundary (calm history in batches 1-2, spike in batch 3)."""
+    import os
+
+    from etl_rf_matrix_controller_spark.streaming.anomaly import (
+        stream_zscore_rows,
+    )
+
+    batches = [
+        [(1, "2024-01-01 10:00:00", 1, 10.0), (1, "2024-01-01 10:01:00", 2, 10.2),
+         (2, "2024-01-01 10:02:00", 3, 5.0)],
+        [(1, "2024-01-02 09:00:00", 4, 9.8), (2, "2024-01-02 09:01:00", 5, 5.1),
+         (2, "2024-01-02 09:02:00", 6, 4.9)],
+        # user 1's spike: prior stats (10.0, 10.2, 9.8) live in batches
+        # 1-2; user 2 stays calm
+        [(1, "2024-01-03 08:00:00", 7, 99.0), (2, "2024-01-03 08:01:00", 8, 5.0)],
+    ]
+    src = str(tmp_path / "ev_stream")
+    os.makedirs(src)
+    now = 1700000000
+    for i, rows in enumerate(batches):
+        staging = str(tmp_path / f"b{i}")
+        spark.createDataFrame(
+            rows,
+            "user_id bigint, ts_s string, event_id bigint, value double",
+        ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s").coalesce(
+            1
+        ).write.parquet(staging)
+        part = next(f for f in os.listdir(staging) if f.endswith(".parquet"))
+        dst = os.path.join(src, f"batch_{i}.parquet")
+        os.rename(os.path.join(staging, part), dst)
+        os.utime(dst, (now + i * 100, now + i * 100))
+
+    ev_batch = spark.read.parquet(src)
+    stream = (
+        spark.readStream.schema(ev_batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    progress: list = []
+    raw = stream_zscore_rows(stream, spark, "zscore_mb", progress)
+    got = {
+        r.user_id: (r.n_scored, r.n_anomalies)
+        for r in raw.groupBy("user_id")
+        .agg(
+            F.sum("d_scored").cast("bigint").alias("n_scored"),
+            F.sum("d_anomalies").cast("bigint").alias("n_anomalies"),
+        )
+        .filter(F.col("n_scored") > 0)
+        .collect()
+    }
+    # python recompute of the running-prior rule
+    want: dict[int, list[int]] = {}
+    state: dict[int, list[int]] = {}
+    for rows in batches:
+        for (u, _ts, _e, v) in rows:
+            x = round(v * 10000)
+            n, s, q = state.get(u, (0, 0, 0))
+            if n >= 2:
+                acc = want.setdefault(u, [0, 0])
+                acc[0] += 1
+                if (x * n - s) ** 2 > 9 * (n * q - s * s):
+                    acc[1] += 1
+            state[u] = (n + 1, s + x, q + x * x)
+    assert got == {u: tuple(v) for u, v in want.items()}
+    # the straddling spike is flagged; the calm user is not
+    assert got[1] == (2, 1)
+    assert got[2][1] == 0
+    state_rows = [
+        op["numRowsTotal"]
+        for pr in progress
+        for op in pr.get("stateOperators", [])
+        if "numRowsTotal" in op
+    ]
+    assert state_rows and max(state_rows) <= 2, state_rows
