@@ -343,12 +343,33 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Centroids are a deterministic sample of the data (every 100th vector
     -- a stand-in for k-means centroids, which aren't oracle-reproducible);
     every vector joins its nearest centroid's inverted list; queries probe
-    only their own list.  At 100 TB this is the FAISS-IVF layout: the
-    centroid dim broadcasts, list assignment is one pass, and the probe
-    join shuffles on list id.  nprobe=1 here; production probes the
-    nearest few lists to trade cost for recall.
-    """
-    return ivf_topk_df(load_table(spark, sf_dir, "embeddings"))
+    only their own list.  nprobe=1 here; production probes the nearest
+    few lists to trade cost for recall (ivf_topk_df keeps that knob for
+    the recall gate and tools/ann_recall.py).
+
+    Round 7: the declared query consumes the PERSISTENT bucketed IVF
+    index (ivfpq_index) instead of re-running the corpus x centroids
+    assignment fold per query -- the FAISS index-on-disk posture: probe
+    cost is a 3-column scan of the bucketed table + one broadcast join.
+    Values are byte-identical to the rebuild path (result_manifest pins
+    this); ivf_topk_df remains the from-scratch spelling for arbitrary
+    frames."""
+    idx = ivfpq_index(spark, sf_dir)
+    q = idx.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("cent_id").alias("q_cent"),
+    )
+    scored = idx.join(
+        F.broadcast(q),
+        (F.col("cent_id") == F.col("q_cent"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("cand_id"),
+        dot_double(F.col("qe"), F.col("embedding")).alias("score"),
+    )
+    return _topk(scored, TOP_K)
 
 
 def ivf_topk_df(
@@ -1144,23 +1165,12 @@ def ivf_list_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The operational health check for ann_ivf_topk -- probe cost is
     proportional to the probed list's size, so a skewed assignment
-    (one hot list) silently turns nprobe=1 into a near-full scan.  Same
-    assignment pass as the index build (broadcast centroids, one
-    window), then a vocabulary-sized aggregate; at 100 TB this runs as a
-    by-product of index construction, not a separate scan.
+    (one hot list) silently turns nprobe=1 into a near-full scan.
+    Round 7: reads the PERSISTENT bucketed index (ivfpq_index) -- a
+    1-column scan + vocabulary-sized aggregate, literally the
+    "by-product of index construction" the docstring always promised.
     """
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cents = emb.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce")
-    )
-    dist = _sq_dist(F.col("embedding"), F.col("ce"))
-    w = Window.partitionBy("vec_id").orderBy(dist.asc(), F.col("cent_id").asc())
-    assigned = (
-        emb.crossJoin(F.broadcast(cents))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cent_id")
-    )
+    assigned = ivfpq_index(spark, sf_dir).select("vec_id", "cent_id")
     lists = assigned.groupBy("cent_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("list_size")
     )
@@ -1792,9 +1802,45 @@ def pq_encode_df(
         f"  e.cw AS cw, e.sv AS sv))).sv))"
     )
     cand = assigned.crossJoin(F.broadcast(cb)).select(
-        "vec_id", "cent_id", "ce", "res", rres.alias("rres")
+        "vec_id", "embedding", "cent_id", "ce", "res", rres.alias("rres")
     )
     return assigned, cand
+
+
+# Builder version for the persistent IVF-PQ index: bump when the
+# assignment or encode semantics above change, or stale on-disk postings
+# would be silently reused (the plans/gram_index.py contract).
+IVFPQ_INDEX_VERSION = "1"
+
+
+def ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persistent bucketed IVF-PQ index over the embeddings table: the
+    full pq_encode_df artifact (vec_id, embedding, cent_id, ce, res,
+    rres) written ONCE as a ``bucketBy(N, cent_id).sortBy(cent_id,
+    vec_id)`` table -- the FAISS index-on-disk analogue, built with the
+    same machinery as the gram-postings index (corpus fingerprint tag,
+    staged atomic publish, cross-session re-registration).
+
+    Before this index, every declared IVF query re-ran the coarse
+    assignment (a corpus x centroids distance fold) and the PQ encode
+    per query; now that cost is paid once per corpus, and probes are a
+    bucketed columnar scan + broadcast joins.  Consumers prune columns
+    they don't need (ReadSchema does the narrowing: ann_ivf reads 3 of
+    6 columns, pq_distortion reads res/rres only)."""
+    from etl_rf_matrix_controller_spark.plans.gram_index import (
+        ensure_bucketed_index,
+    )
+
+    return ensure_bucketed_index(
+        spark,
+        sf_dir,
+        "ivfpq",
+        lambda s, d: pq_encode_df(load_table(s, d, "embeddings"))[1],
+        ["cent_id"],
+        version=IVFPQ_INDEX_VERSION,
+        sort_cols=["cent_id", "vec_id"],
+        source_table="embeddings",
+    )
 
 
 def ivfpq_topk_df(
@@ -2000,11 +2046,43 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: every distance/score is the fixed-order double fold both
     engines share; codeword and rank ties break on (cw, cand_id); the
-    reconstruction array orders subspaces by a struct sort.  The only
-    non-broadcast join (candidates x reconstructions) pins a shuffle-hash
-    hint -- its inputs are checkpointed and stat-less (CLAUDE.md rule).
-    """
-    return ivfpq_topk_df(load_table(spark, sf_dir, "embeddings"))
+    reconstruction array orders subspaces by a struct sort.
+
+    Round 7: the declared query consumes the PERSISTENT bucketed IVF-PQ
+    index (ivfpq_index) -- coarse assignment + PQ encode are a
+    write-once artifact, and the per-query cost is the ADC scan + the
+    shortlist's full-precision refine, both against the bucketed table
+    (values byte-identical to the rebuild path; result_manifest pins
+    it).  ivfpq_topk_df remains the from-scratch spelling for arbitrary
+    frames (recall gate, nprobe sweep)."""
+    idx = ivfpq_index(spark, sf_dir)
+    q = idx.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("cent_id").alias("q_cent"),
+    )
+    rv = F.zip_with("ce", "rres", lambda c, r: c.cast("double") + r)
+    scored = idx.join(
+        F.broadcast(q),
+        (F.col("cent_id") == F.col("q_cent"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("cand_id"),
+        dot_double(F.col("qe"), rv).alias("score"),
+    )
+    shortlist = _topk(scored, PQ_SHORTLIST).select("query_id", "cand_id")
+    refined = (
+        idx.select(F.col("vec_id").alias("cand_id"), "embedding")
+        .join(F.broadcast(shortlist), "cand_id")
+        .join(F.broadcast(q.select("query_id", "qe")), "query_id")
+        .select(
+            "query_id",
+            "cand_id",
+            dot_double(F.col("qe"), F.col("embedding")).alias("score"),
+        )
+    )
+    return _topk(refined, TOP_K)
 
 
 @declared(
@@ -2620,18 +2698,17 @@ def pq_distortion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a subspace with outsized MSE wants more codewords or a rotation;
     the FAISS tuning loop reads exactly this table).
 
-    Shares the index build with ann_ivfpq_topk (pq_encode_df: map-side
-    coarse assign + codeword argmin, zero corpus shuffles), then
-    measures error ON THE 1e-4 REPORTING GRID: each per-subvector error
-    term is an exact integer (round(res*1e4) - round(codeword*1e4))^2,
-    so the corpus-wide sum is order-independent and engine-exact, and
-    the final MSE is one double division of exact integers -- the same
-    convention `vector_quantize_i8` uses for its integer dots.  Output
-    is PQ_M rows at any corpus size; cost is one pass over the encoded
-    frame with an in-row per-subspace fold.
+    Shares the index artifact with ann_ivfpq_topk (round 7: the
+    PERSISTENT bucketed ivfpq_index -- a res/rres 2-column scan, no
+    rebuild), then measures error ON THE 1e-4 REPORTING GRID: each
+    per-subvector error term is an exact integer (round(res*1e4) -
+    round(codeword*1e4))^2, so the corpus-wide sum is order-independent
+    and engine-exact, and the final MSE is one double division of exact
+    integers -- the same convention `vector_quantize_i8` uses for its
+    integer dots.  Output is PQ_M rows at any corpus size; cost is one
+    pass over the encoded frame with an in-row per-subspace fold.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
-    _, encoded = pq_encode_df(emb)
+    encoded = ivfpq_index(spark, sf_dir)
     err_structs = F.expr(
         f"transform(sequence(0, {PQ_M - 1}), m -> struct(CAST(m AS BIGINT)"
         f" AS subspace, aggregate(zip_with("

@@ -628,3 +628,46 @@ def test_zscore_anomalies_stream_eq_batch_multibatch(spark, tmp_path):
         if "numRowsTotal" in op
     ]
     assert state_rows and max(state_rows) <= 2, state_rows
+
+
+def test_ivf_family_consumes_persistent_index(spark):
+    """The four raw-corpus IVF queries must read the persistent bucketed
+    ivfpq index, not re-run the corpus x centroids assignment: the plan
+    scans the index table and never the embeddings parquet (the build is
+    a write-once artifact, hidden once published) -- the round-7
+    physical-design contract, extended from the gram family."""
+    from etl_rf_matrix_controller_spark.operators.similarity import (
+        ann_ivf_topk,
+        ann_ivfpq_topk,
+        ivf_list_balance,
+        pq_distortion_report,
+    )
+
+    for fn in (ann_ivf_topk, ann_ivfpq_topk, ivf_list_balance,
+               pq_distortion_report):
+        df = fn(spark, SF_DIR)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        assert "gram_idx_ivfpq" in plan, (fn.__name__, plan[:2000])
+        scans = [
+            ln for ln in plan.splitlines()
+            if "Location" in ln and "embeddings.parquet" in ln
+        ]
+        assert not scans, (fn.__name__, scans)
+
+
+def test_ivf_index_column_pruning(spark):
+    """Consumers must prune the wide index: ivf_list_balance reads only
+    (vec_id, cent_id) -- neither raw embeddings nor PQ arrays reach its
+    scan."""
+    from etl_rf_matrix_controller_spark.operators.similarity import (
+        ivf_list_balance,
+    )
+
+    df = ivf_list_balance(spark, SF_DIR)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan and "struct<cent_id:bigint>" in scan[0], (scan, plan[:1500])
