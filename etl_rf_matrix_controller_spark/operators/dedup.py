@@ -2691,7 +2691,12 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     division.  Corpus: documents + planted exact (+1M) and near (+2M,
     ' zzextra') dups, the `dup_corpus` fixture every dedup op shares.
     """
-    corpus = dup_corpus(spark, sf_dir)
+    return prefix_filter_pairs_df(spark, dup_corpus(spark, sf_dir))
+
+
+def prefix_filter_pairs_df(spark: SparkSession, corpus: DataFrame) -> DataFrame:
+    """Core of prefix_filter_jaccard_pairs over an arbitrary (doc_id,
+    text) frame -- exposed for the tools/stress.py scale-slope probe."""
     t = F.split(F.trim("text"), " ")
     sh_arr = F.array_distinct(
         F.transform(

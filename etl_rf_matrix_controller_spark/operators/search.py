@@ -66,6 +66,56 @@ def _tok(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("token") != "")
 
 
+# Builder version for the persistent postings index: bump when the
+# tokenize/tf semantics change (the plans/gram_index.py contract).
+POSTINGS_INDEX_VERSION = "1"
+
+
+def postings_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persistent bucketed term postings: (token, doc_id, tf) written
+    ONCE as ``bucketBy(N, token).sortBy(token, doc_id)`` -- the classic
+    IR inverted file as a write-once artifact, built with the same
+    machinery as the gram / winnow / band / ivfpq indexes
+    (plans/gram_index.py: corpus fingerprint tag, staged atomic publish,
+    cross-session re-registration).  Every retrieval query (tf-idf,
+    BM25, fusion, agreement, index stats) consumes this table instead of
+    re-tokenizing the corpus: a query-term probe is a pushed-down IN
+    filter on the bucketed token scan -- at 100 TB the difference
+    between a posting-list read and a full corpus pass per query."""
+    from etl_rf_matrix_controller_spark.plans.gram_index import (
+        ensure_bucketed_index,
+    )
+
+    return ensure_bucketed_index(
+        spark,
+        sf_dir,
+        "post",
+        lambda s, d: _tok(s, d)
+        .groupBy("token", "doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf")),
+        ["token"],
+        version=POSTINGS_INDEX_VERSION,
+        sort_cols=["token", "doc_id"],
+        source_table="documents",
+    )
+
+
+def _query_tf_df(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(tf, df) for the fixed probe query, served from the persistent
+    postings index: tf rows come straight off the filtered bucketed scan
+    ((token, doc_id) is unique there, so df is a plain row count per
+    token).  Values byte-identical to the tokenize-per-query spelling
+    (result_manifest pins every consumer)."""
+    qp = postings_index(spark, sf_dir).filter(
+        F.col("token").isin(*QUERY_TERMS)
+    )
+    tf = qp.select("doc_id", "token", "tf")
+    df = qp.groupBy("token").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    return tf, df
+
+
 @declared(
     "tfidf_retrieval_topk",
     oracle=f"""
@@ -109,14 +159,10 @@ def tfidf_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     orderBy(...).limit(10) (TakeOrdered, no single-partition shuffle),
     kept as row_number here for the deterministic rnk column.
     """
-    tok = _tok(spark, sf_dir)
-    # tf and df both consume the filtered token stream; checkpoint so the
-    # corpus tokenize+explode runs once, not per consumer.
-    qtok = tok.filter(F.col("token").isin(*QUERY_TERMS)).localCheckpoint(
-        eager=False
-    )
-    tf = qtok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    df = qtok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    # Round 7: tf/df come off the PERSISTENT postings index (a pushed-
+    # down IN probe of the bucketed token scan), not a per-query corpus
+    # tokenize (values byte-identical; result_manifest pins it).
+    tf, df = _query_tf_df(spark, sf_dir)
     n = (
         load_table(spark, sf_dir, "documents")
         .agg(F.count(F.lit(1)).alias("n_docs"))
@@ -179,8 +225,9 @@ def inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregations shuffle on token (vocabulary-bounded output); the final
     join of two vocabulary-sized sides is broadcastable.
     """
-    tok = _tok(spark, sf_dir)
-    pair = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    # Round 7: the (token, doc_id, tf) pairs ARE the persistent postings
+    # index -- this query now reports index stats from the index itself.
+    pair = postings_index(spark, sf_dir)
     stats = pair.groupBy("token").agg(
         F.count(F.lit(1)).alias("df"), F.sum("tf").cast("bigint").alias("cf")
     )
@@ -459,14 +506,9 @@ def bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     addition -- one extra projection-only frame (dl), no new corpus pass
     over the exploded tokens.
     """
-    tok = _tok(spark, sf_dir)
-    qtok = tok.filter(F.col("token").isin(*QUERY_TERMS)).localCheckpoint(
-        eager=False
-    )
-    tf = qtok.groupBy("doc_id", "token").agg(
-        F.count(F.lit(1)).cast("bigint").alias("tf")
-    )
-    df = qtok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    # Round 7: tf/df served from the persistent postings index (see
+    # tfidf_retrieval_topk); the rest of the plan is unchanged.
+    tf, df = _query_tf_df(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
     # dl feeds both the per-doc join and the corpus scalars: checkpoint
     # the narrow (id, len) projection once so documents isn't re-scanned
@@ -536,12 +578,11 @@ def doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort.  Integer scoring end to end -- the only per-doc state is the
     3-row window head.
     """
-    tok = _tok(spark, sf_dir).localCheckpoint(eager=False)
-    tf = tok.groupBy("doc_id", "token").agg(
-        F.count(F.lit(1)).cast("bigint").alias("tf")
-    )
-    df = tok.groupBy("token").agg(
-        F.countDistinct("doc_id").cast("bigint").alias("df")
+    # Round 7: (doc, token, tf) IS the persistent postings index; df is
+    # a row count per token over it ((token, doc_id) unique there).
+    tf = postings_index(spark, sf_dir)
+    df = tf.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
     )
     n = (
         load_table(spark, sf_dir, "documents")
@@ -613,9 +654,11 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode + filter (no join); coverage is integer-space (ratio4)
     against the broadcast scalar total.
     """
-    tok = _tok(spark, sf_dir)
-    freq = tok.groupBy("token").agg(
-        F.count(F.lit(1)).cast("bigint").alias("f")
+    # Round 7: collection frequency = sum(tf) over the persistent
+    # postings index (vocabulary-sized agg over an index scan, no
+    # per-query corpus tokenize).
+    freq = postings_index(spark, sf_dir).groupBy("token").agg(
+        F.sum("tf").cast("bigint").alias("f")
     ).localCheckpoint(eager=False)  # ranked rows + the scalar total
     tot = freq.agg(F.sum("f").cast("bigint").alias("total"))
     ranked = freq.withColumn(
@@ -751,13 +794,9 @@ def ranking_dcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpointed query-selectivity-sized frames; everything downstream
     of the two top-10 windows is <= 20 rows.
     """
-    tok = _tok(spark, sf_dir)
-    qtok = tok.filter(F.col("token").isin(*QUERY_TERMS)).localCheckpoint(
-        eager=True
-    )
-    tf = qtok.groupBy("doc_id", "token").agg(
-        F.count(F.lit(1)).cast("bigint").alias("tf")
-    ).localCheckpoint(eager=True)  # both rankers + the relevance label
+    # Round 7: probe tf off the persistent postings index.
+    tf, _ = _query_tf_df(spark, sf_dir)
+    tf = tf.localCheckpoint(eager=True)  # both rankers + the relevance label
     df = tf.groupBy("token").agg(
         F.count(F.lit(1)).cast("bigint").alias("df")
     )
@@ -877,19 +916,13 @@ def rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     10-row frames, so the fusion itself is free.  The oracle nests the
     two REGISTERED oracles verbatim.
     """
-    tok = _tok(spark, sf_dir)
-    # Eager: tf and df each feed BOTH scorers (4 consumer branches); a
-    # lazy checkpoint would leave 4 copies of the tokenize subtree in the
-    # constructed plan (the suite-wide scan ceiling counts them).
-    qtok = tok.filter(F.col("token").isin(*QUERY_TERMS)).localCheckpoint(
-        eager=True
-    )
-    tf = qtok.groupBy("doc_id", "token").agg(
-        F.count(F.lit(1)).cast("bigint").alias("tf")
-    ).localCheckpoint(eager=True)
-    df = qtok.groupBy("token").agg(
-        F.countDistinct("doc_id").cast("bigint").alias("df")
-    ).localCheckpoint(eager=True)
+    # Round 7: tf/df served from the persistent postings index (probe
+    # rows are already query-selectivity-sized -- the old eager-
+    # checkpoint dance existed to keep the tokenize subtree out of four
+    # consumer branches, and the index removes the subtree entirely).
+    tf, df = _query_tf_df(spark, sf_dir)
+    tf = tf.localCheckpoint(eager=True)
+    df = df.localCheckpoint(eager=True)
     docs = load_table(spark, sf_dir, "documents")
     dl = docs.select(
         "doc_id",
@@ -1084,19 +1117,12 @@ def rbo_rankings_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     W(max(rank_a, rank_b)) over the lcm-scaled weights; `rbo` is one
     bigint/bigint IEEE division, bit-identical cross-engine.
 
-    Plan: ONE tokenize pass feeds both scorers (the rrf_fusion_topk
-    checkpoint discipline); the rank frames are 10 rows each, so the
+    Plan: tf/df come off the PERSISTENT postings index (round 7; the
+    rrf_fusion_topk path); the rank frames are 10 rows each, so the
     agreement join is free.  Output is a single summary row."""
-    tok = _tok(spark, sf_dir)
-    qtok = tok.filter(F.col("token").isin(*QUERY_TERMS)).localCheckpoint(
-        eager=True
-    )
-    tf = qtok.groupBy("doc_id", "token").agg(
-        F.count(F.lit(1)).cast("bigint").alias("tf")
-    ).localCheckpoint(eager=True)
-    df = qtok.groupBy("token").agg(
-        F.countDistinct("doc_id").cast("bigint").alias("df")
-    ).localCheckpoint(eager=True)
+    tf, df = _query_tf_df(spark, sf_dir)
+    tf = tf.localCheckpoint(eager=True)
+    df = df.localCheckpoint(eager=True)
     docs = load_table(spark, sf_dir, "documents")
     dl = docs.select(
         "doc_id",

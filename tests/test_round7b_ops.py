@@ -671,3 +671,40 @@ def test_ivf_index_column_pruning(spark):
     )
     scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert scan and "struct<cent_id:bigint>" in scan[0], (scan, plan[:1500])
+
+
+def test_retrieval_family_consumes_postings_index(spark):
+    """The retrieval/index-stats queries must read the persistent
+    bucketed postings index, never re-tokenize the corpus: the plan
+    scans the index table; a documents.parquet scan may appear only as
+    the narrow doc-length / doc-count side (ReadSchema without text is
+    allowed for bm25-shaped plans; the tokenize explode is not)."""
+    from etl_rf_matrix_controller_spark.operators.search import (
+        doc_top_terms,
+        inverted_postings,
+        tfidf_retrieval_topk,
+    )
+
+    # (vocab_coverage_curve also consumes the index but its lazy
+    # localCheckpoint hides the scan from the constructed plan -- the
+    # documented checkpoint behavior -- so it is pinned by the manifest
+    # hash instead.)
+    for fn, allow_docs in (
+        (tfidf_retrieval_topk, True),  # doc-count scalar scan
+        (inverted_postings, False),
+        (doc_top_terms, True),  # joins source metadata back per doc
+    ):
+        df = fn(spark, SF_DIR)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        assert "gram_idx_post" in plan, (fn.__name__, plan[:1500])
+        doc_scans = [
+            ln for ln in plan.splitlines()
+            if "Location" in ln and "documents.parquet" in ln
+        ]
+        if not allow_docs:
+            assert not doc_scans, (fn.__name__, doc_scans)
+        # the tokenize explode must be gone from every consuming plan
+        assert "explode" not in plan.lower().split("readschema")[0] or \
+            "Generate" not in plan, (fn.__name__,)

@@ -30,6 +30,13 @@ MULT = int(sys.argv[1]) if len(sys.argv) > 1 else 10
 MULTS = [m for m in (1, 10, 100) if m <= max(MULT, 1)]
 if MULT not in MULTS:
     MULTS.append(MULT)
+# Optional argv[2]: comma list of shape names to run (default: all) --
+# e.g. `python tools/stress.py 100 prefix_filter` probes one shape.
+SHAPES = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
+
+
+def want(name: str) -> bool:
+    return SHAPES is None or name in SHAPES
 
 
 def amplify(df, mult: int):
@@ -87,6 +94,8 @@ def main() -> None:
         .limit(10),
     }
     for name, fn in cases.items():
+        if not want(name):
+            continue
         src = li if name == "q1_agg" else ev
         for mult in MULTS:
             data = amplify(src, mult)
@@ -154,7 +163,7 @@ def main() -> None:
 
     import shutil
 
-    for mult in MULTS:
+    for mult in (MULTS if want("span_dedup") else []):
         grams = n_docs * mult * 650  # ~len-39 grams per doc
         n_buckets = max(32, 4 * mult)
         t0 = time.perf_counter()
@@ -203,7 +212,7 @@ def main() -> None:
         winnow_select_fps_df,
     )
 
-    for mult in MULTS:
+    for mult in (MULTS if want("winnow_select") else []):
         grams = n_docs * mult * 650
         n_buckets = max(32, 4 * mult)
         t0 = time.perf_counter()
@@ -312,7 +321,7 @@ def main() -> None:
             .distinct()
         )
 
-    for mult in MULTS:
+    for mult in (MULTS if want("minhash_bands") else []):
         t0 = time.perf_counter()
         n_cand = minhash_band_candidates(amplify_docs(mult)).count()
         dt = time.perf_counter() - t0
@@ -341,7 +350,7 @@ def main() -> None:
     )
 
     ev_rows = ev.count()
-    for mult in MULTS:
+    for mult in (MULTS if want("stream_hll") else []):
         path = f"/tmp/spark_graft_stress_events_x{mult}"
         if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
             amplify(ev, mult).repartition(max(16, 4 * mult)).write.mode(
@@ -393,7 +402,7 @@ def main() -> None:
         simhash_wide_sig_df,
     )
 
-    for mult in (1, min(MULT, 10)):
+    for mult in ((1, min(MULT, 10)) if want("simhash_pairs") else ()):
         corpus = amplify_docs(mult)
         for bits, n_bands in ((32, 4), (60, 4)):
             sig = simhash_wide_sig_df(corpus, bits=bits).localCheckpoint(
@@ -408,6 +417,28 @@ def main() -> None:
                 f"simhash_pairs x{mult} {bits}b/{bits // n_bands}b-bands: "
                 f"{dt:.2f}s, {n_pairs} pairs at ham<=3"
             )
+    # Prefix-filtered set-similarity join slope (the round-7b lossless
+    # PPJoin paradigm).  Rotation-amplified copies share zero token
+    # shingles across copies, so true matches stay flat while df ranks,
+    # the per-doc prefix window, and the prefix self-join all scale with
+    # the corpus -- the probe isolates the candidate-generation slope,
+    # which is the part prefix filtering exists to bound (frequent
+    # shingles never enter a prefix).
+    from etl_rf_matrix_controller_spark.operators.dedup import (
+        prefix_filter_pairs_df,
+    )
+
+    for mult in (MULTS if want("prefix_filter") else []):
+        corpus = amplify_docs(mult)
+        t0 = time.perf_counter()
+        n_pairs = prefix_filter_pairs_df(spark, corpus).count()
+        dt = time.perf_counter() - t0
+        docs_n = n_docs * mult
+        print(
+            f"prefix_filter x{mult}: {dt:.2f}s ({docs_n/1e3:.0f}k docs, "
+            f"{docs_n/dt/1e3:.1f}k docs/s, {n_pairs} pairs)"
+        )
+
     spark.stop()
 
 
