@@ -2720,11 +2720,16 @@ def prefix_filter_pairs_df(spark: SparkSession, corpus: DataFrame) -> DataFrame:
     ).localCheckpoint(eager=True)
     dfc = exploded.groupBy("sh").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
     w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("sh"))
+    # Consumed under TWO join aliases below (a and b) -- without the
+    # checkpoint each alias recomputes the bcast-join + window subtree
+    # (the CLAUDE.md 2+-consumer rule; measured 232 s -> 42 s at x10
+    # under a 48 g heap in tools/stress.py before this landed).
     prefix = (
         exploded.join(F.broadcast(dfc), "sh")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= F.expr("n - ((8 * n + 9) DIV 10) + 1"))
         .select("doc_id", "sh")
+        .localCheckpoint(eager=True)
     )
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (

@@ -61,7 +61,13 @@ def main() -> None:
     # from AQE target-size splitting; local[32] needs it set statically).
     import os
 
-    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+    # 31g, NOT 48g: heaps >= 32 GB disable the JVM's CompressedOops
+    # (object references double to 8 bytes), and this probe's
+    # string-shingle-heavy stages measured 2x slower at 33g and ~9x at
+    # 48g than at 31g for the identical x10 workload.  31g is the
+    # largest heap that keeps compressed pointers -- the standard Spark
+    # executor-sizing rule, reproduced locally.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "31g")
     spark = get_spark(
         app_name="stress", shuffle_partitions=max(32, 4 * MULT)
     )
