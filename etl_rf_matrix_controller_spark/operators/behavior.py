@@ -5548,3 +5548,314 @@ def median_of_means_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("mom_s") / float(SCALE)).alias("mom_value"),
         "mean_value",
     )
+
+
+@declared(
+    "logrank_error_cohort_test",
+    oracle="""
+    WITH evs AS (
+      SELECT user_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS fe,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    grp AS (
+      SELECT user_id,
+             CAST(max(CASE WHEN rn = 1 AND event_type = 'error'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS g,
+             min(fe) AS entry,
+             min(CASE WHEN event_type = 'purchase' THEN fe END) AS conv,
+             max(fe) AS censor
+      FROM evs GROUP BY user_id
+    ),
+    ud AS MATERIALIZED (
+      SELECT g, (coalesce(conv, censor) - entry) // 86400 AS dur,
+             CASE WHEN conv IS NOT NULL THEN 1 ELSE 0 END AS conv_f
+      FROM grp
+    ),
+    per AS (
+      SELECT dur,
+             CAST(count(*) AS BIGINT) AS u,
+             CAST(sum(g) AS BIGINT) AS u1,
+             CAST(sum(conv_f) AS BIGINT) AS c,
+             CAST(sum(conv_f * g) AS BIGINT) AS c1
+      FROM ud GROUP BY dur
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_total,
+             CAST(sum(g) AS BIGINT) AS n1_total
+      FROM ud
+    ),
+    risk AS (
+      SELECT dur, u, u1, c, c1,
+             t.n_total
+               - (CAST(sum(u) OVER (ORDER BY dur
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                  - u) AS n,
+             t.n1_total
+               - (CAST(sum(u1) OVER (ORDER BY dur
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                  - u1) AS n1,
+             t.n1_total, t.n_total
+      FROM per, tot t
+    ),
+    terms AS (
+      SELECT n1_total, n_total, c1,
+             (1000000 * c * n1) // n AS e_ppm,
+             ((((((1000000 * c * n1) // n) * (n - n1)) // n)
+               * (n - c)) // (n - 1)) AS v_ppm
+      FROM risk WHERE c > 0 AND n > 1
+    )
+    SELECT max(n1_total) AS n1_users,
+           max(n_total) - max(n1_total) AS n0_users,
+           CAST(sum(c1) AS BIGINT) AS o1,
+           CAST(sum(e_ppm) AS BIGINT) AS e1_ppm,
+           CAST(sum(v_ppm) AS BIGINT) AS v_ppm,
+           (CAST(sum(c1) * 1000000 - sum(e_ppm) AS DOUBLE)
+            * CAST(sum(c1) * 1000000 - sum(e_ppm) AS DOUBLE))
+             / (CAST(sum(v_ppm) AS DOUBLE) * 1000000.0e0)
+             AS logrank_chi2
+    FROM terms
+    """,
+)
+def logrank_error_cohort_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-group log-rank test (Mantel 1966) on time-to-first-purchase:
+    does a user whose FIRST event is an 'error' convert on a different
+    survival curve than everyone else?  Same entry/conversion/censoring
+    construction as `kaplan_meier_conversion` / `nelson_aalen_hazard`
+    (which characterize ONE curve; this completes the survival family
+    with the standard two-sample comparison).  At each conversion day:
+    expected group-1 conversions under H0 are c*n1/n and the
+    hypergeometric variance is c*(n1/n)*(1-n1/n)*(n-c)/(n-1); the
+    statistic (O-E)^2/V is chi-square(1) under H0.
+
+    Determinism: E and V accumulate as ppm FLOORS (the variance term as
+    the documented nested floor so no intermediate exceeds int64 at any
+    corpus size); the final chi-square is two IEEE ops on exact
+    integers, bit-equal cross-engine.  Shape: one per-user rollup, one
+    per-duration rollup, one ordered window over <= calendar-span rows,
+    one 1-row reduce -- the group split adds two conditional sums to
+    the existing survival scan, nothing corpus-squared anywhere.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w_first = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    evs = ev.select(
+        "user_id",
+        "event_type",
+        F.expr("unix_timestamp(ts)").alias("fe"),
+        F.row_number().over(w_first).alias("rn"),
+    )
+    grp = evs.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("rn") == 1) & (F.col("event_type") == "error"), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("g"),
+        F.min("fe").alias("entry"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("fe"))).alias(
+            "conv"
+        ),
+        F.max("fe").alias("censor"),
+    )
+    ud = grp.select(
+        "g",
+        F.expr("(coalesce(conv, censor) - entry) DIV 86400").alias("dur"),
+        F.when(F.col("conv").isNotNull(), 1).otherwise(0).alias("conv_f"),
+    ).localCheckpoint(eager=True)  # per-day rollup + totals consumers
+    per = ud.groupBy("dur").agg(
+        F.count(F.lit(1)).cast("bigint").alias("u"),
+        F.sum("g").cast("bigint").alias("u1"),
+        F.sum("conv_f").cast("bigint").alias("c"),
+        F.sum(F.col("conv_f") * F.col("g")).cast("bigint").alias("c1"),
+    )
+    tot = ud.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.sum("g").cast("bigint").alias("n1_total"),
+    )
+    w = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = (
+        per.withColumn("cum_u", F.sum("u").over(w).cast("bigint"))
+        .withColumn("cum_u1", F.sum("u1").over(w).cast("bigint"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "c1",
+            "n1_total",
+            "n_total",
+            "c",
+            (F.col("n_total") - (F.col("cum_u") - F.col("u"))).alias("n"),
+            (F.col("n1_total") - (F.col("cum_u1") - F.col("u1"))).alias("n1"),
+        )
+    )
+    terms = risk.filter((F.col("c") > 0) & (F.col("n") > 1)).select(
+        "n1_total",
+        "n_total",
+        "c1",
+        F.expr("(1000000 * c * n1) DIV n").alias("e_ppm"),
+        F.expr(
+            "((((((1000000 * c * n1) DIV n) * (n - n1)) DIV n)"
+            " * (n - c)) DIV (n - 1))"
+        ).alias("v_ppm"),
+    )
+    return terms.agg(
+        F.max("n1_total").alias("n1_users"),
+        (F.max("n_total") - F.max("n1_total")).alias("n0_users"),
+        F.sum("c1").cast("bigint").alias("o1"),
+        F.sum("e_ppm").cast("bigint").alias("e1_ppm"),
+        F.sum("v_ppm").cast("bigint").alias("v_ppm"),
+        F.expr(
+            "(CAST(sum(c1) * 1000000 - sum(e_ppm) AS DOUBLE)"
+            " * CAST(sum(c1) * 1000000 - sum(e_ppm) AS DOUBLE))"
+            " / (CAST(sum(v_ppm) AS DOUBLE) * 1000000.0e0)"
+        ).alias("logrank_chi2"),
+    )
+
+
+# Benjamini-Hochberg step-up at FDR level ALPHA = BH_ALPHA_NUM/BH_ALPHA_DEN.
+BH_ALPHA_NUM, BH_ALPHA_DEN = 1, 20
+
+
+@declared(
+    "bh_fdr_brand_price",
+    oracle=f"""
+    WITH px AS (
+      SELECT p_brand, CAST(round(p_retailprice * 100) AS BIGINT) AS x
+      FROM part
+    ),
+    per AS MATERIALIZED (
+      SELECT p_brand, CAST(count(*) AS BIGINT) AS nb,
+             CAST(sum(x) AS BIGINT) AS sb
+      FROM px GROUP BY p_brand
+    ),
+    gtot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM px
+    ),
+    z AS (
+      SELECT p_brand, nb,
+             CAST(sb * g.n - g.s * nb AS DOUBLE)
+               / (CAST(nb AS DOUBLE) * CAST(g.n AS DOUBLE)) AS md,
+             (CAST(g.sxx AS DOUBLE)
+              - CAST(g.s AS DOUBLE) * CAST(g.s AS DOUBLE)
+                / CAST(g.n AS DOUBLE)) / CAST(g.n AS DOUBLE) AS var
+      FROM per, gtot g
+    ),
+    pz AS (
+      SELECT p_brand, nb, md,
+             CAST(nb AS DOUBLE) * md * md / var AS z2
+      FROM z
+    ),
+    pv AS (
+      SELECT p_brand, nb, md, z2,
+             CASE WHEN z2 <= 1.0e0 THEN 1.0e0 ELSE 1.0e0 / z2 END AS p_cheb
+      FROM pz
+    ),
+    ranked AS (
+      SELECT p_brand, nb, md, z2, p_cheb,
+             CAST(row_number() OVER (ORDER BY p_cheb, p_brand)
+                  AS BIGINT) AS k,
+             CAST(count(*) OVER () AS BIGINT) AS m
+      FROM pv
+    ),
+    stepped AS (
+      SELECT *,
+             CASE WHEN p_cheb <= CAST(k * {BH_ALPHA_NUM} AS DOUBLE)
+                               / (CAST(m AS DOUBLE)
+                                  * CAST({BH_ALPHA_DEN} AS DOUBLE))
+                  THEN k ELSE 0 END AS pass_k
+      FROM ranked
+    )
+    SELECT p_brand, nb AS n_parts, md AS mean_diff_cents, z2, p_cheb, k,
+           CAST(CASE WHEN k <= max(pass_k) OVER () THEN 1 ELSE 0 END
+                AS BIGINT) AS rejected
+    FROM stepped
+    """,
+)
+def bh_fdr_brand_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR step-up (1995) over the per-brand family
+    of mean-price tests: one z^2 statistic per brand (brand mean vs the
+    global mean, global variance), p-values via the distribution-free
+    Chebyshev bound P(|Z| >= z) <= 1/z^2, then the BH rule -- reject
+    ranks 1..k* where k* = max{{k : p_(k) <= k*alpha/m}} at alpha =
+    {BH_ALPHA_NUM}/{BH_ALPHA_DEN}.  The multiple-testing control the
+    per-test family (welch_t / mann_whitney / ab_conversion_ztest)
+    lacked: run m tests and the expected false-discovery FRACTION stays
+    <= alpha, the screening rule a 100-TB pipeline applies when it
+    tests thousands of segments at once.
+
+    Chebyshev instead of the normal CDF because Phi needs exp/erf --
+    libm calls that are NOT bit-stable across engines (the documented
+    ln() trap) -- while 1/z^2 is one IEEE division on exact-integer-
+    derived doubles: conservative (never anti-conservative) and
+    bit-equal.  Every float here is IEEE +,*,/ on exact integers in
+    identical order; the step-up threshold k*alpha/m is likewise pure
+    IEEE.  Shape: one part scan -> 25-row brand rollup -> 25-row
+    window; the 1-row global side rides a broadcast cross join.
+    """
+    px = load_table(spark, sf_dir, "part").select(
+        "p_brand", F.round(F.col("p_retailprice") * 100).cast("bigint").alias("x")
+    )
+    per = px.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nb"),
+        F.sum("x").cast("bigint").alias("sb"),
+    )
+    glob = px.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    z = per.crossJoin(F.broadcast(glob)).select(
+        "p_brand",
+        "nb",
+        F.expr(
+            "CAST(sb * n - s * nb AS DOUBLE)"
+            " / (CAST(nb AS DOUBLE) * CAST(n AS DOUBLE))"
+        ).alias("md"),
+        F.expr(
+            "(CAST(sxx AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)"
+            " / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)"
+        ).alias("var"),
+    )
+    pv = z.select(
+        "p_brand",
+        "nb",
+        "md",
+        F.expr("CAST(nb AS DOUBLE) * md * md / var").alias("z2"),
+    ).select(
+        "*",
+        F.expr(
+            "CASE WHEN z2 <= 1.0e0 THEN 1.0e0 ELSE 1.0e0 / z2 END"
+        ).alias("p_cheb"),
+    )
+    w_rank = Window.orderBy(F.asc("p_cheb"), F.asc("p_brand"))
+    w_all = Window.partitionBy()
+    ranked = pv.select(
+        "*",
+        F.row_number().over(w_rank).cast("bigint").alias("k"),
+        F.count(F.lit(1)).over(w_all).cast("bigint").alias("m"),
+    )
+    stepped = ranked.withColumn(
+        "pass_k",
+        F.expr(
+            f"CASE WHEN p_cheb <= CAST(k * {BH_ALPHA_NUM} AS DOUBLE)"
+            f" / (CAST(m AS DOUBLE) * CAST({BH_ALPHA_DEN} AS DOUBLE))"
+            " THEN k ELSE 0 END"
+        ),
+    )
+    return stepped.select(
+        "p_brand",
+        F.col("nb").alias("n_parts"),
+        F.col("md").alias("mean_diff_cents"),
+        "z2",
+        "p_cheb",
+        "k",
+        F.expr(
+            "CAST(CASE WHEN k <= max(pass_k) OVER () THEN 1 ELSE 0 END"
+            " AS BIGINT)"
+        ).alias("rejected"),
+    )

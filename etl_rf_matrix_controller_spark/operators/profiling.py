@@ -3538,3 +3538,203 @@ def join_size_kmv_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rel_err_ppm"),
         )
     )
+
+
+@declared(
+    "binseg_value_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+      FROM events GROUP BY 1
+    ),
+    ranked AS MATERIALIZED (
+      SELECT day, v,
+             CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn,
+             CAST(sum(v) OVER (ORDER BY day
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumv,
+             CAST(count(*) OVER () AS BIGINT) AS n,
+             CAST(sum(v) OVER () AS BIGINT) AS s
+      FROM daily
+    ),
+    gains AS (
+      SELECT *,
+             CAST(cumv AS DOUBLE) * CAST(cumv AS DOUBLE)
+               / CAST(rn AS DOUBLE)
+             + CAST(s - cumv AS DOUBLE) * CAST(s - cumv AS DOUBLE)
+               / CAST(n - rn AS DOUBLE)
+             - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+               / CAST(n AS DOUBLE) AS gain
+      FROM ranked WHERE rn < n
+    ),
+    root AS MATERIALIZED (
+      SELECT rn AS k, day AS split_day, n, s, cumv, gain
+      FROM gains
+      QUALIFY row_number() OVER (ORDER BY gain DESC, rn) = 1
+    ),
+    seg AS (
+      SELECT r.day, r.v,
+             CASE WHEN r.rn <= t.k THEN 'left' ELSE 'right' END AS seg
+      FROM ranked r, root t
+    ),
+    seg_ranked AS (
+      SELECT seg, day, v,
+             CAST(row_number() OVER (PARTITION BY seg ORDER BY day)
+                  AS BIGINT) AS rn,
+             CAST(sum(v) OVER (PARTITION BY seg ORDER BY day
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumv,
+             CAST(count(*) OVER (PARTITION BY seg) AS BIGINT) AS n,
+             CAST(sum(v) OVER (PARTITION BY seg) AS BIGINT) AS s
+      FROM seg
+    ),
+    seg_gains AS (
+      SELECT *,
+             CAST(cumv AS DOUBLE) * CAST(cumv AS DOUBLE)
+               / CAST(rn AS DOUBLE)
+             + CAST(s - cumv AS DOUBLE) * CAST(s - cumv AS DOUBLE)
+               / CAST(n - rn AS DOUBLE)
+             - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+               / CAST(n AS DOUBLE) AS gain
+      FROM seg_ranked WHERE rn < n
+    ),
+    seg_best AS (
+      SELECT seg, rn AS k, day AS split_day, n, s, cumv, gain
+      FROM seg_gains
+      QUALIFY row_number() OVER (PARTITION BY seg
+                                 ORDER BY gain DESC, rn) = 1
+    ),
+    unioned AS (
+      SELECT 'all' AS seg, k, split_day, n, s, cumv, gain FROM root
+      UNION ALL
+      SELECT seg, k, split_day, n, s, cumv, gain FROM seg_best
+    )
+    SELECT seg, split_day, k AS split_index, n AS n_days, gain,
+           CAST(cumv AS DOUBLE) / CAST(k AS DOUBLE) AS left_mean_cents,
+           CAST(s - cumv AS DOUBLE) / CAST(n - k AS DOUBLE)
+             AS right_mean_cents
+    FROM unioned
+    """,
+)
+def binseg_value_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary segmentation (Scott & Knott 1974), two levels, over the
+    daily value series: find the split maximizing the between-segment
+    SSE reduction gain(k) = L_k^2/k + R_k^2/(n-k) - T^2/n, then recurse
+    once into each side -- up to three changepoints from two window
+    passes.  The third changepoint paradigm: CUSUM
+    (`value_changepoint_cusum`) localizes ONE shift, Page-Hinkley
+    (`page_hinkley_drift`) detects sequential drift; binary segmentation
+    finds a HIERARCHY of mean shifts, the standard multiple-changepoint
+    scheme.
+
+    Gains are IEEE ops on exact scaled-integer prefix sums in a fixed
+    order (bit-equal cross-engine; argmax ties break to the earliest
+    index on identical doubles).  Shape: one events scan -> <= calendar
+    rollup, two ordered windows over <= |days| rows, a 1-row broadcast
+    for the root split.  At 100 TB the daily rollup is the only
+    fact-scale stage; everything after runs on the calendar.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("v")
+    )
+    w_ord = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    ranked = daily.select(
+        "day",
+        "v",
+        F.row_number().over(Window.orderBy("day")).cast("bigint").alias("rn"),
+        F.sum("v").over(w_ord).cast("bigint").alias("cumv"),
+        F.count(F.lit(1)).over(w_all).cast("bigint").alias("n"),
+        F.sum("v").over(w_all).cast("bigint").alias("s"),
+    ).localCheckpoint(eager=True)  # root pick + segment pass consumers
+    gain = (
+        "CAST(cumv AS DOUBLE) * CAST(cumv AS DOUBLE) / CAST(rn AS DOUBLE)"
+        " + CAST(s - cumv AS DOUBLE) * CAST(s - cumv AS DOUBLE)"
+        " / CAST(n - rn AS DOUBLE)"
+        " - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)"
+    )
+    gains = ranked.filter(F.col("rn") < F.col("n")).withColumn(
+        "gain", F.expr(gain)
+    )
+    w_pick = Window.orderBy(F.desc("gain"), F.asc("rn"))
+    root = (
+        gains.withColumn("pick", F.row_number().over(w_pick))
+        .filter(F.col("pick") == 1)
+        .select(
+            F.col("rn").alias("k"),
+            F.col("day").alias("split_day"),
+            "n",
+            "s",
+            "cumv",
+            "gain",
+        )
+    )
+    root = root.localCheckpoint(eager=True)  # output row + segment tagger
+    seg = ranked.crossJoin(
+        F.broadcast(root.select(F.col("k").alias("root_k")))
+    ).select(
+        "day",
+        "v",
+        F.when(F.col("rn") <= F.col("root_k"), "left")
+        .otherwise("right")
+        .alias("seg"),
+    )
+    w_seg_ord = (
+        Window.partitionBy("seg")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_seg_all = Window.partitionBy("seg")
+    seg_ranked = seg.select(
+        "seg",
+        "day",
+        "v",
+        F.row_number()
+        .over(Window.partitionBy("seg").orderBy("day"))
+        .cast("bigint")
+        .alias("rn"),
+        F.sum("v").over(w_seg_ord).cast("bigint").alias("cumv"),
+        F.count(F.lit(1)).over(w_seg_all).cast("bigint").alias("n"),
+        F.sum("v").over(w_seg_all).cast("bigint").alias("s"),
+    )
+    seg_gains = seg_ranked.filter(F.col("rn") < F.col("n")).withColumn(
+        "gain", F.expr(gain)
+    )
+    w_seg_pick = Window.partitionBy("seg").orderBy(
+        F.desc("gain"), F.asc("rn")
+    )
+    seg_best = (
+        seg_gains.withColumn("pick", F.row_number().over(w_seg_pick))
+        .filter(F.col("pick") == 1)
+        .select(
+            "seg",
+            F.col("rn").alias("k"),
+            F.col("day").alias("split_day"),
+            "n",
+            "s",
+            "cumv",
+            "gain",
+        )
+    )
+    unioned = root.select(
+        F.lit("all").alias("seg"), "k", "split_day", "n", "s", "cumv", "gain"
+    ).unionByName(seg_best)
+    return unioned.select(
+        "seg",
+        "split_day",
+        F.col("k").alias("split_index"),
+        F.col("n").alias("n_days"),
+        "gain",
+        F.expr("CAST(cumv AS DOUBLE) / CAST(k AS DOUBLE)").alias(
+            "left_mean_cents"
+        ),
+        F.expr(
+            "CAST(s - cumv AS DOUBLE) / CAST(n - k AS DOUBLE)"
+        ).alias("right_mean_cents"),
+    )

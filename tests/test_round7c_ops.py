@@ -1,0 +1,162 @@
+"""Round-7c operator semantics: log-rank O/E/V recompute from first
+principles, Benjamini-Hochberg step-up recompute (Chebyshev p-bounds,
+step-up monotonicity), and binary-segmentation gain-argmax recompute
+over the daily series.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from etl_rf_matrix_controller_spark.operators.behavior import (
+    BH_ALPHA_DEN,
+    BH_ALPHA_NUM,
+    bh_fdr_brand_price,
+    logrank_error_cohort_test,
+)
+from etl_rf_matrix_controller_spark.operators.profiling import (
+    binseg_value_changepoint,
+)
+from etl_rf_matrix_controller_spark.sources.tables import load_table
+from tests.conftest import SF_DIR
+
+
+def test_logrank_matches_python_recompute(spark):
+    """O1, E1_ppm, V_ppm and the chi-square recomputed in pure Python
+    from the raw events (first-event-is-error cohort, KM-style
+    entry/conversion/censoring) must equal the declared query's row."""
+    ev = load_table(spark, SF_DIR, "events").collect()
+    per_user = defaultdict(list)
+    for r in ev:
+        per_user[r.user_id].append(r)
+    durs = []  # (group, dur_days, converted)
+    for uid, rows in per_user.items():
+        rows.sort(key=lambda r: (r.ts, r.event_id))
+        g = 1 if rows[0].event_type == "error" else 0
+        fes = [int(r.ts.timestamp()) for r in rows]
+        entry, censor = min(fes), max(fes)
+        convs = [
+            fe
+            for r, fe in zip(rows, fes)
+            if r.event_type == "purchase"
+        ]
+        conv = min(convs) if convs else None
+        dur = ((conv if conv is not None else censor) - entry) // 86400
+        durs.append((g, dur, conv is not None))
+    n1_total = sum(g for g, _, _ in durs)
+    n_total = len(durs)
+    per_day = defaultdict(lambda: [0, 0, 0, 0])  # u, u1, c, c1
+    for g, dur, conv in durs:
+        d = per_day[dur]
+        d[0] += 1
+        d[1] += g
+        d[2] += int(conv)
+        d[3] += int(conv) * g
+    o1 = e_ppm = v_ppm = 0
+    cum_u = cum_u1 = 0
+    for dur in sorted(per_day):
+        u, u1, c, c1 = per_day[dur]
+        cum_u += u
+        cum_u1 += u1
+        n = n_total - (cum_u - u)
+        n1 = n1_total - (cum_u1 - u1)
+        if c > 0 and n > 1:
+            o1 += c1
+            e_ppm += (1000000 * c * n1) // n
+            v_ppm += (
+                ((((1000000 * c * n1) // n) * (n - n1)) // n) * (n - c)
+            ) // (n - 1)
+    row = logrank_error_cohort_test(spark, SF_DIR).collect()[0]
+    assert row.n1_users == n1_total
+    assert row.n0_users == n_total - n1_total
+    assert row.o1 == o1
+    assert row.e1_ppm == e_ppm
+    assert row.v_ppm == v_ppm
+    diff = float(o1 * 1000000 - e_ppm)
+    assert row.logrank_chi2 == diff * diff / (float(v_ppm) * 1000000.0)
+    assert n1_total > 0 and n1_total < n_total, "both cohorts populated"
+
+
+def test_bh_fdr_matches_python_recompute(spark):
+    """z^2, the Chebyshev p-bound, ranks, and the step-up rejection set
+    recomputed in Python must equal the declared query; rejections must
+    be a prefix of the p-ascending rank order (step-up property)."""
+    parts = load_table(spark, SF_DIR, "part").collect()
+    per = defaultdict(lambda: [0, 0])
+    sxx = s = n = 0
+    for r in parts:
+        x = round(r.p_retailprice * 100)
+        b = per[r.p_brand]
+        b[0] += 1
+        b[1] += x
+        s += x
+        sxx += x * x
+        n += 1
+    var = (float(sxx) - float(s) * float(s) / float(n)) / float(n)
+    stats = []
+    for brand, (nb, sb) in per.items():
+        md = float(sb * n - s * nb) / (float(nb) * float(n))
+        z2 = float(nb) * md * md / var
+        p = 1.0 if z2 <= 1.0 else 1.0 / z2
+        stats.append((p, brand, nb, md, z2))
+    stats.sort(key=lambda t: (t[0], t[1]))
+    m = len(stats)
+    kmax = 0
+    for k, (p, *_rest) in enumerate(stats, start=1):
+        if p <= float(k * BH_ALPHA_NUM) / (float(m) * float(BH_ALPHA_DEN)):
+            kmax = k
+    rows = {r.p_brand: r for r in bh_fdr_brand_price(spark, SF_DIR).collect()}
+    assert len(rows) == m
+    for k, (p, brand, nb, md, z2) in enumerate(stats, start=1):
+        r = rows[brand]
+        assert r.k == k
+        assert r.n_parts == nb
+        assert r.mean_diff_cents == md
+        assert r.z2 == z2
+        assert r.p_cheb == p
+        assert r.rejected == (1 if k <= kmax else 0)
+    ks = sorted(r.k for r in rows.values() if r.rejected)
+    assert ks == list(range(1, len(ks) + 1)), "rejections form a rank prefix"
+
+
+def test_binseg_matches_python_recompute(spark):
+    """The root split and both child splits recomputed from the daily
+    prefix sums must equal the declared rows, and the child segments
+    must partition the series at the root index."""
+    ev = load_table(spark, SF_DIR, "events").collect()
+    daily = defaultdict(int)
+    for r in ev:
+        daily[r.ts.date()] += round(r.value * 100)
+    days = sorted(daily)
+    vs = [daily[d] for d in days]
+
+    def best(vals, dys):
+        nn = len(vals)
+        tot = sum(vals)
+        cum = 0
+        out = None
+        for k in range(1, nn):
+            cum += vals[k - 1]
+            g = (
+                float(cum) * float(cum) / float(k)
+                + float(tot - cum) * float(tot - cum) / float(nn - k)
+                - float(tot) * float(tot) / float(nn)
+            )
+            if out is None or g > out[0]:
+                out = (g, k, dys[k - 1], cum, tot, nn)
+        return out
+
+    g_all, k_all, day_all, cum_all, tot_all, n_all = best(vs, days)
+    rows = {r.seg: r for r in binseg_value_changepoint(spark, SF_DIR).collect()}
+    r = rows["all"]
+    assert (r.gain, r.split_index, r.split_day) == (g_all, k_all, day_all)
+    assert r.n_days == n_all
+    assert r.left_mean_cents == float(cum_all) / float(k_all)
+    assert r.right_mean_cents == float(tot_all - cum_all) / float(
+        n_all - k_all
+    )
+    for seg, lo, hi in (("left", 0, k_all), ("right", k_all, len(vs))):
+        g, k, day, cum, tot, nn = best(vs[lo:hi], days[lo:hi])
+        rs = rows[seg]
+        assert (rs.gain, rs.split_day) == (g, day)
+        assert rs.n_days == nn == hi - lo
