@@ -1512,3 +1512,113 @@ def pii_delete_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((n_deleted * 1000000) DIV (n_deleted + n_retained) AS BIGINT)"
         ).alias("deleted_ppm"),
     )
+
+
+@declared(
+    "dp_geometric_noisy_counts",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS true_n
+      FROM events GROUP BY 1, 2
+    ),
+    seeded AS (
+      SELECT *,
+             CAST(('0x' || substring(
+               md5(event_type || '|' || CAST(day AS VARCHAR)), 1, 8))
+               AS BIGINT) AS u
+      FROM daily
+    ),
+    noised AS (
+      SELECT event_type, day, true_n,
+             CASE
+               WHEN 3 * u < 4294967296 THEN
+                 -CAST(len(list_filter(generate_series(1, 33),
+                   j -> 3 * u < (8589934592 // (CAST(1 AS BIGINT) << (j - 1)))))
+                   AS BIGINT)
+               WHEN 3 * u >= 8589934592 THEN
+                 CAST(len(list_filter(generate_series(1, 33),
+                   j -> 3 * (4294967296 - u)
+                        <= (8589934592 // (CAST(1 AS BIGINT) << (j - 1)))))
+                   AS BIGINT)
+               ELSE CAST(0 AS BIGINT)
+             END AS noise
+      FROM seeded
+    )
+    SELECT event_type, day, true_n, noise,
+           greatest(CAST(0 AS BIGINT), true_n + noise) AS dp_n,
+           CAST(693147 AS BIGINT) AS epsilon_ppm
+    FROM noised
+    """,
+)
+def dp_geometric_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private per-(event_type, day) counts via the
+    two-sided GEOMETRIC mechanism with p = 1/2 (epsilon = ln 2 ~=
+    0.693147, reported as the literal constant -- no ln() is ever
+    computed): P(noise = 0) = 1/3, P(noise = +-k) = (1/3) * 2^-k.  The
+    geometric mechanism is the discrete, utility-optimal counterpart of
+    Laplace for integer counts (Ghosh, Roughgarden & Sundararajan 2009)
+    -- and the only DP mechanism expressible EXACTLY in integer
+    arithmetic: the inverse CDF at p = 1/2 reduces to power-of-two
+    threshold comparisons, so no transcendental (the documented ln()
+    cross-engine trap) appears anywhere.  Completes the privacy family:
+    k-anonymity / l-diversity / t-closeness audit a release,
+    `pii_delete_cascade` erases, this RELEASES a protected aggregate.
+
+    The noise draw is a deterministic md5 seed per released cell
+    (u = first 8 md5 hex digits, uniform on [0, 2^32)): inverse-CDF
+    regions are integer compares of 3u against 2^32/2^33, and the tail
+    depth is a bounded 33-term threshold count -- exact to the 2^-32
+    quantization of u.  Deterministic seeding is what makes the release
+    testable cross-engine; a production run would swap u for a real
+    RNG, nothing else changes.  Post-processing clamp max(0, n+noise)
+    is DP-free.  Shape: one events scan -> |types|x|days| rollup; the
+    noise math is per-row expression work on the tiny released frame.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("true_n"))
+    seeded = daily.withColumn(
+        "u",
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", "event_type", F.col("day").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+    )
+    noised = seeded.withColumn(
+        "noise",
+        F.expr(
+            """
+            CASE
+              WHEN 3 * u < 4294967296 THEN
+                -CAST(size(filter(sequence(1, 33),
+                  j -> 3 * u < (8589934592 DIV shiftleft(CAST(1 AS BIGINT),
+                                                         j - 1))))
+                  AS BIGINT)
+              WHEN 3 * u >= 8589934592 THEN
+                CAST(size(filter(sequence(1, 33),
+                  j -> 3 * (4294967296 - u)
+                       <= (8589934592 DIV shiftleft(CAST(1 AS BIGINT),
+                                                    j - 1))))
+                  AS BIGINT)
+              ELSE CAST(0 AS BIGINT)
+            END
+            """
+        ),
+    )
+    return noised.select(
+        "event_type",
+        "day",
+        "true_n",
+        "noise",
+        F.greatest(F.lit(0).cast("bigint"), F.col("true_n") + F.col("noise")).alias(
+            "dp_n"
+        ),
+        F.lit(693147).cast("bigint").alias("epsilon_ppm"),
+    )

@@ -1179,3 +1179,222 @@ def rbo_rankings_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(_RBO_DEN)
         ).alias("rbo"),
     )
+
+
+# RM3 pseudo-relevance feedback: expansion terms drawn from the top-K0
+# first-pass documents, final ranking over original + expansion terms.
+RM3_FEEDBACK_DOCS = 10
+RM3_EXP_TERMS = 3
+_RM3_VALUES_SQL = ", ".join(f"('{t}')" for t in QUERY_TERMS)
+
+
+@declared(
+    "rm3_expansion_retrieval_topk",
+    oracle=f"""
+    WITH tok AS ({_TOK_SQL}),
+    dl AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS dl
+      FROM documents
+    ),
+    scal AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS BIGINT) AS t_tokens
+      FROM dl
+    ),
+    qtok AS (SELECT * FROM tok WHERE token IN ({_QUERY_SQL})),
+    tf AS (
+      SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      FROM qtok GROUP BY doc_id, token
+    ),
+    df AS (
+      SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      FROM qtok GROUP BY token
+    ),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(sum(
+               (((CAST(s.n_docs AS HUGEINT) * 1000000) // df.df)
+                * (220 * CAST(s.t_tokens AS HUGEINT) * tf.tf))
+               // (100 * CAST(s.t_tokens AS HUGEINT) * tf.tf
+                   + 30 * CAST(s.t_tokens AS HUGEINT)
+                   + 90 * CAST(dl.dl AS HUGEINT) * s.n_docs)
+             ) AS BIGINT) AS score_ppm
+      FROM tf
+      JOIN df ON df.token = tf.token
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN scal s
+      GROUP BY tf.doc_id
+    ),
+    d0 AS MATERIALIZED (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY score_ppm DESC, doc_id) AS rnk
+        FROM scored
+      ) WHERE rnk <= {RM3_FEEDBACK_DOCS}
+    ),
+    etf AS (
+      SELECT t.doc_id, t.token, CAST(count(*) AS BIGINT) AS tf
+      FROM tok t JOIN d0 ON d0.doc_id = t.doc_id
+      WHERE t.token NOT IN ({_QUERY_SQL})
+      GROUP BY t.doc_id, t.token
+    ),
+    ew AS (
+      SELECT e.token,
+             CAST(sum((1000000 * e.tf) // dl.dl) AS BIGINT) AS w_ppm
+      FROM etf e JOIN dl ON dl.doc_id = e.doc_id
+      GROUP BY e.token
+    ),
+    expt AS MATERIALIZED (
+      SELECT token FROM (
+        SELECT token,
+               row_number() OVER (ORDER BY w_ppm DESC, token) AS r
+        FROM ew
+      ) WHERE r <= {RM3_EXP_TERMS}
+    ),
+    terms AS (
+      SELECT token FROM expt
+      UNION ALL
+      SELECT v.t FROM (VALUES {_RM3_VALUES_SQL}) v(t)
+    ),
+    qtok2 AS (
+      SELECT tok.doc_id, tok.token
+      FROM tok JOIN terms ON terms.token = tok.token
+    ),
+    tf2 AS (
+      SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      FROM qtok2 GROUP BY doc_id, token
+    ),
+    df2 AS (
+      SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      FROM qtok2 GROUP BY token
+    ),
+    scored2 AS (
+      SELECT tf2.doc_id,
+             CAST(sum(
+               (((CAST(s.n_docs AS HUGEINT) * 1000000) // df2.df)
+                * (220 * CAST(s.t_tokens AS HUGEINT) * tf2.tf))
+               // (100 * CAST(s.t_tokens AS HUGEINT) * tf2.tf
+                   + 30 * CAST(s.t_tokens AS HUGEINT)
+                   + 90 * CAST(dl.dl AS HUGEINT) * s.n_docs)
+             ) AS BIGINT) AS score_ppm
+      FROM tf2
+      JOIN df2 ON df2.token = tf2.token
+      JOIN dl ON dl.doc_id = tf2.doc_id
+      CROSS JOIN scal s
+      GROUP BY tf2.doc_id
+    )
+    SELECT doc_id, score_ppm, rnk,
+           CAST(CASE WHEN doc_id IN (SELECT doc_id FROM d0)
+                THEN 1 ELSE 0 END AS BIGINT) AS was_initial
+    FROM (
+      SELECT doc_id, score_ppm,
+             CAST(row_number() OVER (ORDER BY score_ppm DESC, doc_id)
+                  AS BIGINT) AS rnk
+      FROM scored2
+    ) WHERE rnk <= {RM3_FEEDBACK_DOCS}
+    """,
+)
+def rm3_expansion_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance feedback (RM3, Lavrenko & Croft 2001 as run in
+    Anserini/Indri): score the fixed probe query with BM25, take the
+    top-{RM3_FEEDBACK_DOCS} feedback documents, extract the
+    top-{RM3_EXP_TERMS} expansion terms by relevance-model weight
+    sum_d P(w|d) over the feedback set (uniform feedback-doc prior --
+    the RM1 weight, ppm-floored per doc so the sum is integer-exact),
+    append them to the original terms, and re-rank.  The classic
+    no-training recall booster: terms the query never mentioned but
+    feedback documents agree on pull in documents the literal query
+    misses.  `was_initial` marks survivors of the first pass, so the
+    result exhibits the re-ranking directly.
+
+    Everything rides the existing integer BM25 rational form (shared
+    contribution expression, DECIMAL(38,0)/HUGEINT envelope) and the
+    persistent postings index: both retrieval passes are query-
+    selectivity-sized probes (pushed-down semi joins on the bucketed
+    token scan), the expansion pass tokenizes exactly
+    {RM3_FEEDBACK_DOCS} documents via a broadcast semi join, and every
+    frame after the probes is bounded by terms x feedback docs.  At
+    100 TB: two posting-list reads plus a 10-document fetch -- never a
+    second corpus pass.
+    """
+    tf, df = _query_tf_df(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    dl = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias("dl"),
+    ).localCheckpoint(eager=True)  # scal + two scoring joins + exp weights
+    scal = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("t_tokens"),
+    )
+    contrib = F.expr(_BM25_CONTRIB_EXPR)
+    scored = (
+        dl.join(F.broadcast(tf), "doc_id")
+        .join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(scal))
+        .groupBy("doc_id")
+        .agg(F.sum(contrib).cast("bigint").alias("score_ppm"))
+    )
+    w = Window.orderBy(F.desc("score_ppm"), F.asc("doc_id"))
+    d0 = (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= RM3_FEEDBACK_DOCS)
+        .select("doc_id")
+        .localCheckpoint(eager=True)  # expansion fetch + was_initial flag
+    )
+    fb_tok = (
+        docs.join(F.broadcast(d0), "doc_id")
+        .select(
+            "doc_id", F.explode(F.split(F.trim("text"), " ")).alias("token")
+        )
+        .filter((F.col("token") != "") & ~F.col("token").isin(*QUERY_TERMS))
+    )
+    etf = fb_tok.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    ew = (
+        etf.join(F.broadcast(dl), "doc_id")
+        .groupBy("token")
+        .agg(
+            F.sum(F.expr("(1000000 * tf) DIV dl")).cast("bigint").alias("w_ppm")
+        )
+    )
+    w_exp = Window.orderBy(F.desc("w_ppm"), F.asc("token"))
+    expt = (
+        ew.withColumn("r", F.row_number().over(w_exp))
+        .filter(F.col("r") <= RM3_EXP_TERMS)
+        .select("token")
+    )
+    terms = expt.unionByName(
+        spark.createDataFrame([(t,) for t in QUERY_TERMS], ["token"])
+    ).localCheckpoint(eager=True)  # tf2 probe + df2 rollup
+    qp2 = postings_index(spark, sf_dir).join(F.broadcast(terms), "token")
+    tf2 = qp2.select("doc_id", "token", "tf")
+    df2 = qp2.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    scored2 = (
+        dl.join(F.broadcast(tf2), "doc_id")
+        .join(F.broadcast(df2), "token")
+        .crossJoin(F.broadcast(scal))
+        .groupBy("doc_id")
+        .agg(F.sum(contrib).cast("bigint").alias("score_ppm"))
+    )
+    return (
+        scored2.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= RM3_FEEDBACK_DOCS)
+        .join(
+            F.broadcast(d0.withColumn("was_i", F.lit(1))),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            "score_ppm",
+            "rnk",
+            F.coalesce(F.col("was_i"), F.lit(0)).cast("bigint").alias(
+                "was_initial"
+            ),
+        )
+    )

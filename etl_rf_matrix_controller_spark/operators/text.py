@@ -1620,3 +1620,172 @@ def kn_continuation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("p_cont_ppm"),
         )
     )
+
+
+# RAKE stopword delimiters: the corpus' two function words.  A real
+# deployment would use a full stopword list; the ALGORITHM (phrase
+# segmentation at stopwords, degree/frequency word scores, additive
+# phrase scores) is list-independent.
+RAKE_STOPWORDS = ("a", "the")
+RAKE_TOPK = 20
+_RAKE_STOP_SQL = ", ".join(f"'{w}'" for w in RAKE_STOPWORDS)
+
+
+@declared(
+    "rake_keyword_extract",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, CAST(u.pos AS BIGINT) AS pos, u.token AS token,
+             CASE WHEN u.token IN ({_RAKE_STOP_SQL}) THEN 1 ELSE 0 END
+               AS is_stop
+      FROM (
+        SELECT doc_id,
+               list_transform(generate_series(1, len(t)),
+                              i -> struct_pack(token := t[i], pos := i))
+                 AS toks
+        FROM (SELECT doc_id, string_split(trim(text), ' ') AS t
+              FROM documents)
+      ), unnest(toks) AS r(u)
+      WHERE u.token <> ''
+    ),
+    grouped AS MATERIALIZED (
+      SELECT doc_id, pos, token,
+             CAST(sum(is_stop) OVER (PARTITION BY doc_id ORDER BY pos
+                                     ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS grp
+      FROM tok
+      QUALIFY is_stop = 0
+    ),
+    inst AS MATERIALIZED (
+      SELECT doc_id, grp,
+             string_agg(token, ' ' ORDER BY pos) AS phrase,
+             CAST(count(*) AS BIGINT) AS plen
+      FROM grouped GROUP BY doc_id, grp
+    ),
+    wstat AS (
+      SELECT g.token,
+             CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(i.plen) AS BIGINT) AS deg
+      FROM grouped g
+      JOIN inst i ON i.doc_id = g.doc_id AND i.grp = g.grp
+      GROUP BY g.token
+    ),
+    wscore AS (
+      SELECT token, (1000000 * deg) // freq AS w_ppm FROM wstat
+    ),
+    iscore AS (
+      SELECT g.doc_id, g.grp,
+             CAST(sum(w.w_ppm) AS BIGINT) AS score_ppm
+      FROM grouped g JOIN wscore w ON w.token = g.token
+      GROUP BY g.doc_id, g.grp
+    ),
+    phr AS (
+      SELECT i.phrase, i.plen AS n_words, s.score_ppm
+      FROM inst i JOIN iscore s
+        ON s.doc_id = i.doc_id AND s.grp = i.grp
+    )
+    SELECT phrase, n_words, n_occurrences, score_ppm, rnk
+    FROM (
+      SELECT phrase, n_words,
+             CAST(count(*) AS BIGINT) AS n_occurrences,
+             score_ppm,
+             CAST(row_number() OVER (ORDER BY score_ppm DESC, phrase)
+                  AS BIGINT) AS rnk
+      FROM phr GROUP BY phrase, n_words, score_ppm
+    ) WHERE rnk <= {RAKE_TOPK}
+    """,
+)
+def rake_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): segment each document
+    into candidate phrases at stopword delimiters, score each word as
+    degree/frequency over the phrase co-occurrence graph (degree = sum
+    of lengths of phrases containing the word -- words that keep
+    company with long phrases score high; frequency alone rewards
+    boilerplate), and score a phrase as the sum of its member-word
+    scores.  Corpus-level top-{RAKE_TOPK} phrases.  The PHRASE-level
+    keyword tier: `doc_top_terms` ranks single tokens per doc by
+    tf-idf; RAKE surfaces multiword terms with no training and no idf.
+
+    Word scores are integer ppm floors (1e6*deg DIV freq); a phrase
+    score is an integer SUM of member scores (multiplicity included),
+    so identical phrase strings score identically and the global
+    top-{RAKE_TOPK} is total-ordered by (score, phrase).  Shape: one
+    tokenize+explode (checkpointed: phrase rollup + word stats
+    consumers), per-doc ordered windows for the stopword islands, then
+    vocabulary- and phrase-cardinality frames only.  The phrase
+    instance -> word-stat join keys on (doc_id, grp): equi-join,
+    fan-out bounded by phrase length.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim("text"), " ")).alias("pos0", "token"),
+    ).filter(F.col("token") != "")
+    tok = tok.select(
+        "doc_id",
+        (F.col("pos0") + 1).cast("bigint").alias("pos"),
+        "token",
+        F.when(F.col("token").isin(*RAKE_STOPWORDS), 1)
+        .otherwise(0)
+        .alias("is_stop"),
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    grouped = (
+        tok.withColumn(
+            "grp", F.sum("is_stop").over(w_run).cast("bigint")
+        )
+        .filter(F.col("is_stop") == 0)
+        .select("doc_id", "pos", "token", "grp")
+        .localCheckpoint(eager=True)  # inst + wstat + iscore consumers
+    )
+    inst = (
+        grouped.groupBy("doc_id", "grp")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                    lambda x: x.getField("token"),
+                ),
+            ).alias("phrase"),
+            F.count(F.lit(1)).cast("bigint").alias("plen"),
+        )
+        .localCheckpoint(eager=True)  # wstat join + phrase output consumers
+    )
+    # inst is phrase-instance-cardinality (corpus-scaled): never
+    # broadcast -- shuffle-hash on the natural key (both sides are
+    # checkpointed and stat-less, so the hint keeps Catalyst off SMJ).
+    wstat = (
+        grouped.join(inst.select("doc_id", "grp", "plen")
+                     .hint("shuffle_hash"),
+                     ["doc_id", "grp"])
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("freq"),
+            F.sum("plen").cast("bigint").alias("deg"),
+        )
+    )
+    wscore = wstat.select(
+        "token", F.expr("(1000000 * deg) DIV freq").alias("w_ppm")
+    )
+    iscore = (
+        grouped.join(F.broadcast(wscore), "token")
+        .groupBy("doc_id", "grp")
+        .agg(F.sum("w_ppm").cast("bigint").alias("score_ppm"))
+    )
+    phr = inst.join(iscore, ["doc_id", "grp"]).select(
+        "phrase", F.col("plen").alias("n_words"), "score_ppm"
+    )
+    agg = phr.groupBy("phrase", "n_words", "score_ppm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences")
+    )
+    w_rank = Window.orderBy(F.desc("score_ppm"), F.asc("phrase"))
+    return (
+        agg.withColumn("rnk", F.row_number().over(w_rank).cast("bigint"))
+        .filter(F.col("rnk") <= RAKE_TOPK)
+        .select("phrase", "n_words", "n_occurrences", "score_ppm", "rnk")
+    )

@@ -160,3 +160,126 @@ def test_binseg_matches_python_recompute(spark):
         rs = rows[seg]
         assert (rs.gain, rs.split_day) == (g, day)
         assert rs.n_days == nn == hi - lo
+
+
+def test_dp_geometric_noise_matches_python_recompute(spark):
+    """The md5-seeded inverse-CDF noise recomputed in pure Python must
+    equal the declared query's noise for every released cell; the
+    clamp, bound, and epsilon constant are pinned too."""
+    import hashlib
+
+    from etl_rf_matrix_controller_spark.operators.curation import (
+        dp_geometric_noisy_counts,
+    )
+
+    rows = dp_geometric_noisy_counts(spark, SF_DIR).collect()
+    assert rows, "release must be non-vacuous"
+    n_zero = 0
+    for r in rows:
+        key = f"{r.event_type}|{r.day.isoformat()}"
+        u = int(hashlib.md5(key.encode()).hexdigest()[:8], 16)
+        if 3 * u < 2**32:
+            k = sum(1 for j in range(1, 34) if 3 * u < 2**33 // (1 << (j - 1)))
+            want = -k
+        elif 3 * u >= 2**33:
+            t = 2**32 - u
+            k = sum(
+                1 for j in range(1, 34) if 3 * t <= 2**33 // (1 << (j - 1))
+            )
+            want = k
+        else:
+            want = 0
+        assert r.noise == want, (key, r.noise, want)
+        assert abs(r.noise) <= 33
+        assert r.dp_n == max(0, r.true_n + r.noise)
+        assert r.epsilon_ppm == 693147
+        if r.noise == 0:
+            n_zero += 1
+    # P(noise = 0) = 1/3: loose two-sided sanity band on the fixture.
+    assert 0.05 < n_zero / len(rows) < 0.75
+
+
+def test_rake_matches_python_recompute(spark):
+    """RAKE degree/frequency word scores and additive phrase scores
+    recomputed in pure Python must reproduce the declared top-k."""
+    from etl_rf_matrix_controller_spark.operators.text import (
+        RAKE_STOPWORDS,
+        RAKE_TOPK,
+        rake_keyword_extract,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").collect()
+    phrases = []  # list of token tuples
+    for r in docs:
+        cur = []
+        for t in r.text.strip().split(" "):
+            if not t:
+                continue
+            if t in RAKE_STOPWORDS:
+                if cur:
+                    phrases.append(tuple(cur))
+                cur = []
+            else:
+                cur.append(t)
+        if cur:
+            phrases.append(tuple(cur))
+    freq = defaultdict(int)
+    deg = defaultdict(int)
+    for ph in phrases:
+        for w in ph:
+            freq[w] += 1
+            deg[w] += len(ph)
+    w_ppm = {w: (1000000 * deg[w]) // freq[w] for w in freq}
+    stats = defaultdict(lambda: [0, 0, 0])  # phrase -> [n_occ, n_words, score]
+    for ph in phrases:
+        s = stats[" ".join(ph)]
+        s[0] += 1
+        s[1] = len(ph)
+        s[2] = sum(w_ppm[w] for w in ph)
+    ranked = sorted(stats.items(), key=lambda kv: (-kv[1][2], kv[0]))
+    want = {
+        ph: (i + 1, n_occ, n_words, score)
+        for i, (ph, (n_occ, n_words, score)) in enumerate(
+            ranked[:RAKE_TOPK]
+        )
+    }
+    got = {
+        r.phrase: (r.rnk, r.n_occurrences, r.n_words, r.score_ppm)
+        for r in rake_keyword_extract(spark, SF_DIR).collect()
+    }
+    assert got == want
+
+
+def test_rm3_reranks_over_initial_retrieval(spark):
+    """RM3 structural contract: exactly top-k rows in a total order,
+    was_initial flags agree with the first-pass BM25 top-k, and the
+    expanded query actually moves scores (the result is not the
+    first-pass ranking re-emitted)."""
+    from etl_rf_matrix_controller_spark.operators.search import (
+        QUERY_TERMS,
+        RM3_FEEDBACK_DOCS,
+        bm25_retrieval_topk,
+        rm3_expansion_retrieval_topk,
+    )
+
+    first = {
+        r.doc_id: r.score_ppm
+        for r in bm25_retrieval_topk(spark, SF_DIR).collect()
+    }
+    rows = rm3_expansion_retrieval_topk(spark, SF_DIR).collect()
+    assert len(rows) == RM3_FEEDBACK_DOCS
+    assert sorted(r.rnk for r in rows) == list(
+        range(1, RM3_FEEDBACK_DOCS + 1)
+    )
+    by_rank = sorted(rows, key=lambda r: r.rnk)
+    scores = [r.score_ppm for r in by_rank]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        assert r.was_initial == (1 if r.doc_id in first else 0)
+    # Expansion adds terms, so any doc carrying an expansion term gains
+    # score relative to its first-pass value.
+    gained = [
+        r for r in rows if r.doc_id in first and r.score_ppm > first[r.doc_id]
+    ]
+    assert gained, "expansion terms must contribute to at least one survivor"
+    assert len(QUERY_TERMS) == 3
