@@ -5859,3 +5859,141 @@ def bh_fdr_brand_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("rejected"),
     )
+
+
+# Croston demand definition: daily count of purchase events whose value
+# exceeds CROSTON_THR -- high-ticket purchases are genuinely
+# intermittent at pytest scale (23/30 zero-demand days at sf0.001).
+CROSTON_THR = 160
+# SES smoothing constant, written as the 0.3e0 literal on BOTH engines
+# (bare 0.3 parses DECIMAL in DuckDB -- the documented trap).
+_CROSTON_ALPHA = "0.3e0"
+
+
+@declared(
+    "croston_intermittent_forecast",
+    oracle=f"""
+    WITH spine AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(count(*) FILTER (event_type = 'purchase'
+                                   AND value > {CROSTON_THR})
+                  AS BIGINT) AS d
+      FROM events GROUP BY 1
+    ),
+    idx AS (
+      SELECT day, d,
+             CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i
+      FROM spine
+    ),
+    demand AS (
+      SELECT day, d, i,
+             i - coalesce(lag(i) OVER (ORDER BY day), 0) AS p
+      FROM idx WHERE d > 0
+    ),
+    lists AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_demand,
+             CAST(sum(d) AS BIGINT) AS total_demand,
+             list(CAST(d AS DOUBLE) ORDER BY day) AS zs,
+             list(CAST(p AS DOUBLE) ORDER BY day) AS ps
+      FROM demand
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM spine),
+    folded AS (
+      SELECT t.n_days, l.n_demand, l.total_demand,
+             list_reduce(l.zs,
+               (acc, x) -> acc + {_CROSTON_ALPHA} * (x - acc)) AS z_hat,
+             list_reduce(l.ps,
+               (acc, x) -> acc + {_CROSTON_ALPHA} * (x - acc)) AS p_hat
+      FROM lists l, tot t
+    )
+    SELECT n_days, n_demand, total_demand, z_hat, p_hat,
+           z_hat / p_hat AS croston_per_day,
+           CAST(total_demand AS DOUBLE) / CAST(n_days AS DOUBLE)
+             AS mean_demand_per_day
+    FROM folded
+    """,
+)
+def croston_intermittent_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's method (1972) for intermittent demand: when most
+    periods have ZERO demand, SES on the raw series chases zeros and
+    systematically under-forecasts just after each demand spike.
+    Croston instead smooths two separate series -- nonzero demand SIZES
+    z_j and inter-demand INTERVALS p_j -- and forecasts demand per
+    period as z_hat/p_hat.  Completes the forecasting family's
+    intermittent corner (Holt = trend, Holt-Winters = seasonality,
+    seasonal-naive = baseline; none of them handle sparse series).
+    Demand here: daily count of purchases with value > {CROSTON_THR}.
+
+    Both SES folds are IDENTICAL sequential float recursions on the two
+    engines: DuckDB list_reduce seeds with the FIRST element, so the
+    Spark aggregate() seeds with element_at(.., 1) and folds the slice
+    from 2 (the documented mirror); each step is acc + {_CROSTON_ALPHA}
+    * (x - acc) -- same literals, same order, bit-equal.  The two folds
+    have scalar state each (NO cross-field references), so list_reduce
+    is safe here; multi-component folds use the recursive-CTE pattern.
+    First interval convention: p_1 = the first demand day's index.
+    Shape: one events scan -> calendar-sized spine -> two <=|demand
+    days| arrays folded on the driver-free 1-row frame.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    spine = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(
+        F.sum(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") > CROSTON_THR),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("d")
+    ).localCheckpoint(eager=True)  # idx/demand chain + n_days consumer
+    idx = spine.withColumn(
+        "i", F.row_number().over(Window.orderBy("day")).cast("bigint")
+    )
+    w_lag = Window.orderBy("day")
+    demand = idx.filter(F.col("d") > 0).select(
+        "day",
+        "d",
+        "i",
+        (F.col("i") - F.coalesce(F.lag("i").over(w_lag), F.lit(0))).alias(
+            "p"
+        ),
+    )
+    lists = demand.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_demand"),
+        F.sum("d").cast("bigint").alias("total_demand"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(day, CAST(d AS DOUBLE)"
+            " AS z))), s -> s.z)"
+        ).alias("zs"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(day, CAST(p AS DOUBLE)"
+            " AS pv))), s -> s.pv)"
+        ).alias("ps"),
+    )
+    tot = spine.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    fold = (
+        "aggregate(slice({arr}, 2, size({arr}) - 1),"
+        " element_at({arr}, 1),"
+        f" (acc, x) -> acc + {_CROSTON_ALPHA} * (x - acc))"
+    )
+    folded = lists.crossJoin(F.broadcast(tot)).select(
+        "n_days",
+        "n_demand",
+        "total_demand",
+        F.expr(fold.format(arr="zs")).alias("z_hat"),
+        F.expr(fold.format(arr="ps")).alias("p_hat"),
+    )
+    return folded.select(
+        "n_days",
+        "n_demand",
+        "total_demand",
+        "z_hat",
+        "p_hat",
+        F.expr("z_hat / p_hat").alias("croston_per_day"),
+        F.expr(
+            "CAST(total_demand AS DOUBLE) / CAST(n_days AS DOUBLE)"
+        ).alias("mean_demand_per_day"),
+    )

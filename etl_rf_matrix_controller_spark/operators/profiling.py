@@ -3738,3 +3738,124 @@ def binseg_value_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(s - cumv AS DOUBLE) / CAST(n - k AS DOUBLE)"
         ).alias("right_mean_cents"),
     )
+
+
+HBOS_TOPK = 20
+HBOS_VALUE_BINS = 10
+
+
+@declared(
+    "hbos_outlier_scores",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_id,
+             CAST(round(value * 100) AS BIGINT) AS v,
+             CAST(hour(ts) AS BIGINT) AS hr,
+             ((CAST(floor(epoch(ts)) AS BIGINT) // 86400) + 4) % 7 AS dow
+      FROM events
+    ),
+    lim AS (
+      SELECT CAST(min(v) AS BIGINT) AS vmin, CAST(max(v) AS BIGINT) AS vmax,
+             CAST(count(*) AS BIGINT) AS n
+      FROM base
+    ),
+    binned AS MATERIALIZED (
+      SELECT b.event_id, b.v, b.hr, b.dow, l.n,
+             ((b.v - l.vmin) * {HBOS_VALUE_BINS})
+               // (l.vmax - l.vmin + 1) AS b_val
+      FROM base b, lim l
+    ),
+    cv AS (SELECT b_val, CAST(count(*) AS BIGINT) AS c_val
+           FROM binned GROUP BY b_val),
+    ch AS (SELECT hr, CAST(count(*) AS BIGINT) AS c_hour
+           FROM binned GROUP BY hr),
+    cd AS (SELECT dow, CAST(count(*) AS BIGINT) AS c_dow
+           FROM binned GROUP BY dow),
+    scored AS (
+      SELECT b.event_id, b.v, b.b_val, b.hr, b.dow,
+             (CAST(b.n AS DOUBLE) / CAST(cv.c_val AS DOUBLE))
+             * (CAST(b.n AS DOUBLE) / CAST(ch.c_hour AS DOUBLE))
+             * (CAST(b.n AS DOUBLE) / CAST(cd.c_dow AS DOUBLE)) AS score
+      FROM binned b
+      JOIN cv ON cv.b_val = b.b_val
+      JOIN ch ON ch.hr = b.hr
+      JOIN cd ON cd.dow = b.dow
+    )
+    SELECT event_id, v, b_val, hr, dow, score,
+           CAST(row_number() OVER (ORDER BY score DESC, event_id)
+                AS BIGINT) AS rnk
+    FROM scored
+    ORDER BY score DESC, event_id
+    LIMIT {HBOS_TOPK}
+    """,
+)
+def hbos_outlier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-Based Outlier Score (Goldstein & Dengel 2012) over
+    three event dimensions -- equi-width value bin ({HBOS_VALUE_BINS}
+    bins on the global range), hour of day, day of week -- scoring each
+    event by the product of inverse marginal densities (N/c_val) *
+    (N/c_hour) * (N/c_dow): events sitting in jointly thin histogram
+    cells float to the top.  The MULTIVARIATE outlier tier: z-score /
+    MAD flag extreme VALUES only; HBOS flags ordinary values at odd
+    times (independence-assumption density, the standard linear-time
+    unsupervised baseline).  Canonical HBOS sums log-densities; the
+    product form is the same ranking without the cross-engine ln()
+    trap (three IEEE divisions and two multiplications on exact
+    integer counts, bit-equal).
+
+    Shape: one events scan -> three bounded histogram dims ({HBOS_VALUE_BINS}
+    / 24 / 7 rows, broadcast back) -> global top-{HBOS_TOPK} via
+    order-limit (TakeOrdered, never a single-partition global sort).
+    Weekday via the portable (days_since_epoch + 4) %% 7 rule.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("v"),
+        F.hour("ts").cast("bigint").alias("hr"),
+        F.expr("((unix_timestamp(ts) DIV 86400) + 4) % 7").alias("dow"),
+    ).localCheckpoint(eager=True)  # lim + binned consumers
+    lim = base.agg(
+        F.min("v").cast("bigint").alias("vmin"),
+        F.max("v").cast("bigint").alias("vmax"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    binned = base.crossJoin(F.broadcast(lim)).select(
+        "event_id",
+        "v",
+        "hr",
+        "dow",
+        "n",
+        F.expr(
+            f"((v - vmin) * {HBOS_VALUE_BINS}) DIV (vmax - vmin + 1)"
+        ).alias("b_val"),
+    ).localCheckpoint(eager=True)  # three histogram dims + the scoring join
+    cv = binned.groupBy("b_val").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_val")
+    )
+    ch = binned.groupBy("hr").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_hour")
+    )
+    cd = binned.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_dow")
+    )
+    scored = (
+        binned.join(F.broadcast(cv), "b_val")
+        .join(F.broadcast(ch), "hr")
+        .join(F.broadcast(cd), "dow")
+        .select(
+            "event_id",
+            "v",
+            "b_val",
+            "hr",
+            "dow",
+            F.expr(
+                "(CAST(n AS DOUBLE) / CAST(c_val AS DOUBLE))"
+                " * (CAST(n AS DOUBLE) / CAST(c_hour AS DOUBLE))"
+                " * (CAST(n AS DOUBLE) / CAST(c_dow AS DOUBLE))"
+            ).alias("score"),
+        )
+    )
+    top = scored.orderBy(F.desc("score"), F.asc("event_id")).limit(HBOS_TOPK)
+    w = Window.orderBy(F.desc("score"), F.asc("event_id"))
+    return top.withColumn("rnk", F.row_number().over(w).cast("bigint"))

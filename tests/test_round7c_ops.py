@@ -8,6 +8,8 @@ from __future__ import annotations
 
 from collections import defaultdict
 
+from pyspark.sql import functions as F
+
 from etl_rf_matrix_controller_spark.operators.behavior import (
     BH_ALPHA_DEN,
     BH_ALPHA_NUM,
@@ -283,3 +285,170 @@ def test_rm3_reranks_over_initial_retrieval(spark):
     ]
     assert gained, "expansion terms must contribute to at least one survivor"
     assert len(QUERY_TERMS) == 3
+
+
+def test_hbos_matches_python_recompute(spark):
+    """HBOS inverse-density products and the global top-k recomputed in
+    pure Python must equal the declared rows (bins, scores, ranks)."""
+    from etl_rf_matrix_controller_spark.operators.profiling import (
+        HBOS_TOPK,
+        HBOS_VALUE_BINS,
+        hbos_outlier_scores,
+    )
+
+    ev = load_table(spark, SF_DIR, "events").collect()
+    rows = []
+    for r in ev:
+        v = round(r.value * 100)
+        hr = r.ts.hour
+        dow = (int(r.ts.timestamp()) // 86400 + 4) % 7
+        rows.append((r.event_id, v, hr, dow))
+    vmin = min(v for _, v, _, _ in rows)
+    vmax = max(v for _, v, _, _ in rows)
+    n = len(rows)
+    cv = defaultdict(int)
+    ch = defaultdict(int)
+    cd = defaultdict(int)
+    binned = []
+    for eid, v, hr, dow in rows:
+        b = ((v - vmin) * HBOS_VALUE_BINS) // (vmax - vmin + 1)
+        binned.append((eid, v, b, hr, dow))
+        cv[b] += 1
+        ch[hr] += 1
+        cd[dow] += 1
+    scored = [
+        (
+            eid,
+            v,
+            b,
+            hr,
+            dow,
+            (float(n) / float(cv[b]))
+            * (float(n) / float(ch[hr]))
+            * (float(n) / float(cd[dow])),
+        )
+        for eid, v, b, hr, dow in binned
+    ]
+    scored.sort(key=lambda t: (-t[5], t[0]))
+    want = {
+        eid: (v, b, hr, dow, score, i + 1)
+        for i, (eid, v, b, hr, dow, score) in enumerate(scored[:HBOS_TOPK])
+    }
+    got = {
+        r.event_id: (r.v, r.b_val, r.hr, r.dow, r.score, r.rnk)
+        for r in hbos_outlier_scores(spark, SF_DIR).collect()
+    }
+    assert got == want
+
+
+def test_croston_matches_python_recompute(spark):
+    """Croston size/interval SES folds recomputed in pure Python (seeded
+    with the first element, alpha = 0.3) must equal the declared row;
+    the fixture must be genuinely intermittent at this scale."""
+    from etl_rf_matrix_controller_spark.operators.behavior import (
+        CROSTON_THR,
+        croston_intermittent_forecast,
+    )
+
+    ev = load_table(spark, SF_DIR, "events").collect()
+    daily = defaultdict(int)
+    for r in ev:
+        d = r.ts.date()
+        daily.setdefault(d, 0)
+        if r.event_type == "purchase" and r.value > CROSTON_THR:
+            daily[d] += 1
+    days = sorted(daily)
+    demand = [
+        (i + 1, daily[d]) for i, d in enumerate(days) if daily[d] > 0
+    ]
+    assert demand, "fixture must have demand days"
+    assert len(demand) < len(days), "fixture must have zero-demand days"
+    zs = [float(d) for _, d in demand]
+    ps = []
+    prev = 0
+    for i, _ in demand:
+        ps.append(float(i - prev))
+        prev = i
+
+    def ses(xs):
+        acc = xs[0]
+        for x in xs[1:]:
+            acc = acc + 0.3 * (x - acc)
+        return acc
+
+    row = croston_intermittent_forecast(spark, SF_DIR).collect()[0]
+    assert row.n_days == len(days)
+    assert row.n_demand == len(demand)
+    assert row.total_demand == sum(d for _, d in demand)
+    assert row.z_hat == ses(zs)
+    assert row.p_hat == ses(ps)
+    assert row.croston_per_day == ses(zs) / ses(ps)
+    assert row.mean_demand_per_day == float(
+        sum(d for _, d in demand)
+    ) / float(len(days))
+
+
+def test_ph_stream_eq_batch_multibatch(spark, tmp_path):
+    """Streaming daily accumulation + PH fold == batch fold over THREE
+    time-split micro-batches, with a planted mean INCREASE whose drift
+    peak lands in the final batch (the alarm the online detector
+    exists to raise)."""
+    import os
+
+    from etl_rf_matrix_controller_spark.streaming.drift import (
+        ph_daily_sums,
+        ph_fold,
+    )
+    from etl_rf_matrix_controller_spark.streaming.windows import (
+        run_stream_to_memory,
+    )
+
+    batches = [
+        [("m", "2024-01-01 10:00:00", 1.0), ("m", "2024-01-02 10:00:00", 1.2),
+         ("q", "2024-01-01 11:00:00", 5.0)],
+        [("m", "2024-01-03 10:00:00", 0.9), ("m", "2024-01-04 10:00:00", 1.1),
+         ("q", "2024-01-02 11:00:00", 5.0)],
+        # the planted level shift: the online PH drift must peak here
+        [("m", "2024-01-05 10:00:00", 9.0), ("m", "2024-01-06 10:00:00", 9.5),
+         ("q", "2024-01-03 11:00:00", 5.0)],
+    ]
+    src = str(tmp_path / "ph_stream")
+    os.makedirs(src)
+    now = 1700000000
+    for i, rows in enumerate(batches):
+        staging = str(tmp_path / f"phb{i}")
+        spark.createDataFrame(
+            rows, "event_type string, ts_s string, value double"
+        ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s").coalesce(
+            1
+        ).write.parquet(staging)
+        part = next(f for f in os.listdir(staging) if f.endswith(".parquet"))
+        dst = os.path.join(src, f"batch_{i}.parquet")
+        os.rename(os.path.join(staging, part), dst)
+        os.utime(dst, (now + i * 100, now + i * 100))
+
+    ev_batch = spark.read.parquet(src)
+    stream = (
+        spark.readStream.schema(ev_batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    daily_s = run_stream_to_memory(
+        ph_daily_sums(stream), "ph_mb_stream", spark
+    )
+    got = {
+        r.event_type: (r.n_days, r.final_ph, r.max_drift, r.drift_day)
+        for r in ph_fold(daily_s).collect()
+    }
+    want = {
+        r.event_type: (r.n_days, r.final_ph, r.max_drift, r.drift_day)
+        for r in ph_fold(ph_daily_sums(ev_batch)).collect()
+    }
+    assert got == want
+    import datetime
+
+    assert got["m"][1] > 0 and got["m"][2] > 0
+    assert got["m"][3] >= datetime.date(2024, 1, 5), (
+        "drift must peak after the planted shift"
+    )
+    assert got["q"][2] == 0.0, "flat series must show zero drift"
