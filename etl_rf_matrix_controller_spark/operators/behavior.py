@@ -5997,3 +5997,130 @@ def croston_intermittent_forecast(spark: SparkSession, sf_dir: str) -> DataFrame
             "CAST(total_demand AS DOUBLE) / CAST(n_days AS DOUBLE)"
         ).alias("mean_demand_per_day"),
     )
+
+
+@declared(
+    "cvm_two_sample_value",
+    oracle="""
+    WITH pooled AS (
+      SELECT event_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS v
+      FROM events WHERE event_type IN ('purchase', 'click')
+    ),
+    ranked AS (
+      SELECT event_type,
+             CAST(row_number() OVER (ORDER BY v, event_id) AS BIGINT) AS r,
+             CAST(row_number() OVER (PARTITION BY event_type
+                                     ORDER BY v, event_id) AS BIGINT) AS i
+      FROM pooled
+    ),
+    per AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum((r - i) * (r - i)) AS BIGINT) AS s
+      FROM ranked GROUP BY event_type
+    ),
+    wide AS (
+      SELECT max(CASE WHEN event_type = 'purchase' THEN n END) AS n_a,
+             max(CASE WHEN event_type = 'purchase' THEN s END) AS s_a,
+             max(CASE WHEN event_type = 'click' THEN n END) AS n_b,
+             max(CASE WHEN event_type = 'click' THEN s END) AS s_b
+      FROM per
+    ),
+    stat AS (
+      SELECT n_a, n_b, s_a, s_b,
+             CAST((1000000000 * (CAST(n_a AS HUGEINT) * s_a
+                                 + CAST(n_b AS HUGEINT) * s_b))
+                  // (CAST(n_a AS HUGEINT) * n_b * (n_a + n_b))
+                  AS BIGINT) AS t1_ppb,
+             CAST((1000000000 * (4 * n_a * n_b - 1))
+                  // (6 * (n_a + n_b)) AS BIGINT) AS t2_ppb
+      FROM wide
+    )
+    SELECT n_a, n_b, s_a, s_b,
+           CAST(t1_ppb - t2_ppb AS BIGINT) AS cvm_t_ppb,
+           CAST(t1_ppb - t2_ppb AS DOUBLE) / 1000000000e0 AS cvm_t
+    FROM stat
+    """,
+)
+def cvm_two_sample_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramer-von Mises test (Anderson 1962 rank form) on
+    purchase vs click values: T = U/(n*m*(n+m)) - (4nm-1)/(6(n+m))
+    with U = n * sum_i (r_i - i)^2 + m * sum_j (s_j - j)^2 over pooled
+    ranks -- the INTEGRAL-distance counterpart of the KS sup-distance
+    (`value_ks_drift`): KS reacts to the single worst ECDF gap, CvM to
+    the accumulated gap everywhere, so a broad mild shift that KS
+    under-weights lights CvM up.  Ties (discretized cents) break by
+    event_id, the documented deterministic-tiebreak convention.
+
+    U exceeds int64 at bench scale, so the rank-square sums multiply
+    out in HUGEINT / DECIMAL(38,0) (the BM25 envelope) and the
+    statistic is emitted as a ppb FLOOR difference of two integer
+    divisions -- no >2^53 double cast whose rounding could differ
+    cross-engine.  Shape: one events scan filtered to the two samples,
+    one pooled-rank window (sample-pair-sized, not corpus-sized), a
+    2-row rollup.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    pooled = ev.filter(F.col("event_type").isin("purchase", "click")).select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("v"),
+    )
+    ranked = pooled.select(
+        "event_type",
+        F.row_number()
+        .over(Window.orderBy("v", "event_id"))
+        .cast("bigint")
+        .alias("r"),
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("v", "event_id"))
+        .cast("bigint")
+        .alias("i"),
+    )
+    per = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum((F.col("r") - F.col("i")) * (F.col("r") - F.col("i")))
+        .cast("bigint")
+        .alias("s"),
+    )
+    wide = per.agg(
+        F.max(F.when(F.col("event_type") == "purchase", F.col("n"))).alias(
+            "n_a"
+        ),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("s"))).alias(
+            "s_a"
+        ),
+        F.max(F.when(F.col("event_type") == "click", F.col("n"))).alias(
+            "n_b"
+        ),
+        F.max(F.when(F.col("event_type") == "click", F.col("s"))).alias(
+            "s_b"
+        ),
+    )
+    stat = wide.select(
+        "n_a",
+        "n_b",
+        "s_a",
+        "s_b",
+        F.expr(
+            "CAST((1000000000 * (CAST(n_a AS DECIMAL(38,0)) * s_a"
+            " + CAST(n_b AS DECIMAL(38,0)) * s_b))"
+            " DIV (CAST(n_a AS DECIMAL(38,0)) * n_b * (n_a + n_b))"
+            " AS BIGINT)"
+        ).alias("t1_ppb"),
+        F.expr(
+            "CAST((1000000000 * (4 * n_a * n_b - 1))"
+            " DIV (6 * (n_a + n_b)) AS BIGINT)"
+        ).alias("t2_ppb"),
+    )
+    return stat.select(
+        "n_a",
+        "n_b",
+        "s_a",
+        "s_b",
+        (F.col("t1_ppb") - F.col("t2_ppb")).cast("bigint").alias("cvm_t_ppb"),
+        F.expr(
+            "CAST(t1_ppb - t2_ppb AS DOUBLE) / 1000000000e0"
+        ).alias("cvm_t"),
+    )

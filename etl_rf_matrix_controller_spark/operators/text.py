@@ -1789,3 +1789,214 @@ def rake_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= RAKE_TOPK)
         .select("phrase", "n_words", "n_occurrences", "score_ppm", "rnk")
     )
+
+
+@declared(
+    "good_turing_counts",
+    oracle="""
+    WITH tok AS (
+      SELECT t.token
+      FROM documents, unnest(string_split(trim(text), ' ')) AS t(token)
+      WHERE t.token <> ''
+    ),
+    tf AS (SELECT token, CAST(count(*) AS BIGINT) AS c
+           FROM tok GROUP BY token),
+    foff AS MATERIALIZED (
+      SELECT c, CAST(count(*) AS BIGINT) AS n_types
+      FROM tf GROUP BY c
+    ),
+    tot AS (
+      SELECT CAST(sum(c * n_types) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN c = 1 THEN n_types ELSE 0 END) AS BIGINT)
+               AS n_hapax
+      FROM foff
+    )
+    SELECT f.c, f.n_types,
+           CAST(f.c * f.n_types AS BIGINT) AS mass,
+           coalesce(nx.n_types, CAST(0 AS BIGINT)) AS next_types,
+           CAST((1000000 * (f.c + 1) * coalesce(nx.n_types, 0))
+                // f.n_types AS BIGINT) AS gt_count_ppm,
+           CAST((1000000 * t.n_hapax) // t.n_tokens AS BIGINT) AS p0_ppm
+    FROM foff f
+    LEFT JOIN foff nx ON nx.c = f.c + 1
+    CROSS JOIN tot t
+    """,
+)
+def good_turing_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing frequency re-estimation (Good 1953) over the token
+    unigram counts: the frequency-of-frequencies table N_c, the
+    adjusted count c* = (c+1) * N_{c+1} / N_c per observed count, and
+    the unseen-mass estimate P0 = N_1 / N -- the smoothing LM that
+    reserves probability for types never seen, complementing
+    `kn_continuation_counts` (Kneser-Ney's continuation counts) with
+    the other classical smoothing family.  Rows where N_{c+1} = 0 carry
+    gt_count_ppm = 0 (the raw-GT gap that turned-GT/ simple-GT
+    interpolation exists to fill; emitting the hole honestly is the
+    point of the diagnostic table).
+
+    All-integer: the adjusted count and P0 are ppm floor divisions of
+    exact type counts.  Shape: one tokenize+explode -> vocabulary
+    rollup -> frequency-of-frequencies rollup (rows = distinct counts,
+    << vocabulary); the self-join for N_{c+1} runs on that tiny table.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(F.split(F.trim("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    tf = tok.groupBy("token").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    foff = tf.groupBy("c").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_types")
+    ).localCheckpoint(eager=True)  # totals + self-join + output consumers
+    tot = foff.agg(
+        F.sum(F.col("c") * F.col("n_types")).cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("c") == 1, F.col("n_types")).otherwise(0))
+        .cast("bigint")
+        .alias("n_hapax"),
+    )
+    nx = foff.select(
+        (F.col("c") - 1).alias("c"), F.col("n_types").alias("next_types")
+    )
+    return (
+        foff.join(F.broadcast(nx), "c", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "c",
+            "n_types",
+            (F.col("c") * F.col("n_types")).cast("bigint").alias("mass"),
+            F.coalesce(F.col("next_types"), F.lit(0))
+            .cast("bigint")
+            .alias("next_types"),
+            F.expr(
+                "CAST((1000000 * (c + 1) * coalesce(next_types, 0))"
+                " DIV n_types AS BIGINT)"
+            ).alias("gt_count_ppm"),
+            F.expr(
+                "CAST((1000000 * n_hapax) DIV n_tokens AS BIGINT)"
+            ).alias("p0_ppm"),
+        )
+    )
+
+
+# Octave cap for the integer floor(log2) trick: 2^40 ranks/frequencies
+# is far beyond any fixture (and the threshold-count loop is exact).
+_ZIPF_MAX_OCT = 40
+_FLOOR_LOG2 = {
+    "spark": (
+        "CAST(size(filter(sequence(1, {mx}),"
+        " j -> {x} >= shiftleft(CAST(1 AS BIGINT), j))) AS BIGINT)"
+    ),
+    "duck": (
+        "CAST(len(list_filter(generate_series(1, {mx}),"
+        " j -> {x} >= (CAST(1 AS BIGINT) << j))) AS BIGINT)"
+    ),
+}
+
+
+@declared(
+    "zipf_octave_fit",
+    oracle=f"""
+    WITH tok AS (
+      SELECT t.token
+      FROM documents, unnest(string_split(trim(text), ' ')) AS t(token)
+      WHERE t.token <> ''
+    ),
+    tf AS (SELECT token, CAST(count(*) AS BIGINT) AS f
+           FROM tok GROUP BY token),
+    ranked AS (
+      SELECT f, CAST(row_number() OVER (ORDER BY f DESC, token)
+                     AS BIGINT) AS r
+      FROM tf
+    ),
+    oct AS (
+      SELECT {_FLOOR_LOG2['duck'].format(x='r', mx=_ZIPF_MAX_OCT)} AS b,
+             {_FLOOR_LOG2['duck'].format(x='f', mx=_ZIPF_MAX_OCT)} AS lf
+      FROM ranked
+    ),
+    per AS MATERIALIZED (
+      SELECT b, CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(lf) AS BIGINT) AS sy
+      FROM oct GROUP BY b
+    ),
+    pts AS (SELECT b AS x, sy // k AS y FROM per),
+    sums AS (
+      SELECT CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM pts
+    )
+    SELECT m AS n_octaves, sx, sy, sxy, sxx,
+           CAST(m * sxy - sx * sy AS DOUBLE)
+             / CAST(m * sxx - sx * sx AS DOUBLE) AS zipf_slope_log2,
+           (CAST(sy AS DOUBLE)
+            - (CAST(m * sxy - sx * sy AS DOUBLE)
+               / CAST(m * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+             / CAST(m AS DOUBLE) AS intercept_log2
+    FROM sums
+    """,
+)
+def zipf_octave_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law exponent fit in octave space: rank the vocabulary by
+    frequency, bucket ranks into octaves b = floor(log2 r), take the
+    integer-floored octave mean of floor(log2 f), and OLS-fit
+    log2-frequency on log2-rank -- the slope estimates -s in f ~ r^-s
+    (Zipf 1949; octave binning is the standard correction for the
+    rank-frequency fit's tail overweighting).  The corpus-law
+    diagnostic a curation pipeline checks before/after filtering:
+    heavy dedup or boilerplate removal visibly flattens the slope.
+
+    floor(log2 x) is computed EXACTLY as a bounded power-of-two
+    threshold count (no float log2, whose boundary ulps differ across
+    engines -- the documented transcendental trap); the OLS runs on
+    <= {_ZIPF_MAX_OCT} integer (x, y) points so every sum is exact and
+    the final slope/intercept are fixed-order IEEE divisions.  Shape:
+    one tokenize -> vocabulary rollup -> global rank window over the
+    VOCABULARY (bounded, not the corpus) -> {_ZIPF_MAX_OCT}-row fit.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(F.split(F.trim("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    tf = tok.groupBy("token").agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    ranked = tf.select(
+        "f",
+        F.row_number()
+        .over(Window.orderBy(F.desc("f"), F.asc("token")))
+        .cast("bigint")
+        .alias("r"),
+    )
+    fl2 = _FLOOR_LOG2["spark"]
+    oct_df = ranked.select(
+        F.expr(fl2.format(x="r", mx=_ZIPF_MAX_OCT)).alias("b"),
+        F.expr(fl2.format(x="f", mx=_ZIPF_MAX_OCT)).alias("lf"),
+    )
+    per = oct_df.groupBy("b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("lf").cast("bigint").alias("sy"),
+    )
+    pts = per.select(F.col("b").alias("x"), F.expr("sy DIV k").alias("y"))
+    sums = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    return sums.select(
+        F.col("m").alias("n_octaves"),
+        "sx",
+        "sy",
+        "sxy",
+        "sxx",
+        F.expr(
+            "CAST(m * sxy - sx * sy AS DOUBLE)"
+            " / CAST(m * sxx - sx * sx AS DOUBLE)"
+        ).alias("zipf_slope_log2"),
+        F.expr(
+            "(CAST(sy AS DOUBLE)"
+            " - (CAST(m * sxy - sx * sy AS DOUBLE)"
+            " / CAST(m * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))"
+            " / CAST(m AS DOUBLE)"
+        ).alias("intercept_log2"),
+    )

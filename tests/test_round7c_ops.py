@@ -452,3 +452,113 @@ def test_ph_stream_eq_batch_multibatch(spark, tmp_path):
         "drift must peak after the planted shift"
     )
     assert got["q"][2] == 0.0, "flat series must show zero drift"
+
+
+def test_good_turing_matches_python_recompute(spark):
+    """Frequency-of-frequencies, adjusted counts, and P0 recomputed in
+    pure Python must equal the declared table."""
+    from etl_rf_matrix_controller_spark.operators.text import (
+        good_turing_counts,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").collect()
+    tf = defaultdict(int)
+    for r in docs:
+        for t in r.text.strip().split(" "):
+            if t:
+                tf[t] += 1
+    foff = defaultdict(int)
+    for c in tf.values():
+        foff[c] += 1
+    n_tokens = sum(c * k for c, k in foff.items())
+    n_hapax = foff.get(1, 0)
+    want = {}
+    for c, k in foff.items():
+        nxt = foff.get(c + 1, 0)
+        want[c] = (
+            k,
+            c * k,
+            nxt,
+            (1000000 * (c + 1) * nxt) // k,
+            (1000000 * n_hapax) // n_tokens,
+        )
+    got = {
+        r.c: (r.n_types, r.mass, r.next_types, r.gt_count_ppm, r.p0_ppm)
+        for r in good_turing_counts(spark, SF_DIR).collect()
+    }
+    assert got == want
+    assert any(v[3] > 0 for v in got.values()), "adjusted counts non-vacuous"
+
+
+def test_zipf_octave_fit_matches_python_recompute(spark):
+    """Octave bucketing (exact integer floor-log2), floored octave
+    means, and the OLS slope recomputed in Python must equal the
+    declared row; the slope must be negative (Zipf decay)."""
+    from etl_rf_matrix_controller_spark.operators.text import (
+        zipf_octave_fit,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").collect()
+    tf = defaultdict(int)
+    for r in docs:
+        for t in r.text.strip().split(" "):
+            if t:
+                tf[t] += 1
+    ranked = sorted(tf.items(), key=lambda kv: (-kv[1], kv[0]))
+    per = defaultdict(lambda: [0, 0])
+    for r0, (_, f) in enumerate(ranked, start=1):
+        b = r0.bit_length() - 1  # floor(log2 r)
+        lf = f.bit_length() - 1
+        per[b][0] += 1
+        per[b][1] += lf
+    pts = [(b, sy // k) for b, (k, sy) in per.items()]
+    m = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    slope = float(m * sxy - sx * sy) / float(m * sxx - sx * sx)
+    row = zipf_octave_fit(spark, SF_DIR).collect()[0]
+    assert (row.n_octaves, row.sx, row.sy, row.sxy, row.sxx) == (
+        m,
+        sx,
+        sy,
+        sxy,
+        sxx,
+    )
+    assert row.zipf_slope_log2 == slope
+    assert row.intercept_log2 == (
+        float(sy) - slope * float(sx)
+    ) / float(m)
+    assert slope < 0, "Zipf decay must be negative"
+
+
+def test_cvm_matches_python_recompute(spark):
+    """Rank-form U and the ppb-floored statistic recomputed in pure
+    Python must equal the declared row; CvM must be non-negative-ish
+    (above its small-sample lower bound) on real data."""
+    from etl_rf_matrix_controller_spark.operators.behavior import (
+        cvm_two_sample_value,
+    )
+
+    ev = load_table(spark, SF_DIR, "events").collect()
+    pooled = sorted(
+        (round(r.value * 100), r.event_id, r.event_type)
+        for r in ev
+        if r.event_type in ("purchase", "click")
+    )
+    idx = {"purchase": 0, "click": 0}
+    s = {"purchase": 0, "click": 0}
+    n = {"purchase": 0, "click": 0}
+    for r0, (_, _, et) in enumerate(pooled, start=1):
+        idx[et] += 1
+        s[et] += (r0 - idx[et]) ** 2
+        n[et] += 1
+    na, nb = n["purchase"], n["click"]
+    sa, sb = s["purchase"], s["click"]
+    t1 = (1000000000 * (na * sa + nb * sb)) // (na * nb * (na + nb))
+    t2 = (1000000000 * (4 * na * nb - 1)) // (6 * (na + nb))
+    row = cvm_two_sample_value(spark, SF_DIR).collect()[0]
+    assert (row.n_a, row.n_b, row.s_a, row.s_b) == (na, nb, sa, sb)
+    assert row.cvm_t_ppb == t1 - t2
+    assert row.cvm_t == float(t1 - t2) / 1000000000.0
