@@ -3346,3 +3346,129 @@ def cka_embedding_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cka"
         ),
     )
+
+
+# Matryoshka-style truncation: rank with only the first MRL_PREFIX_DIM
+# of the 64 embedding dimensions and measure recall against full-dim.
+MRL_PREFIX_DIM = 8
+MRL_TOP_K = 10
+_MRL_DOT_PREFIX_SQL = (
+    f"list_sum(list_transform(generate_series(1, {MRL_PREFIX_DIM}), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+
+
+@declared(
+    "mrl_prefix_dim_recall",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qe
+      FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    full_s AS (
+      SELECT q.query_id, c.vec_id AS cand_id,
+             {_DOT_SQL.format(a='q.qe', b='c.embedding')} AS score
+      FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+    ),
+    full_r AS MATERIALIZED (
+      SELECT query_id, cand_id FROM (
+        SELECT query_id, cand_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, cand_id) AS rnk
+        FROM full_s
+      ) WHERE rnk <= {MRL_TOP_K}
+    ),
+    pre_s AS (
+      SELECT q.query_id, c.vec_id AS cand_id,
+             {_MRL_DOT_PREFIX_SQL.format(a='q.qe', b='c.embedding')} AS score
+      FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+    ),
+    pre_r AS MATERIALIZED (
+      SELECT query_id, cand_id FROM (
+        SELECT query_id, cand_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, cand_id) AS rnk
+        FROM pre_s
+      ) WHERE rnk <= {MRL_TOP_K}
+    )
+    SELECT f.query_id,
+           CAST({MRL_TOP_K} AS BIGINT) AS k,
+           CAST(count(p.cand_id) AS BIGINT) AS n_overlap,
+           CAST((1000000 * count(p.cand_id)) // {MRL_TOP_K} AS BIGINT)
+             AS recall_ppm
+    FROM full_r f
+    LEFT JOIN pre_r p
+      ON p.query_id = f.query_id AND p.cand_id = f.cand_id
+    GROUP BY f.query_id
+    """,
+)
+def mrl_prefix_dim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka / dimension-truncation recall (Kusupati et al. 2022):
+    rank the corpus by dot product using only the FIRST
+    {MRL_PREFIX_DIM} of 64 embedding dimensions and measure top-
+    {MRL_TOP_K} recall against the full-dimension ranking, per probe
+    query.  The knob table for the cheapest ANN accelerator there is --
+    prefix truncation costs nothing at index time and divides both
+    memory traffic and FLOPs by d/d'; this query measures what it costs
+    in recall on the actual corpus (on non-MRL-trained embeddings,
+    expect visible loss -- that honest number is the point).
+    Complements the IVF/PQ cost knobs (`ann_ivfpq_topk` nprobe sweep,
+    `pq_distortion_report`): truncation is the third axis after
+    clustering and quantization.
+
+    Both rankings use the sequential zip-multiply-fold dot product
+    (bit-equal cross-engine); recall is an integer ppm.  Shape: probe
+    queries broadcast ({N_QUERIES} rows), candidates score locally, two
+    per-query top-{MRL_TOP_K} windows, and the overlap join runs on
+    {N_QUERIES} x {MRL_TOP_K} rows.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").localCheckpoint(
+        eager=True
+    )  # query probe + two candidate passes
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ce")
+    )
+
+    def topk(score_col) -> DataFrame:
+        scored = (
+            c.crossJoin(F.broadcast(q))
+            .filter(F.col("cand_id") != F.col("query_id"))
+            .select("query_id", "cand_id", score_col.alias("score"))
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("cand_id")
+        )
+        return (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= MRL_TOP_K)
+            .select("query_id", "cand_id")
+        )
+
+    full_r = topk(dot_double(F.col("qe"), F.col("ce")))
+    pre_r = topk(
+        dot_double(
+            F.slice(F.col("qe"), 1, MRL_PREFIX_DIM),
+            F.slice(F.col("ce"), 1, MRL_PREFIX_DIM),
+        )
+    )
+    return (
+        full_r.join(
+            F.broadcast(pre_r.withColumn("hit", F.lit(1))),
+            ["query_id", "cand_id"],
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.lit(MRL_TOP_K).cast("bigint").alias("k"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_overlap"),
+            F.expr(
+                f"CAST((1000000 * sum(coalesce(hit, 0))) DIV {MRL_TOP_K}"
+                " AS BIGINT)"
+            ).alias("recall_ppm"),
+        )
+    )

@@ -562,3 +562,87 @@ def test_cvm_matches_python_recompute(spark):
     assert (row.n_a, row.n_b, row.s_a, row.s_b) == (na, nb, sa, sb)
     assert row.cvm_t_ppb == t1 - t2
     assert row.cvm_t == float(t1 - t2) / 1000000000.0
+
+
+def test_mrl_prefix_recall_matches_python_recompute(spark):
+    """Full-dim and prefix-dim top-k rankings recomputed in pure Python
+    (same sequential fold order) must yield the same per-query overlap
+    counts; prefix recall must be <= 1 and the table non-vacuous."""
+    from etl_rf_matrix_controller_spark.operators.similarity import (
+        MRL_PREFIX_DIM,
+        MRL_TOP_K,
+        N_QUERIES,
+        mrl_prefix_dim_recall,
+    )
+
+    emb = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in load_table(spark, SF_DIR, "embeddings").collect()
+    }
+    queries = {v: e for v, e in emb.items() if v < N_QUERIES}
+
+    def dot(a, b, d):
+        acc = 0.0
+        for i in range(d):
+            acc = acc + a[i] * b[i]
+        return acc
+
+    want = {}
+    for qid, qe in queries.items():
+        tops = {}
+        for d, tag in ((64, "full"), (MRL_PREFIX_DIM, "pre")):
+            scored = sorted(
+                ((-dot(qe, ce, d), cid) for cid, ce in emb.items()
+                 if cid != qid),
+            )[:MRL_TOP_K]
+            tops[tag] = {cid for _, cid in scored}
+        want[qid] = len(tops["full"] & tops["pre"])
+    got = {
+        r.query_id: (r.k, r.n_overlap, r.recall_ppm)
+        for r in mrl_prefix_dim_recall(spark, SF_DIR).collect()
+    }
+    assert len(got) == N_QUERIES
+    for qid, n in want.items():
+        assert got[qid] == (MRL_TOP_K, n, (1000000 * n) // MRL_TOP_K)
+
+
+def test_incremental_join_view_is_consistent(spark):
+    """The merged base+delta view must equal the full recompute for
+    every group (consistent = 1), the split must be non-degenerate, and
+    per-nation counts must match a python recompute."""
+    from etl_rf_matrix_controller_spark.operators.pipeline import (
+        IVM_SPLIT_DATE,
+        incremental_join_view_delta,
+    )
+
+    orders = load_table(spark, SF_DIR, "orders").collect()
+    cust = {
+        r.c_custkey: r.c_nationkey
+        for r in load_table(spark, SF_DIR, "customer").collect()
+    }
+    import datetime
+
+    split = datetime.datetime.fromisoformat(IVM_SPLIT_DATE)
+    per = defaultdict(lambda: [0, 0, 0])  # base, delta, price_c
+    for r in orders:
+        nk = cust.get(r.o_custkey)
+        if nk is None:
+            continue
+        d = per[nk]
+        if r.o_orderdate >= split:
+            d[1] += 1
+        else:
+            d[0] += 1
+        d[2] += round(r.o_totalprice * 100)
+    rows = {
+        r.nationkey: r for r in incremental_join_view_delta(spark, SF_DIR).collect()
+    }
+    assert rows.keys() == per.keys()
+    for nk, (b, d, pc) in per.items():
+        r = rows[nk]
+        assert (r.base_cnt, r.delta_cnt) == (b, d)
+        assert r.merged_cnt == r.full_cnt == b + d
+        assert r.merged_price_c == r.full_price_c == pc
+        assert r.consistent == 1
+    assert sum(d for _, d, _ in per.values()) > 0, "delta non-degenerate"
+    assert sum(b for b, _, _ in per.values()) > 0, "base non-degenerate"
