@@ -1670,3 +1670,219 @@ def hdr_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("est_c"),
         )
     )
+
+
+ROLL_WIN_DAYS = 7
+
+
+@declared(
+    "rolling_7d_distinct_users",
+    oracle=f"""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+    ),
+    spine AS MATERIALIZED (
+      SELECT DISTINCT day FROM ud
+    ),
+    fanned AS (
+      SELECT user_id, src_day, t.tgt
+      FROM (
+        SELECT user_id, day AS src_day,
+               list_transform(generate_series(0, {ROLL_WIN_DAYS - 1}),
+                              i -> day + CAST(i AS INTEGER)) AS tgts
+        FROM ud
+      ), unnest(tgts) AS t(tgt)
+    ),
+    hits AS (
+      SELECT f.tgt AS day, f.user_id, f.src_day
+      FROM fanned f JOIN spine s ON s.day = f.tgt
+    )
+    SELECT day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS rolling_dau,
+           CAST(count(DISTINCT src_day) AS BIGINT) AS days_in_window
+    FROM hits GROUP BY day
+    """,
+)
+def rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact {ROLL_WIN_DAYS}-day rolling distinct users per day -- the
+    metric every growth dashboard calls WAU.  Distinct does NOT
+    decompose over windows (yesterday's rolling count tells you nothing
+    about today's), so the exact form fans each (user, day) activity
+    pair out to the {ROLL_WIN_DAYS} window endpoints it supports and
+    re-deduplicates per target day: a {ROLL_WIN_DAYS}x write
+    amplification of the (user, day) PAIRS (already << raw events),
+    which is the honest cost of exactness -- the sketch twin
+    `rolling_7d_hll_distinct` shows what register-merge buys instead.
+    Early days aggregate partial windows; `days_in_window` reports the
+    coverage.
+
+    Shape: one events scan -> (user, day) dedup shuffle ->
+    constant-bounded explode -> per-day distinct rollup.  The spine
+    semi-join keeps only real calendar days.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).distinct().localCheckpoint(eager=True)  # spine + fan-out consumers
+    spine = ud.select("day").distinct()
+    fanned = ud.select(
+        "user_id",
+        F.col("day").alias("src_day"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {ROLL_WIN_DAYS - 1}),"
+                " i -> date_add(day, i))"
+            )
+        ).alias("tgt"),
+    )
+    hits = fanned.join(
+        F.broadcast(spine.select(F.col("day").alias("tgt"))), "tgt"
+    )
+    return hits.groupBy(F.col("tgt").alias("day")).agg(
+        F.count_distinct("user_id").cast("bigint").alias("rolling_dau"),
+        F.count_distinct("src_day").cast("bigint").alias("days_in_window"),
+    )
+
+
+@declared(
+    "rolling_7d_hll_distinct",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day,
+             ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT
+               AS h
+      FROM events
+    ),
+    regs AS MATERIALIZED (
+      SELECT day, h % {HLL_M} AS bucket,
+             CAST(max({_hll_rank_sql(f'(h // {HLL_M})')}) AS BIGINT) AS mx
+      FROM hashed GROUP BY 1, 2
+    ),
+    spine AS MATERIALIZED (SELECT DISTINCT day FROM regs),
+    fanned AS (
+      SELECT bucket, mx, t.tgt
+      FROM (
+        SELECT bucket, mx,
+               list_transform(generate_series(0, {ROLL_WIN_DAYS - 1}),
+                              i -> day + CAST(i AS INTEGER)) AS tgts
+        FROM regs
+      ), unnest(tgts) AS t(tgt)
+    ),
+    merged AS (
+      SELECT f.tgt AS day, f.bucket, CAST(max(f.mx) AS BIGINT) AS mx
+      FROM fanned f JOIN spine s ON s.day = f.tgt
+      GROUP BY f.tgt, f.bucket
+    ),
+    zsum AS (
+      SELECT day,
+             CAST(sum(CAST(1 AS BIGINT) << ({HLL_RANK_W + 1} - mx))
+                  AS BIGINT)
+             + ({HLL_M} - count(*))
+               * (CAST(1 AS BIGINT) << {HLL_RANK_W + 1}) AS z,
+             CAST(count(*) AS BIGINT) AS used
+      FROM merged GROUP BY day
+    ),
+    exact AS (
+      SELECT f.tgt AS day,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS exact_wau
+      FROM (
+        SELECT user_id,
+               list_transform(generate_series(0, {ROLL_WIN_DAYS - 1}),
+                              i -> day + CAST(i AS INTEGER)) AS tgts
+        FROM (SELECT DISTINCT user_id,
+                     CAST(date_trunc('day', ts) AS DATE) AS day
+              FROM events)
+      ), unnest(tgts) AS f(tgt)
+      JOIN spine s ON s.day = f.tgt
+      GROUP BY f.tgt
+    )
+    SELECT z.day, z.used AS n_buckets_used,
+           CAST(floor({HLL_ALPHA_PPM}e0
+                 * ((CAST(1 AS BIGINT) << {12 + HLL_RANK_W + 1}) // z.z)
+                 / 1000000e0) AS BIGINT) AS est_wau,
+           e.exact_wau,
+           CAST((1000000 * abs(CAST(floor({HLL_ALPHA_PPM}e0
+                 * ((CAST(1 AS BIGINT) << {12 + HLL_RANK_W + 1}) // z.z)
+                 / 1000000e0) AS BIGINT) - e.exact_wau))
+                // e.exact_wau AS BIGINT) AS rel_err_ppm
+    FROM zsum z JOIN exact e ON e.day = z.day
+    """,
+)
+def rolling_7d_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{ROLL_WIN_DAYS}-day rolling distinct users from MERGED daily HLL
+    registers: the per-day (bucket, max-rank) registers of
+    `hll_custom_distinct_daily` fan out to the {ROLL_WIN_DAYS} windows
+    they belong to and merge by register MAX -- the mergeability exact
+    distinct fundamentally lacks (the exact twin
+    `rolling_7d_distinct_users` must re-deduplicate every (user, day)
+    pair per window; this touches {HLL_M} register rows per day
+    regardless of traffic).  THE canonical sketch win at 100 TB:
+    sliding-window distincts over billions of users become a window
+    max over m x |days| rows.  Emits the exact answer and the relative
+    error per day so the accuracy cost is measured, not asserted.
+
+    Same deterministic HLL shape as the daily op (48-bit md5, m =
+    {HLL_M}, integer-scaled harmonic sum, alpha ppm floor).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hashed = ev.select(
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 12), 16, 10
+        )
+        .cast("bigint")
+        .alias("h"),
+    ).distinct()
+    regs = hashed.select(
+        "day",
+        (F.col("h") % HLL_M).alias("bucket"),
+        F.expr(_hll_rank_sql(f"(h DIV {HLL_M})")).alias("rank"),
+    ).groupBy("day", "bucket").agg(
+        F.max("rank").cast("bigint").alias("mx")
+    ).localCheckpoint(eager=True)  # spine + fan-out consumers
+    spine = regs.select("day").distinct()
+    fan = F.expr(
+        f"transform(sequence(0, {ROLL_WIN_DAYS - 1}), i -> date_add(day, i))"
+    )
+    merged = (
+        regs.select("bucket", "mx", F.explode(fan).alias("tgt"))
+        .join(F.broadcast(spine.select(F.col("day").alias("tgt"))), "tgt")
+        .groupBy(F.col("tgt").alias("day"), F.col("bucket"))
+        .agg(F.max("mx").cast("bigint").alias("mx"))
+    )
+    zsum = merged.groupBy("day").agg(
+        F.expr(
+            f"CAST(sum(CAST(1 AS BIGINT) << ({HLL_RANK_W + 1} - mx))"
+            f" AS BIGINT) + ({HLL_M} - count(*))"
+            f" * (CAST(1 AS BIGINT) << {HLL_RANK_W + 1})"
+        ).alias("z"),
+        F.count(F.lit(1)).cast("bigint").alias("used"),
+    )
+    ud = ev.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).distinct()
+    exact = (
+        ud.select("user_id", F.explode(fan).alias("tgt"))
+        .join(F.broadcast(spine.select(F.col("day").alias("tgt"))), "tgt")
+        .groupBy(F.col("tgt").alias("day"))
+        .agg(F.count_distinct("user_id").cast("bigint").alias("exact_wau"))
+    )
+    est = (
+        f"CAST(floor({HLL_ALPHA_PPM}e0"
+        f" * ((CAST(1 AS BIGINT) << {12 + HLL_RANK_W + 1}) DIV z)"
+        " / 1000000e0) AS BIGINT)"
+    )
+    return (
+        zsum.join(exact, "day")
+        .select(
+            "day",
+            F.col("used").alias("n_buckets_used"),
+            F.expr(est).alias("est_wau"),
+            "exact_wau",
+            F.expr(
+                f"CAST((1000000 * abs({est} - exact_wau))"
+                " DIV exact_wau AS BIGINT)"
+            ).alias("rel_err_ppm"),
+        )
+    )

@@ -6124,3 +6124,120 @@ def cvm_two_sample_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(t1_ppb - t2_ppb AS DOUBLE) / 1000000000e0"
         ).alias("cvm_t"),
     )
+
+
+@declared(
+    "theil_u_forecast_compare",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+      FROM events GROUP BY 1
+    ),
+    lagged AS MATERIALIZED (
+      SELECT day, v,
+             lag(v, 1) OVER (ORDER BY day) AS l1,
+             lag(v, 2) OVER (ORDER BY day) AS l2,
+             lag(v, 3) OVER (ORDER BY day) AS l3,
+             lag(v, 7) OVER (ORDER BY day) AS l7
+      FROM daily
+    ),
+    scored AS (
+      SELECT day,
+             (3 * v - 3 * l1) * (3 * v - 3 * l1) AS se_naive,
+             (3 * v - (l1 + l2 + l3)) * (3 * v - (l1 + l2 + l3)) AS se_ma3,
+             (3 * v - 3 * l7) * (3 * v - 3 * l7) AS se_snaive7
+      FROM lagged WHERE l7 IS NOT NULL
+    ),
+    sums AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(se_naive) AS BIGINT) AS sse_naive,
+             CAST(sum(se_ma3) AS BIGINT) AS sse_ma3,
+             CAST(sum(se_snaive7) AS BIGINT) AS sse_snaive7
+      FROM scored
+    )
+    SELECT model, n_forecasts, sse_scaled, u2_ppm FROM (
+      SELECT 'ma3' AS model, n AS n_forecasts, sse_ma3 AS sse_scaled,
+             CAST((1000000 * sse_ma3) // sse_naive AS BIGINT) AS u2_ppm
+      FROM sums
+      UNION ALL
+      SELECT 'snaive7', n, sse_snaive7,
+             CAST((1000000 * sse_snaive7) // sse_naive AS BIGINT)
+      FROM sums
+      UNION ALL
+      SELECT 'naive', n, sse_naive, CAST(1000000 AS BIGINT)
+      FROM sums
+    )
+    """,
+)
+def theil_u_forecast_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil's U^2 forecast comparison (Theil 1966): one-step-ahead SSE
+    of each candidate model over the SAME target days, normalized by
+    the naive last-value forecast -- u2 < 1 means the model beats
+    persistence, the bar every published forecast must clear.  Models:
+    3-day moving average and seasonal-naive-7, scored only on days
+    where all lags exist so the comparison set is identical.  The
+    model-SELECTION layer over the forecasting family (Holt /
+    Holt-Winters / Croston produce forecasts; this says which baseline
+    even deserves beating).
+
+    All-integer: errors are computed at a common 3x scale (the MA3
+    numerator is the 3-day sum, so 3*y - sum3 is exact; naive and
+    seasonal errors carry the same factor, which cancels in every
+    ratio), SSEs are int64 sums, and U^2 is a ppm floor.  Shape: one
+    events scan -> calendar rollup -> one lag window over <= |days|
+    rows -> 1-row sums exploded into the 3-row comparison table.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("v")
+    )
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        "day",
+        "v",
+        F.lag("v", 1).over(w).alias("l1"),
+        F.lag("v", 2).over(w).alias("l2"),
+        F.lag("v", 3).over(w).alias("l3"),
+        F.lag("v", 7).over(w).alias("l7"),
+    )
+    scored = lagged.filter(F.col("l7").isNotNull()).select(
+        F.expr("(3 * v - 3 * l1) * (3 * v - 3 * l1)").alias("se_naive"),
+        F.expr(
+            "(3 * v - (l1 + l2 + l3)) * (3 * v - (l1 + l2 + l3))"
+        ).alias("se_ma3"),
+        F.expr("(3 * v - 3 * l7) * (3 * v - 3 * l7)").alias("se_snaive7"),
+    )
+    sums = scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("se_naive").cast("bigint").alias("sse_naive"),
+        F.sum("se_ma3").cast("bigint").alias("sse_ma3"),
+        F.sum("se_snaive7").cast("bigint").alias("sse_snaive7"),
+    ).localCheckpoint(eager=True)  # three output legs
+    ma3 = sums.select(
+        F.lit("ma3").alias("model"),
+        F.col("n").alias("n_forecasts"),
+        F.col("sse_ma3").alias("sse_scaled"),
+        F.expr("CAST((1000000 * sse_ma3) DIV sse_naive AS BIGINT)").alias(
+            "u2_ppm"
+        ),
+    )
+    sn7 = sums.select(
+        F.lit("snaive7").alias("model"),
+        F.col("n").alias("n_forecasts"),
+        F.col("sse_snaive7").alias("sse_scaled"),
+        F.expr(
+            "CAST((1000000 * sse_snaive7) DIV sse_naive AS BIGINT)"
+        ).alias("u2_ppm"),
+    )
+    nv = sums.select(
+        F.lit("naive").alias("model"),
+        F.col("n").alias("n_forecasts"),
+        F.col("sse_naive").alias("sse_scaled"),
+        F.lit(1000000).cast("bigint").alias("u2_ppm"),
+    )
+    return ma3.unionByName(sn7).unionByName(nv)

@@ -1376,3 +1376,140 @@ def incremental_join_view_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("consistent"),
         )
     )
+
+
+# Rendezvous (HRW) hashing: shard counts before (N=8) and after (N=9)
+# adding one shard; only docs whose new shard WINS the rendezvous move.
+HRW_N_BEFORE = 8
+HRW_N_AFTER = 9
+
+
+@declared(
+    "rendezvous_shard_assign",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT d.doc_id, s.shard,
+             ('0x' || substring(
+               md5(CAST(d.doc_id AS VARCHAR) || '|'
+                   || CAST(s.shard AS VARCHAR)), 1, 12))::BIGINT AS h
+      FROM documents d,
+           (SELECT unnest(generate_series(0, {HRW_N_AFTER - 1})) AS shard) s
+    ),
+    picks AS MATERIALIZED (
+      SELECT doc_id,
+             max(CASE WHEN shard < {HRW_N_BEFORE}
+                      THEN struct_pack(h := h, s := shard) END).s AS s8,
+             max(struct_pack(h := h, s := shard)).s AS s9
+      FROM pairs GROUP BY doc_id
+    ),
+    moved AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN s8 <> s9 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_moved
+      FROM picks
+    )
+    SELECT s.shard,
+           CAST(count(CASE WHEN p.s8 = s.shard THEN 1 END) AS BIGINT)
+             AS n_docs_before,
+           CAST(count(CASE WHEN p.s9 = s.shard THEN 1 END) AS BIGINT)
+             AS n_docs_after,
+           CAST(count(CASE WHEN p.s9 = s.shard AND p.s8 <> p.s9 THEN 1 END)
+                AS BIGINT) AS gained,
+           CAST(count(CASE WHEN p.s8 = s.shard AND p.s8 <> p.s9 THEN 1 END)
+                AS BIGINT) AS lost,
+           CAST((1000000 * m.n_moved) // m.n_docs AS BIGINT) AS moved_ppm
+    FROM (SELECT unnest(generate_series(0, {HRW_N_AFTER - 1})) AS shard) s,
+         picks p, moved m
+    GROUP BY s.shard, m.n_moved, m.n_docs
+    """,
+)
+def rendezvous_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous / highest-random-weight sharding (Thaler & Ravishankar
+    1998, the consistent-hashing variant behind most modern placement
+    systems): each document goes to the shard with the highest
+    md5(doc, shard) score, so growing the cluster {HRW_N_BEFORE} ->
+    {HRW_N_AFTER} moves ONLY the documents whose NEW shard wins the
+    rendezvous -- expected 1/{HRW_N_AFTER} of the corpus, vs ~100%%
+    under naive mod-N (`hash_mod_sample`'s scheme).  Reports per-shard
+    occupancy before/after, the gained/lost flows, and the global moved
+    fraction; the pytest pins the defining invariant that every moved
+    document lands on the NEW shard.
+
+    Pure integer md5 scores (ties impossible in 48 bits at corpus
+    scale; the (h, shard) struct max makes even a collision
+    deterministic).  Shape: one documents scan fanned out x
+    {HRW_N_AFTER} (bounded constant), one per-doc rollup, then
+    {HRW_N_AFTER}-row frames.  At 100 TB this IS the placement
+    computation a storage rebalancer runs, and it scales as one map +
+    one keyed rollup.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    shards = F.expr(f"sequence(0, {HRW_N_AFTER - 1})")
+    pairs = docs.select(
+        "doc_id", F.explode(shards).alias("shard")
+    ).select(
+        "doc_id",
+        "shard",
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", "doc_id", "shard")), 1, 12
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("h"),
+    )
+    picks = pairs.groupBy("doc_id").agg(
+        F.expr(
+            f"max(CASE WHEN shard < {HRW_N_BEFORE}"
+            " THEN struct(h, shard) END).shard"
+        ).alias("s8"),
+        F.expr("max(struct(h, shard)).shard").alias("s9"),
+    ).localCheckpoint(eager=True)  # moved scalar + per-shard rollup
+    moved = picks.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("s8") != F.col("s9"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_moved"),
+    )
+    shard_dim = picks.sparkSession.range(HRW_N_AFTER).select(
+        F.col("id").cast("int").alias("shard")
+    )
+    before = picks.groupBy(F.col("s8").alias("shard")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs_before")
+    )
+    after = picks.groupBy(F.col("s9").alias("shard")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs_after")
+    )
+    gained = (
+        picks.filter(F.col("s8") != F.col("s9"))
+        .groupBy(F.col("s9").alias("shard"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("gained"))
+    )
+    lost = (
+        picks.filter(F.col("s8") != F.col("s9"))
+        .groupBy(F.col("s8").alias("shard"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("lost"))
+    )
+    return (
+        shard_dim.join(F.broadcast(before), "shard", "left")
+        .join(F.broadcast(after), "shard", "left")
+        .join(F.broadcast(gained), "shard", "left")
+        .join(F.broadcast(lost), "shard", "left")
+        .crossJoin(F.broadcast(moved))
+        .select(
+            "shard",
+            F.coalesce(F.col("n_docs_before"), F.lit(0))
+            .cast("bigint")
+            .alias("n_docs_before"),
+            F.coalesce(F.col("n_docs_after"), F.lit(0))
+            .cast("bigint")
+            .alias("n_docs_after"),
+            F.coalesce(F.col("gained"), F.lit(0)).cast("bigint").alias("gained"),
+            F.coalesce(F.col("lost"), F.lit(0)).cast("bigint").alias("lost"),
+            F.expr(
+                "CAST((1000000 * n_moved) DIV n_docs AS BIGINT)"
+            ).alias("moved_ppm"),
+        )
+    )

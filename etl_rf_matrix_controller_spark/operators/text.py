@@ -2000,3 +2000,91 @@ def zipf_octave_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / CAST(m AS DOUBLE)"
         ).alias("intercept_log2"),
     )
+
+
+TREND_TOPK = 15
+
+
+@declared(
+    "trending_terms_delta",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id % 2 AS half, t.token
+      FROM documents, unnest(string_split(trim(text), ' ')) AS t(token)
+      WHERE t.token <> ''
+    ),
+    per AS MATERIALIZED (
+      SELECT token,
+             CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS c_a,
+             CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS c_b
+      FROM tok GROUP BY token
+    ),
+    tot AS (
+      SELECT CAST(sum(c_a) AS BIGINT) AS n_a,
+             CAST(sum(c_b) AS BIGINT) AS n_b
+      FROM per
+    ),
+    lifted AS (
+      SELECT p.token, p.c_a, p.c_b,
+             CAST((1000000 * (p.c_b + 1) * (t.n_a + 1))
+                  // ((p.c_a + 1) * (t.n_b + 1)) AS BIGINT) AS lift_ppm
+      FROM per p, tot t
+    )
+    SELECT token, c_a, c_b, lift_ppm, rnk
+    FROM (
+      SELECT *, CAST(row_number() OVER (ORDER BY lift_ppm DESC, token)
+                     AS BIGINT) AS rnk
+      FROM lifted
+    ) WHERE rnk <= {TREND_TOPK}
+    """,
+)
+def trending_terms_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending-term detection between two corpus snapshots: add-one-
+    smoothed rate lift (c_B+1)/(N_B+1) over (c_A+1)/(N_A+1) per token,
+    top-{TREND_TOPK} risers -- the monitoring query a continuously-
+    ingesting corpus runs to catch vocabulary drift BEFORE it shows up
+    as model regression (new jargon, spam campaigns, a scraper change).
+    Snapshots here are the doc_id parity halves (the deterministic
+    stand-in for two ingest windows); `doc_chi2_divergence` scores
+    whole DOCUMENTS against the corpus, this ranks individual TERMS
+    across snapshots.
+
+    Integer ppm lift with add-one smoothing (no zero division, hapax
+    noise damped).  Shape: one tokenize -> vocabulary rollup with two
+    conditional sums -> 1-row totals broadcast -> vocabulary-sized
+    window for the top-{TREND_TOPK}.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        (F.col("doc_id") % 2).alias("half"),
+        F.explode(F.split(F.trim("text"), " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    per = tok.groupBy("token").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("c_a"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("c_b"),
+    ).localCheckpoint(eager=True)  # totals + lift consumers
+    tot = per.agg(
+        F.sum("c_a").cast("bigint").alias("n_a"),
+        F.sum("c_b").cast("bigint").alias("n_b"),
+    )
+    lifted = per.crossJoin(F.broadcast(tot)).select(
+        "token",
+        "c_a",
+        "c_b",
+        F.expr(
+            "CAST((1000000 * (c_b + 1) * (n_a + 1))"
+            " DIV ((c_a + 1) * (n_b + 1)) AS BIGINT)"
+        ).alias("lift_ppm"),
+    )
+    w = Window.orderBy(F.desc("lift_ppm"), F.asc("token"))
+    return (
+        lifted.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= TREND_TOPK)
+        .select("token", "c_a", "c_b", "lift_ppm", "rnk")
+    )

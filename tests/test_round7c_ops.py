@@ -646,3 +646,228 @@ def test_incremental_join_view_is_consistent(spark):
         assert r.consistent == 1
     assert sum(d for _, d, _ in per.values()) > 0, "delta non-degenerate"
     assert sum(b for b, _, _ in per.values()) > 0, "base non-degenerate"
+
+
+def test_rendezvous_moved_docs_land_on_new_shard(spark):
+    """The HRW defining invariant: every document whose assignment
+    changes when growing 8 -> 9 shards moves TO the new shard (gained
+    is zero everywhere else), totals are conserved, and the per-shard
+    table matches a python recompute."""
+    import hashlib
+
+    from etl_rf_matrix_controller_spark.operators.pipeline import (
+        HRW_N_AFTER,
+        HRW_N_BEFORE,
+        rendezvous_shard_assign,
+    )
+
+    doc_ids = [
+        r.doc_id for r in load_table(spark, SF_DIR, "documents")
+        .select("doc_id").collect()
+    ]
+
+    def pick(did, n):
+        return max(
+            range(n),
+            key=lambda s: (
+                int(hashlib.md5(f"{did}|{s}".encode()).hexdigest()[:12], 16),
+                s,
+            ),
+        )
+
+    before = defaultdict(int)
+    after = defaultdict(int)
+    gained = defaultdict(int)
+    lost = defaultdict(int)
+    n_moved = 0
+    for did in doc_ids:
+        s8 = pick(did, HRW_N_BEFORE)
+        s9 = pick(did, HRW_N_AFTER)
+        before[s8] += 1
+        after[s9] += 1
+        if s8 != s9:
+            n_moved += 1
+            gained[s9] += 1
+            lost[s8] += 1
+            assert s9 == HRW_N_AFTER - 1, "HRW: moves only to the new shard"
+    rows = {r.shard: r for r in rendezvous_shard_assign(spark, SF_DIR).collect()}
+    assert len(rows) == HRW_N_AFTER
+    for s in range(HRW_N_AFTER):
+        r = rows[s]
+        assert (r.n_docs_before, r.n_docs_after, r.gained, r.lost) == (
+            before[s],
+            after[s],
+            gained[s],
+            lost[s],
+        )
+        assert r.moved_ppm == (1000000 * n_moved) // len(doc_ids)
+    assert sum(r.n_docs_after for r in rows.values()) == len(doc_ids)
+    assert rows[HRW_N_AFTER - 1].gained == n_moved
+    assert n_moved > 0
+
+
+def test_trending_terms_matches_python_recompute(spark):
+    """Add-one-smoothed lift and the riser top-k recomputed in pure
+    Python must equal the declared table."""
+    from etl_rf_matrix_controller_spark.operators.text import (
+        TREND_TOPK,
+        trending_terms_delta,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").collect()
+    per = defaultdict(lambda: [0, 0])
+    for r in docs:
+        half = r.doc_id % 2
+        for t in r.text.strip().split(" "):
+            if t:
+                per[t][half] += 1
+    n_a = sum(a for a, _ in per.values())
+    n_b = sum(b for _, b in per.values())
+    lifted = sorted(
+        (
+            -((1000000 * (cb + 1) * (n_a + 1)) // ((ca + 1) * (n_b + 1))),
+            tok,
+            ca,
+            cb,
+        )
+        for tok, (ca, cb) in per.items()
+    )
+    want = {
+        tok: (ca, cb, -neg, i + 1)
+        for i, (neg, tok, ca, cb) in enumerate(lifted[:TREND_TOPK])
+    }
+    got = {
+        r.token: (r.c_a, r.c_b, r.lift_ppm, r.rnk)
+        for r in trending_terms_delta(spark, SF_DIR).collect()
+    }
+    assert got == want
+
+
+def test_theil_u_matches_python_recompute(spark):
+    """Per-model scaled SSEs and U^2 ppm recomputed in pure Python must
+    equal the declared rows; all models score the same target days."""
+    from etl_rf_matrix_controller_spark.operators.behavior import (
+        theil_u_forecast_compare,
+    )
+
+    ev = load_table(spark, SF_DIR, "events").collect()
+    daily = defaultdict(int)
+    for r in ev:
+        daily[r.ts.date()] += round(r.value * 100)
+    vs = [daily[d] for d in sorted(daily)]
+    sse = {"naive": 0, "ma3": 0, "snaive7": 0}
+    n = 0
+    for i in range(7, len(vs)):
+        n += 1
+        sse["naive"] += (3 * vs[i] - 3 * vs[i - 1]) ** 2
+        sse["ma3"] += (3 * vs[i] - (vs[i - 1] + vs[i - 2] + vs[i - 3])) ** 2
+        sse["snaive7"] += (3 * vs[i] - 3 * vs[i - 7]) ** 2
+    rows = {r.model: r for r in theil_u_forecast_compare(spark, SF_DIR).collect()}
+    assert rows.keys() == sse.keys()
+    for model, s in sse.items():
+        r = rows[model]
+        assert r.n_forecasts == n
+        assert r.sse_scaled == s
+        want_u2 = (
+            1000000 if model == "naive" else (1000000 * s) // sse["naive"]
+        )
+        assert r.u2_ppm == want_u2
+
+
+def test_rolling_distinct_exact_matches_python_recompute(spark):
+    """Exact 7-day rolling distinct users per day recomputed in pure
+    Python must equal the declared table (including partial windows at
+    the series start)."""
+    from etl_rf_matrix_controller_spark.operators.aggregates import (
+        ROLL_WIN_DAYS,
+        rolling_7d_distinct_users,
+    )
+
+    ev = load_table(spark, SF_DIR, "events").collect()
+    by_day = defaultdict(set)
+    for r in ev:
+        by_day[r.ts.date()].add(r.user_id)
+    days = sorted(by_day)
+    import datetime
+
+    want = {}
+    for d in days:
+        users = set()
+        srcs = set()
+        for k in range(ROLL_WIN_DAYS):
+            src = d - datetime.timedelta(days=k)
+            if src in by_day:
+                users |= by_day[src]
+                srcs.add(src)
+        want[d] = (len(users), len(srcs))
+    got = {
+        r.day: (r.rolling_dau, r.days_in_window)
+        for r in rolling_7d_distinct_users(spark, SF_DIR).collect()
+    }
+    assert got == want
+    full = [d for d, (_, k) in got.items() if k == ROLL_WIN_DAYS]
+    assert full, "fixture must contain full windows"
+
+
+def test_rolling_hll_register_merge_matches_python_recompute(spark):
+    """The register-merge sliding HLL recomputed in pure Python (same
+    48-bit md5 hash split, register max over the window) must equal the
+    declared estimates, and the exact audit column must match the exact
+    twin."""
+    import datetime
+    import hashlib
+
+    from etl_rf_matrix_controller_spark.operators.aggregates import (
+        HLL_ALPHA_PPM,
+        HLL_M,
+        HLL_RANK_W,
+        ROLL_WIN_DAYS,
+        rolling_7d_distinct_users,
+        rolling_7d_hll_distinct,
+    )
+
+    ev = load_table(spark, SF_DIR, "events").collect()
+    regs = defaultdict(dict)  # day -> bucket -> max rank
+    for r in ev:
+        d = r.ts.date()
+        h = int(hashlib.md5(str(r.user_id).encode()).hexdigest()[:12], 16)
+        bucket, rest = h % HLL_M, h // HLL_M
+        rank = (
+            HLL_RANK_W + 1
+            if rest == 0
+            else HLL_RANK_W + 1 - rest.bit_length()
+        )
+        cur = regs[d].get(bucket, 0)
+        if rank > cur:
+            regs[d][bucket] = rank
+    days = sorted(regs)
+    want = {}
+    for d in days:
+        merged = {}
+        for k in range(ROLL_WIN_DAYS):
+            src = d - datetime.timedelta(days=k)
+            for b, mx in regs.get(src, {}).items():
+                if mx > merged.get(b, 0):
+                    merged[b] = mx
+        z = sum(1 << (HLL_RANK_W + 1 - mx) for mx in merged.values()) + (
+            HLL_M - len(merged)
+        ) * (1 << (HLL_RANK_W + 1))
+        import math
+
+        est = math.floor(
+            HLL_ALPHA_PPM * ((1 << (12 + HLL_RANK_W + 1)) // z) / 1000000.0
+        )
+        want[d] = (len(merged), est)
+    exact = {
+        r.day: r.rolling_dau
+        for r in rolling_7d_distinct_users(spark, SF_DIR).collect()
+    }
+    got = {
+        r.day: r for r in rolling_7d_hll_distinct(spark, SF_DIR).collect()
+    }
+    assert got.keys() == want.keys()
+    for d, (used, est) in want.items():
+        r = got[d]
+        assert (r.n_buckets_used, r.est_wau) == (used, est)
+        assert r.exact_wau == exact[d]
+        assert r.rel_err_ppm == (1000000 * abs(est - exact[d])) // exact[d]
