@@ -6158,11 +6158,13 @@ def cvm_two_sample_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT model, n_forecasts, sse_scaled, u2_ppm FROM (
       SELECT 'ma3' AS model, n AS n_forecasts, sse_ma3 AS sse_scaled,
-             CAST((1000000 * sse_ma3) // sse_naive AS BIGINT) AS u2_ppm
+             CAST((1000000 * CAST(sse_ma3 AS HUGEINT)) // sse_naive AS BIGINT)
+               AS u2_ppm
       FROM sums
       UNION ALL
       SELECT 'snaive7', n, sse_snaive7,
-             CAST((1000000 * sse_snaive7) // sse_naive AS BIGINT)
+             CAST((1000000 * CAST(sse_snaive7 AS HUGEINT)) // sse_naive
+                  AS BIGINT)
       FROM sums
       UNION ALL
       SELECT 'naive', n, sse_naive, CAST(1000000 AS BIGINT)
@@ -6184,7 +6186,11 @@ def theil_u_forecast_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     All-integer: errors are computed at a common 3x scale (the MA3
     numerator is the 3-day sum, so 3*y - sum3 is exact; naive and
     seasonal errors carry the same factor, which cancels in every
-    ratio), SSEs are int64 sums, and U^2 is a ppm floor.  Shape: one
+    ratio), SSEs are int64 sums, and the U^2 ppm multiply runs in
+    DECIMAL(38,0)/HUGEINT -- 1e6 * SSE exceeds int64 once daily deltas
+    reach ~1e6 cents (sf0.1), an overflow a count()-only check never
+    sees because Catalyst prunes the column; the full-materialization
+    bench caught it.  Shape: one
     events scan -> calendar rollup -> one lag window over <= |days|
     rows -> 1-row sums exploded into the 3-row comparison table.
     """
@@ -6222,16 +6228,18 @@ def theil_u_forecast_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("ma3").alias("model"),
         F.col("n").alias("n_forecasts"),
         F.col("sse_ma3").alias("sse_scaled"),
-        F.expr("CAST((1000000 * sse_ma3) DIV sse_naive AS BIGINT)").alias(
-            "u2_ppm"
-        ),
+        F.expr(
+            "CAST((1000000 * CAST(sse_ma3 AS DECIMAL(38,0)))"
+            " DIV sse_naive AS BIGINT)"
+        ).alias("u2_ppm"),
     )
     sn7 = sums.select(
         F.lit("snaive7").alias("model"),
         F.col("n").alias("n_forecasts"),
         F.col("sse_snaive7").alias("sse_scaled"),
         F.expr(
-            "CAST((1000000 * sse_snaive7) DIV sse_naive AS BIGINT)"
+            "CAST((1000000 * CAST(sse_snaive7 AS DECIMAL(38,0)))"
+            " DIV sse_naive AS BIGINT)"
         ).alias("u2_ppm"),
     )
     nv = sums.select(
