@@ -6249,3 +6249,225 @@ def theil_u_forecast_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1000000).cast("bigint").alias("u2_ppm"),
     )
     return ma3.unionByName(sn7).unionByName(nv)
+
+
+# Split-conformal miscoverage level: alpha = 1/10 -> 90% intervals.
+CONF_ALPHA_DEN = 10
+
+
+@declared(
+    "split_conformal_interval",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_type, event_id,
+             CAST(round(value * 100) AS BIGINT) AS v,
+             event_id % 3 AS fold
+      FROM events
+    ),
+    fit AS (
+      SELECT event_type,
+             CAST(sum(v) // count(*) AS BIGINT) AS mu
+      FROM base WHERE fold = 0 GROUP BY event_type
+    ),
+    cal AS MATERIALIZED (
+      SELECT b.event_type, abs(b.v - f.mu) AS r
+      FROM base b JOIN fit f ON f.event_type = b.event_type
+      WHERE b.fold = 1
+    ),
+    caln AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_cal
+      FROM cal GROUP BY event_type
+    ),
+    qhat AS (
+      SELECT c.event_type, c.r AS q_hat, n.n_cal
+      FROM (
+        SELECT event_type, r,
+               row_number() OVER (PARTITION BY event_type ORDER BY r)
+                 AS rn
+        FROM cal
+      ) c
+      JOIN caln n ON n.event_type = c.event_type
+      WHERE c.rn = least(n.n_cal,
+                         ((n.n_cal + 1) * ({CONF_ALPHA_DEN} - 1)
+                          + {CONF_ALPHA_DEN} - 1) // {CONF_ALPHA_DEN})
+    ),
+    test AS (
+      SELECT b.event_type,
+             CAST(count(*) AS BIGINT) AS n_test,
+             CAST(sum(CASE WHEN abs(b.v - f.mu) <= q.q_hat
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+      FROM base b
+      JOIN fit f ON f.event_type = b.event_type
+      JOIN qhat q ON q.event_type = b.event_type
+      WHERE b.fold = 2
+      GROUP BY b.event_type
+    )
+    SELECT t.event_type, f.mu AS mu_cents, q.n_cal, q.q_hat,
+           t.n_test, t.n_covered,
+           CAST((1000000 * t.n_covered) // t.n_test AS BIGINT)
+             AS coverage_ppm
+    FROM test t
+    JOIN fit f ON f.event_type = t.event_type
+    JOIN qhat q ON q.event_type = t.event_type
+    """,
+)
+def split_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals (Vovk et al. 2005; the
+    distribution-free UQ recipe production ML actually ships): fit a
+    point predictor on fold 0 (per-type floored mean), take q_hat = the
+    ceil((n+1)(1-alpha))-th smallest absolute residual on the held-out
+    calibration fold 1, and audit the guaranteed >= 1-alpha coverage of
+    mu +- q_hat on fold 2.  alpha = 1/{CONF_ALPHA_DEN}.  The coverage
+    guarantee holds for ANY predictor -- that's the point of
+    conformal -- so the deliberately crude mean predictor makes the
+    audit transparent.  Completes the uncertainty family:
+    bootstrap_mean_ci bounds the MEAN, this bounds the next
+    OBSERVATION.
+
+    All-integer: residuals are cent ints, the conformal rank
+    ceil((n+1)(1-alpha)) is an integer ceiling division (clamped to
+    n_cal for tiny folds), coverage is a ppm floor.  Shape: one events
+    scan -> three fold-filtered passes over a checkpointed projection
+    (fit rollup, calibration rank window partitioned by type, test
+    rollup) -- the rank window is calibration-fold-sized.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("v"),
+        (F.col("event_id") % 3).alias("fold"),
+    ).localCheckpoint(eager=True)  # fit + calibration + test consumers
+    fit = base.filter(F.col("fold") == 0).groupBy("event_type").agg(
+        F.expr("CAST(sum(v) DIV count(*) AS BIGINT)").alias("mu")
+    )
+    cal = base.filter(F.col("fold") == 1).join(
+        F.broadcast(fit), "event_type"
+    ).select("event_type", F.abs(F.col("v") - F.col("mu")).alias("r"))
+    caln = cal.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cal")
+    )
+    w = Window.partitionBy("event_type").orderBy("r")
+    qhat = (
+        cal.withColumn("rn", F.row_number().over(w))
+        .join(F.broadcast(caln), "event_type")
+        .filter(
+            F.expr(
+                "rn = least(n_cal,"
+                f" ((n_cal + 1) * ({CONF_ALPHA_DEN} - 1)"
+                f" + {CONF_ALPHA_DEN} - 1) DIV {CONF_ALPHA_DEN})"
+            )
+        )
+        .select("event_type", F.col("r").alias("q_hat"), "n_cal")
+    )
+    test = (
+        base.filter(F.col("fold") == 2)
+        .join(F.broadcast(fit), "event_type")
+        .join(F.broadcast(qhat), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("v") - F.col("mu")) <= F.col("q_hat"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_covered"),
+        )
+    )
+    return (
+        test.join(F.broadcast(fit), "event_type")
+        .join(F.broadcast(qhat), "event_type")
+        .select(
+            "event_type",
+            F.col("mu").alias("mu_cents"),
+            "n_cal",
+            "q_hat",
+            "n_test",
+            "n_covered",
+            F.expr(
+                "CAST((1000000 * n_covered) DIV n_test AS BIGINT)"
+            ).alias("coverage_ppm"),
+        )
+    )
+
+
+@declared(
+    "quantile_treatment_effect",
+    oracle="""
+    WITH vals AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS v,
+             event_id
+      FROM events WHERE event_type IN ('purchase', 'click')
+    ),
+    ranked AS (
+      SELECT event_type, v,
+             CAST(row_number() OVER (PARTITION BY event_type
+                                     ORDER BY v, event_id) AS BIGINT)
+               AS rn,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM vals
+    ),
+    dec AS (
+      SELECT d.q, r.event_type, r.v
+      FROM ranked r
+      JOIN (SELECT unnest(generate_series(1, 9)) AS q) d
+        ON r.rn = ((d.q * r.n + 9) // 10)
+    )
+    SELECT q AS decile,
+           max(CASE WHEN event_type = 'purchase' THEN v END) AS q_purchase,
+           max(CASE WHEN event_type = 'click' THEN v END) AS q_click,
+           max(CASE WHEN event_type = 'purchase' THEN v END)
+             - max(CASE WHEN event_type = 'click' THEN v END) AS qte_cents
+    FROM dec GROUP BY q
+    """,
+)
+def quantile_treatment_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects (Doksum 1974): the per-decile
+    difference between the purchase and click value distributions --
+    the DISTRIBUTIONAL effect a mean test compresses into one number
+    (`welch_t_value_test` can read ~0 while tails diverge wildly; the
+    QTE curve shows WHERE the distributions differ).  Quantiles are
+    type-7-free exact order statistics: the ceil(q*n/10)-th smallest
+    value (ties broken by event_id for a deterministic rank), so every
+    output is an exact cent integer on both engines.
+
+    Shape: one events scan filtered to the two samples, one per-type
+    rank window (sample-sized), a 9-row decile join, a 9-row pivot
+    rollup.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    vals = ev.filter(F.col("event_type").isin("purchase", "click")).select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("v"),
+        "event_id",
+    )
+    w_rank = Window.partitionBy("event_type").orderBy("v", "event_id")
+    w_all = Window.partitionBy("event_type")
+    ranked = vals.select(
+        "event_type",
+        "v",
+        F.row_number().over(w_rank).cast("bigint").alias("rn"),
+        F.count(F.lit(1)).over(w_all).cast("bigint").alias("n"),
+    )
+    deciles = ranked.sparkSession.range(1, 10).select(
+        F.col("id").cast("bigint").alias("q")
+    )
+    dec = ranked.join(
+        F.broadcast(deciles),
+        F.col("rn") == F.expr("((q * n + 9) DIV 10)"),
+    )
+    return dec.groupBy(F.col("q").alias("decile")).agg(
+        F.max(F.when(F.col("event_type") == "purchase", F.col("v"))).alias(
+            "q_purchase"
+        ),
+        F.max(F.when(F.col("event_type") == "click", F.col("v"))).alias(
+            "q_click"
+        ),
+        (
+            F.max(F.when(F.col("event_type") == "purchase", F.col("v")))
+            - F.max(F.when(F.col("event_type") == "click", F.col("v")))
+        ).alias("qte_cents"),
+    )

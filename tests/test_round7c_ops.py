@@ -871,3 +871,74 @@ def test_rolling_hll_register_merge_matches_python_recompute(spark):
         assert (r.n_buckets_used, r.est_wau) == (used, est)
         assert r.exact_wau == exact[d]
         assert r.rel_err_ppm == (1000000 * abs(est - exact[d])) // exact[d]
+
+
+def test_split_conformal_matches_python_recompute(spark):
+    """Fold assignment, the conformal rank, q_hat, and test coverage
+    recomputed in pure Python must equal the declared rows; coverage
+    must meet the 1 - alpha guarantee within finite-sample slack."""
+    from etl_rf_matrix_controller_spark.operators.behavior import (
+        CONF_ALPHA_DEN,
+        split_conformal_interval,
+    )
+
+    ev = load_table(spark, SF_DIR, "events").collect()
+    folds = defaultdict(lambda: defaultdict(list))
+    for r in ev:
+        folds[r.event_type][r.event_id % 3].append(round(r.value * 100))
+    rows = {
+        r.event_type: r
+        for r in split_conformal_interval(spark, SF_DIR).collect()
+    }
+    for et, f in folds.items():
+        mu = sum(f[0]) // len(f[0])
+        cal = sorted(abs(v - mu) for v in f[1])
+        n_cal = len(cal)
+        k = min(
+            n_cal,
+            ((n_cal + 1) * (CONF_ALPHA_DEN - 1) + CONF_ALPHA_DEN - 1)
+            // CONF_ALPHA_DEN,
+        )
+        q_hat = cal[k - 1]
+        covered = sum(1 for v in f[2] if abs(v - mu) <= q_hat)
+        r = rows[et]
+        assert (r.mu_cents, r.n_cal, r.q_hat) == (mu, n_cal, q_hat)
+        assert (r.n_test, r.n_covered) == (len(f[2]), covered)
+        assert r.coverage_ppm == (1000000 * covered) // len(f[2])
+        # The conformal guarantee is MARGINAL over calibration draws:
+        # with ~120-point folds at sf0.001 the realized coverage
+        # fluctuates ~ +-2/sqrt(n) ~ 18 points around 90%.
+        assert r.coverage_ppm > 780000, (et, r.coverage_ppm)
+
+
+def test_qte_matches_python_recompute(spark):
+    """Exact decile order statistics and their differences recomputed
+    in pure Python must equal the declared table."""
+    from etl_rf_matrix_controller_spark.operators.behavior import (
+        quantile_treatment_effect,
+    )
+
+    ev = load_table(spark, SF_DIR, "events").collect()
+    per = defaultdict(list)
+    for r in ev:
+        if r.event_type in ("purchase", "click"):
+            per[r.event_type].append((round(r.value * 100), r.event_id))
+    qs = {}
+    for et, vals in per.items():
+        vals.sort()
+        n = len(vals)
+        qs[et] = {
+            q: vals[((q * n + 9) // 10) - 1][0] for q in range(1, 10)
+        }
+    got = {
+        r.decile: (r.q_purchase, r.q_click, r.qte_cents)
+        for r in quantile_treatment_effect(spark, SF_DIR).collect()
+    }
+    assert got == {
+        q: (
+            qs["purchase"][q],
+            qs["click"][q],
+            qs["purchase"][q] - qs["click"][q],
+        )
+        for q in range(1, 10)
+    }
