@@ -2645,7 +2645,7 @@ PF_TAU_NUM, PF_TAU_DEN = 4, 5
     ),
     prefix AS MATERIALIZED (
       SELECT doc_id, sh FROM ranked
-      WHERE rn <= n - ((8 * n + 9) // 10) + 1
+      WHERE rn <= n - (({PF_TAU_NUM} * n + {PF_TAU_DEN} - 1) // {PF_TAU_DEN}) + 1
     ),
     cand AS MATERIALIZED (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -2727,7 +2727,13 @@ def prefix_filter_pairs_df(spark: SparkSession, corpus: DataFrame) -> DataFrame:
     prefix = (
         exploded.join(F.broadcast(dfc), "sh")
         .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= F.expr("n - ((8 * n + 9) DIV 10) + 1"))
+        .filter(
+            F.col("rn")
+            <= F.expr(
+                f"n - (({PF_TAU_NUM} * n + {PF_TAU_DEN} - 1) "
+                f"DIV {PF_TAU_DEN}) + 1"
+            )
+        )
         .select("doc_id", "sh")
         .localCheckpoint(eager=True)
     )

@@ -3366,12 +3366,12 @@ JSE_K = 64
     oracle=f"""
     WITH ka AS MATERIALIZED (
       SELECT DISTINCT ('0x' || substring(md5(CAST(o_custkey AS VARCHAR)),
-                       1, 8))::BIGINT AS h, o_custkey AS key
+                       1, 8))::BIGINT AS h
       FROM orders
     ),
     kb AS MATERIALIZED (
       SELECT DISTINCT ('0x' || substring(md5(CAST(user_id AS VARCHAR)),
-                       1, 8))::BIGINT AS h, user_id AS key
+                       1, 8))::BIGINT AS h
       FROM events
     ),
     ska AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn

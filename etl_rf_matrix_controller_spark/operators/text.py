@@ -2028,8 +2028,9 @@ TREND_TOPK = 15
     ),
     lifted AS (
       SELECT p.token, p.c_a, p.c_b,
-             CAST((1000000 * (p.c_b + 1) * (t.n_a + 1))
-                  // ((p.c_a + 1) * (t.n_b + 1)) AS BIGINT) AS lift_ppm
+             CAST((1000000::HUGEINT * (p.c_b + 1) * (t.n_a + 1))
+                  // ((p.c_a + 1)::HUGEINT * (t.n_b + 1)) AS BIGINT)
+               AS lift_ppm
       FROM per p, tot t
     )
     SELECT token, c_a, c_b, lift_ppm, rnk
@@ -2078,8 +2079,8 @@ def trending_terms_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_a",
         "c_b",
         F.expr(
-            "CAST((1000000 * (c_b + 1) * (n_a + 1))"
-            " DIV ((c_a + 1) * (n_b + 1)) AS BIGINT)"
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * (c_b + 1) * (n_a + 1))"
+            " DIV (CAST(c_a + 1 AS DECIMAL(38,0)) * (n_b + 1)) AS BIGINT)"
         ).alias("lift_ppm"),
     )
     w = Window.orderBy(F.desc("lift_ppm"), F.asc("token"))

@@ -163,8 +163,10 @@ def stream_zscore_rows(
            CAST(sum(CASE WHEN np >= {ZSCORE_MIN_PRIOR} THEN 1 ELSE 0 END)
              AS BIGINT) AS n_scored,
            CAST(sum(CASE WHEN np >= {ZSCORE_MIN_PRIOR}
-                          AND (x * np - sp) * (x * np - sp)
-                              > 9 * (np * qp - sp * sp)
+                          AND CAST(x * np - sp AS HUGEINT)
+                              * CAST(x * np - sp AS HUGEINT)
+                              > 9 * (CAST(np AS HUGEINT) * qp
+                                     - CAST(sp AS HUGEINT) * sp)
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
     FROM s
     GROUP BY user_id
