@@ -77,19 +77,31 @@ def curate_training_set(
     mix_weights: dict[str, int] | None = None,
 ) -> dict:
     """Run the full curation chain; returns {'stages': per-stage row
-    accounting, 'manifest': the export_training_shards manifest}.
+    accounting, 'timings': per-stage wall seconds (each stage's subtree
+    materializes exactly once at its count, so the timing IS the stage),
+    'manifest': the export_training_shards manifest}.
 
     ``out_dir`` receives ``curated/`` (the curated corpus as a
     documents.parquet a downstream tool can load like any sf dir) and
     ``shards/`` (partitioned training shards + manifest.json).
     """
     import os
+    import time
 
     mix = mix_weights or MIX_WEIGHTS_DEFAULT
     stages: dict[str, int] = {}
+    timings: dict[str, float] = {}
+    _t = time.perf_counter()
+
+    def _mark(stage: str) -> None:
+        nonlocal _t
+        now = time.perf_counter()
+        timings[stage] = round(now - _t, 3)
+        _t = now
 
     corpus = dup_corpus(spark, sf_dir).localCheckpoint(eager=True)
     stages["ingested"] = corpus.count()
+    _mark("ingested")
 
     # 1. quality (gopher rules; flags are a pure projection)
     flags = gopher_flags_df(corpus).select("doc_id", "keep")
@@ -100,6 +112,7 @@ def curate_training_set(
         .localCheckpoint(eager=True)
     )
     stages["quality_kept"] = kept.count()
+    _mark("quality_kept")
 
     # 2. exact dedup: normalized-content hash, keep lowest doc_id
     hashed = kept.withColumn(
@@ -113,6 +126,7 @@ def curate_training_set(
         .localCheckpoint(eager=True)
     )
     stages["exact_deduped"] = exact.count()
+    _mark("exact_deduped")
 
     # 3. near-dup dedup: drop the higher-id member of each verified pair
     drops = near_dup_drop_ids(exact.select("doc_id", "text"))
@@ -120,6 +134,7 @@ def curate_training_set(
         eager=True
     )
     stages["near_deduped"] = near.count()
+    _mark("near_deduped")
 
     # 4. decontamination: drop TRAIN docs whose content also appears in
     # the val/test split (same hash splits as split_contamination_check).
@@ -143,6 +158,7 @@ def curate_training_set(
         tagged.filter(F.col("split") != "train")
     ).localCheckpoint(eager=True)
     stages["decontaminated"] = decontam.count()
+    _mark("decontaminated")
 
     # 5. mixture: deterministic per-lang downsampling by doc_id hash
     # bucket (hash_mod_sample discipline: reproducible, no RNG state)
@@ -157,6 +173,7 @@ def curate_training_set(
         "doc_id", "text", "lang", "source"
     ).localCheckpoint(eager=True)
     stages["mixed"] = mixed.count()
+    _mark("mixed")
 
     # 6. packing + shard export: stage the curated corpus as its own
     # documents.parquet so the certified export path consumes it through
@@ -169,4 +186,5 @@ def curate_training_set(
         spark, curated_dir, os.path.join(out_dir, "shards")
     )
     stages["exported_docs"] = manifest["total_docs"]
-    return {"stages": stages, "manifest": manifest}
+    _mark("exported_docs")
+    return {"stages": stages, "timings": timings, "manifest": manifest}

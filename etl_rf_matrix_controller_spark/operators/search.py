@@ -100,6 +100,164 @@ def postings_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def postings_batch_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthesized ingest batch's postings published as a DELTA leg
+    of the persistent term-postings index (plans/gram_index.py round-8
+    incremental maintenance): same bucketBy(N, token) layout as the
+    base, batch-scaled bytes, atomic idempotent publish.  The base table
+    is untouched -- existing retrieval consumers keep reading it alone;
+    incremental consumers serve base ∪ delta."""
+    from etl_rf_matrix_controller_spark.operators.dedup import new_batch_docs
+    from etl_rf_matrix_controller_spark.plans.gram_index import (
+        append_index_delta,
+    )
+
+    def _batch_postings(s: SparkSession, d: str) -> DataFrame:
+        docs = new_batch_docs(
+            load_table(s, d, "documents").select("doc_id", "text")
+        )
+        return (
+            docs.select(
+                "doc_id",
+                F.explode(F.split(F.trim("text"), " ")).alias("token"),
+            )
+            .filter(F.col("token") != "")
+            .groupBy("token", "doc_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        )
+
+    return append_index_delta(
+        spark,
+        sf_dir,
+        "post",
+        _batch_postings,
+        ["token"],
+        version=POSTINGS_INDEX_VERSION,
+        batch_id="ing1",
+        sort_cols=["token", "doc_id"],
+        source_table="documents",
+    )
+
+
+@declared(
+    "incremental_postings_append_check",
+    oracle=f"""
+    WITH docs_all AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 4000000 AS doc_id, text || ' zznew' AS text
+      FROM documents WHERE doc_id % 10 = 3
+      UNION ALL
+      SELECT doc_id + 5000000 AS doc_id, reverse(trim(text)) AS text
+      FROM documents WHERE doc_id % 10 = 4
+    ),
+    tok AS (
+      SELECT doc_id, t.token
+      FROM docs_all, unnest(string_split(trim(text), ' ')) AS t(token)
+      WHERE t.token <> ''
+    )
+    SELECT token,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS df_total,
+           CAST(count(*) AS BIGINT) AS tf_total,
+           CAST(count(DISTINCT CASE WHEN doc_id >= 4000000 THEN doc_id END)
+             AS BIGINT) AS df_delta,
+           TRUE AS merge_eq_recompute
+    FROM tok WHERE token IN ({_QUERY_SQL})
+    GROUP BY token
+    """,
+)
+def incremental_postings_append_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental index maintenance, certified in-result: the ingest
+    batch's postings are APPENDED to the persistent term-postings index
+    as a bucketed delta leg (batch-scaled write; base untouched), the
+    probe serves base ∪ delta, and `merge_eq_recompute` audits that the
+    served (df, tf) per query term equal a direct recompute over
+    corpus ∪ batch -- append+probe ≡ rebuild+probe, the delta-leg
+    contract of plans/gram_index.py.
+
+    100 TB posture: the append writes only the batch's postings through
+    the base's bucketing fn; the probe pushes its token filter into both
+    bucketed scans (no corpus re-tokenize, no corpus-scaled Exchange --
+    the only shuffles are the probe-scaled rollups); compaction folds
+    deltas back to one file per bucket off the query path."""
+    base = postings_index(spark, sf_dir)
+    delta = postings_batch_delta(spark, sf_dir)
+    served = (
+        base.unionByName(delta)
+        .filter(F.col("token").isin(*QUERY_TERMS))
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("df_total"),
+            F.sum("tf").cast("bigint").alias("tf_total"),
+            F.sum(
+                F.when(F.col("doc_id") >= 4000000, F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("bigint")
+            .alias("df_delta"),
+        )
+    )
+    # corpus ∪ batch from ONE documents scan: each row fans out to its
+    # batch variants (near-dup +4M for %10==3, reversed decoy +5M for
+    # %10==4, per operators/dedup.py::new_batch_docs) inside the scan,
+    # instead of three separate corpus reads.
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs_all = docs.select(
+        F.explode(
+            F.array_compact(
+                F.array(
+                    F.struct(
+                        F.col("doc_id").alias("doc_id"),
+                        F.col("text").alias("text"),
+                    ),
+                    F.when(
+                        F.col("doc_id") % 10 == 3,
+                        F.struct(
+                            (F.col("doc_id") + 4000000).alias("doc_id"),
+                            F.concat(
+                                F.col("text"), F.lit(" zznew")
+                            ).alias("text"),
+                        ),
+                    ),
+                    F.when(
+                        F.col("doc_id") % 10 == 4,
+                        F.struct(
+                            (F.col("doc_id") + 5000000).alias("doc_id"),
+                            F.reverse(F.trim("text")).alias("text"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("d")
+    ).select("d.doc_id", "d.text")
+    recomputed = (
+        docs_all.select(
+            "doc_id", F.explode(F.split(F.trim("text"), " ")).alias("token")
+        )
+        .filter(
+            (F.col("token") != "") & F.col("token").isin(*QUERY_TERMS)
+        )
+        .groupBy("token")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("r_df"),
+            F.count(F.lit(1)).cast("bigint").alias("r_tf"),
+        )
+    )
+    return served.join(F.broadcast(recomputed), "token").select(
+        "token",
+        "df_total",
+        "tf_total",
+        "df_delta",
+        (
+            (F.col("df_total") == F.col("r_df"))
+            & (F.col("tf_total") == F.col("r_tf"))
+        ).alias("merge_eq_recompute"),
+    )
+
+
 def _query_tf_df(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame]:

@@ -191,3 +191,172 @@ def test_incremental_probe_shuffles_only_the_batch(spark):
     # exactly one hash exchange: the batch side being shuffled into the
     # index's bucketing
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+# ---------------------------------------------------------------------------
+# Round 8: incremental maintenance (delta append + compaction)
+# ---------------------------------------------------------------------------
+
+
+def _du(path):
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def _tok_postings(docs):
+    return (
+        docs.select(
+            "doc_id", F.explode(F.split(F.trim("text"), " ")).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .groupBy("token", "doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+
+
+def test_delta_append_equals_rebuild_and_compacts(spark, monkeypatch, tmp_path):
+    """The round-8 incremental-maintenance contract, end to end on a
+    dedicated index kind under an isolated root:
+
+      (a) append+probe ≡ full-rebuild+probe: base ∪ delta rows equal a
+          one-shot build over corpus ∪ batch, byte for byte;
+      (b) the append writes only batch-scaled bytes (the base is never
+          rewritten);
+      (c) delta↔base joins on the bucket keys are co-located (both legs
+          bucketed identically -> ZERO Exchange), and after compaction
+          the folded base is back to one file per bucket with its
+          self-join still Exchange-free.
+    """
+    from etl_rf_matrix_controller_spark.operators.dedup import new_batch_docs
+    from etl_rf_matrix_controller_spark.plans.gram_index import (
+        append_index_delta,
+        compact_index,
+        ensure_bucketed_index,
+        index_delta_frames,
+    )
+    from etl_rf_matrix_controller_spark.sources.tables import load_table
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path))
+    kind, version = "r8apptest", "v1"
+    kw = dict(version=version, sort_cols=["token", "doc_id"])
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+
+    base = ensure_bucketed_index(
+        spark, SF_DIR, kind, lambda s, d: _tok_postings(docs), ["token"], **kw
+    )
+    base_table = [
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name.startswith(f"gram_idx_{kind}_{version}_")
+    ][0]
+    base_loc = os.path.join(str(tmp_path), base_table)
+    base_bytes = _du(base_loc)
+    base_meta_mtime = os.stat(
+        os.path.join(base_loc, "_graft_meta.json")
+    ).st_mtime_ns
+
+    delta = append_index_delta(
+        spark,
+        SF_DIR,
+        kind,
+        lambda s, d: _tok_postings(new_batch_docs(docs)),
+        ["token"],
+        batch_id="t1",
+        **kw,
+    )
+    delta_loc = base_loc + "__dt1"
+    # (b) batch-scaled write: the delta holds only the ~20%-of-corpus
+    # batch's postings (at sf0.001 the 32 per-file parquet footers floor
+    # the BYTES, so the row count is the scale-invariant check) and the
+    # base files were not touched
+    assert 0 < _du(delta_loc) < base_bytes, (_du(delta_loc), base_bytes)
+    assert 0 < delta.count() < base.count() / 3
+    assert (
+        os.stat(os.path.join(base_loc, "_graft_meta.json")).st_mtime_ns
+        == base_meta_mtime
+    ), "append rewrote the base"
+    legs = index_delta_frames(spark, SF_DIR, kind, version=version)
+    assert len(legs) == 1
+
+    # (a) served ≡ rebuilt
+    served = {tuple(r) for r in base.unionByName(delta).collect()}
+    rebuilt = {
+        tuple(r)
+        for r in _tok_postings(
+            docs.unionByName(new_batch_docs(docs))
+        ).collect()
+    }
+    assert served == rebuilt
+
+    # (c) co-located delta<->base join: zero Exchange, two bucketed scans
+    j = base.alias("a").join(
+        delta.alias("b").hint("shuffle_hash"),
+        F.col("a.token") == F.col("b.token"),
+    )
+    plan = plan_of(j)
+    assert "Exchange" not in plan, plan
+    assert plan.count("Bucketed: true") == 2, plan
+
+    # compaction folds the delta in, retires it, and restores one file
+    # per bucket (the sortBy read-order guarantee)
+    compacted = compact_index(spark, SF_DIR, kind, ["token"], **kw)
+    assert {tuple(r) for r in compacted.collect()} == rebuilt
+    assert index_delta_frames(spark, SF_DIR, kind, version=version) == []
+    assert not os.path.exists(delta_loc)
+    n_buckets = json.load(
+        open(os.path.join(base_loc, "_graft_meta.json"))
+    )["n_buckets"]
+    files = [
+        f
+        for f in os.listdir(base_loc)
+        if f.endswith(".parquet") and not f.startswith("_")
+    ]
+    # at most ONE file per bucket (empty buckets write none), task id
+    # aligned with bucket id -- the layout the sortBy read-order
+    # guarantee needs
+    assert 0 < len(files) <= n_buckets, (len(files), n_buckets)
+    import re as _re
+
+    buckets = []
+    for f in files:
+        m = _re.match(r"part-(\d+)-.*_(\d+)\.c000", f)
+        assert m and int(m.group(1)) == int(m.group(2)), f
+        buckets.append(int(m.group(2)))
+    assert len(set(buckets)) == len(files)
+    a, b = compacted.alias("a"), compacted.alias("b")
+    plan2 = plan_of(
+        a.join(
+            b.hint("shuffle_hash"), F.col("a.token") == F.col("b.token")
+        )
+    )
+    assert "Exchange" not in plan2, plan2
+    assert plan2.count("Bucketed: true") == 2, plan2
+
+
+def test_incremental_postings_probe_plan(spark):
+    """The declared incremental_postings_append_check: the served leg
+    reads TWO bucketed scans (base + delta) with the token probe pushed
+    into both, documents is scanned exactly once (the audit recompute),
+    and nothing corpus-scaled shuffles -- the only exchanges are the
+    probe-scaled rollups."""
+    import re
+    from collections import Counter
+
+    from etl_rf_matrix_controller_spark.operators.search import (
+        incremental_postings_append_check,
+    )
+    from tests.test_plans import formatted
+
+    df = incremental_postings_append_check(spark, SF_DIR)
+    plan = plan_of(df)
+    assert plan.count("Bucketed: true") == 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    fmt = formatted(df)
+    scans = Counter(
+        m.group(1) for m in re.finditer(r"Location:.*?/(\w+)\.parquet", fmt)
+    )
+    assert scans.get("documents", 0) == 1, scans
+    assert fmt.count("In(token, [hash,spark,window]") == 2, fmt

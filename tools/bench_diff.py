@@ -9,8 +9,13 @@ current = BENCH_DETAIL.json (what ``python bench.py`` just wrote).  Both
 files are the bench.py sidecar format ({"queries": {name: sec}, ...}).
 
 Host is co-tenant (multi-second timing noise), so only ratios > 1.5x on
-queries slower than 0.2 s are flagged; added/removed queries are listed.
-Exit code 1 only if a flagged regression exists — noise-tolerant by design.
+queries slower than 0.2 s are candidate-flagged — and a candidate is then
+SELF-ADJUDICATED: re-measured min-of-2 in-process (same noop-sink timing
+bench.py uses) before it may print as a FLAG.  Three consecutive rounds
+(winnow r5, kmv r6, acf r7) needed a human to re-run and dismiss a noise
+flag; now a printed FLAG implies a reproduced regression.  Pass
+--no-remeasure to skip adjudication (offline diffing of two files).
+Exit code 1 only if an adjudicated regression exists.
 """
 
 from __future__ import annotations
@@ -18,9 +23,47 @@ from __future__ import annotations
 import json
 import os
 import sys
+import time
 
 FLAG_RATIO = 1.5
 MIN_SEC = 0.2  # below this, timer noise dominates; never flag
+
+
+def _remeasure(names: list[str]) -> dict[str, float]:
+    """Min-of-2 re-measurement of the candidate queries, identical to
+    bench.py's timed region (noop sink, cache cleared between runs)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+    from etl_rf_matrix_controller_spark.plans import registry
+    from etl_rf_matrix_controller_spark.session import get_spark
+
+    registry.load_all()
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="bench-diff-adjudicate")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()  # warm
+    out: dict[str, float] = {}
+    for name in names:
+        if name not in registry.QUERIES:
+            continue
+        best = float("inf")
+        # one UNTIMED warm-up first: the flagged base number was taken
+        # mid-bench in a fully warm JVM; a fresh adjudicator session
+        # pays codegen/classload on its first execution and would
+        # otherwise confirm false positives
+        for i in range(3):
+            try:
+                t0 = time.perf_counter()
+                registry.QUERIES[name](spark, sf_dir).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+                if i > 0:
+                    best = min(best, time.perf_counter() - t0)
+            finally:
+                spark.catalog.clearCache()
+        out[name] = round(best, 3)
+    spark.stop()
+    return out
 
 
 def main() -> int:
@@ -61,10 +104,57 @@ def main() -> int:
     if removed:
         print(f"REMOVED ({len(removed)}): {', '.join(removed)}")
     if flagged:
-        print(f"\nFLAGGED regressions (> {FLAG_RATIO}x and > {MIN_SEC}s): "
-              f"{[f[0] for f in flagged]}")
-        print("re-run bench.py to rule out co-tenant noise before acting")
-        return 1
+        names = [f[0] for f in flagged]
+        print(f"\ncandidate regressions (> {FLAG_RATIO}x and > {MIN_SEC}s): "
+              f"{names}")
+        if "--no-remeasure" in sys.argv:
+            print("adjudication skipped (--no-remeasure); treat as "
+                  "unconfirmed")
+            return 1
+        # Canaries: per candidate, the 3 UNFLAGGED queries with base
+        # time CLOSEST to the candidate's (and a steady current/base
+        # ratio).  An isolated adjudicator session runs short queries
+        # 1.8-2.9x their in-bench base (fixed per-query overhead that
+        # a 400-query warm bench amortizes; measured on 0.24-0.27s
+        # queries), and the bias is magnitude-dependent -- so the
+        # calibration must come from queries of the SAME magnitude,
+        # not merely from an idle-host check.
+        per_canaries: dict[str, list[str]] = {}
+        for name, b, _c, _r in flagged:
+            per_canaries[name] = [
+                r[0]
+                for r in sorted(rows, key=lambda r: abs(r[1] - b))
+                if r[0] not in names and 0.67 < r[3] < FLAG_RATIO
+            ][:3]
+        all_canaries = sorted({c for cs in per_canaries.values() for c in cs})
+        print(f"self-adjudicating: re-measuring min-of-2 in-process "
+              f"(canaries: {all_canaries}) ...")
+        re_t = _remeasure(names + all_canaries)
+        confirmed = []
+        for name, b, _c, _r in flagged:
+            rt = re_t.get(name)
+            if rt is None:
+                continue
+            drifts = sorted(
+                re_t[c] / base[c]
+                for c in per_canaries[name]
+                if c in re_t and base[c] > 0
+            )
+            calib = drifts[len(drifts) // 2] if drifts else 1.0
+            calib = max(calib, 1.0)  # never amplify a candidate's ratio
+            adj = rt / (b * calib)
+            verdict = "CONFIRMED" if adj > FLAG_RATIO and rt > MIN_SEC \
+                else "noise (dismissed)"
+            print(f"  {name}: base {b:.3f}s, re-measured {rt:.3f}s "
+                  f"(raw {rt / b:.2f}x, canary drift {calib:.2f}x, "
+                  f"adjusted {adj:.2f}x) -> {verdict}")
+            if verdict == "CONFIRMED":
+                confirmed.append(name)
+        if confirmed:
+            print(f"\nFLAGGED regressions (reproduced): {confirmed}")
+            return 1
+        print("\nall candidates dismissed as co-tenant noise")
+        return 0
     print("\nno steady-state regressions flagged")
     return 0
 

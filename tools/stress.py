@@ -445,6 +445,170 @@ def main() -> None:
             f"{docs_n/dt/1e3:.1f}k docs/s, {n_pairs} pairs)"
         )
 
+    # COMPOSED curation pipeline slope (round-8 verdict task #3): every
+    # stage is individually linear, but compositions die on
+    # checkpoint/recompute seams -- run the real curate_training_set
+    # (quality -> exact dedup -> near-dup -> decontam -> mixture ->
+    # shards) over an amplified corpus staged as its own sf-dir, and
+    # report the per-stage wall clock the library call now returns.
+    # Amplified copies are rotation-permuted so near-dup candidates stay
+    # collision-level across copies (same rationale as span_dedup).
+    from etl_rf_matrix_controller_spark.operators.curate_run import (
+        curate_training_set,
+    )
+
+    for mult in (MULTS if want("curate_pipeline") else []):
+        stage_dir = f"/tmp/spark_graft_stress_curate_x{mult}"
+        src = f"{stage_dir}/corpus"
+        # dup_corpus needs lang/source: keep the full documents schema,
+        # rotating only the text (doc_id offsets keep ids unique)
+        full = load_table(spark, SF_DIR, "documents")
+        parts = []
+        for i in range(mult):
+            rot = alpha[i % 26:] + alpha[:i % 26]
+            b2 = i // 26
+            if b2:
+                rot = rot[:b2 + 1][::-1] + rot[b2 + 1:]
+            parts.append(
+                full.withColumn("doc_id", F.col("doc_id") + i * 10_000_000)
+                .withColumn("text", F.translate("text", alpha, rot))
+            )
+        amp = parts[0]
+        for p in parts[1:]:
+            amp = amp.unionByName(p)
+        amp.repartition(max(16, 4 * mult)).write.mode("overwrite").parquet(
+            f"{src}/documents.parquet"
+        )
+        t0 = time.perf_counter()
+        res = curate_training_set(spark, src, f"{stage_dir}/out")
+        dt = time.perf_counter() - t0
+        per_stage = " ".join(
+            f"{k}={res['timings'][k]:.1f}s/{v}" for k, v in res["stages"].items()
+        )
+        print(
+            f"curate_pipeline x{mult}: total {dt:.2f}s "
+            f"({n_docs * mult / dt / 1e3:.1f}k docs/s) | {per_stage}"
+        )
+        shutil.rmtree(stage_dir, ignore_errors=True)
+
+    # Engineered-skew decades (round-8 verdict task #4): one hot key
+    # holding ~10% of all rows, driven through the three shapes whose
+    # 100 TB story depends on skew handling.
+    #   skew_latest_state: the declared last-write-wins spelling is a
+    #     per-key window; the skew-safe twin is a max_by aggregation
+    #     (partial agg combines the hot key map-side).  Measure BOTH.
+    #   skew_sessions: user_session_stats' gaps-and-islands core -- the
+    #     hot user's whole history lands in ONE window partition by
+    #     design; the decade shows where that wall is.
+    #   skew_minhash_bands: 10% of docs share IDENTICAL text -> one hot
+    #     band bucket; the first-cap admission (NEARDUP_DF_CAP) must
+    #     bound the candidate join at cap*n instead of n^2/100.
+    from pyspark.sql.window import Window as _W
+
+    def skew_events(mult: int):
+        # user 1 absorbs every event_id % 10 == 0 row (~10% of volume)
+        return amplify(ev, mult).withColumn(
+            "user_id",
+            F.when(F.col("event_id") % 10 == 0, F.lit(1)).otherwise(
+                F.col("user_id")
+            ),
+        )
+
+    for mult in (MULTS if want("skew_latest_state") else []):
+        data = skew_events(mult)
+        rows = ev_rows * mult
+        w = _W.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        t0 = time.perf_counter()
+        data.withColumn("rn", F.row_number().over(w)).filter(
+            F.col("rn") == 1
+        ).write.format("noop").mode("overwrite").save()
+        t_win = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        data.groupBy("user_id").agg(
+            F.max(
+                F.struct("ts", "event_id", "event_type", "value")
+            ).alias("last")
+        ).write.format("noop").mode("overwrite").save()
+        t_agg = time.perf_counter() - t0
+        print(
+            f"skew_latest_state x{mult}: window {t_win:.2f}s "
+            f"({rows/t_win/1e6:.1f}M rows/s), max_by-agg {t_agg:.2f}s "
+            f"({rows/t_agg/1e6:.1f}M rows/s) -- hot key = 10% of rows"
+        )
+
+    for mult in (MULTS if want("skew_sessions") else []):
+        data = skew_events(mult).select(
+            "user_id", "event_id", F.col("ts").cast("long").alias("sec")
+        )
+        rows = ev_rows * mult
+        wo = _W.partitionBy("user_id").orderBy("sec", "event_id")
+        flagged = data.select(
+            "user_id",
+            "sec",
+            "event_id",
+            F.when(
+                (F.col("sec") - F.lag("sec").over(wo) > 1800)
+                | F.lag("sec").over(wo).isNull(),
+                1,
+            )
+            .otherwise(0)
+            .alias("new_sess"),
+        )
+        sess = flagged.select(
+            "user_id",
+            "sec",
+            F.sum("new_sess")
+            .over(wo.rowsBetween(_W.unboundedPreceding, 0))
+            .alias("sess_id"),
+        )
+        t0 = time.perf_counter()
+        sess.groupBy("user_id", "sess_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.max("sec") - F.min("sec")).alias("dur_s"),
+        ).groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n").alias("n_events"),
+        ).write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        print(
+            f"skew_sessions x{mult}: {dt:.2f}s ({rows/dt/1e6:.1f}M rows/s) "
+            f"-- hot user sessionized in one partition"
+        )
+
+    from etl_rf_matrix_controller_spark.streaming.neardup import (
+        NEARDUP_DF_CAP,
+        batch_band_candidates,
+    )
+
+    for mult in (MULTS if want("skew_minhash_bands") else []):
+        # rotation-amplified corpus, then 10% of docs overwritten with
+        # one IDENTICAL hot text -> every copy of that cohort lands in
+        # the same band buckets
+        corpus = amplify_docs(mult).withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 10 == 7,
+                F.lit(
+                    "the quick brown fox jumps over the lazy dog and "
+                    "keeps jumping over it all day long every single day"
+                ),
+            ).otherwise(F.col("text")),
+        )
+        docs_n = n_docs * mult
+        hot_n = docs_n // 10
+        t0 = time.perf_counter()
+        n_cand = batch_band_candidates(corpus, NEARDUP_DF_CAP).count()
+        dt = time.perf_counter() - t0
+        print(
+            f"skew_minhash_bands x{mult}: {dt:.2f}s "
+            f"({docs_n/1e3:.0f}k docs, {docs_n/dt/1e3:.1f}k docs/s, "
+            f"{n_cand} candidates; uncapped hot band would be "
+            f"~{hot_n * (hot_n - 1) // 2 / 1e6:.1f}M pairs, cap bounds it "
+            f"at ~{NEARDUP_DF_CAP} x {hot_n / 1e3:.0f}k)"
+        )
+
     spark.stop()
 
 
