@@ -528,22 +528,33 @@ def gopher_flags_df(docs: DataFrame) -> DataFrame:
     )
 
 
+# Pack bins per shard directory: a 4096-token pack is far too small to
+# be a filesystem unit (the round-8 x100 slope probe measured the
+# one-dir-per-bin write at 80x cost for 10x data -- ~13k dynamic
+# partition dirs x writing tasks of small files, metadata-bound).  256
+# bins (~1M tokens) per shard keeps directory count loader-schedulable
+# at any corpus size; the pack_bin stays a COLUMN inside the shard.
+PACKS_PER_SHARD = 256
+
+
 def export_training_shards(
     spark: SparkSession, sf_dir: str, out_dir: str
 ) -> dict:
     """Materialize the packed training set as partitioned parquet shards
     plus a JSON manifest -- the artifact a trainer's data loader consumes.
 
-    Shards are the pack bins of token_budget_packing written
-    ``partitionBy(lang, pack_bin)``: each shard holds one language's
-    4096-token pack, so a loader schedules shards without opening them
-    (partition pruning == shard selection).  The manifest carries per-
-    shard row/token counts and an order-insensitive content fingerprint
-    (sum of per-row md5 prefixes -- associative, so partition order
-    cannot change it), letting the loader verify integrity without a
-    second full read.  At 100 TB this export is the final write pass of
-    the curation pipeline; everything upstream (dedup, filtering,
-    packing) feeds it.
+    Shards group {PACKS_PER_SHARD} pack bins of token_budget_packing,
+    written ``partitionBy(lang, shard_id)`` with the rows repartitioned
+    on the partition keys first so each shard directory is written by
+    ONE task (one file per shard, no small-file explosion); a loader
+    schedules shards without opening them (partition pruning == shard
+    selection) and reads the per-pack structure off the pack_bin column.
+    The manifest carries per-shard row/token counts and an
+    order-insensitive content fingerprint (sum of per-row md5 prefixes
+    -- associative, so partition order cannot change it), letting the
+    loader verify integrity without a second full read.  At 100 TB this
+    export is the final write pass of the curation pipeline; everything
+    upstream (dedup, filtering, packing) feeds it.
     """
     import json
     import os
@@ -551,15 +562,22 @@ def export_training_shards(
     packs = token_budget_packing(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     rows = packs.join(docs, "doc_id").select(
-        "doc_id", "lang", "pack_bin", "n_tokens", "text"
+        "doc_id",
+        "lang",
+        "pack_bin",
+        (F.col("pack_bin") - F.col("pack_bin") % PACKS_PER_SHARD)
+        .cast("bigint")
+        .alias("shard_id"),
+        "n_tokens",
+        "text",
     )
-    rows.write.mode("overwrite").partitionBy("lang", "pack_bin").parquet(
-        out_dir
-    )
+    rows.repartition("lang", "shard_id").write.mode("overwrite").partitionBy(
+        "lang", "shard_id"
+    ).parquet(out_dir)
     back = spark.read.parquet(out_dir)
     fp = F.conv(F.substring(F.md5(F.col("text")), 1, 8), 16, 10).cast("bigint")
     stats = (
-        back.groupBy("lang", "pack_bin")
+        back.groupBy("lang", "shard_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
             F.sum("n_tokens").cast("bigint").alias("n_tokens"),
@@ -572,14 +590,14 @@ def export_training_shards(
             (
                 {
                     "lang": r.lang,
-                    "pack_bin": int(r.pack_bin),
+                    "shard_id": int(r.shard_id),
                     "n_docs": int(r.n_docs),
                     "n_tokens": int(r.n_tokens),
                     "content_fp": int(r.content_fp),
                 }
                 for r in stats
             ),
-            key=lambda s: (s["lang"], s["pack_bin"]),
+            key=lambda s: (s["lang"], s["shard_id"]),
         ),
         "total_docs": int(sum(r.n_docs for r in stats)),
         "total_tokens": int(sum(r.n_tokens for r in stats)),

@@ -421,15 +421,180 @@ def ivf_topk_df(
     return _topk(scored, top_k)
 
 
-@declared("approx_percentile_prices")  # rows-only: sketch internals differ
+# The HDR log-linear grid's guaranteed relative error (bucket width /
+# bucket floor <= 1/HDR_SUBS = 6.25%) in ppm: the audited envelope.
+HDR_BOUND_PPM = 62500
+_PCTL_QS = [500000, 900000]  # p50 / p90, ppm
+
+
+@declared(
+    "approx_percentile_prices",
+    oracle=f"""
+    WITH vals AS (
+      SELECT l_returnflag AS rf,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+             l_orderkey, l_linenumber
+      FROM lineitem
+    ),
+    bk AS (
+      SELECT rf, v, l_orderkey, l_linenumber,
+             (length(bin(v)) - 1) * {{HDR_SUBS}}
+             + ((v - (CAST(1 AS BIGINT) << (length(bin(v)) - 1)))
+                * {{HDR_SUBS}}) // (CAST(1 AS BIGINT) << (length(bin(v)) - 1))
+               AS bucket
+      FROM vals
+    ),
+    hist AS (
+      SELECT rf, bucket, CAST(count(*) AS BIGINT) AS cnt
+      FROM bk GROUP BY rf, bucket
+    ),
+    cum AS (
+      SELECT rf, bucket, cnt,
+             CAST(sum(cnt) OVER (PARTITION BY rf ORDER BY bucket
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM hist
+    ),
+    n AS (SELECT rf, CAST(count(*) AS BIGINT) AS n FROM vals GROUP BY rf),
+    qs AS (SELECT unnest([{{QS}}]) AS q_ppm),
+    tgt AS (
+      SELECT n.rf, q_ppm, (q_ppm * n.n + 999999) // 1000000 AS target, n.n
+      FROM qs CROSS JOIN n
+    ),
+    pick AS (
+      SELECT rf, q_ppm, target, n, bucket, cum - cnt AS below FROM (
+        SELECT t.rf, t.q_ppm, t.target, t.n, c.bucket, c.cnt, c.cum,
+               row_number() OVER (PARTITION BY t.rf, t.q_ppm
+                                  ORDER BY c.bucket) AS rk
+        FROM tgt t JOIN cum c ON c.rf = t.rf AND c.cum >= t.target
+      ) WHERE rk = 1
+    ),
+    est AS (
+      SELECT rf, q_ppm, target, n, bucket, below,
+             (CAST(1 AS BIGINT) << (bucket // {{HDR_SUBS}}))
+             + ((bucket % {{HDR_SUBS}})
+                * (CAST(1 AS BIGINT) << (bucket // {{HDR_SUBS}})))
+               // {{HDR_SUBS}} AS est_lo_c
+      FROM pick
+    ),
+    refined AS (
+      SELECT e.rf, e.q_ppm, r.v AS exact_c
+      FROM est e
+      JOIN (
+        SELECT p.rf, p.q_ppm, b.v,
+               row_number() OVER (PARTITION BY p.rf, p.q_ppm
+                                  ORDER BY b.v, b.l_orderkey, b.l_linenumber)
+                 AS rn
+        FROM bk b
+        JOIN pick p ON p.rf = b.rf AND b.bucket = p.bucket
+      ) r ON r.rf = e.rf AND r.q_ppm = e.q_ppm
+         AND r.rn = e.target - e.below
+    )
+    SELECT e.rf AS l_returnflag, e.q_ppm, e.n AS n_rows,
+           e.est_lo_c, f.exact_c,
+           CAST((1000000 * abs(e.est_lo_c - f.exact_c)) // f.exact_c
+             AS BIGINT) AS rel_err_ppm,
+           (1000000 * abs(e.est_lo_c - f.exact_c)) // f.exact_c
+             <= {HDR_BOUND_PPM} AS within_hdr_bound
+    FROM est e JOIN refined f ON f.rf = e.rf AND f.q_ppm = e.q_ppm
+    """.format(
+        HDR_SUBS=16,
+        QS=", ".join(str(q) for q in _PCTL_QS),
+    ),
+)
 def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch percentiles (KLL/GK-style): single mergeable pass -- the
-    100 TB answer when exact rank selection (percentile_disc_prices) is
-    too expensive.  Not oracle-matchable (sketch internals differ across
-    engines), hence rows-only."""
+    """Sketch percentiles per return flag, AUDITED (round-8 promotion
+    from the rows-only check): the deterministic HDR log-linear bucket
+    sketch (hdr_quantile_sketch's grid, grouped by l_returnflag) read
+    out at p50/p90, with the EXACT rank value recovered by the in-bucket
+    refine and the relative error emitted in ppm against the <= 1/16
+    grid guarantee -- every column DuckDB-oracled.  The engine-internal
+    ``percentile_approx`` spelling shares the plan shape (mergeable
+    per-group sketch) but its KLL bytes are engine-private, which is
+    what kept this row rows-only through round 7.
+
+    Scale: histogram is one map-side-combinable groupBy over ~1.5k fixed
+    buckets per group; refine touches only the picked buckets' rows."""
+    from pyspark.sql.window import Window
+
+    from etl_rf_matrix_controller_spark.operators.aggregates import (
+        HDR_SUBS,
+        hdr_bucket_expr,
+    )
+
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", [0.5, 0.9], 10000).alias("approx_p")
+    vals = li.select(
+        F.col("l_returnflag").alias("rf"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("v"),
+        "l_orderkey",
+        "l_linenumber",
+    ).localCheckpoint(eager=True)  # histogram + refine share one scan
+    bk = vals.select(
+        "rf", "v", "l_orderkey", "l_linenumber",
+        F.expr(hdr_bucket_expr("v")).alias("bucket"),
+    )
+    hist = bk.groupBy("rf", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    wc = (
+        Window.partitionBy("rf")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.withColumn("cum", F.sum("cnt").over(wc).cast("bigint"))
+    n = vals.groupBy("rf").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    qs = spark.range(1).select(
+        F.explode(F.array(*[F.lit(q) for q in _PCTL_QS])).alias("q_ppm")
+    )
+    tgt = qs.crossJoin(F.broadcast(n)).select(
+        "rf", "q_ppm",
+        F.expr("(q_ppm * n + 999999) DIV 1000000").alias("target"), "n",
+    )
+    wp = Window.partitionBy("rf", "q_ppm").orderBy("bucket")
+    pick = (
+        F.broadcast(tgt)
+        .join(cum, ["rf"])
+        .filter(F.col("cum") >= F.col("target"))
+        .withColumn("rk", F.row_number().over(wp))
+        .filter(F.col("rk") == 1)
+        .select(
+            "rf", "q_ppm", "target", "n", "bucket",
+            (F.col("cum") - F.col("cnt")).alias("below"),
+        )
+        .localCheckpoint(eager=True)  # feeds est AND the refine join
+    )
+    est = pick.select(
+        "rf", "q_ppm", "target", "n", "bucket", "below",
+        F.expr(
+            f"(CAST(1 AS BIGINT) << (bucket DIV {HDR_SUBS}))"
+            f" + ((bucket % {HDR_SUBS})"
+            f" * (CAST(1 AS BIGINT) << (bucket DIV {HDR_SUBS})))"
+            f" DIV {HDR_SUBS}"
+        ).alias("est_lo_c"),
+    )
+    wr = Window.partitionBy("rf", "q_ppm").orderBy(
+        "v", "l_orderkey", "l_linenumber"
+    )
+    refined = (
+        bk.join(
+            F.broadcast(pick.select("rf", "q_ppm", "bucket", "target", "below")),
+            ["rf", "bucket"],
+        )
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == F.col("target") - F.col("below"))
+        .select("rf", "q_ppm", F.col("v").alias("exact_c"))
+    )
+    err = F.expr("(1000000 * abs(est_lo_c - exact_c)) DIV exact_c")
+    return (
+        est.join(F.broadcast(refined), ["rf", "q_ppm"])
+        .select(
+            F.col("rf").alias("l_returnflag"),
+            "q_ppm",
+            F.col("n").alias("n_rows"),
+            "est_lo_c",
+            "exact_c",
+            err.cast("bigint").alias("rel_err_ppm"),
+            (err <= HDR_BOUND_PPM).alias("within_hdr_bound"),
+        )
     )
 
 

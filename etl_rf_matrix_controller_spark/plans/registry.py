@@ -79,6 +79,7 @@ def load_all() -> None:
     )
     from etl_rf_matrix_controller_spark.streaming import (  # noqa: F401
         anomaly as _san,
+        curation as _scu,
         drift as _sdr,
         neardup as _snd,
         sampling as _ssa,

@@ -107,7 +107,7 @@ def test_curate_training_set_end_to_end(spark, tmp_path):
     assert man["shards"], man
     s0 = man["shards"][0]
     shard_dir = os.path.join(
-        out, "shards", f"lang={s0['lang']}", f"pack_bin={s0['pack_bin']}"
+        out, "shards", f"lang={s0['lang']}", f"shard_id={s0['shard_id']}"
     )
     pdf = spark.read.parquet(shard_dir).select("text", "n_tokens").toPandas()
     fp = sum(

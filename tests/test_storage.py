@@ -164,19 +164,23 @@ def test_training_shard_export_manifest_is_verifiable(spark, tmp_path):
         "bigint"
     )
     again = {
-        (r.lang, int(r.pack_bin)): (int(r.n), int(r.fp))
-        for r in back.groupBy("lang", "pack_bin")
+        (r.lang, int(r.shard_id)): (int(r.n), int(r.fp))
+        for r in back.groupBy("lang", "shard_id")
         .agg(F.count(F.lit(1)).alias("n"), F.sum(fp).alias("fp"))
         .collect()
     }
     for s in manifest["shards"]:
-        assert os.path.isdir(
-            os.path.join(out, f"lang={s['lang']}", f"pack_bin={s['pack_bin']}")
+        shard_dir = os.path.join(
+            out, f"lang={s['lang']}", f"shard_id={s['shard_id']}"
         )
-        assert again[(s["lang"], s["pack_bin"])] == (
+        assert os.path.isdir(shard_dir)
+        assert again[(s["lang"], s["shard_id"])] == (
             s["n_docs"],
             s["content_fp"],
         )
+        # one task per shard dir -> exactly one parquet file per shard
+        pq = [f for f in os.listdir(shard_dir) if f.endswith(".parquet")]
+        assert len(pq) == 1, pq
 
 
 def test_orc_roundtrip_and_pushdown(spark, tmp_path):

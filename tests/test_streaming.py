@@ -1086,3 +1086,115 @@ def test_near_dup_admission_stream_eq_batch_multibatch(spark, tmp_path):
     ]
     assert state_rows, progress
     assert max(state_rows) <= n_keys, (max(state_rows), n_keys)
+
+
+def test_curation_admission_stream_eq_batch_multibatch(spark, tmp_path):
+    """The COMPOSED streaming curation pipeline (quality gate -> exact
+    index -> banded near-dup index, one stateful operator) == its batch
+    twin across THREE real micro-batches, with every reject class
+    planted in every placement: a low-quality doc per batch, an exact
+    dup across batches, near-dups within AND across batches, and
+    precedence (an exact dup is NOT double-counted as near).  Also pins
+    the state bound: quality rows must not grow the index."""
+    import os
+
+    from etl_rf_matrix_controller_spark.streaming.curation import (
+        batch_admission_counts,
+        batch_admission_records,
+        resolve_admission_counts,
+        stream_admission_records,
+    )
+
+    cap = 3
+    t1 = (
+        "the quick brown fox jumps over a lazy dog and then runs to the "
+        "old mill where it rests for a while today"
+    )
+    t2 = (
+        "spark plans the shuffle and a broadcast join to keep all of the "
+        "partitions warm while codegen runs for every stage in this "
+        "query today"
+    )
+    lq = "tiny doc"  # < 20 words -> quality-rejected
+    batches = [
+        # batch 1: near pair (1, 2) within-batch + a low-quality doc
+        [(1, t1), (2, t1 + " zz"), (10, lq + " one")],
+        # batch 2: exact dup of doc 1 ACROSS batches + new content + LQ
+        [(3, t1), (4, t2), (11, lq + " two")],
+        # batch 3: cross-batch near-dup of 1, exact dup of 4, LQ
+        [(5, t1 + " yy"), (6, t2), (12, lq + " three")],
+    ]
+    src = str(tmp_path / "docs_stream")
+    os.makedirs(src)
+    now = 1700000000
+    for i, rows in enumerate(batches):
+        staging = str(tmp_path / f"b{i}")
+        spark.createDataFrame(
+            rows, "doc_id bigint, text string"
+        ).coalesce(1).write.parquet(staging)
+        part = next(f for f in os.listdir(staging) if f.endswith(".parquet"))
+        dst = os.path.join(src, f"batch_{i}.parquet")
+        os.rename(os.path.join(staging, part), dst)
+        os.utime(dst, (now + i * 100, now + i * 100))
+
+    docs_batch = spark.read.parquet(src)
+    stream = (
+        spark.readStream.schema(docs_batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    progress: list = []
+    srec = stream_admission_records(
+        stream, spark, cap, "curation_admission_mb", progress_holder=progress
+    )
+    got = {tuple(r) for r in srec.collect()}
+    want = {
+        tuple(r) for r in batch_admission_records(docs_batch, cap).collect()
+    }
+    assert got == want and got, (got, want)
+    # planted placements
+    assert ("q", None, 10) in got and ("q", None, 11) in got
+    assert ("q", None, 12) in got
+    assert ("x", 1, 3) in got, got  # cross-batch exact dup
+    assert ("x", 4, 6) in got, got  # within/cross exact dup of t2
+    m_pairs = {(a, b) for (k, a, b) in got if k == "m"}
+    assert (1, 2) in m_pairs  # within-batch near candidate
+    assert (1, 5) in m_pairs  # cross-batch near candidate
+    # resolved per-stage accounting: stream == batch twin, precedence
+    # exact > near (docs 3 and 6 count as exact only)
+    scounts = resolve_admission_counts(srec, docs_batch).collect()[0]
+    bcounts = batch_admission_counts(docs_batch, cap).collect()[0]
+    assert tuple(scounts) == tuple(bcounts), (scounts, bcounts)
+    assert scounts.n_ingested == 9
+    assert scounts.n_quality_rejected == 3
+    assert scounts.n_exact_rejected == 2  # docs 3, 6
+    assert scounts.n_near_rejected == 2  # docs 2, 5 (not 3/6: precedence)
+    assert scounts.n_admitted == 2  # docs 1, 4
+    # state bound: index rows <= minhash bucket keys + content hashes of
+    # QUALITY-PASSING docs -- the three q rows must not grow the index
+    from etl_rf_matrix_controller_spark.streaming.curation import (
+        quality_keep_col,
+    )
+    from etl_rf_matrix_controller_spark.streaming.neardup import (
+        per_row_band_rows,
+    )
+
+    passing = docs_batch.filter(quality_keep_col())
+    n_mkeys = (
+        per_row_band_rows(passing).select("band", "bkey").distinct().count()
+    )
+    n_xkeys = (
+        passing.select(F.md5(F.trim("text"))).distinct().count()
+    )
+    state_rows = [
+        op["numRowsTotal"]
+        for pr in progress
+        for op in pr.get("stateOperators", [])
+        if "numRowsTotal" in op
+    ]
+    assert state_rows, progress
+    assert max(state_rows) <= n_mkeys + n_xkeys, (
+        max(state_rows),
+        n_mkeys,
+        n_xkeys,
+    )
