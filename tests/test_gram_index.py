@@ -360,3 +360,44 @@ def test_incremental_postings_probe_plan(spark):
     )
     assert scans.get("documents", 0) == 1, scans
     assert fmt.count("In(token, [hash,spark,window]") == 2, fmt
+
+
+def test_band_delta_probe_shuffles_only_the_batch(spark):
+    """incremental_band_append_check's two-leg probe: base AND delta are
+    bucketed scans (no corpus- or batch-1-scaled exchange); the only
+    hash exchanges feed the probe side -- night 2's own bands shuffled
+    into the shared bucketing, once per leg."""
+    from etl_rf_matrix_controller_spark.operators.dedup import (
+        band_index_delta,
+        batch2_docs,
+        incremental_band_index,
+        per_row_band_rows,
+    )
+    from etl_rf_matrix_controller_spark.sources.tables import load_table
+
+    base = incremental_band_index(spark, SF_DIR)
+    delta = band_index_delta(spark, SF_DIR)
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    nb = per_row_band_rows(batch2_docs(docs)).localCheckpoint(eager=True)
+
+    def probe(leg):
+        return (
+            nb.alias("n")
+            .hint("shuffle_hash")
+            .join(
+                leg.alias("i"),
+                (F.col("n.band") == F.col("i.band"))
+                & (F.col("n.bkey") == F.col("i.bkey")),
+            )
+            .select(
+                F.col("n.doc_id").alias("new_doc_id"),
+                F.col("i.doc_id").alias("matched_doc_id"),
+            )
+        )
+
+    plan = plan_of(probe(base).unionByName(probe(delta)))
+    assert plan.count("Bucketed: true") == 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    # one probe-side exchange per leg, nothing index-scaled
+    assert plan.count("Exchange hashpartitioning") == 2, plan

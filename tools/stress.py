@@ -573,11 +573,23 @@ def main() -> None:
             sort_cols=["token", "doc_id"],
         )
         t_rebuild = time.perf_counter() - t0
+        from etl_rf_matrix_controller_spark.plans.gram_index import (
+            compact_index,
+        )
+
+        t0 = time.perf_counter()
+        compact_index(
+            spark, SF_DIR, "stressappbase", ["token"],
+            version=f"m{mult}", n_buckets=n_buckets,
+            sort_cols=["token", "doc_id"],
+        )
+        t_compact = time.perf_counter() - t0
         print(
             f"index_append x{mult}: base build {t_base:.2f}s, "
             f"~1% batch delta append {t_delta:.2f}s, full rebuild "
-            f"{t_rebuild:.2f}s -> append is {t_rebuild/t_delta:.1f}x "
-            f"cheaper than rebuild"
+            f"{t_rebuild:.2f}s, compaction {t_compact:.2f}s -> append is "
+            f"{t_rebuild/t_delta:.1f}x cheaper than rebuild; compaction "
+            f"~= one rebuild, amortized over many appends"
         )
         for t in [
             t.name
