@@ -202,6 +202,56 @@ def ensure_bucketed_index(
 # file per bucket) in ONE amortized shuffle, then atomically swaps.
 
 
+def prune_stale_indexes(
+    live_tags: set[str],
+    *,
+    root: str | None = None,
+    stale_build_age_s: int = 3600,
+    dry_run: bool = False,
+) -> list[str]:
+    """Retention sweep for the index root: delete every index location
+    whose corpus-fingerprint tag is not in ``live_tags`` (regenerated
+    testdata, retired stress corpora), plus crashed publishers' staging
+    (``.build-``) and retired (``.old-``) dirs older than
+    ``stale_build_age_s``.  Returns the removed paths.
+
+    The write-once design accumulates one location per (kind, corpus
+    tag, builder version) forever; this is the bounded-retention
+    counterpart a real deployment schedules (tools/prune_indexes.py is
+    the CLI).  Never call it concurrently with queries over corpora
+    whose tags are NOT in ``live_tags``.
+    """
+    import re
+    import shutil
+    import time
+
+    root = root or index_root()
+    removed: list[str] = []
+    if not os.path.isdir(root):
+        return removed
+    now = time.time()
+    for name in os.listdir(root):
+        path = os.path.join(root, name)
+        if not os.path.isdir(path):
+            continue
+        if ".build-" in name or ".old-" in name:
+            try:
+                age = now - os.stat(path).st_mtime
+            except OSError:
+                continue
+            if age > stale_build_age_s:
+                removed.append(path)
+                if not dry_run:
+                    shutil.rmtree(path, ignore_errors=True)
+            continue
+        m = re.search(r"_([0-9a-f]{10})_b\d+", name)
+        if m and m.group(1) not in live_tags:
+            removed.append(path)
+            if not dry_run:
+                shutil.rmtree(path, ignore_errors=True)
+    return removed
+
+
 def _base_table_name(
     sf_dir: str, kind: str, version: str, n_buckets: int, source_table: str
 ) -> str:

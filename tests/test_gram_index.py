@@ -401,3 +401,43 @@ def test_band_delta_probe_shuffles_only_the_batch(spark):
     assert "BroadcastHashJoin" not in plan, plan
     # one probe-side exchange per leg, nothing index-scaled
     assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_prune_stale_indexes(tmp_path):
+    """Retention sweep: stale-tagged locations and old .build-/.old-
+    residue are removed; live-tagged locations (including their deltas)
+    and FRESH staging dirs survive."""
+    import time
+
+    from etl_rf_matrix_controller_spark.plans.gram_index import (
+        prune_stale_indexes,
+    )
+
+    root = str(tmp_path)
+    live = "a" * 10
+    stale = "b" * 10
+    keep = [
+        f"gram_idx_post_1_{live}_b32",
+        f"gram_idx_post_1_{live}_b32__ding1",
+        f"gram_idx_span_v1_{live}_b32.build-999",  # fresh staging
+    ]
+    drop = [
+        f"gram_idx_post_1_{stale}_b32",
+        f"gram_idx_post_1_{stale}_b32__ding1",
+        f"gram_idx_span_m10_{stale}_b128",
+    ]
+    old = [f"gram_idx_span_v1_{live}_b32.build-1", f"gram_idx_post_1_{live}_b32.old-7"]
+    for d in keep + drop + old:
+        os.makedirs(os.path.join(root, d))
+    past = time.time() - 7200
+    for d in old:
+        os.utime(os.path.join(root, d), (past, past))
+
+    dry = prune_stale_indexes({live}, root=root, dry_run=True)
+    assert sorted(os.path.basename(p) for p in dry) == sorted(drop + old)
+    assert all(os.path.isdir(os.path.join(root, d)) for d in keep + drop)
+
+    removed = prune_stale_indexes({live}, root=root)
+    assert sorted(os.path.basename(p) for p in removed) == sorted(drop + old)
+    assert all(os.path.isdir(os.path.join(root, d)) for d in keep)
+    assert not any(os.path.exists(os.path.join(root, d)) for d in drop + old)

@@ -42,26 +42,31 @@ def _remeasure(names: list[str]) -> dict[str, float]:
     spark = get_spark(app_name="bench-diff-adjudicate")
     spark.sparkContext.setLogLevel("ERROR")
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()  # warm
+    valid = [n for n in names if n in registry.QUERIES]
+    # FULL untimed warm-up pass over every query first: base numbers
+    # were taken mid-bench in a JIT-mature JVM, and the maturity builds
+    # over dozens of executions, not one -- measuring the first names
+    # cold while later names (the canaries) enjoy the warmth produced
+    # 27 executions of false CONFIRMs before this pass existed.
+    for name in valid:
+        try:
+            registry.QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        finally:
+            spark.catalog.clearCache()
     out: dict[str, float] = {}
-    for name in names:
-        if name not in registry.QUERIES:
-            continue
-        best = float("inf")
-        # one UNTIMED warm-up first: the flagged base number was taken
-        # mid-bench in a fully warm JVM; a fresh adjudicator session
-        # pays codegen/classload on its first execution and would
-        # otherwise confirm false positives
-        for i in range(3):
+    for _ in range(2):
+        for name in valid:
             try:
                 t0 = time.perf_counter()
                 registry.QUERIES[name](spark, sf_dir).write.format(
                     "noop"
                 ).mode("overwrite").save()
-                if i > 0:
-                    best = min(best, time.perf_counter() - t0)
+                dt = time.perf_counter() - t0
+                out[name] = round(min(out.get(name, dt), dt), 3)
             finally:
                 spark.catalog.clearCache()
-        out[name] = round(best, 3)
     spark.stop()
     return out
 
@@ -127,31 +132,50 @@ def main() -> int:
                 if r[0] not in names and 0.67 < r[3] < FLAG_RATIO
             ][:3]
         all_canaries = sorted({c for cs in per_canaries.values() for c in cs})
-        print(f"self-adjudicating: re-measuring min-of-2 in-process "
-              f"(canaries: {all_canaries}) ...")
-        re_t = _remeasure(names + all_canaries)
-        confirmed = []
-        for name, b, _c, _r in flagged:
-            rt = re_t.get(name)
-            if rt is None:
-                continue
-            drifts = sorted(
-                re_t[c] / base[c]
-                for c in per_canaries[name]
-                if c in re_t and base[c] > 0
+        def adjudicate(cands: list[str], round_no: int) -> list[str]:
+            re_t = _remeasure(
+                cands
+                + sorted({c for n in cands for c in per_canaries[n]})
             )
-            calib = drifts[len(drifts) // 2] if drifts else 1.0
-            calib = max(calib, 1.0)  # never amplify a candidate's ratio
-            adj = rt / (b * calib)
-            verdict = "CONFIRMED" if adj > FLAG_RATIO and rt > MIN_SEC \
-                else "noise (dismissed)"
-            print(f"  {name}: base {b:.3f}s, re-measured {rt:.3f}s "
-                  f"(raw {rt / b:.2f}x, canary drift {calib:.2f}x, "
-                  f"adjusted {adj:.2f}x) -> {verdict}")
-            if verdict == "CONFIRMED":
-                confirmed.append(name)
+            survivors = []
+            for name, b, _c, _r in flagged:
+                if name not in cands:
+                    continue
+                rt = re_t.get(name)
+                if rt is None:
+                    continue
+                drifts = sorted(
+                    re_t[c] / base[c]
+                    for c in per_canaries[name]
+                    if c in re_t and base[c] > 0
+                )
+                calib = drifts[len(drifts) // 2] if drifts else 1.0
+                calib = max(calib, 1.0)  # never amplify a ratio
+                adj = rt / (b * calib)
+                verdict = "survives" if adj > FLAG_RATIO and rt > MIN_SEC \
+                    else "noise (dismissed)"
+                print(f"  [pass {round_no}] {name}: base {b:.3f}s, "
+                      f"re-measured {rt:.3f}s (raw {rt / b:.2f}x, canary "
+                      f"drift {calib:.2f}x, adjusted {adj:.2f}x) "
+                      f"-> {verdict}")
+                if verdict == "survives":
+                    survivors.append(name)
+            return survivors
+
+        # a flag must survive TWO independent adjudication sessions:
+        # consecutive single-session runs on this co-tenant host
+        # produced DISJOINT "confirmed" sets (round-8 measurement), so
+        # one session's verdict is still weather, not signal
+        print(f"self-adjudicating: pass 1 over {len(names)} candidates "
+              f"(canaries: {all_canaries}) ...")
+        first = adjudicate(names, 1)
+        confirmed = []
+        if first:
+            print(f"pass 1 survivors: {first}; re-adjudicating in a "
+                  f"fresh session ...")
+            confirmed = adjudicate(first, 2)
         if confirmed:
-            print(f"\nFLAGGED regressions (reproduced): {confirmed}")
+            print(f"\nFLAGGED regressions (reproduced twice): {confirmed}")
             return 1
         print("\nall candidates dismissed as co-tenant noise")
         return 0
