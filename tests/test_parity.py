@@ -23,11 +23,15 @@ def test_oracle_parity(spark, duck, name):
     assert_oracle_match(df, duck, registry.ORACLES[name], name=name)
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY)
-def test_rows_only_runs(spark, name):
-    df = registry.QUERIES[name](spark, SF_DIR)
-    assert df.count() >= 0
-    assert len(df.schema.fields) > 0
+def test_rows_only_runs(spark):
+    # Round 8 promoted the last two rows-only queries to full oracles:
+    # an empty set here is the achievement, not a skip.  If a future
+    # genuinely-non-SQL-expressible op lands without an oracle, this
+    # keeps exercising it.
+    for name in ROWS_ONLY:
+        df = registry.QUERIES[name](spark, SF_DIR)
+        assert df.count() >= 0
+        assert len(df.schema.fields) > 0
 
 
 def test_entry_smoke(spark):
