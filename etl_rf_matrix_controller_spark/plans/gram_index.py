@@ -296,8 +296,11 @@ def append_index_delta(
 
 
 def _delta_locs(base_loc: str) -> list[str]:
-    """Published delta locations of a base, oldest-first by batch id.
-    Staging dirs (``.build-<pid>`` suffix) are never listed."""
+    """Published delta locations of a base, ordered lexicographically by
+    batch id (deterministic; consumers union all legs, so leg order
+    never affects results -- zero-pad numeric batch ids if a stable
+    temporal order ever matters).  Staging (``.build-<pid>``) and
+    retired (``.old-<pid>``) dirs are never listed."""
     import glob as _glob
 
     return sorted(
@@ -318,8 +321,8 @@ def index_delta_frames(
     n_buckets: int | None = None,
     source_table: str = "documents",
 ) -> list[DataFrame]:
-    """All published delta legs of the ``kind`` index, oldest-first,
-    each a bucketed scan.  Serve consumers ``base ∪ deltas``; for joins
+    """All published delta legs of the ``kind`` index (deterministic
+    lexicographic batch-id order), each a bucketed scan.  Serve consumers ``base ∪ deltas``; for joins
     that must stay Exchange-free, join each leg separately (every leg
     shares the base's bucketing, so leg<->leg joins on the bucket keys
     are co-located) and union the RESULTS -- a union of scans erases

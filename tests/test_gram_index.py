@@ -280,6 +280,13 @@ def test_delta_append_equals_rebuild_and_compacts(spark, monkeypatch, tmp_path):
     ), "append rewrote the base"
     legs = index_delta_frames(spark, SF_DIR, kind, version=version)
     assert len(legs) == 1
+    # cross-session reuse: drop the delta's catalog entry (files stay)
+    # and re-discover -- a fresh session re-registers from disk
+    delta_table = os.path.basename(delta_loc)
+    n_delta = legs[0].count()
+    spark.sql(f"DROP TABLE {delta_table}")
+    legs2 = index_delta_frames(spark, SF_DIR, kind, version=version)
+    assert len(legs2) == 1 and legs2[0].count() == n_delta
 
     # (a) served ≡ rebuilt
     served = {tuple(r) for r in base.unionByName(delta).collect()}
