@@ -637,6 +637,135 @@ def user_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "user_session_stats_chunked",
+    oracle=f"""
+    WITH ev AS (
+      SELECT user_id, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_id, sec,
+             CASE WHEN sec - lag(sec) OVER (
+               PARTITION BY user_id ORDER BY sec, event_id) > 1800
+               OR lag(sec) OVER (
+               PARTITION BY user_id ORDER BY sec, event_id) IS NULL
+             THEN 1 ELSE 0 END AS new_sess
+      FROM ev
+    ),
+    sess AS (
+      SELECT user_id, sec,
+             sum(new_sess) OVER (
+               PARTITION BY user_id ORDER BY sec, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      FROM flagged
+    ),
+    per_sess AS (
+      SELECT user_id, sess_id, CAST(count(*) AS BIGINT) AS n_events,
+             CAST(max(sec) - min(sec) AS BIGINT) AS dur_s
+      FROM sess GROUP BY user_id, sess_id
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(n_events) AS BIGINT) AS n_events,
+           {ratio4_sql("sum(dur_s)", "count(*)")} AS avg_dur_s4
+    FROM per_sess GROUP BY user_id
+    """,
+)
+def user_session_stats_chunked(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Skew-proof sessionization: identical results to
+    `user_session_stats` (the oracle IS the flat spelling) computed in
+    TWO levels so no window partition ever holds one user's whole
+    history -- the answer to the wall the round-8 skew decade
+    documented (skew_sessions: a user with 10% of all events
+    sessionizes in ONE partition; fine at 1M rows, fatal at 10B).
+
+    Level 1 partitions by (user, UTC day chunk): local gaps-and-islands
+    inside each bounded chunk -> per-session summaries (start, end,
+    n_events).  Level 2 partitions by user over the SUMMARIES --
+    session-scaled, not event-scaled -- and re-merges consecutive
+    summaries whose boundary gap <= 1800 s (a chunk cut can split a
+    true session; it can never create one: same-chunk neighbors are
+    > 1800 s apart by construction, so the level-2 rule only heals the
+    cuts).  Merged n_events = sum, duration = max(end) - min(start):
+    associative, so the two-level fold equals the flat one exactly.
+    Chunk summaries order strictly by start_sec per user (distinct
+    chunks occupy disjoint sec ranges; in-chunk sessions are > 1800 s
+    apart), so no tiebreak ambiguity survives to level 2.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.col("ts").cast("long").alias("sec")
+    )
+    chunked = ev.withColumn("chunk", F.expr("sec DIV 86400"))
+    w1 = Window.partitionBy("user_id", "chunk").orderBy("sec", "event_id")
+    local = chunked.select(
+        "user_id",
+        "chunk",
+        "sec",
+        F.when(
+            (F.col("sec") - F.lag("sec").over(w1) > 1800)
+            | F.lag("sec").over(w1).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+        "event_id",
+    ).select(
+        "user_id",
+        "chunk",
+        "sec",
+        F.sum("new_sess")
+        .over(w1.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("lsess"),
+    )
+    summaries = local.groupBy("user_id", "chunk", "lsess").agg(
+        F.min("sec").cast("bigint").alias("start_sec"),
+        F.max("sec").cast("bigint").alias("end_sec"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("start_sec")
+    merged = (
+        summaries.select(
+            "user_id",
+            "start_sec",
+            "end_sec",
+            "n_events",
+            F.when(
+                (
+                    F.col("start_sec") - F.lag("end_sec").over(w2) > 1800
+                )
+                | F.lag("end_sec").over(w2).isNull(),
+                1,
+            )
+            .otherwise(0)
+            .alias("new_sess"),
+        )
+        .select(
+            "user_id",
+            "start_sec",
+            "end_sec",
+            "n_events",
+            F.sum("new_sess")
+            .over(w2.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("sess_id"),
+        )
+        .groupBy("user_id", "sess_id")
+        .agg(
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            (F.max("end_sec") - F.min("start_sec"))
+            .cast("bigint")
+            .alias("dur_s"),
+        )
+    )
+    return merged.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.sum("n_events").cast("bigint").alias("n_events"),
+        ratio4(F.sum("dur_s"), F.count(F.lit(1))).alias("avg_dur_s4"),
+    )
+
+
+@declared(
     "dod_largest_jump",
     oracle="""
     WITH daily AS (

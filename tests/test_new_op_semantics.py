@@ -304,3 +304,47 @@ def test_incremental_dedup_finds_planted_pairs_only_from_new_batch(spark):
         len(origin_hits & planted),
         len(planted),
     )
+
+
+def test_chunked_sessionization_heals_boundary_cuts(spark, tmp_path):
+    """user_session_stats_chunked == user_session_stats on a crafted
+    corpus where sessions STRADDLE the day-chunk boundary (sec 86400),
+    including a chain with boundary-exact 1800 s gaps that crosses the
+    cut, plus a hot user -- the placements where the two-level fold
+    could diverge from the flat window if the heal rule were wrong."""
+    from pyspark.sql import functions as F
+
+    from etl_rf_matrix_controller_spark.operators.behavior import (
+        user_session_stats,
+        user_session_stats_chunked,
+    )
+
+    rows = []
+    # user 1: one session crossing the boundary + a separate later one
+    rows += [(1, 10, 86380), (1, 11, 86390), (1, 12, 86420), (1, 13, 90000)]
+    # user 2: two singleton sessions inside one chunk (gap 2100 > 1800)
+    rows += [(2, 20, 100), (2, 21, 2200)]
+    # user 3: exact-1800 gap chain crossing the cut -> ONE session
+    rows += [(3, 30, 86399), (3, 31, 88199), (3, 32, 89999), (3, 33, 91799)]
+    # user 4 (hot): 500 events every 60 s spanning several chunks -> 1
+    # session; plus one isolated event far later
+    rows += [(4, 1000 + i, 86000 + 60 * i) for i in range(500)]
+    rows += [(4, 9999, 999999)]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, sec bigint"
+    ).select(
+        "user_id", "event_id", F.timestamp_seconds("sec").alias("ts")
+    )
+    sf = str(tmp_path)
+    df.write.parquet(f"{sf}/events.parquet")
+
+    flat = {tuple(r) for r in user_session_stats(spark, sf).collect()}
+    chunked = {
+        tuple(r) for r in user_session_stats_chunked(spark, sf).collect()
+    }
+    assert flat == chunked, (flat, chunked)
+    by_user = {r[0]: r for r in flat}
+    assert by_user[1][1] == 2  # sessions
+    assert by_user[2][1] == 2
+    assert by_user[3][1] == 1 and by_user[3][2] == 4
+    assert by_user[4][1] == 2 and by_user[4][2] == 501

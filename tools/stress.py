@@ -684,9 +684,52 @@ def main() -> None:
             F.sum("n").alias("n_events"),
         ).write.format("noop").mode("overwrite").save()
         dt = time.perf_counter() - t0
+        # the skew-proof two-level twin (user_session_stats_chunked):
+        # level 1 bounds window partitions to (user, day chunk), level 2
+        # re-merges boundary-cut sessions over SUMMARIES
+        chunked = data.withColumn("chunk", F.expr("sec DIV 86400"))
+        w1 = _W.partitionBy("user_id", "chunk").orderBy("sec", "event_id")
+        local = chunked.select(
+            "user_id", "chunk", "sec", "event_id",
+            F.when(
+                (F.col("sec") - F.lag("sec").over(w1) > 1800)
+                | F.lag("sec").over(w1).isNull(), 1,
+            ).otherwise(0).alias("ns"),
+        ).select(
+            "user_id", "chunk", "sec",
+            F.sum("ns").over(
+                w1.rowsBetween(_W.unboundedPreceding, 0)
+            ).alias("ls"),
+        )
+        summ = local.groupBy("user_id", "chunk", "ls").agg(
+            F.min("sec").alias("s"), F.max("sec").alias("e"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        w2 = _W.partitionBy("user_id").orderBy("s")
+        t0 = time.perf_counter()
+        summ.select(
+            "user_id", "s", "e", "n",
+            F.when(
+                (F.col("s") - F.lag("e").over(w2) > 1800)
+                | F.lag("e").over(w2).isNull(), 1,
+            ).otherwise(0).alias("ns"),
+        ).select(
+            "user_id", "n",
+            F.sum("ns").over(
+                w2.rowsBetween(_W.unboundedPreceding, 0)
+            ).alias("sid"),
+        ).groupBy("user_id", "sid").agg(F.sum("n").alias("n")).groupBy(
+            "user_id"
+        ).agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n").alias("n_events"),
+        ).write.format("noop").mode("overwrite").save()
+        t_ch = time.perf_counter() - t0
         print(
-            f"skew_sessions x{mult}: {dt:.2f}s ({rows/dt/1e6:.1f}M rows/s) "
-            f"-- hot user sessionized in one partition"
+            f"skew_sessions x{mult}: flat {dt:.2f}s ({rows/dt/1e6:.1f}M "
+            f"rows/s, hot user in one partition), chunked {t_ch:.2f}s "
+            f"({rows/t_ch/1e6:.1f}M rows/s, partitions bounded by "
+            f"(user, day))"
         )
 
     from etl_rf_matrix_controller_spark.streaming.neardup import (
