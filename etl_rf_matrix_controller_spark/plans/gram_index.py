@@ -80,10 +80,86 @@ def _is_published(loc: str) -> bool:
     )
 
 
+# -- generation manifest (round 9: concurrent-reader-safe compaction) -------
+#
+# A logical index `<table>` is served by exactly one PHYSICAL generation
+# directory: `<table>` itself (generation 0) or `<table>__g<N>` after N
+# compactions.  A tiny sidecar manifest `<table>.manifest.json` records
+# which generation is being served plus the retired generations awaiting
+# reclamation; it is replaced with one atomic rename, so a reader sees
+# either the old serving set or the new one, never a mix.  Readers that
+# resolved BEFORE a flip keep their snapshot (old generation files are
+# retired with a timestamp, not deleted) and stay correct/complete as of
+# their resolution; readers resolving AFTER the flip get the compacted
+# generation.  prune_stale_indexes reclaims retired generations after a
+# grace period.
+
+
+def _manifest_path(loc: str) -> str:
+    return loc + ".manifest.json"
+
+
+def _read_manifest(loc: str) -> dict | None:
+    try:
+        with open(_manifest_path(loc)) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return None
+
+
+def _write_manifest(loc: str, man: dict) -> None:
+    tmp = f"{_manifest_path(loc)}.tmp-{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump(man, fh)
+    os.rename(tmp, _manifest_path(loc))  # atomic flip
+
+
+def _serving_loc(loc: str) -> str:
+    """The physical generation directory currently serving logical index
+    location ``loc`` (``loc`` itself when no compaction has happened)."""
+    man = _read_manifest(loc)
+    if man and man.get("serving"):
+        return os.path.join(os.path.dirname(loc), man["serving"])
+    return loc
+
+
+def _gen_of(serving_name: str) -> int:
+    import re
+
+    m = re.search(r"__g(\d+)$", serving_name)
+    return int(m.group(1)) if m else 0
+
+
+def _recover_unpublished(loc: str) -> bool:
+    """Crash recovery (round-8 ADVICE): if ``loc`` is unpublished but a
+    COMPLETE ``.old-``/``.build-`` copy of it exists (a publisher died
+    between its staging write and the rename, or a legacy two-rename
+    swap died between renames), restore it with one rename instead of
+    forcing a full corpus rebuild.  Returns True iff ``loc`` is
+    published on exit."""
+    import glob as _glob
+
+    if _is_published(loc):
+        return True
+    for cand in sorted(_glob.glob(loc + ".old-*")) + sorted(
+        _glob.glob(loc + ".build-*")
+    ):
+        if _is_published(cand):
+            try:
+                os.rename(cand, loc)
+                return True
+            except OSError:
+                if _is_published(loc):  # concurrent recovery won
+                    return True
+    return _is_published(loc)
+
+
 def _register_ext_table(spark: SparkSession, table: str, loc: str) -> DataFrame:
     """Re-register a published bucketed location in milliseconds (the
     bucket ids live in the file NAMES, so re-declaring over the same
-    location is sound)."""
+    location is sound).  Idempotent within a session."""
+    if spark.catalog.tableExists(table):
+        return spark.table(table)
     with open(os.path.join(loc, "_graft_meta.json")) as fh:
         meta = json.load(fh)
     spark.sql(
@@ -170,17 +246,21 @@ def ensure_bucketed_index(
     sort_cols = sort_cols or bucket_cols
     tag = corpus_fingerprint(sf_dir, source_table)
     table = f"gram_idx_{kind}_{version}_{tag}_b{n_buckets}"
-    if spark.catalog.tableExists(table):
-        return spark.table(table)
-
     loc = os.path.join(index_root(), table)
-    if _is_published(loc):
-        return _register_ext_table(spark, table, loc)
+    # resolve the currently-served generation (post-compaction this is
+    # `<table>__g<N>`; the manifest flip is atomic, so a racing
+    # compaction is invisible here -- we serve old or new, never a mix)
+    serving = _serving_loc(loc)
+    serving_table = os.path.basename(serving)
+    if spark.catalog.tableExists(serving_table):
+        return spark.table(serving_table)
+    if _recover_unpublished(serving):
+        return _register_ext_table(spark, serving_table, serving)
     _publish_bucketed(
-        spark, build(spark, sf_dir), table, loc, bucket_cols, sort_cols,
-        n_buckets,
+        spark, build(spark, sf_dir), serving_table, serving, bucket_cols,
+        sort_cols, n_buckets,
     )
-    return _register_ext_table(spark, table, loc)
+    return _register_ext_table(spark, serving_table, serving)
 
 
 # ---------------------------------------------------------------------------
@@ -207,13 +287,24 @@ def prune_stale_indexes(
     *,
     root: str | None = None,
     stale_build_age_s: int = 3600,
+    retired_age_s: int | None = None,
     dry_run: bool = False,
 ) -> list[str]:
     """Retention sweep for the index root: delete every index location
     whose corpus-fingerprint tag is not in ``live_tags`` (regenerated
-    testdata, retired stress corpora), plus crashed publishers' staging
-    (``.build-``) and retired (``.old-``) dirs older than
-    ``stale_build_age_s``.  Returns the removed paths.
+    testdata, retired stress corpora), crashed publishers' staging
+    (``.build-``) and legacy-retired (``.old-``) dirs older than
+    ``stale_build_age_s``, and manifest-RETIRED generations/deltas older
+    than ``retired_age_s`` (defaults to ``stale_build_age_s``) -- the
+    grace-period reclamation leg of concurrent-reader-safe compaction
+    (compact_index never deletes; this sweep does, once no reader can
+    still hold the retired snapshot).  Returns the removed paths.
+
+    Crash-safety exception (round-8 ADVICE): a ``.build-``/``.old-``
+    dir that is itself a COMPLETE published copy while its base
+    location is UNPUBLISHED is the only good copy of that index -- it
+    is skipped so :func:`ensure_bucketed_index`'s recovery rename can
+    restore it instead of forcing a full corpus rebuild.
 
     The write-once design accumulates one location per (kind, corpus
     tag, builder version) forever; this is the bounded-retention
@@ -226,6 +317,8 @@ def prune_stale_indexes(
     import time
 
     root = root or index_root()
+    if retired_age_s is None:
+        retired_age_s = stale_build_age_s
     removed: list[str] = []
     if not os.path.isdir(root):
         return removed
@@ -233,13 +326,26 @@ def prune_stale_indexes(
     for name in os.listdir(root):
         path = os.path.join(root, name)
         if not os.path.isdir(path):
+            if name.endswith(".manifest.json"):
+                m = re.search(r"_([0-9a-f]{10})_b\d+", name)
+                if m and m.group(1) not in live_tags:
+                    removed.append(path)
+                    if not dry_run:
+                        try:
+                            os.remove(path)
+                        except OSError:
+                            pass
             continue
         if ".build-" in name or ".old-" in name:
             try:
                 age = now - os.stat(path).st_mtime
             except OSError:
                 continue
-            if age > stale_build_age_s:
+            base = path.split(".build-")[0].split(".old-")[0]
+            if (
+                age > stale_build_age_s
+                and not (_is_published(path) and not _is_published(base))
+            ):
                 removed.append(path)
                 if not dry_run:
                     shutil.rmtree(path, ignore_errors=True)
@@ -249,6 +355,31 @@ def prune_stale_indexes(
             removed.append(path)
             if not dry_run:
                 shutil.rmtree(path, ignore_errors=True)
+
+    # manifest-retired generations/deltas past the grace period
+    for mpath in sorted(
+        os.path.join(root, n)
+        for n in os.listdir(root)
+        if n.endswith(".manifest.json")
+    ):
+        loc = mpath[: -len(".manifest.json")]
+        man = _read_manifest(loc)
+        if not man:
+            continue
+        kept, changed = [], False
+        for entry in man.get("retired", []):
+            rpath = os.path.join(root, entry["path"])
+            if now - entry["at"] > retired_age_s:
+                if os.path.isdir(rpath):
+                    removed.append(rpath)
+                    if not dry_run:
+                        shutil.rmtree(rpath, ignore_errors=True)
+                changed = True
+            else:
+                kept.append(entry)
+        if changed and not dry_run:
+            man["retired"] = kept
+            _write_manifest(loc, man)
     return removed
 
 
@@ -278,10 +409,21 @@ def append_index_delta(
     batch (stable across retries: the publish is atomic and idempotent
     -- a re-run re-registers instead of re-writing).  The base table is
     never touched; existing base-only consumers are unaffected until
-    they opt into :func:`index_delta_frames`."""
+    they opt into :func:`index_delta_frames`.
+
+    Deltas attach to the CURRENT serving generation (post-compaction
+    appends land next to ``<table>__g<N>``).  Appends racing a
+    compaction of the same kind need external sequencing -- a delta
+    published against a generation retired in the same instant would be
+    invisible to new readers; the ingest paths here run appends and
+    compaction from the same maintenance loop (see
+    :func:`compact_when_due`)."""
     n_buckets = n_buckets or default_n_buckets()
     sort_cols = sort_cols or bucket_cols
-    base = _base_table_name(sf_dir, kind, version, n_buckets, source_table)
+    logical = _base_table_name(sf_dir, kind, version, n_buckets, source_table)
+    base = os.path.basename(
+        _serving_loc(os.path.join(index_root(), logical))
+    )
     table = f"{base}__d{batch_id}"
     if spark.catalog.tableExists(table):
         return spark.table(table)
@@ -328,15 +470,29 @@ def index_delta_frames(
     are co-located) and union the RESULTS -- a union of scans erases
     the distribution Catalyst needs."""
     n_buckets = n_buckets or default_n_buckets()
-    base = _base_table_name(sf_dir, kind, version, n_buckets, source_table)
+    logical = _base_table_name(sf_dir, kind, version, n_buckets, source_table)
     out: list[DataFrame] = []
-    for loc in _delta_locs(os.path.join(index_root(), base)):
+    for loc in _delta_locs(_serving_loc(os.path.join(index_root(), logical))):
         table = os.path.basename(loc)
         if spark.catalog.tableExists(table):
             out.append(spark.table(table))
         else:
             out.append(_register_ext_table(spark, table, loc))
     return out
+
+
+# Index kinds whose BASE tables are consumed alone by declared queries
+# while sibling delta legs carry PLANTED ingest-scenario docs (+4M/+5M
+# ids from postings_batch_delta / band_index_delta / ivfflat_batch_delta).
+# Folding those deltas into the shared base would silently change the
+# results of every base-only consumer (incremental_near_dup_check, the
+# whole BM25/tf-idf retrieval family, ann_ivf_topk) because stale
+# on-disk postings are reused by design.  compact_index refuses these
+# kinds unless the caller explicitly acknowledges the hazard.
+PROTECTED_KINDS = frozenset(
+    {"post", "bandidx", "ivfflat", "jac8src", "cont8src", "spanchar",
+     "spantok", "win8", "wintok", "nov8", "ivfpq"}
+)
 
 
 def compact_index(
@@ -350,29 +506,50 @@ def compact_index(
     sort_cols: list[str] | None = None,
     source_table: str = "documents",
     min_deltas: int = 1,
+    allow_protected: bool = False,
 ) -> DataFrame:
-    """Fold published deltas into a fresh one-file-per-bucket base
+    """Fold published deltas into a fresh one-file-per-bucket GENERATION
     (restoring the sortBy read-order guarantee) in one amortized
-    shuffle, then atomically swap the base location and retire the
-    deltas.  No-op (returns the current base) below ``min_deltas``.
+    shuffle, then atomically flip the serving manifest.  No-op (returns
+    the current serving base) below ``min_deltas``.
 
-    Maintenance-window operation: the swap itself is atomic renames, but
-    retired delta files are DELETED -- run it when no concurrent reader
-    holds those legs (tests use dedicated index kinds for exactly this
-    reason)."""
-    import shutil
+    Concurrent-reader-safe (round 9): nothing is renamed or deleted in
+    place.  The compacted output is published as ``<table>__g<N+1>``
+    (staged write + one atomic rename, same machinery as every build),
+    then ``<table>.manifest.json`` is atomically replaced to point new
+    resolutions at the new generation.  Readers that resolved BEFORE the
+    flip keep scanning the old generation + its deltas -- still correct
+    and complete as of their snapshot; readers resolving after get the
+    folded generation.  The old generation and folded deltas are
+    RETIRED (recorded in the manifest with a timestamp) and reclaimed
+    by :func:`prune_stale_indexes` after a grace period, off the query
+    path.
+
+    ``kind`` values in :data:`PROTECTED_KINDS` raise unless
+    ``allow_protected=True``: their deltas carry planted ingest-scenario
+    docs that base-only declared consumers must never see folded in."""
+    if kind in PROTECTED_KINDS and not allow_protected:
+        raise ValueError(
+            f"index kind {kind!r} has declared-query base-only consumers; "
+            "its published deltas carry planted ingest-batch docs that must "
+            "not be folded into the shared base (pass allow_protected=True "
+            "only for a corpus whose deltas are real ingest)"
+        )
+    import time
 
     n_buckets = n_buckets or default_n_buckets()
     sort_cols = sort_cols or bucket_cols
     table = _base_table_name(sf_dir, kind, version, n_buckets, source_table)
     loc = os.path.join(index_root(), table)
-    if not _is_published(loc):
-        raise FileNotFoundError(f"no published base index at {loc}")
-    deltas = _delta_locs(loc)
+    serving = _serving_loc(loc)
+    serving_table = os.path.basename(serving)
+    if not _recover_unpublished(serving):
+        raise FileNotFoundError(f"no published base index at {serving}")
+    deltas = _delta_locs(serving)
     if len(deltas) < min_deltas:
-        if not spark.catalog.tableExists(table):
-            return _register_ext_table(spark, table, loc)
-        return spark.table(table)
+        if not spark.catalog.tableExists(serving_table):
+            return _register_ext_table(spark, serving_table, serving)
+        return spark.table(serving_table)
 
     # Read every leg as a PLAIN parquet path, not a bucketed table: a
     # bucketed scan already reports the target HashPartitioning, so the
@@ -381,47 +558,53 @@ def compact_index(
     # arbitrary file splits, shattering the write into many small files
     # per bucket.  Raw reads carry no partitioning claim, the
     # repartition survives, and the rewrite lands one file per bucket.
-    combined = spark.read.parquet(loc)
+    combined = spark.read.parquet(serving)
     for dloc in deltas:
         combined = combined.unionByName(spark.read.parquet(dloc))
 
-    stage_loc = f"{loc}.build-{os.getpid()}"
-    stage_table = f"{table}_compact_{os.getpid()}"
-    (
-        combined.repartition(n_buckets, *[F.col(c) for c in bucket_cols])
-        .write.mode("overwrite")
-        .option("path", stage_loc)
-        .bucketBy(n_buckets, *bucket_cols)
-        .sortBy(*sort_cols)
-        .format("parquet")
-        .saveAsTable(stage_table)
+    next_table = f"{table}__g{_gen_of(serving_table) + 1}"
+    next_loc = os.path.join(index_root(), next_table)
+    _publish_bucketed(
+        spark, combined, next_table, next_loc, bucket_cols, sort_cols,
+        n_buckets,
     )
-    spark.sql(f"DROP TABLE {stage_table}")
-    with open(os.path.join(stage_loc, "_graft_meta.json"), "w") as fh:
-        json.dump(
-            {
-                "ddl": _ddl_of(combined),
-                "bucket_cols": bucket_cols,
-                "sort_cols": sort_cols,
-                "n_buckets": n_buckets,
-            },
-            fh,
-        )
-    old_loc = f"{loc}.old-{os.getpid()}"
-    os.rename(loc, old_loc)
-    os.rename(stage_loc, loc)
-    if spark.catalog.tableExists(table):
-        spark.catalog.refreshTable(table)
-    else:
-        _register_ext_table(spark, table, loc)
-    shutil.rmtree(old_loc, ignore_errors=True)
-    for dloc in deltas:
-        dtable = os.path.basename(dloc)
-        spark.sql(f"DROP TABLE IF EXISTS {dtable}")
-        retired = f"{dloc}.old-{os.getpid()}"
-        try:
-            os.rename(dloc, retired)
-        except OSError:
-            continue
-        shutil.rmtree(retired, ignore_errors=True)
-    return spark.table(table)
+    man = _read_manifest(loc) or {"retired": []}
+    now = time.time()
+    man["serving"] = next_table
+    man["retired"] = list(man.get("retired", [])) + [
+        {"path": os.path.basename(p), "at": now}
+        for p in [serving] + deltas
+    ]
+    _write_manifest(loc, man)  # atomic flip: new resolutions see g<N+1>
+    return _register_ext_table(spark, next_table, next_loc)
+
+
+def compact_when_due(
+    spark: SparkSession,
+    sf_dir: str,
+    kind: str,
+    bucket_cols: list[str],
+    *,
+    version: str,
+    max_deltas: int = 8,
+    **kw,
+) -> DataFrame | None:
+    """Compaction-trigger policy for ingest loops: fold the serving set
+    once the published delta-leg count reaches ``max_deltas``, else do
+    nothing (returns None).  Probe cost grows roughly linearly in leg
+    count (one bucketed scan + one co-located probe join per leg --
+    measured in BENCHNOTES round 9), while compaction costs about one
+    corpus rebuild, so a fixed K bounds read amplification at K+1 scans
+    with compaction amortized over K batch-scaled appends.  The default
+    K=8 keeps worst-case probe wall within ~2x of a one-leg probe at
+    the measured per-leg cost."""
+    n_buckets = kw.get("n_buckets") or default_n_buckets()
+    source_table = kw.get("source_table", "documents")
+    logical = _base_table_name(sf_dir, kind, version, n_buckets, source_table)
+    serving = _serving_loc(os.path.join(index_root(), logical))
+    if len(_delta_locs(serving)) < max_deltas:
+        return None
+    return compact_index(
+        spark, sf_dir, kind, bucket_cols, version=version,
+        min_deltas=max_deltas, **kw,
+    )

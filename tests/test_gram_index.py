@@ -307,18 +307,63 @@ def test_delta_append_equals_rebuild_and_compacts(spark, monkeypatch, tmp_path):
     assert "Exchange" not in plan, plan
     assert plan.count("Bucketed: true") == 2, plan
 
-    # compaction folds the delta in, retires it, and restores one file
-    # per bucket (the sortBy read-order guarantee)
+    # compaction (round 9: concurrent-reader-safe) folds the delta into
+    # a NEW generation `<table>__g1`, flips the manifest atomically, and
+    # RETIRES (never deletes) the old generation + delta: a reader that
+    # resolved before the flip keeps a correct, complete snapshot
     compacted = compact_index(spark, SF_DIR, kind, ["token"], **kw)
     assert {tuple(r) for r in compacted.collect()} == rebuilt
     assert index_delta_frames(spark, SF_DIR, kind, version=version) == []
-    assert not os.path.exists(delta_loc)
+    # grace retirement: old generation + folded delta still on disk for
+    # in-flight readers; the PRE-compaction reader (base ∪ delta frames
+    # resolved above) still serves the full snapshot after the flip
+    assert os.path.exists(delta_loc) and os.path.exists(base_loc)
+    assert {
+        tuple(r) for r in base.unionByName(delta).collect()
+    } == rebuilt
+    # new resolutions land on the compacted generation
+    from etl_rf_matrix_controller_spark.plans.gram_index import (
+        ensure_bucketed_index as _ensure,
+        prune_stale_indexes,
+    )
+
+    comp_loc = base_loc + "__g1"
+    assert os.path.isdir(comp_loc)
+    man = json.load(open(base_loc + ".manifest.json"))
+    assert man["serving"] == os.path.basename(comp_loc)
+    assert sorted(e["path"] for e in man["retired"]) == sorted(
+        [os.path.basename(base_loc), os.path.basename(delta_loc)]
+    )
+    resolved = _ensure(
+        spark, SF_DIR, kind, lambda s, d: (_ for _ in ()).throw(
+            AssertionError("post-compaction resolution must not rebuild")
+        ), ["token"], **kw,
+    )
+    assert {tuple(r) for r in resolved.collect()} == rebuilt
+
+    # retention sweep reclaims the retired legs after the grace period
+    # (retired_age_s=0 simulates its expiry) and empties the manifest
+    from etl_rf_matrix_controller_spark.plans.gram_index import (
+        corpus_fingerprint,
+    )
+
+    live = {corpus_fingerprint(SF_DIR)}
+    reclaimed = prune_stale_indexes(
+        live, root=str(tmp_path), retired_age_s=0
+    )
+    assert sorted(os.path.basename(p) for p in reclaimed) == sorted(
+        [os.path.basename(base_loc), os.path.basename(delta_loc)]
+    )
+    assert not os.path.exists(delta_loc) and not os.path.exists(base_loc)
+    assert os.path.isdir(comp_loc)
+    assert json.load(open(base_loc + ".manifest.json"))["retired"] == []
+
     n_buckets = json.load(
-        open(os.path.join(base_loc, "_graft_meta.json"))
+        open(os.path.join(comp_loc, "_graft_meta.json"))
     )["n_buckets"]
     files = [
         f
-        for f in os.listdir(base_loc)
+        for f in os.listdir(comp_loc)
         if f.endswith(".parquet") and not f.startswith("_")
     ]
     # at most ONE file per bucket (empty buckets write none), task id
@@ -448,3 +493,170 @@ def test_prune_stale_indexes(tmp_path):
     assert sorted(os.path.basename(p) for p in removed) == sorted(drop + old)
     assert all(os.path.isdir(os.path.join(root, d)) for d in keep)
     assert not any(os.path.exists(os.path.join(root, d)) for d in drop + old)
+
+
+# ---------------------------------------------------------------------------
+# Round 9: concurrent-reader-safe compaction, crash recovery, multi-delta
+# serving + compact-at-K policy, protected-kind guard
+# ---------------------------------------------------------------------------
+
+
+def test_compact_refuses_protected_kinds(spark):
+    """Shared index kinds whose delta legs carry PLANTED ingest-scenario
+    docs (round-8 ADVICE): folding those into the base would silently
+    change base-only declared consumers -- compact_index must refuse."""
+    import pytest
+
+    from etl_rf_matrix_controller_spark.plans.gram_index import (
+        PROTECTED_KINDS,
+        compact_index,
+    )
+
+    assert {"post", "bandidx", "ivfflat"} <= PROTECTED_KINDS
+    for kind in sorted(PROTECTED_KINDS):
+        with pytest.raises(ValueError, match="base-only consumers"):
+            compact_index(spark, SF_DIR, kind, ["token"], version="v1")
+
+
+def test_crash_recovery_restores_lone_copy(spark, monkeypatch, tmp_path):
+    """A publisher that dies between staging write and rename (or a
+    legacy two-rename swap dying between renames) leaves a COMPLETE
+    .old-/.build- copy and no published base; ensure_bucketed_index must
+    restore it with one rename instead of a full rebuild, and
+    prune_stale_indexes must NOT reap the only good copy."""
+    from etl_rf_matrix_controller_spark.plans.gram_index import (
+        corpus_fingerprint,
+        ensure_bucketed_index,
+        prune_stale_indexes,
+    )
+    from etl_rf_matrix_controller_spark.sources.tables import load_table
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path))
+    kind, version = "r9crash", "v1"
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    built = ensure_bucketed_index(
+        spark, SF_DIR, kind, lambda s, d: _tok_postings(docs), ["token"],
+        version=version, sort_cols=["token", "doc_id"],
+    )
+    n = built.count()
+    table = [
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name.startswith(f"gram_idx_{kind}_{version}_")
+    ][0]
+    loc = os.path.join(str(tmp_path), table)
+    # simulate the crash: published base renamed aside, catalog dropped
+    import time
+
+    orphan = loc + ".old-12345"
+    spark.sql(f"DROP TABLE {table}")
+    os.rename(loc, orphan)
+    past = time.time() - 7200
+    os.utime(orphan, (past, past))
+
+    # the sweep must skip the only good copy even past the age threshold
+    assert prune_stale_indexes(
+        {corpus_fingerprint(SF_DIR)}, root=str(tmp_path)
+    ) == []
+    assert os.path.isdir(orphan)
+
+    # resolution recovers by rename -- the build callable must not run
+    recovered = ensure_bucketed_index(
+        spark, SF_DIR, kind,
+        lambda s, d: (_ for _ in ()).throw(
+            AssertionError("recovery must not rebuild")
+        ),
+        ["token"], version=version, sort_cols=["token", "doc_id"],
+    )
+    assert recovered.count() == n
+    assert os.path.isdir(loc) and not os.path.exists(orphan)
+
+
+def test_multi_delta_serving_and_compact_at_k(spark, monkeypatch, tmp_path):
+    """A week of nightly appends leaves N delta legs: index_delta_frames
+    must serve ALL of them (base ∪ d1 ∪ d2 ∪ d3 ≡ one-shot rebuild over
+    the union), every leg must stay a zero-Exchange co-located join
+    against the base, and compact_when_due must no-op below K legs then
+    fold exactly at K."""
+    from etl_rf_matrix_controller_spark.operators.dedup import new_batch_docs
+    from etl_rf_matrix_controller_spark.plans.gram_index import (
+        append_index_delta,
+        compact_when_due,
+        ensure_bucketed_index,
+        index_delta_frames,
+    )
+    from etl_rf_matrix_controller_spark.sources.tables import load_table
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path))
+    kind, version = "r9multi", "v1"
+    kw = dict(version=version, sort_cols=["token", "doc_id"])
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+
+    base = ensure_bucketed_index(
+        spark, SF_DIR, kind, lambda s, d: _tok_postings(docs), ["token"], **kw
+    )
+
+    def night(i):
+        # three disjoint nightly batches (ids offset per night)
+        return new_batch_docs(docs).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(i * 10_000_000)
+        )
+
+    batches = []
+    for i in (1, 2, 3):
+        append_index_delta(
+            spark, SF_DIR, kind,
+            lambda s, d, i=i: _tok_postings(night(i)), ["token"],
+            batch_id=f"n{i}", **kw,
+        )
+        batches.append(night(i))
+    legs = index_delta_frames(spark, SF_DIR, kind, version=version)
+    assert len(legs) == 3
+
+    served = base
+    for leg in legs:
+        served = served.unionByName(leg)
+    all_docs = docs
+    for b in batches:
+        all_docs = all_docs.unionByName(b)
+    assert {tuple(r) for r in served.collect()} == {
+        tuple(r) for r in _tok_postings(all_docs).collect()
+    }
+
+    # each leg joins the base co-located: zero Exchange, 2 bucketed scans
+    for leg in legs:
+        plan = plan_of(
+            base.alias("a").join(
+                leg.alias("b").hint("shuffle_hash"),
+                F.col("a.token") == F.col("b.token"),
+            )
+        )
+        assert "Exchange" not in plan, plan
+        assert plan.count("Bucketed: true") == 2, plan
+
+    # policy: below K -> no-op; at K -> one fold, zero legs afterwards
+    assert (
+        compact_when_due(spark, SF_DIR, kind, ["token"], max_deltas=4, **kw)
+        is None
+    )
+    assert len(index_delta_frames(spark, SF_DIR, kind, version=version)) == 3
+    folded = compact_when_due(
+        spark, SF_DIR, kind, ["token"], max_deltas=3, **kw
+    )
+    assert folded is not None
+    assert index_delta_frames(spark, SF_DIR, kind, version=version) == []
+    assert {tuple(r) for r in folded.collect()} == {
+        tuple(r) for r in _tok_postings(all_docs).collect()
+    }
+    # post-compaction appends attach to the NEW generation and serve
+    append_index_delta(
+        spark, SF_DIR, kind,
+        lambda s, d: _tok_postings(night(4)), ["token"],
+        batch_id="n4", **kw,
+    )
+    legs4 = index_delta_frames(spark, SF_DIR, kind, version=version)
+    assert len(legs4) == 1
+    assert {tuple(r) for r in folded.unionByName(legs4[0]).collect()} == {
+        tuple(r)
+        for r in _tok_postings(all_docs.unionByName(night(4))).collect()
+    }

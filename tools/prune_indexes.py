@@ -6,9 +6,11 @@ old location simply stops being referenced -- across many sessions and
 stress corpora the root accumulates stale tables (VERDICT round-7 nit).
 This CLI computes the LIVE tags (the standard testdata scale dirs x the
 two index source tables) and deletes everything else, plus crashed
-publishers' .build-/.old- residue.
+publishers' .build-/.old- residue and manifest-RETIRED generations past
+the grace period (the reclamation leg of concurrent-reader-safe
+compaction -- compact_index retires, this sweep deletes).
 
-Usage: python tools/prune_indexes.py [--dry-run]
+Usage: python tools/prune_indexes.py [--dry-run] [--retired-age-s N]
 """
 
 from __future__ import annotations
@@ -34,6 +36,9 @@ SOURCE_TABLES = ("documents", "embeddings")
 
 def main() -> int:
     dry = "--dry-run" in sys.argv
+    retired_age_s = None
+    if "--retired-age-s" in sys.argv:
+        retired_age_s = int(sys.argv[sys.argv.index("--retired-age-s") + 1])
     live = {
         corpus_fingerprint(d, t)
         for d in SF_DIRS
@@ -52,7 +57,9 @@ def main() -> int:
         return total
 
     before = du(index_root())
-    removed = prune_stale_indexes(live, dry_run=dry)
+    removed = prune_stale_indexes(
+        live, dry_run=dry, retired_age_s=retired_age_s
+    )
     after = du(index_root()) if not dry else before
     verb = "would remove" if dry else "removed"
     print(f"live tags: {sorted(live)}")
