@@ -117,7 +117,7 @@ def doc_tokset_col() -> Column:
     )
 
 
-def per_row_band_rows(docs: DataFrame) -> DataFrame:
+def per_row_band_rows(docs: DataFrame, width: int | None = None) -> DataFrame:
     """(doc_id, band, bkey) rows computed STATELESS per document: the
     MinHash signature is an array fold over the doc's own distinct
     char-8-grams (same md5-prefix fingerprints and (a*x+b) mod P
@@ -141,9 +141,11 @@ def per_row_band_rows(docs: DataFrame) -> DataFrame:
     # each gram ONCE into an fps array, then run the 8 cheap (a*x+b)%P
     # min-folds over it.  Rebalance BEFORE the ~250x gram fan-out (the
     # _gram_df rule): a single-file input otherwise runs the whole fold
-    # on one task.
+    # on one task.  ``width`` lets batch-scale callers (streaming
+    # ingest micro-batches) right-size the fan-out instead of paying
+    # full-corpus task counts on a few hundred rows.
     fps = docs.repartition(
-        docs.sparkSession.sparkContext.defaultParallelism
+        width or docs.sparkSession.sparkContext.defaultParallelism
     ).select("doc_id", F.transform(doc_tokset_col(), fp).alias("fps"))
     mh = [
         F.array_min(F.transform("fps", perm(a, b)))

@@ -491,7 +491,7 @@ def index_delta_frames(
 # kinds unless the caller explicitly acknowledges the hazard.
 PROTECTED_KINDS = frozenset(
     {"post", "bandidx", "ivfflat", "jac8src", "cont8src", "spanchar",
-     "spantok", "win8", "wintok", "nov8", "ivfpq"}
+     "spantok", "win8", "wintok", "nov8", "ivfpq", "admband"}
 )
 
 

@@ -81,6 +81,7 @@ def load_all() -> None:
         anomaly as _san,
         curation as _scu,
         drift as _sdr,
+        ingest as _sin,
         neardup as _snd,
         sampling as _ssa,
         transitions as _str,
