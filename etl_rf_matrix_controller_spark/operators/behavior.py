@@ -874,6 +874,133 @@ def ema_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "ema_user_value_chunked",
+    oracle="""
+    WITH RECURSIVE ev AS MATERIALIZED (
+      SELECT user_id, ts, event_id, CAST(value AS DOUBLE) AS value,
+             CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS chunk
+      FROM events
+    ),
+    summ AS MATERIALIZED (
+      SELECT user_id, chunk,
+             CAST(count(*) AS BIGINT) AS n_ev,
+             list_reduce(list(value ORDER BY ts, event_id),
+                         (acc, x) -> 0.3e0 * x + (1e0 - 0.3e0) * acc)
+               AS v0,
+             list_reduce(
+               list_prepend(CAST(0 AS DOUBLE),
+                            list(value ORDER BY ts, event_id)),
+               (acc, x) -> 0.3e0 * x + (1e0 - 0.3e0) * acc) AS v,
+             list_reduce(
+               list_prepend(CAST(1 AS DOUBLE),
+                            list(value ORDER BY ts, event_id)),
+               (acc, x) -> (1e0 - 0.3e0) * acc) AS w,
+             row_number() OVER (PARTITION BY user_id ORDER BY chunk) AS rn
+      FROM ev GROUP BY user_id, chunk
+    ),
+    nuser AS (
+      SELECT user_id, CAST(sum(n_ev) AS BIGINT) AS n_events,
+             CAST(count(*) AS BIGINT) AS n_chunks
+      FROM summ GROUP BY user_id
+    ),
+    fold(user_id, rn, acc) AS (
+      SELECT user_id, rn, v0 FROM summ WHERE rn = 1
+      UNION ALL
+      SELECT f.user_id, s.rn, s.v + s.w * f.acc
+      FROM fold f JOIN summ s
+        ON s.user_id = f.user_id AND s.rn = f.rn + 1
+    )
+    SELECT n.user_id AS user_id, n.n_events, n.n_chunks,
+           f.acc AS ema_value
+    FROM nuser n JOIN fold f
+      ON f.user_id = n.user_id AND f.rn = n.n_chunks
+    """,
+)
+def ema_user_value_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof two-level EMA: the answer to the per-key
+    sequential-fold wall that `user_session_stats_chunked` solved for
+    sessionization -- `ema_user_value` materializes one user's WHOLE
+    history as an in-row array, so a hot key (one user with 10% of all
+    events) concentrates its entire fold in one task; fine at 1M rows,
+    fatal at 10B.
+
+    The EMA recurrence acc' = a*x + (1-a)*acc composes affinely: a run
+    of m values maps acc -> W*acc + V with W = (1-a)^m and V the fold
+    seeded from 0.  Level 1 folds each (user, UTC-day chunk)'s values
+    into (v0, v, w) -- v0 is the EMA-convention fold seeded with the
+    chunk's first value, used when the chunk is the user's first;
+    level 2 folds the per-chunk summaries in chunk order:
+    acc = v0_1, then acc = v_j + w_j * acc.  Equal to the flat EMA in
+    real arithmetic; floating-point reassociation at chunk boundaries
+    makes it a distinct declared result, so the ORACLE mirrors the
+    chunk structure exactly (the sessionization precedent): identical
+    '0.3e0' literals, v/w folds seeded by list_prepend(0)/(1) matching
+    Spark's explicit aggregate seeds step for step, and the level-2
+    fold as a recursive CTE (the holt_linear_daily_value pattern --
+    list_reduce cannot take a seed of a different type than its
+    elements).  w comes from m repeated multiplications, never pow():
+    libm powers are not bit-portable across engines.
+
+    Scale: level-1 arrays are bounded per (user, day) -- ingest-rate
+    x 86400 s, not history length; level-2 state is calendar-bounded
+    (one (v0, v, w) triple per active day).  Both levels partition by
+    user_id(, chunk): two shuffles, the second over day-grain rows.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.col("value").cast("double").alias("value"),
+        F.expr("CAST(ts AS LONG) DIV 86400").alias("chunk"),
+    )
+    per_chunk = ev.groupBy("user_id", "chunk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ev"),
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("arr"),
+    )
+    summ = per_chunk.select(
+        "user_id",
+        "chunk",
+        "n_ev",
+        F.expr("transform(arr, s -> s.value)").alias("lv"),
+    ).select(
+        "user_id",
+        "chunk",
+        "n_ev",
+        F.expr(
+            "aggregate(slice(lv, 2, size(lv) - 1), element_at(lv, 1), "
+            "(acc, x) -> 0.3e0 * x + (1e0 - 0.3e0) * acc)"
+        ).alias("v0"),
+        F.expr(
+            "aggregate(lv, CAST(0 AS DOUBLE), "
+            "(acc, x) -> 0.3e0 * x + (1e0 - 0.3e0) * acc)"
+        ).alias("v"),
+        F.expr(
+            "aggregate(lv, CAST(1 AS DOUBLE), "
+            "(acc, x) -> (1e0 - 0.3e0) * acc)"
+        ).alias("w"),
+    )
+    level2 = summ.groupBy("user_id").agg(
+        F.sum("n_ev").cast("bigint").alias("n_events"),
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.array_sort(
+            F.collect_list(F.struct("chunk", "v0", "v", "w"))
+        ).alias("carr"),
+    )
+    return level2.select(
+        "user_id",
+        "n_events",
+        "n_chunks",
+        F.expr(
+            "aggregate(slice(carr, 2, size(carr) - 1), "
+            "element_at(carr, 1).v0, "
+            "(acc, s) -> s.v + s.w * acc)"
+        ).alias("ema_value"),
+    )
+
+
+@declared(
     "late_data_corrections",
     oracle="""
     WITH tagged AS (

@@ -348,3 +348,100 @@ def test_chunked_sessionization_heals_boundary_cuts(spark, tmp_path):
     assert by_user[2][1] == 2
     assert by_user[3][1] == 1 and by_user[3][2] == 4
     assert by_user[4][1] == 2 and by_user[4][2] == 501
+
+
+def test_real_ppm_decode_roundtrip(spark):
+    """decode_real really parses P6: header variants (comments, exotic
+    whitespace) decode identically, truncation and bad magic raise, and
+    the end-to-end query's sums equal a brute-force pixel walk."""
+    from etl_rf_matrix_controller_spark.operators.multimodal import (
+        decode_real,
+        multimodal_real_decode,
+    )
+
+    # header robustness: comments + CR/TAB whitespace
+    raster = bytes(range(1, 19))  # 2x3 image, 18 bytes
+    for header in (
+        b"P6\n2 3\n255\n",
+        b"P6\n# c1\n# c2\n2\t3\r255\n",
+        b"P6 2 3 255\n",
+    ):
+        r = decode_real(header + raster, "ppm")
+        assert (r["width"], r["height"], r["maxval"]) == (2, 3, 255)
+        assert r["sum_r"] == sum(raster[0::3])
+        assert r["sum_g"] == sum(raster[1::3])
+        assert r["sum_b"] == sum(raster[2::3])
+    try:
+        decode_real(b"P6\n2 3\n255\n" + raster[:-1], "ppm")
+        raise AssertionError("truncated raster must raise")
+    except ValueError:
+        pass
+    try:
+        decode_real(b"P5\n2 3\n255\n" + raster, "ppm")
+        raise AssertionError("bad magic must raise")
+    except ValueError:
+        pass
+
+    # end-to-end: parsed sums == brute-force walk of the same tiling
+    import hashlib
+
+    rows = multimodal_real_decode(spark, SF_DIR).collect()
+    texts = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(2000)
+        .collect()
+    }
+    checked = 0
+    for r in rows:
+        if r.doc_id not in texts:
+            continue
+        dig = hashlib.md5(texts[r.doc_id].encode()).digest()
+        n = r.width * r.height * 3
+        px = (dig * (n // 16 + 1))[:n]
+        assert r.sum_r == sum(px[0::3]), r.doc_id
+        assert r.sum_g == sum(px[1::3]), r.doc_id
+        assert r.sum_b == sum(px[2::3]), r.doc_id
+        checked += 1
+    assert checked > 100
+
+
+def test_real_wav_decode_roundtrip():
+    """decode_real's RIFF walk: PCM16 frames fold with two's-complement
+    sign, extra chunks (word-aligned) are skipped, non-PCM is gated."""
+    import struct
+
+    from etl_rf_matrix_controller_spark.operators.multimodal import (
+        decode_real,
+    )
+
+    samples = [(100, -200), (300, -400), (32767, -32768)]
+    raster = b"".join(struct.pack("<hh", a, b) for a, b in samples)
+    fmt_body = struct.pack("<HHIIHH", 1, 2, 8000, 8000 * 4, 4, 16)
+
+    def wav(extra=b""):
+        return (
+            b"RIFF" + struct.pack("<I", 0) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+            + extra
+            + b"data" + struct.pack("<I", len(raster)) + raster
+        )
+
+    r = decode_real(wav(), "audio/wav")
+    assert (r["n_channels"], r["sample_rate"], r["n_frames"]) == (2, 8000, 3)
+    assert r["sums"] == [100 + 300 + 32767, -200 - 400 - 32768]
+    # odd-sized chunk: the walk must respect word alignment
+    r2 = decode_real(
+        wav(b"LIST" + struct.pack("<I", 5) + b"hello" + b"\x00"), "wav"
+    )
+    assert r2["sums"] == r["sums"]
+    try:
+        bad = wav().replace(
+            struct.pack("<HHIIHH", 1, 2, 8000, 8000 * 4, 4, 16),
+            struct.pack("<HHIIHH", 3, 2, 8000, 8000 * 4, 4, 16),
+        )
+        decode_real(bad, "wav")
+        raise AssertionError("non-PCM must raise NotImplementedError")
+    except NotImplementedError:
+        pass

@@ -732,6 +732,78 @@ def main() -> None:
             f"(user, day))"
         )
 
+    # Round-9: the chunked EMA twin under the same hot key -- flat fold
+    # materializes the hot user's whole history as ONE in-row array;
+    # the two-level fold bounds arrays to (user, day chunk) and folds
+    # calendar-scaled (v0, v, w) summaries per user.
+    for mult in (MULTS if want("skew_ema") else []):
+        data = skew_events(mult).select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.col("value").cast("double").alias("value"),
+            F.expr("CAST(ts AS LONG) DIV 86400").alias("chunk"),
+        )
+        rows = ev_rows * mult
+        t0 = time.perf_counter()
+        data.groupBy("user_id").agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "value"))
+            ).alias("arr")
+        ).select(
+            "user_id",
+            F.expr(
+                "aggregate(slice(arr, 2, size(arr) - 1), "
+                "element_at(arr, 1).value, "
+                "(acc, s) -> 0.3e0 * s.value + (1e0 - 0.3e0) * acc)"
+            ).alias("ema_value"),
+        ).write.format("noop").mode("overwrite").save()
+        t_flat = time.perf_counter() - t0
+        per_chunk = data.groupBy("user_id", "chunk").agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "value"))
+            ).alias("arr")
+        ).select(
+            "user_id",
+            "chunk",
+            F.expr("transform(arr, s -> s.value)").alias("lv"),
+        ).select(
+            "user_id",
+            "chunk",
+            F.expr(
+                "aggregate(slice(lv, 2, size(lv) - 1), element_at(lv, 1), "
+                "(acc, x) -> 0.3e0 * x + (1e0 - 0.3e0) * acc)"
+            ).alias("v0"),
+            F.expr(
+                "aggregate(lv, CAST(0 AS DOUBLE), "
+                "(acc, x) -> 0.3e0 * x + (1e0 - 0.3e0) * acc)"
+            ).alias("v"),
+            F.expr(
+                "aggregate(lv, CAST(1 AS DOUBLE), "
+                "(acc, x) -> (1e0 - 0.3e0) * acc)"
+            ).alias("w"),
+        )
+        t0 = time.perf_counter()
+        per_chunk.groupBy("user_id").agg(
+            F.array_sort(
+                F.collect_list(F.struct("chunk", "v0", "v", "w"))
+            ).alias("carr")
+        ).select(
+            "user_id",
+            F.expr(
+                "aggregate(slice(carr, 2, size(carr) - 1), "
+                "element_at(carr, 1).v0, "
+                "(acc, s) -> s.v + s.w * acc)"
+            ).alias("ema_value"),
+        ).write.format("noop").mode("overwrite").save()
+        t_ch = time.perf_counter() - t0
+        print(
+            f"skew_ema x{mult}: flat {t_flat:.2f}s "
+            f"({rows/t_flat/1e6:.1f}M rows/s, hot user's history in one "
+            f"in-row array), chunked {t_ch:.2f}s ({rows/t_ch/1e6:.1f}M "
+            f"rows/s, arrays bounded by (user, day))"
+        )
+
     from etl_rf_matrix_controller_spark.streaming.neardup import (
         NEARDUP_DF_CAP,
         batch_band_candidates,
@@ -762,6 +834,61 @@ def main() -> None:
             f"{n_cand} candidates; uncapped hot band would be "
             f"~{hot_n * (hot_n - 1) // 2 / 1e6:.1f}M pairs, cap bounds it "
             f"at ~{NEARDUP_DF_CAP} x {hot_n / 1e3:.0f}k)"
+        )
+
+    # Round-9 verdict task #7: the exact-Jaccard VERIFY leg under the
+    # same pathological band.  The admission cap bounds candidates at
+    # cap x hot_n, but every pair shares doc_a in a ~cap-element key set
+    # -- the verify join's shuffle is hot-KEY skewed (cap keys carry 10%
+    # of all pairs each ~hot_n/cap deep).  Decade question: does AQE's
+    # skew split (spark.sql.adaptive.skewJoin) keep the jaccard
+    # verification linear in pair count, or does one partition eat the
+    # hot keys?
+    for mult in (MULTS if want("skew_neardup_verify") else []):
+        corpus = amplify_docs(mult).withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 10 == 7,
+                F.lit(
+                    "the quick brown fox jumps over the lazy dog and "
+                    "keeps jumping over it all day long every single day"
+                ),
+            ).otherwise(F.col("text")),
+        )
+        docs_n = n_docs * mult
+        hot_n = docs_n // 10
+        t = F.trim("text")
+        toksets = corpus.repartition(
+            spark.sparkContext.defaultParallelism
+        ).select(
+            "doc_id",
+            F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.greatest(F.length(t) - 7, F.lit(1))
+                    ),
+                    lambda i: t.substr(i, F.lit(8)),
+                )
+            ).alias("toks"),
+        ).localCheckpoint()
+        cand = batch_band_candidates(corpus, NEARDUP_DF_CAP)
+        ta, tb = toksets.alias("ta"), toksets.alias("tb")
+        jacc = F.size(
+            F.array_intersect(F.col("ta.toks"), F.col("tb.toks"))
+        ) / F.size(F.array_union(F.col("ta.toks"), F.col("tb.toks")))
+        t0 = time.perf_counter()
+        n_ver = (
+            cand.join(ta, F.col("ta.doc_id") == F.col("doc_a"))
+            .join(tb, F.col("tb.doc_id") == F.col("doc_b"))
+            .filter(jacc >= 0.6)
+            .count()
+        )
+        dt = time.perf_counter() - t0
+        print(
+            f"skew_neardup_verify x{mult}: {dt:.2f}s "
+            f"({n_ver} verified pairs, {n_ver/dt/1e3:.1f}k pairs/s; "
+            f"hot band contributes ~{NEARDUP_DF_CAP} x "
+            f"{hot_n/1e3:.0f}k pairs over ~{NEARDUP_DF_CAP} doc_a keys)"
         )
 
     spark.stop()
