@@ -23,6 +23,7 @@ from pyspark.sql.window import Window
 from etl_rf_matrix_controller_spark.plans.registry import (
     ORACLES as _REGISTRY_ORACLES,
 )
+from etl_rf_matrix_controller_spark.operators.aggregates import HDR_SUBS
 from etl_rf_matrix_controller_spark.operators.pipeline import hash_bucket
 from etl_rf_matrix_controller_spark.plans.registry import declared
 from etl_rf_matrix_controller_spark.sources.tables import load_table
@@ -497,7 +498,9 @@ _PCTL_QS = [500000, 900000]  # p50 / p90, ppm
              <= {HDR_BOUND_PPM} AS within_hdr_bound
     FROM est e JOIN refined f ON f.rf = e.rf AND f.q_ppm = e.q_ppm
     """.format(
-        HDR_SUBS=16,
+        # the SHARED constant, not a literal: a future HDR_SUBS change
+        # cannot silently desync engine vs oracle (ADVICE r8)
+        HDR_SUBS=HDR_SUBS,
         QS=", ".join(str(q) for q in _PCTL_QS),
     ),
 )
@@ -2889,13 +2892,13 @@ def ivfflat_batch_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     scored AS (
       SELECT q.new_id, v.vec_id AS match_id,
-             {_DOT_SQL.format(a='q.ne', b='v.embedding')} AS score
+             {_DIST_SQL.format(a='q.ne', b='v.embedding')} AS score
       FROM queries q CROSS JOIN ingested v
     ),
     ranked AS (
       SELECT new_id, match_id, score,
              row_number() OVER (PARTITION BY new_id
-                                ORDER BY score DESC, match_id) AS rnk
+                                ORDER BY score ASC, match_id) AS rnk
       FROM scored
     )
     SELECT new_id, match_id, CAST(rnk AS BIGINT) AS rnk,
@@ -2911,10 +2914,15 @@ def incremental_ivf_delta_topk(
     a bucketed delta (plans/gram_index.py; assignments encode against
     the base's centroids, the production posture -- codebooks retrain
     rarely), and a query batch probes base ∪ delta for its top-2.  The
-    oracle is BRUTE FORCE over corpus ∪ batch: each query is a verbatim
-    copy of a vector whose twin also entered via the delta, so the true
-    top-2 is (original, delta twin) -- identical scores, id tiebreak --
-    and rank 2 can ONLY be found if the delta leg is live
+    oracle is BRUTE FORCE over corpus ∪ batch under SQUARED-DISTANCE
+    scoring (ascending): each query is a verbatim copy of a vector
+    whose twin also entered via the delta, so the true top-2 is
+    (original, delta twin) at distance exactly 0 -- a GLOBAL optimum no
+    other vector can displace at any data scale (round-8 ADVICE: under
+    raw dot-product scoring a higher-norm vector in an unprobed cell
+    could outrank the self-copies, making nprobe=1 equality
+    data-dependent; squared distance makes self-match dominance
+    unconditional).  Rank 2 can ONLY be found if the delta leg is live
     (`from_delta`); rank 1 re-proves the base probe end-to-end.
 
     100 TB posture: each leg's probe joins the query batch against the
@@ -2951,11 +2959,11 @@ def incremental_ivf_delta_topk(
         ).select(
             "new_id",
             F.col("vec_id").alias("match_id"),
-            dot_double(F.col("ne"), F.col("embedding")).alias("score"),
+            _sq_dist(F.col("ne"), F.col("embedding")).alias("score"),
         )
 
     wr = Window.partitionBy("new_id").orderBy(
-        F.desc("score"), F.asc("match_id")
+        F.asc("score"), F.asc("match_id")
     )
     return (
         probe(base)

@@ -150,6 +150,19 @@ def main() -> int:
                     if c in re_t and base[c] > 0
                 )
                 calib = drifts[len(drifts) // 2] if drifts else 1.0
+                # a canary drift past FLAG_RATIO means the UNFLAGGED
+                # population slowed too -- a systemic regression (conf/
+                # session change hitting everything) that per-query
+                # normalization would silently absorb (round-8 ADVICE).
+                # Surface it loudly instead of dividing it away.
+                if calib > FLAG_RATIO:
+                    print(
+                        f"  [pass {round_no}] WARNING: canary drift "
+                        f"{calib:.2f}x for {name} exceeds FLAG_RATIO "
+                        f"{FLAG_RATIO:.2f}x -- the baseline population "
+                        f"itself is slower; suspect a GLOBAL slowdown "
+                        f"(session conf, env), not per-query noise"
+                    )
                 calib = max(calib, 1.0)  # never amplify a ratio
                 adj = rt / (b * calib)
                 verdict = "survives" if adj > FLAG_RATIO and rt > MIN_SEC \
