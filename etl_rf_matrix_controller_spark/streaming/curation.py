@@ -127,6 +127,14 @@ def quality_keep_col() -> F.Column:
 
 
 def _make_admission_op(cap: int):
+    """The IN-MEMORY admission index (applyInPandasWithState shards):
+    right for a long-lived low-latency stream whose state fits
+    executors.  Its persistent twin is streaming/ingest.py, where the
+    bucketed on-disk index IS the state (same tiers, same retention
+    discipline, pinned equal by tests/test_ingest_unification.py) --
+    the path to use when batch consumers must see what the stream
+    admitted."""
+
     def _admit(key, pdf_iter, state: GroupState):
         """One SHARD of the admission index.  Buckets keyed ``x|<hash>``
         retain one exemplar (exact tier), ``m|<band>|<bkey>`` retain the

@@ -871,7 +871,13 @@ def main() -> None:
                 )
             ).alias("toks"),
         ).localCheckpoint()
-        cand = batch_band_candidates(corpus, NEARDUP_DF_CAP)
+        # materialize candidates first so the verify leg times ALONE --
+        # candidate generation's hot-bucket self-join has its own
+        # (round-8) decade; this shape isolates the jaccard verify.
+        cand = batch_band_candidates(corpus, NEARDUP_DF_CAP).cache()
+        t0 = time.perf_counter()
+        n_cand = cand.count()
+        t_cand = time.perf_counter() - t0
         ta, tb = toksets.alias("ta"), toksets.alias("tb")
         jacc = F.size(
             F.array_intersect(F.col("ta.toks"), F.col("tb.toks"))
@@ -884,11 +890,13 @@ def main() -> None:
             .count()
         )
         dt = time.perf_counter() - t0
+        cand.unpersist()
         print(
-            f"skew_neardup_verify x{mult}: {dt:.2f}s "
-            f"({n_ver} verified pairs, {n_ver/dt/1e3:.1f}k pairs/s; "
-            f"hot band contributes ~{NEARDUP_DF_CAP} x "
-            f"{hot_n/1e3:.0f}k pairs over ~{NEARDUP_DF_CAP} doc_a keys)"
+            f"skew_neardup_verify x{mult}: candidates {t_cand:.2f}s "
+            f"({n_cand}), verify {dt:.2f}s ({n_ver} verified pairs, "
+            f"{n_ver/dt/1e3:.1f}k pairs/s; hot band contributes "
+            f"~{NEARDUP_DF_CAP} x {hot_n/1e3:.0f}k pairs over "
+            f"~{NEARDUP_DF_CAP} doc_a keys)"
         )
 
     spark.stop()
