@@ -732,6 +732,77 @@ def main() -> None:
             f"(user, day))"
         )
 
+    # Round-9 verdict task #6: probe wall vs delta-leg count.  A week of
+    # nightly appends leaves K legs; consumers serve base ∪ K deltas as
+    # one bucketed join per leg.  This shape builds a base + 8 delta
+    # legs in an isolated index root, then probes a fixed batch against
+    # the first 0/1/2/4/8 legs -- the slope justifies the
+    # compact-at-K default (plans/gram_index.py::compact_when_due).
+    for mult in (MULTS[-1:] if want("delta_legs_probe") else []):
+        import os as _os
+        import tempfile as _tf
+
+        from etl_rf_matrix_controller_spark.operators.dedup import (
+            per_row_band_rows,
+        )
+        from etl_rf_matrix_controller_spark.plans import gram_index as gi
+
+        saved_root = _os.environ.get("SPARK_GRAFT_INDEX_DIR")
+        _os.environ["SPARK_GRAFT_INDEX_DIR"] = _tf.mkdtemp(
+            prefix="spark_graft_dlprobe_"
+        )
+        try:
+            corpus = amplify_docs(mult)
+            kind, ver, bcols = "dlprobe", "v1", ["band", "bkey"]
+            base = gi.ensure_bucketed_index(
+                spark, SF_DIR, kind,
+                lambda s, d, c=corpus: per_row_band_rows(
+                    c.filter(F.col("doc_id") % 9 == 0)
+                ),
+                bcols, version=ver,
+            )
+            legs = []
+            for k in range(8):
+                legs.append(gi.append_index_delta(
+                    spark, SF_DIR, kind,
+                    lambda s, d, c=corpus, k=k: per_row_band_rows(
+                        c.filter(F.col("doc_id") % 9 == k + 1)
+                    ),
+                    bcols, version=ver, batch_id=f"b{k}",
+                ))
+            probe = per_row_band_rows(
+                corpus.filter(F.col("doc_id") % 91 == 3)
+            ).localCheckpoint()
+            n_probe = probe.count()
+            for n_legs in (0, 1, 2, 4, 8):
+                served = [base] + legs[:n_legs]
+                t0 = time.perf_counter()
+                total = 0
+                hits = None
+                for leg in served:
+                    h = (
+                        probe.alias("n")
+                        .hint("shuffle_hash")
+                        .join(
+                            leg.alias("i"),
+                            (F.col("n.band") == F.col("i.band"))
+                            & (F.col("n.bkey") == F.col("i.bkey")),
+                        )
+                        .select(F.col("i.doc_id"))
+                    )
+                    hits = h if hits is None else hits.unionByName(h)
+                total = hits.count()
+                dt = time.perf_counter() - t0
+                print(
+                    f"delta_legs_probe x{mult} legs={n_legs}: {dt:.2f}s "
+                    f"({n_probe} probe rows, {total} hits)"
+                )
+        finally:
+            if saved_root is None:
+                _os.environ.pop("SPARK_GRAFT_INDEX_DIR", None)
+            else:
+                _os.environ["SPARK_GRAFT_INDEX_DIR"] = saved_root
+
     # Round-9: the chunked EMA twin under the same hot key -- flat fold
     # materializes the hot user's whole history as ONE in-row array;
     # the two-level fold bounds arrays to (user, day chunk) and folds
