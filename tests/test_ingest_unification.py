@@ -192,6 +192,69 @@ def test_stream_ingest_state_equals_batch_append(spark, monkeypatch, tmp_path):
     assert "SortMergeJoin" not in plan, plan
 
 
+def test_stream_rerun_is_idempotent(spark, monkeypatch, tmp_path):
+    """Re-draining the same nights (fresh checkpoint, same batch ids)
+    re-REGISTERS the existing delta legs instead of re-writing or
+    duplicating: on-disk state is unchanged and still equals the
+    one-shot twin.  Pins the 'atomic idempotent publish' contract the
+    declared query's docstring claims."""
+    import glob
+
+    from etl_rf_matrix_controller_spark.plans.gram_index import (
+        index_delta_frames,
+    )
+    from etl_rf_matrix_controller_spark.streaming.ingest import (
+        ADMBAND_N_BUCKETS,
+        admission_index_base,
+        one_shot_retained,
+        stream_ingest_to_index,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path))
+    kind = "r9idem"
+    docs, nights, _ = _run_ingest(spark, tmp_path, kind)
+    files_before = sorted(glob.glob(str(tmp_path / "*") + "/**", recursive=True))
+
+    # second drain: same staged files, fresh checkpoint + records sink
+    src = str(tmp_path / f"stream_{kind}")
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    stream_ingest_to_index(
+        stream,
+        spark,
+        SF_DIR,
+        kind=kind,
+        version="v1",
+        cap=CAP,
+        records_path=str(tmp_path / "records_rerun"),
+        checkpoint_path=str(tmp_path / "ckpt_rerun"),
+    )
+    files_after = sorted(glob.glob(str(tmp_path / "*") + "/**", recursive=True))
+    index_before = [f for f in files_before if f"_{kind}_" in f]
+    index_after = [f for f in files_after if f"_{kind}_" in f]
+    assert index_before == index_after, "re-run touched the index"
+
+    legs = index_delta_frames(
+        spark, SF_DIR, kind, version="v1", n_buckets=ADMBAND_N_BUCKETS
+    )
+    assert len(legs) == 3
+    base = admission_index_base(
+        spark, SF_DIR, kind=kind, version="v1", cap=CAP
+    )
+    served = base
+    for leg in legs:
+        served = served.unionByName(leg)
+    all_docs = docs
+    for n in nights:
+        all_docs = all_docs.unionByName(n)
+    assert {tuple(r) for r in served.collect()} == {
+        tuple(r) for r in one_shot_retained(all_docs, CAP).collect()
+    }
+
+
 def test_stream_ingest_compacts_mid_stream(spark, monkeypatch, tmp_path):
     """compact-at-K wired into the ingest loop: with max_deltas=2 the
     fold happens mid-stream (manifest flip to __g1), the next batch
