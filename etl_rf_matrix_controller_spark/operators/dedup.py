@@ -953,7 +953,11 @@ def band_index_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Night 1's batch bands published as a DELTA leg of the persistent
     band index (plans/gram_index.py round-8 incremental maintenance):
     same bucketBy(N, band, bkey) layout as the base, batch-scaled
-    bytes, base untouched."""
+    bytes, base untouched.  Published under the DEDICATED planted kind
+    ``bandidx_ing`` (round-10): the shared ``bandidx`` base keeps zero
+    planted deltas, so a real corpus can compact it freely, while this
+    leg's +4M/+5M docs can never be folded into the base the base-only
+    consumers (incremental_near_dup_check) read."""
     from etl_rf_matrix_controller_spark.plans.gram_index import (
         append_index_delta,
     )
@@ -961,7 +965,7 @@ def band_index_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return append_index_delta(
         spark,
         sf_dir,
-        "bandidx",
+        "bandidx_ing",
         lambda s, d: per_row_band_rows(
             new_batch_docs(
                 load_table(s, d, "documents").select("doc_id", "text")

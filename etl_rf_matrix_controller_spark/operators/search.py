@@ -106,7 +106,9 @@ def postings_batch_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     incremental maintenance): same bucketBy(N, token) layout as the
     base, batch-scaled bytes, atomic idempotent publish.  The base table
     is untouched -- existing retrieval consumers keep reading it alone;
-    incremental consumers serve base ∪ delta."""
+    incremental consumers serve base ∪ delta.  Published under the
+    DEDICATED planted kind ``post_ing`` (round-10) so the shared
+    ``post`` base carries no planted deltas and stays compactable."""
     from etl_rf_matrix_controller_spark.operators.dedup import new_batch_docs
     from etl_rf_matrix_controller_spark.plans.gram_index import (
         append_index_delta,
@@ -129,7 +131,7 @@ def postings_batch_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return append_index_delta(
         spark,
         sf_dir,
-        "post",
+        "post_ing",
         _batch_postings,
         ["token"],
         version=POSTINGS_INDEX_VERSION,

@@ -2836,7 +2836,9 @@ def ivfflat_batch_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec_id % 25 == 7) assigned against the BASE corpus's centroids
     (codebooks/centroids retrain rarely in production; appends encode
     with the current ones) and published as a bucketed DELTA leg of the
-    flat IVF index."""
+    flat IVF index -- under the DEDICATED planted kind ``ivfflat_ing``
+    (round-10), so the shared ``ivfflat`` base keeps zero planted
+    deltas and stays compactable without overrides."""
     from etl_rf_matrix_controller_spark.plans.gram_index import (
         append_index_delta,
     )
@@ -2867,7 +2869,7 @@ def ivfflat_batch_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return append_index_delta(
         spark,
         sf_dir,
-        "ivfflat",
+        "ivfflat_ing",
         _build,
         ["cent_id"],
         version=IVFFLAT_INDEX_VERSION,

