@@ -34,9 +34,24 @@ def main() -> None:
     # Warm the JVM + file listing outside the timed region.
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
 
+    # Deterministic HASH order, not alphabetical (round-9 verdict): the
+    # host is co-tenant, so a multi-minute load window sweeping a
+    # sequential alphabetical bench slows a NAME-contiguous block and
+    # masquerades as a query-family regression (round 9's false 1.66x
+    # headline clustered on d/e/f/g names).  Hashing the iteration order
+    # scatters any time-contiguous window across unrelated names, so a
+    # family-shaped ratio cluster in bench_diff can only be a real
+    # regression.  The order is recorded in BENCH_DETAIL for forensics.
+    import hashlib
+
+    run_order = sorted(
+        registry.QUERIES,
+        key=lambda n: hashlib.md5(n.encode()).hexdigest(),
+    )
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in sorted(registry.QUERIES):
+    for name in run_order:
         fn = registry.QUERIES[name]
         best = float("inf")
         for _ in range(2):  # steady-state: min of 2 runs damps GC noise
@@ -63,6 +78,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "run_order": run_order,
         "sf": sf_val,
     }
     if errors:

@@ -1360,6 +1360,198 @@ def span_char_gram_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Span-family incremental ingest (round-10 verdict task #2): the gram
+# indexes were the last rebuild-only family -- every appended batch
+# forced a corpus-fingerprint rebuild of the ~650x positional-gram
+# fan-out.  Night 1's batch appends its positional grams as a bucketed
+# delta leg (dedicated planted kind `spanchar_ing`); night 2 probes
+# base ∪ delta leg-by-leg.  The night-1 suffix is kept UNDER SPAN_K
+# chars so unrelated night docs can never span-match through the shared
+# suffix alone (a >=K shared tail would create |n1| x |n2| phantom
+# pairs).
+_SPAN_SUF1 = " zq-night-one-span-append"  # 25 chars < SPAN_K
+_SPAN_SUF2 = " zq-night-two-probe-extension"
+
+_SPAN_INC_CORPUS_SQL = f"""
+      SELECT doc_id, trim(text) AS t, 'idx' AS tag FROM ({_CORPUS_SQL})
+      UNION ALL
+      SELECT doc_id + 4000000, trim(text) || '{_SPAN_SUF1}', 'idx'
+      FROM documents WHERE doc_id % 10 = 3
+      UNION ALL
+      SELECT doc_id + 7000000,
+             trim(text) || '{_SPAN_SUF1}' || '{_SPAN_SUF2}', 'new'
+      FROM documents WHERE doc_id % 10 = 3
+      UNION ALL
+      SELECT doc_id + 8000000, reverse(trim(text)), 'new'
+      FROM documents WHERE doc_id % 10 = 8
+"""
+
+
+def span_batch1_docs(docs: DataFrame) -> DataFrame:
+    """Night 1's span-ingest batch (+4M): each doc_id%10==3 doc verbatim
+    plus a sub-SPAN_K tail -- shares its full original text with the
+    base corpus and (text + tail) with night 2's probes."""
+    return docs.filter(F.col("doc_id") % 10 == 3).select(
+        (F.col("doc_id") + 4000000).alias("doc_id"),
+        F.concat(F.trim("text"), F.lit(_SPAN_SUF1)).alias("text"),
+    )
+
+
+def span_batch2_docs(docs: DataFrame) -> DataFrame:
+    """Night 2's probe batch: +7M extensions of night 1's docs (span-
+    match BOTH the original, via base, and night 1's variant, via the
+    delta leg) and +8M reversed decoys (no-match path)."""
+    ext = docs.filter(F.col("doc_id") % 10 == 3).select(
+        (F.col("doc_id") + 7000000).alias("doc_id"),
+        F.concat(
+            F.trim("text"), F.lit(_SPAN_SUF1), F.lit(_SPAN_SUF2)
+        ).alias("text"),
+    )
+    decoy = docs.filter(F.col("doc_id") % 10 == 8).select(
+        (F.col("doc_id") + 8000000).alias("doc_id"),
+        F.reverse(F.trim("text")).alias("text"),
+    )
+    return ext.unionByName(decoy)
+
+
+def span_batch_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Night 1's positional char-grams published as a DELTA leg of the
+    span index family: same bucketBy(N, gram) layout as the `spanchar`
+    base, batch-scaled bytes (~650x the batch, never the corpus), base
+    untouched.  Published under the DEDICATED planted kind
+    ``spanchar_ing`` so the shared `spanchar` base stays compactable
+    and these +4M planted grams can never be folded into it."""
+    from etl_rf_matrix_controller_spark.plans.gram_index import (
+        append_index_delta,
+    )
+
+    return append_index_delta(
+        spark,
+        sf_dir,
+        "spanchar_ing",
+        lambda s, d: positional_gram_df(
+            span_batch1_docs(
+                load_table(s, d, "documents").select("doc_id", "text")
+            ),
+            SPAN_K,
+        ),
+        ["gram"],
+        version="v1",
+        batch_id="ing1",
+    )
+
+
+@declared(
+    "incremental_span_append_check",
+    oracle=f"""
+    WITH alld AS MATERIALIZED ({_SPAN_INC_CORPUS_SQL}),
+    pg AS MATERIALIZED (
+      SELECT doc_id, tag, i.i AS pos,
+             substring(t, CAST(i.i AS INT), {SPAN_K}) AS gram
+      FROM (
+        SELECT doc_id, tag, t,
+               generate_series(1, greatest(length(t) - {SPAN_K - 1}, 0))
+                 AS idxs
+        FROM alld
+      ) g, unnest(idxs) AS i(i)
+    ),
+    m AS MATERIALIZED (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.pos AS pos_a, a.pos - b.pos AS diag
+      FROM pg a JOIN pg b
+        ON a.gram = b.gram AND a.tag = 'idx' AND b.tag = 'new'
+    ),
+    isl AS (
+      SELECT doc_a, doc_b, diag, pos_a,
+             pos_a - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+                                        ORDER BY pos_a) AS island
+      FROM m
+    )
+    SELECT doc_a, doc_b,
+           CAST(min(pos_a) AS BIGINT) AS start_a,
+           CAST(min(pos_a) - diag AS BIGINT) AS start_b,
+           CAST(max(pos_a) - min(pos_a) + {SPAN_K} AS BIGINT) AS span_chars,
+           doc_a >= 4000000 AS matched_in_delta
+    FROM isl
+    GROUP BY doc_a, doc_b, diag, island
+    """,
+)
+def incremental_span_append_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Night-over-night incremental ingest for the SPAN-dedup family
+    (round-10: the last rebuild-only index shape gets the delta-leg
+    treatment).  Night 1's batch publishes its positional char-grams as
+    a bucketed delta leg of the persistent span index; night 2's batch
+    probes base ∪ delta -- each leg joined separately (both share the
+    base's bucketing; a union of scans would erase the distribution the
+    co-located probe needs), match frames unioned BEFORE one
+    probe-scaled gaps-and-islands merge so spans never split at a leg
+    boundary.  `matched_in_delta` rows prove the delta leg is live:
+    night 2's extensions span-match BOTH their original (base) and
+    night 1's variant (delta, with a strictly longer span that covers
+    the night-1 tail).
+
+    100 TB posture: the append writes only the batch's ~650x gram
+    fan-out through the base's bucketing fn -- the corpus is never
+    re-grammed or re-shuffled; probes shuffle only night 2's grams (one
+    probe-side Exchange per leg against a bucketed scan); the island
+    merge is match-scaled.  Compaction of real (non-planted) span
+    deltas folds legs back to one file per bucket off the query path,
+    same as every other kind since round 10 unblocked production
+    compaction.
+    """
+    base = span_char_gram_index(spark, sf_dir)
+    delta = span_batch_delta(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    npg = positional_gram_df(
+        span_batch2_docs(docs), SPAN_K
+    ).localCheckpoint(eager=True)
+
+    def m_of(leg: DataFrame) -> DataFrame:
+        return (
+            npg.alias("n")
+            .hint("shuffle_hash")
+            .join(leg.alias("i"), F.col("n.gram") == F.col("i.gram"))
+            .select(
+                F.col("i.doc_id").alias("doc_a"),
+                F.col("n.doc_id").alias("doc_b"),
+                F.col("i.pos").alias("pos_a"),
+                (F.col("i.pos") - F.col("n.pos")).alias("diag"),
+            )
+        )
+
+    m = m_of(base).unionByName(m_of(delta))
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    isl = m.select(
+        "doc_a",
+        "doc_b",
+        "diag",
+        "pos_a",
+        (F.col("pos_a") - F.row_number().over(w)).alias("island"),
+    )
+    return (
+        isl.groupBy("doc_a", "doc_b", "diag", "island")
+        .agg(
+            F.min("pos_a").cast("bigint").alias("start_a"),
+            (F.min("pos_a") - F.first("diag"))
+            .cast("bigint")
+            .alias("start_b"),
+            (F.max("pos_a") - F.min("pos_a") + SPAN_K)
+            .cast("bigint")
+            .alias("span_chars"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "start_a",
+            "start_b",
+            "span_chars",
+            (F.col("doc_a") >= 4000000).alias("matched_in_delta"),
+        )
+    )
+
+
 def positional_gram_df(docs: DataFrame, k: int) -> DataFrame:
     """Positional k-char gram fan-out: (doc_id, pos, gram), one row per
     character position.  Shared by the ad-hoc span path (checkpointed

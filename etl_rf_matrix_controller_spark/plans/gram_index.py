@@ -558,7 +558,8 @@ def index_delta_frames(
 # its scenario base would silently change every incremental_*_check /
 # unification declared result, which reuses on-disk state by design.
 PROTECTED_KINDS = frozenset(
-    {"post_ing", "bandidx_ing", "ivfflat_ing", "admband_ing"}
+    {"post_ing", "bandidx_ing", "ivfflat_ing", "admband_ing",
+     "spanchar_ing"}
 )
 
 

@@ -79,7 +79,17 @@ def main() -> int:
         print(f"no base file at {base_path}; nothing to diff")
         return 0
     with open(base_path) as fh:
-        base = json.load(fh)["queries"]
+        base_doc = json.load(fh)
+    base = base_doc["queries"]
+    # Isolated-session floors (round-9 verdict): BENCH_BASE's warm
+    # minima come from a JIT-mature 400-query bench; a query with a
+    # high isolated-session fixed cost (pareto_revenue_share) re-runs
+    # 2-3x its warm base in ANY adjudicator session and flags forever.
+    # tools/bench_floor.py records, once per rebase, what each query
+    # costs in a fresh session when HEALTHY; adjudication compares
+    # re-measurements against max(warm_base * canary_drift, floor), so
+    # a re-run at its known isolated floor can never survive as a flag.
+    floors = base_doc.get("floors", {})
     with open(cur_path) as fh:
         cur = json.load(fh)["queries"]
 
@@ -164,13 +174,17 @@ def main() -> int:
                         f"(session conf, env), not per-query noise"
                     )
                 calib = max(calib, 1.0)  # never amplify a ratio
-                adj = rt / (b * calib)
+                eff_base = max(b * calib, floors.get(name, 0.0))
+                adj = rt / eff_base
                 verdict = "survives" if adj > FLAG_RATIO and rt > MIN_SEC \
                     else "noise (dismissed)"
-                print(f"  [pass {round_no}] {name}: base {b:.3f}s, "
-                      f"re-measured {rt:.3f}s (raw {rt / b:.2f}x, canary "
-                      f"drift {calib:.2f}x, adjusted {adj:.2f}x) "
-                      f"-> {verdict}")
+                floor_note = (
+                    f", floor {floors[name]:.3f}s" if name in floors else ""
+                )
+                print(f"  [pass {round_no}] {name}: base {b:.3f}s"
+                      f"{floor_note}, re-measured {rt:.3f}s "
+                      f"(raw {rt / b:.2f}x, canary drift {calib:.2f}x, "
+                      f"adjusted {adj:.2f}x) -> {verdict}")
                 if verdict == "survives":
                     survivors.append(name)
             return survivors
