@@ -664,6 +664,81 @@ def test_missing_serving_generation_refuses_silent_rebuild(
         ensure_bucketed_index(spark, SF_DIR, kind, builder, ["token"], **kw)
 
 
+def test_append_racing_compaction_rehomes_orphan(spark, monkeypatch, tmp_path):
+    """Round-10 verdict task #4: an append whose publish lands just as a
+    compaction flips the serving generation must never leave the batch
+    invisible to post-flip readers.  The race is forced deterministically:
+    a compaction (which cannot see the in-flight delta) runs between the
+    append's generation resolution and its publish landing -- the append
+    must detect the flip, re-home the same rows onto the new generation
+    (idempotent by batch id), and retire the orphan leg."""
+    import etl_rf_matrix_controller_spark.plans.gram_index as gi
+    from etl_rf_matrix_controller_spark.operators.dedup import (
+        new_batch_docs,
+        batch2_docs,
+    )
+    from etl_rf_matrix_controller_spark.sources.tables import load_table
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path))
+    kind, version = "r10race", "v1"
+    kw = dict(version=version, sort_cols=["token", "doc_id"])
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    n1, n2 = new_batch_docs(docs), batch2_docs(docs)
+    gi.ensure_bucketed_index(
+        spark, SF_DIR, kind, lambda s, d: _tok_postings(docs), ["token"],
+        **kw,
+    )
+    gi.append_index_delta(
+        spark, SF_DIR, kind, lambda s, d: _tok_postings(n1), ["token"],
+        batch_id="b1", **kw,
+    )
+
+    real_publish = gi._publish_bucketed
+    armed = {"on": True}
+
+    def racing_publish(spark_, df, table, loc, *a, **k):
+        if armed["on"] and "__db2" in table:
+            # the compaction intervenes AFTER the append resolved its
+            # target generation but BEFORE its publish lands: it folds
+            # b1 (the only leg it can see) and flips serving to __g1
+            armed["on"] = False
+            gi.compact_index(spark, SF_DIR, kind, ["token"], **kw)
+        return real_publish(spark_, df, table, loc, *a, **k)
+
+    monkeypatch.setattr(gi, "_publish_bucketed", racing_publish)
+    gi.append_index_delta(
+        spark, SF_DIR, kind, lambda s, d: _tok_postings(n2), ["token"],
+        batch_id="b2", **kw,
+    )
+    monkeypatch.setattr(gi, "_publish_bucketed", real_publish)
+
+    # post-flip reader: serving generation + delta legs hold EVERY batch
+    serving = gi.ensure_bucketed_index(
+        spark, SF_DIR, kind, lambda s, d: _tok_postings(docs), ["token"],
+        **kw,
+    )
+    legs = gi.index_delta_frames(spark, SF_DIR, kind, version=version)
+    assert len(legs) == 1  # b2, re-homed onto __g1
+    got = serving
+    for leg in legs:
+        got = got.unionByName(leg)
+    want = {
+        tuple(r)
+        for r in _tok_postings(
+            docs.unionByName(n1).unionByName(n2)
+        ).collect()
+    }
+    assert {tuple(r) for r in got.collect()} == want
+
+    # the orphan (old-generation __db2 leg) is retired, not deleted
+    table = gi._base_table_name(SF_DIR, kind, version, 32, "documents")
+    man = gi._read_manifest(os.path.join(str(tmp_path), table))
+    retired = {e["path"] for e in man["retired"]}
+    assert f"{table}__db2" in retired, retired
+    assert man["serving"] == f"{table}__g1"
+    assert os.path.isdir(os.path.join(str(tmp_path), f"{table}__db2"))
+
+
 def test_manifest_updates_are_lock_serialized(tmp_path):
     """Round-9 ADVICE: compact_index and prune_stale_indexes mutate the
     manifest through _update_manifest, whose O_EXCL lockfile (a) makes
