@@ -6,11 +6,14 @@ Extension operators (build contract): image/audio/video travel as opaque
 frame-sample run as pandas functions over Arrow batches.  Decode comes in
 three tiers:
 
-  * ``decode_real(...)`` REALLY decodes uncompressed PPM (P6) in pure
-    Python -- generic header parse + raster walk -- exercised end-to-end
-    by ``multimodal_real_decode`` over genuine synthesized PPM files;
-  * compressed formats (PIL/ffmpeg/librosa are NOT in this container)
-    keep a clearly-marked ``NotImplementedError`` inside decode_real;
+  * ``decode_real(...)`` REALLY decodes uncompressed PPM (P6), PCM16
+    WAV, and -- round 10 -- compressed PNG (stdlib zlib inflate +
+    CRC-verified chunk walk + all five scanline filter reconstructions)
+    in pure Python, each exercised end-to-end by a declared query over
+    genuine synthesized files;
+  * formats needing absent codec libraries (JPEG's DCT/entropy coding,
+    video) keep a clearly-marked ``NotImplementedError`` inside
+    decode_real;
   * the original deterministic-fake path computes features from raw
     bytes, so the Spark-side plumbing -- schema, Arrow batch shape,
     partition-parallel UDF execution -- stays oracle-testable for the
@@ -143,10 +146,196 @@ def decode_real(data: bytes, fmt: str) -> dict:
             "n_frames": n_frames,
             "sums": sums,
         }
+    if fmt in ("image/png", "png"):
+        return _decode_png(data)
     raise NotImplementedError(
-        f"real decode for {fmt!r} needs PIL/ffmpeg; PPM (P6) and PCM16 "
-        "WAV are the pure-Python paths, the deterministic fake covers "
-        "the rest"
+        f"real decode for {fmt!r} needs PIL/ffmpeg; PPM (P6), PNG "
+        "(8-bit gray/RGB, non-interlaced -- stdlib zlib inflate + "
+        "scanline unfilter) and PCM16 WAV are the pure-Python paths, "
+        "the deterministic fake covers the rest"
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (left, up, up-left)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _decode_png(data: bytes) -> dict:
+    """REAL PNG decode in pure Python (round-9 verdict task #5: PNG is
+    decodable with stdlib ``zlib``, retiring the 'compressed formats
+    need absent libraries' caveat for the web's most common format).
+    Full pipeline: signature check -> chunk walk (IHDR / IDAT* / IEND,
+    CRC-verified via zlib.crc32) -> inflate of the concatenated IDAT
+    stream -> per-scanline reconstruction of all five filter types
+    (None / Sub / Up / Average / Paeth) -> per-channel sums over the
+    reconstructed raster.  Supports 8-bit greyscale (color type 0) and
+    truecolor (color type 2), non-interlaced; Adam7 interlace, palettes,
+    alpha, and 16-bit depths keep the documented NotImplementedError."""
+    import struct
+    import zlib
+
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload (bad signature)")
+    i = 8
+    ihdr = None
+    idat = b""
+    seen_iend = False
+    while i + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[i : i + 4])
+        ctype = data[i + 4 : i + 8]
+        body = data[i + 8 : i + 8 + length]
+        (crc,) = struct.unpack(
+            ">I", data[i + 8 + length : i + 12 + length]
+        )
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            seen_iend = True
+            break
+        i += 12 + length
+    if ihdr is None or not seen_iend:
+        raise ValueError("missing IHDR/IEND chunk")
+    width, height, depth, color, comp, filt, interlace = ihdr
+    if comp != 0 or filt != 0:
+        raise ValueError("unknown compression/filter method")
+    if interlace != 0:
+        raise NotImplementedError("Adam7 interlace not implemented")
+    if depth != 8 or color not in (0, 2):
+        raise NotImplementedError(
+            f"only 8-bit gray/RGB PNG decodable here (depth={depth}, "
+            f"color_type={color})"
+        )
+    bpp = 3 if color == 2 else 1
+    stride = width * bpp
+    raw = zlib.decompress(idat)
+    if len(raw) != height * (1 + stride):
+        raise ValueError(
+            f"inflated size {len(raw)} != {height} * (1 + {stride})"
+        )
+    sums = [0] * bpp
+    prior = bytearray(stride)
+    for y in range(height):
+        row0 = y * (1 + stride)
+        ftype = raw[row0]
+        line = bytearray(raw[row0 + 1 : row0 + 1 + stride])
+        if ftype == 1:  # Sub
+            for x in range(bpp, stride):
+                line[x] = (line[x] + line[x - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for x in range(stride):
+                line[x] = (line[x] + prior[x]) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                left = line[x - bpp] if x >= bpp else 0
+                line[x] = (line[x] + ((left + prior[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                left = line[x - bpp] if x >= bpp else 0
+                ul = prior[x - bpp] if x >= bpp else 0
+                line[x] = (line[x] + _paeth(left, prior[x], ul)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown scanline filter {ftype}")
+        if bpp == 3:  # sliced sums beat a per-byte modulo loop ~10x
+            sums[0] += sum(line[0::3])
+            sums[1] += sum(line[1::3])
+            sums[2] += sum(line[2::3])
+        else:
+            sums[0] += sum(line)
+        prior = line
+    out = {
+        "width": width,
+        "height": height,
+        "bit_depth": depth,
+        "color_type": color,
+    }
+    if bpp == 3:
+        out.update(sum_r=sums[0], sum_g=sums[1], sum_b=sums[2])
+    else:
+        out.update(sum_r=sums[0], sum_g=sums[0], sum_b=sums[0])
+    return out
+
+
+def encode_png(
+    width: int, height: int, raster: bytes, *, color: int = 2
+) -> bytes:
+    """REAL PNG encoder, pure Python/stdlib: builds a spec-compliant
+    8-bit non-interlaced PNG from a raw raster, applying a DIFFERENT
+    scanline filter per row (row y uses filter y % 5) so a decoder must
+    implement all five reconstructions to recover the raster.  CRCs via
+    zlib.crc32, raster via zlib.compress."""
+    import struct
+    import zlib
+
+    bpp = 3 if color == 2 else 1
+    stride = width * bpp
+    if len(raster) != height * stride:
+        raise ValueError(f"raster {len(raster)} != {height}x{stride}")
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    lines = bytearray()
+    prior = bytes(stride)
+    for y in range(height):
+        row = raster[y * stride : (y + 1) * stride]
+        ftype = y % 5
+        lines.append(ftype)
+        if ftype == 0:
+            lines += row
+        elif ftype == 1:  # Sub
+            lines += bytes(
+                (row[x] - (row[x - bpp] if x >= bpp else 0)) & 0xFF
+                for x in range(stride)
+            )
+        elif ftype == 2:  # Up
+            lines += bytes(
+                (row[x] - prior[x]) & 0xFF for x in range(stride)
+            )
+        elif ftype == 3:  # Average
+            lines += bytes(
+                (
+                    row[x]
+                    - (((row[x - bpp] if x >= bpp else 0) + prior[x]) >> 1)
+                )
+                & 0xFF
+                for x in range(stride)
+            )
+        else:  # Paeth
+            lines += bytes(
+                (
+                    row[x]
+                    - _paeth(
+                        row[x - bpp] if x >= bpp else 0,
+                        prior[x],
+                        prior[x - bpp] if x >= bpp else 0,
+                    )
+                )
+                & 0xFF
+                for x in range(stride)
+            )
+        prior = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + chunk(b"IEND", b"")
     )
 
 
@@ -390,6 +579,149 @@ def multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, width int, height int, data binary",
     )
     return ppm.mapInPandas(_real_decode_batches, schema=REAL_DECODE_SCHEMA)
+
+
+PNG_DECODE_SCHEMA = (
+    "doc_id long, width int, height int, bit_depth int, color_type int, "
+    "sum_r long, sum_g long, sum_b long"
+)
+
+
+def _png_encode_batches(
+    batches: "Iterator[pd.DataFrame]",
+) -> "Iterator[pd.DataFrame]":
+    """Arrow-batched REAL PNG synthesis: the same digest-tiled RGB
+    raster the PPM pass uses, but encoded through encode_png -- zlib
+    deflate, CRC'd chunks, and a different scanline filter per row, so
+    the decode pass must exercise every filter reconstruction."""
+    import pandas as pd
+
+    for pdf in batches:
+        payloads = []
+        for h, w, ht in zip(pdf["h"], pdf["width"], pdf["height"]):
+            dig = bytes.fromhex(h)
+            n = int(w) * int(ht) * 3
+            raster = (dig * (n // len(dig) + 1))[:n]
+            payloads.append(encode_png(int(w), int(ht), raster))
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "data": payloads})
+
+
+def _png_decode_batches(
+    batches: "Iterator[pd.DataFrame]",
+) -> "Iterator[pd.DataFrame]":
+    """Arrow-batched REAL PNG decode via decode_real's full pipeline
+    (chunk walk, CRC check, inflate, 5-filter unfilter, channel fold)."""
+    import pandas as pd
+
+    for pdf in batches:
+        rows = [decode_real(bytes(d), "image/png") for d in pdf["data"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "width": pd.Series(
+                    [r["width"] for r in rows], dtype="int32"
+                ),
+                "height": pd.Series(
+                    [r["height"] for r in rows], dtype="int32"
+                ),
+                "bit_depth": pd.Series(
+                    [r["bit_depth"] for r in rows], dtype="int32"
+                ),
+                "color_type": pd.Series(
+                    [r["color_type"] for r in rows], dtype="int32"
+                ),
+                "sum_r": pd.Series(
+                    [r["sum_r"] for r in rows], dtype="int64"
+                ),
+                "sum_g": pd.Series(
+                    [r["sum_g"] for r in rows], dtype="int64"
+                ),
+                "sum_b": pd.Series(
+                    [r["sum_b"] for r in rows], dtype="int64"
+                ),
+            }
+        )
+
+
+@declared(
+    "multimodal_png_decode",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, md5(text) AS h,
+             CAST(1 + doc_id % 64 AS INT) AS width,
+             CAST(1 + doc_id % 48 AS INT) AS height
+      FROM documents
+    ),
+    d AS (
+      SELECT doc_id, width, height,
+             width * height * 3 AS n,
+             list_transform(generate_series(0, 15),
+               j -> ('0x' || substring(h, 1 + 2 * j, 2))::BIGINT)
+               AS digest
+      FROM m
+    ),
+    -- identical closed form to multimodal_real_decode: the raster tiles
+    -- the 16-byte digest; lcm(3,16)=48, so full periods contribute
+    -- sum(digest) per channel and the n%48 remainder is summed term by
+    -- term.  The compression/filtering round-trip must be the identity.
+    p AS (
+      SELECT doc_id, width, height, digest,
+             n // 48 AS n_periods, n % 48 AS rem,
+             list_sum(digest) AS s
+      FROM d
+    )
+    SELECT doc_id, width, height,
+           CAST(8 AS INT) AS bit_depth, CAST(2 AS INT) AS color_type,
+           CAST(n_periods * s + COALESCE(list_sum(list_transform(
+             generate_series(0, rem - 1),
+             t -> CASE WHEN t % 3 = 0
+                  THEN digest[1 + (t % 16)] ELSE 0 END)), 0) AS BIGINT)
+             AS sum_r,
+           CAST(n_periods * s + COALESCE(list_sum(list_transform(
+             generate_series(0, rem - 1),
+             t -> CASE WHEN t % 3 = 1
+                  THEN digest[1 + (t % 16)] ELSE 0 END)), 0) AS BIGINT)
+             AS sum_g,
+           CAST(n_periods * s + COALESCE(list_sum(list_transform(
+             generate_series(0, rem - 1),
+             t -> CASE WHEN t % 3 = 2
+                  THEN digest[1 + (t % 16)] ELSE 0 END)), 0) AS BIGINT)
+             AS sum_b
+    FROM p
+    """,
+)
+def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image decode end-to-end (round-9 verdict task
+    #5): synthesize a genuine spec-compliant PNG per doc -- zlib-
+    deflated IDAT, CRC'd chunks, and a DIFFERENT scanline filter per
+    row (y % 5: None/Sub/Up/Average/Paeth) -- in one mapInPandas pass,
+    then decode it with decode_real's full pure-Python pipeline
+    (signature, CRC-verified chunk walk, inflate, per-row filter
+    reconstruction) in a second pass.  The oracle recomputes the
+    per-channel sums in closed form from the RAW raster construction,
+    so a decoder that mis-reconstructs ANY filter type, mis-walks the
+    chunks, or mishandles the inflate stream fails the gate.  This
+    retires the 'compressed formats need absent codec libraries' caveat
+    for the web's most common image format; JPEG/video stay honestly
+    NotImplementedError (no DCT/entropy codecs in the container).
+
+    100 TB posture: both passes are partition-local Arrow batches --
+    payload bytes never shuffle (the repartition moves only the NARROW
+    meta frame, before the payload fan-out, per the repo rule: a
+    single-file scan would otherwise run the per-byte filter
+    reconstruction on ONE task); encode and decode are linear in raster
+    bytes per row."""
+    docs = load_table(spark, sf_dir, "documents")
+    meta = docs.select(
+        "doc_id",
+        F.md5("text").alias("h"),
+        (1 + F.col("doc_id") % 64).cast("int").alias("width"),
+        (1 + F.col("doc_id") % 48).cast("int").alias("height"),
+    ).repartition(spark.sparkContext.defaultParallelism)
+    png = meta.mapInPandas(
+        _png_encode_batches, schema="doc_id long, data binary"
+    )
+    return png.mapInPandas(_png_decode_batches, schema=PNG_DECODE_SCHEMA)
 
 
 WAV_DECODE_SCHEMA = (

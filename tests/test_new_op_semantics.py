@@ -407,6 +407,77 @@ def test_real_ppm_decode_roundtrip(spark):
     assert checked > 100
 
 
+def test_real_png_decode_roundtrip():
+    """decode_real's PNG pipeline: every scanline filter type
+    round-trips through encode_png (which varies the filter per row),
+    CRC corruption / truncation / bad signature raise, greyscale works,
+    and interlace / exotic depths are gated NotImplementedError."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from etl_rf_matrix_controller_spark.operators.multimodal import (
+        decode_real,
+        encode_png,
+    )
+
+    # 6 rows so filters 0..4 all appear (row y uses filter y % 5);
+    # 5x6 RGB raster with a pattern that exercises predictor deltas
+    w, h = 5, 6
+    raster = bytes(((x * 37 + 11) % 256) for x in range(w * h * 3))
+    png = encode_png(w, h, raster)
+    r = decode_real(png, "image/png")
+    assert (r["width"], r["height"], r["bit_depth"], r["color_type"]) == (
+        w, h, 8, 2,
+    )
+    assert r["sum_r"] == sum(raster[0::3])
+    assert r["sum_g"] == sum(raster[1::3])
+    assert r["sum_b"] == sum(raster[2::3])
+
+    # greyscale (color type 0): one channel, mirrored into r/g/b
+    grey = bytes((x * 7) % 256 for x in range(w * h))
+    rg = decode_real(encode_png(w, h, grey, color=0), "png")
+    assert rg["color_type"] == 0
+    assert rg["sum_r"] == rg["sum_g"] == rg["sum_b"] == sum(grey)
+
+    # single-row image: only filter 0; single-column: bpp boundary
+    r1 = decode_real(encode_png(3, 1, raster[: 3 * 3]), "png")
+    assert r1["sum_r"] == sum(raster[0 : 9 : 3])
+    rc = decode_real(
+        encode_png(1, 6, raster[: 6 * 3]), "png"
+    )
+    assert rc["sum_r"] == sum(raster[0 : 18 : 3])
+
+    # corruption: flip one IDAT byte -> CRC failure
+    idat_at = png.index(b"IDAT") + 4
+    bad = png[:idat_at] + bytes([png[idat_at] ^ 0xFF]) + png[idat_at + 1 :]
+    with pytest.raises(ValueError, match="CRC"):
+        decode_real(bad, "png")
+    # truncation: drop IEND -> missing-chunk failure
+    with pytest.raises(ValueError, match="IHDR/IEND"):
+        decode_real(png[:-12], "png")
+    with pytest.raises(ValueError, match="signature"):
+        decode_real(b"\x89PNX" + png[4:], "png")
+
+    # gated: interlaced and 16-bit stay NotImplementedError
+    def with_ihdr(depth, color, interlace):
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace)
+        chunk = (
+            struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+            + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+        )
+        iend = struct.pack(">I", 0) + b"IEND" + struct.pack(
+            ">I", zlib.crc32(b"IEND") & 0xFFFFFFFF
+        )
+        return b"\x89PNG\r\n\x1a\n" + chunk + iend
+
+    with pytest.raises(NotImplementedError, match="interlace"):
+        decode_real(with_ihdr(8, 2, 1), "png")
+    with pytest.raises(NotImplementedError, match="8-bit"):
+        decode_real(with_ihdr(16, 2, 0), "png")
+
+
 def test_real_wav_decode_roundtrip():
     """decode_real's RIFF walk: PCM16 frames fold with two's-complement
     sign, extra chunks (word-aligned) are skipped, non-PCM is gated."""
