@@ -2161,6 +2161,258 @@ def holt_linear_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared(
+    "holt_linear_daily_chunked",
+    oracle="""
+    WITH RECURSIVE daily AS MATERIALIZED (
+      SELECT event_type,
+             CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS v
+      FROM events
+      GROUP BY event_type, date_trunc('day', ts)
+    ),
+    series AS MATERIALIZED (
+      SELECT event_type,
+             CAST(floor(epoch(day)) AS BIGINT) // 86400 // 7 AS chunk,
+             CAST(count(*) AS BIGINT) AS n_days,
+             list(CAST(v AS DOUBLE) ORDER BY day) AS ys
+      FROM daily
+      GROUP BY event_type, CAST(floor(epoch(day)) AS BIGINT) // 86400 // 7
+    ),
+    chunks AS MATERIALIZED (
+      SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY chunk) AS rn
+      FROM series
+    ),
+    -- level 1, day-by-day inside each chunk: the homogeneous affine
+    -- summary (M = 2x2 matrix by columns (m11,m21),(m12,m22); d =
+    -- offset (dl,db)) plus the SEEDED flat fold (l0,b0) used when the
+    -- chunk is the type's first.  Every l-row expression is repeated
+    -- verbatim inside its b-row (IEEE doubles: identical trees are
+    -- bit-identical), and the Spark side builds the same trees.
+    lvl1(event_type, rn, n_days, i,
+         m11, m21, m12, m22, dl, db, l0, b0) AS (
+      SELECT event_type, rn, n_days, 0,
+             1.0e0, 0.0e0, 0.0e0, 1.0e0, 0.0e0, 0.0e0, ys[1], 0.0e0
+      FROM chunks
+      UNION ALL
+      SELECT f.event_type, f.rn, f.n_days, f.i + 1,
+             0.5e0 * (f.m11 + f.m21),
+             0.3e0 * ((0.5e0 * (f.m11 + f.m21)) - f.m11) + 0.7e0 * f.m21,
+             0.5e0 * (f.m12 + f.m22),
+             0.3e0 * ((0.5e0 * (f.m12 + f.m22)) - f.m12) + 0.7e0 * f.m22,
+             0.5e0 * c.ys[f.i + 1] + 0.5e0 * (f.dl + f.db),
+             0.3e0 * ((0.5e0 * c.ys[f.i + 1] + 0.5e0 * (f.dl + f.db))
+                      - f.dl) + 0.7e0 * f.db,
+             CASE WHEN f.i + 1 >= 2
+                  THEN 0.5e0 * c.ys[f.i + 1] + 0.5e0 * (f.l0 + f.b0)
+                  ELSE f.l0 END,
+             CASE WHEN f.i + 1 >= 2
+                  THEN 0.3e0 * ((0.5e0 * c.ys[f.i + 1]
+                                 + 0.5e0 * (f.l0 + f.b0)) - f.l0)
+                       + 0.7e0 * f.b0
+                  ELSE f.b0 END
+      FROM lvl1 f JOIN chunks c
+        ON c.event_type = f.event_type AND c.rn = f.rn
+      WHERE f.i < f.n_days
+    ),
+    summ AS MATERIALIZED (
+      SELECT * FROM lvl1 WHERE i = n_days
+    ),
+    totals AS (
+      SELECT event_type, CAST(sum(n_days) AS BIGINT) AS n_days,
+             CAST(count(*) AS BIGINT) AS n_chunks
+      FROM summ GROUP BY event_type
+    ),
+    -- level 2, chunk-by-chunk: s_1 = the first chunk's seeded fold;
+    -- s_j = M_j * s + d_j spelled exactly as the Spark merge
+    fold2(event_type, rn, l, b) AS (
+      SELECT event_type, rn, l0, b0 FROM summ WHERE rn = 1
+      UNION ALL
+      SELECT f.event_type, c.rn,
+             f.l * c.m11 + f.b * c.m12 + c.dl,
+             f.l * c.m21 + f.b * c.m22 + c.db
+      FROM fold2 f JOIN summ c
+        ON c.event_type = f.event_type AND c.rn = f.rn + 1
+    )
+    SELECT t.event_type AS event_type, t.n_days, t.n_chunks,
+           f.l / 10000.0e0 AS level,
+           f.b / 10000.0e0 AS trend,
+           (f.l + f.b) / 10000.0e0 AS forecast_next
+    FROM totals t JOIN fold2 f
+      ON f.event_type = t.event_type AND f.rn = t.n_chunks
+    """,
+)
+def holt_linear_daily_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof two-level Holt (round-10 verdict task #7 -- the last
+    per-key sequential-fold family without a chunked twin).
+    `holt_linear_daily_value` folds each type's WHOLE daily history as
+    one in-row array: calendar-bounded, but still one sequential fold
+    per key -- a decade of daily history is a 3650-step chain in a
+    single task.  The Holt step s' = (l', b') is AFFINE in s = (l, b):
+    l' = 0.5y + 0.5(l+b), b' = 0.3(l'-l) + 0.7b.  So a 7-day chunk
+    composes as a 2x2 matrix + offset: level 1 folds each (type, week
+    chunk)'s days into (M, d) -- M built by pushing the identity's
+    columns through the homogeneous step, d by pushing (0,0) through
+    the full step -- plus the seeded flat fold (l0, b0) for when the
+    chunk is the type's first; level 2 folds chunk summaries in chunk
+    order: s = (l0_1, b0_1), then s = M_j s + d_j.
+
+    Equal to the flat Holt in real arithmetic; float reassociation at
+    chunk boundaries makes it a distinct declared result, so the ORACLE
+    mirrors the chunk structure exactly (the ema_user_value_chunked
+    precedent): identical '0.5e0'/'0.3e0' literals, every l-row
+    expression repeated verbatim inside its b-row, level-1 day steps
+    and the level-2 chunk fold as recursive CTEs (multi-component state
+    cannot ride DuckDB's list_reduce -- the struct-accumulator
+    cross-field bug), matrix-vector products spelled term for term.
+
+    Scale: level-1 arrays are bounded by the CHUNK (7 days), not
+    history length; the only sequential chain is n_chunks long
+    (calendar/7) and each level-1 fold runs parallel across (type,
+    chunk) partitions -- the 3650-step chain becomes 52 sequential
+    steps over 7-step parallel folds.  Same two-shuffle shape as the
+    chunked EMA."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 10000).cast("bigint"))
+        .cast("bigint")
+        .alias("v")
+    )
+    per_chunk = daily.withColumn(
+        "chunk", F.expr("CAST(day AS LONG) DIV 86400 DIV 7")
+    ).groupBy("event_type", "chunk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "v"))),
+            lambda s: s.getField("v").cast("double"),
+        ).alias("ys"),
+    )
+
+    # seeded flat fold (l0, b0): identical trees to holt_linear_daily_value
+    elems = F.transform(
+        F.col("ys"),
+        lambda y: F.struct(y.alias("l"), F.lit(0.0).alias("b")),
+    )
+
+    def seed_merge(acc, e):
+        lp = F.lit(0.5) * e.getField("l") + F.lit(0.5) * (
+            acc.getField("l") + acc.getField("b")
+        )
+        return F.struct(
+            lp.alias("l"),
+            (
+                F.lit(0.3) * (lp - acc.getField("l"))
+                + F.lit(0.7) * acc.getField("b")
+            ).alias("b"),
+        )
+
+    seeded = F.aggregate(
+        F.slice(elems, 2, F.size("ys") - 1),
+        F.element_at(elems, 1),
+        seed_merge,
+    )
+
+    # homogeneous (M, d) fold over ALL of the chunk's days
+    def hom_merge(acc, y):
+        m11p = F.lit(0.5) * (acc.getField("m11") + acc.getField("m21"))
+        m12p = F.lit(0.5) * (acc.getField("m12") + acc.getField("m22"))
+        dlp = F.lit(0.5) * y + F.lit(0.5) * (
+            acc.getField("dl") + acc.getField("db")
+        )
+        return F.struct(
+            m11p.alias("m11"),
+            (
+                F.lit(0.3) * (m11p - acc.getField("m11"))
+                + F.lit(0.7) * acc.getField("m21")
+            ).alias("m21"),
+            m12p.alias("m12"),
+            (
+                F.lit(0.3) * (m12p - acc.getField("m12"))
+                + F.lit(0.7) * acc.getField("m22")
+            ).alias("m22"),
+            dlp.alias("dl"),
+            (
+                F.lit(0.3) * (dlp - acc.getField("dl"))
+                + F.lit(0.7) * acc.getField("db")
+            ).alias("db"),
+        )
+
+    hom = F.aggregate(
+        F.col("ys"),
+        F.struct(
+            F.lit(1.0).alias("m11"),
+            F.lit(0.0).alias("m21"),
+            F.lit(0.0).alias("m12"),
+            F.lit(1.0).alias("m22"),
+            F.lit(0.0).alias("dl"),
+            F.lit(0.0).alias("db"),
+        ),
+        hom_merge,
+    )
+    summ = per_chunk.select(
+        "event_type",
+        "chunk",
+        "n_days",
+        seeded.getField("l").alias("l0"),
+        seeded.getField("b").alias("b0"),
+        hom.getField("m11").alias("m11"),
+        hom.getField("m21").alias("m21"),
+        hom.getField("m12").alias("m12"),
+        hom.getField("m22").alias("m22"),
+        hom.getField("dl").alias("dl"),
+        hom.getField("db").alias("db"),
+    )
+
+    level2 = summ.groupBy("event_type").agg(
+        F.sum("n_days").cast("bigint").alias("n_days"),
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    "chunk", "l0", "b0", "m11", "m21", "m12", "m22",
+                    "dl", "db",
+                )
+            )
+        ).alias("carr"),
+    )
+
+    def chunk_merge(acc, c):
+        return F.struct(
+            (
+                acc.getField("l") * c.getField("m11")
+                + acc.getField("b") * c.getField("m12")
+                + c.getField("dl")
+            ).alias("l"),
+            (
+                acc.getField("l") * c.getField("m21")
+                + acc.getField("b") * c.getField("m22")
+                + c.getField("db")
+            ).alias("b"),
+        )
+
+    first = F.element_at(F.col("carr"), 1)
+    st = F.aggregate(
+        F.slice(F.col("carr"), 2, F.size("carr") - 1),
+        F.struct(
+            first.getField("l0").alias("l"), first.getField("b0").alias("b")
+        ),
+        chunk_merge,
+    )
+    return level2.select(
+        "event_type",
+        "n_days",
+        "n_chunks",
+        (st.getField("l") / 10000.0).alias("level"),
+        (st.getField("b") / 10000.0).alias("trend"),
+        ((st.getField("l") + st.getField("b")) / 10000.0).alias(
+            "forecast_next"
+        ),
+    )
+
+
+@declared(
     "event_markov_stationary",
     oracle="""
     WITH seq AS (

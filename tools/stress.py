@@ -875,6 +875,92 @@ def main() -> None:
             f"rows/s, arrays bounded by (user, day))"
         )
 
+    # Round-10: the chunked Holt twin's history-length decade.  The flat
+    # Holt fold is one sequential chain per key (n_days steps in ONE
+    # task); the affine two-level form bounds level-1 arrays to the
+    # 7-day chunk and leaves a calendar/7-length sequential chain.  With
+    # few keys and long histories the chain IS the critical path, so
+    # the decade axis here is DAYS per key, not rows.
+    for mult in (MULTS if want("holt_chunk") else []):
+        n_types, n_days = 8, 3650 * mult
+        base = spark.range(n_types * n_days).select(
+            (F.col("id") % n_types).alias("event_type"),
+            (F.col("id") / n_types).cast("long").alias("day_idx"),
+            (((F.col("id") * 2654435761) % 10007) / 7.0).alias("v"),
+        ).repartition(spark.sparkContext.defaultParallelism).cache()
+        base.count()
+        flat_fold = (
+            "aggregate(slice(vs, 2, size(vs) - 1), "
+            "named_struct('l', element_at(vs, 1), 'b', CAST(0 AS DOUBLE)), "
+            "(acc, y) -> named_struct("
+            "'l', 0.5e0*y + 0.5e0*(acc.l + acc.b), "
+            "'b', 0.3e0*((0.5e0*y + 0.5e0*(acc.l + acc.b)) - acc.l) "
+            "+ 0.7e0*acc.b))"
+        )
+        t0 = time.perf_counter()
+        base.groupBy("event_type").agg(
+            F.expr("array_sort(collect_list(named_struct("
+                   "'d', day_idx, 'v', v)))").alias("arr")
+        ).select(
+            "event_type", F.expr("transform(arr, s -> s.v)").alias("vs")
+        ).select(
+            "event_type", F.expr(f"({flat_fold}).l").alias("level")
+        ).write.format("noop").mode("overwrite").save()
+        t_flat = time.perf_counter() - t0
+
+        hom_fold = (
+            "aggregate(vs, named_struct("
+            "'m11', 1.0e0, 'm21', 0.0e0, 'm12', 0.0e0, 'm22', 1.0e0, "
+            "'dl', 0.0e0, 'db', 0.0e0), "
+            "(acc, y) -> named_struct("
+            "'m11', 0.5e0*(acc.m11 + acc.m21), "
+            "'m21', 0.3e0*((0.5e0*(acc.m11 + acc.m21)) - acc.m11) "
+            "+ 0.7e0*acc.m21, "
+            "'m12', 0.5e0*(acc.m12 + acc.m22), "
+            "'m22', 0.3e0*((0.5e0*(acc.m12 + acc.m22)) - acc.m12) "
+            "+ 0.7e0*acc.m22, "
+            "'dl', 0.5e0*y + 0.5e0*(acc.dl + acc.db), "
+            "'db', 0.3e0*((0.5e0*y + 0.5e0*(acc.dl + acc.db)) - acc.dl) "
+            "+ 0.7e0*acc.db))"
+        )
+        t0 = time.perf_counter()
+        summ = base.withColumn(
+            "chunk", F.expr("day_idx DIV 7")
+        ).groupBy("event_type", "chunk").agg(
+            F.expr("array_sort(collect_list(named_struct("
+                   "'d', day_idx, 'v', v)))").alias("arr")
+        ).select(
+            "event_type", "chunk",
+            F.expr("transform(arr, s -> s.v)").alias("vs"),
+        ).select(
+            "event_type", "chunk",
+            F.expr(f"({flat_fold}).l").alias("l0"),
+            F.expr(f"({flat_fold}).b").alias("b0"),
+            F.expr(hom_fold).alias("h"),
+        )
+        summ.groupBy("event_type").agg(
+            F.expr("array_sort(collect_list(named_struct('c', chunk, "
+                   "'l0', l0, 'b0', b0, 'h', h)))").alias("carr")
+        ).select(
+            "event_type",
+            F.expr(
+                "aggregate(slice(carr, 2, size(carr) - 1), "
+                "named_struct('l', element_at(carr, 1).l0, "
+                "'b', element_at(carr, 1).b0), "
+                "(acc, c) -> named_struct("
+                "'l', acc.l*c.h.m11 + acc.b*c.h.m12 + c.h.dl, "
+                "'b', acc.l*c.h.m21 + acc.b*c.h.m22 + c.h.db)).l"
+            ).alias("level"),
+        ).write.format("noop").mode("overwrite").save()
+        t_ch = time.perf_counter() - t0
+        base.unpersist()
+        print(
+            f"holt_chunk x{mult}: {n_types} keys x {n_days} days -- "
+            f"flat {t_flat:.2f}s ({n_days}-step chain/key in one task), "
+            f"chunked {t_ch:.2f}s ({(n_days + 6) // 7}-step chain over "
+            f"7-day parallel folds)"
+        )
+
     from etl_rf_matrix_controller_spark.streaming.neardup import (
         NEARDUP_DF_CAP,
         batch_band_candidates,
