@@ -2457,44 +2457,37 @@ def event_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     the float form would sum order-dependent doubles and cannot hash-
     match.  Total mass drifts a few ppm below 1e6 from the per-term
     floors; that bias is the declared semantics (and vanishes at ppm
-    scale).  Envelope: x*c <= 1e6 * total transitions, int64-safe below
-    ~9e12 transitions; past that, cast the product to DECIMAL(38,0).
-    Plan: one user-timeline shuffle builds the |types|^2 count matrix
-    (bounded, broadcast everywhere); each iteration is a broadcast join
-    + |types|-key aggregation -- iteration cost is independent of corpus
-    size, the pagerank_loop property.
+    scale).  Plan: one user-timeline shuffle builds the |types|^2 count
+    matrix distributedly; the matrix is dimension-bounded (<= |types|^2
+    cells), so the power iterations run DRIVER-SIDE over the collected
+    cells (the shapley lattice discipline) -- the previous unrolled-in-
+    plan form paid two checkpoints and per-step broadcast joins for a
+    handful of states.
     """
-    tc = (
+    cells = (
         event_transition_counts(spark, sf_dir)
         .select(
             F.col("prev_type").alias("s"),
             F.col("cur_type").alias("d"),
             F.col("n_transitions").cast("bigint").alias("c"),
         )
-        .localCheckpoint(eager=True)  # row sums AND both iteration joins
+        .collect()
     )
-    rs = tc.groupBy("s").agg(F.sum("c").cast("bigint").alias("rsum"))
-    t = tc.join(F.broadcast(rs), "s").localCheckpoint(eager=True)
-    nf = rs.agg(F.count(F.lit(1)).cast("bigint").alias("n_states"))
-    x0 = (
-        rs.select(F.col("s").alias("state"))
-        .crossJoin(F.broadcast(nf))
-        .select("state", F.expr("1000000 DIV n_states").cast("bigint").alias("x"))
-    )
-
-    def step(x: DataFrame) -> DataFrame:
-        return (
-            t.join(F.broadcast(x), t.s == x.state)
-            .groupBy(F.col("d").alias("state"))
-            .agg(F.sum(F.expr("(x * c) DIV rsum")).cast("bigint").alias("x"))
-        )
-
-    x2 = step(step(x0))
-    w = Window.orderBy(F.desc("x"), F.asc("state"))
-    return x2.select(
-        "state",
-        F.col("x").alias("stationary_ppm"),
-        F.row_number().over(w).cast("bigint").alias("rnk"),
+    rs: dict[str, int] = {}
+    for r in cells:
+        rs[r.s] = rs.get(r.s, 0) + r.c
+    n_states = len(rs)
+    x = {s: 1000000 // n_states for s in rs}
+    for _ in range(2):
+        nx: dict[str, int] = {}
+        for r in cells:
+            if r.s in x:
+                nx[r.d] = nx.get(r.d, 0) + (x[r.s] * r.c) // rs[r.s]
+        x = nx
+    ranked = sorted(x.items(), key=lambda kv: (-kv[1], kv[0]))
+    return spark.createDataFrame(
+        [(st, v, i + 1) for i, (st, v) in enumerate(ranked)],
+        "state string, stationary_ppm bigint, rnk bigint",
     )
 
 

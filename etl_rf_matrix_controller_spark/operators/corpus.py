@@ -89,14 +89,17 @@ def boilerplate_gram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document boilerplate fraction via source-local stop-grams.
 
     Shape at 100 TB: the gram index is built ONCE (localCheckpoint -- it
-    feeds the doc-frequency agg, the per-doc totals, and the boilerplate
-    count); the boilerplate table itself is doc-frequency-thresholded and
-    therefore tiny (tens of grams per source here, bounded by the
-    distinct-gram count of one source in general), so both the threshold
-    join and the per-doc membership count broadcast it -- the corpus
-    never shuffles on gram twice.  ``documents`` is scanned exactly
-    twice (grams + the per-source doc counts), inside the suite's
-    <=2-scans ceiling.
+    feeds the doc-frequency agg and the fused per-doc pass); the
+    boilerplate table itself is doc-frequency-thresholded and therefore
+    tiny (tens of grams per source here, bounded by the distinct-gram
+    count of one source in general), so it broadcasts, and the per-doc
+    totals and boilerplate counts come out of ONE grouped pass (a
+    broadcast left join tags each gram row, then a single
+    groupBy(doc_id, source) counts rows and hits together) -- the
+    previous shape aggregated the gram set twice and joined the two
+    per-doc aggregates back.  ``documents`` is scanned exactly twice
+    (grams + the per-source doc counts), inside the suite's <=2-scans
+    ceiling.
     """
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
@@ -108,25 +111,23 @@ def boilerplate_gram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("df"))
         .join(F.broadcast(n_docs), "source")
         .filter(F.col("df") * 10 >= BOILER_PCT_X10 * F.col("n_docs"))
-        .select("source", "gram")
+        .select("source", "gram", F.lit(1).alias("is_b"))
     )
-    totals = grams.groupBy("doc_id", "source").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_grams")
-    )
-    bcounts = (
-        grams.join(F.broadcast(boiler), ["source", "gram"], "left_semi")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_boiler"))
-    )
-    n_boiler = F.coalesce(F.col("n_boiler"), F.lit(0).cast("bigint"))
     return (
-        totals.join(F.broadcast(bcounts), "doc_id", "left")
+        grams.join(F.broadcast(boiler), ["source", "gram"], "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(F.coalesce(F.col("is_b"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_boiler"),
+        )
         .select(
             "doc_id",
             "source",
             "n_grams",
-            n_boiler.alias("n_boiler"),
-            ratio4(n_boiler, F.col("n_grams")).alias("boiler_ratio"),
+            "n_boiler",
+            ratio4(F.col("n_boiler"), F.col("n_grams")).alias("boiler_ratio"),
         )
     )
 

@@ -1246,34 +1246,59 @@ def max_coverage_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     content, the coverage cousin of kcenter_coreset_select's geometric
     spread).  Ties break to the lower doc_id.
 
-    Each round is: anti-join the gram index against the covered set,
-    one map-side-combinable count per doc, one global argmax (a 1-row
-    collect, the bpe_merge_loop discipline -- bounded by K_COVER).  The
-    gram index builds once (checkpointed, in-row distinct); the covered
-    set grows by one doc's grams per round and stays broadcastable
-    (<= K_COVER x grams-per-doc rows).  At 100 TB the argmax becomes a
-    TakeOrderedAndProject (no global sort) and rounds are the only
-    sequential dependency -- the standard lazy-greedy accelerations
-    (priority queues on stale gains) trade exactness for fewer passes.
+    Each round is ONE map-only pass over the per-doc gram ARRAYS: gain =
+    n_grams - |toks intersect covered| per row (the covered set rides as
+    a broadcast 1-row array, <= K_COVER x one doc's grams), then a global
+    argmax via TakeOrderedAndProject (no shuffle, no global sort).  The
+    winner's gram array comes back ON the argmax row, so a round is a
+    single job -- the previous exploded-row shape paid, per round, a
+    full-corpus hash aggregation, a covered-set union+distinct shuffle,
+    an eager localCheckpoint job, and a separate winner-gram fetch.
+    Rounds are the only sequential dependency -- the standard lazy-greedy
+    accelerations (priority queues on stale gains) trade exactness for
+    fewer passes.
     """
-    from etl_rf_matrix_controller_spark.operators.dedup import _gram_df
-
     corpus = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    grams = _gram_df(corpus).localCheckpoint(eager=True)
+    t = F.trim("text")
+    toks = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(t) - 7, F.lit(1))),
+            lambda i: t.substr(i, F.lit(8)),
+        )
+    )
+    docsets = (
+        corpus.repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", toks.alias("toks"))
+        .select("doc_id", "toks", F.size("toks").cast("bigint").alias("n"))
+        .localCheckpoint(eager=True)
+    )
 
     picks: list[tuple[int, int, int]] = []  # (order, doc_id, gain)
-    covered = None
+    covered: set[str] = set()
     for r in range(1, K_COVER + 1):
-        cand = grams
         if picks:
-            picked_ids = [p[1] for p in picks]
-            cand = cand.filter(~F.col("doc_id").isin(picked_ids))
-            cand = cand.join(
-                F.broadcast(covered), "gram", "left_anti"
+            cov_df = spark.createDataFrame(
+                [(sorted(covered),)], "cov array<string>"
             )
+            cand = (
+                docsets.filter(~F.col("doc_id").isin([p[1] for p in picks]))
+                .crossJoin(F.broadcast(cov_df))
+                .select(
+                    "doc_id",
+                    "toks",
+                    (
+                        F.col("n")
+                        - F.size(F.array_intersect("toks", "cov")).cast("bigint")
+                    ).alias("gain"),
+                )
+            )
+        else:
+            cand = docsets.select("doc_id", "toks", F.col("n").alias("gain"))
         top_rows = (
-            cand.groupBy("doc_id")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("gain"))
+            # gain > 0 mirrors the oracle's cand{r}: a doc whose grams
+            # are all covered produces no count(*) row there, so it must
+            # not win here either.
+            cand.filter(F.col("gain") > 0)
             .orderBy(F.desc("gain"), F.asc("doc_id"))
             .limit(1)
             .collect()
@@ -1283,13 +1308,8 @@ def max_coverage_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
             # stop early and emit fewer picks, mirroring the oracle.
             break
         top = top_rows[0]
-        picks.append((r, top.doc_id, top.gain))
-        new_cov = grams.filter(F.col("doc_id") == top.doc_id).select("gram")
-        covered = (
-            new_cov
-            if covered is None
-            else covered.unionByName(new_cov).distinct()
-        ).localCheckpoint(eager=True)
+        picks.append((r, top.doc_id, int(top.gain)))
+        covered.update(top.toks)
 
     out = spark.createDataFrame(
         picks, "pick_order bigint, doc_id bigint, gain bigint"

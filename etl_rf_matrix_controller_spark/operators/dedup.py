@@ -402,23 +402,33 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
         ]
     )
-    bands = None
-    for band in range(N_BANDS):
-        lo = BAND_ROWS * band
-        b = sig.select(
-            "doc_id",
-            F.lit(band).alias("band"),
-            F.concat_ws(
-                "_",
-                *[F.col(f"mh{j}").cast("string") for j in range(lo, lo + BAND_ROWS)],
-            ).alias("bkey"),
-        )
-        bands = b if bands is None else bands.unionByName(b)
-    # The self-join below consumes bands twice; localCheckpoint avoids
-    # paying the signature computation (explode + md5 + 8 min-aggs) twice
-    # AND is GC-cleaned when the DataFrame is dropped (persist() would pin
-    # cache for the session lifetime on every call).
-    bands = bands.localCheckpoint(eager=False)
+    # The self-join below consumes the banded view twice; checkpoint the
+    # NARROW signature frame (1 id + N_BANDS*BAND_ROWS bigints) once and
+    # derive (band, bkey) rows in-row with one explode per consumer -- a
+    # pure projection off the checkpoint.  The previous shape unioned
+    # N_BANDS selects over sig and checkpointed the union, which both
+    # re-ran the signature aggregation once per band leg inside the
+    # materialization job and wrote the wider exploded rows out.
+    # localCheckpoint (not persist) is GC-cleaned when the frame drops.
+    sig = sig.localCheckpoint(eager=False)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.concat_ws(
+                    "_",
+                    *[
+                        F.col(f"mh{j}").cast("string")
+                        for j in range(BAND_ROWS * band, BAND_ROWS * (band + 1))
+                    ],
+                ).alias("bkey"),
+            )
+            for band in range(N_BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (

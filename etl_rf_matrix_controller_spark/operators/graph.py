@@ -99,29 +99,35 @@ def pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     PageRank diverges in ulps after one iteration).  Dangling mass is
     dropped, the standard simplification.
 
-    Plan: the fact scan builds dimension-bounded edges (one orderkey
-    shuffle + broadcast dims), then each iteration is a broadcast join of
-    the 25-row rank vector onto the 625-row edge list -- iteration cost
-    is edge-bounded, never fact-bounded.  At real graph scale the same
-    loop shuffles edges once on u and reuses that partitioning every
-    iteration, localCheckpointing the rank vector to truncate lineage.
+    The fact scan builds the dimension-bounded edge list in ONE
+    distributed aggregation; the power iterations then run DRIVER-SIDE
+    over the collected <=|nations|^2 edges (the shapley lattice
+    discipline) -- the previous unrolled-in-plan form scanned the nation
+    dim 9x and planned 21 exchanges for a 25-node graph.  At real graph
+    scale the same loop shuffles edges once on u and reuses that
+    partitioning every iteration (the `_pr_step` library form).
     """
-    edges = _trade_edges(spark, sf_dir)
-    # Edges/ranks are dimension-bounded; checkpoint so the fact-derived
-    # edge list is computed once, not re-derived by every iteration's
-    # subtree (same rationale as the minhash band checkpoint).
-    edges = edges.localCheckpoint(eager=False)
-    outd = edges.groupBy("u").agg(F.sum("w").cast("bigint").alias("outw"))
+    raw = _trade_edges(spark, sf_dir).collect()
+    outw: dict[int, int] = {}
+    for r in raw:
+        outw[r.u] = outw.get(r.u, 0) + r.w
     nations = load_table(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("node"), "n_name"
     )
-    nn = nations.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    r0 = nations.crossJoin(F.broadcast(nn)).select(
-        "node", F.expr("CAST(1000000 DIV n AS BIGINT)").alias("r")
+    nodes = [r.node for r in nations.select("node").collect()]
+    n = len(nodes)
+    rank = {x: 1000000 // n for x in nodes}
+    for _ in range(2):
+        m: dict[int, int] = {}
+        for r in raw:
+            m[r.v] = m.get(r.v, 0) + (rank[r.u] * r.w * 85) // (
+                outw[r.u] * 100
+            )
+        rank = {x: 150000 // n + m.get(x, 0) for x in nodes}
+    out = spark.createDataFrame(
+        sorted(rank.items()), "node bigint, r bigint"
     )
-    step = lambda rank: _pr_step(edges, outd, r0.select("node"), nn, rank)  # noqa: E731
-    r2 = step(step(r0))
-    return r2.join(F.broadcast(nations), "node").select(
+    return out.join(F.broadcast(nations), "node").select(
         F.col("n_name").alias("nation"), F.col("r").alias("pagerank_ppm")
     )
 
@@ -575,62 +581,38 @@ def kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     when the periphery is noise.
 
     Peeling is non-monotone (a deletion lowers neighbors' degrees), so
-    no single recursive CTE expresses it; both engines instead unroll a
-    FIXED {KCORE_PEELS}-round peel -- more rounds than this graph ever
-    needs (the pytest pins that one extra peel is a no-op), and extra
-    rounds are exact no-ops at the fixpoint, so the unroll depth never
-    changes the answer.  Each round is a degree count + two semi-joins
-    (broadcast on the dimension-bounded node list; plain shuffles at
-    web scale), with the edge frame localCheckpointed per round to cut
-    the lineage -- the pagerank_loop discipline.  All-integer outputs.
+    no single recursive CTE expresses it; both engines unroll a FIXED
+    {KCORE_PEELS}-round peel -- more rounds than this graph ever needs
+    (the pytest pins that one extra peel is a no-op), and extra rounds
+    are exact no-ops at the fixpoint.  The fact scan builds the
+    dimension-bounded edge list in ONE distributed aggregation; the peel
+    then runs DRIVER-SIDE over the collected <=|nations|^2 edges (the
+    shapley lattice discipline) -- the previous shape paid a degree agg
+    + two semi-joins + an eager checkpoint PER ROUND for a 25-node
+    graph.  All-integer outputs; at web scale the peel goes back to
+    distributed degree-filter rounds.
     """
-    edges = _trade_edges(spark, sf_dir)
-    und = (
-        edges.filter(F.col("u") != F.col("v"))
-        .select(F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    all_nodes = (
-        und.select(F.col("a").alias("x"))
-        .unionByName(und.select(F.col("b").alias("x")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    cur = und
+    raw = _trade_edges(spark, sf_dir).collect()
+    edges = {(min(r.u, r.v), max(r.u, r.v)) for r in raw if r.u != r.v}
+    all_nodes = sorted({x for e in edges for x in e})
+    cur = set(edges)
     for _ in range(KCORE_PEELS):
-        deg = (
-            cur.select(F.col("a").alias("x"))
-            .unionByName(cur.select(F.col("b").alias("x")))
-            .groupBy("x")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-        )
-        keep = deg.filter(F.col("c") >= KCORE_K).select("x")
-        cur = (
-            cur.join(
-                F.broadcast(keep.withColumnRenamed("x", "a")), "a", "left_semi"
-            )
-            .join(
-                F.broadcast(keep.withColumnRenamed("x", "b")), "b", "left_semi"
-            )
-            .select("a", "b")
-            .localCheckpoint(eager=True)
-        )
-    fdeg = (
-        cur.select(F.col("a").alias("x"))
-        .unionByName(cur.select(F.col("b").alias("x")))
-        .groupBy("x")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    )
-    return (
-        all_nodes.join(F.broadcast(fdeg), "x", "left")
-        .select(
-            F.col("x").alias("node"),
-            F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("core_degree"),
-            (F.coalesce(F.col("c"), F.lit(0)) >= KCORE_K).alias(
-                f"in_{KCORE_K}core"
-            ),
-        )
+        deg: dict[int, int] = {}
+        for a, b in cur:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        keep = {x for x, c in deg.items() if c >= KCORE_K}
+        cur = {(a, b) for a, b in cur if a in keep and b in keep}
+    fdeg: dict[int, int] = {}
+    for a, b in cur:
+        fdeg[a] = fdeg.get(a, 0) + 1
+        fdeg[b] = fdeg.get(b, 0) + 1
+    return spark.createDataFrame(
+        [
+            (x, fdeg.get(x, 0), fdeg.get(x, 0) >= KCORE_K)
+            for x in all_nodes
+        ],
+        f"node bigint, core_degree bigint, in_{KCORE_K}core boolean",
     )
 
 
@@ -677,58 +659,41 @@ def trade_graph_bfs_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-trivial here: the raw trade graph is near-complete (everything
     depth 1), the top-2 graph has depth-3 chains.
 
-    Spark runs true frontier iteration: dist(0)={source}; each round
-    joins the current dist vector to the broadcast edge list, takes
-    min(depth) per node, localCheckpoints (lineage truncation, the
-    pagerank_loop discipline), and stops when (count, sum-of-depths) is
-    stable -- scalar-only collects.  The oracle is a recursive CTE with
-    UNION dedup and a depth cap.  All-integer, so bit-identical.
-
-    Cost: the fact scan builds the dimension-bounded edge list once
-    (checkpointed); every BFS round then touches <=|nations| rows
-    against a <=2|nations|-row broadcast edge list -- iteration cost is
-    graph-bounded, never fact-bounded.  Rounds = graph diameter.
+    The fact scan builds the dimension-bounded weighted edge list in ONE
+    distributed aggregation; the BFS fixpoint then runs DRIVER-SIDE over
+    the collected <=|nations|^2 rows (the shapley 16-mask discipline: a
+    lattice bounded by a dimension table costs zero jobs to iterate) --
+    the previous per-round join+checkpoint+probe loop paid 2 Spark jobs
+    per hop for a 25-node graph.  All-integer, bit-identical to the
+    recursive-CTE oracle.  At web scale (corpus-sized node set) the
+    rounds go back to distributed frontier joins -- sssp_fixed is that
+    loop.
     """
-    edges = _trade_edges(spark, sf_dir).filter(F.col("u") != F.col("v"))
-    from pyspark.sql.window import Window as _W
-
-    rk = _W.partitionBy("u").orderBy(F.desc("w"), F.asc("v"))
-    se = (
-        edges.withColumn("r", F.row_number().over(rk))
-        .filter(F.col("r") <= 2)
-        .select(F.col("u").cast("bigint"), F.col("v").cast("bigint"))
-        .localCheckpoint(eager=True)  # reused every BFS round
-    )
+    rows = _trade_edges(spark, sf_dir).collect()
+    by_u: dict[int, list[tuple[int, int]]] = {}
+    for r in rows:
+        if r.u != r.v:
+            by_u.setdefault(r.u, []).append((-r.w, r.v))
+    adj: dict[int, list[int]] = {
+        u: [v for _, v in sorted(lst)[:2]] for u, lst in by_u.items()
+    }
+    dist = {0: 0}
+    frontier = [0]
+    while frontier:
+        nxt = []
+        for u in frontier:
+            for v in adj.get(u, ()):  # noqa: B020
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    nxt.append(v)
+        frontier = nxt
     nation = load_table(spark, sf_dir, "nation")
-    dist = (
-        nation.filter(F.col("n_nationkey") == 0)
-        .select(
-            F.col("n_nationkey").cast("bigint").alias("node"),
-            F.lit(0).alias("d"),
-        )
-        .localCheckpoint(eager=True)
+    out = spark.createDataFrame(
+        sorted(dist.items()), "node bigint, d bigint"
     )
-    prev = (-1, -1)
-    for _ in range(25):
-        nxt = dist.join(F.broadcast(se), dist.node == se.u).select(
-            F.col("v").alias("node"), (F.col("d") + 1).alias("d")
-        )
-        dist = (
-            dist.unionByName(nxt)
-            .groupBy("node")
-            .agg(F.min("d").alias("d"))
-            .localCheckpoint(eager=True)
-        )
-        row = dist.agg(
-            F.count(F.lit(1)).alias("c"), F.sum("d").alias("s")
-        ).collect()[0]
-        cur = (row["c"], row["s"])
-        if cur == prev:
-            break
-        prev = cur
-    return dist.join(
+    return out.join(
         F.broadcast(nation.select("n_nationkey", "n_name")),
-        dist.node == F.col("n_nationkey"),
+        out.node == F.col("n_nationkey"),
     ).select(F.col("n_name").alias("nation"), F.col("d").cast("int").alias("depth"))
 
 
@@ -788,58 +753,54 @@ def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     Sum-normalized in integer ppm each half-step ((1e6*raw) DIV
     sum(raw), all positive, floor division) so every iteration is
     bit-identical cross-engine -- the pagerank_nations discipline; a
-    float HITS diverges in ulps after one normalization.  Envelope:
-    1e6*raw with raw <= 1e6*sum(w) needs sum(w) < ~9e6 per node in
-    int64 -- true at any sf here; cast to DECIMAL(38,0) beyond.
+    float HITS diverges in ulps after one normalization.
 
-    Plan: the fact scan builds the dimension-bounded edge list once
-    (checkpointed, the declared unroll reuses it 4x); each half-step is
-    a broadcast join of the <=|nations|-row score vector onto the edge
-    list -- iteration cost is edge-bounded, never fact-bounded.
+    The fact scan builds the dimension-bounded edge list in ONE
+    distributed aggregation; the four half-steps then run DRIVER-SIDE
+    over the collected <=|nations|^2 edges (the shapley lattice
+    discipline) -- the previous unrolled-in-plan form paid 4 broadcast
+    builds + 3 eager checkpoints for a 25-node graph.  At real graph
+    scale the half-steps go back to broadcast joins over a partitioned
+    edge list.
     """
-    edges = _trade_edges(spark, sf_dir).localCheckpoint(eager=True)
+    raw_edges = _trade_edges(spark, sf_dir).collect()
+
+    def norm(raw: dict[int, int]) -> dict[int, int]:
+        t = sum(raw.values())
+        return {x: (1000000 * r) // t for x, r in raw.items()}
+
+    a_raw: dict[int, int] = {}
+    for e in raw_edges:
+        a_raw[e.v] = a_raw.get(e.v, 0) + e.w * 1000000
+    a_n = norm(a_raw)
+    h_raw: dict[int, int] = {}
+    for e in raw_edges:
+        if e.v in a_n:
+            h_raw[e.u] = h_raw.get(e.u, 0) + e.w * a_n[e.v]
+    h_n = norm(h_raw)
+    a_raw = {}
+    for e in raw_edges:
+        if e.u in h_n:
+            a_raw[e.v] = a_raw.get(e.v, 0) + e.w * h_n[e.u]
+    a_n = norm(a_raw)
+    h_raw = {}
+    for e in raw_edges:
+        if e.v in a_n:
+            h_raw[e.u] = h_raw.get(e.u, 0) + e.w * a_n[e.v]
+    h_n = norm(h_raw)
     nation = load_table(spark, sf_dir, "nation")
-
-    def _norm(scores: DataFrame, out: str) -> DataFrame:
-        tot = scores.agg(F.sum("raw").alias("t"))
-        return scores.crossJoin(F.broadcast(tot)).select(
-            "node",
-            F.expr(f"CAST((1000000 * raw) DIV t AS BIGINT)").alias(out),
-        )
-
-    a1 = edges.groupBy(F.col("v").alias("node")).agg(
-        (F.sum("w").cast("bigint") * 1000000).alias("raw")
+    both = sorted(set(h_n) & set(a_n))
+    out = spark.createDataFrame(
+        [(x, h_n[x], a_n[x]) for x in both],
+        "node bigint, h bigint, a bigint",
     )
-    a1n = _norm(a1, "a").localCheckpoint(eager=True)
-    h1 = (
-        edges.join(F.broadcast(a1n), edges.v == a1n.node)
-        .groupBy(F.col("u").alias("node"))
-        .agg(F.sum(F.col("w") * F.col("a")).cast("bigint").alias("raw"))
-    )
-    h1n = _norm(h1, "h").localCheckpoint(eager=True)
-    a2 = (
-        edges.join(F.broadcast(h1n), edges.u == h1n.node)
-        .groupBy(F.col("v").alias("node"))
-        .agg(F.sum(F.col("w") * F.col("h")).cast("bigint").alias("raw"))
-    )
-    a2n = _norm(a2, "a").localCheckpoint(eager=True)
-    h2 = (
-        edges.join(F.broadcast(a2n), edges.v == a2n.node)
-        .groupBy(F.col("u").alias("node"))
-        .agg(F.sum(F.col("w") * F.col("a")).cast("bigint").alias("raw"))
-    )
-    h2n = _norm(h2, "h")
-    return (
-        h2n.join(F.broadcast(a2n), "node")
-        .join(
-            F.broadcast(nation.select("n_nationkey", "n_name")),
-            F.col("node") == F.col("n_nationkey"),
-        )
-        .select(
-            F.col("n_name").alias("nation"),
-            F.col("h").alias("hub_ppm"),
-            F.col("a").alias("auth_ppm"),
-        )
+    return out.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        out.node == F.col("n_nationkey"),
+    ).select(
+        F.col("n_name").alias("nation"),
+        F.col("h").alias("hub_ppm"),
+        F.col("a").alias("auth_ppm"),
     )
 
 
@@ -1320,27 +1281,36 @@ def sssp_min_cost_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     the weighted complement of `trade_graph_bfs_depths` (hops) and
     `widest_two_hop_trade` (bottleneck): min-PLUS instead of min-hop or
     max-min.  Fixed iteration count keeps the oracle an unrolled CTE
-    chain; the library `sssp_fixed` loop is the to-convergence form.
-    All-integer costs, so every round is bit-identical cross-engine.
+    chain; the library `sssp_fixed` loop is the distributed
+    to-convergence form for corpus-sized graphs.
 
-    Plan: one fact scan builds the dimension-bounded edge list; each
-    round is a broadcast join of the <=|nations|-row dist vector against
-    <=|nations|^2 edges, localCheckpointed -- graph-bounded, never
-    fact-bounded.
+    The fact scan builds the dimension-bounded edge list in ONE
+    distributed aggregation; the 3 synchronous relaxation rounds then
+    run DRIVER-SIDE over the collected <=|nations|^2 edges (the shapley
+    lattice discipline) -- all-integer costs, so every round is
+    bit-identical cross-engine.
     """
-    edges = _trade_edges(spark, sf_dir).filter(F.col("u") != F.col("v"))
-    ec = edges.select(
-        "u", "v", F.expr("CAST(1 + 1000000 DIV w AS BIGINT)").alias("cost")
-    )
+    raw = _trade_edges(spark, sf_dir).collect()
+    ec = [
+        (r.u, r.v, 1 + 1000000 // r.w) for r in raw if r.u != r.v
+    ]
+    dist = {0: 0}
+    for _ in range(3):
+        prev = dict(dist)
+        for u, v, c in ec:
+            if u in prev:
+                cand = prev[u] + c
+                if cand < dist.get(v, cand + 1):
+                    dist[v] = cand
+        # synchronous rounds: relaxations read the PREVIOUS round's
+        # vector (dist_k(v) = min(dist_{k-1}(v), min_u dist_{k-1}(u)+c))
     nation = load_table(spark, sf_dir, "nation")
-    d0 = nation.filter(F.col("n_nationkey") == 0).select(
-        F.col("n_nationkey").cast("bigint").alias("node"),
-        F.lit(0).cast("bigint").alias("dist"),
+    out = spark.createDataFrame(
+        sorted(dist.items()), "node bigint, dist bigint"
     )
-    dist = sssp_fixed(d0, ec, 3)
-    return dist.join(
+    return out.join(
         F.broadcast(nation.select("n_nationkey", "n_name")),
-        dist.node == F.col("n_nationkey"),
+        out.node == F.col("n_nationkey"),
     ).select(F.col("n_name").alias("nation"), F.col("dist").alias("min_cost"))
 
 
@@ -1409,38 +1379,56 @@ def community_lpa_two_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph: every nation starts in its own community, then twice adopts
     the weighted-majority label of its preferred partners (tie-break:
     min label).  The declared fixed unroll mirrors `pagerank_nations` /
-    `kmeans_lloyd_two_step`; the library `lpa_step` is the loop body for
-    to-convergence runs.  Deterministic: integer weights + total
-    tie-break order (float-scored LPA is not reproducible).
+    `kmeans_lloyd_two_step`; the library `lpa_step` is the distributed
+    loop body for corpus-sized graphs.  Deterministic: integer weights +
+    total tie-break order (float-scored LPA is not reproducible).
 
-    Plan: one fact scan -> checkpointed dimension-bounded graph; each
-    round is two broadcast joins plus a window over <= |nations| * deg
-    rows.
+    The fact scan builds the dimension-bounded weighted graph in ONE
+    distributed aggregation; the two label rounds then run DRIVER-SIDE
+    over the collected <=4|nations| symmetrized rows (the shapley
+    lattice discipline) -- the previous shape paid two broadcast joins,
+    a window, and an eager checkpoint per round for a 25-node graph.
     """
-    und = _sparse_und(spark, sf_dir)
+    raw = _trade_edges(spark, sf_dir).collect()
+    by_u: dict[int, list[tuple[int, int]]] = {}
+    for r in raw:
+        if r.u != r.v:
+            by_u.setdefault(r.u, []).append((-r.w, r.v))
+    undw: dict[tuple[int, int], int] = {}
+    for u, lst in by_u.items():
+        for negw, v in sorted(lst)[:2]:
+            w = -negw
+            undw[(u, v)] = max(undw.get((u, v), 0), w)
+            undw[(v, u)] = max(undw.get((v, u), 0), w)
     nation = load_table(spark, sf_dir, "nation")
-    labels = nation.select(
-        F.col("n_nationkey").alias("node"),
-        F.col("n_nationkey").cast("bigint").alias("label"),
-    ).localCheckpoint(eager=True)
+    nodes = [r.n_nationkey for r in nation.select("n_nationkey").collect()]
+    lbl = {x: x for x in nodes}
     for _ in range(2):
-        # checkpoint per round (pagerank_loop discipline): without it the
-        # label subtree -- including its nation scan -- replays once per
-        # consumer in the final plan (the suite scan ceiling counts it).
-        labels = lpa_step(labels, und).localCheckpoint(eager=True)
-    from pyspark.sql.window import Window as _W
-
-    cs = _W.partitionBy("label")
-    return (
-        labels.join(
-            F.broadcast(nation.select("n_nationkey", "n_name")),
-            labels.node == F.col("n_nationkey"),
-        )
-        .select(
-            F.col("n_name").alias("nation"),
-            F.col("label").alias("community"),
-            F.count(F.lit(1)).over(cs).cast("bigint").alias("community_size"),
-        )
+        score: dict[int, dict[int, int]] = {}
+        for (a, b), w in undw.items():
+            sc = score.setdefault(a, {})
+            l = lbl[b]
+            sc[l] = sc.get(l, 0) + w
+        lbl = {
+            x: (
+                min(sc := score[x], key=lambda k: (-sc[k], k))
+                if x in score
+                else lbl[x]
+            )
+            for x in nodes
+        }
+    sizes: dict[int, int] = {}
+    for x in nodes:
+        sizes[lbl[x]] = sizes.get(lbl[x], 0) + 1
+    out = spark.createDataFrame(
+        [(x, lbl[x], sizes[lbl[x]]) for x in sorted(nodes)],
+        "node bigint, community bigint, community_size bigint",
+    )
+    return out.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        out.node == F.col("n_nationkey"),
+    ).select(
+        F.col("n_name").alias("nation"), "community", "community_size"
     )
 
 
@@ -1505,57 +1493,52 @@ def harmonic_centrality_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     the graph family: PageRank ranks by mass flow, k-core by cohesion,
     harmonic by proximity-to-everything.
 
-    All-pairs distances come from the SAME synchronous min-plus rounds
-    as `sssp_min_cost_trade` but seeded with EVERY node at distance 0
-    (src carried through the rounds) -- one frame of |V|^2 pairs max,
-    iterated hop rounds, all integer.  6 rounds covers the top-2
-    graph's observed diameter at every SF; the fixed unroll keeps the
-    oracle a CTE chain.
-
-    Plan: one fact scan -> dimension-bounded edge list (broadcast); each
-    round unions + re-mins the (src, node, d) frame with a
-    localCheckpoint (lineage truncation); cost per round is |V|*deg
-    joins on a <=|V|^2 frame -- graph-bounded.  At real scale this is
-    HyperBall territory (per-node HLL counters instead of exact pairs);
-    the exact frame is right for dimension-sized graphs.
+    The fact scan builds the dimension-bounded weighted edge list in ONE
+    distributed aggregation; the all-pairs <=6-hop BFS then runs
+    DRIVER-SIDE over the collected <=|nations|^2 rows (the shapley
+    lattice discipline) -- the previous shape paid a join + re-min + an
+    eager checkpoint per hop round over a |V|^2 pair frame.  All-integer
+    (1000000 DIV d per pair), bit-identical to the CTE-chain oracle.  At
+    real scale this is HyperBall territory (per-node HLL counters); the
+    exact driver loop is right for dimension-sized graphs.
     """
-    from pyspark.sql.window import Window as _W
-
-    edges = _trade_edges(spark, sf_dir).filter(F.col("u") != F.col("v"))
-    rk = _W.partitionBy("u").orderBy(F.desc("w"), F.asc("v"))
-    se = (
-        edges.withColumn("r", F.row_number().over(rk))
-        .filter(F.col("r") <= 2)
-        .select(F.col("u").cast("bigint"), F.col("v").cast("bigint"))
-        .localCheckpoint(eager=True)
-    )
+    rows = _trade_edges(spark, sf_dir).collect()
+    by_u: dict[int, list[tuple[int, int]]] = {}
+    for r in rows:
+        if r.u != r.v:
+            by_u.setdefault(r.u, []).append((-r.w, r.v))
+    adj: dict[int, list[int]] = {
+        u: [v for _, v in sorted(lst)[:2]] for u, lst in by_u.items()
+    }
     nation = load_table(spark, sf_dir, "nation")
-    dist = nation.select(
-        F.col("n_nationkey").cast("bigint").alias("src"),
-        F.col("n_nationkey").cast("bigint").alias("node"),
-        F.lit(0).cast("bigint").alias("d"),
-    ).localCheckpoint(eager=True)
-    for _ in range(6):
-        nxt = dist.join(F.broadcast(se), dist.node == se.u).select(
-            "src", F.col("v").alias("node"), (F.col("d") + 1).alias("d")
-        )
-        dist = (
-            dist.unionByName(nxt)
-            .groupBy("src", "node")
-            .agg(F.min("d").cast("bigint").alias("d"))
-            .localCheckpoint(eager=True)
-        )
-    return (
-        dist.filter(F.col("d") > 0)
-        .join(
-            F.broadcast(nation.select("n_nationkey", "n_name")),
-            dist.src == F.col("n_nationkey"),
-        )
-        .groupBy(F.col("n_name").alias("nation"))
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_reached"),
-            F.sum(F.expr("1000000 DIV d")).cast("bigint").alias("harmonic_ppm"),
-        )
+    srcs = [
+        r.n_nationkey for r in nation.select("n_nationkey").collect()
+    ]
+    out_rows = []
+    for src in srcs:
+        dist = {src: 0}
+        frontier = [src]
+        for _ in range(6):
+            nxt = []
+            for u in frontier:
+                for v in adj.get(u, ()):
+                    if v not in dist:
+                        dist[v] = dist[u] + 1
+                        nxt.append(v)
+            frontier = nxt
+        reached = [d for n, d in dist.items() if d > 0]
+        if reached:
+            out_rows.append(
+                (src, len(reached), sum(1000000 // d for d in reached))
+            )
+    out = spark.createDataFrame(
+        sorted(out_rows), "src bigint, n_reached bigint, harmonic_ppm bigint"
+    )
+    return out.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        out.src == F.col("n_nationkey"),
+    ).select(
+        F.col("n_name").alias("nation"), "n_reached", "harmonic_ppm"
     )
 
 
@@ -1635,70 +1618,50 @@ def ktruss_peel_two_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     community_lpa_two_step / kmeans_lloyd_two_step; production loops
     until no edge drops, ~O(log) rounds with the same per-round plan).
 
-    Per round: triangles from the ordered wedge join (each counted
+    Per round: triangles from the ordered wedge walk (each counted
     once, triangle_count_nations machinery), support = the 3 edge
-    projections of the triangle list union-all'd and counted -- one
-    map-side-combinable agg -- then a support filter.  Edge derivation
-    is ONE fact pass; every graph frame after that is nation-bounded
-    (checkpointed, broadcast-hinted exactly as pagerank_nations).
-    Support counts change as edges peel, which is why support is
-    RECOMPUTED per round rather than decremented (decrementing needs
-    ordered cascades; recompute is two shuffles and embarrassingly
-    parallel).
+    projections counted, then a support filter.  Edge derivation is ONE
+    distributed fact pass; the peel rounds then run DRIVER-SIDE over
+    the collected nation-bounded edge set (the shapley lattice
+    discipline -- the previous shape paid a wedge join, a support agg,
+    and an eager checkpoint per round for a 25-node graph; at corpus
+    scale the same rounds go back to distributed wedge joins).  Support
+    counts change as edges peel, which is why support is RECOMPUTED per
+    round rather than decremented (decrementing needs ordered cascades;
+    recompute is embarrassingly parallel).
     """
-    edges = _trade_edges(spark, sf_dir).localCheckpoint(eager=True)
-    undw = (
-        edges.filter(F.col("u") != F.col("v"))
-        .groupBy(
-            F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
-        )
-        .agg(F.sum("w").cast("bigint").alias("wu"))
-        .localCheckpoint(eager=True)
-    )
-    stats = undw.agg(
-        F.count(F.lit(1)).cast("bigint").alias("m"),
-        F.sum("wu").cast("bigint").alias("tot"),
-    )
-    und = (
-        undw.crossJoin(F.broadcast(stats))
-        .filter(F.col("wu") * F.col("m") >= F.col("tot"))
-        .select("a", "b")
-        .localCheckpoint(eager=True)
-    )
+    raw = _trade_edges(spark, sf_dir).collect()
+    undw: dict[tuple[int, int], int] = {}
+    for r in raw:
+        if r.u != r.v:
+            e = (min(r.u, r.v), max(r.u, r.v))
+            undw[e] = undw.get(e, 0) + r.w
+    m, tot = len(undw), sum(undw.values())
+    cur = {e for e, wu in undw.items() if wu * m >= tot}
 
-    def _peel(cur: DataFrame) -> DataFrame:
-        e1, e2, e3 = cur.alias("e1"), cur.alias("e2"), cur.alias("e3")
-        tri = (
-            e1.join(F.broadcast(e2), F.col("e2.a") == F.col("e1.b"))
-            .join(
-                F.broadcast(e3),
-                (F.col("e3.a") == F.col("e1.a"))
-                & (F.col("e3.b") == F.col("e2.b")),
-            )
-            .select(
-                F.col("e1.a").alias("x"),
-                F.col("e1.b").alias("y"),
-                F.col("e2.b").alias("z"),
-            )
-        )
-        sup = (
-            tri.select(F.col("x").alias("a"), F.col("y").alias("b"))
-            .unionByName(tri.select(F.col("y").alias("a"), F.col("z").alias("b")))
-            .unionByName(tri.select(F.col("x").alias("a"), F.col("z").alias("b")))
-            .groupBy("a", "b")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("sup"))
-        )
-        return (
-            cur.join(F.broadcast(sup), ["a", "b"])
-            .filter(F.col("sup") >= K_TRUSS - 2)
-            .localCheckpoint(eager=True)
-        )
+    def peel(edges: set[tuple[int, int]]) -> dict[tuple[int, int], int]:
+        nxt: dict[int, list[int]] = {}
+        for a, b in edges:
+            nxt.setdefault(a, []).append(b)
+        sup: dict[tuple[int, int], int] = {}
+        for x, y in edges:
+            for z in nxt.get(y, ()):
+                if (x, z) in edges:
+                    for e in ((x, y), (y, z), (x, z)):
+                        sup[e] = sup.get(e, 0) + 1
+        return {
+            e: c for e, c in sup.items() if c >= K_TRUSS - 2
+        }
 
-    und1 = _peel(und).select("a", "b")
-    und2 = _peel(und1)
+    und1 = set(peel(cur))
+    final = peel(und1)
     nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    out = spark.createDataFrame(
+        [(a, b, c) for (a, b), c in sorted(final.items())],
+        "a bigint, b bigint, support bigint",
+    )
     return (
-        und2.join(
+        out.join(
             F.broadcast(nat.select(F.col("n_nationkey").alias("a"),
                                    F.col("n_name").alias("nation_a"))),
             "a",
@@ -1708,5 +1671,5 @@ def ktruss_peel_two_step(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    F.col("n_name").alias("nation_b"))),
             "b",
         )
-        .select("nation_a", "nation_b", F.col("sup").alias("support"))
+        .select("nation_a", "nation_b", "support")
     )

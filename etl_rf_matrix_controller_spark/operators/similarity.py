@@ -1712,59 +1712,48 @@ def gram_top_eigvec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two power-iteration steps toward the Gram matrix's top
     eigenvector (the first principal direction), from an all-ones seed
     with an infinity-norm rescale between steps -- the declared
-    fixed-unroll form of iterative linear algebra, exactly the
-    pagerank_nations discipline: unrolled for the oracle, generalizable
-    to loop-until-convergence with per-iteration checkpoints.
+    fixed-unroll form of iterative linear algebra.
 
     Cross-engine float exactness: every matrix-vector component is a
     SEQUENTIAL fold over j-sorted terms (Gram cells are themselves
     ordered folds, so both engines see bit-identical inputs), and the
     rescale divides by an identically-computed max -- no epsilon
-    anywhere.  Scale: after the corpus-sized Gram aggregation the
-    iteration space is GRAM_DIMS^2 cells; the expanded symmetric matrix
-    feeds both steps from one eager checkpoint (tiny), with broadcast
-    joins -- at a real 100 TB PCA this is the classic "aggregate once,
-    iterate on the driver-scale Gram" split.
+    anywhere.  Scale: the corpus-sized Gram aggregation runs
+    distributed; the iteration space is GRAM_DIMS^2 cells, so the two
+    power steps run DRIVER-SIDE over the collected cells in the same
+    j-sorted IEEE order (the classic "aggregate once, iterate on the
+    driver-scale Gram" split -- the previous in-plan unroll paid two
+    eager checkpoints and per-step broadcast joins for 136 cells).
     """
-    # tri feeds BOTH union branches below: checkpoint the 136-cell frame
-    # once or the corpus-sized Gram aggregation runs twice (CLAUDE.md
-    # shared-consumer rule; measured ~1.5 s of the op's 3.8 s at sf0.1).
-    tri = embedding_gram_matrix(spark, sf_dir).localCheckpoint(eager=True)
-    m = (
-        tri.select(
-            F.col("pos_a").alias("i"), F.col("pos_b").alias("j"), "gram"
-        )
-        .unionByName(
-            tri.filter(F.col("pos_a") != F.col("pos_b")).select(
-                F.col("pos_b").alias("i"), F.col("pos_a").alias("j"), "gram"
-            )
-        )
-        .localCheckpoint(eager=True)
+    tri = embedding_gram_matrix(spark, sf_dir).collect()
+    cells: dict[int, list[tuple[int, float]]] = {}
+    for r in tri:
+        cells.setdefault(r.pos_a, []).append((r.pos_b, r.gram))
+        if r.pos_a != r.pos_b:
+            cells.setdefault(r.pos_b, []).append((r.pos_a, r.gram))
+    for lst in cells.values():
+        lst.sort()
+    v1 = {
+        i: _seq_sum(g for _, g in lst) for i, lst in cells.items()
+    }
+    ma = max(abs(v) for v in v1.values())
+    vn = {i: v / ma for i, v in v1.items()}
+    v2 = {
+        i: _seq_sum(g * vn[j] for j, g in lst)
+        for i, lst in cells.items()
+    }
+    return spark.createDataFrame(
+        sorted(v2.items()), "pos bigint, comp double"
     )
 
-    def mv(mat: DataFrame, vec_col: str, val: F.Column) -> DataFrame:
-        ordered = F.aggregate(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("j", val.alias("t")))),
-                lambda s: s.t.cast("double"),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        return mat.groupBy("i").agg(ordered.alias(vec_col))
 
-    v1 = mv(m, "v", F.col("gram"))
-    mx = v1.agg(F.max(F.abs("v")).alias("ma"))
-    v1n = v1.crossJoin(F.broadcast(mx)).select(
-        F.col("i").alias("jj"), (F.col("v") / F.col("ma")).alias("vn")
-    )
-    joined = m.join(F.broadcast(v1n), m.j == F.col("jj"))
-    v2 = mv(
-        joined.select("i", "j", (F.col("gram") * F.col("vn")).alias("gv")),
-        "comp",
-        F.col("gv"),
-    )
-    return v2.select(F.col("i").alias("pos"), "comp")
+def _seq_sum(terms) -> float:
+    """Sequential IEEE double fold seeded at 0.0 -- mirrors the engines'
+    ordered list_reduce/aggregate folds term for term."""
+    acc = 0.0
+    for t in terms:
+        acc += t
+    return acc
 
 
 @declared(
@@ -3670,12 +3659,16 @@ def cka_embedding_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cv"),
         )
     )
+    # The Gram matrix is symmetric (g[i][j] = g[j][i]), so only the
+    # upper triangle's 2080 products per row are emitted (49% less
+    # fan-out + aggregation than the full 64x64) and the off-diagonal
+    # block sums double exactly in integer space below.
     pairs = centered.select(
         "n",
         F.explode(
             F.expr(
                 """flatten(transform(sequence(1, 64), i ->
-                     transform(sequence(1, 64), j ->
+                     transform(sequence(i, 64), j ->
                        struct(CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
                               element_at(cv, i) * element_at(cv, j)
                                 AS prod))))"""
@@ -3686,6 +3679,10 @@ def cka_embedding_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("prod").cast("bigint").alias("g"), F.max("n").alias("n")
     )
     g2 = "CAST(g AS DECIMAL(38,0)) * g"
+    # within-half blocks: upper-triangle cells with i < j stand for both
+    # (i,j) and (j,i) -- weight 2, diagonal weight 1; the cross block
+    # (i <= split < j) lives entirely in the upper triangle already
+    g2w = f"(CASE WHEN i = j THEN 1 ELSE 2 END) * ({g2})"
     blocks = cells.agg(
         F.max("n").alias("n_vectors"),
         F.expr(
@@ -3694,11 +3691,11 @@ def cka_embedding_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("hsic_xy"),
         F.expr(
             f"CAST(sum(CASE WHEN i <= {CKA_SPLIT} AND j <= {CKA_SPLIT}"
-            f" THEN {g2} END) AS DOUBLE)"
+            f" THEN {g2w} END) AS DOUBLE)"
         ).alias("hsic_xx"),
         F.expr(
             f"CAST(sum(CASE WHEN i > {CKA_SPLIT} AND j > {CKA_SPLIT}"
-            f" THEN {g2} END) AS DOUBLE)"
+            f" THEN {g2w} END) AS DOUBLE)"
         ).alias("hsic_yy"),
     )
     return blocks.select(

@@ -65,8 +65,13 @@ from etl_rf_matrix_controller_spark.operators.curation import (
     STOPWORDS_GOPHER,
 )
 from etl_rf_matrix_controller_spark.operators.dedup import (
+    BAND_ROWS,
+    MINHASH_A,
+    MINHASH_B,
+    MINHASH_PRIME,
+    N_BANDS,
     doc_tokset_col,
-    per_row_band_rows,
+    token_fingerprint,
 )
 from etl_rf_matrix_controller_spark.plans.conventions import ratio4, ratio4_sql
 from etl_rf_matrix_controller_spark.plans.registry import declared
@@ -92,11 +97,14 @@ _INDEX_STATE_SCHEMA = StructType(
 )
 
 
-def quality_keep_col() -> F.Column:
+def quality_keep_col(toks: str | None = None) -> F.Column:
     """The conjunctive gopher keep flag as a pure per-row column --
     identical rule arithmetic to operators/curation.py::gopher_flags_df
     (integer-space ratios, so the boolean is bit-identical on both
-    engines and between the stream and its batch twin)."""
+    engines and between the stream and its batch twin).  ``toks`` names
+    an already-computed distinct-gram array column (doc_tokset_col) so
+    a caller that needs the gram set anyway (the composed admission
+    stream) shingles each row once, not twice."""
     t = F.trim("text")
     words = F.split(t, " ")
     sw = F.array([F.lit(s) for s in STOPWORDS_GOPHER])
@@ -107,11 +115,17 @@ def quality_keep_col() -> F.Column:
         .cast("bigint")
     )
     total_grams = F.greatest(F.length(t) - 7, F.lit(1)).cast("bigint")
-    uniq_grams = F.size(
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(F.length(t) - 7, F.lit(1))),
-                lambda i: t.substr(i, F.lit(8)),
+    uniq_grams = (
+        F.size(F.col(toks))
+        if toks is not None
+        else F.size(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.greatest(F.length(t) - 7, F.lit(1))
+                    ),
+                    lambda i: t.substr(i, F.lit(8)),
+                )
             )
         )
     ).cast("bigint")
@@ -192,31 +206,59 @@ def stream_admission_records(
 ) -> DataFrame:
     """Run the composed admission over a streaming (doc_id, text) frame
     to completion (availableNow); returns the DISTINCT verdict-record
-    set (kind q/x/m, exemplar, doc) as a batch frame."""
-    flagged = docs_stream.withColumn("q_ok", quality_keep_col())
-    passing = flagged.filter(F.col("q_ok")).drop("q_ok")
-    mband = per_row_band_rows(passing).select(
-        "doc_id",
-        F.concat_ws(
-            "|", F.lit("m"), F.col("band").cast("string"), "bkey"
-        ).alias("skey"),
-    )
-    xband = passing.select(
-        "doc_id",
-        F.concat_ws("|", F.lit("x"), F.md5(F.trim("text"))).alias("skey"),
-    )
-    qrows = (
-        flagged.filter(~F.col("q_ok"))
-        .select(
-            "doc_id",
-            F.concat_ws(
-                "|", F.lit("q"), F.col("doc_id").cast("string")
-            ).alias("skey"),
+    set (kind q/x/m, exemplar, doc) as a batch frame.
+
+    One projection, one explode: the previous shape unioned three
+    branches (m-band / x-hash / q-reject) over the same source, and a
+    streaming union re-evaluates the whole per-row pipeline once per
+    leg -- the gopher gram-distinct ran three times and the shingle set
+    twice per passing doc (measured ~2x the micro-batch map time).  Now
+    the tokset, the quality flag, and the MinHash signature are each
+    computed once per row and the three skey families come out of a
+    single conditional array explode, byte-identical to the union's
+    rows."""
+    def perm(a: int, b: int):
+        # closure factory (the per_row_band_rows arity rule)
+        return lambda x: (F.lit(a) * x + F.lit(b)) % MINHASH_PRIME
+
+    # rebalance BEFORE the per-row gram fan-out (the _gram_df rule)
+    base = (
+        docs_stream.repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", "text", doc_tokset_col().alias("toks"))
+        .withColumn("q_ok", quality_keep_col("toks"))
+        .withColumn(
+            "fps", F.transform("toks", token_fingerprint)
         )
     )
+    mh = [
+        F.array_min(F.transform("fps", perm(a, b)))
+        .cast("bigint")
+        .alias(f"mh{j}")
+        for j, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    ]
+    sig = base.select("doc_id", "text", "q_ok", *mh)
+    band_keys = [
+        F.concat_ws(
+            "|",
+            F.lit("m"),
+            F.lit(str(band)),
+            F.concat_ws(
+                "_",
+                *[
+                    F.col(f"mh{j}").cast("string")
+                    for j in range(BAND_ROWS * band, BAND_ROWS * (band + 1))
+                ],
+            ),
+        )
+        for band in range(N_BANDS)
+    ]
+    xkey = F.concat_ws("|", F.lit("x"), F.md5(F.trim("text")))
+    qkey = F.concat_ws("|", F.lit("q"), F.col("doc_id").cast("string"))
+    skeys = F.when(F.col("q_ok"), F.array(xkey, *band_keys)).otherwise(
+        F.array(qkey)
+    )
     records = (
-        mband.unionByName(xband)
-        .unionByName(qrows)
+        sig.select("doc_id", F.explode(skeys).alias("skey"))
         .withColumn(
             "shard",
             F.pmod(F.xxhash64("skey"), F.lit(NEARDUP_STATE_SHARDS)),
@@ -261,8 +303,18 @@ def resolve_admission_counts(
         )
     ).distinct()
     cand = records.filter(F.col("kind") == "m").select("doc_a", "doc_b")
+    # Only docs that appear in a near-candidate pair need token sets:
+    # semi-join the corpus down to the candidate ids (collision-scaled,
+    # broadcastable) BEFORE the O(len) shingling fan-out, instead of
+    # shingling every ingested doc to verify a few hundred pairs.
+    pair_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
     toksets = (
-        corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+        corpus.join(F.broadcast(pair_ids), "doc_id", "left_semi")
+        .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
         .select("doc_id", doc_tokset_col().alias("toks"))
         .localCheckpoint(eager=False)
     )

@@ -310,10 +310,19 @@ def stream_near_dup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = stream_band_candidates(
         stream, spark, NEARDUP_DF_CAP, "near_dup_admission_stream"
     )
-    # batch-side verification over the candidate-scaled pair set
-    # (rebalanced before the shingling fan-out, same rule as the stream)
+    # batch-side verification over the candidate-scaled pair set: only
+    # docs that appear in a candidate pair need token sets, so semi-join
+    # the fan-out down to the candidate ids (collision-scaled,
+    # broadcastable) BEFORE the O(len) shingling fan-out (rebalanced
+    # before the per-row expansion, same rule as the stream)
+    pair_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
     toksets = (
         fan_out(batch_docs)
+        .join(F.broadcast(pair_ids), "doc_id", "left_semi")
         .repartition(spark.sparkContext.defaultParallelism)
         .select("doc_id", _toks_col().alias("toks"))
         .localCheckpoint(eager=False)
