@@ -2464,14 +2464,19 @@ def event_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan form paid two checkpoints and per-step broadcast joins for a
     handful of states.
     """
-    cells = (
-        event_transition_counts(spark, sf_dir)
-        .select(
+    from etl_rf_matrix_controller_spark.plans.scale import collect_bounded
+
+    # |event-types|^2 cells; the type enum is ~10 values here, 100^2
+    # headroom keeps the guard loose yet driver-safe (collect_bounded
+    # fails loudly if the dimension-bounded argument ever breaks).
+    cells = collect_bounded(
+        event_transition_counts(spark, sf_dir).select(
             F.col("prev_type").alias("s"),
             F.col("cur_type").alias("d"),
             F.col("n_transitions").cast("bigint").alias("c"),
-        )
-        .collect()
+        ),
+        10000,
+        "event-type transition matrix",
     )
     rs: dict[str, int] = {}
     for r in cells:

@@ -107,17 +107,64 @@ def token_fingerprint(token: Column) -> Column:
 
 def doc_tokset_col() -> Column:
     """Distinct char-8-gram array of the (trimmed) text column -- the
-    shingle set every MinHash/Jaccard operator is defined over."""
-    t = F.trim("text")
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.length(t) - 7, F.lit(1))),
-            lambda i: t.substr(i, F.lit(8)),
-        )
+    shingle set every MinHash/Jaccard operator is defined over.  One
+    F.expr call (round 11): see the _TOKSET_SQL comment."""
+    return F.expr(
+        "array_distinct(transform("
+        "sequence(1, greatest(length(trim(text)) - 7, 1)), "
+        "i -> substring(trim(text), i, 8)))"
     )
 
 
-def per_row_band_rows(docs: DataFrame, width: int | None = None) -> DataFrame:
+# Spark-SQL spellings of the per-row shingle/fingerprint/signature
+# machinery.  These are STRINGS for selectExpr rather than composed
+# Column objects: every F.<fn>() Column node is one py4j round-trip
+# (~1 ms), and the signature builders create hundreds of nodes -- the
+# string form is 2-3 py4j calls for the identical expression tree
+# (round 11; measured ~0.5 s of driver time per call in the streaming
+# ingest loop, paid once per micro-batch).
+_TOKSET_SQL = (
+    "array_distinct(transform("
+    "sequence(1, greatest(length(trim(text)) - 7, 1)), "
+    "i -> substring(trim(text), i, 8)))"
+)
+_FPS_SQL = (
+    f"transform({_TOKSET_SQL}, "
+    "g -> CAST(conv(substring(md5(g), 1, 8), 16, 10) AS BIGINT))"
+)
+
+
+def _mh_exprs(fps: str = "fps") -> list[str]:
+    """The 8 in-row MinHash expressions over an ``fps`` array column:
+    array_min of each (a*x+b) mod P permutation -- identical integers
+    to the explode + groupBy.min spelling (min over the same
+    distinct-gram fingerprints), zero shuffle."""
+    return [
+        f"CAST(array_min(transform({fps}, "
+        f"x -> ({a} * x + {b}) % {MINHASH_PRIME})) AS BIGINT) AS mh{j}"
+        for j, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    ]
+
+
+def _band_inline_expr() -> str:
+    """inline() over the per-band (band, bkey) structs -- the banded
+    view of an mh0..mh{k} signature row, one expression string."""
+    structs = []
+    for band in range(N_BANDS):
+        lo = BAND_ROWS * band
+        keys = ", ".join(
+            f"CAST(mh{j} AS STRING)" for j in range(lo, lo + BAND_ROWS)
+        )
+        structs.append(
+            f"named_struct('band', {band}, "
+            f"'bkey', concat_ws('_', {keys}))"
+        )
+    return f"inline(array({', '.join(structs)}))"
+
+
+def per_row_band_rows(
+    docs: DataFrame, width: int | None = None, rebalance: bool = True
+) -> DataFrame:
     """(doc_id, band, bkey) rows computed STATELESS per document: the
     MinHash signature is an array fold over the doc's own distinct
     char-8-grams (same md5-prefix fingerprints and (a*x+b) mod P
@@ -128,50 +175,50 @@ def per_row_band_rows(docs: DataFrame, width: int | None = None) -> DataFrame:
     it inside micro-batches; the persistent incremental band index
     builds from it)."""
 
-    def fp(g: Column) -> Column:
-        return F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("bigint")
-
-    def perm(a: int, b: int):
-        # closure factory: PySpark infers the higher-order-function arity
-        # from the lambda's OWN parameter count, so default-arg capture
-        # (lambda g, a=a, b=b) mis-parses as a 3-arg lambda
-        return lambda x: (F.lit(a) * x + F.lit(b)) % MINHASH_PRIME
-
     # md5+conv is ~8x the cost of the integer permutations: fingerprint
     # each gram ONCE into an fps array, then run the 8 cheap (a*x+b)%P
     # min-folds over it.  Rebalance BEFORE the ~250x gram fan-out (the
     # _gram_df rule): a single-file input otherwise runs the whole fold
     # on one task.  ``width`` lets batch-scale callers (streaming
     # ingest micro-batches) right-size the fan-out instead of paying
-    # full-corpus task counts on a few hundred rows.
-    fps = docs.repartition(
-        width or docs.sparkSession.sparkContext.defaultParallelism
-    ).select("doc_id", F.transform(doc_tokset_col(), fp).alias("fps"))
-    mh = [
-        F.array_min(F.transform("fps", perm(a, b)))
-        .cast("bigint")
-        .alias(f"mh{j}")
-        for j, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
-    ]
-    sig = fps.select("doc_id", *mh)
-    band_structs = []
-    for band in range(N_BANDS):
-        lo = BAND_ROWS * band
-        band_structs.append(
-            F.struct(
-                F.lit(band).alias("band"),
-                F.concat_ws(
-                    "_",
-                    *[
-                        F.col(f"mh{j}").cast("string")
-                        for j in range(lo, lo + BAND_ROWS)
-                    ],
-                ).alias("bkey"),
-            )
+    # full-corpus task counts on a few hundred rows; ``rebalance=False``
+    # skips the repartition for callers whose input already sits behind
+    # a width barrier (the ingest loop's cached quality-flagged batch:
+    # repartitioning an already-right-width cache is a pure wasted
+    # Exchange per micro-batch -- guide §2.4).
+    #
+    # Expressions are selectExpr STRINGS, not composed Column objects
+    # (round 11): building the ~150 Column nodes here cost one py4j
+    # round-trip each (~0.5 s of driver time PER CALL, measured in the
+    # ingest loop, which pays it once per micro-batch); three expr
+    # strings are three py4j calls for identical expression trees.
+    if rebalance:
+        docs = docs.repartition(
+            width or docs.sparkSession.sparkContext.defaultParallelism
         )
-    return sig.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
-    ).select("doc_id", "bb.band", "bb.bkey")
+    fps = docs.selectExpr("doc_id", f"{_FPS_SQL} AS fps")
+    sig = fps.selectExpr("doc_id", *_mh_exprs())
+    return sig.selectExpr("doc_id", _band_inline_expr())
+
+
+def simhash_sig_expr(bits: int, fps: str = "fps") -> str:
+    """In-row SimHash over a fingerprint-array column, as ONE selectExpr
+    string: bit-vote v_j = 2*ones_j - n (ones_j = grams whose
+    fingerprint has bit j set, n = gram count), signature bit j set iff
+    v_j > 0 -- the EXACT integers the explode+groupBy spelling
+    aggregates, computed without any shuffle.  A SimHash is a pure
+    per-row function of the doc's own distinct-gram set (like the
+    MinHash in per_row_band_rows), so the (doc, gram) explosion and the
+    32/60-column vote aggregation it fed were a removable full-data
+    Exchange (guide §2.4).  String form: 60 bits of composed Column
+    objects cost ~500 py4j round-trips per call (seconds of driver
+    time); this is one."""
+    terms = " + ".join(
+        f"IF(2 * size(filter({fps}, x -> (shiftright(x, {j}) & 1) = 1))"
+        f" > size({fps}), CAST({1 << j} AS BIGINT), CAST(0 AS BIGINT))"
+        for j in range(bits)
+    )
+    return f"CAST({terms} AS BIGINT)"
 
 
 @declared(
@@ -282,16 +329,15 @@ def _minhash_hashes_sql() -> str:
 
 
 def minhash_signature_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IN-ROW (round 11): the signature is a per-row function of the
+    # doc's distinct-gram set -- the former explode + 8-min aggregation
+    # shuffled one row per (doc, gram) for integers computable in place
+    # (guide §2.4).  Fingerprint once into fps, then 8 cheap min-folds.
     corpus = dup_corpus(spark, sf_dir)
-    tok = _gram_df(corpus)
-    fp = tok.select("doc_id", token_fingerprint(F.col("gram")).alias("tokint"))
-    aggs = [
-        F.min((F.lit(a) * F.col("tokint") + F.lit(b)) % MINHASH_PRIME)
-        .cast("bigint")
-        .alias(f"mh{j}")
-        for j, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
-    ]
-    return fp.groupBy("doc_id").agg(*aggs)
+    fps = corpus.repartition(
+        spark.sparkContext.defaultParallelism
+    ).selectExpr("doc_id", f"{_FPS_SQL} AS fps")
+    return fps.selectExpr("doc_id", *_mh_exprs())
 
 
 @declared("minhash_signatures", oracle=_minhash_hashes_sql())
@@ -391,17 +437,16 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=False)
     )
-    fp = toksets.select(
-        "doc_id", F.explode("toks").alias("gram")
-    ).select("doc_id", token_fingerprint(F.col("gram")).alias("tokint"))
-    sig = fp.groupBy("doc_id").agg(
-        *[
-            F.min((F.lit(a) * F.col("tokint") + F.lit(b)) % MINHASH_PRIME)
-            .cast("bigint")
-            .alias(f"mh{j}")
-            for j, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
-        ]
+    # IN-ROW signatures off the same tokset arrays (round 11): the old
+    # explode + groupBy.min spelling shuffled one row per (doc, gram)
+    # for integers computable per row -- same values (min over the same
+    # distinct-gram fingerprints), one less full-data Exchange.
+    fps = toksets.selectExpr(
+        "doc_id",
+        "transform(toks, g -> CAST(conv(substring(md5(g), 1, 8), 16, 10)"
+        " AS BIGINT)) AS fps",
     )
+    sig = fps.selectExpr("doc_id", *_mh_exprs())
     # The self-join below consumes the banded view twice; checkpoint the
     # NARROW signature frame (1 id + N_BANDS*BAND_ROWS bigints) once and
     # derive (band, bkey) rows in-row with one explode per consumer -- a
@@ -486,30 +531,23 @@ _SIMHASH_RECOMBINE = " + ".join(
 def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E5c: 32-bit SimHash per document (bit-vote majority).
 
-    One aggregation with 32 vote columns -- NOT an explode to (doc, bit)
-    rows, which would 32x the shuffle volume (measured 12 s -> ~2 s at
-    sf0.1).  Votes combine map-side like any sum; near-dup lookup is then
-    an equi-join on the signature (or banded substrings for hamming > 0),
-    never a pairwise scan.
+    Computed IN-ROW (round 11): the signature is a pure per-row function
+    of the doc's distinct-gram set, so the former explode + 32-vote-
+    column aggregation -- one full (doc, gram) Exchange -- is removed
+    outright (guide §2.4; the per_row_band_rows discipline).  Each gram
+    fingerprints once into an fps array, then 32 cheap bit-filters vote
+    (v_j = 2*ones_j - n, bit set iff v_j > 0 -- integers identical to
+    the groupBy sum of +-1).  Near-dup lookup stays an equi-join on the
+    signature (or banded substrings for hamming > 0), never a pairwise
+    scan.  Rebalance BEFORE the per-row gram fan-out (the _gram_df rule).
     """
     corpus = dup_corpus(spark, sf_dir)
-    tok = _gram_df(corpus)
-    fp = tok.select("doc_id", token_fingerprint(F.col("gram")).alias("tokint"))
-    votes = fp.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.expr(f"(tokint >> {j}) & 1") == 1, 1).otherwise(-1)
-            ).alias(f"v{j}")
-            for j in range(32)
-        ]
+    fps = corpus.repartition(
+        spark.sparkContext.defaultParallelism
+    ).selectExpr("doc_id", f"{_FPS_SQL} AS fps")
+    return fps.selectExpr(
+        "doc_id", f"{simhash_sig_expr(32)} AS simhash"
     )
-    recombine = None
-    for j in range(32):
-        term = F.when(F.col(f"v{j}") > 0, F.lit(1 << j).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
-        recombine = term if recombine is None else recombine + term
-    return votes.select("doc_id", recombine.cast("bigint").alias("simhash"))
 
 
 @declared(
@@ -1757,30 +1795,20 @@ def simhash_wide_sig_df(corpus: DataFrame, bits: int = 60) -> DataFrame:
     `simhash_docs`, with the token fingerprint widened to bits/4 md5 hex
     chars (60 bits stays clear of BIGINT sign issues; Manku et al. use
     64).  Library path -- consumed by `simhash_wide_pairs_df`, the
-    losslessness pytest, and the stress probe."""
+    losslessness pytest, and the stress probe.  Computed IN-ROW like
+    simhash_docs (round 11): no (doc, gram) explode, no 60-vote-column
+    Exchange -- the signature is a per-row function of the gram set."""
     assert bits % 4 == 0 and bits <= 60
-    tok = _gram_df(corpus)
-    fp = tok.select(
-        "doc_id",
-        F.conv(F.substring(F.md5(F.col("gram")), 1, bits // 4), 16, 10)
-        .cast("bigint")
-        .alias("tokint"),
+    fps_sql = (
+        f"transform({_TOKSET_SQL}, g -> CAST(conv(substring(md5(g), 1, "
+        f"{bits // 4}), 16, 10) AS BIGINT))"
     )
-    votes = fp.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.expr(f"(tokint >> {j}) & 1") == 1, 1).otherwise(-1)
-            ).alias(f"v{j}")
-            for j in range(bits)
-        ]
+    fps = corpus.repartition(
+        corpus.sparkSession.sparkContext.defaultParallelism
+    ).selectExpr("doc_id", f"{fps_sql} AS fps")
+    return fps.selectExpr(
+        "doc_id", f"{simhash_sig_expr(bits)} AS simhash"
     )
-    recombine = None
-    for j in range(bits):
-        term = F.when(F.col(f"v{j}") > 0, F.lit(1 << j).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
-        recombine = term if recombine is None else recombine + term
-    return votes.select("doc_id", recombine.cast("bigint").alias("simhash"))
 
 
 def simhash_wide_pairs_df(
@@ -3091,9 +3119,14 @@ def prefix_filter_pairs_df(spark: SparkSession, corpus: DataFrame) -> DataFrame:
         .select("doc_id", sh_arr.alias("toks"))
         .localCheckpoint(eager=True)
     )
+    # The exploded view is a PURE PROJECTION off the tokset checkpoint:
+    # derive it in-row per consumer (the round-10 minhash discipline)
+    # instead of materializing a second, shingle-scaled checkpoint --
+    # round 10 measured the exploded localCheckpoint as one whole extra
+    # blocking job plus the widest frame in the query written twice.
     exploded = toksets.select(
         "doc_id", F.size("toks").alias("n"), F.explode("toks").alias("sh")
-    ).localCheckpoint(eager=True)
+    )
     dfc = exploded.groupBy("sh").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
     w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("sh"))
     # Consumed under TWO join aliases below (a and b) -- without the

@@ -22,7 +22,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_rf_matrix_controller_spark.plans.registry import declared
+from etl_rf_matrix_controller_spark.plans.scale import collect_bounded
 from etl_rf_matrix_controller_spark.sources.tables import load_table
+
+# Guard for the driver-side graph iterations (round-10 rewrites): the
+# nation trade lattice is <=|nations|^2 = 625 cells on TPC-H data; 4x
+# headroom, still trivially driver-safe.  collect_bounded fails loudly
+# (instead of OOMing the driver) if the dimension-bounded argument ever
+# breaks -- e.g. the operator is pointed at a corpus-scale edge list.
+_MAX_EDGE_CELLS = 2500
 
 # Damping 0.85 as the exact rational 85/100; teleport mass (1-d) = 15%.
 _EDGES_SQL = """
@@ -49,6 +57,15 @@ def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s_nationkey").alias("u"), F.col("c_nationkey").alias("v")
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+
+
+def _collect_trade_edges(spark: SparkSession, sf_dir: str) -> list:
+    """The distributed fact-scan aggregation, collected under the
+    dimension-bound guard -- the shared entry of every driver-side graph
+    iteration (order-insensitive consumers only)."""
+    return collect_bounded(
+        _trade_edges(spark, sf_dir), _MAX_EDGE_CELLS, "nation trade edges"
     )
 
 
@@ -107,7 +124,7 @@ def pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale the same loop shuffles edges once on u and reuses that
     partitioning every iteration (the `_pr_step` library form).
     """
-    raw = _trade_edges(spark, sf_dir).collect()
+    raw = _collect_trade_edges(spark, sf_dir)
     outw: dict[int, int] = {}
     for r in raw:
         outw[r.u] = outw.get(r.u, 0) + r.w
@@ -592,7 +609,7 @@ def kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph.  All-integer outputs; at web scale the peel goes back to
     distributed degree-filter rounds.
     """
-    raw = _trade_edges(spark, sf_dir).collect()
+    raw = _collect_trade_edges(spark, sf_dir)
     edges = {(min(r.u, r.v), max(r.u, r.v)) for r in raw if r.u != r.v}
     all_nodes = sorted({x for e in edges for x in e})
     cur = set(edges)
@@ -669,7 +686,7 @@ def trade_graph_bfs_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds go back to distributed frontier joins -- sssp_fixed is that
     loop.
     """
-    rows = _trade_edges(spark, sf_dir).collect()
+    rows = _collect_trade_edges(spark, sf_dir)
     by_u: dict[int, list[tuple[int, int]]] = {}
     for r in rows:
         if r.u != r.v:
@@ -763,7 +780,7 @@ def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale the half-steps go back to broadcast joins over a partitioned
     edge list.
     """
-    raw_edges = _trade_edges(spark, sf_dir).collect()
+    raw_edges = _collect_trade_edges(spark, sf_dir)
 
     def norm(raw: dict[int, int]) -> dict[int, int]:
         t = sum(raw.values())
@@ -1290,7 +1307,7 @@ def sssp_min_cost_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     lattice discipline) -- all-integer costs, so every round is
     bit-identical cross-engine.
     """
-    raw = _trade_edges(spark, sf_dir).collect()
+    raw = _collect_trade_edges(spark, sf_dir)
     ec = [
         (r.u, r.v, 1 + 1000000 // r.w) for r in raw if r.u != r.v
     ]
@@ -1389,7 +1406,7 @@ def community_lpa_two_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     lattice discipline) -- the previous shape paid two broadcast joins,
     a window, and an eager checkpoint per round for a 25-node graph.
     """
-    raw = _trade_edges(spark, sf_dir).collect()
+    raw = _collect_trade_edges(spark, sf_dir)
     by_u: dict[int, list[tuple[int, int]]] = {}
     for r in raw:
         if r.u != r.v:
@@ -1502,7 +1519,7 @@ def harmonic_centrality_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     real scale this is HyperBall territory (per-node HLL counters); the
     exact driver loop is right for dimension-sized graphs.
     """
-    rows = _trade_edges(spark, sf_dir).collect()
+    rows = _collect_trade_edges(spark, sf_dir)
     by_u: dict[int, list[tuple[int, int]]] = {}
     for r in rows:
         if r.u != r.v:
@@ -1630,7 +1647,7 @@ def ktruss_peel_two_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     round rather than decremented (decrementing needs ordered cascades;
     recompute is embarrassingly parallel).
     """
-    raw = _trade_edges(spark, sf_dir).collect()
+    raw = _collect_trade_edges(spark, sf_dir)
     undw: dict[tuple[int, int], int] = {}
     for r in raw:
         if r.u != r.v:

@@ -1725,7 +1725,15 @@ def gram_top_eigvec(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-scale Gram" split -- the previous in-plan unroll paid two
     eager checkpoints and per-step broadcast joins for 136 cells).
     """
-    tri = embedding_gram_matrix(spark, sf_dir).collect()
+    from etl_rf_matrix_controller_spark.plans.scale import collect_bounded
+
+    # exactly GRAM_DIMS*(GRAM_DIMS+1)/2 upper-triangle cells by
+    # construction; GRAM_DIMS^2 is the loose dimension bound
+    tri = collect_bounded(
+        embedding_gram_matrix(spark, sf_dir),
+        GRAM_DIMS * GRAM_DIMS,
+        "embedding Gram upper triangle",
+    )
     cells: dict[int, list[tuple[int, float]]] = {}
     for r in tri:
         cells.setdefault(r.pos_a, []).append((r.pos_b, r.gram))

@@ -34,6 +34,28 @@ def write_bucketed(
     )
 
 
+def collect_bounded(df: DataFrame, bound: int, what: str) -> list:
+    """Driver-side collect with a hard cardinality guard (guide §5: the
+    driver does no data work).  The driver-side iteration rewrites
+    (pagerank/kcore/bfs/hits/sssp/lpa/harmonic/ktruss/markov/eigvec)
+    collect frames argued DIMENSION-bounded (<=|nations|^2 edges,
+    <=|types|^2 cells, GRAM_DIMS^2 cells); this enforces the argument:
+    exceeding ``bound`` fails loudly, naming the distributed fallback.
+    The check runs post-collect so it costs ZERO extra jobs (a limit()
+    would plan CollectLimit's incremental result-stage waves on queries
+    that are already overhead-bound); the transfer itself is backstopped
+    by spark.driver.maxResultSize (1g default), which errors -- not
+    OOMs -- long before a pathological input hurts the driver."""
+    rows = df.collect()
+    if len(rows) > bound:
+        raise ValueError(
+            f"{what}: driver-side collect exceeds its dimension bound "
+            f"({bound} rows) -- the input is not dimension-bounded here; "
+            "run the documented distributed form instead"
+        )
+    return rows
+
+
 def salted_agg(
     df: DataFrame,
     group_col: str,

@@ -97,47 +97,51 @@ _INDEX_STATE_SCHEMA = StructType(
 )
 
 
-def quality_keep_col(toks: str | None = None) -> F.Column:
-    """The conjunctive gopher keep flag as a pure per-row column --
-    identical rule arithmetic to operators/curation.py::gopher_flags_df
-    (integer-space ratios, so the boolean is bit-identical on both
-    engines and between the stream and its batch twin).  ``toks`` names
-    an already-computed distinct-gram array column (doc_tokset_col) so
-    a caller that needs the gram set anyway (the composed admission
-    stream) shingles each row once, not twice."""
-    t = F.trim("text")
-    words = F.split(t, " ")
-    sw = F.array([F.lit(s) for s in STOPWORDS_GOPHER])
-    n_words = F.size(words).cast("bigint")
-    n_word_chars = F.length(F.regexp_replace(t, " ", "")).cast("bigint")
-    n_stop = (
-        F.size(F.filter(words, lambda x: F.array_contains(sw, x)))
-        .cast("bigint")
+def quality_keep_sql(toks: str | None = None) -> str:
+    """The conjunctive gopher keep flag as ONE Spark-SQL expression
+    string -- identical rule arithmetic to operators/curation.py::
+    gopher_flags_df (integer-space ratio4, so the boolean is
+    bit-identical on both engines and between the stream and its batch
+    twin).  ``toks`` names an already-computed distinct-gram array
+    column (doc_tokset_col) so a caller that needs the gram set anyway
+    shingles each row once, not twice.  A string, not composed Columns
+    (round 11): the old form built ~70 Column nodes -- one py4j
+    round-trip each -- and the streaming ingest loop pays this builder
+    once per micro-batch.  ratio4_sql is plain portable arithmetic
+    (+, %, /), valid in Spark SQL unchanged; float rule bounds are
+    spelled ``<x>e0`` so Spark parses DOUBLE, not DECIMAL."""
+    t = "trim(text)"
+    words = f"split({t}, ' ')"
+    nw = f"CAST(size({words}) AS BIGINT)"
+    nwc = f"CAST(length(regexp_replace({t}, ' ', '')) AS BIGINT)"
+    sw = "array(" + ", ".join(f"'{s}'" for s in STOPWORDS_GOPHER) + ")"
+    ns = (
+        f"CAST(size(filter({words}, x -> array_contains({sw}, x)))"
+        " AS BIGINT)"
     )
-    total_grams = F.greatest(F.length(t) - 7, F.lit(1)).cast("bigint")
-    uniq_grams = (
-        F.size(F.col(toks))
+    tg = f"CAST(greatest(length({t}) - 7, 1) AS BIGINT)"
+    ug_body = (
+        toks
         if toks is not None
-        else F.size(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(
-                        F.lit(1), F.greatest(F.length(t) - 7, F.lit(1))
-                    ),
-                    lambda i: t.substr(i, F.lit(8)),
-                )
-            )
-        )
-    ).cast("bigint")
-    return (
-        n_words.between(RULE_MIN_WORDS, RULE_MAX_WORDS)
-        & ratio4(n_word_chars, n_words).between(RULE_MIN_MWL, RULE_MAX_MWL)
-        & (ratio4(n_stop, n_words) >= RULE_MIN_STOPWORD_FRAC)
-        & (
-            ratio4(total_grams - uniq_grams, total_grams)
-            <= RULE_MAX_REP_RATIO
+        else (
+            f"array_distinct(transform(sequence(1, greatest(length({t})"
+            f" - 7, 1)), i -> substring({t}, i, 8)))"
         )
     )
+    ug = f"CAST(size({ug_body}) AS BIGINT)"
+    return (
+        f"({nw} BETWEEN {RULE_MIN_WORDS} AND {RULE_MAX_WORDS})"
+        f" AND ({ratio4_sql(nwc, nw)}"
+        f" BETWEEN {RULE_MIN_MWL}e0 AND {RULE_MAX_MWL}e0)"
+        f" AND ({ratio4_sql(ns, nw)} >= {RULE_MIN_STOPWORD_FRAC}e0)"
+        f" AND ({ratio4_sql(f'({tg} - {ug})', tg)}"
+        f" <= {RULE_MAX_REP_RATIO}e0)"
+    )
+
+
+def quality_keep_col(toks: str | None = None) -> F.Column:
+    """Column view of :func:`quality_keep_sql` (one py4j call)."""
+    return F.expr(quality_keep_sql(toks))
 
 
 def _make_admission_op(cap: int):

@@ -66,6 +66,33 @@ from etl_rf_matrix_controller_spark.streaming.neardup import (
 
 EXACT_BAND = -1  # reserved band id for the exact-content tier
 
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def _microbatch_confs(spark: SparkSession, width: int):
+    """Batch-scaled job posture for micro-batch bodies (round 11,
+    guide §2.2/§2.6): shuffle width right-sized to the BATCH (not the
+    cluster-wide conf -- a 32-partition exchange over a few hundred
+    collision rows is mostly empty-task scheduling), and AQE off --
+    every plan here is already explicitly partitioned to the index
+    bucketing, so AQE has nothing to improve but turns each Exchange
+    into its own stage-job whose fixed driver latency dominated the
+    micro-batch wall (~20 jobs/batch measured).  Width is the caller's
+    ``batch_width`` parameter, so production-size batches keep
+    production-size shuffles; confs restore on exit so corpus-scale
+    queries keep AQE."""
+    before_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    before_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", str(width))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", before_aqe)
+        spark.conf.set("spark.sql.shuffle.partitions", before_sp)
+
 # Bucket count for the admission index, right-sized to its corpus (the
 # CLAUDE.md rule: buckets follow corpus scale).  The admission base is
 # ~2.5 band rows per doc, far below the gram indexes' ~250x fan-out, so
@@ -78,8 +105,11 @@ ADMBAND_N_BUCKETS = 8
 def admission_rows(passing: DataFrame, width: int | None = None) -> DataFrame:
     """(doc_id, band, bkey) state rows for quality-PASSING docs: the
     MinHash bands plus the exact tier as reserved band -1 keyed by the
-    full content hash."""
-    bands = per_row_band_rows(passing, width=width)
+    full content hash.  Every caller feeds a frame already behind a
+    width-barrier cache (one_shot_retained / the ingest loop's flagged
+    batch), so the band fan-out skips its own repartition -- one less
+    Exchange per micro-batch (round 11, guide §2.4)."""
+    bands = per_row_band_rows(passing, width=width, rebalance=False)
     exact = passing.select(
         "doc_id",
         F.lit(EXACT_BAND).alias("band"),
@@ -132,6 +162,9 @@ def one_shot_retained(
     w = Window.partitionBy("band", "bkey").orderBy("doc_id")
     return (
         admission_rows(passing)
+        # land the retention window directly on the index bucketing:
+        # the publish's repartition(N, band, bkey) then realigns nothing
+        .repartition(ADMBAND_N_BUCKETS, "band", "bkey")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= cap_eff_col(cap))
         .select("doc_id", "band", "bkey")
@@ -226,12 +259,24 @@ def probe_and_retain(
         -- byte-identical semantics to the in-memory stateful op.
 
     Scale: each history probe joins the batch's bands against one
-    bucketed leg (probe-side Exchange only); existing counts and the
-    within-batch window are batch-/collision-scaled.  Multi-consumer
-    intermediates are cached, not checkpointed (zero extra jobs --
-    Spark 4 materializes localCheckpoint at call time even with
-    eager=False); handles are appended to ``caches`` so the caller can
-    unpersist after the downstream sinks run.
+    bucketed leg; existing counts and the within-batch window are
+    batch-/collision-scaled.  Multi-consumer intermediates are cached,
+    not checkpointed (zero extra jobs -- Spark 4 materializes
+    localCheckpoint at call time even with eager=False); handles are
+    appended to ``caches`` so the caller can unpersist after the
+    downstream sinks run.
+
+    Partitioning contract (round 11, guide §2.4): callers hand ``bands``
+    in ALREADY hash-partitioned on (band, bkey) with the legs' bucket
+    count (and cached, so the InMemoryRelation advertises that
+    HashPartitioning).  Every downstream operator then reuses that ONE
+    Exchange: the per-leg probe joins (bucketed scans already satisfy
+    the distribution), the retention window, the existing-count
+    aggregation (its (band, bkey, doc_a) grouping is clustered by the
+    (band, bkey) partitioning), and the within-batch self-join all plan
+    ZERO additional Exchange -- previously each was its own shuffle,
+    and with AQE each shuffle is a separate stage-job whose fixed
+    driver latency dominated the micro-batch (measured ~20 jobs/batch).
     """
     hits = None
     for leg in legs:
@@ -272,6 +317,11 @@ def probe_and_retain(
     w = Window.partitionBy("band", "bkey").orderBy("doc_id")
     ranked = bands.withColumn("rn", F.row_number().over(w))
     if existing is not None:
+        # broadcast, deliberately: existing is collision-scaled (tiny),
+        # and a broadcast left join preserves ranked's (band, bkey)
+        # partitioning -- a shuffle-hash join would realign BOTH sides
+        # to a common partition count, reshuffling ranked and undoing
+        # the single-Exchange batch layout
         ranked = ranked.join(
             F.broadcast(existing), ["band", "bkey"], "left"
         ).withColumn("n_existing", F.coalesce("n_existing", F.lit(0)))
@@ -387,19 +437,38 @@ def stream_ingest_to_index(
         # extra job (materializes inside the delta-write job, reused by
         # the records job).
         width = batch_width or spark.sparkContext.defaultParallelism
+        # localCheckpoint, not cache (round 11): the quality expression
+        # is a large tree and PySpark's eager analysis re-walks it on
+        # every downstream op (~10 passes per batch across q_records /
+        # passing / the band fan-out); truncating to a LogicalRDD costs
+        # one batch-scaled job and removes all of them.  The width
+        # barrier / pushdown-block role is unchanged.
         flagged = (
             batch_df.repartition(width)
             .withColumn("q_ok", quality_keep_col())
-            .cache()
+            .localCheckpoint()
         )
-        scratch.append(flagged)
         q_records = flagged.filter(~F.col("q_ok")).select(
             F.lit("q").alias("kind"),
             F.lit(None).cast("long").alias("doc_a"),
             F.col("doc_id").alias("doc_b"),
         )
         passing = flagged.filter(F.col("q_ok")).select("doc_id", "text")
-        bands = admission_rows(passing, width=width).cache()
+        # ONE Exchange into the index bucketing feeds the whole batch:
+        # probe joins (bucketed legs), retention window, existing-count
+        # agg, and the within-batch self-join all reuse this
+        # HashPartitioning(band, bkey) -- see probe_and_retain's
+        # partitioning contract (round 11).  localCheckpoint, NOT cache:
+        # PySpark analyzes eagerly, so every downstream .join/.select
+        # re-walked the quality-gate + banding lineage (~2 s of DRIVER
+        # analyzer time per batch, measured); the checkpoint truncates
+        # the plan to a LogicalRDD (preserving the partitioning) at the
+        # cost of the one materialization job the cache paid anyway.
+        bands = (
+            admission_rows(passing, width=width)
+            .repartition(ADMBAND_N_BUCKETS, "band", "bkey")
+            .localCheckpoint()
+        )
         if bands_sink is not None:
             bands_sink.append(bands)
         else:
@@ -430,13 +499,16 @@ def stream_ingest_to_index(
                 allow_protected=allow_protected,
             )
 
-    q = (
-        docs_stream.writeStream.foreachBatch(ingest)
-        .option("checkpointLocation", checkpoint_path)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _microbatch_confs(
+        spark, batch_width or spark.sparkContext.defaultParallelism
+    ):
+        q = (
+            docs_stream.writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", checkpoint_path)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     for df in scratch:
         df.unpersist()
 
@@ -720,7 +792,8 @@ def stream_index_ingest_unification(
     os.makedirs(src)
     stamp = 1700000000
     # ONE partitioned staging write for all three nights (each night's
-    # rows hash to a single task, so each night dir holds one file)
+    # rows hash to a single task, so each night dir holds one file --
+    # load-bearing: maxFilesPerTrigger=1 maps files to nights)
     tagged = None
     for i, night in enumerate(nights):
         t = night.withColumn("night", F.lit(i))
@@ -783,51 +856,72 @@ def stream_index_ingest_unification(
     night_bands = stream_bands[0]
     for b in stream_bands[1:]:
         night_bands = night_bands.unionByName(b)
+    # the union of the per-batch cached bands erases their partitioning;
+    # restore it with ONE Exchange so the twin probe runs the same
+    # single-Exchange layout as the batches (round 11)
     audit_caches: list[DataFrame] = []
-    twin, _ = probe_and_retain(night_bands, [base], cap, caches=audit_caches)
-    twin = twin.cache()
-    audit_caches.append(twin)
-    both = (
-        served.alias("s")
-        .hint("shuffle_hash")
-        .join(
-            twin.alias("t"),
-            (F.col("s.band") == F.col("t.band"))
-            & (F.col("s.bkey") == F.col("t.bkey"))
-            & (F.col("s.doc_id") == F.col("t.doc_id")),
+    with _microbatch_confs(spark, ADMBAND_N_BUCKETS):
+        # the audit runs the same batch-scaled single-Exchange layout
+        # as the drain's micro-batches: same conf posture (round 11)
+        night_bands = night_bands.repartition(
+            ADMBAND_N_BUCKETS, "band", "bkey"
+        ).cache()
+        audit_caches.append(night_bands)
+        twin, _ = probe_and_retain(
+            night_bands, [base], cap, caches=audit_caches
         )
-    )
-    # the three scalar counts in ONE job (tagged union of aggregates)
-    cnt = F.count(F.lit(1)).alias("c")
-    cnts = {
-        r["k"]: r["c"]
-        for r in served.agg(cnt).withColumn("k", F.lit("served"))
-        .unionByName(twin.agg(cnt).withColumn("k", F.lit("twin")))
-        .unionByName(both.agg(cnt).withColumn("k", F.lit("both")))
-        .collect()
-    }
+        twin = twin.cache()
+        audit_caches.append(twin)
+        both = (
+            served.alias("s")
+            .hint("shuffle_hash")
+            .join(
+                twin.alias("t"),
+                (F.col("s.band") == F.col("t.band"))
+                & (F.col("s.bkey") == F.col("t.bkey"))
+                & (F.col("s.doc_id") == F.col("t.doc_id")),
+            )
+        )
+        # the three scalar counts in ONE job (tagged union of aggregates)
+        cnt = F.count(F.lit(1)).alias("c")
+        cnts = {
+            r["k"]: r["c"]
+            for r in served.agg(cnt).withColumn("k", F.lit("served"))
+            .unionByName(twin.agg(cnt).withColumn("k", F.lit("twin")))
+            .unionByName(both.agg(cnt).withColumn("k", F.lit("both")))
+            .collect()
+        }
     audit = bool(cnts["served"] == cnts["twin"] == cnts["both"])
     for df in audit_caches + stream_bands:
         df.unpersist()
 
-    leg_stats = None
+    # ONE tagged aggregation over all legs (round 11): the former
+    # union-of-3-agg-branches plan ran one agg subtree per leg (3+
+    # stage-jobs); tagging rows with their night and grouping once is
+    # the same integers in a single aggregation.
+    tagged_legs = None
     for i, leg in enumerate(legs):
-        st = leg.agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_band_rows"),
-            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
-            F.sum(
-                F.when(F.col("band") == EXACT_BAND, 1).otherwise(0)
-            )
-            .cast("bigint")
-            .alias("n_exact_rows"),
-        ).withColumn("night", F.lit(i + 1).cast("int"))
-        leg_stats = st if leg_stats is None else leg_stats.unionByName(st)
+        t = leg.select(
+            F.lit(i + 1).cast("int").alias("night"), "doc_id", "band"
+        )
+        tagged_legs = (
+            t if tagged_legs is None else tagged_legs.unionByName(t)
+        )
+    leg_stats = tagged_legs.groupBy("night").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_band_rows"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("band") == EXACT_BAND, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_exact_rows"),
+    )
 
     rec = spark.read.parquet(records_path)
     night_of = lambda c: (F.floor(F.col(c) / 1000000) - 3).cast("int")  # noqa: E731
+    # x/m/q counted in ONE grouped pass over the records sink (round 11;
+    # was two aggregations + two broadcast joins): all three kinds group
+    # by the same night_of(doc_b), so conditional sums fuse them.
     rec_stats = (
-        rec.filter(F.col("kind") != "q")
-        .withColumn("night", night_of("doc_b"))
+        rec.withColumn("night", night_of("doc_b"))
         .groupBy("night")
         .agg(
             F.sum(F.when(F.col("kind") == "x", 1).otherwise(0))
@@ -836,17 +930,13 @@ def stream_index_ingest_unification(
             F.sum(F.when(F.col("kind") == "m", 1).otherwise(0))
             .cast("bigint")
             .alias("n_m_records"),
+            F.sum(F.when(F.col("kind") == "q", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_q_rejected"),
         )
     )
-    q_stats = (
-        rec.filter(F.col("kind") == "q")
-        .withColumn("night", night_of("doc_b"))
-        .groupBy("night")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_q_rejected"))
-    )
     return (
-        leg_stats.join(F.broadcast(q_stats), "night", "left")
-        .join(F.broadcast(rec_stats), "night", "left")
+        leg_stats.join(F.broadcast(rec_stats), "night", "left")
         .select(
             "night",
             "n_band_rows",

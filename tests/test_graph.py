@@ -151,3 +151,18 @@ def test_lpa_isolated_node_keeps_label(spark):
     )
     got = {r.node: r.label for r in lpa_step(labels, und).collect()}
     assert got[9] == 9 and got[0] == 1 and got[1] == 0
+
+
+def test_collect_bounded_guards_driver_side_collects(spark):
+    """The driver-side iteration rewrites collect dimension-bounded
+    frames; collect_bounded must pass exactly-at-bound inputs through
+    unchanged and FAIL LOUDLY (not driver-OOM) one row past the bound."""
+    import pytest
+
+    from etl_rf_matrix_controller_spark.plans.scale import collect_bounded
+
+    df = spark.range(10).selectExpr("id AS u", "id AS v", "id AS w")
+    rows = collect_bounded(df, 10, "at-bound lattice")
+    assert {r.u for r in rows} == set(range(10))
+    with pytest.raises(ValueError, match="dimension bound"):
+        collect_bounded(df, 9, "over-bound lattice")

@@ -1,6 +1,9 @@
-"""Dump .explain('formatted') for declared queries to plans/r10/<q>_<tag>.txt.
+"""Dump .explain('formatted') for declared queries to plans/<round>/<q>_<tag>.txt.
 
 Usage: python tools/explain_dump.py <tag> <query> [<query> ...] [--sf DIR]
+                                    [--round rNN]
+
+``--round`` defaults to r11 (the current optimization round's dump dir).
 """
 
 from __future__ import annotations
@@ -12,9 +15,14 @@ import sys
 def main() -> None:
     args = sys.argv[1:]
     sf_dir = "/root/testdata/sf0.001"
+    rnd = "r11"
     if "--sf" in args:
         i = args.index("--sf")
         sf_dir = args[i + 1]
+        args = args[:i] + args[i + 2 :]
+    if "--round" in args:
+        i = args.index("--round")
+        rnd = args[i + 1]
         args = args[:i] + args[i + 2 :]
     tag, names = args[0], args[1:]
 
@@ -26,7 +34,7 @@ def main() -> None:
     registry.load_all()
     spark = get_spark(app_name="explain-dump")
     spark.sparkContext.setLogLevel("ERROR")
-    out_dir = os.path.join(repo, "plans", "r10")
+    out_dir = os.path.join(repo, "plans", rnd)
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
         df = registry.QUERIES[name](spark, sf_dir)
