@@ -201,13 +201,20 @@ def _register_ext_table(spark: SparkSession, table: str, loc: str) -> DataFrame:
         return spark.table(table)
     with open(os.path.join(loc, "_graft_meta.json")) as fh:
         meta = json.load(fh)
-    spark.sql(
-        f"CREATE TABLE {table} ({meta['ddl']}) USING PARQUET "
-        f"CLUSTERED BY ({', '.join(meta['bucket_cols'])}) "
-        f"SORTED BY ({', '.join(meta['sort_cols'])}) "
-        f"INTO {meta['n_buckets']} BUCKETS "
-        f"LOCATION '{loc}'"
-    )
+    try:
+        spark.sql(
+            f"CREATE TABLE {table} ({meta['ddl']}) USING PARQUET "
+            f"CLUSTERED BY ({', '.join(meta['bucket_cols'])}) "
+            f"SORTED BY ({', '.join(meta['sort_cols'])}) "
+            f"INTO {meta['n_buckets']} BUCKETS "
+            f"LOCATION '{loc}'"
+        )
+    except Exception:
+        # concurrent registrar won the tableExists->CREATE race (driver
+        # threads overlapping independent queries, guide §2.6); theirs
+        # is identical -- re-raise only if the table truly is not there
+        if not spark.catalog.tableExists(table):
+            raise
     return spark.table(table)
 
 
@@ -225,9 +232,15 @@ def _publish_bucketed(
     own staging dir; exactly one rename wins, no reader ever sees a
     half-written location)."""
     import shutil
+    import uuid
 
-    stage_loc = f"{loc}.build-{os.getpid()}"
-    stage_table = f"{table}_build_{os.getpid()}"
+    # process- AND thread-unique staging identity: concurrent builders
+    # in one driver process (overlapped independent queries, guide
+    # §2.6) must not share a staging dir or temp table name; the
+    # ".build-" prefix is what recovery/prune glob on, unchanged
+    stage_tag = f"{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    stage_loc = f"{loc}.build-{stage_tag}"
+    stage_table = f"{table}_build_{stage_tag.replace('-', '_')}"
     # One repartition on the bucket keys with numPartitions == numBuckets:
     # HashPartitioning and the bucket hash are both Murmur3 pmod N, so each
     # write task holds exactly one bucket -> one file per bucket -> the

@@ -17,6 +17,7 @@ def get_spark(
     app_name: str = "etl-rf-matrix-controller-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
+    extra_confs: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build (or reuse) a SparkSession.
 
@@ -54,4 +55,9 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    # tooling overrides (round-10 ADVICE: profile_query must not
+    # hand-copy this conf list -- it passes {"spark.ui.enabled": "true",
+    # ...} here so any future conf change above flows to profiles)
+    for k, v in (extra_confs or {}).items():
+        builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -34,7 +34,10 @@ from pyspark.sql.types import (
 )
 
 from etl_rf_matrix_controller_spark.plans.registry import declared
+from etl_rf_matrix_controller_spark.plans.scale import adaptive_state_shards
 
+# superseded by plans/scale.py::adaptive_state_shards (round 11); kept
+# as the documented historical constant for the round-8 measurement.
 ZSCORE_STATE_SHARDS = 1024
 # Scored only once >= ZSCORE_MIN_PRIOR prior events exist (variance of a
 # single point is meaningless); anomaly threshold is |z| > 3.
@@ -118,7 +121,10 @@ def stream_zscore_rows(
         F.col("event_id").cast("bigint").alias("event_id"),
         F.round(F.col("value") * 10000).cast("bigint").alias("x"),
     ).withColumn(
-        "shard", F.pmod(F.xxhash64("user_id"), F.lit(ZSCORE_STATE_SHARDS))
+        # scale-adaptive shard count (round 11): results are shard-
+        # invariant; see plans/scale.py::adaptive_state_shards
+        "shard",
+        F.pmod(F.xxhash64("user_id"), F.lit(adaptive_state_shards(spark))),
     )
     out = keyed.groupBy("shard").applyInPandasWithState(
         _moment_scorer,

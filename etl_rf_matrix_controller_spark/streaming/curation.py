@@ -75,9 +75,9 @@ from etl_rf_matrix_controller_spark.operators.dedup import (
 )
 from etl_rf_matrix_controller_spark.plans.conventions import ratio4, ratio4_sql
 from etl_rf_matrix_controller_spark.plans.registry import declared
+from etl_rf_matrix_controller_spark.plans.scale import adaptive_state_shards
 from etl_rf_matrix_controller_spark.streaming.neardup import (
     NEARDUP_DF_CAP,
-    NEARDUP_STATE_SHARDS,
     _bands_union_sql,
     _mh_sql,
 )
@@ -264,8 +264,12 @@ def stream_admission_records(
     records = (
         sig.select("doc_id", F.explode(skeys).alias("skey"))
         .withColumn(
+            # scale-adaptive shard count (round 11): results are shard-
+            # invariant; see plans/scale.py::adaptive_state_shards
             "shard",
-            F.pmod(F.xxhash64("skey"), F.lit(NEARDUP_STATE_SHARDS)),
+            F.pmod(
+                F.xxhash64("skey"), F.lit(adaptive_state_shards(spark))
+            ),
         )
         .groupBy("shard")
         .applyInPandasWithState(

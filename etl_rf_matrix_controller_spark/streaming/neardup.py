@@ -52,6 +52,7 @@ from etl_rf_matrix_controller_spark.operators.dedup import (
     per_row_band_rows,
 )
 from etl_rf_matrix_controller_spark.plans.registry import declared
+from etl_rf_matrix_controller_spark.plans.scale import adaptive_state_shards
 
 # First-`cap` docs retained per (band, bkey): the near-dup ingest df-cap.
 NEARDUP_DF_CAP = 50
@@ -62,6 +63,8 @@ NEARDUP_DF_CAP = 50
 # ~0.2 ms of per-group overhead each (30.8 s measured, vs 2 s sharded).
 # Sharding bounds group count at any corpus size; per-bucket semantics
 # are untouched (buckets are processed independently inside the shard).
+# Superseded by plans/scale.py::adaptive_state_shards (round 11); kept
+# as the documented historical constant for the round-8 measurement.
 NEARDUP_STATE_SHARDS = 1024
 
 _PAIR_SCHEMA = StructType(
@@ -137,8 +140,12 @@ def stream_band_candidates(
             ),
         )
         .withColumn(
+            # scale-adaptive shard count (round 11): results are shard-
+            # invariant; see plans/scale.py::adaptive_state_shards
             "shard",
-            F.pmod(F.xxhash64("skey"), F.lit(NEARDUP_STATE_SHARDS)),
+            F.pmod(
+                F.xxhash64("skey"), F.lit(adaptive_state_shards(spark))
+            ),
         )
         .groupBy("shard")
         .applyInPandasWithState(

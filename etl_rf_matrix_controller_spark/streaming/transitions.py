@@ -45,8 +45,11 @@ from pyspark.sql.types import (
 )
 
 from etl_rf_matrix_controller_spark.plans.registry import declared
+from etl_rf_matrix_controller_spark.plans.scale import adaptive_state_shards
 
 # One pandas group per shard, not per user (see module docstring).
+# Superseded by plans/scale.py::adaptive_state_shards (round 11); kept
+# as the documented historical constant for the round-8 measurement.
 TRANSITION_STATE_SHARDS = 1024
 
 _OUT_SCHEMA = StructType(
@@ -125,7 +128,10 @@ def stream_transitions(
         F.col("event_id").cast("bigint").alias("event_id"),
         "event_type",
     ).withColumn(
-        "shard", F.pmod(F.xxhash64("user_id"), F.lit(TRANSITION_STATE_SHARDS))
+        # scale-adaptive shard count (round 11): results are shard-
+        # invariant; see plans/scale.py::adaptive_state_shards
+        "shard",
+        F.pmod(F.xxhash64("user_id"), F.lit(adaptive_state_shards(spark))),
     )
     out = keyed.groupBy("shard").applyInPandasWithState(
         _transition_tracker,

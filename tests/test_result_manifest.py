@@ -35,11 +35,25 @@ def test_results_match_manifest(spark):
     )
     stale = [n for n in manifest if n not in registry.ORACLES]
     assert not stale, f"manifest entries for unknown queries: {stale}"
+    # Overlapped independent jobs (guide §2.6): the 411 recomputes are
+    # independent, and run sequentially the suite's single biggest test
+    # (~5.6 min) left the session mostly idle between tiny jobs.  Eight
+    # driver threads back-fill the tails (336 -> ~135 s measured); per-query hashes are
+    # order-independent, index publishes are atomic with thread-unique
+    # staging (plans/gram_index.py), and registration races re-resolve.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def check(name: str):
+        h = result_hash(
+            registry.QUERIES[name](spark, "/root/testdata/sf0.001")
+        )
+        return name, h
+
     diffs = {}
-    for name in oracle_names:
-        h = result_hash(registry.QUERIES[name](spark, "/root/testdata/sf0.001"))
-        if h != manifest[name]:
-            diffs[name] = (manifest[name][:16], h[:16])
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        for name, h in pool.map(check, oracle_names):
+            if h != manifest[name]:
+                diffs[name] = (manifest[name][:16], h[:16])
     assert not diffs, (
         f"{len(diffs)} queries changed results vs manifest "
         f"(intentional? regenerate via tools/gen_result_manifest.py): {diffs}"

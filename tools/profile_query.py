@@ -39,30 +39,20 @@ def main() -> None:
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sys.path.insert(0, repo)
-    from pyspark.sql import SparkSession
-
     from etl_rf_matrix_controller_spark.plans import registry
+    from etl_rf_matrix_controller_spark.session import get_spark
 
     registry.load_all()
 
-    # Same confs as session.get_spark but with the UI on for the REST API.
+    # The bench session's confs, via get_spark itself (round-10 ADVICE:
+    # no hand-copied conf list to drift), plus the UI for the REST API.
     os.environ.setdefault("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
-    cpus = os.environ["SPARK_GRAFT_CPUS"]
-    spark = (
-        SparkSession.builder.appName("profile-query")
-        .master(f"local[{cpus}]")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
-        .config("spark.ui.enabled", "true")
-        .config("spark.ui.port", "4099")
-        .getOrCreate()
+    spark = get_spark(
+        app_name="profile-query",
+        extra_confs={
+            "spark.ui.enabled": "true",
+            "spark.ui.port": "4099",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
     ui = spark.sparkContext.uiWebUrl
