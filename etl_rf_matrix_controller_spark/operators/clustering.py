@@ -677,6 +677,9 @@ def kcenter_coreset_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DBSCAN-lite knobs: grid spacing for the planted label clusters, the
 # eps-ball radius (= the blocking cell size), and the core threshold.
 DBSCAN_GRID, DBSCAN_EPS, DBSCAN_MINPTS = 4000, 250, 4
+# Largest point set whose component loop runs under the low-overhead
+# plan posture (AQE off); larger graphs keep AQE's skew handling.
+_DBSCAN_LOW_OVERHEAD_MAX = 200_000
 _DB_OFF = 100000  # shift coords non-negative before integer cell division
 
 _DB_PTS_SQL = f"""
@@ -849,56 +852,88 @@ def dbscan_df(
         .select("ia", "ib")
         .localCheckpoint(eager=True)  # feeds core count, edges, border
     )
-    cores = (
-        pairs.groupBy("ia")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= minpts)
-        .select(F.col("ia").alias("vec_id"))
-        .localCheckpoint(eager=True)  # feeds edges (x2), labels, roles
+    # Small-graph fast path (round 11): the component loop below runs
+    # ~8 checkpoint/agg actions whose plans are explicitly keyed; with
+    # AQE on, every Exchange in them is its own stage-job, and at test
+    # scale (a few thousand points, 1-5 task stages) the query spent
+    # more wall on the resulting 71 jobs' fixed driver latency than on
+    # compute.  Below the threshold, run the loop under the shared
+    # low-overhead posture (AQE off, right-sized shuffle width); a
+    # corpus-scale graph keeps AQE's skew handling (the pointer join's
+    # label key concentrates as components converge).  pts is
+    # pre-checkpointed per this function's contract, so the count is a
+    # trivial job.
+    from contextlib import nullcontext
+
+    from etl_rf_matrix_controller_spark.plans.scale import (
+        low_overhead_plan_scope,
     )
-    # cores/comp/border all grow with the corpus -- broadcasting them is
-    # a driver/executor memory hazard at 100x; shuffle_hash keeps the
-    # stat-less checkpointed frames off SMJ without materializing them
-    # on every executor (same convention as the winnow/dbscan pair joins).
-    edges = (
-        pairs.filter(F.col("ia") != F.col("ib"))
-        .join(cores.select(F.col("vec_id").alias("ia")).hint("shuffle_hash"), "ia")
-        .join(cores.select(F.col("vec_id").alias("ib")).hint("shuffle_hash"), "ib")
-        .select(F.col("ia").alias("src"), F.col("ib").alias("dst"))
-        .localCheckpoint(eager=True)
+
+    spark = pts.sparkSession
+    n_pts = pts.count()
+    scope = (
+        low_overhead_plan_scope(spark, max(8, n_pts // 20000))
+        if n_pts <= _DBSCAN_LOW_OVERHEAD_MAX
+        else nullcontext()
     )
-    labels = cores.select(
-        F.col("vec_id").alias("node"), F.col("vec_id").alias("lbl")
-    ).localCheckpoint(eager=True)
-    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
-    for _ in range(MAX_CC_ROUNDS):
-        msgs = edges.join(labels, edges.src == labels.node).select(
-            F.col("dst").alias("node"), "lbl"
+    with scope:
+        cores = (
+            pairs.groupBy("ia")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") >= minpts)
+            .select(F.col("ia").alias("vec_id"))
+            .localCheckpoint(eager=True)  # feeds edges (x2), labels, roles
         )
-        relaxed = (
-            labels.unionByName(msgs)
-            .groupBy("node")
-            .agg(F.min("lbl").alias("lbl"))
-        )
-        jl, jp = relaxed.alias("l"), relaxed.alias("p")
-        labels = (
-            jl.join(jp, F.col("l.lbl") == F.col("p.node"), "left")
-            .select(
-                F.col("l.node").alias("node"),
-                F.least(
-                    F.col("l.lbl"), F.coalesce(F.col("p.lbl"), F.col("l.lbl"))
-                ).alias("lbl"),
+        # cores/comp/border all grow with the corpus -- broadcasting them
+        # is a driver/executor memory hazard at 100x; shuffle_hash keeps
+        # the stat-less checkpointed frames off SMJ without materializing
+        # them on every executor (the winnow/dbscan pair-join convention).
+        edges = (
+            pairs.filter(F.col("ia") != F.col("ib"))
+            .join(
+                cores.select(F.col("vec_id").alias("ia")).hint("shuffle_hash"),
+                "ia",
             )
+            .join(
+                cores.select(F.col("vec_id").alias("ib")).hint("shuffle_hash"),
+                "ib",
+            )
+            .select(F.col("ia").alias("src"), F.col("ib").alias("dst"))
             .localCheckpoint(eager=True)
         )
-        cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
-    comp = labels.select(
-        F.col("node").alias("vec_id"),
-        F.col("lbl").cast("bigint").alias("cluster_id"),
-    ).localCheckpoint(eager=True)  # feeds border join + final roles
+        labels = cores.select(
+            F.col("vec_id").alias("node"), F.col("vec_id").alias("lbl")
+        ).localCheckpoint(eager=True)
+        prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+        for _ in range(MAX_CC_ROUNDS):
+            msgs = edges.join(labels, edges.src == labels.node).select(
+                F.col("dst").alias("node"), "lbl"
+            )
+            relaxed = (
+                labels.unionByName(msgs)
+                .groupBy("node")
+                .agg(F.min("lbl").alias("lbl"))
+            )
+            jl, jp = relaxed.alias("l"), relaxed.alias("p")
+            labels = (
+                jl.join(jp, F.col("l.lbl") == F.col("p.node"), "left")
+                .select(
+                    F.col("l.node").alias("node"),
+                    F.least(
+                        F.col("l.lbl"),
+                        F.coalesce(F.col("p.lbl"), F.col("l.lbl")),
+                    ).alias("lbl"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            cur_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
+        comp = labels.select(
+            F.col("node").alias("vec_id"),
+            F.col("lbl").cast("bigint").alias("cluster_id"),
+        ).localCheckpoint(eager=True)  # feeds border join + final roles
     border = (
         pairs.filter(F.col("ia") != F.col("ib"))
         .join(

@@ -2105,6 +2105,85 @@ def chi_square_type_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Largest value grid the serial one-partition rank window may sort; a
+# bigger grid (distinct prices scale with rows) takes the distributed
+# two-phase prefix-sum path instead (identical integers).
+_RANK_GRID_SERIAL_MAX = 2_000_000
+
+
+def _rank_grid(rows_in: DataFrame, col: str, out: str) -> DataFrame:
+    """Doubled-midrank value grid (2*cum_less + ct + 1) via ONE global
+    running-sum window -- single-partition, right while the grid is
+    small (the serial sort beats the parallel path's extra jobs by
+    ~0.9 s at sf0.1's 583k-value grid)."""
+    per = rows_in.groupBy(col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("ct")
+    )
+    w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+    return per.select(
+        col,
+        (
+            2 * F.coalesce(F.sum("ct").over(w), F.lit(0)).cast("bigint")
+            + F.col("ct")
+            + 1
+        ).alias(out),
+    )
+
+
+def _rank_grid_parallel(rows_in: DataFrame, col: str, out: str) -> DataFrame:
+    """Distributed doubled-midrank grid (round 11, guide §2/§5): when
+    the value grid is ROW-scale (prices are ~97% distinct), the
+    single-partition running-sum window is a serial sort of the whole
+    grid -- a genuine 100 TB wall.  Classic two-phase prefix sum:
+    range-partition the grid (equal values co-locate; every smaller
+    value lands in an earlier partition), cumulative-sum within
+    partitions, add per-partition offsets (a partition-count-bounded
+    collect, broadcast back).  Integers identical to the global window
+    by construction (pinned by tests/test_new_op_semantics.py)."""
+    spark = rows_in.sparkSession
+    per = rows_in.groupBy(col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("ct")
+    )
+    npart = spark.sparkContext.defaultParallelism
+    parts = (
+        per.repartitionByRange(npart, F.col(col))
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()  # pin pid; feeds offsets + the cumsum
+    )
+    from etl_rf_matrix_controller_spark.plans.scale import collect_bounded
+
+    tot = {
+        r.pid: r.s
+        for r in collect_bounded(
+            parts.groupBy("pid").agg(F.sum("ct").alias("s")),
+            npart + 1,
+            "rank-grid partition totals",
+        )
+    }
+    offs, acc = [], 0
+    for pid in sorted(tot):
+        offs.append((pid, acc))
+        acc += tot[pid]
+    off_df = spark.createDataFrame(offs or [(0, 0)], "pid int, off bigint")
+    w = (
+        Window.partitionBy("pid")
+        .orderBy(col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return parts.join(F.broadcast(off_df), "pid").select(
+        col,
+        (
+            2
+            * (
+                F.coalesce(F.sum("ct").over(w), F.lit(0)).cast("bigint")
+                + F.col("off")
+            )
+            + F.col("ct")
+            + 1
+        ).alias(out),
+    )
+
+
 @declared(
     "spearman_quantity_price",
     oracle="""
@@ -2178,20 +2257,17 @@ def spearman_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("px"),
     ).localCheckpoint(eager=True)  # rank grid x2 + join-back
 
-    def rank_grid(col: str, out: str) -> DataFrame:
-        per = rows_in.groupBy(col).agg(F.count(F.lit(1)).cast("bigint").alias("ct"))
-        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
-        return per.select(
-            col,
-            (
-                2 * F.coalesce(F.sum("ct").over(w), F.lit(0)).cast("bigint")
-                + F.col("ct")
-                + 1
-            ).alias(out),
-        )
-
-    rxt = rank_grid("qx", "mrx")
-    ryt = rank_grid("px", "mry")
+    rxt = _rank_grid(rows_in, "qx", "mrx")  # ~50 distinct quantities
+    # Scale-adaptive (round 11): below the threshold the one-partition
+    # window's serial sort is cheaper than the parallel path's extra
+    # jobs (measured ~0.9 s slower at sf0.1's 583k-value grid); above
+    # it the serial sort is the wall.  rows_in is checkpointed, so the
+    # count is a trivial job, and the grid is at most rows_in rows.
+    ryt = (
+        _rank_grid_parallel(rows_in, "px", "mry")
+        if rows_in.count() > _RANK_GRID_SERIAL_MAX
+        else _rank_grid(rows_in, "px", "mry")
+    )
     dec = "decimal(38,0)"
     joined = rows_in.join(F.broadcast(rxt), "qx").join(
         ryt.hint("shuffle_hash"), "px"

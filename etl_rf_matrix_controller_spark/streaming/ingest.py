@@ -67,31 +67,11 @@ from etl_rf_matrix_controller_spark.streaming.neardup import (
 EXACT_BAND = -1  # reserved band id for the exact-content tier
 
 
-from contextlib import contextmanager
-
-
-@contextmanager
-def _microbatch_confs(spark: SparkSession, width: int):
-    """Batch-scaled job posture for micro-batch bodies (round 11,
-    guide §2.2/§2.6): shuffle width right-sized to the BATCH (not the
-    cluster-wide conf -- a 32-partition exchange over a few hundred
-    collision rows is mostly empty-task scheduling), and AQE off --
-    every plan here is already explicitly partitioned to the index
-    bucketing, so AQE has nothing to improve but turns each Exchange
-    into its own stage-job whose fixed driver latency dominated the
-    micro-batch wall (~20 jobs/batch measured).  Width is the caller's
-    ``batch_width`` parameter, so production-size batches keep
-    production-size shuffles; confs restore on exit so corpus-scale
-    queries keep AQE."""
-    before_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    before_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    spark.conf.set("spark.sql.shuffle.partitions", str(width))
-    try:
-        yield
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", before_aqe)
-        spark.conf.set("spark.sql.shuffle.partitions", before_sp)
+# micro-batch bodies run under the shared small-data job posture
+# (AQE off + batch-width shuffles; see plans/scale.py)
+from etl_rf_matrix_controller_spark.plans.scale import (
+    low_overhead_plan_scope as _microbatch_confs,
+)
 
 # Bucket count for the admission index, right-sized to its corpus (the
 # CLAUDE.md rule: buckets follow corpus scale).  The admission base is

@@ -516,3 +516,29 @@ def test_real_wav_decode_roundtrip():
         raise AssertionError("non-PCM must raise NotImplementedError")
     except NotImplementedError:
         pass
+
+
+def test_rank_grid_parallel_matches_serial(spark):
+    """The distributed two-phase doubled-midrank grid must produce the
+    EXACT integers of the serial one-partition window (spearman's
+    >2M-grid path is otherwise unexercised at bench scale), including
+    ties and skewed value distributions."""
+    from pyspark.sql import functions as F
+
+    from etl_rf_matrix_controller_spark.operators.profiling import (
+        _rank_grid,
+        _rank_grid_parallel,
+    )
+
+    rows = spark.range(0, 20000).select(
+        (F.col("id") % 997).alias("px"),  # ties everywhere
+        (F.col("id") % 7).alias("qx"),
+    ).localCheckpoint()
+    serial = {
+        r.px: r.mry for r in _rank_grid(rows, "px", "mry").collect()
+    }
+    par = {
+        r.px: r.mry
+        for r in _rank_grid_parallel(rows, "px", "mry").collect()
+    }
+    assert serial == par and len(serial) == 997
